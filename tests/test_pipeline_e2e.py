@@ -1,0 +1,108 @@
+"""E2E parity: distributed Ray pipeline vs golden single-process oracle.
+
+The north-star criterion (BASELINE.json): triples P/R >= 0.95.  Both
+implementations share the per-document kernels, so we assert exact
+equality (P = R = 1.0) — stronger than the target.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from renard_ray.oracle.golden import oracle_triples, triple_precision_recall
+from renard_ray.pipelines.kg import KGConfig, build_kg
+from renard_ray.sources.pages import generate_pages_table
+from renard_ray.textproc.document import DocConfig
+
+
+def _ray_triples(pages_tbl: pa.Table, cfg: KGConfig):
+    import ray
+
+    pages = ray.data.from_arrow(pages_tbl)
+    df = build_kg(pages, cfg).to_pandas()
+    return [
+        (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+        for r in df.itertuples()
+    ]
+
+
+@pytest.mark.parametrize(
+    "doc_cfg",
+    [
+        DocConfig(),
+        DocConfig(
+            with_sentiment=True,
+            with_conversations=True,
+            with_quote_mentions=True,
+            with_relations=True,
+        ),
+        DocConfig(unifier="naive", with_corefs=False),
+        DocConfig(co_occurrences_dist=(10, "tokens")),
+    ],
+    ids=["default", "full", "naive", "token-dist"],
+)
+def test_distributed_matches_oracle(ray_session, doc_cfg):
+    pages_tbl = generate_pages_table(40, seed=7)
+    cfg = KGConfig(doc=doc_cfg, kernel_concurrency=2, kernel_batch_size=8)
+    got = _ray_triples(pages_tbl, cfg)
+    want = oracle_triples(pages_tbl, cfg)
+    p, r = triple_precision_recall(got, want)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p} R={r}; missing={set(want)-set(got)}; extra={set(got)-set(want)}"
+    )
+
+
+def test_dynamic_windows_match_oracle(ray_session):
+    pages_tbl = generate_pages_table(25, seed=3)
+    cfg = KGConfig(
+        doc=DocConfig(dynamic_window=8, dynamic_overlap=2),
+        kernel_concurrency=2,
+        kernel_batch_size=8,
+    )
+    got = _ray_triples(pages_tbl, cfg)
+    want = oracle_triples(pages_tbl, cfg)
+    assert set(got) == set(want)
+    assert any(b >= 1 for (_, _, _, b, _) in got)  # really dynamic
+
+
+def test_distributed_cc_matches_driver_cc(ray_session):
+    import random
+
+    import networkx as nx
+    import ray
+
+    from renard_ray.pipelines.cc import connected_components
+
+    rng = random.Random(13)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(200)
+    ]
+    ds = ray.data.from_items([{"u": a, "v": b} for a, b in edges])
+
+    label_map, _ = connected_components(ds, mode="driver")
+    _, label_ds = connected_components(ds, mode="distributed")
+    dist = {
+        row["node"]: row["label"] for row in label_ds.take_all()
+    }
+
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in edges if a != b)
+    for comp in nx.connected_components(G):
+        if len(comp) < 2:
+            continue
+        want_label = min(comp)
+        for n in comp:
+            assert label_map[n] == want_label, (n, label_map[n], want_label)
+            assert dist[n] == want_label, (n, dist.get(n), want_label)
+
+
+def test_edge_case_pages(ray_session):
+    """Empty texts, non-eng pages and the giant page flow through."""
+    pages_tbl = generate_pages_table(120, seed=42, with_edge_cases=True)
+    cfg = KGConfig(kernel_concurrency=2)
+    got = _ray_triples(pages_tbl, cfg)
+    want = oracle_triples(pages_tbl, cfg)
+    p, r = triple_precision_recall(got, want)
+    assert p == 1.0 and r == 1.0
