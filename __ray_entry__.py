@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship KG pipeline at sf0.001 scale.
+- ``queries()``    — one callable per implemented operator/pipeline
+                     (SURVEY.md §2 + the training-data operators).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+                     query (same output column names; floats rounded to
+                     the same decimals on both sides).  KG / sketch /
+                     ANN pipelines are genuinely non-SQL-expressible and
+                     get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -19,26 +20,273 @@ from collections.abc import Callable
 from typing import Any
 
 
+# --------------------------------------------------------------- helpers
+
+
+def _kg_pages_table(sf_dir: str):
+    """Deterministic synthetic pages corpus scaled to the sf tier
+    (BASELINE.json input_hint: the KG input is a Common-Crawl-style
+    pages table, synthesised deterministically — TESTDATA tables feed
+    the relational/dedup/ANN operators)."""
+    import pyarrow.parquet as pq
+
+    from renard_ray.sources.pages import generate_pages_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = max(100, min(2000, n_docs))
+    return generate_pages_table(n_pages, seed=42)
+
+
+def _kg_triples(sf_dir: str, full: bool = False):
+    import ray
+
+    from renard_ray.pipelines.kg import KGConfig, build_kg
+    from renard_ray.textproc.document import DocConfig
+
+    doc = (
+        DocConfig(
+            with_sentiment=True,
+            with_conversations=True,
+            with_quote_mentions=True,
+            with_relations=True,
+        )
+        if full
+        else DocConfig()
+    )
+    pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
+    return build_kg(pages, KGConfig(doc=doc))
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG construction at sf0.001 scale."""
+    return _kg_triples("/root/testdata/sf0.001", full=True)
+
+
+# --------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from renard_ray.ops import dedup, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_triples(sf_dir: str):
+        return _kg_triples(sf_dir, full=False)
+
+    def kg_triples_full(sf_dir: str):
+        return _kg_triples(sf_dir, full=True)
+
+    def media_features(sf_dir: str):
+        import ray
+
+        from renard_ray.ops.multimodal import extract_features, synthesize_media_table
+
+        media = ray.data.from_arrow(synthesize_media_table(200))
+        return extract_features(media).filter(expr="decoded_ok == True")
+
+    def knn_lsh(sf_dir: str):
+        return similarity.knn_lsh(sf_dir)
+
+    return {
+        # relational (SQL-oracle-checked)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_unshipped_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "top_customers": relational.top_customers_by_balance,
+        "part_type_stats": relational.part_type_stats,
+        "order_priority_counts": relational.order_priority_counts,
+        "events_type_stats": relational.events_type_stats,
+        "events_top_users": relational.events_top_users,
+        "events_hourly_activity": relational.events_hourly_activity,
+        "supplier_region_stats": relational.supplier_nation_join,
+        "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
+        # text analysis (SQL-checked where expressible)
+        "doc_token_stats": textstats.token_stats,
+        "corpus_token_summary": textstats.corpus_token_summary,
+        "doc_quality_scores": textstats.quality_scores,
+        "doc_language_id": textstats.language_id,
+        "doc_fingerprints": textstats.fingerprints,
+        # dedup family
+        "doc_exact_dedup": dedup.exact_dedup_groups,
+        "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
+        "doc_simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(sf),
+        # 0.45 demonstrates the operator on this corpus (max planted
+        # cosine is ~0.48; nothing passes a true near-dup threshold)
+        "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, 0.45),
+        # similarity search
+        "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
+        "knn_lsh": knn_lsh,
+        # multimodal plumbing
+        "media_features": media_features,
+        # KG construction (non-SQL; driver rows-only check)
+        "kg_triples": kg_triples,
+        "kg_triples_full": kg_triples_full,
+    }
+
+
+# ------------------------------------------------------------ oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # SQL string literal: embedded single quotes doubled
+    word_token_re = r"[a-zA-Z'']+|[0-9]+|[^\sa-zA-Z0-9'']"
+    return {
+        # money aggregates are exact integer cents on BOTH sides:
+        # per-row CAST(ROUND(x*100)) then integer SUM — bit-identical
+        # regardless of summation order (float SUMs would differ in the
+        # last ulp between engines and break the value hash).
+        "q1_pricing_summary": """
+            WITH li AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(ROUND(l_quantity, 0) AS BIGINT)            AS qty_i,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+                       CAST(ROUND(l_discount * 100, 0) AS BIGINT)      AS disc_pct
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty_i) AS BIGINT)                          AS sum_qty,
+                   CAST(SUM(price_c) AS BIGINT)                        AS sum_base_price_cents,
+                   CAST(SUM(price_c * (100 - disc_pct)) AS BIGINT)     AS sum_disc_price_c4,
+                   CAST(ROUND(SUM(qty_i) * 100 * 1.0 / COUNT(*), 0) AS BIGINT)    AS avg_qty_c2,
+                   CAST(ROUND(SUM(disc_pct) * 100 * 1.0 / COUNT(*), 0) AS BIGINT) AS avg_disc_bp,
+                   COUNT(*)                                            AS count_order
+            FROM li
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue_c4 DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 20
+        """,
+        "part_type_stats": """
+            SELECT p_brand,
+                   COUNT(*) AS n_parts,
+                   CAST(ROUND(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                              * 1.0 / COUNT(*), 0) AS BIGINT) AS avg_price_cents
+            FROM part
+            WHERE p_size >= 25
+            GROUP BY p_brand
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority, o_orderstatus
+        """,
+        "events_type_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS total_value_cents,
+                   CAST(ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                              * 1.0 / COUNT(*), 0) AS BIGINT) AS avg_value_cents
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_top_users": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS total_value_cents
+            FROM events
+            GROUP BY user_id
+            ORDER BY COUNT(*) DESC, user_id
+            LIMIT 25
+        """,
+        "events_hourly_activity": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "supplier_region_stats": """
+            SELECT r_name,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS total_acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "lineitem_distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_ws_tokens,
+                   array_length(regexp_extract_all(text, '{word_token_re}')) AS n_word_tokens,
+                   length(text) AS text_chars
+            FROM documents
+        """,
+        "corpus_token_summary": """
+            SELECT source,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY source
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_md5,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*)    AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.qid
+            ),
+            r AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC
+                       ) AS rnk
+                FROM s
+            )
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+                   ROUND(sim, 4) AS cosine_sim
+            FROM r WHERE rnk <= 5
+        """,
+    }

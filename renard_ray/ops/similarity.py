@@ -1,0 +1,238 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_bruteforce``: exact cosine top-k — broadcast query matrix
+  (``ray.put`` once), per-batch numpy matmul + per-batch top-k, global
+  top-k reduce per query.  The baseline at any scale.
+- ``knn_lsh``: sign-random-projection LSH buckets as the approximate
+  scale path (candidates only from matching buckets, multi-probe via
+  several hash tables).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _read_embeddings(sf_dir: str) -> Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def knn_bruteforce(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> Dataset:
+    """Exact cosine top-k for each query vector (default: vec_id 0..4),
+    excluding self.  Output: (query_id, neighbor_id, rank, cosine_sim),
+    deterministic order (sim desc, neighbor_id asc)."""
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    emb = _read_embeddings(sf_dir)
+    q_rows = emb.filter(expr=f"vec_id in {query_ids!r}").take_all()
+    qids = [r["vec_id"] for r in q_rows]
+    Q = _norm_rows(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_ref = ray.put((qids, Q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(q_ref)
+        ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        M = _norm_rows(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        sims = Q_ @ M.T  # (n_query, n_batch)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            row = sims[qi]
+            mask = ids != qid
+            cand_idx = np.where(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[:k]]
+            for t in top:
+                out_q.append(qid)
+                out_n.append(int(ids[t]))
+                out_s.append(float(row[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow")
+
+    # global reduce: tiny (n_query * k * n_blocks rows) — groupby query
+    def final_topk(group):
+        import pandas as pd
+
+        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
+        g = g.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cosine_sim": g["sim"].round(4),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class SrpIndexStage:
+    """Sign-random-projection bucketing: vec -> (table, bucket) keys.
+    Projection planes generated once per actor from a fixed seed."""
+
+    def __init__(self, dim: int = 64, n_tables: int = 8, n_bits: int = 12, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_tables, n_bits, dim))
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        M = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        out_id, out_t, out_b = [], [], []
+        for t in range(self.n_tables):
+            bits = (M @ self.planes[t].T) > 0  # (n, n_bits)
+            keys = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+            out_id.extend(ids)
+            out_t.extend([t] * len(ids))
+            out_b.extend(int(x) for x in keys)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "table": pa.array(out_t, pa.int32()),
+                "bucket": pa.array(out_b, pa.int64()),
+            }
+        )
+
+
+def knn_lsh(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_tables: int = 8,
+    n_bits: int = 12,
+) -> Dataset:
+    """Approximate cosine top-k: only vectors sharing an SRP bucket with
+    the query (in any table) are scored.  Same output schema as
+    ``knn_bruteforce``."""
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    emb = _read_embeddings(sf_dir)
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+
+    buckets = emb.map_batches(
+        SrpIndexStage,
+        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables, "n_bits": n_bits},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    qset = set(query_ids)
+    q_buckets: dict[tuple[int, int], set[int]] = {}
+    for row in buckets.filter(expr=f"vec_id in {query_ids!r}").iter_rows():
+        q_buckets.setdefault((row["table"], row["bucket"]), set()).add(row["vec_id"])
+    qb_ref = ray.put(q_buckets)
+
+    def match(batch: pa.Table) -> pa.Table:
+        qb = ray.get(qb_ref)
+        vids = batch.column("vec_id").to_pylist()
+        tabs = batch.column("table").to_pylist()
+        bks = batch.column("bucket").to_pylist()
+        out_q, out_v = [], []
+        for v, t, b in zip(vids, tabs, bks):
+            for q in qb.get((t, b), ()):  # queries sharing this bucket
+                if q != v:
+                    out_q.append(q)
+                    out_v.append(v)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    cand = (
+        buckets.map_batches(match, batch_format="pyarrow")
+        .groupby(["query_id", "vec_id"])
+        .count()
+        .select_columns(["query_id", "vec_id"])
+    )
+
+    # score candidates: the candidate-pair table is per-query and small
+    # by construction (bucket collisions only), so broadcast it as a
+    # cand_id -> [query_ids] map and score inside a second pass over the
+    # embeddings — no shuffle, one streaming scan.
+    q_rows = emb.filter(expr=f"vec_id in {query_ids!r}").take_all()
+    qvec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in q_rows}
+    for qid in qvec:
+        qvec[qid] = qvec[qid] / max(np.linalg.norm(qvec[qid]), 1e-12)
+    cand_map: dict[int, list[int]] = {}
+    for row in cand.iter_rows():
+        cand_map.setdefault(row["vec_id"], []).append(row["query_id"])
+    pair_ref = ray.put((qvec, cand_map))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, cm = ray.get(pair_ref)
+        out_q, out_n, out_s = [], [], []
+        for v, e in zip(
+            batch.column("vec_id").to_pylist(),
+            batch.column("embedding").to_pylist(),
+        ):
+            qids_for_v = cm.get(v)
+            if not qids_for_v:
+                continue
+            vec = np.array(e, dtype=np.float64)
+            vec /= max(np.linalg.norm(vec), 1e-12)
+            for q in qids_for_v:
+                out_q.append(q)
+                out_n.append(v)
+                out_s.append(float(qv[q] @ vec))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(group):
+        import pandas as pd
+
+        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
+        g = g.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cosine_sim": g["sim"].round(4),
+            }
+        )
+
+    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_recall_vs_bruteforce(sf_dir: str, k: int = 5) -> float:
+    """Recall@k of the LSH path vs the exact path (quality metric)."""
+    exact = knn_bruteforce(sf_dir, k=k).to_pandas()
+    approx = knn_lsh(sf_dir, k=k).to_pandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = []
+    for q, want in exact_sets.items():
+        got = approx_sets.get(q, set())
+        recalls.append(len(got & want) / len(want) if want else 1.0)
+    return float(np.mean(recalls)) if recalls else 0.0

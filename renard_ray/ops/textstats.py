@@ -1,0 +1,200 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline staples: token counting, quality scoring,
+language ID (n-gram/stopword heuristic), document fingerprinting.
+All vectorized-per-batch ``map_batches`` stages; the lang-ID profiles
+are built once per worker process (module-level singleton).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+_WS_RE = re.compile(r"\s+")
+_WORD_RE = re.compile(r"[a-zA-Z']+|[0-9]+|[^\sa-zA-Z0-9']")
+
+# tiny per-language stopword profiles (public knowledge, hand-written)
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is it that for on with as was at by".split()),
+    "fr": frozenset("le la les de des un une et en du est que pour dans au".split()),
+    "es": frozenset("el la los las de un una y en es que por para con del".split()),
+    "de": frozenset("der die das ein eine und in ist von mit den dem zu für".split()),
+    "zh": frozenset(),  # no-latin heuristic below
+}
+
+
+def _read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=columns or ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def token_stats(sf_dir: str) -> Dataset:
+    """Per-document token counts: whitespace tokens + a word-level
+    regex tokenization (BPE-ish pre-tokenizer granularity)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_ws = [len(_WS_RE.split(t.strip())) if t and t.strip() else 0 for t in texts]
+        n_words = [len(_WORD_RE.findall(t)) if t else 0 for t in texts]
+        n_chars = [len(t) if t else 0 for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pa.array(n_ws, pa.int64()),
+                "n_word_tokens": pa.array(n_words, pa.int64()),
+                "text_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def corpus_token_summary(sf_dir: str) -> Dataset:
+    """Corpus-level token totals per source (partial counts per batch,
+    tiny final groupby — the pre-aggregation pattern)."""
+    ds = _read_documents(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combine inside the batch: one output row per source per batch
+        counts: dict[str, list[int]] = {}
+        for src, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            c = counts.setdefault(src, [0, 0])
+            c[0] += len(_WS_RE.split(t.strip())) if t and t.strip() else 0
+            c[1] += 1
+        srcs = sorted(counts)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "tok": pa.array([counts[s][0] for s in srcs], pa.int64()),
+                "docs": pa.array([counts[s][1] for s in srcs], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("tok", alias_name="n_tokens"), Sum("docs", alias_name="n_docs"))
+    )
+
+
+def quality_scores(sf_dir: str) -> Dataset:
+    """Heuristic quality signals per document (length, punct ratio,
+    stopword ratio, mean word length, uppercase ratio)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    en_stop = _LANG_PROFILES["en"]
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": [],
+            "punct_ratio": [],
+            "stopword_ratio": [],
+            "mean_word_len": [],
+            "upper_ratio": [],
+        }
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            n = len(t)
+            words = [w for w in _WS_RE.split(t) if w]
+            n_punct = sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
+            n_upper = sum(1 for ch in t if ch.isupper())
+            n_stop = sum(1 for w in words if w.lower() in en_stop)
+            out["n_chars"].append(n)
+            out["punct_ratio"].append(round(n_punct / n, 6) if n else 0.0)
+            out["stopword_ratio"].append(
+                round(n_stop / len(words), 6) if words else 0.0
+            )
+            out["mean_word_len"].append(
+                round(sum(len(w) for w in words) / len(words), 6) if words else 0.0
+            )
+            out["upper_ratio"].append(round(n_upper / n, 6) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "punct_ratio": pa.array(out["punct_ratio"], pa.float64()),
+                "stopword_ratio": pa.array(out["stopword_ratio"], pa.float64()),
+                "mean_word_len": pa.array(out["mean_word_len"], pa.float64()),
+                "upper_ratio": pa.array(out["upper_ratio"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def detect_language(text: str) -> str:
+    """Stopword-profile language ID (deterministic heuristic)."""
+    if not text:
+        return "und"
+    # CJK check first
+    n_cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
+    if n_cjk > len(text[:2000]) * 0.05:
+        return "zh"
+    words = _WS_RE.split(text.lower())
+    scores = {
+        lang: sum(1 for w in words if w in prof)
+        for lang, prof in _LANG_PROFILES.items()
+        if prof
+    }
+    best = max(scores, key=lambda k: (scores[k], k))
+    return best if scores[best] > 0 else "und"
+
+
+def language_id(sf_dir: str) -> Dataset:
+    """Predicted language per document + agreement with the labeled
+    ``lang`` column."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> Dataset:
+    """Document fingerprints: crc32 of normalized text + a rolling-hash
+    (Rabin-Karp style) sketch of the first k shingles."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        crcs, rolls = [], []
+        for t in batch.column("text").to_pylist():
+            norm = " ".join(_WS_RE.split((t or "").strip().lower()))
+            crcs.append(zlib.crc32(norm.encode()))
+            # rolling hash over 8-grams of words, xor-folded
+            words = norm.split()
+            h = 0
+            for i in range(max(0, len(words) - 7)):
+                g = " ".join(words[i : i + 8])
+                h ^= zlib.crc32(g.encode())
+            rolls.append(h)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "crc32": pa.array(crcs, pa.int64()),
+                "rolling_fp": pa.array(rolls, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
