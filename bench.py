@@ -1,0 +1,177 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md protocol).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "e2e_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "num_cpus": 32, ...}
+
+``--scaling``: runs the headline KG pipeline twice in fresh processes
+(8 then 32 CPUs) on the same input and reports both throughputs plus
+scaling efficiency = tput32 / (4 * tput8) — the sandbox substitute for
+the N-vs-4N-node cluster criterion (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pages_path(sf_dir: str, pages_per_doc: int = 4) -> tuple[str, int]:
+    """Deterministic synthetic pages corpus scaled to the sf tier,
+    cached under /tmp (one dir per size)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = n_docs * pages_per_doc
+    path = f"/tmp/renard_ray_bench/pages_{n_pages}"
+    marker = f"{path}/.complete"
+    if not os.path.exists(marker):
+        from renard_ray.sources.pages import write_pages_parquet
+
+        write_pages_parquet(path, n_pages, seed=42, rows_per_file=max(200, n_pages // 32))
+        open(marker, "w").close()
+    return path, n_pages
+
+
+def run_kg_flagship(sf_dir: str) -> dict:
+    import ray
+
+    from renard_ray.pipelines.kg import KGConfig, build_kg, read_pages
+    from renard_ray.textproc.document import DocConfig
+
+    path, n_pages = _pages_path(sf_dir)
+    t0 = time.time()
+    cfg = KGConfig(
+        doc=DocConfig(
+            with_sentiment=True,
+            with_conversations=True,
+            with_quote_mentions=True,
+            with_relations=True,
+        )
+    )
+    triples = build_kg(read_pages(path), cfg)
+    n_triples = triples.count()
+    dt = time.time() - t0
+    return {"sec": dt, "pages": n_pages, "triples": n_triples, "docs_per_sec": n_pages / dt}
+
+
+def run_query_suite(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    names = [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_nation_revenue",
+        "events_type_stats",
+        "events_hourly_activity",
+        "doc_token_stats",
+        "doc_exact_dedup",
+        "doc_minhash_dedup",
+        "knn_bruteforce",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume the stream (count() materializes the pipeline)
+        try:
+            from ray.data import Dataset
+
+            if isinstance(res, Dataset):
+                res.count()
+        except ImportError:
+            pass
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-only", action="store_true", help="headline KG pipeline only")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--sf-dir", args.sf_dir, "--cpus", str(cpus), "--kg-only"],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["kg_flagship"]["docs_per_sec"]
+        t32 = results[32]["kg_flagship"]["docs_per_sec"]
+        eff = t32 / (4 * t8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 4),
+                    "unit": "ratio",
+                    "docs_per_sec_8cpu": round(t8, 2),
+                    "docs_per_sec_32cpu": round(t32, 2),
+                    "sf_dir": args.sf_dir,
+                }
+            )
+        )
+        return
+
+    _init_ray(args.cpus)
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    kg = run_kg_flagship(args.sf_dir)
+    queries = {} if args.kg_only else run_query_suite(args.sf_dir)
+    total = kg["sec"] + sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {"kg_flagship": kg["sec"], **queries},
+                "kg_flagship": {k: round(v, 3) if isinstance(v, float) else v for k, v in kg.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "num_cpus": args.cpus,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

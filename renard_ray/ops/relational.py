@@ -36,6 +36,20 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _join_parts(sf_dir: str, table: str = "lineitem") -> int:
+    """Hash-join partition count sized to the BIG side's bytes: each
+    shuffle partition targets ~128 MB.  Small inputs get few partitions
+    (per-partition aggregator overhead dominates otherwise); 100 TB
+    inputs get thousands, capped only by a sanity bound."""
+    import os
+
+    try:
+        size = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        size = 1 << 30
+    return max(2, min(4096, size // (128 << 20) + 2))
+
+
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """Exact integer cents from a 2-decimal money double."""
     return pc.cast(
@@ -153,14 +167,15 @@ def q3_top_unshipped_orders(sf_dir: str) -> Dataset:
         expr="c_mktsegment == 'BUILDING'"
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nparts = _join_parts(sf_dir)
     o = orders.join(
-        cust, join_type="inner", num_partitions=32, on=("o_custkey",),
-        right_on=("c_custkey",),
+        cust, join_type="inner", num_partitions=max(2, nparts // 4),
+        on=("o_custkey",), right_on=("c_custkey",),
     )
     joined = _lineitem_revenue_c4(sf_dir).join(
         o.select_columns(["o_orderkey"]),
         join_type="inner",
-        num_partitions=32,
+        num_partitions=nparts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -179,14 +194,15 @@ def q5_nation_revenue(sf_dir: str) -> Dataset:
     nation_ref = ray.put(nation)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nparts = _join_parts(sf_dir)
     oc = orders.join(
-        cust, join_type="inner", num_partitions=32, on=("o_custkey",),
-        right_on=("c_custkey",),
+        cust, join_type="inner", num_partitions=max(2, nparts // 4),
+        on=("o_custkey",), right_on=("c_custkey",),
     )
     joined = _lineitem_revenue_c4(sf_dir).join(
         oc.select_columns(["o_orderkey", "c_nationkey"]),
         join_type="inner",
-        num_partitions=32,
+        num_partitions=nparts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -1,0 +1,117 @@
+"""Per-partition checkpointing with lineage + counters, and resume.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics — a killed ``ray job submit`` run resumes without
+recompute."  The reference's only incremental facility is the in-memory
+``Pipeline.rerun_from`` (``renard/pipeline/core.py:737-780``); this is
+its distributed replacement.
+
+Design
+------
+The pages input is split into ``n_shards`` deterministic shards (hash
+of url ranges is not needed — the input file list is the natural
+lineage unit).  Each shard runs the doc-kernel stage independently and
+writes ``stage_rows`` Parquet under ``<ckpt>/stage_rows/shard=<i>/``
+plus a ``manifest-<i>.json`` with lineage (input files, row counts,
+config fingerprint, wall time).  A resumed run skips every shard whose
+manifest matches the current config fingerprint, then the (cheap,
+global) canonicalization + aggregation re-runs over all shard outputs.
+
+This makes the expensive stage (NLP kernel over raw text — >95% of
+compute) resumable at shard granularity while keeping the cheap wide
+ops always-fresh.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+
+from renard_ray.pipelines.kg import KGConfig, pages_to_stage_rows, relabel_and_aggregate
+from renard_ray.stages.doc_stages import EDGES_SCHEMA
+
+
+def _config_fingerprint(cfg: KGConfig) -> str:
+    blob = json.dumps(
+        {"doc": asdict(cfg.doc), "langs": list(cfg.langs)}, sort_keys=True, default=str
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _shard_files(input_files: list[str], n_shards: int) -> list[list[str]]:
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for i, f in enumerate(sorted(input_files)):
+        shards[i % n_shards].append(f)
+    return [s for s in shards if s]
+
+
+def run_kg_checkpointed(
+    pages_path: str,
+    ckpt_dir: str,
+    cfg: KGConfig | None = None,
+    n_shards: int = 8,
+) -> tuple[Dataset, dict]:
+    """Run (or resume) the KG pipeline with per-shard checkpoints.
+
+    Returns (triples Dataset, run report).  Call again after a kill:
+    finished shards are skipped via their manifests.
+    """
+    cfg = cfg or KGConfig()
+    fp = _config_fingerprint(cfg)
+    os.makedirs(f"{ckpt_dir}/stage_rows", exist_ok=True)
+
+    files = [
+        f"{pages_path}/{f}"
+        for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
+    ]
+    shards = _shard_files(files, n_shards)
+
+    report = {"shards_total": len(shards), "shards_skipped": 0, "shards_run": 0}
+    for i, shard_files in enumerate(shards):
+        man_path = f"{ckpt_dir}/manifest-{i:04d}.json"
+        out_dir = f"{ckpt_dir}/stage_rows/shard={i}"
+        if os.path.exists(man_path):
+            man = json.load(open(man_path))
+            if man.get("config_fp") == fp and man.get("complete"):
+                report["shards_skipped"] += 1
+                continue
+        t0 = time.time()
+        pages = ray.data.read_parquet(shard_files)
+        rows = pages_to_stage_rows(pages, cfg)
+        os.makedirs(out_dir, exist_ok=True)
+        # clear partial outputs from a killed attempt, then write
+        for old in os.listdir(out_dir):
+            os.remove(f"{out_dir}/{old}")
+        rows.write_parquet(out_dir)
+        n_rows = sum(
+            pq.read_metadata(f"{out_dir}/{f}").num_rows for f in os.listdir(out_dir)
+        )
+        manifest = {
+            "shard": i,
+            "config_fp": fp,
+            "input_files": shard_files,
+            "n_edge_rows": n_rows,
+            "wall_sec": round(time.time() - t0, 3),
+            "complete": True,
+        }
+        # atomic manifest write: the shard only counts as done once the
+        # manifest is fully on disk
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, man_path)
+        report["shards_run"] += 1
+
+    stage_rows = ray.data.read_parquet(f"{ckpt_dir}/stage_rows")
+    triples = relabel_and_aggregate(stage_rows, cfg)
+    return triples, report
