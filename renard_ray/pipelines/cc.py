@@ -40,7 +40,11 @@ def _distinct_edges(edges: Dataset, u: str = "u", v: str = "v") -> Dataset:
         lo = pc.min_element_wise(a, b)
         hi = pc.max_element_wise(a, b)
         keep = pc.not_equal(lo, hi)
-        return pa.table({"u": pc.filter(lo, keep), "v": pc.filter(hi, keep)})
+        t = pa.table({"u": pc.filter(lo, keep), "v": pc.filter(hi, keep)})
+        # map-side dedup before the global distinct shuffle
+        if t.num_rows:
+            t = t.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+        return t
 
     return (
         edges.map_batches(norm, batch_format="pyarrow")

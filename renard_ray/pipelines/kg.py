@@ -32,10 +32,27 @@ from renard_ray.pipelines.cc import connected_components
 UNDIRECTED_PREDS = ("co_occurs_with", "talks_with")
 
 
+def _partial_agg(t: pa.Table) -> pa.Table:
+    """Map-side combine before the global triple shuffle: aggregate
+    (subj, pred, obj, block_id) within the batch.  Cross-document
+    duplication is huge (hub entities), so this collapses the shuffle
+    input from O(doc-pairs) rows to near the distinct-triple count."""
+    if t.num_rows == 0:
+        return t
+    g = t.group_by(["subj", "pred", "obj", "block_id"]).aggregate(
+        [("weight", "sum"), ("polarity", "sum")]
+    )
+    return g.rename_columns(["subj", "pred", "obj", "block_id", "weight", "polarity"])
+
+
 @dataclass
 class KGConfig:
     doc: DocConfig = field(default_factory=DocConfig)
     langs: tuple[str, ...] = ("eng",)
+    # "tasks" (default): plain map_batches tasks — right for the CPU
+    # rule kernel (no actor warmup, elastic).  "actors": actor pool —
+    # right when the kernel loads model weights.
+    kernel_mode: str = "tasks"
     kernel_concurrency: int | tuple[int, int] | None = None
     kernel_batch_size: int = 64
     cc_mode: str = "auto"  # driver | distributed | auto
@@ -58,6 +75,15 @@ def pages_to_stage_rows(pages: Dataset, cfg: KGConfig) -> Dataset:
     ds = pages.filter(expr=f"lang in {langs!r}") if langs else pages
     if "html" in col_names:
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    if cfg.kernel_mode == "tasks":
+        from renard_ray.stages.doc_stages import doc_kernel_batch
+
+        return ds.map_batches(
+            doc_kernel_batch,
+            fn_kwargs={"cfg": cfg.doc},
+            batch_format="pyarrow",
+            batch_size=cfg.kernel_batch_size,
+        )
     conc = cfg.kernel_concurrency
     if conc is None:
         # autoscaling actor pool sized to the cluster's CPUs
@@ -73,47 +99,106 @@ def pages_to_stage_rows(pages: Dataset, cfg: KGConfig) -> Dataset:
     )
 
 
-def _alias_labels(
-    stage_rows: Dataset, cfg: KGConfig
-) -> tuple[dict[str, str] | None, Dataset | None]:
-    """Connected components over alias links -> name -> component label."""
-    alias = stage_rows.filter(expr=f"pred == {ALIAS_OF!r}").select_columns(
-        ["subj", "obj"]
-    )
-    return connected_components(
-        alias, u="subj", v="obj", mode=cfg.cc_mode, driver_limit=cfg.broadcast_limit
-    )
+def _driver_alias_summary(
+    stage_rows: Dataset,
+) -> tuple[set[tuple[str, str]], dict[str, float]]:
+    """One shuffle-free pass extracting BOTH the distinct alias-pair set
+    and the per-name named-mention counts, combined per batch and merged
+    on the driver.  The driver-merged data is the distinct-name scale
+    (bounded by entity vocabulary, not corpus size); the distributed CC
+    path takes over past ``broadcast_limit``."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pred = batch.column("pred")
+        is_alias = pc.equal(pred, pa.scalar(ALIAS_OF))
+        is_count = pc.equal(pred, pa.scalar(NAME_COUNT))
+        alias_t = batch.filter(is_alias)
+        pairs = (
+            alias_t.select(["subj", "obj"])
+            .group_by(["subj", "obj"])
+            .aggregate([])
+            if alias_t.num_rows
+            else alias_t.select(["subj", "obj"])
+        )
+        count_t = batch.filter(is_count)
+        counts = (
+            count_t.select(["subj", "weight"])
+            .group_by(["subj"])
+            .aggregate([("weight", "sum")])
+            if count_t.num_rows
+            else pa.table({"subj": pa.array([], pa.string()), "weight_sum": pa.array([], pa.float64())})
+        )
+        n_p, n_c = pairs.num_rows, counts.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["a"] * n_p + ["c"] * n_c, pa.string()),
+                "k1": pa.concat_arrays(
+                    [pairs.column("subj").combine_chunks(), counts.column("subj").combine_chunks()]
+                ),
+                "k2": pa.concat_arrays(
+                    [
+                        pairs.column("obj").combine_chunks(),
+                        pa.array([""] * n_c, pa.string()),
+                    ]
+                ),
+                "w": pa.concat_arrays(
+                    [
+                        pa.array([0.0] * n_p, pa.float64()),
+                        pc.cast(counts.column("weight_sum").combine_chunks(), pa.float64()),
+                    ]
+                ),
+            }
+        )
+
+    pairs: set[tuple[str, str]] = set()
+    counts: dict[str, float] = {}
+    summary = stage_rows.map_batches(summarize, batch_format="pyarrow")
+    for batch in summary.iter_batches(batch_format="pyarrow", batch_size=None):
+        kinds = batch.column("kind").to_pylist()
+        k1 = batch.column("k1").to_pylist()
+        k2 = batch.column("k2").to_pylist()
+        w = batch.column("w").to_pylist()
+        for kind, a, b, wt in zip(kinds, k1, k2, w):
+            if kind == "a":
+                if a != b:
+                    pairs.add((a, b) if a < b else (b, a))
+            else:
+                counts[a] = counts.get(a, 0.0) + wt
+    return pairs, counts
 
 
-def _canonical_names_driver(
-    stage_rows: Dataset, label_map: dict[str, str]
+def _driver_cc_and_names(
+    pairs: set[tuple[str, str]], counts: dict[str, float]
 ) -> dict[str, str]:
-    """name -> canonical display name, driver path.
+    """Union-find + global most-frequent-name selection (driver path).
+    Same semantics as ``oracle.golden`` (shared tie-break rule)."""
+    parent: dict[str, str] = {}
 
-    Canonical display name of a component = globally most frequent
-    *named-mention* name (count desc, length desc, lexicographic asc) —
-    the cross-doc analog of ``Character.most_frequent_name``
-    (reference ``character_unification.py:34-39``).
-    """
-    counts = (
-        stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")
-        .groupby("subj")
-        .sum("weight")
-    )
-    best: dict[str, tuple] = {}  # label -> (count, len, neg-lex, name)
-    for batch in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for name, cnt in zip(
-            batch.column("subj").to_pylist(), batch.column("sum(weight)").to_pylist()
-        ):
-            label = label_map.get(name, name)
-            key = (cnt, len(name), [-ord(c) for c in name])
-            if label not in best or key > best[label][0]:
-                best[label] = (key, name)
-    canon = {label: name for label, (_, name) in best.items()}
-    # every name maps to its component's display name
-    out = {}
-    for name, label in label_map.items():
-        out[name] = canon.get(label, label)
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in sorted(pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    best: dict[str, tuple] = {}
+    for name, cnt in counts.items():
+        label = find(name) if name in parent else name
+        key = (cnt, len(name), [-ord(c) for c in name])
+        if label not in best or key > best[label][0]:
+            best[label] = (key, name)
+    out: dict[str, str] = {}
+    for name in set(parent) | set(counts):
+        label = find(name) if name in parent else name
+        out[name] = best.get(label, (None, label))[1]
     return out
 
 
@@ -121,15 +206,25 @@ def relabel_and_aggregate(
     stage_rows: Dataset, cfg: KGConfig
 ) -> Dataset:
     """Map edge endpoints through the canonical-name table and run the
-    final global triple aggregation."""
-    label_map, label_ds = _alias_labels(stage_rows, cfg)
+    final global triple aggregation.
+
+    Driver path (default, "auto"): one shuffle-free summary pass ->
+    driver union-find over distinct alias pairs -> broadcast
+    name->canonical map.  Distributed path (forced, or when the
+    distinct-name vocabulary exceeds ``broadcast_limit``): large/small-
+    star CC + hash joins — no single machine holds the vocabulary.
+    """
+    name2canon: dict[str, str] | None = None
+    if cfg.cc_mode in ("auto", "driver"):
+        pairs, counts = _driver_alias_summary(stage_rows)
+        if cfg.cc_mode == "driver" or len(pairs) <= cfg.broadcast_limit:
+            name2canon = _driver_cc_and_names(pairs, counts)
 
     edges = stage_rows.filter(
         expr=f"pred != {ALIAS_OF!r} and pred != {NAME_COUNT!r}"
     )
 
-    if label_map is not None:
-        name2canon = _canonical_names_driver(stage_rows, label_map)
+    if name2canon is not None:
         canon_ref = ray.put(name2canon)
 
         def relabel(batch: pa.Table) -> pa.Table:
@@ -154,7 +249,7 @@ def relabel_and_aggregate(
                 out["weight"].append(w)
                 out["polarity"].append(pol)
                 out["block_id"].append(b)
-            return pa.table(
+            t = pa.table(
                 {
                     "subj": pa.array(out["subj"], pa.string()),
                     "pred": pa.array(out["pred"], pa.string()),
@@ -164,11 +259,18 @@ def relabel_and_aggregate(
                     "block_id": pa.array(out["block_id"], pa.int32()),
                 }
             )
+            return _partial_agg(t)
 
         relabeled = edges.map_batches(relabel, batch_format="pyarrow")
     else:
         # distributed path: two hash joins against the (node, label) table
         # (scale path when distinct names exceed the broadcast limit)
+        alias = stage_rows.filter(expr=f"pred == {ALIAS_OF!r}").select_columns(
+            ["subj", "obj"]
+        )
+        _, label_ds = connected_components(
+            alias, u="subj", v="obj", mode="distributed"
+        )
         assert label_ds is not None
         canon_counts = (
             stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")

@@ -65,6 +65,19 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def doc_kernel_batch(batch: pa.Table, cfg: DocConfig, max_text_len: int = 2_000_000) -> pa.Table:
+    """Task-form of the doc kernel (see ``DocKernel``): for CPU-only
+    rule kernels, plain tasks beat an actor pool — no actor-startup
+    latency, elastic scaling — because the only per-worker state
+    (lexicons) is a module-level singleton loaded once per worker
+    process.  Model-backed deployments use the ``DocKernel`` actor
+    class instead (weights in ``__init__``)."""
+    kernel = DocKernel.__new__(DocKernel)
+    kernel.cfg = cfg
+    kernel.max_text_len = max_text_len
+    return next(kernel(batch))
+
+
 class DocKernel:
     """Actor-pool stage: one Arrow batch of pages in, edge/alias rows out.
 
