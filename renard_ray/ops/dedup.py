@@ -159,12 +159,21 @@ class MinHashStage:
 
 
 def minhash_candidate_pairs(
-    sf_dir: str, n_perm: int = 128, n_bands: int = 32, shingle_k: int = 5
+    sf_dir: str,
+    n_perm: int = 128,
+    n_bands: int = 32,
+    shingle_k: int = 5,
+    max_bucket: int = 200,
 ) -> Dataset:
     """LSH candidate pairs: documents sharing any (band, bucket).
 
-    groupby (band, bucket) -> pairs within each group (groups are
-    small; a hub bucket is capped).  Output distinct (a, b) with a<b.
+    Implemented as a vectorized SELF-JOIN on (band, bucket) — one hash
+    shuffle, no per-group Python calls (a ``map_groups`` over the ~#docs
+    x bands tiny groups is framework-overhead-bound).  Buckets larger
+    than ``max_bucket`` (boilerplate/empty-text collisions) are dropped
+    before the join to cap the pair blowup — standard LSH practice; the
+    drop is logged via the returned pair counts being bounded.
+    Output: distinct (a, b) with a < b.
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(
@@ -176,20 +185,58 @@ def minhash_candidate_pairs(
         },
         batch_format="pyarrow",
         concurrency=(1, 8),
+    ).materialize()
+
+    # oversized buckets out (their membership set is small: one row per
+    # oversized (band, bucket))
+    from ray.data.aggregate import Count
+
+    sizes = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
+    big_set = {
+        (r["band"], r["bucket"])
+        for r in sizes.filter(expr=f"n > {max_bucket}").take_all()
+    }
+    if big_set:
+        big_ref = ray.put(big_set)
+
+        def drop_big(batch: pa.Table) -> pa.Table:
+            bs = ray.get(big_ref)
+            mask = [
+                (band, bucket) not in bs
+                for band, bucket in zip(
+                    batch.column("band").to_pylist(),
+                    batch.column("bucket").to_pylist(),
+                )
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        sigs = sigs.map_batches(drop_big, batch_format="pyarrow")
+
+    rhs = sigs.map_batches(
+        lambda b: pa.table(
+            {"band": b.column("band"), "bucket": b.column("bucket"), "b_id": b.column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = sigs.join(
+        rhs,
+        join_type="inner",
+        num_partitions=8,
+        on=("band", "bucket"),
     )
 
-    def pairs(group) -> "pa.Table":
-        import pandas as pd
+    def ordered(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        ids = sorted(group["doc_id"].tolist())[:200]  # hub-bucket cap
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"a": a_out, "b": b_out})
+        a = batch.column("doc_id")
+        b = batch.column("b_id")
+        keep = pc.less(a, b)
+        t = pa.table({"a": pc.filter(a, keep), "b": pc.filter(b, keep)})
+        if t.num_rows:
+            t = t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+        return t
 
-    cand = sigs.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = joined.map_batches(ordered, batch_format="pyarrow")
     return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -208,15 +255,30 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
 ) -> Dataset:
     """Verified near-dup pairs: LSH candidates filtered by exact n-gram
-    Jaccard >= threshold.  Texts for verification are fetched via a
-    broadcast id->text map (documents table is the small side vs the
-    candidate blowup; at larger scale swap for a join)."""
+    Jaccard >= threshold.  Only texts of candidate-pair members are
+    fetched (one filtered scan) and broadcast — the candidate set is a
+    tiny fraction of the corpus, so the full text column never moves."""
+    cand = minhash_candidate_pairs(sf_dir, n_perm, n_bands, shingle_k).materialize()
+    cand_ids: set[int] = set()
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        cand_ids.update(b.column("a").to_pylist())
+        cand_ids.update(b.column("b").to_pylist())
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-    id2text = {
-        r["doc_id"]: r["text"] for r in docs.iter_rows()
-    }
+    id2text: dict[int, str] = {}
+    if cand_ids:
+        wanted = ray.put(cand_ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            w = ray.get(wanted)
+            mask = [i in w for i in batch.column("doc_id").to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        for b in docs.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+                id2text[i] = t
     ref = ray.put(id2text)
-    cand = minhash_candidate_pairs(sf_dir, n_perm, n_bands, shingle_k)
 
     def verify(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
