@@ -1,0 +1,126 @@
+"""Tests: stage protocol validation, preprocessing, CoNLL source,
+GEXF sinks, preconfigured presets."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_check_valid_needs_and_warnings():
+    from renard_ray.stages.core import (
+        PipelineValidationError,
+        Stage,
+        check_valid,
+    )
+
+    ident = lambda b: b  # noqa: E731
+    s1 = Stage("extract", ident, needs=frozenset({"html"}),
+               produces=frozenset({"text"}), removes=frozenset({"html"}))
+    s2 = Stage("tokenize", ident, needs=frozenset({"text"}),
+               optional_needs=frozenset({"lang"}),
+               produces=frozenset({"tokens"}))
+    warnings = check_valid([s1, s2], ["url", "html"])
+    assert warnings and "lang" in warnings[0]
+
+    with pytest.raises(PipelineValidationError):
+        check_valid([s2, s1], ["url", "html"])  # tokenize before text exists
+
+    # removes are honored: html is gone after s1
+    with pytest.raises(PipelineValidationError):
+        check_valid([s1, s1], ["url", "html"])
+
+
+def test_run_stages_executes(ray_session):
+    import ray
+
+    from renard_ray.stages.core import Stage, run_stages
+
+    def up(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("upper", pc.utf8_upper(batch.column("text")))
+
+    ds = ray.data.from_items([{"text": "ab"}, {"text": "cd"}])
+    out = run_stages(
+        ds,
+        [Stage("up", up, needs=frozenset({"text"}), produces=frozenset({"upper"}))],
+    )
+    assert sorted(r["upper"] for r in out.take_all()) == ["AB", "CD"]
+
+
+def test_substitution_preprocessor(ray_session):
+    import ray
+
+    from renard_ray.textproc.preprocess import substitution_batch
+
+    subs = (("Mr\\.", "Mister"), ("\\s+", " "))
+    ds = ray.data.from_items([{"text": "Mr.  Darcy\n spoke"}]).map_batches(
+        substitution_batch, fn_kwargs={"substitutions": subs},
+        batch_format="pyarrow",
+    )
+    assert ds.take_all()[0]["text"] == "Mister Darcy spoke"
+
+
+def test_conll_roundtrip(ray_session, tmp_path):
+    from renard_ray.sources.conll import parse_conll2002_bio, read_conll2002_bio
+
+    content = "John B-PER\nSmith I-PER\nmet O\nMary B-PER\n\nShe O\nleft O\n"
+    doc = parse_conll2002_bio(content)
+    assert doc.tokens == ["John", "Smith", "met", "Mary", "She", "left"]
+    assert len(doc.sentences) == 2
+    assert [(e.start, e.end, e.tag) for e in doc.entities] == [
+        (0, 2, "PER"), (3, 4, "PER"),
+    ]
+
+    f = tmp_path / "x.bio"
+    f.write_text(content)
+    ds = read_conll2002_bio(str(f))
+    rows = ds.take_all()
+    assert len(rows) == 2
+    assert list(rows[0]["tokens"]) == ["John", "Smith", "met", "Mary"]
+    assert rows[0]["entities"][0]["tag"] == "PER"
+
+
+def test_gexf_sinks(tmp_path):
+    from renard_ray.sinks.gexf import (
+        cumulative_blocks,
+        triples_to_nx,
+        write_dynamic_gexf,
+        write_gexf,
+    )
+
+    triples = pd.DataFrame(
+        [
+            {"subj": "A", "pred": "co_occurs_with", "obj": "B", "block_id": 0, "weight": 2.0, "polarity": 0.0},
+            {"subj": "A", "pred": "co_occurs_with", "obj": "B", "block_id": 1, "weight": 3.0, "polarity": 0.0},
+            {"subj": "B", "pred": "co_occurs_with", "obj": "C", "block_id": 1, "weight": 1.0, "polarity": 0.0},
+        ]
+    )
+    blocks = cumulative_blocks(triples)
+    assert len(blocks) == 2
+    b1 = blocks[1]
+    ab = b1[(b1.subj == "A") & (b1.obj == "B")].weight.iloc[0]
+    assert ab == 5.0  # cumulative: 2 + 3
+
+    G = triples_to_nx(triples.assign(block_id=-1))
+    assert G.has_edge("A", "B")
+
+    write_gexf(triples.assign(block_id=-1), str(tmp_path / "g.gexf"))
+    write_dynamic_gexf(triples, str(tmp_path / "d.gexf"))
+    assert (tmp_path / "g.gexf").read_text().startswith("<?xml")
+    assert "dweight" in (tmp_path / "d.gexf").read_text()
+
+
+def test_presets_run(ray_session):
+    import ray
+
+    from renard_ray.pipelines.kg import build_kg
+    from renard_ray.pipelines.preconfigured import PRESETS
+    from renard_ray.sources.pages import generate_pages_table
+
+    pages = ray.data.from_arrow(generate_pages_table(15, seed=2))
+    for name, make in PRESETS.items():
+        n = build_kg(pages, make()).count()
+        assert n >= 0, name
