@@ -85,9 +85,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def knn_lsh(sf_dir: str):
         return similarity.knn_lsh(sf_dir)
 
+    def kg_triples_dynamic(sf_dir: str):
+        import ray
+
+        from renard_ray.pipelines.kg import KGConfig, build_kg
+        from renard_ray.textproc.document import DocConfig
+
+        pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
+        return build_kg(
+            pages, KGConfig(doc=DocConfig(dynamic_window=20, dynamic_overlap=5))
+        )
+
+    def kg_conversational(sf_dir: str):
+        import ray
+
+        from renard_ray.pipelines.kg import build_kg
+        from renard_ray.pipelines.preconfigured import conversational_config
+
+        pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
+        return build_kg(pages, conversational_config())
+
     return {
         # relational (SQL-oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "orders_monthly_counts": relational.orders_monthly_counts,
+        "events_sessionize": relational.events_sessionize,
+        "part_topk_per_brand": relational.part_topk_per_brand,
+        "doc_word_topk": textstats.word_topk,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "top_customers": relational.top_customers_by_balance,
@@ -119,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction (non-SQL; driver rows-only check)
         "kg_triples": kg_triples,
         "kg_triples_full": kg_triples_full,
+        "kg_triples_dynamic": kg_triples_dynamic,
+        "kg_conversational": kg_conversational,
     }
 
 
@@ -175,6 +202,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS revenue_c4,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.02
+              AND l_quantity <  24
+        """,
+        "orders_monthly_counts": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS total_price_cents
+            FROM orders
+            GROUP BY 1
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
+        "part_topk_per_brand": """
+            WITH r AS (
+                SELECT p_brand, p_partkey,
+                       CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+                       row_number() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey
+                       ) AS rnk
+                FROM part
+            )
+            SELECT p_brand, p_partkey, CAST(rnk AS BIGINT) AS rank, price_cents
+            FROM r WHERE rnk <= 3
+        """,
+        "doc_word_topk": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                FROM documents WHERE trim(text) != ''
+            )
+            SELECT word, COUNT(*) AS n_occurrences
+            FROM w GROUP BY word
+            ORDER BY n_occurrences DESC, word
+            LIMIT 30
         """,
         "top_customers": """
             SELECT c_custkey, c_name, c_acctbal

@@ -383,3 +383,101 @@ def lineitem_distinct_shipmodes(sf_dir: str) -> Dataset:
         .count()
         .select_columns(["l_returnflag", "l_linestatus"])
     )
+
+
+def q6_forecast_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q6-style: single-scan filtered revenue sum (predicate
+    combo pushed into one vectorized pass; exact cents)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo = _dt.datetime(1994, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(batch.column("l_shipdate"), pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.greater_equal(batch.column("l_discount"), pa.scalar(0.02)),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        t = batch.filter(keep)
+        rev = pc.multiply(_cents(t.column("l_extendedprice")), _cents(t.column("l_discount")))
+        # map-side partial: one row per batch
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"partial": pa.array([int(total)], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(f, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_c4": pa.array([int(pc.sum(batch.column("partial")).as_py() or 0)], pa.int64()),
+                "n_items": pa.array([int(pc.sum(batch.column("n")).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def orders_monthly_counts(sf_dir: str) -> Dataset:
+    """Orders per month + total value (time-bucketed rollup)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        return pa.table(
+            {"month": month, "price_c": _cents(batch.column("o_totalprice"))}
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_c", alias_name="total_price_cents"),
+        )
+    )
+    return agg
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Session assignment per user: a session breaks after a
+    ``gap_minutes`` silence (the classic event-time sessionization —
+    groupby user, order by ts within group; no global sort)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(group):
+        import pandas as pd
+
+        g = group.sort_values("ts").reset_index(drop=True)
+        gap = g["ts"].diff().dt.total_seconds().fillna(0.0) > gap_minutes * 60
+        g["session_id"] = gap.cumsum().astype("int64")
+        return g[["user_id", "event_id", "session_id"]]
+
+    per_event = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    agg = per_event.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events")
+    )
+    return agg
+
+
+def part_topk_per_brand(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k most expensive parts per brand (per-group top-k — window
+    row_number equivalent, computed inside each group)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+
+    def topk(group):
+        import pandas as pd
+
+        g = group.sort_values(
+            by=["p_retailprice", "p_partkey"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        g["price_cents"] = (g["p_retailprice"] * 100).round().astype("int64")
+        return g[["p_brand", "p_partkey", "rank", "price_cents"]]
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")

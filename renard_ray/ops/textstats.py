@@ -198,3 +198,34 @@ def fingerprints(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def word_topk(sf_dir: str, k: int = 30) -> Dataset:
+    """Corpus-wide top-k words by frequency: per-batch partial counts
+    (the combiner), then a small global groupby — the canonical
+    vocabulary-aggregation shape."""
+    ds = _read_documents(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t and t.strip():
+                c.update(_WS_RE.split(t.strip()))
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return agg.sort(["n_occurrences", "word"], descending=[True, False]).limit(k)
