@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": relational.events_type_stats,
         "events_top_users": relational.events_top_users,
         "events_hourly_activity": relational.events_hourly_activity,
+        "events_props_stats": relational.events_props_stats,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         # text analysis (SQL-checked where expressible)
@@ -307,6 +308,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_props_stats": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(k)               AS n_with_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(ROUND(SUM(k) * 100 * 1.0 / COUNT(k), 0) AS BIGINT)
+                       AS avg_k_c2
+            FROM e GROUP BY event_type
         """,
         "supplier_region_stats": """
             SELECT r_name,

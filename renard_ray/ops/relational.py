@@ -481,3 +481,50 @@ def part_topk_per_brand(sf_dir: str, k: int = 3) -> Dataset:
         return g[["p_brand", "p_partkey", "rank", "price_cents"]]
 
     return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+def events_props_stats(sf_dir: str) -> Dataset:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate the extracted field per event type (per-batch vectorized
+    JSON parse; no Python row loop outside the batch)."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                ks.append(int(json.loads(p).get("k")) if p else None)
+            except (ValueError, TypeError):
+                ks.append(None)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count("k", ignore_nulls=True, alias_name="n_with_k"),
+            Sum("k", alias_name="sum_k"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_with_k": batch.column("n_with_k"),
+                "sum_k": batch.column("sum_k"),
+                "avg_k_c2": _ratio_round(
+                    pc.multiply(batch.column("sum_k"), pa.scalar(100, pa.int64())),
+                    batch.column("n_with_k"),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
