@@ -96,11 +96,15 @@ def run_kg_checkpointed(
         n_rows = sum(
             pq.read_metadata(f"{out_dir}/{f}").num_rows for f in os.listdir(out_dir)
         )
+        from renard_ray.pipelines.kg import collect_metrics
+
+        metrics = collect_metrics(ray.data.read_parquet(out_dir))
         manifest = {
             "shard": i,
             "config_fp": fp,
             "input_files": shard_files,
             "n_edge_rows": n_rows,
+            "metrics": metrics,
             "wall_sec": round(time.time() - t0, 3),
             "complete": True,
         }

@@ -25,7 +25,7 @@ import ray
 from ray.data import Dataset
 
 from renard_ray.stages.doc_stages import DocKernel, extract_text_batch
-from renard_ray.textproc.document import ALIAS_OF, NAME_COUNT, DocConfig
+from renard_ray.textproc.document import ALIAS_OF, METRIC, NAME_COUNT, DocConfig
 from renard_ray.pipelines.cc import connected_components
 
 # predicates whose edges are undirected (normalize subj<=obj after relabel)
@@ -221,7 +221,7 @@ def relabel_and_aggregate(
             name2canon = _driver_cc_and_names(pairs, counts)
 
     edges = stage_rows.filter(
-        expr=f"pred != {ALIAS_OF!r} and pred != {NAME_COUNT!r}"
+        expr=f"pred != {ALIAS_OF!r} and pred != {NAME_COUNT!r} and pred != {METRIC!r}"
     )
 
     if name2canon is not None:
@@ -381,3 +381,17 @@ def write_graph(
     triples.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         path, partition_cols=["bucket"]
     )
+
+
+def collect_metrics(stage_rows: Dataset) -> dict[str, float]:
+    """Aggregate the per-batch metric rows (docs processed, truncation
+    count, per-row text-invariant violations) — per-partition counters
+    the north rule asks to track alongside lineage."""
+    out: dict[str, float] = {}
+    metric_rows = stage_rows.filter(expr=f"pred == {METRIC!r}")
+    for batch in metric_rows.iter_batches(batch_format="pyarrow", batch_size=None):
+        for name, val in zip(
+            batch.column("subj").to_pylist(), batch.column("weight").to_pylist()
+        ):
+            out[name] = out.get(name, 0.0) + val
+    return out

@@ -97,6 +97,8 @@ class DocKernel:
         self.max_text_len = max_text_len
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        from renard_ray.textproc.document import METRIC
+
         cfg = self.cfg
         out: dict[str, list] = {
             "subj": [],
@@ -114,15 +116,36 @@ class DocKernel:
             if "lang" in batch.column_names
             else ["eng"] * len(urls)
         )
+        n_truncated = 0
         for url, text, lang in zip(urls, texts, langs):
             if not text:
                 continue
             # straggler guard: cap giant documents (counted, not dropped)
-            text = text[: self.max_text_len]
+            if len(text) > self.max_text_len:
+                n_truncated += 1
+                text = text[: self.max_text_len]
             res = process_document(text, cfg, lang or "eng")
             rows = emit_rows(res, url)
             for k in out:
                 out[k].extend(rows[k])
+
+        # per-batch metric rows (aggregated by the checkpoint runner /
+        # dropped before the triple aggregate): per-row text invariant
+        # violations (BASELINE per-row invariant) + truncation count
+        metrics = {"docs": float(len(urls)), "truncated": float(n_truncated)}
+        if "text_ok" in batch.column_names:
+            import pyarrow.compute as pc
+
+            n_bad = batch.num_rows - (pc.sum(pc.cast(batch.column("text_ok"), pa.int8())).as_py() or 0)
+            metrics["text_mismatch"] = float(n_bad)
+        for name, val in metrics.items():
+            out["subj"].append(name)
+            out["pred"].append(METRIC)
+            out["obj"].append("")
+            out["weight"].append(val)
+            out["polarity"].append(0.0)
+            out["block_id"].append(-1)
+            out["url"].append("")
         yield pa.table(
             {
                 "subj": pa.array(out["subj"], pa.string()),

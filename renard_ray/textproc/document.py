@@ -37,6 +37,7 @@ from renard_ray.textproc.unify import Character, graph_rules_unify, naive_unify
 # pseudo-predicates used on the unified stage-output edge table
 ALIAS_OF = "alias_of"  # subj = alias name, obj = per-doc character key
 NAME_COUNT = "name_count"  # subj = name, weight = #named mentions in doc
+METRIC = "_metric"  # subj = metric name, weight = value (per-batch counters)
 
 
 @dataclass
