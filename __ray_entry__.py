@@ -153,6 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ------------------------------------------------------------ oracle SQL
 
 
+_EN_STOP_SQL = ", ".join(
+    f"'{w}'" for w in "the a of and to in is it that for on with as was at by".split()
+)
+
+
 def oracle_sql() -> dict[str, str]:
     # SQL string literal: embedded single quotes doubled
     word_token_re = r"[a-zA-Z'']+|[0-9]+|[^\sa-zA-Z0-9'']"
@@ -352,6 +357,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "doc_quality_scores": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_words,
+                       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE (
+                           SELECT COUNT(*) FROM unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+                           WHERE lower(w) IN ({_EN_STOP_SQL})
+                       ) END AS n_stop
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_words,
+                   CASE WHEN n_chars = 0 THEN 0
+                        ELSE CAST(ROUND(1e6 * n_punct * 1.0 / n_chars, 0) AS BIGINT) END AS punct_ppm,
+                   CASE WHEN n_words = 0 THEN 0
+                        ELSE CAST(ROUND(1e6 * n_stop * 1.0 / n_words, 0) AS BIGINT) END AS stopword_ppm,
+                   CASE WHEN n_chars = 0 THEN 0
+                        ELSE CAST(ROUND(1e6 * n_upper * 1.0 / n_chars, 0) AS BIGINT) END AS upper_ppm,
+                   CASE WHEN n_words = 0 THEN 0
+                        ELSE CAST(ROUND(1e6 * n_nonws * 1.0 / n_words, 0) AS BIGINT) END AS mean_word_len_ppm
+            FROM d
         """,
         "doc_exact_dedup": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_md5,

@@ -91,45 +91,62 @@ def corpus_token_summary(sf_dir: str) -> Dataset:
     )
 
 
+_PUNCT_RE = re.compile(r"[^a-zA-Z0-9\s]")
+_UPPER_RE = re.compile(r"[A-Z]")
+_NONWS_RE = re.compile(r"\S")
+
+
 def quality_scores(sf_dir: str) -> Dataset:
-    """Heuristic quality signals per document (length, punct ratio,
-    stopword ratio, mean word length, uppercase ratio)."""
+    """Heuristic quality signals per document.
+
+    Ratios are emitted as exact integer parts-per-million computed from
+    integer counts with a single round(1e6 * num / den) — deterministic
+    and oracle-checkable (ASCII character classes, mirrored in the SQL
+    oracle).
+    """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     en_stop = _LANG_PROFILES["en"]
+
+    def ppm(num: int, den: int) -> int:
+        # half-away-from-zero on the same single division the SQL oracle
+        # performs (python round() is half-to-even and would diverge)
+        import math
+
+        return int(math.floor(1e6 * num / den + 0.5)) if den else 0
 
     def f(batch: pa.Table) -> pa.Table:
         out = {
             "doc_id": batch.column("doc_id"),
             "n_chars": [],
-            "punct_ratio": [],
-            "stopword_ratio": [],
-            "mean_word_len": [],
-            "upper_ratio": [],
+            "n_words": [],
+            "punct_ppm": [],
+            "stopword_ppm": [],
+            "upper_ppm": [],
+            "mean_word_len_ppm": [],
         }
         for t in batch.column("text").to_pylist():
             t = t or ""
             n = len(t)
-            words = [w for w in _WS_RE.split(t) if w]
-            n_punct = sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
-            n_upper = sum(1 for ch in t if ch.isupper())
+            words = [w for w in _WS_RE.split(t.strip()) if w] if t.strip() else []
+            n_punct = len(_PUNCT_RE.findall(t))
+            n_upper = len(_UPPER_RE.findall(t))
+            n_nonws = len(_NONWS_RE.findall(t))
             n_stop = sum(1 for w in words if w.lower() in en_stop)
             out["n_chars"].append(n)
-            out["punct_ratio"].append(round(n_punct / n, 6) if n else 0.0)
-            out["stopword_ratio"].append(
-                round(n_stop / len(words), 6) if words else 0.0
-            )
-            out["mean_word_len"].append(
-                round(sum(len(w) for w in words) / len(words), 6) if words else 0.0
-            )
-            out["upper_ratio"].append(round(n_upper / n, 6) if n else 0.0)
+            out["n_words"].append(len(words))
+            out["punct_ppm"].append(ppm(n_punct, n))
+            out["stopword_ppm"].append(ppm(n_stop, len(words)))
+            out["upper_ppm"].append(ppm(n_upper, n))
+            out["mean_word_len_ppm"].append(ppm(n_nonws, len(words)))
         return pa.table(
             {
                 "doc_id": out["doc_id"],
                 "n_chars": pa.array(out["n_chars"], pa.int64()),
-                "punct_ratio": pa.array(out["punct_ratio"], pa.float64()),
-                "stopword_ratio": pa.array(out["stopword_ratio"], pa.float64()),
-                "mean_word_len": pa.array(out["mean_word_len"], pa.float64()),
-                "upper_ratio": pa.array(out["upper_ratio"], pa.float64()),
+                "n_words": pa.array(out["n_words"], pa.int64()),
+                "punct_ppm": pa.array(out["punct_ppm"], pa.int64()),
+                "stopword_ppm": pa.array(out["stopword_ppm"], pa.int64()),
+                "upper_ppm": pa.array(out["upper_ppm"], pa.int64()),
+                "mean_word_len_ppm": pa.array(out["mean_word_len_ppm"], pa.int64()),
             }
         )
 

@@ -170,8 +170,8 @@ def test_token_stats_and_quality(ray_session, docs_dir):
     assert ts.loc[0, "n_ws_tokens"] == 81  # 8*10 words + tail
 
     qs = quality_scores(docs_dir).to_pandas().set_index("doc_id")
-    assert qs.loc[24, "n_chars"] == 0
-    assert 0 <= qs.loc[0, "stopword_ratio"] <= 1
+    assert qs.loc[24, "n_chars"] == 0 and qs.loc[24, "stopword_ppm"] == 0
+    assert 0 <= qs.loc[0, "stopword_ppm"] <= 1_000_000
 
 
 def test_media_feature_plumbing(ray_session):
