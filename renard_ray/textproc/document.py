@@ -57,6 +57,10 @@ class DocConfig:
     conversation_dist: tuple[int, str] = (1, "sentences")
     dynamic_window: Optional[int] = None  # mentions per dynamic window
     dynamic_overlap: int = 0
+    # "paragraphs": user-block-bounds dynamic graphs, one block per
+    # text paragraph (reference: caller-supplied ``dynamic_blocks`` +
+    # charbb2tokenbb, ``graph_extraction.py:207-215,411-448``)
+    dynamic_blocks_unit: Optional[str] = None
     min_rel_occurrences: int = 1
     character_tag: str = "PER"
 
@@ -133,6 +137,15 @@ def process_document(text: str, cfg: DocConfig, lang: str = "eng") -> DocResult:
             sentence_polarities=polarities,
         )
         is_dynamic = True
+    elif cfg.dynamic_blocks_unit == "paragraphs":
+        edge_blocks = dynamic_co_occurrence_edges(
+            characters,
+            tok,
+            cfg.co_occurrences_dist,
+            dynamic_blocks=_paragraph_token_blocks(text, tok),
+            sentence_polarities=polarities,
+        )
+        is_dynamic = True
     else:
         edge_blocks = [
             co_occurrence_edges(
@@ -169,6 +182,23 @@ def process_document(text: str, cfg: DocConfig, lang: str = "eng") -> DocResult:
         edge_blocks=edge_blocks,
         is_dynamic=is_dynamic,
     )
+
+
+def _paragraph_token_blocks(text: str, tok: Tokenized) -> list[tuple[int, int]]:
+    """Char spans of ``\\n\\n``-separated paragraphs -> token-index
+    blocks [start, end) (reference ``charbb2tokenbb`` semantics:
+    ``renard/utils.py:120-134``)."""
+    import bisect
+
+    blocks: list[tuple[int, int]] = []
+    pos = 0
+    for para in text.split("\n\n"):
+        start, end = pos, pos + len(para)
+        pos = end + 2
+        t0 = bisect.bisect_left(tok.token_starts, start)
+        t1 = bisect.bisect_right(tok.token_starts, end - 1) if end > start else t0
+        blocks.append((t0, t1))
+    return blocks
 
 
 def _merge(into: EdgeDict, other: EdgeDict) -> None:

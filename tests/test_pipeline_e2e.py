@@ -39,8 +39,9 @@ def _ray_triples(pages_tbl: pa.Table, cfg: KGConfig):
         ),
         DocConfig(unifier="naive", with_corefs=False),
         DocConfig(co_occurrences_dist=(10, "tokens")),
+        DocConfig(dynamic_blocks_unit="paragraphs"),
     ],
-    ids=["default", "full", "naive", "token-dist"],
+    ids=["default", "full", "naive", "token-dist", "paragraphs"],
 )
 def test_distributed_matches_oracle(ray_session, doc_cfg):
     pages_tbl = generate_pages_table(40, seed=7)

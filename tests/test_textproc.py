@@ -330,3 +330,61 @@ def test_sentiment_sign():
 def test_html_roundtrip(paragraphs):
     text = "\n\n".join(paragraphs)
     assert extract_text(wrap_text_as_html(text)) == text
+
+
+# ---------- NER context retrieval (ref: ner/retrieval.py:31-375) ----------
+
+
+def test_context_retrievers():
+    from renard_ray.textproc.retrieval import (
+        bm25_context,
+        ensemble_context,
+        neighbors_context,
+        samenoun_context,
+    )
+
+    sents = [
+        "Elizabeth walked to Netherfield".split(),
+        "Darcy spoke with Elizabeth".split(),
+        "The weather was fine".split(),
+        "Darcy went riding".split(),
+    ]
+    nb = neighbors_context(sents, k=2)
+    assert nb[0] == [1] and nb[1] == [0, 2]
+
+    sn = samenoun_context(sents, k=5, seed=1)
+    assert 1 in sn[0]          # shares "Elizabeth"
+    assert 3 in sn[1]          # shares "Darcy"
+    assert sn[2] == []         # no shared content words
+    assert sn == samenoun_context(sents, k=5, seed=1)  # deterministic
+
+    bm = bm25_context(sents, k=2)
+    assert 3 in bm[1]          # Darcy sentence retrieves Darcy sentence
+
+    en = ensemble_context(sents, ["neighbors", "bm25"], k=2)
+    assert set(nb[1]) <= set(en[1])
+
+
+def test_paragraph_dynamic_blocks():
+    from renard_ray.textproc.document import (
+        DocConfig,
+        _paragraph_token_blocks,
+        process_document,
+    )
+    from renard_ray.textproc.tokenize import tokenize
+
+    # names mid-sentence so the in-doc-evidence NER rule tags them
+    text = "Today Anna met Bella.\n\nToday Carla met Dora."
+    tok = tokenize(text)
+    blocks = _paragraph_token_blocks(text, tok)
+    assert len(blocks) == 2
+    toks = tok.tokens(text)
+    assert toks[blocks[0][0]] == "Today" and toks[blocks[1][0]] == "Today"
+
+    res = process_document(text, DocConfig(dynamic_blocks_unit="paragraphs"))
+    assert res.is_dynamic and len(res.edge_blocks) == 2
+    keys0 = {frozenset((s, o)) for (s, _, o) in res.edge_blocks[0]}
+    keys1 = {frozenset((s, o)) for (s, _, o) in res.edge_blocks[1]}
+    assert frozenset(("Anna", "Bella")) in keys0
+    assert frozenset(("Carla", "Dora")) in keys1
+    assert frozenset(("Anna", "Carla")) not in keys0 | keys1
