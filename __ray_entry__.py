@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textstats.fingerprints,
         # dedup family
         "doc_exact_dedup": dedup.exact_dedup_groups,
+        "doc_exact_dedup_keep": dedup.exact_dedup_keep,
+        "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "doc_simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(sf),
         # 0.45 demonstrates the operator on this corpus (max planted
@@ -398,6 +400,13 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "doc_exact_dedup_keep": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM documents
+                GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            )
         """,
         "knn_bruteforce": """
             WITH q AS (

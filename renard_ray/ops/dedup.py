@@ -421,3 +421,46 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.98) -> Dataset:
         )
 
     return emb.map_batches(block, batch_format="pyarrow")
+
+
+def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.8) -> Dataset:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph (re-uses the engine's distributed CC), keeper =
+    min doc_id per component.  Output: (doc_id, keeper_doc_id) for every
+    clustered document."""
+    import pyarrow.compute as pc
+
+    from renard_ray.pipelines.cc import connected_components
+
+    pairs = minhash_dedup_pairs(sf_dir, threshold).materialize()
+
+    def as_str(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(batch.column("a"), pa.string()),
+                "v": pc.cast(batch.column("b"), pa.string()),
+            }
+        )
+
+    edges = pairs.map_batches(as_str, batch_format="pyarrow")
+    label_map, _ = connected_components(edges, mode="driver")
+    if not label_map:
+        return pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "keeper_doc_id": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    # labels are lexicographic-min strings; keeper must be NUMERIC min
+    comp: dict[str, int] = {}
+    for node, label in label_map.items():
+        comp[label] = min(comp.get(label, 1 << 62), int(node))
+    rows = sorted((int(n), comp[l]) for n, l in label_map.items())
+    import ray as _ray
+
+    return _ray.data.from_items(
+        [{"doc_id": d, "keeper_doc_id": k} for d, k in rows]
+    )

@@ -272,6 +272,14 @@ def relabel_and_aggregate(
             alias, u="subj", v="obj", mode="distributed"
         )
         assert label_ds is not None
+        # shuffle width scaled to the (materialized) stage-row volume —
+        # hundreds of partitions on a tiny input just starves the
+        # aggregator actors (observed hang at 4 CPUs / 200 partitions)
+        try:
+            n_rows = stage_rows.count()
+        except Exception:
+            n_rows = 1 << 20
+        nparts = max(2, min(512, n_rows // 250_000 + 2))
         canon_counts = (
             stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")
             .groupby("subj")
@@ -279,7 +287,7 @@ def relabel_and_aggregate(
         )
         # display name per label: join counts with labels, argmax per label
         labeled_counts = canon_counts.join(
-            label_ds, join_type="inner", num_partitions=64,
+            label_ds, join_type="inner", num_partitions=nparts,
             on=("subj",), right_on=("node",),
         )
 
@@ -295,7 +303,7 @@ def relabel_and_aggregate(
 
         display = labeled_counts.groupby("label").map_groups(_pick, batch_format="pandas")
         node_canon = label_ds.join(
-            display, join_type="left_outer", num_partitions=64, on=("label",)
+            display, join_type="left_outer", num_partitions=nparts, on=("label",)
         )
 
         def _fallback(batch: pa.Table) -> pa.Table:
@@ -307,7 +315,7 @@ def relabel_and_aggregate(
         node_canon = node_canon.map_batches(_fallback, batch_format="pyarrow")
 
         step1 = edges.join(
-            node_canon, join_type="left_outer", num_partitions=200,
+            node_canon, join_type="left_outer", num_partitions=nparts,
             on=("subj",), right_on=("node",),
         )
 
@@ -318,7 +326,7 @@ def relabel_and_aggregate(
 
         step1 = step1.map_batches(_apply_subj, batch_format="pyarrow")
         step2 = step1.join(
-            node_canon, join_type="left_outer", num_partitions=200,
+            node_canon, join_type="left_outer", num_partitions=nparts,
             on=("obj",), right_on=("node",),
         )
 

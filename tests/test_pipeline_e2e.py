@@ -107,3 +107,22 @@ def test_edge_case_pages(ray_session):
     want = oracle_triples(pages_tbl, cfg)
     p, r = triple_precision_recall(got, want)
     assert p == 1.0 and r == 1.0
+
+
+def test_distributed_canonicalization_path(ray_session):
+    """Force the scale path (distributed CC + hash-join relabel) and
+    check it produces the same triples as the driver path."""
+    import ray
+
+    pages_tbl = generate_pages_table(30, seed=21)
+    pages = ray.data.from_arrow(pages_tbl)
+    drv = _ray_triples(pages_tbl, KGConfig(kernel_concurrency=2))
+    dist = build_kg(
+        ray.data.from_arrow(pages_tbl),
+        KGConfig(kernel_concurrency=2, cc_mode="distributed"),
+    ).to_pandas()
+    dist_set = {
+        (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+        for r in dist.itertuples()
+    }
+    assert dist_set == set(drv)
