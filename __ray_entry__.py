@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
         "knn_lsh": knn_lsh,
+        "knn_ivf": lambda sf: similarity.knn_ivf(sf),
         # multimodal plumbing
         "media_features": media_features,
         # KG construction (non-SQL; driver rows-only check)

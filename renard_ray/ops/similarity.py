@@ -236,3 +236,98 @@ def knn_recall_vs_bruteforce(sf_dir: str, k: int = 5) -> float:
         got = approx_sets.get(q, set())
         recalls.append(len(got & want) / len(want) if want else 1.0)
     return float(np.mean(recalls)) if recalls else 0.0
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 3) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer
+    (numpy only; the quantizer trains on a driver-side sample — the
+    standard IVF recipe)."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def knn_ivf(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+) -> Dataset:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    trained on a sample, vectors assigned to their nearest centroid
+    list in one streaming pass, queries probe the ``n_probe`` nearest
+    lists.  Same output schema as ``knn_bruteforce``; the scale path
+    for clustered embedding spaces.
+    """
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    emb = _read_embeddings(sf_dir)
+
+    # train the quantizer on a driver-side sample (IVF-standard)
+    sample = emb.limit(train_sample).take_all()
+    X = _norm_rows(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    C = _kmeans(X, n_lists)
+    C = _norm_rows(C)
+    c_ref = ray.put(C)
+
+    q_rows = emb.filter(expr=f"vec_id in {query_ids!r}").take_all()
+    qids = [r["vec_id"] for r in q_rows]
+    Q = _norm_rows(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    probe_lists = {
+        qid: set(np.argsort(-(Q[i] @ C.T))[:n_probe].tolist())
+        for i, qid in enumerate(qids)
+    }
+    q_ref = ray.put((qids, Q, probe_lists))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        qids_, Q_, probes = ray.get(q_ref)
+        ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        M = _norm_rows(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        assign = (M @ C_.T).argmax(1)  # list id per vector
+        sims = Q_ @ M.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            lists = probes[qid]
+            mask = np.array([a in lists for a in assign]) & (ids != qid)
+            idx = np.where(mask)[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.argsort(-sims[qi][idx], kind="stable")[:k]]
+            for t in top:
+                out_q.append(qid)
+                out_n.append(int(ids[t]))
+                out_s.append(float(sims[qi, t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(scan, batch_format="pyarrow")
+
+    def final_topk(group):
+        import pandas as pd
+
+        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
+        g = g.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cosine_sim": g["sim"].round(4),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

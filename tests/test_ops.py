@@ -188,3 +188,14 @@ def test_media_feature_plumbing(ray_session):
     f1 = [list(f) for f in out.sort_values("media_id").features]
     f2 = [list(f) for f in out2.sort_values("media_id").features]
     assert f1 == f2
+
+
+def test_knn_ivf_recall(ray_session, docs_dir):
+    from renard_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    exact = knn_bruteforce(docs_dir, query_ids=[0, 5], k=3).to_pandas()
+    approx = knn_ivf(docs_dir, query_ids=[0, 5], k=3, n_lists=3, n_probe=2).to_pandas()
+    es = exact.groupby("query_id")["neighbor_id"].apply(set)
+    as_ = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(as_.get(q, set()) & want) / len(want) for q, want in es.items()]
+    assert sum(recalls) / len(recalls) >= 0.5
