@@ -39,6 +39,10 @@ class ParsedName:
         return " ".join(p for p in (self.first, self.middle, self.last) if p)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def parse_name(name: str, lang: str = "eng") -> ParsedName:
     titles = ALL_TITLES.get(lang, frozenset())
     parts = name.split()

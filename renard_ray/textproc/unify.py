@@ -88,7 +88,16 @@ class Character:
     def most_frequent_name(self) -> str | None:
         """Most frequent of the character's names among its mentions
         (``character_unification.py:34-39``); deterministic tie-break by
-        (count desc, length desc, lexicographic)."""
+        (count desc, length desc, lexicographic).  Cached — called once
+        per mention by key lookups in the hot path."""
+        cached = getattr(self, "_mfn", None)
+        if cached is not None:
+            return cached
+        out = self._most_frequent_name()
+        object.__setattr__(self, "_mfn", out)
+        return out
+
+    def _most_frequent_name(self) -> str | None:
         counts = Counter(m.surface for m in self.mentions)
         counts = {n: c for n, c in counts.items() if n in self.names}
         if not counts:
