@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": relational.events_top_users,
         "events_hourly_activity": relational.events_hourly_activity,
         "events_props_stats": relational.events_props_stats,
+        "events_sliding_window": relational.events_sliding_window,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         # text analysis (SQL-checked where expressible)
@@ -316,6 +317,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            WITH f AS (
+                SELECT make_timestamp(
+                           ((epoch_us(ts) // 1800000000) - o.off) * 1800000000
+                       ) AS window_start,
+                       event_type,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c
+                FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+            )
+            SELECT window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(value_c) AS BIGINT) AS total_value_cents
+            FROM f GROUP BY 1, 2
         """,
         "events_props_stats": """
             WITH e AS (

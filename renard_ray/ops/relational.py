@@ -528,3 +528,45 @@ def events_props_stats(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_sliding_window(
+    sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30
+) -> Dataset:
+    """Sliding (hopping) event-time window counts: each event lands in
+    ``size/hop`` windows; implemented by fanning each row out to its
+    windows inside the batch then one groupby — the streaming-window
+    shape expressed as a batch transform."""
+    assert size_minutes % hop_minutes == 0
+    n_windows = size_minutes // hop_minutes
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())  # us since epoch
+        base = pc.multiply(
+            pc.divide(ts, pa.scalar(hop_us, pa.int64())), pa.scalar(hop_us, pa.int64())
+        )  # integer floor division then re-scale
+        tables = []
+        for w in range(n_windows):
+            start = pc.subtract(base, pa.scalar(w * hop_us, pa.int64()))
+            tables.append(
+                pa.table(
+                    {
+                        "window_start": pc.cast(start, pa.timestamp("us")),
+                        "event_type": batch.column("event_type"),
+                        "value_c": _cents(batch.column("value")),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    agg = (
+        ds.map_batches(fanout, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="total_value_cents"),
+        )
+    )
+    return agg
