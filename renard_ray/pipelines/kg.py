@@ -54,7 +54,7 @@ class KGConfig:
     # right when the kernel loads model weights.
     kernel_mode: str = "tasks"
     kernel_concurrency: int | tuple[int, int] | None = None
-    kernel_batch_size: int = 64
+    kernel_batch_size: int = 256
     cc_mode: str = "auto"  # driver | distributed | auto
     mapping: str = "auto"  # broadcast | join | auto
     broadcast_limit: int = 2_000_000  # max distinct names for broadcast path
@@ -225,40 +225,43 @@ def relabel_and_aggregate(
     )
 
     if name2canon is not None:
-        canon_ref = ray.put(name2canon)
+        # broadcast the map as two parallel arrays so the lookup is a
+        # vectorized pyarrow index_in/take, not a per-row dict loop
+        names_sorted = sorted(name2canon)
+        lookup_keys = pa.array(names_sorted, pa.string())
+        lookup_vals = pa.array([name2canon[n] for n in names_sorted], pa.string())
+        canon_ref = ray.put((lookup_keys, lookup_vals))
+        undirected = pa.array(list(UNDIRECTED_PREDS), pa.string())
 
         def relabel(batch: pa.Table) -> pa.Table:
-            m = ray.get(canon_ref)
-            subj = [m.get(s, s) for s in batch.column("subj").to_pylist()]
-            obj = [m.get(o, o) for o in batch.column("obj").to_pylist()]
-            pred = batch.column("pred").to_pylist()
+            keys, vals = ray.get(canon_ref)
+
+            def remap(col: pa.ChunkedArray) -> pa.Array:
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                idx = pc.index_in(col, value_set=keys)
+                mapped = pc.take(vals, idx)
+                return pc.if_else(pc.is_null(mapped), col, mapped)
+
+            s = remap(batch.column("subj"))
+            o = remap(batch.column("obj"))
+            p = batch.column("pred")
             # normalize undirected predicates; drop self-loops created by
             # cross-doc merging (a doc-local pair that became one entity)
-            out = {k: [] for k in ("subj", "pred", "obj", "weight", "polarity", "block_id")}
-            weights = batch.column("weight").to_pylist()
-            pols = batch.column("polarity").to_pylist()
-            blocks = batch.column("block_id").to_pylist()
-            for s, p, o, w, pol, b in zip(subj, pred, obj, weights, pols, blocks):
-                if p in UNDIRECTED_PREDS and o < s:
-                    s, o = o, s
-                if s == o:
-                    continue
-                out["subj"].append(s)
-                out["pred"].append(p)
-                out["obj"].append(o)
-                out["weight"].append(w)
-                out["polarity"].append(pol)
-                out["block_id"].append(b)
+            is_und = pc.is_in(p, value_set=undirected)
+            lo = pc.min_element_wise(s, o)
+            hi = pc.max_element_wise(s, o)
+            ns = pc.if_else(is_und, lo, s)
+            no = pc.if_else(is_und, hi, o)
             t = pa.table(
                 {
-                    "subj": pa.array(out["subj"], pa.string()),
-                    "pred": pa.array(out["pred"], pa.string()),
-                    "obj": pa.array(out["obj"], pa.string()),
-                    "weight": pa.array(out["weight"], pa.float64()),
-                    "polarity": pa.array(out["polarity"], pa.float64()),
-                    "block_id": pa.array(out["block_id"], pa.int32()),
+                    "subj": ns,
+                    "pred": p,
+                    "obj": no,
+                    "weight": batch.column("weight"),
+                    "polarity": batch.column("polarity"),
+                    "block_id": batch.column("block_id"),
                 }
-            )
+            ).filter(pc.not_equal(ns, no))
             return _partial_agg(t)
 
         relabeled = edges.map_batches(relabel, batch_format="pyarrow")

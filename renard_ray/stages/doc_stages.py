@@ -125,7 +125,7 @@ class DocKernel:
                 n_truncated += 1
                 text = text[: self.max_text_len]
             res = process_document(text, cfg, lang or "eng")
-            rows = emit_rows(res, url)
+            rows = emit_rows(res, url, include_url=cfg.emit_url)
             for k in out:
                 out[k].extend(rows[k])
 
@@ -146,7 +146,7 @@ class DocKernel:
             out["polarity"].append(0.0)
             out["block_id"].append(-1)
             out["url"].append("")
-        yield pa.table(
+        t = pa.table(
             {
                 "subj": pa.array(out["subj"], pa.string()),
                 "pred": pa.array(out["pred"], pa.string()),
@@ -157,3 +157,17 @@ class DocKernel:
                 "url": pa.array(out["url"], pa.string()),
             }
         )
+        if not cfg.emit_url and t.num_rows:
+            # cross-document combine within the batch: hub entities
+            # repeat the same (subj, pred, obj) across most documents,
+            # so this collapses the stage output (and every downstream
+            # pass and shuffle) several-fold.  Summing is correct for
+            # every row kind: edge weights, name counts, alias
+            # multiplicity and metric counters are all additive.
+            g = t.group_by(["subj", "pred", "obj", "block_id", "url"]).aggregate(
+                [("weight", "sum"), ("polarity", "sum")]
+            )
+            t = g.rename_columns(
+                ["subj", "pred", "obj", "block_id", "url", "weight", "polarity"]
+            )
+        yield t

@@ -61,6 +61,9 @@ class DocConfig:
     # text paragraph (reference: caller-supplied ``dynamic_blocks`` +
     # charbb2tokenbb, ``graph_extraction.py:207-215,411-448``)
     dynamic_blocks_unit: Optional[str] = None
+    # per-edge url provenance: a repeated long-string column that adds
+    # ~40% to the stage-row payload at scale — off unless debugging
+    emit_url: bool = False
     min_rel_occurrences: int = 1
     character_tag: str = "PER"
 
@@ -209,7 +212,7 @@ def _merge(into: EdgeDict, other: EdgeDict) -> None:
         into[k][1] += p
 
 
-def emit_rows(res: DocResult, url: str) -> dict[str, list]:
+def emit_rows(res: DocResult, url: str, include_url: bool = False) -> dict[str, list]:
     """Explode one document's result into columnar edge/alias rows.
 
     Output columns: subj, pred, obj, weight, polarity, block_id, url.
@@ -264,5 +267,5 @@ def emit_rows(res: DocResult, url: str) -> dict[str, list]:
         "weight": weight,
         "polarity": polarity,
         "block_id": block_id,
-        "url": [url] * n,
+        "url": [url] * n if include_url else [""] * n,
     }
