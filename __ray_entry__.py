@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational (SQL-oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "customers_without_orders": relational.customers_without_orders,
         "orders_monthly_counts": relational.orders_monthly_counts,
         "events_sessionize": relational.events_sessionize,
         "part_topk_per_brand": relational.part_topk_per_brand,
@@ -223,6 +225,24 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount >= 0.02
               AND l_quantity <  24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+              )
+            GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            )
         """,
         "orders_monthly_counts": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

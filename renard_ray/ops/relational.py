@@ -570,3 +570,81 @@ def events_sliding_window(
         )
     )
     return agg
+
+
+def q4_order_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q4-style: orders (in a date range) having at least one
+    late lineitem, counted per priority — the SEMI-JOIN shape: distinct
+    qualifying orderkeys, then an inner join used as a filter."""
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1996, 7, 1)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_range(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi)),
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    orders_f = orders.map_batches(in_range, batch_format="pyarrow")
+    # qualifying lineitems -> distinct orderkeys (semi-join side)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("l_quantity"), pa.scalar(45.0))
+        t = batch.filter(keep).select(["l_orderkey"])
+        if t.num_rows:
+            t = t.group_by(["l_orderkey"]).aggregate([]).select(["l_orderkey"])
+        return t
+
+    qual = (
+        li.map_batches(qualify, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .count()
+        .select_columns(["l_orderkey"])
+    )
+    joined = orders_f.join(
+        qual,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders"),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def customers_without_orders(sf_dir: str, min_totalprice: float = 300000.0) -> Dataset:
+    """ANTI-JOIN shape: customers having no order above a price
+    threshold (left outer join, keep null matches)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr=f"o_totalprice > {min_totalprice}"
+    )
+    custkeys = (
+        big.groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        # explicit match marker: the join output drops the right key
+        # column, so a nullable marker is the reliable anti-join signal
+        .map_batches(
+            lambda b: b.append_column(
+                "matched", pa.array([1] * b.num_rows, pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = cust.join(
+        custkeys,
+        join_type="left_outer",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("matched"))).select(
+            ["c_custkey", "c_name"]
+        )
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")

@@ -40,6 +40,8 @@ def _to_pandas(result) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
+    if len(df) == 0:
+        return hashlib.md5(b"").hexdigest()
     for c in df.columns:
         df[c] = df[c].astype(str)
     rows = sorted(df.apply("|".join, axis=1).tolist())
