@@ -105,6 +105,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
         return build_kg(pages, conversational_config())
 
+    def kg_triples_paragraphs(sf_dir: str):
+        import ray
+
+        from renard_ray.pipelines.kg import KGConfig, build_kg
+        from renard_ray.textproc.document import DocConfig
+
+        pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
+        return build_kg(
+            pages, KGConfig(doc=DocConfig(dynamic_blocks_unit="paragraphs"))
+        )
+
+    def kg_cumulative_final(sf_dir: str):
+        """Final cumulative snapshot of the dynamic graph (reference
+        ``cumulative_graph`` semantics on the aggregated table)."""
+        from renard_ray.sinks.gexf import cumulative_blocks
+
+        dyn = kg_triples_dynamic(sf_dir).to_pandas()
+        blocks = cumulative_blocks(dyn)
+        return blocks[-1] if blocks else dyn
+
     return {
         # relational (SQL-oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -153,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_full": kg_triples_full,
         "kg_triples_dynamic": kg_triples_dynamic,
         "kg_conversational": kg_conversational,
+        "kg_triples_paragraphs": kg_triples_paragraphs,
+        "kg_cumulative_final": kg_cumulative_final,
     }
 
 
@@ -162,6 +184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _EN_STOP_SQL = ", ".join(
     f"'{w}'" for w in "the a of and to in is it that for on with as was at by".split()
 )
+# mirror renard_ray.ops.textstats._LANG_PROFILES exactly
+_LANG_SQL = {
+    "en": _EN_STOP_SQL,
+    "fr": ", ".join(f"'{w}'" for w in "le la les de des un une et en du est que pour dans au".split()),
+    "es": ", ".join(f"'{w}'" for w in "el la los las de un una y en es que por para con del".split()),
+    "de": ", ".join(f"'{w}'" for w in "der die das ein eine und in ist von mit den dem zu für".split()),
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -395,6 +424,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents
             GROUP BY source
+        """,
+        "doc_language_id": f"""
+            WITH w AS (
+                SELECT doc_id, lang, text,
+                       regexp_split_to_array(lower(text), '\\s+') AS ws
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       len(list_filter(ws, x -> x IN ({_LANG_SQL["en"]}))) AS sc_en,
+                       len(list_filter(ws, x -> x IN ({_LANG_SQL["fr"]}))) AS sc_fr,
+                       len(list_filter(ws, x -> x IN ({_LANG_SQL["es"]}))) AS sc_es,
+                       len(list_filter(ws, x -> x IN ({_LANG_SQL["de"]}))) AS sc_de,
+                       length(regexp_replace(substr(text, 1, 2000),
+                              '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS cjk,
+                       length(substr(text, 1, 2000)) AS n2k
+                FROM w
+            )
+            SELECT doc_id, lang,
+                   CASE
+                       WHEN n2k = 0 THEN 'und'
+                       WHEN cjk > n2k * 0.05 THEN 'zh'
+                       WHEN greatest(sc_en, sc_fr, sc_es, sc_de) = 0 THEN 'und'
+                       WHEN sc_fr >= sc_es AND sc_fr >= sc_en AND sc_fr >= sc_de THEN 'fr'
+                       WHEN sc_es >= sc_en AND sc_es >= sc_de THEN 'es'
+                       WHEN sc_en >= sc_de THEN 'en'
+                       ELSE 'de'
+                   END AS pred_lang
+            FROM s
         """,
         "doc_quality_scores": f"""
             WITH d AS (
