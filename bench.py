@@ -97,6 +97,9 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
         "doc_exact_dedup",
         "doc_minhash_dedup",
         "knn_bruteforce",
+        "knn_ivf",
+        "q6_forecast_revenue",
+        "events_sessionize",
     ]
     qs = entrymod.queries()
     out = {}
