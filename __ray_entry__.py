@@ -116,6 +116,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pages, KGConfig(doc=DocConfig(dynamic_blocks_unit="paragraphs"))
         )
 
+    def kg_reference_corpus(sf_dir: str):
+        """Full KG chain on the reference's own E2E fixture corpus
+        (Pride & Prejudice, 61 chapters — the corpus its slow tests
+        run on); falls back to the synthetic corpus if absent."""
+        import glob
+        import os
+
+        import pyarrow as pa
+        import ray
+
+        from renard_ray.pipelines.kg import KGConfig, build_kg
+        from renard_ray.textproc.document import DocConfig
+
+        pnp = "/root/reference/renard/resources/novels/pride_and_prejudice"
+        if os.path.isdir(pnp):
+            files = sorted(glob.glob(f"{pnp}/chapter_*.txt"))
+            texts = [open(f, encoding="utf-8").read() for f in files]
+            tbl = pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://fixture.test/pnp/{os.path.basename(f)}" for f in files]
+                    ),
+                    "warc_ts": pa.array([None] * len(files), pa.timestamp("us")),
+                    "text": pa.array(texts, pa.large_string()),
+                    "lang": pa.array(["eng"] * len(files)),
+                }
+            )
+        else:
+            tbl = _kg_pages_table(sf_dir)
+        cfg = KGConfig(
+            doc=DocConfig(with_sentiment=True, with_conversations=True),
+            kernel_batch_size=8,
+        )
+        return build_kg(ray.data.from_arrow(tbl), cfg)
+
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
         ``cumulative_graph`` semantics on the aggregated table)."""
@@ -175,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversational": kg_conversational,
         "kg_triples_paragraphs": kg_triples_paragraphs,
         "kg_cumulative_final": kg_cumulative_final,
+        "kg_reference_corpus": kg_reference_corpus,
     }
 
 
