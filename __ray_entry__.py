@@ -151,6 +151,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return build_kg(ray.data.from_arrow(tbl), cfg)
 
+    def kg_top_degree(sf_dir: str):
+        from renard_ray.ops.graphstats import degree_table
+
+        return degree_table(kg_triples(sf_dir).to_pandas()).head(25)
+
+    def kg_pagerank(sf_dir: str):
+        from renard_ray.ops.graphstats import pagerank
+
+        return pagerank(kg_triples(sf_dir).to_pandas()).head(25)
+
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
         ``cumulative_graph`` semantics on the aggregated table)."""
@@ -188,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
         "doc_fingerprints": textstats.fingerprints,
+        "doc_redacted": textstats.redact_documents,
+        "kg_top_degree": kg_top_degree,
+        "kg_pagerank": kg_pagerank,
         # dedup family
         "doc_exact_dedup": dedup.exact_dedup_groups,
         "doc_exact_dedup_keep": dedup.exact_dedup_keep,
@@ -530,6 +543,17 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "doc_redacted": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                               '<EMAIL>', 'g'),
+                           'https?://[^[:space:]]+', '<URL>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS redacted_text
+            FROM documents
         """,
         "doc_exact_dedup_keep": """
             SELECT doc_id, lang, source, n_chars FROM documents

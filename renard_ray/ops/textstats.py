@@ -246,3 +246,34 @@ def word_topk(sf_dir: str, k: int = 30) -> Dataset:
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
     return agg.sort(["n_occurrences", "word"], descending=[True, False]).limit(k)
+
+
+_NUM_RE = re.compile(r"[0-9]+")
+_EMAIL_RE = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
+_URL_RE = re.compile(r"https?://[^\s]+")
+
+
+def redact(text: str) -> str:
+    """Training-data scrubbing: emails -> <EMAIL>, urls -> <URL>,
+    digit runs -> <NUM> (applied in that order)."""
+    t = _EMAIL_RE.sub("<EMAIL>", text or "")
+    t = _URL_RE.sub("<URL>", t)
+    return _NUM_RE.sub("<NUM>", t)
+
+
+def redact_documents(sf_dir: str) -> Dataset:
+    """Redacted copy of the documents table (emails/urls/numbers
+    replaced by placeholder tokens) — compiled patterns, one column
+    sweep per batch."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = [redact(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted_text": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -199,3 +199,33 @@ def test_knn_ivf_recall(ray_session, docs_dir):
     as_ = approx.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [len(as_.get(q, set()) & want) / len(want) for q, want in es.items()]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_redaction_kernel():
+    from renard_ray.ops.textstats import redact
+
+    assert redact("mail a@b.co, see https://x.io/p?q=1 on day 12") == \
+        "mail <EMAIL>, see <URL> on day <NUM>"
+    assert redact("") == ""
+
+
+def test_graphstats_degree_and_pagerank():
+    import pandas as pd
+
+    from renard_ray.ops.graphstats import degree_table, pagerank
+
+    triples = pd.DataFrame(
+        [
+            {"subj": "A", "pred": "co_occurs_with", "obj": "B", "weight": 3.0},
+            {"subj": "B", "pred": "co_occurs_with", "obj": "C", "weight": 1.0},
+        ]
+    )
+    deg = degree_table(triples).set_index("node")
+    assert deg.loc["B", "weighted_degree"] == 4.0
+    assert deg.loc["A", "n_edges"] == 1
+
+    pr = pagerank(triples)
+    assert pr.iloc[0]["node"] == "B"  # hub ranks first
+    assert abs(pr["rank"].sum() - 1.0) < 1e-6
+    # deterministic
+    assert pr.equals(pagerank(triples))
