@@ -65,13 +65,85 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(path, columns=cols)
 
 
+def dedup_pages_by_url(pages: Dataset) -> Dataset:
+    """Keep the LATEST crawl per url (Common-Crawl reality: recrawled
+    urls appear multiple times).  Duplicated urls are rare, so this is
+    a two-phase plan: a cheap groupby finds the (small) dup-url set,
+    non-dup rows stream through untouched, and only dup rows go through
+    a per-url max-ts resolution — no full-data shuffle."""
+    from ray.data.aggregate import Count
+
+    dup_urls = {
+        r["url"]
+        for r in pages.select_columns(["url", "warc_ts"])
+        .groupby("url")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .take_all()
+    }
+    if not dup_urls:
+        return pages
+    dup_ref = ray.put(dup_urls)
+
+    def split(batch: pa.Table, keep_dups: bool) -> pa.Table:
+        dups = ray.get(dup_ref)
+        mask = pa.array([u in dups for u in batch.column("url").to_pylist()])
+        return batch.filter(mask if keep_dups else pc.invert(mask))
+
+    clean = pages.map_batches(split, fn_kwargs={"keep_dups": False}, batch_format="pyarrow")
+    dup_rows = pages.map_batches(split, fn_kwargs={"keep_dups": True}, batch_format="pyarrow")
+
+    def latest(group):
+        import pandas as pd
+
+        g = group.sort_values("warc_ts", kind="stable")
+        return g.tail(1)
+
+    resolved = dup_rows.groupby("url").map_groups(latest, batch_format="pandas")
+    return clean.union(resolved)
+
+
 def pages_to_stage_rows(pages: Dataset, cfg: KGConfig) -> Dataset:
-    """pages -> exploded edge/alias/name-count rows (one fused pass)."""
+    """pages -> exploded edge/alias/name-count rows (one fused pass).
+
+    The stage chain is declared through the Stage protocol so the
+    needs/produces validation (reference ``Pipeline.check_valid``,
+    ``renard/pipeline/core.py:643-693``) runs before execution.
+    """
+    from renard_ray.stages.core import Stage, check_valid
+
     langs = list(cfg.langs)
     # grab the schema BEFORE filtering: an empty post-filter dataset has
     # no schema (ds.schema() -> None)
     schema = pages.schema()
     col_names = schema.names if schema is not None else []
+
+    declared: list = []
+    if "html" in col_names:
+        declared.append(
+            Stage(
+                "extract_text",
+                extract_text_batch,
+                needs=frozenset({"url", "html", "text"}),
+                produces=frozenset({"text_ok"}),
+                removes=frozenset({"html"}),
+            )
+        )
+    declared.append(
+        Stage(
+            "doc_kernel",
+            DocKernel,
+            needs=frozenset({"url", "text"}),
+            optional_needs=frozenset({"lang", "text_ok"}),
+            produces=frozenset(
+                {"subj", "pred", "obj", "weight", "polarity", "block_id"}
+            ),
+            removes=frozenset({"url", "warc_ts", "text", "lang", "text_ok"}),
+        )
+    )
+    if col_names:
+        check_valid(declared, col_names)
+
     ds = pages.filter(expr=f"lang in {langs!r}") if langs else pages
     if "html" in col_names:
         ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")

@@ -126,3 +126,39 @@ def test_distributed_canonicalization_path(ray_session):
         for r in dist.itertuples()
     }
     assert dist_set == set(drv)
+
+
+def test_dedup_pages_by_url(ray_session):
+    """Recrawled urls: only the latest crawl survives."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray
+
+    from renard_ray.pipelines.kg import dedup_pages_by_url
+
+    rows = []
+    for i in range(10):
+        rows.append(
+            {
+                "url": f"https://x.test/{i}",
+                "warc_ts": dt.datetime(2025, 1, 1, 0, 0, i),
+                "html": b"",
+                "text": f"old {i}",
+                "lang": "eng",
+            }
+        )
+    # recrawl of url 3 with newer ts
+    rows.append(
+        {
+            "url": "https://x.test/3",
+            "warc_ts": dt.datetime(2025, 6, 1),
+            "html": b"",
+            "text": "new 3",
+            "lang": "eng",
+        }
+    )
+    ds = ray.data.from_items(rows)
+    out = dedup_pages_by_url(ds).to_pandas()
+    assert len(out) == 10
+    assert out[out.url == "https://x.test/3"].text.iloc[0] == "new 3"
