@@ -357,6 +357,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> Dataset:
         SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
     )
 
+    hmax = max_hamming
+
     def pairs(group):
         import pandas as pd
 
@@ -368,7 +370,7 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> Dataset:
                 if ida == idb:
                     continue
                 d = bin(fa ^ fb).count("1")
-                if d <= 3:  # max_hamming fixed in group fn (serialized)
+                if d <= hmax:
                     a_out.append(ida)
                     b_out.append(idb)
                     hd.append(d)
