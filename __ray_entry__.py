@@ -66,7 +66,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from renard_ray.ops import dedup, relational, similarity, textstats
+    from renard_ray.ops import dedup, relational, similarity, sketches, textstats
+
+    def doc_distinct_words_exact(sf_dir: str):
+        import ray
+
+        from renard_ray.ops.sketches import exact_distinct_words
+
+        return ray.data.from_items(
+            [{"n_distinct_words": exact_distinct_words(sf_dir)}]
+        )
 
     def kg_triples(sf_dir: str):
         return _kg_triples(sf_dir, full=False)
@@ -199,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_id": textstats.language_id,
         "doc_fingerprints": textstats.fingerprints,
         "doc_redacted": textstats.redact_documents,
+        "doc_distinct_words_exact": doc_distinct_words_exact,
+        "doc_distinct_words_hll": sketches.hll_distinct_words,
+        "lineitem_price_quantiles": lambda sf: sketches.quantile_sketch(sf),
         "kg_top_degree": kg_top_degree,
         "kg_pagerank": kg_pagerank,
         # dedup family
@@ -543,6 +555,13 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "doc_distinct_words_exact": """
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+            FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                FROM documents
+            ) WHERE w != ''
         """,
         "doc_redacted": """
             SELECT doc_id,

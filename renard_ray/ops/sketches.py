@@ -1,0 +1,217 @@
+"""Approximate/sketch aggregates — mergeable, one streaming pass.
+
+The scale path for statistics a 100 TB corpus can't compute exactly in
+memory.  All are public algorithms implemented from scratch; each
+sketch is computed per batch and MERGED (map-side partial -> small
+driver/reduce merge), never holding raw data:
+
+- ``hll_distinct``      — HyperLogLog (Flajolet et al. 2007) distinct
+  count, here over corpus words.
+- ``reservoir_sample``  — Algorithm-R-style deterministic seeded
+  per-batch reservoirs merged by weighted draw.
+- ``quantile_sketch``   — fixed-bin histogram sketch over a value
+  column (mergeable; quantiles interpolated from bin counts).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+_WS_RE = re.compile(r"\s+")
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def _hll_new(p: int = 12) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def _hll_add_hashes(reg: np.ndarray, hashes: np.ndarray, p: int = 12) -> None:
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    # rank = leading zeros of remaining bits + 1 (capped)
+    ranks = np.zeros(len(hashes), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    rem = rest.copy()
+    rank = np.ones(len(hashes), dtype=np.uint8)
+    live = np.ones(len(hashes), dtype=bool)
+    for _ in range(64 - p):
+        top = (rem & mask) != 0
+        done = live & top
+        ranks[done] = rank[done]
+        live &= ~top
+        rem = rem << np.uint64(1)
+        rank += 1
+        if not live.any():
+            break
+    ranks[live] = 64 - p + 1
+    np.maximum.at(reg, idx, ranks)
+
+
+def _hll_count(reg: np.ndarray, p: int = 12) -> float:
+    m = float(len(reg))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -reg.astype(np.float64))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # small-range correction
+    return est
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    words = {w for w in _WS_RE.split((text or "").lower()) if w}
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [
+            struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+
+
+def hll_distinct_words(sf_dir: str, p: int = 12) -> Dataset:
+    """Approximate distinct-word count over the documents corpus.
+    Per-batch HLL registers merged by elementwise max (one tiny final
+    reduce)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = _hll_new(p)
+        for t in batch.column("text").to_pylist():
+            h = _word_hashes(t)
+            if len(h):
+                _hll_add_hashes(reg, h, p)
+        return pa.table({"registers": pa.array([reg.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = _hll_new(p)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("registers").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    est = int(round(_hll_count(merged, p)))
+    return ray.data.from_items([{"metric": "distinct_words_hll", "estimate": est}])
+
+
+def exact_distinct_words(sf_dir: str) -> int:
+    """Exact baseline for the HLL error test (groupby distinct)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch.column("text").to_pylist():
+            out.update(w for w in _WS_RE.split((t or "").lower()) if w)
+        ws = sorted(out)
+        return pa.table({"word": pa.array(ws, pa.string())})
+
+    return (
+        ds.map_batches(words, batch_format="pyarrow")
+        .groupby("word")
+        .count()
+        .count()
+    )
+
+
+# ------------------------------------------------------------ reservoir
+
+
+def reservoir_sample(
+    ds: Dataset, k: int = 100, seed: int = 7, key_col: str | None = None
+) -> list[dict]:
+    """Deterministic weighted reservoir (Efraimidis–Spirakis style):
+    each row gets a seeded priority from its content hash; global top-k
+    by priority = a uniform sample, reproducible under retries and
+    independent of partitioning."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import json
+
+        rows = batch.to_pylist()
+        pri, keep = [], []
+        for r in rows:
+            blob = json.dumps(r, sort_keys=True, default=str).encode()
+            h = struct.unpack("<Q", hashlib.md5(blob + str(seed).encode()).digest()[:8])[0]
+            pri.append(h)
+            keep.append(json.dumps(r, sort_keys=True, default=str))
+        order = np.argsort(np.array(pri, dtype=np.uint64), kind="stable")[:k]
+        return pa.table(
+            {
+                "priority": pa.array([pri[i] for i in order], pa.uint64()),
+                "row_json": pa.array([keep[i] for i in order], pa.string()),
+            }
+        )
+
+    import heapq
+    import json
+
+    best: list[tuple[int, str]] = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for p_, r in zip(b.column("priority").to_pylist(), b.column("row_json").to_pylist()):
+            if len(best) < k:
+                heapq.heappush(best, (-p_, r))
+            elif -best[0][0] > p_:
+                heapq.heapreplace(best, (-p_, r))
+    return [json.loads(r) for _, r in sorted(best, key=lambda t: -t[0])]
+
+
+# ------------------------------------------------------- quantile sketch
+
+
+def quantile_sketch(
+    sf_dir: str,
+    table: str = "lineitem",
+    column: str = "l_extendedprice",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = 4096,
+) -> Dataset:
+    """Histogram-sketch quantiles of a numeric column: one pass for
+    min/max (parquet stats would do at scale), one pass building
+    mergeable fixed-bin counts, quantiles interpolated from the bins."""
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    import pyarrow.compute as pc
+
+    stats = ds.aggregate(
+        ray.data.aggregate.Min(column, alias_name="lo"),
+        ray.data.aggregate.Max(column, alias_name="hi"),
+    )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_bins or 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.array(batch.column(column).to_pylist(), dtype=np.float64)
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_bins, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for blob in b.column("counts").to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64)
+    total = int(merged.sum())
+    cum = np.cumsum(merged)
+    rows = []
+    for q in quantiles:
+        target = q * total
+        bin_i = int(np.searchsorted(cum, target))
+        rows.append(
+            {
+                "quantile": q,
+                "estimate": round(lo + (bin_i + 0.5) * width, 2),
+            }
+        )
+    return ray.data.from_items(rows)

@@ -229,3 +229,45 @@ def test_graphstats_degree_and_pagerank():
     assert abs(pr["rank"].sum() - 1.0) < 1e-6
     # deterministic
     assert pr.equals(pagerank(triples))
+
+
+def test_hll_distinct_accuracy(ray_session, docs_dir):
+    from renard_ray.ops.sketches import exact_distinct_words, hll_distinct_words
+
+    exact = exact_distinct_words(docs_dir)
+    est = hll_distinct_words(docs_dir).take_all()[0]["estimate"]
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.1  # HLL p=12 → ~1.6% typical
+
+
+def test_reservoir_sample_deterministic(ray_session):
+    import ray
+
+    from renard_ray.ops.sketches import reservoir_sample
+
+    ds = ray.data.from_items([{"x": i} for i in range(1000)])
+    s1 = reservoir_sample(ds, k=50, seed=7)
+    s2 = reservoir_sample(ds.repartition(7), k=50, seed=7)
+    assert len(s1) == 50
+    assert s1 == s2  # partitioning-independent and reproducible
+    s3 = reservoir_sample(ds, k=50, seed=8)
+    assert s3 != s1  # seed changes the draw
+
+
+def test_quantile_sketch_close_to_exact(ray_session, docs_dir, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.sketches import quantile_sketch
+
+    rng = np.random.RandomState(3)
+    vals = rng.gamma(4.0, 100.0, size=20000)
+    pq.write_table(
+        pa.table({"v": pa.array(vals, pa.float64())}), f"{tmp_path}/nums.parquet"
+    )
+    out = {r["quantile"]: r["estimate"] for r in
+           quantile_sketch(str(tmp_path), "nums", "v", (0.5, 0.95)).take_all()}
+    for q in (0.5, 0.95):
+        exact = float(np.quantile(vals, q))
+        assert abs(out[q] - exact) / exact < 0.02
