@@ -144,9 +144,16 @@ def pages_to_stage_rows(pages: Dataset, cfg: KGConfig) -> Dataset:
     if col_names:
         check_valid(declared, col_names)
 
-    ds = pages.filter(expr=f"lang in {langs!r}") if langs else pages
     if "html" in col_names:
-        ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+        # lang filter folded into the extract pass (no standalone
+        # Filter operator = one fewer full scan)
+        ds = pages.map_batches(
+            extract_text_batch,
+            fn_kwargs={"langs": tuple(langs) if langs else None},
+            batch_format="pyarrow",
+        )
+    else:
+        ds = pages.filter(expr=f"lang in {langs!r}") if langs else pages
     if cfg.kernel_mode == "tasks":
         from renard_ray.stages.doc_stages import doc_kernel_batch
 

@@ -42,13 +42,21 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
-def extract_text_batch(batch: pa.Table) -> pa.Table:
+def extract_text_batch(batch: pa.Table, langs: tuple[str, ...] | None = None) -> pa.Table:
     """html -> text with the byte-identical invariant check.
 
     Emits columns: url, warc_ts, text, lang, text_ok (bool).  The
     stored ``text`` is authoritative (the invariant says they must be
     equal; on mismatch we keep the stored text and flag the row).
+    ``langs`` folds the language filter into this pass (a standalone
+    Filter operator costs a full extra scan).
     """
+    if langs:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.is_in(batch.column("lang"), value_set=pa.array(list(langs)))
+        )
     html_col = batch.column("html").to_pylist()
     text_col = batch.column("text").to_pylist()
     ok = []
