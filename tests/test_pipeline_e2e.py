@@ -162,3 +162,21 @@ def test_dedup_pages_by_url(ray_session):
     out = dedup_pages_by_url(ds).to_pandas()
     assert len(out) == 10
     assert out[out.url == "https://x.test/3"].text.iloc[0] == "new 3"
+
+
+def test_actor_pool_kernel_mode(ray_session):
+    """kernel_mode='actors' (the model-loading deployment shape) gives
+    identical triples to the default task mode."""
+    import ray
+
+    pages_tbl = generate_pages_table(20, seed=33)
+    tasks = _ray_triples(pages_tbl, KGConfig())
+    actors = build_kg(
+        ray.data.from_arrow(pages_tbl),
+        KGConfig(kernel_mode="actors", kernel_concurrency=2),
+    ).to_pandas()
+    actor_set = {
+        (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+        for r in actors.itertuples()
+    }
+    assert actor_set == set(tasks)
