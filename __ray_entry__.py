@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_counts": relational.orders_monthly_counts,
         "events_sessionize": relational.events_sessionize,
         "part_topk_per_brand": relational.part_topk_per_brand,
+        "customer_order_history": relational.customer_order_history,
         "doc_word_topk": textstats.word_topk,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -359,6 +360,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        "customer_order_history": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY o_orderdate, o_orderkey) AS order_keys,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'AUTOMOBILE'
+            GROUP BY o_custkey
         """,
         "part_topk_per_brand": """
             WITH r AS (

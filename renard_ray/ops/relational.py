@@ -648,3 +648,34 @@ def customers_without_orders(sf_dir: str, min_totalprice: float = 300000.0) -> D
         )
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def customer_order_history(sf_dir: str, segment: str = "AUTOMOBILE") -> Dataset:
+    """Ordered collect-list per group: each customer's order keys as a
+    comma-joined string in (date, key) order — the string_agg /
+    collect_list aggregation shape."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == '{segment}'"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=max(2, _join_parts(sf_dir, "orders") // 2),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def collect(group):
+        import pandas as pd
+
+        g = group.sort_values(by=["o_orderdate", "o_orderkey"])
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "order_keys": [",".join(str(k) for k in g["o_orderkey"])],
+                "n_orders": [len(g)],
+            }
+        )
+
+    return joined.groupby("o_custkey").map_groups(collect, batch_format="pandas")
