@@ -160,6 +160,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return build_kg(ray.data.from_arrow(tbl), cfg)
 
+    def doc_nlp_state(sf_dir: str):
+        """Per-document NLP state table (PipelineState analog)."""
+        import ray
+
+        from renard_ray.stages.doc_stages import doc_state_batch
+        from renard_ray.textproc.document import DocConfig
+
+        pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
+        return pages.map_batches(
+            doc_state_batch,
+            fn_kwargs={"cfg": DocConfig(with_conversations=True)},
+            batch_format="pyarrow",
+        ).drop_columns(["characters"])
+
     def kg_top_degree(sf_dir: str):
         from renard_ray.ops.graphstats import degree_table
 
@@ -237,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_paragraphs": kg_triples_paragraphs,
         "kg_cumulative_final": kg_cumulative_final,
         "kg_reference_corpus": kg_reference_corpus,
+        "doc_nlp_state": doc_nlp_state,
     }
 
 

@@ -16,8 +16,9 @@ Design (SURVEY.md §7):
 Fusing the whole per-doc chain into ONE stage is deliberate: the
 intermediate per-doc state (tokens, entities, chains) is large and
 row-local; materializing it between stages would move tens of TB
-through the object store for nothing.  Stage-wise outputs remain
-available for debugging via ``DocKernel(emit="state")``.
+through the object store for nothing.  Per-document state remains
+inspectable through ``doc_state_batch`` (the PipelineState-as-a-table
+debug surface).
 """
 
 from __future__ import annotations
@@ -179,3 +180,65 @@ class DocKernel:
                 ["subj", "pred", "obj", "block_id", "url", "weight", "polarity"]
             )
         yield t
+
+
+def doc_state_batch(batch: pa.Table, cfg: DocConfig | None = None) -> pa.Table:
+    """Per-document NLP state as a TABLE row (the reference's
+    ``PipelineState``, ``renard/pipeline/core.py:154-201``, re-expressed
+    columnar): one row per document with counts + the unified character
+    list (names, gender, mention count) as a nested column.  Debug /
+    inspection surface; the production path emits edges directly."""
+    cfg = cfg or DocConfig()
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = (
+        batch.column("lang").to_pylist()
+        if "lang" in batch.column_names
+        else ["eng"] * len(urls)
+    )
+    out = {
+        "url": [], "n_tokens": [], "n_sentences": [], "n_entities": [],
+        "n_corefs": [], "n_quotes": [], "n_characters": [], "characters": [],
+    }
+    for url, text, lang in zip(urls, texts, langs):
+        if not text:
+            continue
+        res = process_document(text[:2_000_000], cfg, lang or "eng")
+        out["url"].append(url)
+        out["n_tokens"].append(res.tok.n_tokens())
+        out["n_sentences"].append(len(res.tok.sent_bounds))
+        out["n_entities"].append(len(res.entities))
+        out["n_corefs"].append(len(res.corefs))
+        out["n_quotes"].append(len(res.quotes))
+        out["n_characters"].append(len(res.characters))
+        out["characters"].append(
+            [
+                {
+                    "names": sorted(c.names),
+                    "gender": int(c.gender),
+                    "n_mentions": len(c.mentions),
+                }
+                for c in res.characters
+            ]
+        )
+    char_type = pa.list_(
+        pa.struct(
+            [
+                ("names", pa.list_(pa.string())),
+                ("gender", pa.int8()),
+                ("n_mentions", pa.int32()),
+            ]
+        )
+    )
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int32()),
+            "n_sentences": pa.array(out["n_sentences"], pa.int32()),
+            "n_entities": pa.array(out["n_entities"], pa.int32()),
+            "n_corefs": pa.array(out["n_corefs"], pa.int32()),
+            "n_quotes": pa.array(out["n_quotes"], pa.int32()),
+            "n_characters": pa.array(out["n_characters"], pa.int32()),
+            "characters": pa.array(out["characters"], char_type),
+        }
+    )
