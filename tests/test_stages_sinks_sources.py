@@ -124,3 +124,29 @@ def test_presets_run(ray_session):
     for name, make in PRESETS.items():
         n = build_kg(pages, make()).count()
         assert n >= 0, name
+
+
+def test_granular_pipeline_matches_fused(ray_session):
+    """The composable per-step chain (explicit Arrow columns between
+    stages) produces the same canonical triples as the fused kernel."""
+    import ray
+
+    from renard_ray.pipelines.kg import KGConfig, build_kg, relabel_and_aggregate
+    from renard_ray.sources.pages import generate_pages_table
+    from renard_ray.stages.granular import granular_stage_rows
+
+    pages_tbl = generate_pages_table(25, seed=17)
+
+    fused = build_kg(ray.data.from_arrow(pages_tbl), KGConfig()).to_pandas()
+    rows = granular_stage_rows(ray.data.from_arrow(pages_tbl)).materialize()
+    granular = relabel_and_aggregate(rows, KGConfig()).to_pandas()
+
+    f = {
+        (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+        for r in fused.itertuples()
+    }
+    g = {
+        (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+        for r in granular.itertuples()
+    }
+    assert f == g
