@@ -447,7 +447,13 @@ def orders_monthly_counts(sf_dir: str) -> Dataset:
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     """Session assignment per user: a session breaks after a
     ``gap_minutes`` silence (the classic event-time sessionization —
-    groupby user, order by ts within group; no global sort)."""
+    groupby user, order by ts within group; no global sort).
+
+    Note: ``map_groups`` pays a per-group framework cost (~ms), which
+    dominates on small inputs with many users; at scale the hash
+    shuffle and per-user work dominate instead.  The sorted-run +
+    boundary-stitch formulation would remove the per-group cost if
+    this became the bottleneck."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     def sessions(group):

@@ -30,14 +30,12 @@ import os
 import time
 from dataclasses import asdict
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
 from ray.data import Dataset
 
 from renard_ray.pipelines.kg import KGConfig, pages_to_stage_rows, relabel_and_aggregate
-from renard_ray.stages.doc_stages import EDGES_SCHEMA
 
 
 def _config_fingerprint(cfg: KGConfig) -> str:
