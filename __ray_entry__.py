@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "part_topk_per_brand": relational.part_topk_per_brand,
         "customer_order_history": relational.customer_order_history,
+        "doc_embedding_join": relational.doc_embedding_join,
+        "prolific_sources": relational.prolific_sources,
+        "priority_or_big_customers": relational.priority_or_big_customers,
         "doc_word_topk": textstats.word_topk,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -375,6 +378,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        "doc_embedding_join": """
+            SELECT label, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            GROUP BY label
+        """,
+        "prolific_sources": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(ROUND(SUM(n_chars) * 1.0 / COUNT(*), 0) AS BIGINT) AS avg_chars
+            FROM documents
+            GROUP BY source
+            HAVING COUNT(*) >= 20
+               AND CAST(ROUND(SUM(n_chars) * 1.0 / COUNT(*), 0) AS BIGINT) >= 200
+        """,
+        "priority_or_big_customers": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
         """,
         "customer_order_history": """
             SELECT o_custkey,

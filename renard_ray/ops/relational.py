@@ -685,3 +685,84 @@ def customer_order_history(sf_dir: str, segment: str = "AUTOMOBILE") -> Dataset:
         )
 
     return joined.groupby("o_custkey").map_groups(collect, batch_format="pandas")
+
+
+def doc_embedding_join(sf_dir: str) -> Dataset:
+    """Cross-modal join: documents x embeddings (doc_id = vec_id) ->
+    per-label doc stats.  The embeddings table is the small side here;
+    still a hash join (both sides grow with the corpus)."""
+    import ray as _ray
+
+    docs = _ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    emb = _ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    joined = docs.join(
+        emb,
+        join_type="inner",
+        num_partitions=max(2, _join_parts(sf_dir, "documents") // 2),
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+    agg = joined.groupby("label").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "n_docs": batch.column("n_docs"),
+                "total_chars": pc.cast(batch.column("total_chars"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def prolific_sources(sf_dir: str, min_docs: int = 20, min_avg_chars: int = 200) -> Dataset:
+    """Groupby + HAVING: sources with enough docs and long-enough
+    average documents (post-aggregation predicate)."""
+    import ray as _ray
+
+    docs = _ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    agg = docs.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="_total_chars"),
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        avg_chars = _ratio_round(batch.column("_total_chars"), batch.column("n_docs"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": batch.column("n_docs"),
+                "avg_chars": avg_chars,
+            }
+        )
+        keep = pc.and_(
+            pc.greater_equal(t.column("n_docs"), pa.scalar(min_docs, pa.int64())),
+            pc.greater_equal(t.column("avg_chars"), pa.scalar(min_avg_chars, pa.int64())),
+        )
+        return t.filter(keep)
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
+def priority_or_big_customers(sf_dir: str, min_balance: float = 9000.0) -> Dataset:
+    """Set op: customers in the BUILDING segment UNION customers above
+    a balance — distinct via the standard union + groupby pattern."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    a = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    b = cust.filter(expr=f"c_acctbal > {min_balance}")
+    both = a.union(b).select_columns(["c_custkey", "c_name"])
+    return (
+        both.groupby(["c_custkey", "c_name"])
+        .count()
+        .select_columns(["c_custkey", "c_name"])
+    )
