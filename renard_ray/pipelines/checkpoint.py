@@ -80,7 +80,15 @@ def run_kg_checkpointed(
         out_dir = f"{ckpt_dir}/stage_rows/shard={i}"
         if os.path.exists(man_path):
             man = json.load(open(man_path))
-            if man.get("config_fp") == fp and man.get("complete"):
+            # a shard is only reusable if the SAME input files went into
+            # it — files added/removed under pages_path (or a changed
+            # n_shards) re-deal the shards, and a stale manifest would
+            # silently drop the new files
+            if (
+                man.get("config_fp") == fp
+                and man.get("complete")
+                and sorted(man.get("input_files", [])) == sorted(shard_files)
+            ):
                 report["shards_skipped"] += 1
                 continue
         t0 = time.time()
@@ -114,6 +122,16 @@ def run_kg_checkpointed(
         os.replace(tmp, man_path)
         report["shards_run"] += 1
 
-    stage_rows = ray.data.read_parquet(f"{ckpt_dir}/stage_rows")
+    # read ONLY this run's shard dirs: leftover shard=<i> dirs beyond
+    # the current shard count (e.g. after lowering n_shards) must not
+    # leak stale rows into the aggregate
+    out_files: list[str] = []
+    for i in range(len(shards)):
+        d = f"{ckpt_dir}/stage_rows/shard={i}"
+        if os.path.isdir(d):
+            out_files += [
+                f"{d}/{f}" for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            ]
+    stage_rows = ray.data.read_parquet(out_files)
     triples = relabel_and_aggregate(stage_rows, cfg)
     return triples, report

@@ -16,6 +16,7 @@ triple structure is preserved by construction (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -42,6 +43,9 @@ def _partial_agg(t: pa.Table) -> pa.Table:
     g = t.group_by(["subj", "pred", "obj", "block_id"]).aggregate(
         [("weight", "sum"), ("polarity", "sum")]
     )
+    # select by NAME, then rename on the selected order — robust to
+    # pyarrow changing the key/aggregate column output order
+    g = g.select(["subj", "pred", "obj", "block_id", "weight_sum", "polarity_sum"])
     return g.rename_columns(["subj", "pred", "obj", "block_id", "weight", "polarity"])
 
 
@@ -376,8 +380,13 @@ def relabel_and_aggregate(
         def _pick(group):
             import pandas as pd
 
-            g = group.sort_values(
-                by=["sum(weight)", "subj"], ascending=[False, True]
+            # mirror the driver/golden-oracle tie-break exactly
+            # (``_driver_cc_and_names``: count desc, name length desc,
+            # lexicographic asc) so cc_mode="distributed" picks the same
+            # canonical display name as the broadcast path on count ties
+            g = group.assign(_nlen=group["subj"].str.len()).sort_values(
+                by=["sum(weight)", "_nlen", "subj"],
+                ascending=[False, False, True],
             )
             return pd.DataFrame(
                 {"label": [g["label"].iloc[0]], "canonical": [g["subj"].iloc[0]]}
@@ -456,8 +465,18 @@ def build_kg(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
 def write_graph(
     triples: Dataset, path: str, num_buckets: int = 64
 ) -> None:
-    """Partitioned Parquet edge-list sink: bucket by hash(subj) so a
-    resumable run can skip finished partitions (SURVEY.md §7.3)."""
+    """Partitioned Parquet edge-list sink: bucket by hash(subj), one
+    directory per bucket (SURVEY.md §7.3).  Stale ``bucket=N`` dirs from
+    a previous/killed attempt are cleared first so a re-run never
+    double-counts leftover files (resume granularity lives upstream in
+    ``pipelines.checkpoint`` — the sink itself is always rewritten,
+    it's the cheap final stage)."""
+    import shutil
+
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import zlib

@@ -55,29 +55,35 @@ def read_conll2002_bio(path: str, separator: str = " ") -> Dataset:
     spans (columnar; downstream NER stages consume it directly)."""
     # read_text drops the blank lines that mark sentence boundaries, so
     # read whole files (CoNLL fixtures are small side inputs) and parse
-    # per file — one task per file keeps line order trivially.
-    files = ray.data.read_binary_files(path)
+    # PER FILE (a packed block can hold several files; concatenating
+    # them would merge a trailing sentence with the next file's first
+    # and restart sent_id per block).  ``include_paths`` gives each row
+    # its file, which becomes the per-file id column.
+    files = ray.data.read_binary_files(path, include_paths=True)
 
     def assemble(batch: pa.Table) -> pa.Table:
-        text = "\n".join(
-            b.decode("utf-8") for b in batch.column("bytes").to_pylist()
-        )
-        doc = parse_conll2002_bio(text, separator)
-        sent_toks, sent_tags, ents = [], [], []
-        i = 0
-        for sent in doc.sentences:
-            tags = doc.tags[i : i + len(sent)]
-            spans = [
-                {"start": e.start, "end": e.end, "tag": e.tag}
-                for e in bio_to_entities(tags)
-            ]
-            sent_toks.append(sent)
-            sent_tags.append(tags)
-            ents.append(spans)
-            i += len(sent)
+        paths_out, sids, sent_toks, sent_tags, ents = [], [], [], [], []
+        for p, b in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            doc = parse_conll2002_bio(b.decode("utf-8"), separator)
+            i = 0
+            for sid, sent in enumerate(doc.sentences):
+                tags = doc.tags[i : i + len(sent)]
+                spans = [
+                    {"start": e.start, "end": e.end, "tag": e.tag}
+                    for e in bio_to_entities(tags)
+                ]
+                paths_out.append(p)
+                sids.append(sid)
+                sent_toks.append(sent)
+                sent_tags.append(tags)
+                ents.append(spans)
+                i += len(sent)
         return pa.table(
             {
-                "sent_id": pa.array(range(len(sent_toks)), pa.int64()),
+                "path": pa.array(paths_out, pa.string()),
+                "sent_id": pa.array(sids, pa.int64()),
                 "tokens": pa.array(sent_toks, pa.list_(pa.string())),
                 "tags": pa.array(sent_tags, pa.list_(pa.string())),
                 "entities": pa.array(

@@ -176,6 +176,11 @@ class DocKernel:
             g = t.group_by(["subj", "pred", "obj", "block_id", "url"]).aggregate(
                 [("weight", "sum"), ("polarity", "sum")]
             )
+            # select by NAME before the positional rename — robust to
+            # pyarrow changing the key/aggregate output column order
+            g = g.select(
+                ["subj", "pred", "obj", "block_id", "url", "weight_sum", "polarity_sum"]
+            )
             t = g.rename_columns(
                 ["subj", "pred", "obj", "block_id", "url", "weight", "polarity"]
             )

@@ -52,3 +52,44 @@ def test_checkpoint_run_and_resume(ray_session, tmp_path):
     # manifests carry lineage + counters
     man = json.load(open(f"{ckpt}/manifest-0000.json"))
     assert man["complete"] and man["n_edge_rows"] > 0 and man["input_files"]
+
+
+def test_checkpoint_input_change_invalidates(ray_session, tmp_path):
+    """Adding input files or changing n_shards re-deals the shards; the
+    resume must NOT silently reuse stale shard outputs (the skip check
+    compares the manifest's input-file list, not just the config)."""
+    pages_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    write_pages_parquet(pages_path, 40, seed=5, rows_per_file=10)
+    cfg = KGConfig(kernel_concurrency=2)
+
+    _, rep1 = run_kg_checkpointed(pages_path, ckpt, cfg, n_shards=2)
+    assert rep1["shards_run"] == 2
+
+    # new files land under pages_path -> every shard's file list changes
+    import pyarrow.parquet as pq
+
+    from renard_ray.sources.pages import generate_pages_table
+
+    extra = generate_pages_table(10, seed=99)
+    pq.write_table(extra, f"{pages_path}/zz-extra.parquet")
+    triples2, rep2 = run_kg_checkpointed(pages_path, ckpt, cfg, n_shards=2)
+    assert rep2["shards_run"] >= 1  # changed shards re-ran
+    assert rep2["shards_run"] + rep2["shards_skipped"] == 2
+
+    # full-corpus parity after the resume (new files are included)
+    all_pages = pa_concat([generate_pages_table(40, seed=5), extra])
+    want = set(oracle_triples(all_pages, cfg))
+    got2 = _triples_set(triples2)  # consume BEFORE run3 rewrites shards
+    p, r = triple_precision_recall(sorted(got2), sorted(want))
+    assert p == 1.0 and r == 1.0
+
+    # shrinking n_shards must not read leftover shard dirs
+    triples3, _ = run_kg_checkpointed(pages_path, ckpt, cfg, n_shards=1)
+    assert _triples_set(triples3) == got2
+
+
+def pa_concat(tables):
+    import pyarrow as pa
+
+    return pa.concat_tables(tables)

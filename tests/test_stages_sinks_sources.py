@@ -82,6 +82,21 @@ def test_conll_roundtrip(ray_session, tmp_path):
     assert list(rows[0]["tokens"]) == ["John", "Smith", "met", "Mary"]
     assert rows[0]["entities"][0]["tag"] == "PER"
 
+    # multi-file dir, one file with NO trailing blank line: files must
+    # parse independently (no cross-file sentence merge) with per-file
+    # sent_id
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.bio").write_text("John B-PER\nran O")  # no trailing newline
+    (d / "b.bio").write_text("Mary B-PER\nsat O\n")
+    rows = sorted(
+        read_conll2002_bio(str(d)).take_all(), key=lambda r: r["path"]
+    )
+    assert len(rows) == 2
+    assert list(rows[0]["tokens"]) == ["John", "ran"]
+    assert list(rows[1]["tokens"]) == ["Mary", "sat"]
+    assert rows[0]["sent_id"] == 0 and rows[1]["sent_id"] == 0
+
 
 def test_gexf_sinks(tmp_path):
     from renard_ray.sinks.gexf import (
