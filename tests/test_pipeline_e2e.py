@@ -158,10 +158,31 @@ def test_dedup_pages_by_url(ray_session):
             "lang": "eng",
         }
     )
+    # ts TIE at the max for url 7 (same crawl landed twice)
+    rows.append(
+        {
+            "url": "https://x.test/7",
+            "warc_ts": dt.datetime(2025, 1, 1, 0, 0, 7),
+            "html": b"",
+            "text": "old 7",
+            "lang": "eng",
+        }
+    )
     ds = ray.data.from_items(rows)
     out = dedup_pages_by_url(ds).to_pandas()
     assert len(out) == 10
     assert out[out.url == "https://x.test/3"].text.iloc[0] == "new 3"
+    assert len(out[out.url == "https://x.test/7"]) == 1
+
+    # huge-dup-set fallback (forced with broadcast_limit=0): same result
+    out2 = (
+        dedup_pages_by_url(ray.data.from_items(rows), broadcast_limit=0)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(out2) == 10
+    assert out2[out2.url == "https://x.test/3"].text.iloc[0] == "new 3"
 
 
 def test_actor_pool_kernel_mode(ray_session):
