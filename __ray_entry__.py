@@ -175,14 +175,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).drop_columns(["characters"])
 
     def kg_top_degree(sf_dir: str):
-        from renard_ray.ops.graphstats import degree_table
+        # distributed: fan-out + groupby(node) + top-k sort — no driver
+        # materialization of the triple table
+        from renard_ray.ops.graphstats import top_degree_dataset
 
-        return degree_table(kg_triples(sf_dir).to_pandas()).head(25)
+        return top_degree_dataset(kg_triples(sf_dir), k=25)
 
     def kg_pagerank(sf_dir: str):
-        from renard_ray.ops.graphstats import pagerank
+        # distributed: edge-list power iteration with broadcast rank
+        # vector (vocabulary-bounded); edges stream per iteration
+        from renard_ray.ops.graphstats import pagerank_dataset
 
-        return pagerank(kg_triples(sf_dir).to_pandas()).head(25)
+        return pagerank_dataset(kg_triples(sf_dir), k=25)
 
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference

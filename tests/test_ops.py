@@ -375,3 +375,46 @@ def test_embedding_near_dup_chunking_invariant(ray_session, docs_dir):
     r2 = norm(embedding_near_dup_pairs(docs_dir, 0.8, n_chunks=2).to_pandas())
     r5 = norm(embedding_near_dup_pairs(docs_dir, 0.8, n_chunks=5).to_pandas())
     assert r2 == r5 and len(r2) > 0
+
+
+def test_graphstats_distributed_matches_pandas_oracle(ray_session):
+    """Distributed degree/pagerank over the triple Dataset must agree
+    with the driver-side pandas oracles on a small graph."""
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.graphstats import (
+        degree_table,
+        pagerank,
+        pagerank_dataset,
+        top_degree_dataset,
+    )
+
+    rng = np.random.RandomState(4)
+    names = [f"n{i}" for i in range(40)]
+    rows = []
+    for _ in range(200):
+        a, b = rng.choice(40, size=2, replace=False)
+        rows.append(
+            {
+                "subj": names[min(a, b)],
+                "pred": "co_occurs_with",
+                "obj": names[max(a, b)],
+                "weight": float(rng.randint(1, 5)),
+                "polarity": 0.0,
+                "block_id": 0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+
+    want_deg = degree_table(df).head(10).reset_index(drop=True)
+    got_deg = top_degree_dataset(ds, k=10).to_pandas().reset_index(drop=True)
+    assert got_deg["node"].tolist() == want_deg["node"].tolist()
+    assert np.allclose(got_deg["weighted_degree"], want_deg["weighted_degree"])
+    assert got_deg["n_edges"].tolist() == want_deg["n_edges"].tolist()
+
+    want_pr = pagerank(df).head(10).reset_index(drop=True)
+    got_pr = pagerank_dataset(ds, k=10).to_pandas().reset_index(drop=True)
+    assert got_pr["node"].tolist() == want_pr["node"].tolist()
+    assert np.allclose(got_pr["rank"], want_pr["rank"], atol=1e-6)
