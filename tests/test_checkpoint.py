@@ -93,3 +93,45 @@ def pa_concat(tables):
     import pyarrow as pa
 
     return pa.concat_tables(tables)
+
+
+def test_granular_checkpoint_midchain_resume(ray_session, tmp_path):
+    """Per-STEP resume (reference rerun_from analog): killing a
+    mid-chain stage re-runs it and everything after, while the stages
+    before it are skipped from their checkpoints."""
+    import shutil as sh
+
+    from renard_ray.pipelines.checkpoint import run_kg_checkpointed_granular
+
+    pages_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    write_pages_parquet(pages_path, 30, seed=7, rows_per_file=10)
+    cfg = KGConfig()
+
+    triples1, rep1 = run_kg_checkpointed_granular(pages_path, ckpt, cfg, n_shards=2)
+    got1 = _triples_set(triples1)
+    assert all(v["run"] == 2 and v["skipped"] == 0 for v in rep1["stages"].values())
+    assert got1  # produced triples
+
+    # parity with the fused path on the same corpus
+    from renard_ray.pipelines.kg import build_kg
+
+    import ray
+
+    fused = build_kg(
+        ray.data.from_arrow(generate_pages_table(30, seed=7)), cfg
+    )
+    assert got1 == _triples_set(fused)
+
+    # simulate a kill during 'coref' of shard 1: drop its output+manifest
+    os.remove(f"{ckpt}/stages/coref/manifest-0001.json")
+    sh.rmtree(f"{ckpt}/stages/coref/shard=1")
+
+    triples2, rep2 = run_kg_checkpointed_granular(pages_path, ckpt, cfg, n_shards=2)
+    st = rep2["stages"]
+    # stages before the kill point: fully skipped
+    assert st["tokenize"]["skipped"] == 2 and st["ner"]["skipped"] == 2
+    # the killed stage and everything after: re-run for that shard only
+    assert st["coref"]["run"] == 1 and st["coref"]["skipped"] == 1
+    assert st["unify"]["run"] == 1 and st["edges"]["run"] == 1
+    assert _triples_set(triples2) == got1
