@@ -586,9 +586,18 @@ def part_topk_per_brand(sf_dir: str, k: int = 3) -> Dataset:
         g = group.sort_values(
             by=["p_retailprice", "p_partkey"], ascending=[False, True]
         ).head(k).reset_index(drop=True)
-        g["rank"] = range(1, len(g) + 1)
-        g["price_cents"] = (g["p_retailprice"] * 100).round().astype("int64")
-        return g[["p_brand", "p_partkey", "rank", "price_cents"]]
+        # Arrow (not pandas) output: mixed block schemas defeat Ray's
+        # schema-dedup hashing and spam reduce-side warnings
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"], pa.string()),
+                "p_partkey": pa.array(g["p_partkey"], pa.int64()),
+                "rank": pa.array(range(1, len(g) + 1), pa.int64()),
+                "price_cents": pa.array(
+                    (g["p_retailprice"] * 100).round().astype("int64"), pa.int64()
+                ),
+            }
+        )
 
     return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
 
@@ -780,11 +789,13 @@ def customer_order_history(sf_dir: str, segment: str = "AUTOMOBILE") -> Dataset:
         import pandas as pd
 
         g = group.sort_values(by=["o_orderdate", "o_orderkey"])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "order_keys": [",".join(str(k) for k in g["o_orderkey"])],
-                "n_orders": [len(g)],
+                "o_custkey": pa.array([int(g["o_custkey"].iloc[0])], pa.int64()),
+                "order_keys": pa.array(
+                    [",".join(str(k) for k in g["o_orderkey"])], pa.string()
+                ),
+                "n_orders": pa.array([len(g)], pa.int64()),
             }
         )
 

@@ -73,16 +73,16 @@ def knn_bruteforce(
 
     # global reduce: tiny (n_query * k * n_blocks rows) — groupby query
     def final_topk(group):
-        import pandas as pd
-
         g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
         g = g.head(k).reset_index(drop=True)
-        return pd.DataFrame(
+        # Arrow output keeps every block schema identical (no pandas/
+        # arrow mix tripping Ray's schema-dedup hashing)
+        return pa.table(
             {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cosine_sim": g["sim"].round(4),
+                "query_id": pa.array(g["query_id"], pa.int64()),
+                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
             }
         )
 
@@ -209,16 +209,16 @@ def knn_lsh(
     scored = emb.map_batches(score, batch_format="pyarrow")
 
     def final_topk(group):
-        import pandas as pd
-
         g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
         g = g.head(k).reset_index(drop=True)
-        return pd.DataFrame(
+        # Arrow output keeps every block schema identical (no pandas/
+        # arrow mix tripping Ray's schema-dedup hashing)
+        return pa.table(
             {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cosine_sim": g["sim"].round(4),
+                "query_id": pa.array(g["query_id"], pa.int64()),
+                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
             }
         )
 
@@ -317,16 +317,16 @@ def knn_ivf(
     partials = emb.map_batches(scan, batch_format="pyarrow")
 
     def final_topk(group):
-        import pandas as pd
-
         g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
         g = g.head(k).reset_index(drop=True)
-        return pd.DataFrame(
+        # Arrow output keeps every block schema identical (no pandas/
+        # arrow mix tripping Ray's schema-dedup hashing)
+        return pa.table(
             {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cosine_sim": g["sim"].round(4),
+                "query_id": pa.array(g["query_id"], pa.int64()),
+                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
             }
         )
 

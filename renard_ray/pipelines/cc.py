@@ -104,7 +104,12 @@ def _star_round(edges: Dataset, large: bool) -> Dataset:
             if node != m:
                 out_v.append(node)
         out_v = [x for x in set(out_v) if x != m]
-        return pd.DataFrame({"u": [m] * len(out_v), "v": out_v})
+        return pa.table(
+            {
+                "u": pa.array([m] * len(out_v), pa.string()),
+                "v": pa.array(out_v, pa.string()),
+            }
+        )
 
     both = edges.map_batches(expand, batch_format="pyarrow")
     return both.groupby("node").map_groups(star, batch_format="pandas")

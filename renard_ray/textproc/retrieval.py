@@ -14,6 +14,11 @@ sentence with retrieved context sentences before neural NER:
   scratch.
 - ``ensemble_context``  — union of several retrievers
   (``retrieval.py:345-375``).
+- ``NeuralContextReranker`` — the neural reranker slot
+  (``retrieval.py:213-342``): heuristic pre-match + pair-scorer
+  rerank; scorer loads once per instance (actor ``__init__``), with a
+  deterministic lexical proxy standing in for the model-gated BERT
+  head in this sandbox.
 
 All are per-document (the index is doc-local state, built inside the
 NER actor call — SURVEY §2.3), returning for each sentence the list of
@@ -128,9 +133,80 @@ def ensemble_context(
         "samenoun": lambda: samenoun_context(sentences, k, seed),
         "neighbors": lambda: neighbors_context(sentences, k),
         "bm25": lambda: bm25_context(sentences, k),
+        "neural": lambda: NeuralContextReranker(k=k).rerank_all(sentences),
     }
     acc: list[set[int]] = [set() for _ in sentences]
     for name in retrievers:
         for i, ctx in enumerate(fns[name]()):
             acc[i].update(ctx)
     return [sorted(s) for s in acc]
+
+
+class NeuralContextReranker:
+    """Neural reranker over heuristic context matches (reference
+    ``NERNeuralContextRetriever``, ``renard/pipeline/ner/retrieval.py:213-342``,
+    Amalvy et al. 2024): a heuristic retriever proposes candidate
+    context sentences, a sequence-classification model scores each
+    (sentence, candidate) pair, and the top-k above ``threshold``
+    survive.
+
+    Deployment shape: the SCORER loads once per instance — this class
+    is the actor slot (construct in an actor's ``__init__``, call per
+    batch).  The real BERT reranker is model-gated in this sandbox, so
+    the default scorer is a deterministic lexical-overlap proxy with
+    the same interface; pass ``scorer=`` (a callable
+    ``(query_tokens, ctx_tokens) -> float in [0, 1]``) to plug the
+    model head in.
+    """
+
+    def __init__(
+        self,
+        heuristic: str = "bm25",
+        k: int = 3,
+        heuristic_k: int = 8,
+        threshold: float = 0.0,
+        scorer=None,
+        seed: int = 0,
+    ):
+        self.heuristic = heuristic
+        self.k = k
+        self.heuristic_k = max(heuristic_k, k)
+        self.threshold = threshold
+        self.seed = seed
+        # model load happens HERE (once per actor); the sandbox default
+        # is the deterministic proxy below
+        self.scorer = scorer or self._overlap_scorer
+
+    @staticmethod
+    def _overlap_scorer(query: list[str], ctx: list[str]) -> float:
+        """Deterministic stand-in for the BERT pair classifier: content
+        -word Jaccard, squashed to (0, 1)."""
+        q, c = _content_words(query), _content_words(ctx)
+        if not q or not c:
+            return 0.0
+        return len(q & c) / len(q | c)
+
+    def _heuristic_matches(self, sentences: list[list[str]]) -> list[list[int]]:
+        if self.heuristic == "bm25":
+            return bm25_context(sentences, self.heuristic_k)
+        if self.heuristic == "samenoun":
+            return samenoun_context(sentences, self.heuristic_k, self.seed)
+        if self.heuristic == "neighbors":
+            return neighbors_context(sentences, self.heuristic_k)
+        raise ValueError(f"unknown heuristic {self.heuristic!r}")
+
+    def rerank(
+        self, i: int, sentences: list[list[str]], matches: list[int]
+    ) -> list[int]:
+        """Reference ``retrieve()``: score each heuristic match, keep
+        top-k above threshold (score desc, index asc tie-break)."""
+        scored = [(self.scorer(sentences[i], sentences[j]), -j) for j in matches]
+        scored.sort(reverse=True)
+        return [-nj for s, nj in scored[: self.k] if s > self.threshold]
+
+    def rerank_all(self, sentences: list[list[str]]) -> list[list[int]]:
+        matches = self._heuristic_matches(sentences)
+        return [
+            sorted(self.rerank(i, sentences, matches[i]))
+            for i in range(len(sentences))
+        ]

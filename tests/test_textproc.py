@@ -365,6 +365,47 @@ def test_context_retrievers():
     assert set(nb[1]) <= set(en[1])
 
 
+def test_neural_context_reranker():
+    """Reference NERNeuralContextRetriever slot (retrieval.py:213-342):
+    heuristic pre-match + scorer rerank, top-k above threshold;
+    deterministic proxy scorer by default, pluggable model head."""
+    from renard_ray.textproc.retrieval import (
+        NeuralContextReranker,
+        ensemble_context,
+    )
+
+    sents = [
+        "Elizabeth walked to Netherfield with Darcy yesterday".split(),
+        "Darcy spoke with Elizabeth about Netherfield".split(),
+        "The weather was fine".split(),
+        "Darcy went riding near Netherfield".split(),
+        "Nothing shared here whatsoever".split(),
+    ]
+    rr = NeuralContextReranker(heuristic="bm25", k=2)
+    out = rr.rerank_all(sents)
+    assert out == rr.rerank_all(sents)  # deterministic
+    assert 1 in out[0]  # highest-overlap context survives the rerank
+    assert len(out[0]) <= 2
+    assert out[4] == []  # nothing above threshold
+
+    # k caps AFTER rerank, not before: with k=1 only the best survives
+    rr1 = NeuralContextReranker(heuristic="bm25", k=1)
+    assert all(len(c) <= 1 for c in rr1.rerank_all(sents))
+
+    # a plugged-in scorer overrides the proxy (model slot interface)
+    rr_model = NeuralContextReranker(
+        heuristic="neighbors", k=1, scorer=lambda q, c: float(len(c) % 2)
+    )
+    assert all(
+        all(len(sents[j]) % 2 == 1 for j in ctx)
+        for ctx in rr_model.rerank_all(sents)
+    )
+
+    # participates in the ensemble alongside the heuristics
+    en = ensemble_context(sents, ["neighbors", "neural"], k=2)
+    assert set(en[0]) >= set(NeuralContextReranker(k=2).rerank_all(sents)[0])
+
+
 def test_paragraph_dynamic_blocks():
     from renard_ray.textproc.document import (
         DocConfig,
