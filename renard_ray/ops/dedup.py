@@ -38,7 +38,12 @@ _WS_RE = re.compile(r"\s+")
 
 
 def _read_documents(sf_dir: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from renard_ray.ops.relational import clean_schema
+
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, schema=clean_schema(path, columns)
+    )
 
 
 def _normalize(t: str | None) -> str:
@@ -77,12 +82,14 @@ def exact_dedup_groups(sf_dir: str) -> Dataset:
 
 def exact_dedup_keep(sf_dir: str) -> Dataset:
     """The surviving documents after exact dedup (keeper rows only)."""
+    from renard_ray.ops.relational import _join_parts
+
     groups = exact_dedup_groups(sf_dir).select_columns(["keeper_doc_id"])
     docs = _read_documents(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
     return docs.join(
         groups,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_parts(sf_dir, "documents"),
         on=("doc_id",),
         right_on=("keeper_doc_id",),
     ).select_columns(["doc_id", "lang", "source", "n_chars"])
@@ -523,8 +530,12 @@ def embedding_near_dup_pairs(
     candidates, cosine verifies them — linear shuffle volume, recall <
     1.  At a threshold like 0.45 SRP needs more tables than brute force
     costs, which is why it is not the default here."""
+    from renard_ray.ops.relational import clean_schema
+
+    _ep = f"{sf_dir}/embeddings.parquet"
     emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        _ep, columns=["vec_id", "embedding"],
+        schema=clean_schema(_ep, ["vec_id", "embedding"]),
     )
     import os
 

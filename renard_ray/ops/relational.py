@@ -32,22 +32,66 @@ from ray.data.aggregate import Count, Sum
 _HALF_AWAY = "half_towards_infinity"  # = DuckDB ROUND(double) tie-break
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop schema metadata (zero-copy).  Pandas-written parquet carries
+    a ``pandas`` metadata blob that makes ``pa.Schema`` UNHASHABLE,
+    which defeats Ray's block-schema deduplication and spams
+    'Failed to hash the schemas' warnings from every shuffle worker."""
+    return batch.replace_schema_metadata(None)
+
+
+def clean_schema(path: str, columns: list[str] | None = None) -> pa.Schema | None:
+    """Metadata-free (hashable) read schema for ``read_parquet`` — the
+    pandas metadata blob on the file schema otherwise rides into every
+    block and defeats Ray's schema dedup at the READ operator itself.
+    ``path`` may be a file or a directory of parquet files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(x for x in os.listdir(path) if x.endswith(".parquet"))
+        if not cands:
+            return None
+        f = os.path.join(path, cands[0])
+    try:
+        sch = pq.read_schema(f).remove_metadata()
+    except OSError:
+        return None
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, schema=clean_schema(path, columns)
+    )
 
 
 def _join_parts(sf_dir: str, table: str = "lineitem") -> int:
-    """Hash-join partition count sized to the BIG side's bytes: each
-    shuffle partition targets ~128 MB.  Small inputs get few partitions
-    (per-partition aggregator overhead dominates otherwise); 100 TB
-    inputs get thousands, capped only by a sanity bound."""
+    """Hash-join partition count sized to the BIG side's bytes (each
+    shuffle partition targets ~128 MB) with a small CPU-bounded floor.
+    Measured on this host (q3/q5 at sf0.1, 32 CPUs): 2 partitions
+    under-parallelize (7.2 s), 8 is the knee (5.5 s), 32 regresses
+    badly (aggregator-actor startup dominates; and partition counts far
+    above data/CPUs have hung outright at 4 CPUs / 200 partitions) —
+    so the floor is min(cpus, 8).  100 TB inputs get thousands of
+    byte-sized partitions regardless."""
     import os
 
     try:
         size = os.path.getsize(f"{sf_dir}/{table}.parquet")
     except OSError:
         size = 1 << 30
-    return max(2, min(4096, size // (128 << 20) + 2))
+    by_bytes = size // (128 << 20) + 2
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(2, min(4096, max(by_bytes, min(ncpu, 8))))
 
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:

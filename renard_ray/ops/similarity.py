@@ -20,8 +20,12 @@ from ray.data import Dataset
 
 
 def _read_embeddings(sf_dir: str) -> Dataset:
+    from renard_ray.ops.relational import clean_schema
+
+    path = f"{sf_dir}/embeddings.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        path, columns=["vec_id", "embedding"],
+        schema=clean_schema(path, ["vec_id", "embedding"]),
     )
 
 

@@ -31,10 +31,11 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
 
 
 def _read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=columns or ["doc_id", "text", "lang", "source", "n_chars"],
-    )
+    from renard_ray.ops.relational import clean_schema
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = columns or ["doc_id", "text", "lang", "source", "n_chars"]
+    return ray.data.read_parquet(path, columns=cols, schema=clean_schema(path, cols))
 
 
 def token_stats(sf_dir: str) -> Dataset:

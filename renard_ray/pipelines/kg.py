@@ -65,8 +65,16 @@ class KGConfig:
 
 
 def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
+    from renard_ray.ops.relational import clean_schema
+
     cols = columns or ["url", "warc_ts", "html", "text", "lang"]
-    return ray.data.read_parquet(path, columns=cols)
+    # metadata-free schema: pandas parquet metadata makes block schemas
+    # unhashable, defeating Ray's schema dedup (warn spam at the read)
+    try:
+        sch = clean_schema(path, cols)
+    except KeyError:
+        sch = None  # file lacks some requested column; let the read resolve
+    return ray.data.read_parquet(path, columns=cols, schema=sch)
 
 
 def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Dataset:
