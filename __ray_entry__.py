@@ -68,6 +68,11 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from renard_ray.ops import dedup, relational, similarity, sketches, textstats
 
+    def _asof_last_purchase(sf_dir: str):
+        from renard_ray.ops.asof import events_last_purchase
+
+        return events_last_purchase(sf_dir)
+
     def doc_distinct_words_exact(sf_dir: str):
         import ray
 
@@ -221,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_activity": relational.events_hourly_activity,
         "events_props_stats": relational.events_props_stats,
         "events_sliding_window": relational.events_sliding_window,
+        "events_asof_last_purchase": _asof_last_purchase,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         # text analysis (SQL-checked where expressible)
@@ -493,6 +499,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(value_c) AS BIGINT) AS total_value_cents
             FROM f GROUP BY 1, 2
+        """,
+        "events_asof_last_purchase": """
+            WITH p AS (
+                SELECT user_id, ts, MAX(event_id) AS pid
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.user_id, e.event_id,
+                   (SELECT pid FROM p
+                    WHERE p.user_id = e.user_id AND p.ts <= e.ts
+                    ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
+            FROM events e
         """,
         "events_props_stats": """
             WITH e AS (

@@ -1,0 +1,236 @@
+"""Distributed AS-OF join (point-in-time enrichment).
+
+Ray Data has no as-of join; this builds one from a sort + a
+vectorized per-block forward-fill + an O(#blocks) driver stitch — the
+same sorted-run/boundary-stitch machinery as ``events_sessionize``:
+
+1. the RIGHT side (enrichment events) is pre-aggregated to one row per
+   (key, ts) carrying the max id — the deterministic tie rule;
+2. both sides union into one table tagged ``side`` (0 = right,
+   1 = left) and go through ONE global ``sort(key, ts, side)`` — at
+   equal timestamps the right row sorts first, giving at-or-before
+   (``<=``) semantics;
+3. one vectorized pass per sorted block forward-fills the right id
+   within each key (pandas grouped ffill).  Rows of keys INTERIOR to
+   the block finalize locally.  Only rows of the block's FIRST key
+   that precede any in-block right row need a carry-in from earlier
+   blocks — they are emitted as a ``pending`` subset (a Dataset, not
+   driver state: a hub key's pending rows stream through Ray);
+4. per-block summaries (first key, last key, last filled id) — two
+   rows per block — go to the driver, which prefix-scans them in block
+   order to compute each block's carry-in, then broadcasts the tiny
+   {block -> carry} map for a second vectorized pass over the pending
+   subset only.
+
+Scale: the data moves through exactly one sort shuffle; driver state is
+O(#blocks); skew (a hub key spanning many blocks) degrades to streaming
+re-passes over that key's leading rows, never to driver materialization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+_OUT_COLS = {
+    "kind": "object",  # 'f' final, 'p' pending, 's' summary
+    "user_id": "int64",
+    "event_id": "int64",
+    "last_id": "float64",  # nullable int carried as float in pandas
+    "bk": "object",  # block key (first-row identity)
+    "sum_last_k": "float64",
+    "sum_end_id": "float64",
+}
+
+
+def _block_fill(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _OUT_COLS.items()})
+    # df is sorted by (k, t, side); right rows carry rid, left rows NaN
+    filled = df.groupby("k", sort=False)["rid"].ffill()
+    first = df.iloc[0]
+    bk = f"{int(first['k'])}|{int(first['t'])}|{int(first['side'])}|{int(first['row_id'])}"
+    left = df["side"] == 1
+    lk = df["k"][left]
+    lid = df["row_id"][left]
+    lfill = filled[left]
+    first_k = int(df["k"].iloc[0])
+    pending = left & (df["k"] == first_k) & filled.isna()
+
+    import numpy as np
+
+    out = pd.DataFrame(
+        {
+            "kind": np.where(pending[left].values, "p", "f"),
+            "user_id": lk.astype("int64"),
+            "event_id": lid.astype("int64"),
+            "last_id": lfill,
+            "bk": bk,
+            "sum_last_k": float("nan"),
+            "sum_end_id": float("nan"),
+        }
+    )
+
+    last_k = int(df["k"].iloc[-1])
+    end_fill = filled[df["k"] == last_k]
+    end_id = end_fill.iloc[-1] if len(end_fill) else float("nan")
+    summary = pd.DataFrame(
+        {
+            "kind": ["s"],
+            "user_id": [first_k],
+            "event_id": [0],
+            "last_id": [float("nan")],
+            "bk": [bk],
+            "sum_last_k": [float(last_k)],
+            "sum_end_id": [float(end_id) if pd.notna(end_id) else float("nan")],
+        }
+    )
+    return pd.concat([out, summary], ignore_index=True).astype(_OUT_COLS)
+
+
+def asof_join_events(
+    left: Dataset,
+    right: Dataset,
+) -> Dataset:
+    """Generic core: ``left`` (k, t, row_id) enriched with the max
+    ``row_id`` of the ``right`` (k, t, row_id) row at-or-before each
+    left row's t within the same k.  Output: (user_id, event_id,
+    last_id nullable)."""
+    from ray.data.aggregate import Max
+
+    right_agg = (
+        right.groupby(["k", "t"])
+        .aggregate(Max("row_id", alias_name="rid"))
+    )
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": b.column("k"),
+                "t": b.column("t"),
+                "side": pa.array([0] * b.num_rows, pa.int8()),
+                "row_id": pc.cast(b.column("rid"), pa.int64()),
+                "rid": pc.cast(b.column("rid"), pa.float64()),
+            }
+        )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("k"),
+                "t": b.column("t"),
+                "side": pa.array([1] * b.num_rows, pa.int8()),
+                "row_id": b.column("row_id"),
+                "rid": pa.array([None] * b.num_rows, pa.float64()),
+            }
+        )
+
+    u = (
+        right_agg.map_batches(tag_right, batch_format="pyarrow")
+        .union(left.map_batches(tag_left, batch_format="pyarrow"))
+        .sort(["k", "t", "side"])
+        .materialize()
+    )
+    marked = u.map_batches(_block_fill, batch_format="pandas", batch_size=None).materialize()
+
+    finals = marked.filter(expr="kind == 'f'").select_columns(
+        ["user_id", "event_id", "last_id"]
+    )
+
+    # driver stitch: order blocks by their first-row identity (= global
+    # sort order), prefix-scan the per-block summaries into carry-ins
+    summaries = marked.filter(expr="kind == 's'").to_pandas()
+    pend_count = marked.filter(expr="kind == 'p'").count()
+    if pend_count == 0:
+        return finals
+
+    def bk_sort_key(bk: str):
+        k, t, side, rid = bk.split("|")
+        return (int(k), int(t), int(side), int(rid))
+
+    summaries = summaries.sort_values("bk", key=lambda s: s.map(bk_sort_key))
+    carry_map: dict[str, float] = {}
+    last_id_by_key: dict[int, float] = {}
+    for r in summaries.itertuples(index=False):
+        first_k = int(r.user_id)
+        carry = last_id_by_key.get(first_k, float("nan"))
+        carry_map[r.bk] = carry
+        last_k = int(r.sum_last_k)
+        if pd.notna(r.sum_end_id):
+            last_id_by_key[last_k] = float(r.sum_end_id)
+        elif last_k != first_k:
+            last_id_by_key[last_k] = float("nan")
+        # last_k == first_k with no in-block right row: carry passes through
+
+    carry_ref = ray.put(carry_map)
+
+    def fill_pending(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(carry_ref)
+        df = df.copy()
+        df["last_id"] = df["bk"].map(cm)
+        return df[["user_id", "event_id", "last_id"]]
+
+    resolved = marked.filter(expr="kind == 'p'").map_batches(
+        fill_pending, batch_format="pandas"
+    )
+    return finals.union(resolved)
+
+
+def events_last_purchase(sf_dir: str, right_type: str = "purchase") -> Dataset:
+    """For every event: the same user's latest ``right_type`` event at
+    or before its timestamp (max event_id on timestamp ties) — the
+    point-in-time attribution join, exactly DuckDB-oracle-checkable.
+    Output: (user_id, event_id, last_purchase_id nullable)."""
+    from renard_ray.ops.relational import _read
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def as_left(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": b.column("user_id"),
+                "t": pc.cast(b.column("ts"), pa.int64()),
+                "row_id": b.column("event_id"),
+            }
+        )
+
+    def as_right(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.equal(b.column("event_type"), pa.scalar(right_type)))
+        return pa.table(
+            {
+                "k": t.column("user_id"),
+                "t": pc.cast(t.column("ts"), pa.int64()),
+                "row_id": t.column("event_id"),
+            }
+        )
+
+    left = ev.map_batches(as_left, batch_format="pyarrow")
+    right = ev.map_batches(as_right, batch_format="pyarrow")
+    out = asof_join_events(left, right)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b.column("last_id").combine_chunks()
+        # NaN (no right row at-or-before) -> SQL NULL, then exact int
+        col = pc.if_else(
+            pc.is_null(col, nan_is_null=True), pa.scalar(None, pa.float64()), col
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "last_purchase_id": pc.cast(col, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -418,3 +418,68 @@ def test_graphstats_distributed_matches_pandas_oracle(ray_session):
     got_pr = pagerank_dataset(ds, k=10).to_pandas().reset_index(drop=True)
     assert got_pr["node"].tolist() == want_pr["node"].tolist()
     assert np.allclose(got_pr["rank"], want_pr["rank"], atol=1e-6)
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """The distributed as-of join (sort + block ffill + carry stitch)
+    must agree with pandas merge_asof on interleaved multi-block data,
+    including keys that span sorted-block boundaries."""
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.asof import asof_join_events
+
+    rng = np.random.RandomState(11)
+    n = 400
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, size=n).astype("int64"),
+            "t": rng.randint(0, 10_000, size=n).astype("int64"),
+            "row_id": np.arange(n, dtype="int64"),
+        }
+    )
+    m = 60
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, size=m).astype("int64"),
+            "t": rng.randint(0, 10_000, size=m).astype("int64"),
+            "row_id": np.arange(1000, 1000 + m, dtype="int64"),
+        }
+    )
+
+    # many small input blocks -> multi-block sorted output -> the
+    # boundary-stitch path actually runs
+    def chunked(df, sz):
+        parts = [
+            ray.data.from_arrow(pa.Table.from_pandas(df.iloc[i : i + sz], preserve_index=False))
+            for i in range(0, len(df), sz)
+        ]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    got = (
+        asof_join_events(chunked(left, 40), chunked(right, 10))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    r_agg = (
+        right.groupby(["k", "t"], as_index=False)["row_id"].max().rename(columns={"row_id": "rid"})
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        r_agg.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("row_id").reset_index(drop=True)
+
+    assert got["event_id"].tolist() == want["row_id"].tolist()
+    assert (
+        got["last_id"].fillna(-1).astype("int64").tolist()
+        == want["rid"].fillna(-1).astype("int64").tolist()
+    )
