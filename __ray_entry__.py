@@ -179,6 +179,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ).drop_columns(["characters"])
 
+    def kg_entity_link(sf_dir: str):
+        """Entity linking (north-rule stage): bootstrap a KB from the
+        corpus KG run, then link every observed surface mention (plus
+        its case variants) back to canonical KB entities."""
+        import ray
+
+        from renard_ray.ops.entity_link import kb_from_stage_rows, link_mentions
+        from renard_ray.pipelines.kg import KGConfig, pages_to_stage_rows
+
+        pages = ray.data.from_arrow(_kg_pages_table(sf_dir))
+        rows = pages_to_stage_rows(pages, KGConfig()).materialize()
+        kb = kb_from_stage_rows(rows)
+        mentions = sorted(kb.alias2id)
+        variants = (
+            [{"mention": m} for m in mentions]
+            + [{"mention": m.lower()} for m in mentions]
+            + [{"mention": m.split()[-1]} for m in mentions if " " in m]
+        )
+        return link_mentions(ray.data.from_items(variants), kb)
+
     def kg_top_degree(sf_dir: str):
         # distributed: fan-out + groupby(node) + top-k sort — no driver
         # materialization of the triple table
@@ -241,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": lambda sf: sketches.quantile_sketch(sf),
         "kg_top_degree": kg_top_degree,
         "kg_pagerank": kg_pagerank,
+        "kg_entity_link": kg_entity_link,
         # dedup family
         "doc_exact_dedup": dedup.exact_dedup_groups,
         "doc_exact_dedup_keep": dedup.exact_dedup_keep,

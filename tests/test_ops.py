@@ -483,3 +483,63 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
         got["last_id"].fillna(-1).astype("int64").tolist()
         == want["rid"].fillna(-1).astype("int64").tolist()
     )
+
+
+def test_entity_linking(ray_session):
+    """Surface mentions link to KB entities through the pass chain:
+    exact alias -> normalized -> token subset -> hypocorism; unlinkable
+    mentions stay null."""
+    import ray
+
+    from renard_ray.ops.entity_link import KnowledgeBase, link_mentions
+
+    kb = KnowledgeBase(
+        [
+            ("Elizabeth Bennet", ["Miss Bennet", "Miss Eliza"]),
+            ("Fitzwilliam Darcy", ["Mr. Darcy"]),
+            ("Charles Bingley", []),
+        ]
+    )
+    mentions = ray.data.from_items(
+        [
+            {"mention": "Miss Bennet"},       # exact alias
+            {"mention": "  mr. darcy "},      # normalized
+            {"mention": "Darcy"},             # token subset
+            {"mention": "Lizzy"},             # hypocorism of Elizabeth
+            {"mention": "Wickham"},           # not in KB -> null
+        ]
+    )
+    out = {r["mention"]: r for r in link_mentions(mentions, kb).take_all()}
+    assert out["Miss Bennet"]["canonical"] == "Elizabeth Bennet"
+    assert out["Miss Bennet"]["method"] == "exact"
+    assert out["  mr. darcy "]["canonical"] == "Fitzwilliam Darcy"
+    assert out["  mr. darcy "]["method"] == "normalized"
+    assert out["Darcy"]["canonical"] == "Fitzwilliam Darcy"
+    assert out["Darcy"]["method"] == "token"
+    assert out["Lizzy"]["canonical"] == "Elizabeth Bennet"
+    assert out["Lizzy"]["method"] == "hypocorism"
+    assert out["Wickham"]["kb_id"] is None and out["Wickham"]["method"] is None
+
+
+def test_entity_linking_kb_bootstrap(ray_session):
+    """KB bootstrapped from a KG run's stage rows links that corpus's
+    own name variants back to their canonical entities."""
+    import ray
+
+    from renard_ray.ops.entity_link import kb_from_stage_rows, link_mentions
+    from renard_ray.pipelines.kg import KGConfig, pages_to_stage_rows
+    from renard_ray.sources.pages import generate_pages_table
+
+    pages = ray.data.from_arrow(generate_pages_table(30, seed=3))
+    rows = pages_to_stage_rows(pages, KGConfig()).materialize()
+    kb = kb_from_stage_rows(rows)
+    assert kb.canonicals  # non-trivial KB
+
+    # every alias in the KB links back to its canonical, exactly
+    items = [
+        {"mention": alias} for alias in sorted(kb.alias2id)
+    ]
+    out = link_mentions(ray.data.from_items(items), kb).take_all()
+    for r in out:
+        assert r["canonical"] == kb.canonicals[kb.alias2id[r["mention"]]]
+        assert r["method"] == "exact"
