@@ -100,6 +100,7 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
         "knn_ivf",
         "q6_forecast_revenue",
         "events_sessionize",
+        "events_asof_last_purchase",
     ]
     qs = entrymod.queries()
     out = {}

@@ -42,7 +42,13 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     cfg = PRESETS[args.preset]()
     t0 = time.time()
-    if args.ckpt:
+    if args.ckpt and args.granular:
+        from renard_ray.pipelines.checkpoint import run_kg_checkpointed_granular
+
+        triples, report = run_kg_checkpointed_granular(
+            args.pages, args.ckpt, cfg, n_shards=args.shards
+        )
+    elif args.ckpt:
         from renard_ray.pipelines.checkpoint import run_kg_checkpointed
 
         triples, report = run_kg_checkpointed(
@@ -114,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--preset", default="full", choices=["co_occurrence", "conversational", "relational", "full"])
     p.add_argument("--ckpt", default=None, help="checkpoint dir (enables resume)")
+    p.add_argument(
+        "--granular", action="store_true",
+        help="per-STEP checkpoints through the granular stage chain "
+        "(resume from any stage boundary, reference rerun_from analog)",
+    )
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=None)
