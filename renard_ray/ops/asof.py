@@ -99,23 +99,27 @@ def asof_join_events(
     ``row_id`` of the ``right`` (k, t, row_id) row at-or-before each
     left row's t within the same k.  Output: (user_id, event_id,
     last_id nullable)."""
-    from ray.data.aggregate import Max
-
-    right_agg = (
-        right.groupby(["k", "t"])
-        .aggregate(Max("row_id", alias_name="rid"))
-    )
-
     def tag_right(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # batch-level combine only: the global max-per-(k, t) tie rule
+        # falls out of sorting by row_id — the LAST right row of a tie
+        # group is the max, and forward-fill takes the last.  This
+        # saves a whole pre-aggregation shuffle
+        if b.num_rows:
+            b = (
+                b.group_by(["k", "t"])
+                .aggregate([("row_id", "max")])
+                .select(["k", "t", "row_id_max"])
+                .rename_columns(["k", "t", "row_id"])
+            )
         return pa.table(
             {
                 "k": b.column("k"),
                 "t": b.column("t"),
                 "side": pa.array([0] * b.num_rows, pa.int8()),
-                "row_id": pc.cast(b.column("rid"), pa.int64()),
-                "rid": pc.cast(b.column("rid"), pa.float64()),
+                "row_id": b.column("row_id"),
+                "rid": pc.cast(b.column("row_id"), pa.float64()),
             }
         )
 
@@ -131,9 +135,9 @@ def asof_join_events(
         )
 
     u = (
-        right_agg.map_batches(tag_right, batch_format="pyarrow")
+        right.map_batches(tag_right, batch_format="pyarrow")
         .union(left.map_batches(tag_left, batch_format="pyarrow"))
-        .sort(["k", "t", "side"])
+        .sort(["k", "t", "side", "row_id"])
         .materialize()
     )
     marked = u.map_batches(_block_fill, batch_format="pandas", batch_size=None).materialize()
