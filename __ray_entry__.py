@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_sliding_window": relational.events_sliding_window,
         "events_asof_last_purchase": _asof_last_purchase,
+        "events_running_total": relational.events_running_total,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         # text analysis (SQL-checked where expressible)
@@ -531,6 +532,13 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.user_id = e.user_id AND p.ts <= e.ts
                     ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
             FROM events e
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM events
         """,
         "events_props_stats": """
             WITH e AS (

@@ -925,3 +925,124 @@ def priority_or_big_customers(sf_dir: str, min_balance: float = 9000.0) -> Datas
         .count()
         .select_columns(["c_custkey", "c_name"])
     )
+
+
+def events_running_total(sf_dir: str) -> Dataset:
+    """Per-event running total of the user's value (integer cents),
+    ordered by (ts, event_id) — the cumulative window aggregate
+    (``SUM ... OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``), computed with the sorted-run + boundary-stitch
+    machinery: one sort, one vectorized per-block grouped cumsum,
+    additive carries for block-EDGE users via an O(#blocks) driver
+    prefix-scan, and a second streaming pass over only the edge-user
+    rows.  No per-group calls, no driver data materialization."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "value_c": _cents(batch.column("value")),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .sort(["user_id", "ts", "event_id"])
+        .materialize()
+    )
+
+    cols = {
+        "kind": "object",
+        "user_id": "int64",
+        "event_id": "int64",
+        "running_cents": "int64",
+        "bk": "object",
+        "s_last_k": "int64",
+        "s_last_sum": "int64",
+    }
+
+    def block_scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        cum = df.groupby("user_id", sort=False)["value_c"].cumsum()
+        first_k = int(df["user_id"].iloc[0])
+        last_k = int(df["user_id"].iloc[-1])
+        bk = f"{first_k}|{int(pd.Timestamp(df['ts'].iloc[0]).value)}|{int(df['event_id'].iloc[0])}"
+        is_first = df["user_id"] == first_k
+        out = pd.DataFrame(
+            {
+                "kind": ["p" if f else "f" for f in is_first],
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
+                "running_cents": cum,
+                "bk": bk,
+                "s_last_k": 0,
+                "s_last_sum": 0,
+            }
+        )
+        summary = pd.DataFrame(
+            {
+                "kind": ["s"],
+                "user_id": [first_k],
+                "event_id": [0],
+                # total for first_k in this block (carry production)
+                "running_cents": [int(df.loc[is_first, "value_c"].sum())],
+                "bk": [bk],
+                "s_last_k": [last_k],
+                "s_last_sum": [int(df.loc[df["user_id"] == last_k, "value_c"].sum())],
+            }
+        )
+        return pd.concat([out, summary], ignore_index=True).astype(cols)
+
+    marked = sorted_ds.map_batches(
+        block_scan, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    finals = marked.filter(expr="kind == 'f'").select_columns(
+        ["user_id", "event_id", "running_cents"]
+    )
+
+    summaries = marked.filter(expr="kind == 's'").to_pandas()
+
+    def bk_key(bk: str):
+        k, t, e = bk.split("|")
+        return (int(k), int(t), int(e))
+
+    summaries = summaries.sort_values("bk", key=lambda s: s.map(bk_key))
+    carry_map: dict[str, int] = {}
+    running: dict[int, int] = {}
+    for r in summaries.itertuples(index=False):
+        first_k = int(r.user_id)
+        carry = running.get(first_k, 0)
+        carry_map[r.bk] = carry
+        running[first_k] = carry + int(r.running_cents)
+        last_k = int(r.s_last_k)
+        if last_k != first_k:
+            running[last_k] = int(r.s_last_sum)
+
+    if not carry_map or all(v == 0 for v in carry_map.values()):
+        # no cross-block users with prior state: pending rows are final
+        pend = marked.filter(expr="kind == 'p'").select_columns(
+            ["user_id", "event_id", "running_cents"]
+        )
+        return finals.union(pend)
+
+    carry_ref = ray.put(carry_map)
+
+    def add_carry(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(carry_ref)
+        df = df.copy()
+        df["running_cents"] = df["running_cents"] + df["bk"].map(cm).fillna(0).astype(
+            "int64"
+        )
+        return df[["user_id", "event_id", "running_cents"]]
+
+    resolved = marked.filter(expr="kind == 'p'").map_batches(
+        add_carry, batch_format="pandas"
+    )
+    return finals.union(resolved)

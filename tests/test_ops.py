@@ -543,3 +543,51 @@ def test_entity_linking_kb_bootstrap(ray_session):
     for r in out:
         assert r["canonical"] == kb.canonicals[kb.alias2id[r["mention"]]]
         assert r["method"] == "exact"
+
+
+def test_running_total_cross_block_carry(ray_session, tmp_path):
+    """Cumulative window totals survive block boundaries: multi-file
+    input forces a multi-block sort, so users span blocks and the
+    additive carry stitch actually runs."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.relational import events_running_total
+
+    rng = np.random.RandomState(2)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 4, size=n).astype("int64"),  # few users -> spans
+            "ts": pd.to_datetime(rng.randint(0, 10_000, size=n), unit="s"),
+            "event_id": np.arange(n, dtype="int64"),
+            "value": np.round(rng.uniform(0, 50, size=n), 2),
+            "event_type": "click",
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    # events_running_total reads f"{sf_dir}/events.parquet" — a DIRECTORY
+    # of small files works and forces many input blocks
+    ev_dir = d / "events.parquet"
+    ev_dir.mkdir()
+    for i in range(0, n, 50):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i : i + 50], preserve_index=False),
+            str(ev_dir / f"part-{i:04d}.parquet"),
+        )
+
+    got = (
+        events_running_total(str(d))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = df.copy()
+    w["value_c"] = (w["value"] * 100).round().astype("int64")
+    w = w.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    w["running_cents"] = w.groupby("user_id")["value_c"].cumsum()
+    w = w.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == w["event_id"].tolist()
+    assert got["running_cents"].tolist() == w["running_cents"].tolist()
