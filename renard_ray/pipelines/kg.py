@@ -449,7 +449,11 @@ def relabel_and_aggregate(
             n_rows = stage_rows.count()
         except Exception:
             n_rows = 1 << 20
-        nparts = max(2, min(512, n_rows // 250_000 + 2))
+        # single partition for tiny inputs: Ray 2.49's hash join crashes
+        # when a hash partition receives ZERO left-side rows (pyarrow
+        # "No match or multiple matches for key field"), which only
+        # happens when keys are scarcer than partitions
+        nparts = 1 if n_rows < 10_000 else max(2, min(512, n_rows // 250_000 + 2))
         canon_counts = (
             stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")
             .groupby("subj")
@@ -461,22 +465,48 @@ def relabel_and_aggregate(
             on=("subj",), right_on=("node",),
         )
 
-        def _pick(group):
-            import pandas as pd
-
-            # mirror the driver/golden-oracle tie-break exactly
-            # (``_driver_cc_and_names``: count desc, name length desc,
-            # lexicographic asc) so cc_mode="distributed" picks the same
-            # canonical display name as the broadcast path on count ties
-            g = group.assign(_nlen=group["subj"].str.len()).sort_values(
-                by=["sum(weight)", "_nlen", "subj"],
-                ascending=[False, False, True],
+        # display-name pick per label via ONE stock Min aggregate over an
+        # order-encoded key (no per-label map_groups — per-tiny-group
+        # framework cost is exactly what kills this at the >2M-entity
+        # scale where the distributed path activates).  The key encodes
+        # the driver/golden tie-break (count desc, name length desc,
+        # lexicographic asc) so its lexicographic MIN is the winner:
+        # fixed-width inverted count | fixed-width inverted length | name.
+        def _encode_pick_key(batch: pa.Table) -> pa.Table:
+            names = batch.column("subj").to_pylist()
+            weights = batch.column("sum(weight)").to_pylist()
+            # integer arithmetic: a float "1e18 - w" loses everything
+            # below its 128-ULP and collapses distinct counts
+            enc = [
+                f"{10**16 - int(round(float(w) * 100)):017d}|{10**6 - len(s):07d}|{s}"
+                for w, s in zip(weights, names)
+            ]
+            return pa.table(
+                {
+                    "label": batch.column("label"),
+                    "enc": pa.array(enc, pa.string()),
+                }
             )
-            return pd.DataFrame(
-                {"label": [g["label"].iloc[0]], "canonical": [g["subj"].iloc[0]]}
-            )
 
-        display = labeled_counts.groupby("label").map_groups(_pick, batch_format="pandas")
+        from ray.data.aggregate import Min as _Min
+
+        display = (
+            labeled_counts.map_batches(_encode_pick_key, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(_Min("enc", alias_name="enc_min"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "label": b.column("label"),
+                        "canonical": pa.array(
+                            [e.split("|", 2)[2] for e in b.column("enc_min").to_pylist()],
+                            pa.string(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
         node_canon = label_ds.join(
             display, join_type="left_outer", num_partitions=nparts, on=("label",)
         )

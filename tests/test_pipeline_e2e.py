@@ -201,3 +201,46 @@ def test_actor_pool_kernel_mode(ray_session):
         for r in actors.itertuples()
     }
     assert actor_set == set(tasks)
+
+
+def test_canonical_tiebreak_parity_driver_vs_distributed(ray_session):
+    """On a name-count TIE the distributed display-name pick (encoded-key
+    Min aggregate) must choose the same canonical name as the driver
+    union-find path: count desc, then name LENGTH desc, then lex asc."""
+    import ray
+
+    from renard_ray.pipelines.kg import KGConfig, relabel_and_aggregate
+
+    def stage_rows():
+        rows = []
+
+        def add(subj, pred, obj, w):
+            rows.append(
+                {
+                    "subj": subj, "pred": pred, "obj": obj,
+                    "weight": float(w), "polarity": 0.0, "block_id": 0,
+                }
+            )
+
+        # alias cluster with a COUNT TIE: short vs long name, both 3
+        add("Darcy", "alias_of", "doc1#c0", 1)
+        add("Mr. Fitzwilliam Darcy", "alias_of", "doc1#c0", 1)
+        add("Darcy", "name_count", "", 3)
+        add("Mr. Fitzwilliam Darcy", "name_count", "", 3)
+        add("Bingley", "name_count", "", 1)
+        add("Darcy", "co_occurs_with", "Bingley", 2)
+        return ray.data.from_items(rows)
+
+    out = {}
+    for mode in ("driver", "distributed"):
+        trip = relabel_and_aggregate(
+            stage_rows(), KGConfig(cc_mode=mode)
+        ).to_pandas()
+        out[mode] = {
+            (r.subj, r.pred, r.obj, float(r.weight)) for r in trip.itertuples()
+        }
+    # length-desc tie-break: the LONG name is canonical in both paths
+    assert out["driver"] == {
+        ("Bingley", "co_occurs_with", "Mr. Fitzwilliam Darcy", 2.0)
+    }
+    assert out["distributed"] == out["driver"]
