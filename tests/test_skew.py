@@ -52,3 +52,49 @@ def test_hub_entity_weight_dominates(ray_session):
     # no leftover un-canonicalized Darcy aliases as separate nodes
     darcy_nodes = [n for n in by_node if n.endswith("Darcy") or n == "Darcy"]
     assert len([n for n in darcy_nodes if "Georgiana" not in n]) == 1
+
+
+def test_skew_aware_join_matches_plain_join(ray_session):
+    """With a planted hub key, the hot-key broadcast split must produce
+    exactly the rows of a plain hash join."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.skew import skew_aware_join
+
+    rng = np.random.RandomState(6)
+    n = 3000
+    # key 7 is the hub: 80% of the left side
+    keys = np.where(rng.uniform(size=n) < 0.8, 7, rng.randint(0, 50, size=n))
+    left = pd.DataFrame(
+        {"k": keys.astype("int64"), "lval": np.arange(n, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 40, dtype="int64"), "rval": np.arange(100, 140, dtype="int64")}
+    )
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+
+    got = (
+        skew_aware_join(lds, rds, on="k", right_on="rk", hot_threshold=100)
+        .to_pandas()
+        .sort_values(["k", "lval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lval"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["lval"].tolist() == want["lval"].tolist()
+    assert got["rval"].tolist() == want["rval"].tolist()
+
+    # no hot keys -> pure hash-join path, same result shape
+    got2 = (
+        skew_aware_join(lds, rds, on="k", right_on="rk", hot_threshold=10**9)
+        .to_pandas()
+    )
+    assert len(got2) == len(want)
