@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redacted": textstats.redact_documents,
         "doc_distinct_words_exact": doc_distinct_words_exact,
         "doc_distinct_words_hll": sketches.hll_distinct_words,
+        "doc_stratified_sample": sketches.stratified_sample,
         "lineitem_price_quantiles": lambda sf: sketches.quantile_sketch(sf),
         "kg_top_degree": kg_top_degree,
         "kg_pagerank": kg_pagerank,
@@ -532,6 +533,18 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.user_id = e.user_id AND p.ts <= e.ts
                     ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
             FROM events e
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, source, n_chars,
+                   CAST(rn AS BIGINT) AS sample_rank
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         "events_running_total": """
             SELECT user_id, event_id,

@@ -215,3 +215,56 @@ def quantile_sketch(
             }
         )
     return ray.data.from_items(rows)
+
+
+# --------------------------------------------------- stratified sampling
+
+
+def stratified_sample(sf_dir: str, key: str = "source", n: int = 5) -> Dataset:
+    """Deterministic stratified sample: n documents per ``key`` group,
+    chosen by md5(doc_id) priority — reproducible under retries,
+    independent of partitioning, and exactly SQL-expressible
+    (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY md5(doc_id),
+    doc_id)``), so the DuckDB oracle checks it bit-for-bit.
+
+    Two-phase per-group top-n (the scalable shape): each batch keeps
+    only its local top-n per group (combiner), so the per-group pass
+    sees at most n x #blocks rows per group, never the raw corpus."""
+    import pandas as pd
+
+    import ray as _ray
+
+    from renard_ray.ops.relational import clean_schema
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", key, "n_chars"]
+    ds = _ray.data.read_parquet(path, columns=cols, schema=clean_schema(path, cols))
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        pri = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        t = batch.append_column("priority", pa.array(pri, pa.string()))
+        # batch-local combine: top-n per group inside the batch
+        df = t.to_pandas()
+        df = df.sort_values(["priority", "doc_id"], kind="stable")
+        df = df.groupby(key, sort=False).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topn(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["priority", "doc_id"], kind="stable").head(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"], pa.int64()),
+                key: pa.array(g[key], pa.string()),
+                "n_chars": pa.array(g["n_chars"], pa.int64()),
+                "sample_rank": pa.array(range(1, len(g) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_priority, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final_topn, batch_format="pandas")
+    )
