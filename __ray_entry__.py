@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_sliding_window": relational.events_sliding_window,
         "events_asof_last_purchase": _asof_last_purchase,
+        "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
         "events_running_total": relational.events_running_total,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
@@ -533,6 +534,21 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.user_id = e.user_id AND p.ts <= e.ts
                     ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
             FROM events e
+        """,
+        "q17_small_qty_revenue": """
+            WITH d AS (
+                SELECT l_partkey,
+                       CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty_i,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+                FROM lineitem
+            ), a AS (
+                SELECT l_partkey, SUM(qty_i) AS sum_qty, COUNT(*) AS n_li
+                FROM d GROUP BY 1
+            )
+            SELECT CAST(SUM(d.price_c) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_rows
+            FROM d JOIN a USING (l_partkey)
+            WHERE 5 * d.qty_i * a.n_li < a.sum_qty
         """,
         "doc_stratified_sample": """
             SELECT doc_id, source, n_chars,

@@ -1046,3 +1046,65 @@ def events_running_total(sf_dir: str) -> Dataset:
         add_carry, batch_format="pandas"
     )
     return finals.union(resolved)
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q17-style: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the JOIN-BACK-TO-AGGREGATE
+    shape (per-group aggregate re-joined against the fact table).
+
+    The threshold test is EXACT integer arithmetic on both sides
+    (``5 * qty * n < sum_qty`` instead of ``qty < 0.2 * avg``), so no
+    float-boundary row can diverge from the oracle."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty_i": _int(batch.column("l_quantity")),
+                "price_c": _cents(batch.column("l_extendedprice")),
+            }
+        )
+
+    rows = li.map_batches(derive, batch_format="pyarrow")
+    per_part = rows.groupby("l_partkey").aggregate(
+        Sum("qty_i", alias_name="sum_qty"),
+        Count(alias_name="n_li"),
+    )
+    joined = rows.join(
+        per_part,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir),
+        on=("l_partkey",),
+    )
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        lhs = pc.multiply(
+            pc.multiply(batch.column("qty_i"), pa.scalar(5, pa.int64())),
+            batch.column("n_li"),
+        )
+        small = pc.less(lhs, batch.column("sum_qty"))
+        t = batch.filter(small)
+        return pa.table(
+            {
+                "price_c": t.column("price_c"),
+                "one": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    # single global aggregate (map-side partials via the Sum aggregate)
+    out = (
+        joined.map_batches(keep_small, batch_format="pyarrow")
+        .aggregate(
+            Sum("price_c", alias_name="total_cents"),
+            Sum("one", alias_name="n_rows"),
+        )
+    )
+    import ray as _ray
+
+    return _ray.data.from_items(
+        [{"total_cents": int(out["total_cents"] or 0), "n_rows": int(out["n_rows"] or 0)}]
+    )
