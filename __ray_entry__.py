@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": relational.events_sliding_window,
         "events_asof_last_purchase": _asof_last_purchase,
         "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
+        "lineitem_qty_percentiles": relational.lineitem_qty_percentiles,
         "events_running_total": relational.events_running_total,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
@@ -534,6 +535,13 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.user_id = e.user_id AND p.ts <= e.ts
                     ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
             FROM events e
+        """,
+        "lineitem_qty_percentiles": """
+            SELECT CAST(25 AS BIGINT) AS p_pct,
+                   CAST(quantile_disc(CAST(ROUND(l_quantity, 0) AS BIGINT), 0.25) AS BIGINT) AS qty FROM lineitem
+            UNION ALL SELECT 50, CAST(quantile_disc(CAST(ROUND(l_quantity, 0) AS BIGINT), 0.50) AS BIGINT) FROM lineitem
+            UNION ALL SELECT 75, CAST(quantile_disc(CAST(ROUND(l_quantity, 0) AS BIGINT), 0.75) AS BIGINT) FROM lineitem
+            UNION ALL SELECT 95, CAST(quantile_disc(CAST(ROUND(l_quantity, 0) AS BIGINT), 0.95) AS BIGINT) FROM lineitem
         """,
         "q17_small_qty_revenue": """
             WITH d AS (

@@ -1108,3 +1108,49 @@ def q17_small_quantity_revenue(sf_dir: str) -> Dataset:
     return _ray.data.from_items(
         [{"total_cents": int(out["total_cents"] or 0), "n_rows": int(out["n_rows"] or 0)}]
     )
+
+
+def lineitem_qty_percentiles(sf_dir: str, ps: tuple = (0.25, 0.5, 0.75, 0.95)) -> Dataset:
+    """EXACT discrete percentiles of lineitem quantity via value counts:
+    one ``groupby(qty)`` over the (low-cardinality) integer column, then
+    a driver-side cumulative scan of the <=50-row histogram — the scale
+    path for exact quantiles of discrete columns (the t-digest-style
+    sketch in ``ops.sketches`` covers continuous ones).  Matches DuckDB
+    ``quantile_disc`` semantics: value at index ceil(p*N) - 1."""
+    import math
+
+    import ray as _ray
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({"qty_i": _int(batch.column("l_quantity"))})
+
+    counts = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("qty_i")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    hist = sorted((r["qty_i"], r["n"]) for r in counts)
+    total = sum(n for _, n in hist)
+    out_p, out_q = [], []
+    for p in ps:
+        target = max(1, math.ceil(p * total))
+        cum = 0
+        val = hist[-1][0] if hist else 0
+        for v, n in hist:
+            cum += n
+            if cum >= target:
+                val = v
+                break
+        out_p.append(int(round(p * 100)))
+        out_q.append(int(val))
+    return _ray.data.from_arrow(
+        pa.table(
+            {
+                "p_pct": pa.array(out_p, pa.int64()),
+                "qty": pa.array(out_q, pa.int64()),
+            }
+        )
+    )
