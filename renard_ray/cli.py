@@ -42,6 +42,13 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     cfg = PRESETS[args.preset]()
     t0 = time.time()
+    if args.granular and not args.ckpt:
+        print(
+            "error: --granular requires --ckpt (per-step checkpoints need "
+            "a checkpoint dir)",
+            file=sys.stderr,
+        )
+        return 2
     if args.ckpt and args.granular:
         from renard_ray.pipelines.checkpoint import run_kg_checkpointed_granular
 

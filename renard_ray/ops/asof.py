@@ -192,7 +192,9 @@ def events_last_purchase(sf_dir: str, right_type: str = "purchase") -> Dataset:
     Output: (user_id, event_id, last_purchase_id nullable)."""
     from renard_ray.ops.relational import _read
 
-    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    # materialize once: both the left (all events) and right (purchase
+    # events) sides derive from this scan
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]).materialize()
 
     def as_left(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

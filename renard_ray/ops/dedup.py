@@ -37,6 +37,14 @@ from ray.data.aggregate import Count, Min
 _WS_RE = re.compile(r"\s+")
 
 
+def _bb_key(band_col: pa.ChunkedArray, bucket_col: pa.ChunkedArray) -> pa.Array:
+    """Composite (band/chunk, bucket/key) -> single int64 key for
+    vectorized ``is_in`` filtering; the driver side builds the same
+    ``(hi << 32) + lo`` encoding."""
+    b64 = pc.cast(band_col, pa.int64())
+    return pc.add(pc.multiply(b64, pa.scalar(1 << 32, pa.int64())), bucket_col)
+
+
 def _read_documents(sf_dir: str, columns: list[str]) -> Dataset:
     from renard_ray.ops.relational import clean_schema
 
@@ -201,11 +209,6 @@ def minhash_candidate_pairs(
     import logging
 
     from ray.data.aggregate import Count
-
-    def _bb_key(band_col: pa.ChunkedArray, bucket_col: pa.ChunkedArray) -> pa.Array:
-        # composite (band, bucket) -> single int64 key for vectorized is_in
-        b64 = pc.cast(band_col, pa.int64())
-        return pc.add(pc.multiply(b64, pa.scalar(1 << 32, pa.int64())), bucket_col)
 
     sizes = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
     big = sizes.filter(expr=f"n > {max_bucket}").take_all()
@@ -444,13 +447,7 @@ def simhash_near_dup_pairs(
 
         def drop_big(batch: pa.Table) -> pa.Table:
             bk = ray.get(big_ref)
-            key = pc.add(
-                pc.multiply(
-                    pc.cast(batch.column("chunk"), pa.int64()),
-                    pa.scalar(1 << 32, pa.int64()),
-                ),
-                batch.column("key"),
-            )
+            key = _bb_key(batch.column("chunk"), batch.column("key"))
             return batch.filter(pc.invert(pc.is_valid(pc.index_in(key, value_set=bk))))
 
         sigs = sigs.map_batches(drop_big, batch_format="pyarrow")
@@ -537,15 +534,14 @@ def embedding_near_dup_pairs(
         _ep, columns=["vec_id", "embedding"],
         schema=clean_schema(_ep, ["vec_id", "embedding"]),
     )
-    import os
-
-    try:
-        _nb = os.path.getsize(f"{sf_dir}/embeddings.parquet")
-    except OSError:
-        _nb = 1 << 30
-    nparts = max(2, min(4096, _nb // (128 << 20) + 2))
     if mode == "srp":
-        return _embedding_near_dup_srp(emb, threshold, nparts=nparts)
+        from renard_ray.ops.relational import _join_parts
+
+        return _embedding_near_dup_srp(
+            emb, threshold, nparts=_join_parts(sf_dir, "embeddings", cpu_floor=False)
+        )
+
+    import os
 
     try:
         nbytes = os.path.getsize(f"{sf_dir}/embeddings.parquet")
@@ -568,7 +564,11 @@ def embedding_near_dup_pairs(
         M = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         c = ids % B
-        chunks = np.unique(c)
+        # the pair identity comes from the GROUP KEY, never from which
+        # residues happen to be non-empty: an empty chunk j must not
+        # turn the (i, j) cross group into a duplicate diagonal emit
+        pk = int(group.column("pk")[0].as_py())
+        gi, gj = pk // B, pk % B
         a_out: list[int] = []
         b_out: list[int] = []
         s_out: list[float] = []
@@ -585,12 +585,12 @@ def embedding_near_dup_pairs(
                 b_out.append(max(x, y))
                 s_out.append(round(float(sims[r, cc]), 4))
 
-        if len(chunks) == 1:
+        if gi == gj:
             emit(ids, ids, M @ M.T, True)
         else:
-            i, j = int(chunks[0]), int(chunks[1])
-            li, lj = c == i, c == j
-            emit(ids[li], ids[lj], M[li] @ M[lj].T, False)
+            li, lj = c == gi, c == gj
+            if li.any() and lj.any():
+                emit(ids[li], ids[lj], M[li] @ M[lj].T, False)
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),

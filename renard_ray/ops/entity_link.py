@@ -131,15 +131,24 @@ def link_mentions(
         ids = pc.if_else(use2, n_ids, ids)
         method = pc.if_else(use2, pa.scalar("normalized"), method)
 
-        # pass 3: hypocorism + token subset (Python residual)
+        # pass 3: hypocorism + token subset (Python residual).  The KB
+        # views are hoisted ONCE per batch — converting the canonical
+        # array per residual mention would be O(residual x |KB|)
         ids_list = ids.to_pylist()
         meth_list = method.to_pylist()
+        canon_list: list[str] | None = None
+        first_toks: list[str] | None = None
         for i, (kb_id, m) in enumerate(zip(ids_list, meth_list)):
             if kb_id is not None:
                 continue
             mention = col[i].as_py()
             if not mention:
                 continue
+            if canon_list is None:
+                canon_list = canon.to_pylist()
+                first_toks = [
+                    (_norm(cname).split()[0] if cname else "") for cname in canon_list
+                ]
             toks = _norm(mention).split()
             cands: set[int] = set()
             for t in toks:
@@ -147,14 +156,13 @@ def link_mentions(
             # token-subset: every mention token appears in the canonical
             best = None
             for c in sorted(cands):
-                ctoks = set(_norm(canon[c].as_py()).split())
+                ctoks = set(_norm(canon_list[c]).split())
                 if set(toks) <= ctoks:
                     best = (c, "token")
                     break
             if best is None and len(toks) == 1:
                 # hypocorism: nickname of any first token of a canonical
-                for c, cname in enumerate(canon.to_pylist()):
-                    first = _norm(cname).split()[0] if cname else ""
+                for c, first in enumerate(first_toks):
                     if first and gaz.are_related(toks[0], first):
                         best = (c, "hypocorism")
                         break

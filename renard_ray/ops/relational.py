@@ -71,7 +71,7 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     )
 
 
-def _join_parts(sf_dir: str, table: str = "lineitem") -> int:
+def _join_parts(sf_dir: str, table: str = "lineitem", cpu_floor: bool = True) -> int:
     """Hash-join partition count sized to the BIG side's bytes (each
     shuffle partition targets ~128 MB) with a small CPU-bounded floor.
     Measured on this host (q3/q5 at sf0.1, 32 CPUs): 2 partitions
@@ -87,6 +87,11 @@ def _join_parts(sf_dir: str, table: str = "lineitem") -> int:
     except OSError:
         size = 1 << 30
     by_bytes = size // (128 << 20) + 2
+    if not cpu_floor:
+        # tiny side tables: extra partitions only create empty hash
+        # partitions (which Ray 2.49's join can crash on) — size by
+        # bytes alone
+        return max(2, min(4096, by_bytes))
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -1069,7 +1074,9 @@ def q17_small_quantity_revenue(sf_dir: str) -> Dataset:
             }
         )
 
-    rows = li.map_batches(derive, batch_format="pyarrow")
+    # materialize once: BOTH the per-part aggregate and the join probe
+    # side consume this — without it the lineitem scan runs twice
+    rows = li.map_batches(derive, batch_format="pyarrow").materialize()
     per_part = rows.groupby("l_partkey").aggregate(
         Sum("qty_i", alias_name="sum_qty"),
         Count(alias_name="n_li"),

@@ -250,7 +250,11 @@ def stratified_sample(sf_dir: str, key: str = "source", n: int = 5) -> Dataset:
         df = t.to_pandas()
         df = df.sort_values(["priority", "doc_id"], kind="stable")
         df = df.groupby(key, sort=False).head(n)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # scrub the pandas metadata blob from_pandas re-attaches — with
+        # it the block schema is unhashable (defeats Ray's schema dedup)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     def final_topn(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["priority", "doc_id"], kind="stable").head(n)

@@ -89,6 +89,13 @@ def skew_aware_join(
 
     right_on = right_on or on
 
+    # output schema is column-name-sorted on EVERY path, so the result
+    # shape never depends on whether hot keys existed in the data
+    out_cols = sorted(set(left.schema().names) | (set(right.schema().names) - {right_on}))
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select([c for c in out_cols if c in batch.column_names])
+
     hot = (
         left.select_columns([on])
         .groupby(on)
@@ -100,7 +107,7 @@ def skew_aware_join(
         return left.join(
             right, join_type="inner", num_partitions=num_partitions,
             on=(on,), right_on=(right_on,),
-        )
+        ).map_batches(order_cols, batch_format="pyarrow")
     hot_keys = pa.array(sorted(r[on] for r in hot))
     hot_ref = ray.put(hot_keys)
 
@@ -132,7 +139,8 @@ def skew_aware_join(
         if b.num_rows
     ]
     if not hot_right_batches:
-        return cold  # hot keys have no right-side match (inner join)
+        # hot keys have no right-side match (inner join)
+        return cold.map_batches(order_cols, batch_format="pyarrow")
     hot_right = pa.concat_tables(hot_right_batches)
     hr_ref = ray.put(hot_right)
 
@@ -147,11 +155,6 @@ def skew_aware_join(
 
     # normalize column order on both branches before the union (the
     # hash-join and pyarrow-join output orders differ)
-    cols = sorted(set(left.schema().names) | (set(right.schema().names) - {right_on}))
-
-    def order_cols(batch: pa.Table) -> pa.Table:
-        return batch.select([c for c in cols if c in batch.column_names])
-
     return cold.map_batches(order_cols, batch_format="pyarrow").union(
         hot_joined.map_batches(order_cols, batch_format="pyarrow")
     )

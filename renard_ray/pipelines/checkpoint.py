@@ -164,8 +164,20 @@ def run_kg_checkpointed_granular(
     import uuid
 
     from renard_ray.stages.granular import GRANULAR_STAGES
+    from renard_ray.textproc.document import DocConfig
 
     cfg = cfg or KGConfig()
+    # the granular chain currently implements the DEFAULT per-document
+    # configuration (co-occurrence edges, default unifier); running a
+    # configured pipeline through it would silently produce a different
+    # graph than the fused runner — refuse instead of mislabeling the
+    # manifests
+    if cfg.doc != DocConfig():
+        raise ValueError(
+            "run_kg_checkpointed_granular supports the default DocConfig "
+            "chain only; use run_kg_checkpointed (fused kernel) for "
+            "configured pipelines (sentiment/conversations/relations/...)"
+        )
     fp = _config_fingerprint(cfg)
     files = [
         f"{pages_path}/{f}" for f in os.listdir(pages_path) if f.endswith(".parquet")
@@ -200,7 +212,10 @@ def run_kg_checkpointed_granular(
                 continue
             t0 = time.time()
             if prev_out is None:
-                ds = ray.data.read_parquet(shard_files).filter(expr="lang == 'eng'")
+                langs = list(cfg.langs)
+                ds = ray.data.read_parquet(shard_files).filter(
+                    expr=f"lang in {langs!r}"
+                )
             else:
                 ds = ray.data.read_parquet(prev_out)
             out = stage.apply(ds)  # honors per-stage batch/actor knobs

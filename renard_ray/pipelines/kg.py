@@ -117,9 +117,12 @@ def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Data
 
     def pick_one(group):
         # deterministic winner even among equal-max-ts rows (shuffle
-        # order is not stable): tie-break on the text payload
+        # order is not stable): tie-break on the text payload.
+        # na_position='first' so a NULL warc_ts never beats a real
+        # timestamp (matches the broadcast path, which drops null-ts
+        # rows whenever the url has any real crawl time)
         by = ["warc_ts"] + (["text"] if "text" in group.columns else [])
-        g = group.sort_values(by, kind="stable")
+        g = group.sort_values(by, kind="stable", na_position="first")
         return g.tail(1)
 
     if n_dup > broadcast_limit:

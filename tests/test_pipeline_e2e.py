@@ -168,13 +168,25 @@ def test_dedup_pages_by_url(ray_session):
             "lang": "eng",
         }
     )
+    # NULL-ts recrawl of url 5: a real timestamp must always win
+    rows.append(
+        {
+            "url": "https://x.test/5",
+            "warc_ts": None,
+            "html": b"",
+            "text": "null-ts 5",
+            "lang": "eng",
+        }
+    )
     ds = ray.data.from_items(rows)
     out = dedup_pages_by_url(ds).to_pandas()
     assert len(out) == 10
     assert out[out.url == "https://x.test/3"].text.iloc[0] == "new 3"
     assert len(out[out.url == "https://x.test/7"]) == 1
+    assert out[out.url == "https://x.test/5"].text.iloc[0] == "old 5"
 
-    # huge-dup-set fallback (forced with broadcast_limit=0): same result
+    # huge-dup-set fallback (forced with broadcast_limit=0): same result,
+    # including never preferring a NULL-ts row over a real crawl time
     out2 = (
         dedup_pages_by_url(ray.data.from_items(rows), broadcast_limit=0)
         .to_pandas()
@@ -183,6 +195,7 @@ def test_dedup_pages_by_url(ray_session):
     )
     assert len(out2) == 10
     assert out2[out2.url == "https://x.test/3"].text.iloc[0] == "new 3"
+    assert out2[out2.url == "https://x.test/5"].text.iloc[0] == "old 5"
 
 
 def test_actor_pool_kernel_mode(ray_session):
