@@ -591,3 +591,49 @@ def test_running_total_cross_block_carry(ray_session, tmp_path):
     w = w.sort_values("event_id").reset_index(drop=True)
     assert got["event_id"].tolist() == w["event_id"].tolist()
     assert got["running_cents"].tolist() == w["running_cents"].tolist()
+
+
+def test_embedding_near_dup_sparse_ids_no_duplicates(ray_session, tmp_path):
+    """Empty vec_id residue classes must not duplicate pairs: the pair
+    identity comes from the chunk-pair GROUP KEY, not from which
+    residues happen to be populated (regression: all-even ids with
+    B=2 used to re-emit the diagonal in the (0,1) group)."""
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    V = rng.normal(size=(10, 8))
+    V[1] = V[0] + rng.normal(scale=0.001, size=8)  # planted near-dup
+    d = tmp_path / "sparse"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i * 2 for i in range(10)], pa.int64()),  # all even
+                "embedding": pa.array([list(map(float, v)) for v in V],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    df = embedding_near_dup_pairs(str(d), threshold=0.95, n_chunks=2).to_pandas()
+    pairs = list(map(tuple, df[["a", "b"]].values.tolist()))
+    assert pairs.count((0, 2)) == 1  # found exactly ONCE
+    assert len(pairs) == len(set(pairs))  # no duplicates anywhere
+
+
+def test_skew_join_schema_stable_across_paths(ray_session):
+    """skew_aware_join returns the same column order whether or not hot
+    keys exist in the data."""
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.skew import skew_aware_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "lval": [10, 11, 12]})
+    right = pd.DataFrame({"rk": [1, 2], "rval": [7, 8]})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    hot = skew_aware_join(lds, rds, on="k", right_on="rk", hot_threshold=1)
+    cold = skew_aware_join(lds, rds, on="k", right_on="rk", hot_threshold=10)
+    assert hot.schema().names == cold.schema().names
