@@ -163,27 +163,16 @@ def run_kg_checkpointed_granular(
     """
     import uuid
 
-    from renard_ray.stages.granular import GRANULAR_STAGES
-    from renard_ray.textproc.document import DocConfig
+    from renard_ray.stages.granular import granular_stages
 
     cfg = cfg or KGConfig()
-    # the granular chain currently implements the DEFAULT per-document
-    # configuration (co-occurrence edges, default unifier); running a
-    # configured pipeline through it would silently produce a different
-    # graph than the fused runner — refuse instead of mislabeling the
-    # manifests
-    if cfg.doc != DocConfig():
-        raise ValueError(
-            "run_kg_checkpointed_granular supports the default DocConfig "
-            "chain only; use run_kg_checkpointed (fused kernel) for "
-            "configured pipelines (sentiment/conversations/relations/...)"
-        )
+    stages = granular_stages(cfg.doc)  # every DocConfig knob honored
     fp = _config_fingerprint(cfg)
     files = [
         f"{pages_path}/{f}" for f in os.listdir(pages_path) if f.endswith(".parquet")
     ]
     shards = _shard_files(files, n_shards)
-    stage_names = [s.name for s in GRANULAR_STAGES]
+    stage_names = [s.name for s in stages]
     report: dict = {
         "shards_total": len(shards),
         "stages": {n: {"run": 0, "skipped": 0} for n in stage_names},
@@ -195,7 +184,7 @@ def run_kg_checkpointed_granular(
             json.dumps(sorted(shard_files)).encode()
         ).hexdigest()
         prev_out: list[str] | None = None
-        for stage in GRANULAR_STAGES:
+        for stage in stages:
             sdir = f"{ckpt_dir}/stages/{stage.name}"
             out_dir = f"{sdir}/shard={i}"
             man_path = f"{sdir}/manifest-{i:04d}.json"

@@ -31,7 +31,7 @@ from renard_ray.textproc.document import DocConfig, DocResult, emit_rows
 from renard_ray.textproc.graph import co_occurrence_edges
 from renard_ray.textproc.ner import Entity, extract_entities
 from renard_ray.textproc.tokenize import Tokenized, tokenize
-from renard_ray.textproc.unify import graph_rules_unify
+from renard_ray.textproc.unify import graph_rules_unify, naive_unify
 
 _ENT_T = pa.list_(
     pa.struct([("start", pa.int32()), ("end", pa.int32()), ("tag", pa.string())])
@@ -90,7 +90,8 @@ def ner_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("entities", pa.array(out, _ENT_T))
 
 
-def coref_batch(batch: pa.Table) -> pa.Table:
+def coref_batch(batch: pa.Table, cfg: DocConfig | None = None) -> pa.Table:
+    cfg = cfg or DocConfig()
     out = []
     langs = (
         batch.column("lang").to_pylist()
@@ -104,14 +105,20 @@ def coref_batch(batch: pa.Table) -> pa.Table:
         batch.column("entities").to_pylist(),
         langs,
     ):
+        if not cfg.with_corefs:
+            out.append([])
+            continue
         tokens = _row_tokens(text or "", starts, ends)
         entities = [Entity(e["start"], e["end"], e["tag"]) for e in ents]
-        chains = resolve_corefs(tokens, entities, lang or "eng")
+        chains = resolve_corefs(
+            tokens, entities, lang or "eng", character_tag=cfg.character_tag
+        )
         out.append([[{"start": s, "end": e} for s, e in ch] for ch in chains])
     return batch.append_column("corefs", pa.array(out, _COREF_T))
 
 
-def unify_batch(batch: pa.Table) -> pa.Table:
+def unify_batch(batch: pa.Table, cfg: DocConfig | None = None) -> pa.Table:
+    cfg = cfg or DocConfig()
     out = []
     langs = (
         batch.column("lang").to_pylist()
@@ -129,9 +136,24 @@ def unify_batch(batch: pa.Table) -> pa.Table:
         tokens = _row_tokens(text or "", starts, ends)
         entities = [Entity(e["start"], e["end"], e["tag"]) for e in ents]
         corefs = [[(m["start"], m["end"]) for m in ch] for ch in chains]
-        chars = graph_rules_unify(
-            tokens, entities, corefs, lang=lang or "eng", min_appearances=1
-        )
+        corefs_arg = corefs if cfg.with_corefs else None
+        if cfg.unifier == "naive":
+            chars = naive_unify(
+                tokens,
+                entities,
+                corefs_arg,
+                min_appearances=cfg.min_appearances,
+                character_tag=cfg.character_tag,
+            )
+        else:
+            chars = graph_rules_unify(
+                tokens,
+                entities,
+                corefs_arg,
+                lang=lang or "eng",
+                min_appearances=cfg.min_appearances,
+                character_tag=cfg.character_tag,
+            )
         out.append(
             [
                 {
@@ -148,12 +170,18 @@ def unify_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("characters", pa.array(out, _CHAR_T))
 
 
-def edges_batch(batch: pa.Table) -> pa.Table:
-    """Terminal stage: per-doc co-occurrence edges + alias/name-count
-    rows in the shared stage-row schema."""
+def edges_batch(batch: pa.Table, cfg: DocConfig | None = None) -> pa.Table:
+    """Terminal stage: per-doc edges + alias/name-count rows in the
+    shared stage-row schema.  Edge extraction goes through
+    ``document.build_edge_blocks`` — the SAME config-driven code the
+    fused kernel runs, so every DocConfig knob (sentiment,
+    conversations, relations, dynamic windows, paragraphs) behaves
+    identically on the granular path."""
+    from renard_ray.textproc.document import build_edge_blocks
     from renard_ray.textproc.unify import Character, Mention
     from renard_ray.resources.lexicons import Gender
 
+    cfg = cfg or DocConfig()
     out: dict[str, list] = {
         k: []
         for k in ("subj", "pred", "obj", "weight", "polarity", "block_id", "url")
@@ -175,15 +203,18 @@ def edges_batch(batch: pa.Table) -> pa.Table:
             )
             for c in chars
         ]
-        edges = co_occurrence_edges(characters, tok)
+        tokens = _row_tokens(text or "", starts, ends)
+        edge_blocks, is_dynamic, *_ = build_edge_blocks(
+            text or "", tok, tokens, characters, cfg
+        )
         res = DocResult(
             tok=tok,
             tokens=[],
             entities=[],
             corefs=[],
             characters=characters,
-            edge_blocks=[edges],
-            is_dynamic=False,
+            edge_blocks=edge_blocks,
+            is_dynamic=is_dynamic,
         )
         rows = emit_rows(res, url)
         for k in out:
@@ -201,51 +232,62 @@ def edges_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-GRANULAR_STAGES: list[Stage] = [
-    Stage(
-        "tokenize",
-        tokenize_batch,
-        needs=frozenset({"text"}),
-        produces=frozenset({"token_starts", "token_ends", "sent_bounds"}),
-    ),
-    Stage(
-        "ner",
-        ner_batch,
-        needs=frozenset({"text", "token_starts", "token_ends", "sent_bounds"}),
-        optional_needs=frozenset({"lang"}),
-        produces=frozenset({"entities"}),
-    ),
-    Stage(
-        "coref",
-        coref_batch,
-        needs=frozenset({"text", "token_starts", "token_ends", "entities"}),
-        optional_needs=frozenset({"lang"}),
-        produces=frozenset({"corefs"}),
-    ),
-    Stage(
-        "unify",
-        unify_batch,
-        needs=frozenset({"text", "token_starts", "token_ends", "entities", "corefs"}),
-        optional_needs=frozenset({"lang"}),
-        produces=frozenset({"characters"}),
-    ),
-    Stage(
-        "edges",
-        edges_batch,
-        needs=frozenset(
-            {"url", "text", "token_starts", "token_ends", "sent_bounds", "characters"}
+def granular_stages(cfg: DocConfig | None = None) -> list[Stage]:
+    """The per-step chain parameterized by DocConfig — the same knobs
+    the fused kernel honors, threaded to each stage via fn_kwargs."""
+    cfg = cfg or DocConfig()
+    return [
+        Stage(
+            "tokenize",
+            tokenize_batch,
+            needs=frozenset({"text"}),
+            produces=frozenset({"token_starts", "token_ends", "sent_bounds"}),
         ),
-        produces=frozenset(
-            {"subj", "pred", "obj", "weight", "polarity", "block_id"}
+        Stage(
+            "ner",
+            ner_batch,
+            needs=frozenset({"text", "token_starts", "token_ends", "sent_bounds"}),
+            optional_needs=frozenset({"lang"}),
+            produces=frozenset({"entities"}),
         ),
-        removes=frozenset(
-            {
-                "url", "warc_ts", "text", "lang", "text_ok", "token_starts",
-                "token_ends", "sent_bounds", "entities", "corefs", "characters",
-            }
+        Stage(
+            "coref",
+            coref_batch,
+            needs=frozenset({"text", "token_starts", "token_ends", "entities"}),
+            optional_needs=frozenset({"lang"}),
+            produces=frozenset({"corefs"}),
+            fn_kwargs={"cfg": cfg},
         ),
-    ),
-]
+        Stage(
+            "unify",
+            unify_batch,
+            needs=frozenset({"text", "token_starts", "token_ends", "entities", "corefs"}),
+            optional_needs=frozenset({"lang"}),
+            produces=frozenset({"characters"}),
+            fn_kwargs={"cfg": cfg},
+        ),
+        Stage(
+            "edges",
+            edges_batch,
+            needs=frozenset(
+                {"url", "text", "token_starts", "token_ends", "sent_bounds", "characters"}
+            ),
+            produces=frozenset(
+                {"subj", "pred", "obj", "weight", "polarity", "block_id"}
+            ),
+            removes=frozenset(
+                {
+                    "url", "warc_ts", "text", "lang", "text_ok", "token_starts",
+                    "token_ends", "sent_bounds", "entities", "corefs", "characters",
+                }
+            ),
+            fn_kwargs={"cfg": cfg},
+        ),
+    ]
+
+
+# default-config chain (back-compat name)
+GRANULAR_STAGES: list[Stage] = granular_stages()
 
 
 def granular_stage_rows(pages, cfg: DocConfig | None = None):
@@ -254,4 +296,4 @@ def granular_stage_rows(pages, cfg: DocConfig | None = None):
     from renard_ray.stages.core import run_stages
 
     ds = pages.filter(expr="lang == 'eng'")
-    return run_stages(ds, GRANULAR_STAGES)
+    return run_stages(ds, granular_stages(cfg))

@@ -115,6 +115,46 @@ def process_document(text: str, cfg: DocConfig, lang: str = "eng") -> DocResult:
             character_tag=cfg.character_tag,
         )
 
+    (
+        edge_blocks,
+        is_dynamic,
+        quotes,
+        speakers,
+        polarities,
+        sentence_relations,
+    ) = build_edge_blocks(text, tok, tokens, characters, cfg)
+
+    return DocResult(
+        tok=tok,
+        tokens=tokens,
+        entities=entities,
+        corefs=corefs,
+        characters=characters,
+        quotes=quotes,
+        speakers=speakers,
+        polarities=polarities,
+        sentence_relations=sentence_relations,
+        edge_blocks=edge_blocks,
+        is_dynamic=is_dynamic,
+    )
+
+
+def build_edge_blocks(
+    text: str,
+    tok: Tokenized,
+    tokens: list,
+    characters: list,
+    cfg: DocConfig,
+):
+    """Config-driven edge extraction from unified characters — the tail
+    of the per-document chain, SHARED between the fused kernel
+    (``process_document``) and the granular terminal stage
+    (``stages/granular.py::edges_batch``), so both paths implement every
+    DocConfig knob by construction.
+
+    Returns (edge_blocks, is_dynamic, quotes, speakers, polarities,
+    sentence_relations).
+    """
     polarities = None
     if cfg.with_sentiment:
         polarities = sentence_polarities(tok.sentences(text))
@@ -172,19 +212,7 @@ def process_document(text: str, cfg: DocConfig, lang: str = "eng") -> DocResult:
             edge_blocks = [{}]
         _merge(edge_blocks[0] if not is_dynamic else edge_blocks[-1], extra)
 
-    return DocResult(
-        tok=tok,
-        tokens=tokens,
-        entities=entities,
-        corefs=corefs,
-        characters=characters,
-        quotes=quotes,
-        speakers=speakers,
-        polarities=polarities,
-        sentence_relations=sentence_relations,
-        edge_blocks=edge_blocks,
-        is_dynamic=is_dynamic,
-    )
+    return edge_blocks, is_dynamic, quotes, speakers, polarities, sentence_relations
 
 
 def _paragraph_token_blocks(text: str, tok: Tokenized) -> list[tuple[int, int]]:

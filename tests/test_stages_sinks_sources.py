@@ -141,20 +141,42 @@ def test_presets_run(ray_session):
         assert n >= 0, name
 
 
-def test_granular_pipeline_matches_fused(ray_session):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "doc_kwargs",
+    [
+        {},
+        {
+            "with_sentiment": True,
+            "with_conversations": True,
+            "with_quote_mentions": True,
+            "with_relations": True,
+        },
+        {"unifier": "naive", "with_corefs": False},
+        {"dynamic_window": 8, "dynamic_overlap": 2},
+    ],
+    ids=["default", "full", "naive", "dynamic"],
+)
+def test_granular_pipeline_matches_fused(ray_session, doc_kwargs):
     """The composable per-step chain (explicit Arrow columns between
-    stages) produces the same canonical triples as the fused kernel."""
+    stages) produces the same canonical triples as the fused kernel —
+    for EVERY DocConfig, not just the default (the chain threads cfg
+    through coref/unify/edges and shares build_edge_blocks)."""
     import ray
 
     from renard_ray.pipelines.kg import KGConfig, build_kg, relabel_and_aggregate
     from renard_ray.sources.pages import generate_pages_table
     from renard_ray.stages.granular import granular_stage_rows
+    from renard_ray.textproc.document import DocConfig
 
     pages_tbl = generate_pages_table(25, seed=17)
+    doc_cfg = DocConfig(**doc_kwargs)
 
-    fused = build_kg(ray.data.from_arrow(pages_tbl), KGConfig()).to_pandas()
-    rows = granular_stage_rows(ray.data.from_arrow(pages_tbl)).materialize()
-    granular = relabel_and_aggregate(rows, KGConfig()).to_pandas()
+    fused = build_kg(ray.data.from_arrow(pages_tbl), KGConfig(doc=doc_cfg)).to_pandas()
+    rows = granular_stage_rows(ray.data.from_arrow(pages_tbl), doc_cfg).materialize()
+    granular = relabel_and_aggregate(rows, KGConfig(doc=doc_cfg)).to_pandas()
 
     f = {
         (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
