@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_purchase": _asof_last_purchase,
         "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
         "lineitem_qty_percentiles": relational.lineitem_qty_percentiles,
+        "orders_rollup": relational.orders_rollup,
         "events_running_total": relational.events_running_total,
         "supplier_region_stats": relational.supplier_nation_join,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
@@ -535,6 +536,15 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.user_id = e.user_id AND p.ts <= e.ts
                     ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
             FROM events e
+        """,
+        "orders_rollup": """
+            SELECT CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS y,
+                   CAST(COALESCE(month(o_orderdate), -1) AS BIGINT) AS m,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
         """,
         "lineitem_qty_percentiles": """
             SELECT CAST(25 AS BIGINT) AS p_pct,

@@ -1161,3 +1161,73 @@ def lineitem_qty_percentiles(sf_dir: str, ps: tuple = (0.25, 0.5, 0.75, 0.95)) -
             }
         )
     )
+
+
+def orders_rollup(sf_dir: str) -> Dataset:
+    """ROLLUP-style aggregate: order counts + totals by (year, month),
+    by (year), and the grand total in one result — computed as a
+    cascade of RE-AGGREGATIONS of the finest level (each coarser level
+    reduces the previous one, never rescans the fact table).  NULL
+    grouping keys are encoded as -1 (DuckDB ROLLUP emits NULLs; the
+    oracle casts the same way so the hash comparison is well-defined)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column("o_orderdate"))
+        m = pc.month(batch.column("o_orderdate"))
+        return pa.table(
+            {
+                "y": pc.cast(y, pa.int64()),
+                "m": pc.cast(m, pa.int64()),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    fine = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["y", "m"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_c", alias_name="total_cents"),
+        )
+        .materialize()  # the coarser levels re-aggregate THIS, not the scan
+    )
+    by_year = fine.groupby("y").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    grand = fine.aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+    def tag_fine(b: pa.Table) -> pa.Table:
+        return b.select(["y", "m", "n_orders", "total_cents"])
+
+    def tag_year(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "y": b.column("y"),
+                "m": pa.array([-1] * b.num_rows, pa.int64()),
+                "n_orders": b.column("n_orders"),
+                "total_cents": b.column("total_cents"),
+            }
+        )
+
+    import ray as _ray
+
+    grand_ds = _ray.data.from_arrow(
+        pa.table(
+            {
+                "y": pa.array([-1], pa.int64()),
+                "m": pa.array([-1], pa.int64()),
+                "n_orders": pa.array([int(grand["n_orders"] or 0)], pa.int64()),
+                "total_cents": pa.array([int(grand["total_cents"] or 0)], pa.int64()),
+            }
+        )
+    )
+    return (
+        fine.map_batches(tag_fine, batch_format="pyarrow")
+        .union(by_year.map_batches(tag_year, batch_format="pyarrow"))
+        .union(grand_ds)
+    )

@@ -272,3 +272,75 @@ def stratified_sample(sf_dir: str, key: str = "source", n: int = 5) -> Dataset:
         .groupby(key)
         .map_groups(final_topn, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------- bloom filter
+
+
+def _bloom_params(n_expected: int, fpr: float = 0.01) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for an expected item count and target
+    false-positive rate (standard Bloom formulas)."""
+    import math
+
+    m = max(64, int(-n_expected * math.log(fpr) / (math.log(2) ** 2)))
+    m = 1 << (m - 1).bit_length()  # power of two -> mask instead of mod
+    k = max(1, round(m / max(1, n_expected) * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_add(bits: np.ndarray, values: list[bytes], k: int) -> None:
+    mask = len(bits) * 8 - 1
+    for v in values:
+        h = hashlib.md5(v).digest()
+        h1 = struct.unpack("<Q", h[:8])[0]
+        h2 = struct.unpack("<Q", h[8:])[0] | 1
+        for i in range(k):
+            pos = (h1 + i * h2) & mask
+            bits[pos >> 3] |= 1 << (pos & 7)
+
+
+def _bloom_contains(bits: np.ndarray, v: bytes, k: int) -> bool:
+    mask = len(bits) * 8 - 1
+    h = hashlib.md5(v).digest()
+    h1 = struct.unpack("<Q", h[:8])[0]
+    h2 = struct.unpack("<Q", h[8:])[0] | 1
+    for i in range(k):
+        pos = (h1 + i * h2) & mask
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def build_bloom_filter(
+    ds: Dataset, column: str, n_expected: int, fpr: float = 0.01
+) -> tuple[np.ndarray, int]:
+    """Distributed Bloom filter over a column: each batch sets its bits
+    into a partial filter, partials OR-merge (associative/commutative —
+    the same mergeable-sketch shape as the HLL above).  The classic
+    seen-URL set for a 100 TB crawl: the filter is a few GB where the
+    key set would be hundreds, and membership is O(k) with zero I/O.
+
+    Returns (bit array, k)."""
+    m, k = _bloom_params(n_expected, fpr)
+    nbytes = m // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        _bloom_add(
+            bits,
+            [str(v).encode() for v in batch.column(column).to_pylist()],
+            k,
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for blob in b.column("bits").to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged, k
+
+
+def bloom_contains(bits: np.ndarray, k: int, value) -> bool:
+    return _bloom_contains(bits, str(value).encode(), k)

@@ -637,3 +637,20 @@ def test_skew_join_schema_stable_across_paths(ray_session):
     hot = skew_aware_join(lds, rds, on="k", right_on="rk", hot_threshold=1)
     cold = skew_aware_join(lds, rds, on="k", right_on="rk", hot_threshold=10)
     assert hot.schema().names == cold.schema().names
+
+
+def test_bloom_filter_membership(ray_session, docs_dir):
+    """Mergeable Bloom filter: zero false negatives, FPR near target."""
+    import ray
+
+    from renard_ray.ops.sketches import bloom_contains, build_bloom_filter
+
+    ds = ray.data.read_parquet(f"{docs_dir}/documents.parquet", columns=["doc_id"])
+    bits, k = build_bloom_filter(ds, "doc_id", n_expected=25, fpr=0.01)
+
+    # every present id is found (no false negatives — a Bloom guarantee)
+    for i in range(25):
+        assert bloom_contains(bits, k, i)
+    # false positives stay near the target rate
+    fp = sum(bloom_contains(bits, k, i) for i in range(10_000, 12_000))
+    assert fp / 2000 < 0.05
