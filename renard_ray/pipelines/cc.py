@@ -22,7 +22,6 @@ unless forced.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -77,8 +76,16 @@ def _driver_cc(edges: Dataset) -> dict[str, str]:
     return {x: find(x) for x in list(parent)}
 
 
-def _star_round(edges: Dataset, large: bool) -> Dataset:
-    """One large-star or small-star round (groupby node)."""
+def _star_round(edges: Dataset, large: bool, nparts: int = 2) -> Dataset:
+    """One large-star or small-star round.
+
+    Fully vectorized: per-node minimum via a stock ``groupby.min``
+    (strings compare lexicographically), attached back to the edge rows
+    with ONE hash join, then per-batch compute filters — no per-node
+    Python calls (a ``map_groups`` over millions of tiny neighbor
+    groups is framework-overhead-bound, and this is the >2M-entity
+    scale path)."""
+    import pyarrow.compute as pc
 
     def expand(batch: pa.Table) -> pa.Table:
         # emit both directions so each node sees its full neighborhood
@@ -91,28 +98,51 @@ def _star_round(edges: Dataset, large: bool) -> Dataset:
             }
         )
 
-    def star(group: pd.DataFrame) -> pd.DataFrame:
-        node = group["node"].iloc[0]
-        nbrs = group["nbr"]
-        m = min(nbrs.min(), node)
+    both = edges.map_batches(expand, batch_format="pyarrow")
+
+    def with_m(batch: pa.Table) -> pa.Table:
+        # m(u) = min(N(u) ∪ {u})
+        m = pc.min_element_wise(
+            batch.column("node").combine_chunks(),
+            batch.column("min(nbr)").combine_chunks(),
+        )
+        return pa.table({"node_": batch.column("node"), "m": m})
+
+    mins_m = both.groupby("node").min("nbr").map_batches(
+        with_m, batch_format="pyarrow"
+    )
+    joined = both.join(
+        mins_m, join_type="inner", num_partitions=nparts,
+        on=("node",), right_on=("node_",),
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").combine_chunks()
+        nbr = batch.column("nbr").combine_chunks()
+        m = batch.column("m").combine_chunks()
         if large:
             # attach strictly-greater neighbors to the minimum
-            out_v = [n for n in nbrs if n > node]
+            keep = pc.greater(nbr, node)
         else:
-            # attach ≤-neighbors (and self) to the minimum
-            out_v = [n for n in nbrs if n <= node and n != m]
-            if node != m:
-                out_v.append(node)
-        out_v = [x for x in set(out_v) if x != m]
-        return pa.table(
-            {
-                "u": pa.array([m] * len(out_v), pa.string()),
-                "v": pa.array(out_v, pa.string()),
-            }
-        )
+            # attach <=-neighbors to the minimum
+            keep = pc.and_(pc.less_equal(nbr, node), pc.not_equal(nbr, m))
+        t = pa.table({"u": pc.filter(m, keep), "v": pc.filter(nbr, keep)})
+        if t.num_rows:  # map-side dedup before the distinct shuffle
+            t = t.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+        return t
 
-    both = edges.map_batches(expand, batch_format="pyarrow")
-    return both.groupby("node").map_groups(star, batch_format="pandas")
+    out = joined.map_batches(emit, batch_format="pyarrow")
+    if not large:
+        # small-star also links every non-minimum node itself to m —
+        # one row per node, straight from the per-node min table
+        def self_rows(batch: pa.Table) -> pa.Table:
+            node = batch.column("node_").combine_chunks()
+            m = batch.column("m").combine_chunks()
+            keep = pc.not_equal(node, m)
+            return pa.table({"u": pc.filter(m, keep), "v": pc.filter(node, keep)})
+
+        out = out.union(mins_m.map_batches(self_rows, batch_format="pyarrow"))
+    return out
 
 
 def _distributed_cc(edges: Dataset, max_rounds: int = 25) -> Dataset:
@@ -123,9 +153,16 @@ def _distributed_cc(edges: Dataset, max_rounds: int = 25) -> Dataset:
     """
     cur = edges
     prev_sig: tuple[int, int] | None = None
+    try:
+        n_edges = edges.count()
+    except Exception:
+        n_edges = 1 << 20
+    # single partition for tiny inputs (Ray 2.49 join crashes on an
+    # all-empty left hash partition); bytes-scale width otherwise
+    nparts = 1 if n_edges < 10_000 else max(2, min(512, n_edges // 250_000 + 2))
     for _ in range(max_rounds):
-        cur = _star_round(cur, large=True)
-        cur = _star_round(cur, large=False)
+        cur = _star_round(cur, large=True, nparts=nparts)
+        cur = _star_round(cur, large=False, nparts=nparts)
         cur = _distinct_edges(cur, "u", "v").materialize()
 
         def sig_batch(batch: pa.Table) -> pa.Table:
