@@ -834,21 +834,81 @@ def customer_order_history(sf_dir: str, segment: str = "AUTOMOBILE") -> Dataset:
         right_on=("c_custkey",),
     )
 
-    def collect(group):
-        import pandas as pd
+    # Sorted-run collect: string concat is ASSOCIATIVE, so per-block
+    # fragments of block-EDGE customers stitch on the driver in block
+    # order (O(#blocks) fragments) while interior customers finalize
+    # locally — no per-customer map_groups (framework cost per tiny
+    # group dominates with millions of customers).
+    import pandas as pd
 
-        g = group.sort_values(by=["o_orderdate", "o_orderkey"])
-        return pa.table(
+    sorted_ds = (
+        joined.select_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        .sort(["o_custkey", "o_orderdate", "o_orderkey"])
+        .materialize()
+    )
+
+    cols = {
+        "kind": "object",
+        "o_custkey": "int64",
+        "order_keys": "object",
+        "n_orders": "int64",
+        "bk": "object",
+    }
+
+    def block_collect(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        # block key = the SORT key of the first row (custkey, date, key)
+        # so fragment order == time order per customer
+        bk = "|".join(
+            str(x)
+            for x in (
+                int(df["o_custkey"].iloc[0]),
+                int(pd.Timestamp(df["o_orderdate"].iloc[0]).value),
+                int(df["o_orderkey"].iloc[0]),
+            )
+        )
+        agg = df.groupby("o_custkey", sort=True).agg(
+            order_keys=("o_orderkey", lambda s: ",".join(str(k) for k in s)),
+            n_orders=("o_orderkey", "size"),
+        ).reset_index()
+        first_k, last_k = int(df["o_custkey"].iloc[0]), int(df["o_custkey"].iloc[-1])
+        edge = agg["o_custkey"].isin([first_k, last_k])
+        agg["kind"] = ["e" if e else "f" for e in edge]
+        agg["bk"] = bk
+        return agg[["kind", "o_custkey", "order_keys", "n_orders", "bk"]].astype(cols)
+
+    marked = sorted_ds.map_batches(
+        block_collect, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    finals = marked.filter(expr="kind == 'f'").select_columns(
+        ["o_custkey", "order_keys", "n_orders"]
+    )
+
+    # stitch: concat each edge customer's fragments in block order
+    frags = marked.filter(expr="kind == 'e'").to_pandas()
+    if frags.empty:
+        return finals
+    frags = frags.sort_values(
+        "bk", key=lambda s: s.map(lambda x: tuple(int(p) for p in x.split("|")))
+    )
+    acc: dict[int, tuple[list[str], int]] = {}
+    for r in frags.itertuples(index=False):
+        parts, n = acc.get(int(r.o_custkey), ([], 0))
+        acc[int(r.o_custkey)] = (parts + [r.order_keys], n + int(r.n_orders))
+    stitched = ray.data.from_arrow(
+        pa.table(
             {
-                "o_custkey": pa.array([int(g["o_custkey"].iloc[0])], pa.int64()),
+                "o_custkey": pa.array(sorted(acc), pa.int64()),
                 "order_keys": pa.array(
-                    [",".join(str(k) for k in g["o_orderkey"])], pa.string()
+                    [",".join(acc[k][0]) for k in sorted(acc)], pa.string()
                 ),
-                "n_orders": pa.array([len(g)], pa.int64()),
+                "n_orders": pa.array([acc[k][1] for k in sorted(acc)], pa.int64()),
             }
         )
-
-    return joined.groupby("o_custkey").map_groups(collect, batch_format="pandas")
+    )
+    return finals.union(stitched)
 
 
 def doc_embedding_join(sf_dir: str) -> Dataset:
