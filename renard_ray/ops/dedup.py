@@ -93,7 +93,9 @@ def exact_dedup_keep(sf_dir: str) -> Dataset:
     from renard_ray.ops.relational import _join_parts
 
     groups = exact_dedup_groups(sf_dir).select_columns(["keeper_doc_id"])
-    docs = _read_documents(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+    # no "text": the output is metadata-only, so the document payload
+    # must not ride the join exchange
+    docs = _read_documents(sf_dir, ["doc_id", "lang", "source", "n_chars"])
     return docs.join(
         groups,
         join_type="inner",
@@ -715,16 +717,34 @@ def _embedding_near_dup_srp(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.8) -> Dataset:
+def minhash_dedup_clusters(
+    sf_dir: str, threshold: float = 0.8, driver_limit: int = 5_000_000
+) -> Dataset:
     """Near-duplicate CLUSTERS: connected components over the verified
     near-dup pair graph (re-uses the engine's distributed CC), keeper =
     min doc_id per component.  Output: (doc_id, keeper_doc_id) for every
-    clustered document."""
+    clustered document.
+
+    Fully dataset-shaped: labels come back as a (node, label) Dataset
+    (the driver union-find path, when chosen by ``mode="auto"``, is
+    bounded by ``driver_limit`` distinct edges and converted to a single
+    Arrow block), the numeric keeper is a ``groupby(label).min(doc_id)``
+    over that Dataset, and (doc_id, keeper) is a label join — no
+    driver-side dict of every clustered document, no ``from_items``."""
     import pyarrow.compute as pc
 
     from renard_ray.pipelines.cc import connected_components
 
     pairs = minhash_dedup_pairs(sf_dir, threshold).materialize()
+    n_pairs = pairs.count()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "keeper_doc_id": pa.array([], pa.int64()),
+        }
+    )
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
 
     def as_str(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -735,24 +755,46 @@ def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.8) -> Dataset:
         )
 
     edges = pairs.map_batches(as_str, batch_format="pyarrow")
-    label_map, _ = connected_components(edges, mode="driver")
-    if not label_map:
-        return pairs.map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "keeper_doc_id": pa.array([], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    # labels are lexicographic-min strings; keeper must be NUMERIC min
-    comp: dict[str, int] = {}
-    for node, label in label_map.items():
-        comp[label] = min(comp.get(label, 1 << 62), int(node))
-    rows = sorted((int(n), comp[l]) for n, l in label_map.items())
-    import ray as _ray
-
-    return _ray.data.from_items(
-        [{"doc_id": d, "keeper_doc_id": k} for d, k in rows]
+    label_map, label_ds = connected_components(
+        edges, mode="auto", driver_limit=driver_limit
     )
+    if label_map is not None:
+        # driver path: bounded by driver_limit distinct edges; one Arrow
+        # block, then the same dataset-shaped keeper derivation below.
+        nodes = list(label_map.keys())
+        label_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.string()),
+                    "label": pa.array([label_map[n] for n in nodes], pa.string()),
+                }
+            )
+        )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("node"), pa.int64()),
+                "label": batch.column("label"),
+            }
+        )
+
+    lab = label_ds.map_batches(to_int, batch_format="pyarrow").materialize()
+
+    def rename_keeper(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "keeper_doc_id": batch.column("min(doc_id)"),
+            }
+        )
+
+    keepers = lab.groupby("label").min("doc_id").map_batches(
+        rename_keeper, batch_format="pyarrow"
+    )
+    # label cardinality ~ clustered docs; size the join off the pair count
+    nparts = 1 if n_pairs < 100_000 else max(2, min(256, n_pairs // 500_000 + 2))
+    out = lab.join(
+        keepers, join_type="inner", num_partitions=nparts, on=("label",)
+    )
+    return out.select_columns(["doc_id", "keeper_doc_id"]).sort("doc_id")

@@ -307,6 +307,17 @@ def test_minhash_dedup_matches_r1_fixture(ray_session):
     assert clusters["doc_id"].tolist() == fx["clusters"]["doc_id"]
     assert clusters["keeper_doc_id"].tolist() == fx["clusters"]["keeper_doc_id"]
 
+    # force the distributed-CC path (driver_limit below the edge count):
+    # labels must come out identical to the driver union-find path
+    dist = (
+        minhash_dedup_clusters(sf_dir, driver_limit=1)
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    assert dist["doc_id"].tolist() == fx["clusters"]["doc_id"]
+    assert dist["keeper_doc_id"].tolist() == fx["clusters"]["keeper_doc_id"]
+
 
 def test_simhash_oversized_bucket_drop_is_explicit(ray_session, tmp_path, caplog):
     """Oversized simhash buckets are dropped with a LOGGED counter (no
