@@ -215,12 +215,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
-        ``cumulative_graph`` semantics on the aggregated table)."""
-        from renard_ray.sinks.gexf import cumulative_blocks
+        ``cumulative_graph`` semantics on the aggregated table) —
+        streamed: the last cumulative frame is just the per-key sum over
+        all blocks, so it's one filter + one groupby shuffle; the dynamic
+        triple table never lands on the driver.  ``cumulative_blocks``
+        (pandas) stays as the small-graph oracle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        dyn = kg_triples_dynamic(sf_dir).to_pandas()
-        blocks = cumulative_blocks(dyn)
-        return blocks[-1] if blocks else dyn
+        from ray.data.aggregate import Sum
+
+        dyn = kg_triples_dynamic(sf_dir)
+
+        def keep_blocks(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch.column("block_id"), 0))
+
+        f = dyn.map_batches(keep_blocks, batch_format="pyarrow").materialize()
+        if f.count() == 0:
+            return f
+        max_b = int(f.max("block_id"))
+        agg = (
+            f.groupby(["subj", "pred", "obj"])
+            .aggregate(Sum("weight", alias_name="weight"),
+                       Sum("polarity", alias_name="polarity"))
+        )
+
+        def attach_block(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "subj": batch.column("subj"),
+                    "pred": batch.column("pred"),
+                    "obj": batch.column("obj"),
+                    "block_id": pa.array(
+                        np.full(batch.num_rows, max_b, dtype=np.int64), pa.int64()
+                    ),
+                    "weight": batch.column("weight"),
+                    "polarity": batch.column("polarity"),
+                }
+            )
+
+        return agg.map_batches(attach_block, batch_format="pyarrow").sort(
+            ["subj", "pred", "obj"]
+        )
 
     return {
         # relational (SQL-oracle-checked)

@@ -78,56 +78,72 @@ def top_degree_dataset(triples: Dataset, k: int = 25) -> Dataset:
     )
 
 
+_PR_SCALE = 10**17  # contribution fixed-point scale; total mass ≈ 1 → sum ≤ 1e17 < int64
+
+
 def pagerank_dataset(
     triples: Dataset,
     damping: float = 0.85,
     iters: int = 30,
     k: int | None = None,
     broadcast_limit: int = 50_000_000,
+    driver_merge_limit: int = 1_000_000,
 ) -> Dataset:
     """Deterministic power iteration over the undirected weighted edge
-    list.  The per-node state (rank + out-weight) is vocabulary-sized
-    and broadcast once per iteration; edges stream through
-    ``map_batches`` with per-batch combine.  Raises if the vocabulary
-    exceeds ``broadcast_limit`` (then you want a join-per-iteration
-    variant — not needed below ~5x10^7 entities)."""
+    list.
+
+    Three regimes, picked by vocabulary size:
+
+    - ``n <= driver_merge_limit``: rank vector broadcast per iteration;
+      contributions merged on the driver with a vectorized
+      lexsort + ``np.add.reduceat`` (order-independent, no Python loop).
+    - ``n <= broadcast_limit``: rank vector still broadcast, but the
+      per-iteration contribution merge is a distributed
+      ``groupby(i).sum`` over fixed-point int64 contributions (integer
+      sums are order-independent, so the result stays deterministic);
+      the driver only ever holds the dense rank vector.
+    - past ``broadcast_limit``: join-based rank exchange
+      (``_pagerank_join``) — rank state is a Dataset joined to the edge
+      list each iteration; nothing node-sized lands on the driver."""
+    import pyarrow.compute as pc
+
     edges = triples.select_columns(_EDGE_COLS).materialize()
 
     # out-weight per node (one shuffle)
-    deg = degree_dataset(edges)
-    out_w: dict[str, float] = {}
-    for b in deg.iter_batches(batch_format="pyarrow", batch_size=None):
-        for n, w in zip(
-            b.column("node").to_pylist(), b.column("weighted_degree").to_pylist()
-        ):
-            out_w[n] = out_w.get(n, 0.0) + float(w)
-    n_nodes = len(out_w)
+    deg = degree_dataset(edges).materialize()
+    n_nodes = deg.count()
     if n_nodes == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
     if n_nodes > broadcast_limit:
-        raise ValueError(
-            f"pagerank_dataset: {n_nodes} nodes exceeds broadcast_limit="
-            f"{broadcast_limit}; use a join-based rank exchange at this scale"
-        )
+        return _pagerank_join(edges, deg, n_nodes, damping, iters, k)
 
-    # stable node order for deterministic float accumulation
-    nodes = sorted(out_w)
-    ow = np.array([out_w[n] for n in nodes], dtype=np.float64)
+    # dense driver state, sorted node order (vectorized, no per-row loop)
+    dt = pa.concat_tables(
+        [
+            b
+            for b in deg.select_columns(["node", "weighted_degree"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    ).combine_chunks()
+    dt = dt.take(pc.sort_indices(dt, sort_keys=[("node", "ascending")]))
+    nodes_arr = dt.column("node").combine_chunks()
+    ow = dt.column("weighted_degree").to_numpy(zero_copy_only=False).astype(np.float64)
     ow = np.maximum(ow, 1e-300)
     pr = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
-    keys_ref = ray.put(pa.array(nodes, pa.string()))
+    keys_ref = ray.put(nodes_arr)
 
     def contrib_batch(batch: pa.Table, pr_ref) -> pa.Table:
-        import pyarrow.compute as pc
+        import pyarrow.compute as _pc
 
         keys = ray.get(keys_ref)
         rank, outw = ray.get(pr_ref)
-        si = pc.index_in(
+        si = _pc.index_in(
             batch.column("subj").combine_chunks(), value_set=keys
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        oi = pc.index_in(
+        oi = _pc.index_in(
             batch.column("obj").combine_chunks(), value_set=keys
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -143,31 +159,191 @@ def pagerank_dataset(
             }
         )
 
-    for _ in range(iters):
-        pr_ref = ray.put((pr, ow))
-        parts: dict[int, list[float]] = {}
-        for b in edges.map_batches(
-            contrib_batch, fn_kwargs={"pr_ref": pr_ref}, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            for i, c in zip(b.column("i").to_pylist(), b.column("c").to_pylist()):
-                parts.setdefault(i, []).append(c)
-        nxt = np.full(n_nodes, (1.0 - damping) / n_nodes, dtype=np.float64)
-        # deterministic merge: sorted contribution lists per node
-        for i, cs in parts.items():
-            nxt[i] += damping * sum(sorted(cs))
-        pr = nxt
-
-    order = sorted(range(n_nodes), key=lambda i: (-pr[i], nodes[i]))
-    if k is not None:
-        order = order[:k]
-    return ray.data.from_arrow(
-        pa.table(
+    def to_fixed(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "node": pa.array([nodes[i] for i in order], pa.string()),
-                "rank": pa.array([round(float(pr[i]), 8) for i in order], pa.float64()),
+                "i": batch.column("i"),
+                "ci": pa.array(np.rint(c * _PR_SCALE).astype(np.int64), pa.int64()),
             }
         )
+
+    small = n_nodes <= driver_merge_limit
+    for _ in range(iters):
+        pr_ref = ray.put((pr, ow))
+        contrib = edges.map_batches(
+            contrib_batch, fn_kwargs={"pr_ref": pr_ref}, batch_format="pyarrow"
+        )
+        nxt = np.full(n_nodes, (1.0 - damping) / n_nodes, dtype=np.float64)
+        if small:
+            # driver merge: lexsort (i, then c) + reduceat — identical
+            # result for any block arrival order
+            tabs = [
+                b
+                for b in contrib.iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_rows
+            ]
+            if tabs:
+                ct = pa.concat_tables(tabs)
+                i_all = ct.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+                c_all = ct.column("c").to_numpy(zero_copy_only=False)
+                o = np.lexsort((c_all, i_all))
+                i_s, c_s = i_all[o], c_all[o]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], i_s[1:] != i_s[:-1]))
+                )
+                nxt[i_s[starts]] += damping * np.add.reduceat(c_s, starts)
+        else:
+            # distributed merge: fixed-point int sums are associative +
+            # commutative exactly, so the shuffle order can't change the
+            # result; the driver pull is ≤ n_nodes (i, sum) rows.
+            merged = (
+                contrib.map_batches(to_fixed, batch_format="pyarrow")
+                .groupby("i")
+                .sum("ci")
+            )
+            for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+                ii = b.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+                ss = b.column("sum(ci)").to_numpy(zero_copy_only=False).astype(np.float64)
+                nxt[ii] += damping * (ss / _PR_SCALE)
+        pr = nxt
+
+    out = pa.table(
+        {
+            "node": nodes_arr,
+            "rank": pa.array(np.round(pr, 8), pa.float64()),
+        }
     )
+    out = out.take(
+        pc.sort_indices(
+            out, sort_keys=[("rank", "descending"), ("node", "ascending")]
+        )
+    )
+    if k is not None:
+        out = out.slice(0, k)
+    return ray.data.from_arrow(out)
+
+
+def _pagerank_join(
+    edges: Dataset,
+    deg: Dataset,
+    n_nodes: int,
+    damping: float,
+    iters: int,
+    k: int | None,
+) -> Dataset:
+    """Join-based rank exchange for vocabularies past the broadcast
+    limit (10^8-10^9 entities).  Rank state lives in a (node, rank)
+    Dataset; each iteration is one hash join (edges ⋈ ranks on src) and
+    one ``groupby(dst).sum`` over fixed-point contributions.  Per-EDGE
+    fixed-point rounding makes every contribution a pure function of the
+    previous ranks — block boundaries can't perturb the result — and
+    int64 sums are exactly associative, so the output is deterministic
+    across runs and partitionings."""
+    import pyarrow.compute as pc
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        w = batch.column("weight").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, o]),
+                "dst": pa.concat_arrays([o, s]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+
+    def rename_deg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "out_w": pc.max_element_wise(
+                    pc.cast(batch.column("weighted_degree"), pa.float64()), 1e-300
+                ),
+            }
+        )
+
+    nparts = max(2, min(512, n_nodes // 2_000_000 + 2))
+    ow = deg.map_batches(rename_deg, batch_format="pyarrow")
+    ed = (
+        edges.map_batches(both_dirs, batch_format="pyarrow")
+        .join(ow, join_type="inner", num_partitions=nparts, on=("src",), right_on=("node",))
+        .select_columns(["src", "dst", "w", "out_w"])
+        .materialize()
+    )
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array(
+                    np.full(batch.num_rows, 1.0 / n_nodes), pa.float64()
+                ),
+            }
+        )
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def edge_contrib(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        o = batch.column("out_w").to_numpy(zero_copy_only=False)
+        ci = np.rint(r * w / o * _PR_SCALE).astype(np.int64)
+        t = pa.table({"dst": batch.column("dst"), "ci": pa.array(ci, pa.int64())})
+        # map-side combine before the shuffle (hub dst keys repeat)
+        if t.num_rows:
+            t = (
+                t.group_by(["dst"])
+                .aggregate([("ci", "sum")])
+                .rename_columns(["dst", "ci"])
+            )
+        return t
+
+    teleport = (1.0 - damping) / n_nodes
+
+    def finish_rank(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(ci)").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "node": batch.column("dst"),
+                "rank": pa.array(teleport + damping * (s / _PR_SCALE), pa.float64()),
+            }
+        )
+
+    for _ in range(iters):
+        # every node has ≥1 undirected edge (deg comes from the edge
+        # list), so every node appears as dst — no union-with-zeros pass
+        ranks = (
+            ed.join(
+                ranks,
+                join_type="inner",
+                num_partitions=nparts,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(edge_contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .sum("ci")
+            .map_batches(finish_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def round_rank(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array(np.round(r, 8), pa.float64()),
+            }
+        )
+
+    out = ranks.map_batches(round_rank, batch_format="pyarrow").sort(
+        ["rank", "node"], descending=[True, False]
+    )
+    if k is not None:
+        out = out.limit(k)
+    return out
 
 
 # ---------------------------------------------------- small-graph oracles

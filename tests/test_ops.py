@@ -430,6 +430,24 @@ def test_graphstats_distributed_matches_pandas_oracle(ray_session):
     assert got_pr["node"].tolist() == want_pr["node"].tolist()
     assert np.allclose(got_pr["rank"], want_pr["rank"], atol=1e-6)
 
+    # force the distributed fixed-point groupby merge (still broadcast)
+    got_dm = (
+        pagerank_dataset(ds, k=10, driver_merge_limit=1)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert got_dm["node"].tolist() == want_pr["node"].tolist()
+    assert np.allclose(got_dm["rank"], want_pr["rank"], atol=1e-6)
+
+    # force the join-based rank exchange (past broadcast_limit)
+    got_jn = (
+        pagerank_dataset(ds, k=10, broadcast_limit=1)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert got_jn["node"].tolist() == want_pr["node"].tolist()
+    assert np.allclose(got_jn["rank"], want_pr["rank"], atol=1e-6)
+
 
 def test_asof_join_matches_pandas_merge_asof(ray_session):
     """The distributed as-of join (sort + block ffill + carry stitch)

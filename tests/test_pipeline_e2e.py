@@ -257,3 +257,26 @@ def test_canonical_tiebreak_parity_driver_vs_distributed(ray_session):
         ("Bingley", "co_occurs_with", "Mr. Fitzwilliam Darcy", 2.0)
     }
     assert out["distributed"] == out["driver"]
+
+
+def test_cumulative_final_streamed_matches_oracle(ray_session):
+    """The streamed final-cumulative-snapshot query (filter + one
+    groupby sum) must equal the last frame of the pandas
+    ``cumulative_blocks`` oracle on a dynamic KG build."""
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from renard_ray.sinks.gexf import cumulative_blocks
+
+    sf_dir = "/root/testdata/sf0.001"
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata not present")
+    q = entry.queries()
+    dyn = q["kg_triples_dynamic"](sf_dir).to_pandas()
+    blocks = cumulative_blocks(dyn)
+    want = blocks[-1].sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    got = q["kg_cumulative_final"](sf_dir).to_pandas().reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
