@@ -77,6 +77,139 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(path, columns=cols, schema=sch)
 
 
+_TS_OFFSET = 1 << 62  # keeps encoded timestamps non-negative (NULL -> 0)
+
+
+def _content_digests_pd(df) -> list[str]:
+    """Per-row md5 over (html, text, lang) — the deterministic
+    tie-break for equal-max-timestamp recrawls.  Byte-identical rows
+    (the only digest collisions that matter) are interchangeable."""
+    import hashlib
+
+    html = df["html"] if "html" in df.columns else [b""] * len(df)
+    text = df["text"] if "text" in df.columns else [""] * len(df)
+    lang = df["lang"] if "lang" in df.columns else [""] * len(df)
+    return [
+        hashlib.md5(
+            (h or b"") + b"\x00" + (t or "").encode() + b"\x00" + (l or "").encode()
+        ).hexdigest()
+        for h, t, l in zip(html, text, lang)
+    ]
+
+
+def _row_keys(batch: pa.Table) -> list[str]:
+    """Sortable per-row winner key: zero-padded encoded warc_ts + '|' +
+    content digest.  NULL ts encodes as all-zeros, so a real crawl time
+    always wins; digest breaks exact-ts ties deterministically."""
+    import hashlib
+
+    names = batch.column_names
+    ts = (
+        pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+        if "warc_ts" in names
+        else [None] * batch.num_rows
+    )
+    html = batch.column("html").to_pylist() if "html" in names else [b""] * batch.num_rows
+    text = batch.column("text").to_pylist() if "text" in names else [""] * batch.num_rows
+    lang = batch.column("lang").to_pylist() if "lang" in names else [""] * batch.num_rows
+    out = []
+    for ti, h, t, l in zip(ts, html, text, lang):
+        d = hashlib.md5(
+            (h or b"") + b"\x00" + (t or "").encode() + b"\x00" + (l or "").encode()
+        ).hexdigest()
+        out.append(f"{(ti + _TS_OFFSET) if ti is not None else 0:020d}|{d}")
+    return out
+
+
+def _dedup_urls_by_join(pages: Dataset, pick_one) -> Dataset:
+    """Shuffle fallback for dup-url sets too large to broadcast.
+
+    Key-only winner table (url -> max (ts, digest) key) from a
+    projection scan, then ONE hash join moves the pages through the
+    exchange to be masked.  Residual ties (same url, ts AND digest) are
+    byte-identical rows; they are detected with a key-column count and
+    resolved per-group on that subset only."""
+    from ray.data.aggregate import Count
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "url": batch.column("url"),
+                "wk": pa.array(_row_keys(batch), pa.string()),
+            }
+        )
+        # map-side combine before the key shuffle
+        if t.num_rows:
+            t = (
+                t.group_by(["url"])
+                .aggregate([("wk", "max")])
+                .rename_columns(["url", "w_max"])
+            )
+        return t
+
+    winners = (
+        pages.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("url")
+        .max("w_max")
+        .map_batches(
+            lambda b: pa.table(
+                {"url": b.column("url"), "w_max": b.column("max(w_max)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("wk", pa.array(_row_keys(batch), pa.string()))
+
+    tagged = pages.map_batches(tag, batch_format="pyarrow")
+    try:
+        n_rows = pages.count()
+    except Exception:
+        n_rows = 1 << 20
+    nparts = 1 if n_rows < 100_000 else max(2, min(512, n_rows // 200_000 + 2))
+    cols = [c for c in pages.schema().names]
+    joined = tagged.join(
+        winners, join_type="inner", num_partitions=nparts, on=("url",)
+    )
+
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("wk"), batch.column("w_max"))
+        return batch.filter(keep).select(cols)
+
+    masked = joined.map_batches(keep_winner, batch_format="pyarrow").materialize()
+
+    # byte-identical residual ties: key-column count, tiny by nature
+    ties = {
+        r["url"]
+        for r in masked.select_columns(["url"])
+        .groupby("url")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .take_all()
+    }
+    if not ties:
+        return masked
+    tie_ref = ray.put(pa.array(sorted(ties), pa.string()))
+
+    def split(batch: pa.Table, keep_tie: bool) -> pa.Table:
+        tk = ray.get(tie_ref)
+        hit = pc.is_valid(
+            pc.index_in(batch.column("url").combine_chunks(), value_set=tk)
+        )
+        return batch.filter(hit if keep_tie else pc.invert(hit))
+
+    clean = masked.map_batches(
+        split, fn_kwargs={"keep_tie": False}, batch_format="pyarrow"
+    )
+    resolved = (
+        masked.map_batches(split, fn_kwargs={"keep_tie": True}, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(pick_one, batch_format="pandas")
+    )
+    return clean.union(resolved)
+
+
 def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Dataset:
     """Keep the LATEST crawl per url (Common-Crawl reality: recrawled
     urls appear multiple times).
@@ -97,10 +230,13 @@ def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Data
        key-column pass over the masked rows; only those (vanishingly
        rare) urls go through a per-group pick.  No silent multi-keeps.
 
-    Past ``broadcast_limit`` distinct dup urls, falls back to a full
-    hash-shuffle ``groupby(url)`` resolution — the only plan when no
-    single node can hold the dup-url set; pages then move once through
-    the exchange.
+    Past ``broadcast_limit`` distinct dup urls, falls back to a
+    key-only winner computation + ONE hash join: every row gets a
+    sortable (warc_ts, content-digest) key, ``groupby(url).max(key)``
+    over the key columns picks the winner, and the pages move once
+    through the join exchange to be masked against it.  No per-url
+    ``map_groups`` — residual ties after the digest are byte-identical
+    rows and resolved on that (vanishingly rare) subset only.
     """
     from ray.data.aggregate import Count, Max
 
@@ -117,18 +253,18 @@ def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Data
 
     def pick_one(group):
         # deterministic winner even among equal-max-ts rows (shuffle
-        # order is not stable): tie-break on the text payload.
+        # order is not stable): tie-break on a content digest — the
+        # same rule as the shuffle fallback, so both paths agree.
         # na_position='first' so a NULL warc_ts never beats a real
         # timestamp (matches the broadcast path, which drops null-ts
         # rows whenever the url has any real crawl time)
-        by = ["warc_ts"] + (["text"] if "text" in group.columns else [])
-        g = group.sort_values(by, kind="stable", na_position="first")
-        return g.tail(1)
+        g = group.copy()
+        g["_d"] = _content_digests_pd(g)
+        g = g.sort_values(["warc_ts", "_d"], kind="stable", na_position="first")
+        return g.tail(1).drop(columns=["_d"])
 
     if n_dup > broadcast_limit:
-        # dup set exceeds a single node: full keyed shuffle (pages move
-        # once), resolved per group
-        return pages.groupby("url").map_groups(pick_one, batch_format="pandas")
+        return _dedup_urls_by_join(pages, pick_one)
 
     dup_urls: list[str] = []
     keep_ts: list = []
