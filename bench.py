@@ -61,7 +61,12 @@ def _warm_workers() -> None:
     ray.data.range(1000).map_batches(lambda b: b).count()
 
 
-def run_kg_flagship(sf_dir: str, pages_per_doc: int = 4) -> dict:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+
+def run_kg_flagship(sf_dir: str, pages_per_doc: int = 4, repeats: int = 1) -> dict:
     import ray
 
     from renard_ray.pipelines.kg import KGConfig, build_kg, read_pages
@@ -69,7 +74,6 @@ def run_kg_flagship(sf_dir: str, pages_per_doc: int = 4) -> dict:
 
     path, n_pages = _pages_path(sf_dir, pages_per_doc)
     _warm_workers()
-    t0 = time.time()
     cfg = KGConfig(
         doc=DocConfig(
             with_sentiment=True,
@@ -78,13 +82,27 @@ def run_kg_flagship(sf_dir: str, pages_per_doc: int = 4) -> dict:
             with_relations=True,
         )
     )
-    triples = build_kg(read_pages(path), cfg)
-    n_triples = triples.count()
-    dt = time.time() - t0
-    return {"sec": dt, "pages": n_pages, "triples": n_triples, "docs_per_sec": n_pages / dt}
+    runs = []
+    n_triples = 0
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        triples = build_kg(read_pages(path), cfg)
+        n_triples = triples.count()
+        runs.append(time.time() - t0)
+    dt = _median(runs)
+    return {
+        "sec": dt,
+        "pages": n_pages,
+        "triples": n_triples,
+        "docs_per_sec": n_pages / dt,
+        "runs": [round(r, 3) for r in runs],
+    }
 
 
-def run_query_suite(sf_dir: str) -> dict[str, float]:
+def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], dict]:
+    """Each query executed ``repeats`` times; returns (per-query median,
+    per-query raw run list) so the emitted JSON is self-describing
+    against host noise (see BASELINE.md noise caveat)."""
     import __ray_entry__ as entrymod
 
     names = [
@@ -103,20 +121,22 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
         "events_asof_last_purchase",
     ]
     qs = entrymod.queries()
-    out = {}
-    for name in names:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        # consume the stream (count() materializes the pipeline)
-        try:
-            from ray.data import Dataset
+    all_runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(max(1, repeats)):
+        for name in names:
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # consume the stream (count() materializes the pipeline)
+            try:
+                from ray.data import Dataset
 
-            if isinstance(res, Dataset):
-                res.count()
-        except ImportError:
-            pass
-        out[name] = round(time.time() - t0, 3)
-    return out
+                if isinstance(res, Dataset):
+                    res.count()
+            except ImportError:
+                pass
+            all_runs[name].append(round(time.time() - t0, 3))
+    medians = {name: round(_median(rs), 3) for name, rs in all_runs.items()}
+    return medians, all_runs
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -149,6 +169,12 @@ def main() -> None:
     ap.add_argument(
         "--pages-per-doc", type=int, default=4,
         help="scale of the synthetic KG corpus relative to the documents table",
+    )
+    ap.add_argument(
+        "--repeats", type=int, default=3,
+        help="runs per query; the emitted per-query number is the MEDIAN "
+        "and the raw run lists ride along in 'query_runs' (host noise "
+        "swings single runs up to 4x — BASELINE.md)",
     )
     args = ap.parse_args()
 
@@ -196,8 +222,11 @@ def main() -> None:
 
     _init_ray(args.cpus)
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
-    kg = run_kg_flagship(args.sf_dir, args.pages_per_doc)
-    queries = {} if args.kg_only else run_query_suite(args.sf_dir)
+    repeats = 1 if args.kg_only else max(1, args.repeats)
+    kg = run_kg_flagship(args.sf_dir, args.pages_per_doc, repeats=repeats)
+    queries, query_runs = (
+        ({}, {}) if args.kg_only else run_query_suite(args.sf_dir, repeats=repeats)
+    )
     total = kg["sec"] + sum(queries.values())
     print(
         json.dumps(
@@ -205,7 +234,10 @@ def main() -> None:
                 "metric": "e2e_bench_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": {"kg_flagship": kg["sec"], **queries},
+                "aggregation": f"median of {repeats} runs per query",
+                "repeats": repeats,
+                "queries": {"kg_flagship": round(kg["sec"], 3), **queries},
+                "query_runs": {"kg_flagship": kg["runs"], **query_runs},
                 "kg_flagship": {k: round(v, 3) if isinstance(v, float) else v for k, v in kg.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "num_cpus": args.cpus,

@@ -301,7 +301,7 @@ def knn_ivf(
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(qids_):
             lists = probes[qid]
-            mask = np.array([a in lists for a in assign]) & (ids != qid)
+            mask = np.isin(assign, np.fromiter(lists, dtype=np.int64)) & (ids != qid)
             idx = np.where(mask)[0]
             if len(idx) == 0:
                 continue

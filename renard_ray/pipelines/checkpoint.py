@@ -208,6 +208,12 @@ def run_kg_checkpointed_granular(
             else:
                 ds = ray.data.read_parquet(prev_out)
             out = stage.apply(ds)  # honors per-stage batch/actor knobs
+            # invalidate BEFORE touching out_dir: a crash between the
+            # rewrite below and the manifest replace must re-run this
+            # stage on resume, never skip on the stale 'complete'
+            # manifest + now-partial out_dir
+            if os.path.exists(man_path):
+                os.remove(man_path)
             os.makedirs(out_dir, exist_ok=True)
             for old in os.listdir(out_dir):
                 os.remove(f"{out_dir}/{old}")
