@@ -19,8 +19,9 @@ same sorted-run/boundary-stitch machinery as ``events_sessionize``:
 4. per-block summaries (first key, last key, last filled id) — two
    rows per block — go to the driver, which prefix-scans them in block
    order to compute each block's carry-in, then broadcasts the tiny
-   {block -> carry} map for a second vectorized pass over the pending
-   subset only.
+   {block -> carry} map; ONE vectorized finalize pass emits every row,
+   pending rows taking their block's carry-in (single output schema,
+   no filter+union fan-out).
 
 Scale: the data moves through exactly one sort shuffle; driver state is
 O(#blocks); skew (a hub key spanning many blocks) degrades to streaming
@@ -45,10 +46,24 @@ _OUT_COLS = {
     "sum_end_id": "float64",
 }
 
+# one Arrow schema for every block on both union branches — a pandas/
+# arrow block mix makes Ray's schema unification warn on every merge
+_OUT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("user_id", pa.int64()),
+        ("event_id", pa.int64()),
+        ("last_id", pa.float64()),
+        ("bk", pa.string()),
+        ("sum_last_k", pa.float64()),
+        ("sum_end_id", pa.float64()),
+    ]
+)
 
-def _block_fill(df: pd.DataFrame) -> pd.DataFrame:
+
+def _block_fill(df: pd.DataFrame) -> pa.Table:
     if df.empty:
-        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _OUT_COLS.items()})
+        return _OUT_SCHEMA.empty_table()
     # df is sorted by (k, t, side); right rows carry rid, left rows NaN
     filled = df.groupby("k", sort=False)["rid"].ffill()
     first = df.iloc[0]
@@ -88,7 +103,8 @@ def _block_fill(df: pd.DataFrame) -> pd.DataFrame:
             "sum_end_id": [float(end_id) if pd.notna(end_id) else float("nan")],
         }
     )
-    return pd.concat([out, summary], ignore_index=True).astype(_OUT_COLS)
+    res = pd.concat([out, summary], ignore_index=True).astype(_OUT_COLS)
+    return pa.Table.from_pandas(res, schema=_OUT_SCHEMA, preserve_index=False)
 
 
 def asof_join_events(
@@ -142,16 +158,9 @@ def asof_join_events(
     )
     marked = u.map_batches(_block_fill, batch_format="pandas", batch_size=None).materialize()
 
-    finals = marked.filter(expr="kind == 'f'").select_columns(
-        ["user_id", "event_id", "last_id"]
-    )
-
     # driver stitch: order blocks by their first-row identity (= global
     # sort order), prefix-scan the per-block summaries into carry-ins
     summaries = marked.filter(expr="kind == 's'").to_pandas()
-    pend_count = marked.filter(expr="kind == 'p'").count()
-    if pend_count == 0:
-        return finals
 
     def bk_sort_key(bk: str):
         k, t, side, rid = bk.split("|")
@@ -173,16 +182,23 @@ def asof_join_events(
 
     carry_ref = ray.put(carry_map)
 
-    def fill_pending(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE finalize pass resolves final AND pending rows (pending rows
+    # take their block's carry-in) — no filter+union fan-out, so every
+    # output block shares one schema and the data is read exactly once
+    def resolve(df: pd.DataFrame) -> pa.Table:
         cm = ray.get(carry_ref)
-        df = df.copy()
-        df["last_id"] = df["bk"].map(cm)
-        return df[["user_id", "event_id", "last_id"]]
+        df = df[df["kind"] != "s"]
+        pend = df["kind"] == "p"
+        last = df["last_id"].where(~pend, df["bk"].map(cm))
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].astype("int64"), pa.int64()),
+                "event_id": pa.array(df["event_id"].astype("int64"), pa.int64()),
+                "last_id": pa.array(last.astype("float64"), pa.float64()),
+            }
+        )
 
-    resolved = marked.filter(expr="kind == 'p'").map_batches(
-        fill_pending, batch_format="pandas"
-    )
-    return finals.union(resolved)
+    return marked.map_batches(resolve, batch_format="pandas")
 
 
 def events_last_purchase(sf_dir: str, right_type: str = "purchase") -> Dataset:

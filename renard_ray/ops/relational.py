@@ -519,7 +519,20 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     sorted_ds = ds.sort(["user_id", "ts"])
 
-    def block_sessions(df: pd.DataFrame) -> pd.DataFrame:
+    # one Arrow schema for every block on both union branches (pandas/
+    # arrow mixes make Ray's schema unification warn on every merge)
+    sess_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("final", pa.bool_()),
+        ]
+    )
+
+    def block_sessions(df: pd.DataFrame) -> pa.Table:
         cols = {
             "user_id": "int64",
             "session_id": "int64",
@@ -529,7 +542,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
             "final": "bool",
         }
         if df.empty:
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+            return sess_schema.empty_table()
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = df["ts"].diff().dt.total_seconds() > gap_sec
         rid = (new_user | gap).cumsum()
@@ -1068,10 +1081,6 @@ def events_running_total(sf_dir: str) -> Dataset:
         block_scan, batch_format="pandas", batch_size=None
     ).materialize()
 
-    finals = marked.filter(expr="kind == 'f'").select_columns(
-        ["user_id", "event_id", "running_cents"]
-    )
-
     summaries = marked.filter(expr="kind == 's'").to_pandas()
 
     def bk_key(bk: str):
@@ -1090,27 +1099,27 @@ def events_running_total(sf_dir: str) -> Dataset:
         if last_k != first_k:
             running[last_k] = int(r.s_last_sum)
 
-    if not carry_map or all(v == 0 for v in carry_map.values()):
-        # no cross-block users with prior state: pending rows are final
-        pend = marked.filter(expr="kind == 'p'").select_columns(
-            ["user_id", "event_id", "running_cents"]
-        )
-        return finals.union(pend)
-
     carry_ref = ray.put(carry_map)
 
-    def add_carry(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE finalize pass over every block: pending (first-user) rows add
+    # their block's carry-in, final rows pass through — single output
+    # schema, no filter+union fan-out
+    def resolve(df: pd.DataFrame) -> pa.Table:
         cm = ray.get(carry_ref)
-        df = df.copy()
-        df["running_cents"] = df["running_cents"] + df["bk"].map(cm).fillna(0).astype(
-            "int64"
+        df = df[df["kind"] != "s"]
+        pend = df["kind"] == "p"
+        add = df["bk"].map(cm).fillna(0).astype("int64").where(pend, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].astype("int64"), pa.int64()),
+                "event_id": pa.array(df["event_id"].astype("int64"), pa.int64()),
+                "running_cents": pa.array(
+                    (df["running_cents"] + add).astype("int64"), pa.int64()
+                ),
+            }
         )
-        return df[["user_id", "event_id", "running_cents"]]
 
-    resolved = marked.filter(expr="kind == 'p'").map_batches(
-        add_carry, batch_format="pandas"
-    )
-    return finals.union(resolved)
+    return marked.map_batches(resolve, batch_format="pandas")
 
 
 def q17_small_quantity_revenue(sf_dir: str) -> Dataset:
