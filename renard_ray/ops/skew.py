@@ -66,6 +66,7 @@ def skew_aware_join(
     right_on: str | None = None,
     num_partitions: int = 8,
     hot_threshold: int = 100_000,
+    broadcast_row_cap: int = 2_000_000,
 ) -> Dataset:
     """Hash join that survives hot keys ("salt hot keys" at 100 TB).
 
@@ -73,17 +74,23 @@ def skew_aware_join(
     key (a celebrity entity, a null-ish default value) turns that
     partition into the straggler.  Plan:
 
-    1. one key-column pass over the LEFT side counts per-key rows; keys
-       over ``hot_threshold`` form the (small — by definition there can
-       be few keys that big) hot set;
-    2. hot-key rows on the RIGHT are collected and broadcast via
-       ``ray.put`` (bounded: hot keys are few, and the right side of a
-       join is dimension-like for hub keys); hot LEFT rows join against
-       the broadcast map in a vectorized per-batch pass — no shuffle,
-       perfectly spread;
+    1. one key-column pass over EACH side counts per-key rows; keys over
+       ``hot_threshold`` on either side form the (small — by definition
+       there can be few keys that big) hot-candidate set;
+    2. each hot key picks the strategy that broadcasts its SMALLER side:
+       rows of that side are collected and shipped once via ``ray.put``,
+       the bigger side streams through a vectorized per-batch join — no
+       shuffle, perfectly spread.  The total collected rows are capped
+       at ``broadcast_row_cap`` (worst hubs first); keys heavy on BOTH
+       sides or past the budget stay in the hash join (bounded driver
+       memory beats an unbounded broadcast — a fact×fact hub needs a
+       salted replicate join, which ``salted_groupby_sum`` callers
+       avoid by pre-aggregating instead);
     3. cold rows of both sides go through the ordinary hash join;
     4. union.  Row-identical to the plain join (inner semantics).
     """
+    import logging
+
     import ray
     from ray.data.aggregate import Count
 
@@ -96,31 +103,83 @@ def skew_aware_join(
     def order_cols(batch: pa.Table) -> pa.Table:
         return batch.select([c for c in out_cols if c in batch.column_names])
 
-    hot = (
-        left.select_columns([on])
-        .groupby(on)
-        .aggregate(Count(alias_name="n"))
-        .filter(expr=f"n > {hot_threshold}")
-        .take_all()
-    )
-    if not hot:
+    def plain() -> Dataset:
         return left.join(
             right, join_type="inner", num_partitions=num_partitions,
             on=(on,), right_on=(right_on,),
         ).map_batches(order_cols, batch_format="pyarrow")
-    hot_keys = pa.array(sorted(r[on] for r in hot))
-    hot_ref = ray.put(hot_keys)
 
-    def split(batch: pa.Table, col: str, keep_hot: bool) -> pa.Table:
-        hk = ray.get(hot_ref)
-        hit = pc.is_valid(pc.index_in(batch.column(col).combine_chunks(), value_set=hk))
-        return batch.filter(hit if keep_hot else pc.invert(hit))
+    # per-key counts, one key-column pass per side (distinct-key sized,
+    # distributed); materialized because each is scanned twice below
+    lcounts = (
+        left.select_columns([on]).groupby(on)
+        .aggregate(Count(alias_name="n")).materialize()
+    )
+    rcounts = (
+        right.select_columns([right_on]).groupby(right_on)
+        .aggregate(Count(alias_name="n")).materialize()
+    )
+    lhot = {r[on]: r["n"] for r in lcounts.filter(expr=f"n > {hot_threshold}").take_all()}
+    rhot = {
+        r[right_on]: r["n"]
+        for r in rcounts.filter(expr=f"n > {hot_threshold}").take_all()
+    }
+    cand = sorted(set(lhot) | set(rhot))
+    if not cand:
+        return plain()
+
+    # counterpart counts for the candidate keys only (bounded: |cand|)
+    cand_arr = pa.array(cand)
+
+    def restrict(batch: pa.Table, col: str) -> pa.Table:
+        hit = pc.is_valid(
+            pc.index_in(batch.column(col).combine_chunks(), value_set=cand_arr)
+        )
+        return batch.filter(hit)
+
+    ln = {r[on]: r["n"] for r in lcounts.map_batches(
+        restrict, fn_kwargs={"col": on}, batch_format="pyarrow").take_all()}
+    rn = {r[right_on]: r["n"] for r in rcounts.map_batches(
+        restrict, fn_kwargs={"col": right_on}, batch_format="pyarrow").take_all()}
+
+    # strategy per key, worst hubs first, within the broadcast budget:
+    # broadcast the smaller side, stream the bigger one
+    bcast_right_keys: list = []  # collect right rows, stream left
+    bcast_left_keys: list = []  # collect left rows, stream right
+    budget = broadcast_row_cap
+    deferred = 0
+    for k in sorted(cand, key=lambda k: -max(ln.get(k, 0), rn.get(k, 0))):
+        l_n, r_n = ln.get(k, 0), rn.get(k, 0)
+        small = min(l_n, r_n)
+        if small > budget:
+            deferred += 1  # heavy on both sides, or budget exhausted
+            continue
+        budget -= small
+        (bcast_right_keys if r_n <= l_n else bcast_left_keys).append(k)
+    if deferred:
+        logging.getLogger(__name__).warning(
+            "skew_aware_join: %d hot key(s) exceed broadcast_row_cap=%d on "
+            "both sides; they stay in the hash join (straggler risk, "
+            "bounded memory)", deferred, broadcast_row_cap,
+        )
+    if not bcast_right_keys and not bcast_left_keys:
+        return plain()
+
+    handled = pa.array(sorted(bcast_right_keys + bcast_left_keys))
+    handled_ref = ray.put(handled)
+    bR = ray.put(pa.array(sorted(bcast_right_keys))) if bcast_right_keys else None
+    bL = ray.put(pa.array(sorted(bcast_left_keys))) if bcast_left_keys else None
+
+    def split(batch: pa.Table, col: str, keep: bool, keys_ref=None) -> pa.Table:
+        ks = ray.get(keys_ref if keys_ref is not None else handled_ref)
+        hit = pc.is_valid(pc.index_in(batch.column(col).combine_chunks(), value_set=ks))
+        return batch.filter(hit if keep else pc.invert(hit))
 
     cold = left.map_batches(
-        split, fn_kwargs={"col": on, "keep_hot": False}, batch_format="pyarrow"
+        split, fn_kwargs={"col": on, "keep": False}, batch_format="pyarrow"
     ).join(
         right.map_batches(
-            split, fn_kwargs={"col": right_on, "keep_hot": False},
+            split, fn_kwargs={"col": right_on, "keep": False},
             batch_format="pyarrow",
         ),
         join_type="inner",
@@ -128,33 +187,57 @@ def skew_aware_join(
         on=(on,),
         right_on=(right_on,),
     )
+    branches = [cold.map_batches(order_cols, batch_format="pyarrow")]
 
-    # broadcast the RIGHT rows of hot keys (few keys -> bounded table)
-    hot_right_batches = [
-        b
-        for b in right.map_batches(
-            split, fn_kwargs={"col": right_on, "keep_hot": True},
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
-        if b.num_rows
-    ]
-    if not hot_right_batches:
-        # hot keys have no right-side match (inner join)
-        return cold.map_batches(order_cols, batch_format="pyarrow")
-    hot_right = pa.concat_tables(hot_right_batches)
-    hr_ref = ray.put(hot_right)
+    def collect(ds: Dataset, col: str, keys_ref) -> pa.Table | None:
+        batches = [
+            b
+            for b in ds.map_batches(
+                split, fn_kwargs={"col": col, "keep": True, "keys_ref": keys_ref},
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        return pa.concat_tables(batches) if batches else None
 
-    def bcast_join(batch: pa.Table) -> pa.Table:
-        hr = ray.get(hr_ref)
-        return batch.join(hr, keys=[on], right_keys=[right_on], join_type="inner")
+    if bR is not None:
+        hot_right = collect(right, right_on, bR)
+        if hot_right is not None:  # inner join: no right match -> no rows
+            hr_ref = ray.put(hot_right)
 
-    hot_left = left.map_batches(
-        split, fn_kwargs={"col": on, "keep_hot": True}, batch_format="pyarrow"
-    )
-    hot_joined = hot_left.map_batches(bcast_join, batch_format="pyarrow")
+            def join_right_bcast(batch: pa.Table) -> pa.Table:
+                hr = ray.get(hr_ref)
+                return batch.join(hr, keys=[on], right_keys=[right_on], join_type="inner")
 
-    # normalize column order on both branches before the union (the
-    # hash-join and pyarrow-join output orders differ)
-    return cold.map_batches(order_cols, batch_format="pyarrow").union(
-        hot_joined.map_batches(order_cols, batch_format="pyarrow")
-    )
+            branches.append(
+                left.map_batches(
+                    split, fn_kwargs={"col": on, "keep": True, "keys_ref": bR},
+                    batch_format="pyarrow",
+                )
+                .map_batches(join_right_bcast, batch_format="pyarrow")
+                .map_batches(order_cols, batch_format="pyarrow")
+            )
+    if bL is not None:
+        hot_left = collect(left, on, bL)
+        if hot_left is not None:
+            hl_ref = ray.put(hot_left)
+
+            def join_left_bcast(batch: pa.Table) -> pa.Table:
+                # broadcast side on the LEFT keeps the `on` key column in
+                # the output (streamed `right_on` is the dropped key)
+                hl = ray.get(hl_ref)
+                return hl.join(batch, keys=[on], right_keys=[right_on], join_type="inner")
+
+            branches.append(
+                right.map_batches(
+                    split, fn_kwargs={"col": right_on, "keep": True, "keys_ref": bL},
+                    batch_format="pyarrow",
+                )
+                .map_batches(join_left_bcast, batch_format="pyarrow")
+                .map_batches(order_cols, batch_format="pyarrow")
+            )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out

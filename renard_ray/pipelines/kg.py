@@ -615,9 +615,13 @@ def relabel_and_aggregate(
             names = batch.column("subj").to_pylist()
             weights = batch.column("sum(weight)").to_pylist()
             # integer arithmetic: a float "1e18 - w" loses everything
-            # below its 128-ULP and collapses distinct counts
+            # below its 128-ULP and collapses distinct counts.  Clamp
+            # both fields to their fixed width — an overflow would go
+            # negative and the leading '-' would break the
+            # lexicographic-min ordering silently.
             enc = [
-                f"{10**16 - int(round(float(w) * 100)):017d}|{10**6 - len(s):07d}|{s}"
+                f"{10**16 - min(int(round(float(w) * 100)), 10**16 - 1):017d}"
+                f"|{10**6 - min(len(s), 10**6 - 1):07d}|{s}"
                 for w, s in zip(weights, names)
             ]
             return pa.table(

@@ -98,3 +98,55 @@ def test_skew_aware_join_matches_plain_join(ray_session):
         .to_pandas()
     )
     assert len(got2) == len(want)
+
+
+def test_skew_aware_join_right_hot_and_budget(ray_session):
+    """A RIGHT-side hub key takes the broadcast-LEFT strategy, and a key
+    heavy on both sides falls back to the hash join under a tiny
+    broadcast budget — rows identical to a plain merge either way."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.skew import skew_aware_join
+
+    rng = np.random.RandomState(9)
+    # key 3: right-side hub (many right rows, 2 left rows)
+    # key 5: heavy on BOTH sides (fact x fact)
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate(
+                [[3, 3], np.full(400, 5), rng.randint(10, 30, size=200)]
+            ).astype("int64"),
+        }
+    )
+    left["lval"] = np.arange(len(left), dtype="int64")
+    right = pd.DataFrame(
+        {
+            "rk": np.concatenate(
+                [np.full(500, 3), np.full(400, 5), np.arange(10, 30)]
+            ).astype("int64"),
+        }
+    )
+    right["rval"] = np.arange(len(right), dtype="int64")
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    # budget of 10 rows: key 3 broadcasts its 2 LEFT rows; key 5
+    # (min side 400) exceeds the budget and stays in the hash join
+    got = (
+        skew_aware_join(
+            lds, rds, on="k", right_on="rk", hot_threshold=300,
+            broadcast_row_cap=10,
+        )
+        .to_pandas()
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    assert got["lval"].tolist() == want["lval"].tolist()
+    assert got["rval"].tolist() == want["rval"].tolist()
