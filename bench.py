@@ -222,7 +222,7 @@ def main() -> None:
 
     _init_ray(args.cpus)
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
-    repeats = 1 if args.kg_only else max(1, args.repeats)
+    repeats = max(1, args.repeats)
     kg = run_kg_flagship(args.sf_dir, args.pages_per_doc, repeats=repeats)
     queries, query_runs = (
         ({}, {}) if args.kg_only else run_query_suite(args.sf_dir, repeats=repeats)

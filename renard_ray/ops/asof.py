@@ -36,18 +36,10 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-_OUT_COLS = {
-    "kind": "object",  # 'f' final, 'p' pending, 's' summary
-    "user_id": "int64",
-    "event_id": "int64",
-    "last_id": "float64",  # nullable int carried as float in pandas
-    "bk": "object",  # block key (first-row identity)
-    "sum_last_k": "float64",
-    "sum_end_id": "float64",
-}
-
 # one Arrow schema for every block on both union branches — a pandas/
-# arrow block mix makes Ray's schema unification warn on every merge
+# arrow block mix makes Ray's schema unification warn on every merge.
+# kind: 'f' final, 'p' pending, 's' summary; last_id is a nullable int
+# carried as float; bk is the block key (first-row identity).
 _OUT_SCHEMA = pa.schema(
     [
         ("kind", pa.string()),
@@ -103,7 +95,7 @@ def _block_fill(df: pd.DataFrame) -> pa.Table:
             "sum_end_id": [float(end_id) if pd.notna(end_id) else float("nan")],
         }
     )
-    res = pd.concat([out, summary], ignore_index=True).astype(_OUT_COLS)
+    res = pd.concat([out, summary], ignore_index=True)
     return pa.Table.from_pandas(res, schema=_OUT_SCHEMA, preserve_index=False)
 
 

@@ -533,14 +533,6 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     )
 
     def block_sessions(df: pd.DataFrame) -> pa.Table:
-        cols = {
-            "user_id": "int64",
-            "session_id": "int64",
-            "n_events": "int64",
-            "start_us": "int64",
-            "end_us": "int64",
-            "final": "bool",
-        }
         if df.empty:
             return sess_schema.empty_table()
         new_user = df["user_id"].ne(df["user_id"].shift())
@@ -580,7 +572,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
             }
         )
         out = pd.concat([out_int, out_edge], ignore_index=True)
-        return out.astype(cols)
+        return pa.Table.from_pandas(out, schema=sess_schema, preserve_index=False)
 
     marked = sorted_ds.map_batches(
         block_sessions, batch_format="pandas", batch_size=None

@@ -158,9 +158,11 @@ def skew_aware_join(
         (bcast_right_keys if r_n <= l_n else bcast_left_keys).append(k)
     if deferred:
         logging.getLogger(__name__).warning(
-            "skew_aware_join: %d hot key(s) exceed broadcast_row_cap=%d on "
-            "both sides; they stay in the hash join (straggler risk, "
-            "bounded memory)", deferred, broadcast_row_cap,
+            "skew_aware_join: %d hot key(s) left in the hash join — their "
+            "smaller side exceeds the remaining broadcast budget "
+            "(broadcast_row_cap=%d; heavy on both sides, or budget consumed "
+            "by bigger hubs). Straggler risk, bounded memory; raising the "
+            "cap may fix budget-crowded keys.", deferred, broadcast_row_cap,
         )
     if not bcast_right_keys and not bcast_left_keys:
         return plain()

@@ -80,29 +80,31 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
 _TS_OFFSET = 1 << 62  # keeps encoded timestamps non-negative (NULL -> 0)
 
 
-def _content_digests_pd(df) -> list[str]:
-    """Per-row md5 over (html, text, lang) — the deterministic
-    tie-break for equal-max-timestamp recrawls.  Byte-identical rows
-    (the only digest collisions that matter) are interchangeable."""
+def _row_digest(h, t, l) -> str:
+    """md5 over (html, text, lang) for ONE row — the single digest
+    recipe shared by the broadcast path and the join fallback, so both
+    sides of the ``broadcast_limit`` boundary pick the same winner."""
     import hashlib
 
+    return hashlib.md5(
+        (h or b"") + b"\x00" + (t or "").encode() + b"\x00" + (l or "").encode()
+    ).hexdigest()
+
+
+def _content_digests_pd(df) -> list[str]:
+    """Per-row digests — the deterministic tie-break for
+    equal-max-timestamp recrawls.  Byte-identical rows (the only digest
+    collisions that matter) are interchangeable."""
     html = df["html"] if "html" in df.columns else [b""] * len(df)
     text = df["text"] if "text" in df.columns else [""] * len(df)
     lang = df["lang"] if "lang" in df.columns else [""] * len(df)
-    return [
-        hashlib.md5(
-            (h or b"") + b"\x00" + (t or "").encode() + b"\x00" + (l or "").encode()
-        ).hexdigest()
-        for h, t, l in zip(html, text, lang)
-    ]
+    return [_row_digest(h, t, l) for h, t, l in zip(html, text, lang)]
 
 
 def _row_keys(batch: pa.Table) -> list[str]:
     """Sortable per-row winner key: zero-padded encoded warc_ts + '|' +
     content digest.  NULL ts encodes as all-zeros, so a real crawl time
     always wins; digest breaks exact-ts ties deterministically."""
-    import hashlib
-
     names = batch.column_names
     ts = (
         pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
@@ -114,9 +116,7 @@ def _row_keys(batch: pa.Table) -> list[str]:
     lang = batch.column("lang").to_pylist() if "lang" in names else [""] * batch.num_rows
     out = []
     for ti, h, t, l in zip(ts, html, text, lang):
-        d = hashlib.md5(
-            (h or b"") + b"\x00" + (t or "").encode() + b"\x00" + (l or "").encode()
-        ).hexdigest()
+        d = _row_digest(h, t, l)
         out.append(f"{(ti + _TS_OFFSET) if ti is not None else 0:020d}|{d}")
     return out
 
@@ -124,31 +124,33 @@ def _row_keys(batch: pa.Table) -> list[str]:
 def _dedup_urls_by_join(pages: Dataset, pick_one) -> Dataset:
     """Shuffle fallback for dup-url sets too large to broadcast.
 
-    Key-only winner table (url -> max (ts, digest) key) from a
-    projection scan, then ONE hash join moves the pages through the
+    The digest pass (md5 over each page's full payload) is the dominant
+    CPU cost, so pages are tagged ONCE and materialized (spillable);
+    the winner table (url -> max (ts, digest) key) derives from the
+    tagged key columns, then ONE hash join moves the pages through the
     exchange to be masked.  Residual ties (same url, ts AND digest) are
     byte-identical rows; they are detected with a key-column count and
     resolved per-group on that subset only."""
     from ray.data.aggregate import Count
 
-    def key_rows(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "url": batch.column("url"),
-                "wk": pa.array(_row_keys(batch), pa.string()),
-            }
-        )
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("wk", pa.array(_row_keys(batch), pa.string()))
+
+    tagged = pages.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def combine_keys(batch: pa.Table) -> pa.Table:
         # map-side combine before the key shuffle
-        if t.num_rows:
-            t = (
-                t.group_by(["url"])
+        if batch.num_rows:
+            return (
+                batch.group_by(["url"])
                 .aggregate([("wk", "max")])
                 .rename_columns(["url", "w_max"])
             )
-        return t
+        return pa.table({"url": batch.column("url"), "w_max": batch.column("wk")})
 
     winners = (
-        pages.map_batches(key_rows, batch_format="pyarrow")
+        tagged.select_columns(["url", "wk"])
+        .map_batches(combine_keys, batch_format="pyarrow")
         .groupby("url")
         .max("w_max")
         .map_batches(
@@ -159,14 +161,7 @@ def _dedup_urls_by_join(pages: Dataset, pick_one) -> Dataset:
         )
     )
 
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column("wk", pa.array(_row_keys(batch), pa.string()))
-
-    tagged = pages.map_batches(tag, batch_format="pyarrow")
-    try:
-        n_rows = pages.count()
-    except Exception:
-        n_rows = 1 << 20
+    n_rows = tagged.count()
     nparts = 1 if n_rows < 100_000 else max(2, min(512, n_rows // 200_000 + 2))
     cols = [c for c in pages.schema().names]
     joined = tagged.join(
