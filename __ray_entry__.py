@@ -270,7 +270,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_topk_per_brand": relational.part_topk_per_brand,
         "customer_order_history": relational.customer_order_history,
         "doc_embedding_join": relational.doc_embedding_join,
-        "prolific_sources": relational.prolific_sources,
         "priority_or_big_customers": relational.priority_or_big_customers,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -300,6 +299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 0.45 demonstrates the operator on this corpus (max planted
         # cosine is ~0.48; nothing passes a true near-dup threshold)
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, 0.45),
+        # exact inverted-index set-similarity join (no LSH); SQL oracle
+        # is the shingle self-join — also a superset check on the
+        # minhash family's 25 planted near-dup pairs
+        "doc_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, 0.8),
         # similarity search
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
         # full probe (n_probe == n_lists) is exact by construction, so
@@ -329,11 +332,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plainly: entries the driver has NEVER graded go inside the
         # window; the slots are freed by rotating out queries that were
         # SQL-oracle-exact in BOTH round 1 and round 2 (doc_word_topk,
-        # top_customers, part_type_stats, order_priority_counts — moved
-        # below this line in round 3).  Every entry, inside or out, is
+        # top_customers, part_type_stats, order_priority_counts,
+        # prolific_sources — moved below this line in round 3, the last
+        # to make room for the new doc_ngram_jaccard).  Every entry,
+        # inside or out, is
         # still value-checked against its DuckDB oracle by the local
         # harness (tools/check_correctness.py runs all 60) and by the
         # pytest fixtures in tests/.
+        "prolific_sources": relational.prolific_sources,
         "doc_word_topk": textstats.word_topk,
         "top_customers": relational.top_customers_by_balance,
         "part_type_stats": relational.part_type_stats,
@@ -753,6 +759,39 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # mirrors renard_ray.ops.dedup._shingles exactly: lower + \s+
+        # split, 5-word shingles, whole text when fewer than 5 words,
+        # DISTINCT shingles per doc; raw double division (no rounding)
+        # is bit-identical between DuckDB and numpy
+        "doc_ngram_jaccard": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+              FROM w CROSS JOIN LATERAL (
+                SELECT UNNEST(generate_series(1, GREATEST(len(ws) - 4, 1))) AS i
+              ) t
+              WHERE len(ws) >= 1
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS ic
+              FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(ic AS DOUBLE) / CAST(na.n + nb.n - ic AS DOUBLE)
+                       AS jaccard_sim
+            FROM inter
+            JOIN sizes na ON inter.a = na.doc_id
+            JOIN sizes nb ON inter.b = nb.doc_id
+            WHERE CAST(ic AS DOUBLE) / CAST(na.n + nb.n - ic AS DOUBLE) >= 0.8
         """,
         "doc_distinct_words_exact": """
             SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words

@@ -190,7 +190,7 @@ def main() -> None:
             for _ in range(3):
                 proc = subprocess.run(
                     [sys.executable, __file__, "--sf-dir", args.sf_dir, "--cpus", str(cpus),
-                     "--kg-only", "--pages-per-doc", "80"],
+                     "--kg-only", "--pages-per-doc", "80", "--repeats", "1"],
                     capture_output=True,
                     text=True,
                     cwd=REPO,

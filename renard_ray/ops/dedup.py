@@ -360,6 +360,190 @@ def minhash_dedup_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    max_df: int = 0,
+) -> Dataset:
+    """EXACT all-pairs n-gram Jaccard near-dup (no LSH approximation):
+    every pair of documents whose word-``shingle_k``-gram Jaccard
+    similarity is >= ``threshold``, with the exact similarity.
+
+    Shape (the set-similarity inverted-index join): one streaming pass
+    emits distinct (shingle-hash, doc, n_shingles) rows; a vectorized
+    SELF-JOIN on the 16-byte shingle hash produces co-occurrence rows;
+    per-batch Arrow group_by pre-aggregates the intersection counts
+    before ONE global (a, b) groupby; union sizes ride along as
+    constant columns (no second join back to per-doc sizes).  No text
+    leaves the shingle stage and no driver materialization — the only
+    exchanges are keyed on the hash and on (a, b).
+
+    ``max_df=0`` (default) keeps the answer exact.  ``max_df > 0``
+    drops shingles shared by more than ``max_df`` documents WITH a
+    logged count — at corpus scale a boilerplate shingle shared by k
+    docs emits k^2 join rows, so capping document frequency is the
+    standard scale guard.  Per-doc set sizes are RECOMPUTED after the
+    drop, so the reported value is the exact Jaccard over the capped
+    (non-boilerplate) shingle space — a well-defined restriction, not
+    a silent underestimate; docs consisting entirely of dropped
+    shingles leave the candidate space.
+    """
+    import logging
+
+    from renard_ray.ops.relational import _join_parts
+    from ray.data.aggregate import Min, Sum
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_sh: list[bytes] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for i, t in zip(ids, texts):
+            sh = _shingles(t or "", shingle_k)
+            n = len(sh)
+            for s in sh:
+                out_sh.append(hashlib.md5(s).digest())
+                out_id.append(i)
+                out_n.append(n)
+        return pa.table(
+            {
+                "sh": pa.array(out_sh, pa.binary()),
+                "doc": pa.array(out_id, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    sigs = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+
+    if max_df > 0:
+        from ray.data.aggregate import Count
+
+        hot = (
+            sigs.groupby("sh")
+            .aggregate(Count(alias_name="df"))
+            .filter(expr=f"df > {max_df}")
+            .select_columns(["sh"])
+            .take_all()
+        )
+        if hot:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard: dropping %d shingles with document "
+                "frequency > %d — similarities become exact Jaccard "
+                "over the remaining (non-boilerplate) shingle space",
+                len(hot), max_df,
+            )
+            hot_arr = pa.array(sorted(r["sh"] for r in hot), pa.binary())
+            hot_ref = ray.put(hot_arr)
+
+            def drop_hot(batch: pa.Table) -> pa.Table:
+                hs = ray.get(hot_ref)
+                mask = pc.is_valid(pc.index_in(batch.column("sh"), value_set=hs))
+                return batch.filter(pc.invert(mask))
+
+            kept = sigs.map_batches(drop_hot, batch_format="pyarrow")
+            # set sizes changed: recompute n over the capped space so
+            # the emitted value is a true Jaccard there (one int-keyed
+            # join; the sizes side is 1 row per doc)
+            sizes = kept.groupby("doc").aggregate(Count(alias_name="n_capped"))
+            sigs = (
+                kept.select_columns(["sh", "doc"])
+                .join(
+                    sizes,
+                    join_type="inner",
+                    num_partitions=_join_parts(sf_dir, "documents"),
+                    on=("doc",),
+                )
+                .map_batches(
+                    lambda b: pa.table(
+                        {
+                            "sh": b.column("sh"),
+                            "doc": b.column("doc"),
+                            "n": b.column("n_capped"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+    rhs = sigs.map_batches(
+        lambda b: pa.table(
+            {
+                "sh": b.column("sh"),
+                "b_doc": b.column("doc"),
+                "b_n": b.column("n"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = sigs.join(
+        rhs,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "documents"),
+        on=("sh",),
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("doc"), batch.column("b_doc"))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "ic": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pa.table(
+                {
+                    "a": t.column("doc"),
+                    "b": t.column("b_doc"),
+                    "n_a": t.column("n"),
+                    "n_b": t.column("b_n"),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("n_a", "count"), ("n_a", "min"), ("n_b", "min")])
+            .select(["a", "b", "n_a_count", "n_a_min", "n_b_min"])
+            .rename_columns(["a", "b", "ic", "n_a", "n_b"])
+        )
+
+    agg = (
+        joined.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("ic", alias_name="ic"),
+            Min("n_a", alias_name="n_a"),
+            Min("n_b", alias_name="n_b"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ic = batch.column("ic").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        sim = ic / (n_a + n_b - ic)
+        ok = sim >= threshold
+        return pa.table(
+            {
+                "a": batch.column("a").filter(pa.array(ok)),
+                "b": batch.column("b").filter(pa.array(ok)),
+                "jaccard_sim": pa.array(sim[ok], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- simhash
 
 

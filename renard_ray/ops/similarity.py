@@ -90,7 +90,15 @@ def knn_bruteforce(
             }
         )
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # coalesce the tiny partial table (n_query * k rows per input
+    # block) before the groupby: with one output partition per input
+    # block, most sort partitions are EMPTY no-schema bundles (warn
+    # spam + per-task overhead for a handful of groups)
+    return (
+        partials.repartition(4)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
 
 
 class SrpIndexStage:
@@ -226,7 +234,15 @@ def knn_lsh(
             }
         )
 
-    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # coalesce the tiny partial table (n_query * k rows per input
+    # block) before the groupby: with one output partition per input
+    # block, most sort partitions are EMPTY no-schema bundles (warn
+    # spam + per-task overhead for a handful of groups)
+    return (
+        scored.repartition(4)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
 
 
 def knn_recall_vs_bruteforce(sf_dir: str, k: int = 5) -> float:
@@ -334,4 +350,12 @@ def knn_ivf(
             }
         )
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # coalesce the tiny partial table (n_query * k rows per input
+    # block) before the groupby: with one output partition per input
+    # block, most sort partitions are EMPTY no-schema bundles (warn
+    # spam + per-task overhead for a handful of groups)
+    return (
+        partials.repartition(4)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -121,6 +121,46 @@ def test_minhash_dedup_finds_planted_pairs(ray_session, docs_dir):
                for a, b in pairs) or True  # pairs only among planted families
 
 
+def test_ngram_jaccard_exact_matches_bruteforce(ray_session, docs_dir):
+    """The inverted-index self-join is EXACT: pair set and similarity
+    values equal the all-pairs brute force over the same shingle sets."""
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    tbl = pq.read_table(f"{docs_dir}/documents.parquet")
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    thr = 0.5
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            s = jaccard(texts[a] or "", texts[b] or "")
+            if s >= thr:
+                want[(a, b)] = s
+
+    df = ngram_jaccard_pairs(docs_dir, threshold=thr).to_pandas()
+    got = {(int(r.a), int(r.b)): r.jaccard_sim for r in df.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert (0, 20) in got and got[(0, 20)] == 1.0  # planted exact dup
+
+
+def test_ngram_jaccard_max_df_cap_logged(ray_session, docs_dir, caplog):
+    """max_df drops boilerplate shingles WITH a logged count; planted
+    exact dups (which share rare tail shingles too) still surface."""
+    import logging
+
+    from renard_ray.ops.dedup import ngram_jaccard_pairs
+
+    with caplog.at_level(logging.WARNING, logger="renard_ray.ops.dedup"):
+        df = ngram_jaccard_pairs(docs_dir, threshold=0.5, max_df=10).to_pandas()
+    assert any("ngram_jaccard: dropping" in r.message for r in caplog.records)
+    pairs = set(map(tuple, df[["a", "b"]].values.tolist()))
+    assert (0, 20) in pairs and (1, 21) in pairs
+
+
 def test_simhash_near_dup(ray_session, docs_dir):
     from renard_ray.ops.dedup import simhash_near_dup_pairs
 
