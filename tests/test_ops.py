@@ -147,6 +147,23 @@ def test_ngram_jaccard_exact_matches_bruteforce(ray_session, docs_dir):
     assert (0, 20) in got and got[(0, 20)] == 1.0  # planted exact dup
 
 
+def test_minhash_pairs_subset_of_exact_ngram(ray_session, docs_dir):
+    """LSH-gated minhash pairs are a SUBSET of the exact inverted-index
+    answer at the same threshold, and both report the identical exact
+    Jaccard for every common pair (shared verification semantics)."""
+    from renard_ray.ops.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+
+    thr = 0.5
+    lsh = minhash_dedup_pairs(docs_dir, threshold=thr).to_pandas()
+    exact = ngram_jaccard_pairs(docs_dir, threshold=thr).to_pandas()
+    lsh_pairs = {(int(r.a), int(r.b)): r.jaccard_sim for r in lsh.itertuples()}
+    ex_pairs = {(int(r.a), int(r.b)): r.jaccard_sim for r in exact.itertuples()}
+    assert set(lsh_pairs) <= set(ex_pairs)
+    for k, s in lsh_pairs.items():
+        # minhash verify rounds to 4 decimals; exact emits the raw double
+        assert abs(s - ex_pairs[k]) < 1e-4
+
+
 def test_ngram_jaccard_max_df_cap_logged(ray_session, docs_dir, caplog):
     """max_df drops boilerplate shingles WITH a logged count; planted
     exact dups (which share rare tail shingles too) still surface."""
