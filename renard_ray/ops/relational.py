@@ -118,6 +118,150 @@ def _ratio_round(num: pa.ChunkedArray, den: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.round(q, ndigits=0, round_mode=_HALF_AWAY), pa.int64())
 
 
+# ---------------------------------------- size-adaptive broadcast joins
+#
+# A hash join in Ray 2.49 spins up num_partitions aggregator actors and
+# moves BOTH sides through an all-to-all exchange — measured ~2-3 s of
+# fixed cost per join operator on this host even for kB-sized inputs.
+# When the build side fits a row budget, a semi/anti/lookup join is one
+# `ray.put` of the key (+payload) arrays and a vectorized
+# `pc.index_in` per batch: no exchange, no actors, and the probe side
+# streams.  Past the budget (fact-fact joins at the 100 TB design
+# point) every helper falls back to the exact same `Dataset.join` the
+# query shipped with — the adaptive pick is a per-run planning
+# decision, not a semantics change.
+
+_BCAST_ROW_LIMIT = 4_000_000  # ~32 MB of int64 keys in plasma
+
+
+def _collect_small(ds: Dataset, limit: int) -> pa.Table | None:
+    """Materialize ``ds`` into one Arrow table iff it has <= ``limit``
+    rows; None past the budget (caller takes the shuffle path)."""
+    mat = ds.materialize()
+    if mat.count() > limit:
+        return None
+    tabs = ray.get(mat.to_arrow_refs())
+    nonempty = [t for t in tabs if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty).combine_chunks()
+    if tabs:
+        return tabs[0]  # 0 rows, schema intact
+    return None  # no blocks at all (schema unknown) — shuffle path
+
+
+def broadcast_semi_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    limit: int | None = None,
+    fallback_parts: int | None = None,
+) -> Dataset:
+    """SEMI (keep left rows whose key appears in right) or ANTI
+    (keep rows whose key does not) join; broadcast the right-side key
+    set when it fits ``limit`` rows, else hash-join fallback."""
+    right_on = right_on or on
+    limit = _BCAST_ROW_LIMIT if limit is None else limit
+    keys_tab = _collect_small(right.select_columns([right_on]), limit)
+    if keys_tab is not None:
+        key_ref = ray.put(keys_tab.column(right_on).combine_chunks())
+
+        def semi(batch: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            mask = pc.is_valid(pc.index_in(batch.column(on), value_set=ks))
+            return batch.filter(pc.invert(mask) if anti else mask)
+
+        return left.map_batches(semi, batch_format="pyarrow")
+
+    nparts = fallback_parts or max(2, _join_parts_bytes(right))
+    dedup = right.select_columns([right_on]).groupby(right_on).count()
+    if not anti:
+        out_cols = left.schema().names
+        joined = left.join(
+            dedup.select_columns([right_on]),
+            join_type="inner",
+            num_partitions=nparts,
+            on=(on,),
+            right_on=(right_on,),
+        )
+        return joined.select_columns(out_cols)
+    marked = dedup.map_batches(
+        lambda b: pa.table(
+            {right_on: b.column(right_on),
+             "__matched": pa.array([1] * b.num_rows, pa.int8())}
+        ),
+        batch_format="pyarrow",
+    )
+    out_cols = left.schema().names
+    joined = left.join(
+        marked, join_type="left_outer", num_partitions=nparts,
+        on=(on,), right_on=(right_on,),
+    )
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("__matched"))).select(out_cols),
+        batch_format="pyarrow",
+    )
+
+
+def broadcast_lookup_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str,
+    payload: list[str],
+    limit: int | None = None,
+    fallback_parts: int | None = None,
+) -> Dataset:
+    """INNER lookup join for a UNIQUE-keyed right side: attach
+    ``payload`` columns to matching left rows (unmatched rows drop).
+    Broadcasts (key, payload) arrays when right fits ``limit`` rows;
+    hash-join fallback past it, or when the key turns out non-unique
+    (a lookup against duplicate keys would silently under-multiply)."""
+    import logging
+
+    limit = _BCAST_ROW_LIMIT if limit is None else limit
+    right_tab = _collect_small(right.select_columns([right_on] + payload), limit)
+    if right_tab is not None:
+        keys = right_tab.column(right_on).combine_chunks()
+        if pc.count_distinct(keys).as_py() == len(keys):
+            ref = ray.put(right_tab.combine_chunks())
+
+            def lookup(batch: pa.Table) -> pa.Table:
+                rt = ray.get(ref)
+                idx = pc.index_in(batch.column(on), value_set=rt.column(right_on))
+                ok = pc.is_valid(idx)
+                batch = batch.filter(ok)
+                idx = pc.cast(idx.filter(ok), pa.int64())
+                for p in payload:
+                    batch = batch.append_column(p, pc.take(rt.column(p), idx))
+                return batch
+
+            return left.map_batches(lookup, batch_format="pyarrow")
+        logging.getLogger(__name__).warning(
+            "broadcast_lookup_join: right key %r not unique — falling "
+            "back to the hash join", right_on,
+        )
+    nparts = fallback_parts or max(2, _join_parts_bytes(right))
+    return left.join(
+        right.select_columns([right_on] + payload),
+        join_type="inner",
+        num_partitions=nparts,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
+def _join_parts_bytes(ds: Dataset) -> int:
+    """Partition count for a fallback join sized from the (already
+    materialized) build side's in-memory bytes."""
+    try:
+        size = ds.size_bytes() or 0
+    except Exception:
+        size = 0
+    return max(2, min(4096, size // (128 << 20) + 2))
+
+
 def q1_pricing_summary(sf_dir: str) -> Dataset:
     """TPC-H Q1-style pricing summary over lineitem (integer-cents)."""
     ds = _read(
@@ -217,16 +361,18 @@ def q3_top_unshipped_orders(sf_dir: str) -> Dataset:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     nparts = _join_parts(sf_dir)
-    o = orders.join(
-        cust, join_type="inner", num_partitions=max(2, nparts // 4),
-        on=("o_custkey",), right_on=("c_custkey",),
+    # both joins are SEMI joins (only the survivor set is used), so the
+    # size-adaptive broadcast path applies; past _BCAST_ROW_LIMIT each
+    # falls back to the measured-width hash join
+    o = broadcast_semi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        fallback_parts=max(2, nparts // 4),
     )
-    joined = _lineitem_revenue_c4(sf_dir).join(
+    joined = broadcast_semi_join(
+        _lineitem_revenue_c4(sf_dir),
         o.select_columns(["o_orderkey"]),
-        join_type="inner",
-        num_partitions=nparts,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        on="l_orderkey", right_on="o_orderkey",
+        fallback_parts=nparts,
     )
     agg = joined.groupby("l_orderkey").aggregate(
         Sum("revenue_c4", alias_name="revenue_c4")
@@ -244,16 +390,20 @@ def q5_nation_revenue(sf_dir: str) -> Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     nparts = _join_parts(sf_dir)
-    oc = orders.join(
-        cust, join_type="inner", num_partitions=max(2, nparts // 4),
-        on=("o_custkey",), right_on=("c_custkey",),
+    # unique-keyed LOOKUP joins (custkey -> nationkey, then orderkey ->
+    # nationkey): broadcast the (key, payload) arrays while they fit,
+    # hash join past the row budget (orders IS fact-scale at 100 TB —
+    # the fallback is the design path there, the broadcast the
+    # single-node/testing win)
+    oc = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        payload=["c_nationkey"], fallback_parts=max(2, nparts // 4),
     )
-    joined = _lineitem_revenue_c4(sf_dir).join(
+    joined = broadcast_lookup_join(
+        _lineitem_revenue_c4(sf_dir),
         oc.select_columns(["o_orderkey", "c_nationkey"]),
-        join_type="inner",
-        num_partitions=nparts,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        on="l_orderkey", right_on="o_orderkey",
+        payload=["c_nationkey"], fallback_parts=nparts,
     )
 
     def label(batch: pa.Table) -> pa.Table:
@@ -777,12 +927,10 @@ def q4_order_priority(sf_dir: str) -> Dataset:
         .count()
         .select_columns(["l_orderkey"])
     )
-    joined = orders_f.join(
-        qual,
-        join_type="inner",
-        num_partitions=_join_parts(sf_dir, "orders"),
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+    # SEMI join (qual is already distinct orderkeys) — size-adaptive
+    joined = broadcast_semi_join(
+        orders_f, qual, on="o_orderkey", right_on="l_orderkey",
+        fallback_parts=_join_parts(sf_dir, "orders"),
     )
     return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
@@ -794,33 +942,14 @@ def customers_without_orders(sf_dir: str, min_totalprice: float = 300000.0) -> D
     big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
         expr=f"o_totalprice > {min_totalprice}"
     )
-    custkeys = (
-        big.groupby("o_custkey")
-        .count()
-        .select_columns(["o_custkey"])
-        # explicit match marker: the join output drops the right key
-        # column, so a nullable marker is the reliable anti-join signal
-        .map_batches(
-            lambda b: b.append_column(
-                "matched", pa.array([1] * b.num_rows, pa.int8())
-            ),
-            batch_format="pyarrow",
-        )
+    # ANTI join — size-adaptive broadcast of the big-spender key set;
+    # the fallback inside the helper is the left_outer + null-marker
+    # shape this query shipped with
+    return broadcast_semi_join(
+        cust, big.select_columns(["o_custkey"]),
+        on="c_custkey", right_on="o_custkey", anti=True,
+        fallback_parts=_join_parts(sf_dir, "customer"),
     )
-    joined = cust.join(
-        custkeys,
-        join_type="left_outer",
-        num_partitions=_join_parts(sf_dir, "customer"),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
-
-    def keep_unmatched(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_null(batch.column("matched"))).select(
-            ["c_custkey", "c_name"]
-        )
-
-    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 def customer_order_history(sf_dir: str, segment: str = "AUTOMOBILE") -> Dataset:
@@ -831,12 +960,12 @@ def customer_order_history(sf_dir: str, segment: str = "AUTOMOBILE") -> Dataset:
         expr=f"c_mktsegment == '{segment}'"
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=max(2, _join_parts(sf_dir, "orders") // 2),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    # SEMI join: only orders columns survive — size-adaptive broadcast
+    # of the segment's customer keys
+    joined = broadcast_semi_join(
+        orders, cust.select_columns(["c_custkey"]),
+        on="o_custkey", right_on="c_custkey",
+        fallback_parts=max(2, _join_parts(sf_dir, "orders") // 2),
     )
 
     # Sorted-run collect: string concat is ASSOCIATIVE, so per-block

@@ -150,3 +150,31 @@ def test_skew_aware_join_right_hot_and_budget(ray_session):
     )
     assert got["lval"].tolist() == want["lval"].tolist()
     assert got["rval"].tolist() == want["rval"].tolist()
+
+
+def test_broadcast_join_fallback_parity(ray_session, monkeypatch):
+    """The size-adaptive broadcast semi/anti/lookup joins and their
+    hash-join fallbacks return identical rows: every rewritten query is
+    run once on the broadcast path and once with the row budget forced
+    to 0 (everything falls back)."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    sf = "/root/testdata/sf0.001"
+    queries = {
+        "q3": relational.q3_top_unshipped_orders,
+        "q4": relational.q4_order_priority,
+        "q5": relational.q5_nation_revenue,
+        "anti": relational.customers_without_orders,
+        "hist": relational.customer_order_history,
+    }
+    fast = {k: fn(sf).to_pandas() for k, fn in queries.items()}
+    monkeypatch.setattr(relational, "_BCAST_ROW_LIMIT", 0)
+    slow = {k: fn(sf).to_pandas() for k, fn in queries.items()}
+    for k in queries:
+        a = fast[k].sort_values(list(fast[k].columns)).reset_index(drop=True)
+        b = slow[k][list(fast[k].columns)].sort_values(
+            list(fast[k].columns)
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
