@@ -288,6 +288,76 @@ def _empty_pairs() -> Dataset:
     )
 
 
+_PAIR_BCAST_LIMIT = 500_000  # candidate pairs
+_TEXT_BCAST_BYTES = 256 << 20  # candidate-text plasma budget
+
+
+def _verify_pairs_broadcast(
+    cand: Dataset,
+    n_pairs: int,
+    docs: Dataset,
+    threshold: float,
+    shingle_k: int,
+) -> Dataset | None:
+    """Join-free verification fast path: broadcast the id->text table
+    of the candidate DOCS (streaming semi-filter of ``docs`` by the
+    pair id set) and verify Jaccard in one pass over the pair list.
+    None when the pair count or the candidate-text bytes exceed the
+    budgets — the caller's two-hash-join scale path runs instead."""
+    if n_pairs > _PAIR_BCAST_LIMIT:
+        return None
+    ids: set[int] = set()
+    for t in ray.get(cand.to_arrow_refs()):
+        ids.update(t.column("a").to_pylist())
+        ids.update(t.column("b").to_pylist())
+    id_ref = ray.put(pa.array(sorted(ids), pa.int64()))
+
+    def keep_cand(batch: pa.Table) -> pa.Table:
+        want = ray.get(id_ref)
+        return batch.filter(
+            pc.is_valid(pc.index_in(batch.column("doc_id"), value_set=want))
+        )
+
+    cand_docs = docs.map_batches(keep_cand, batch_format="pyarrow").materialize()
+    if (cand_docs.size_bytes() or 0) > _TEXT_BCAST_BYTES:
+        return None
+    tabs = [t for t in ray.get(cand_docs.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _empty_pairs()
+    text_tab = pa.concat_tables(tabs).combine_chunks()
+    text_ref = ray.put(text_tab)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tt = ray.get(text_ref)
+        keys = tt.column("doc_id")
+        ia = pc.cast(pc.index_in(batch.column("a"), value_set=keys), pa.int64())
+        ib = pc.cast(pc.index_in(batch.column("b"), value_set=keys), pa.int64())
+        texts = tt.column("text")
+        keep_a, keep_b, sims = [], [], []
+        for a, b, xa, xb in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            ia.to_pylist(),
+            ib.to_pylist(),
+        ):
+            if xa is None or xb is None:
+                continue
+            s = jaccard(texts[xa].as_py() or "", texts[xb].as_py() or "", shingle_k)
+            if s >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(s, 4))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "jaccard_sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(
     sf_dir: str,
     threshold: float = 0.8,
@@ -303,13 +373,27 @@ def minhash_dedup_pairs(
     per batch — no driver-side text materialization, each text moves at
     most once per side through a keyed exchange.  At CC-scale dup rates
     (30-50%) the candidate set is a large fraction of the corpus, so a
-    broadcast of candidate texts would not fit any single node."""
+    broadcast of candidate texts would not fit any single node.
+
+    Size-adaptive fast path: when the pair count is small AND the
+    candidate texts (streaming semi-filter of documents by the
+    candidate id set) fit an explicit BYTE budget, the id->text table
+    is broadcast once and verification is a single streaming pass over
+    the pair list — no join operators at all.  Both guards are checked
+    against the actual materialized sizes, and past either one the
+    join path above runs unchanged (tested: forced-fallback parity)."""
     from renard_ray.ops.relational import _join_parts
 
     cand = minhash_candidate_pairs(sf_dir, n_perm, n_bands, shingle_k).materialize()
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return _empty_pairs()
     docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    fast = _verify_pairs_broadcast(cand, n_pairs, docs, threshold, shingle_k)
+    if fast is not None:
+        return fast
+
     nparts = _join_parts(sf_dir, "documents")
 
     j1 = cand.join(

@@ -740,3 +740,17 @@ def test_bloom_filter_membership(ray_session, docs_dir):
     # false positives stay near the target rate
     fp = sum(bloom_contains(bits, k, i) for i in range(10_000, 12_000))
     assert fp / 2000 < 0.05
+
+
+def test_minhash_verify_broadcast_fallback_parity(ray_session, docs_dir, monkeypatch):
+    """The join-free broadcast verification fast path and the
+    two-hash-join scale path return identical pair rows."""
+    from renard_ray.ops import dedup
+
+    fast = dedup.minhash_dedup_pairs(docs_dir, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_PAIR_BCAST_LIMIT", 0)
+    slow = dedup.minhash_dedup_pairs(docs_dir, threshold=0.5).to_pandas()
+    key = ["a", "b", "jaccard_sim"]
+    f = fast[key].sort_values(["a", "b"]).reset_index(drop=True)
+    s = slow[key].sort_values(["a", "b"]).reset_index(drop=True)
+    assert f.equals(s)
