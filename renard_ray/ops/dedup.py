@@ -292,12 +292,36 @@ _PAIR_BCAST_LIMIT = 500_000  # candidate pairs
 _TEXT_BCAST_BYTES = 256 << 20  # candidate-text plasma budget
 
 
+def _text_bytes_per_row(sf_dir: str) -> float:
+    """Average uncompressed ``text`` bytes per document, read from the
+    parquet footers only (no data scan).  0.0 when unavailable."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+        meta = pf.metadata
+        rows = meta.num_rows or 0
+        if rows == 0:
+            return 0.0
+        total = 0
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "text":
+                    total += col.total_uncompressed_size
+        return total / rows
+    except Exception:
+        return 0.0
+
+
 def _verify_pairs_broadcast(
     cand: Dataset,
     n_pairs: int,
     docs: Dataset,
     threshold: float,
     shingle_k: int,
+    sf_dir: str | None = None,
 ) -> Dataset | None:
     """Join-free verification fast path: broadcast the id->text table
     of the candidate DOCS (streaming semi-filter of ``docs`` by the
@@ -310,6 +334,15 @@ def _verify_pairs_broadcast(
     for t in ray.get(cand.to_arrow_refs()):
         ids.update(t.column("a").to_pylist())
         ids.update(t.column("b").to_pylist())
+    # footer-only pre-check: when the candidate texts are CLEARLY over
+    # the byte budget (2x margin for estimate error), skip the fast
+    # path before paying a full corpus scan + plasma materialization
+    # whose only outcome would be "too big, fall back".  The exact
+    # size check below stays authoritative for the borderline cases.
+    if sf_dir is not None:
+        est = len(ids) * _text_bytes_per_row(sf_dir)
+        if est > 2 * _TEXT_BCAST_BYTES:
+            return None
     id_ref = ray.put(pa.array(sorted(ids), pa.int64()))
 
     def keep_cand(batch: pa.Table) -> pa.Table:
@@ -390,7 +423,9 @@ def minhash_dedup_pairs(
         return _empty_pairs()
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
-    fast = _verify_pairs_broadcast(cand, n_pairs, docs, threshold, shingle_k)
+    fast = _verify_pairs_broadcast(
+        cand, n_pairs, docs, threshold, shingle_k, sf_dir=sf_dir
+    )
     if fast is not None:
         return fast
 
@@ -531,7 +566,10 @@ def ngram_jaccard_pairs(
                 mask = pc.is_valid(pc.index_in(batch.column("sh"), value_set=hs))
                 return batch.filter(pc.invert(mask))
 
-            kept = sigs.map_batches(drop_hot, batch_format="pyarrow")
+            # materialize: `kept` feeds both the sizes groupby and the
+            # join left side below — unmaterialized, the hot-shingle
+            # filter would re-execute once per consumer
+            kept = sigs.map_batches(drop_hot, batch_format="pyarrow").materialize()
             # set sizes changed: recompute n over the capped space so
             # the emitted value is a true Jaccard there (one int-keyed
             # join; the sizes side is 1 row per doc)
@@ -554,6 +592,9 @@ def ngram_jaccard_pairs(
                     ),
                     batch_format="pyarrow",
                 )
+                # consumed twice below (self-join left + rhs) — pin the
+                # capped pipeline's result like the uncapped `sigs`
+                .materialize()
             )
 
     rhs = sigs.map_batches(

@@ -165,7 +165,15 @@ def broadcast_semi_join(
     limit = _BCAST_ROW_LIMIT if limit is None else limit
     keys_tab = _collect_small(right.select_columns([right_on]), limit)
     if keys_tab is not None:
-        key_ref = ray.put(keys_tab.column(right_on).combine_chunks())
+        # drop null keys: index_in(null, set containing null) returns a
+        # VALID index, which would keep null-key left rows in semi mode
+        # (and drop them in anti) — the opposite of the hash-join
+        # fallback's SQL semantics.  With nulls out of the value set a
+        # null probe maps to null -> semi drops, anti keeps: identical
+        # to the fallback.
+        key_ref = ray.put(
+            pc.drop_null(keys_tab.column(right_on)).combine_chunks()
+        )
 
         def semi(batch: pa.Table) -> pa.Table:
             ks = ray.get(key_ref)
@@ -223,6 +231,10 @@ def broadcast_lookup_join(
     limit = _BCAST_ROW_LIMIT if limit is None else limit
     right_tab = _collect_small(right.select_columns([right_on] + payload), limit)
     if right_tab is not None:
+        # a null right KEY never matches under SQL inner-join semantics
+        # but WOULD match null probes via index_in — drop such rows
+        # (null payloads stay, as in the fallback) so both paths agree.
+        right_tab = right_tab.filter(pc.is_valid(right_tab.column(right_on)))
         keys = right_tab.column(right_on).combine_chunks()
         if pc.count_distinct(keys).as_py() == len(keys):
             ref = ray.put(right_tab.combine_chunks())

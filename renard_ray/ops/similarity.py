@@ -33,6 +33,34 @@ def _norm_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _merge_topk(partials: Dataset, k: int) -> Dataset:
+    """Global top-k reduce over tiny (query_id, neighbor_id, sim)
+    partials.  Coalesces the partial table (n_query * k rows per input
+    block) before the groupby — with one output partition per input
+    block most sort partitions are EMPTY no-schema bundles (warn spam
+    + per-task overhead for a handful of groups).  Arrow output keeps
+    every block schema identical (no pandas/arrow mix tripping Ray's
+    schema-dedup hashing)."""
+
+    def final_topk(group):
+        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
+        g = g.head(k).reset_index(drop=True)
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"], pa.int64()),
+                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
+            }
+        )
+
+    return (
+        partials.repartition(4)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def knn_bruteforce(
     sf_dir: str,
     query_ids: list[int] | None = None,
@@ -74,31 +102,8 @@ def knn_bruteforce(
         )
 
     partials = emb.map_batches(partial_topk, batch_format="pyarrow")
-
     # global reduce: tiny (n_query * k * n_blocks rows) — groupby query
-    def final_topk(group):
-        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
-        g = g.head(k).reset_index(drop=True)
-        # Arrow output keeps every block schema identical (no pandas/
-        # arrow mix tripping Ray's schema-dedup hashing)
-        return pa.table(
-            {
-                "query_id": pa.array(g["query_id"], pa.int64()),
-                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
-                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
-                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
-            }
-        )
-
-    # coalesce the tiny partial table (n_query * k rows per input
-    # block) before the groupby: with one output partition per input
-    # block, most sort partitions are EMPTY no-schema bundles (warn
-    # spam + per-task overhead for a handful of groups)
-    return (
-        partials.repartition(4)
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    return _merge_topk(partials, k)
 
 
 class SrpIndexStage:
@@ -219,30 +224,7 @@ def knn_lsh(
         )
 
     scored = emb.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(group):
-        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
-        g = g.head(k).reset_index(drop=True)
-        # Arrow output keeps every block schema identical (no pandas/
-        # arrow mix tripping Ray's schema-dedup hashing)
-        return pa.table(
-            {
-                "query_id": pa.array(g["query_id"], pa.int64()),
-                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
-                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
-                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
-            }
-        )
-
-    # coalesce the tiny partial table (n_query * k rows per input
-    # block) before the groupby: with one output partition per input
-    # block, most sort partitions are EMPTY no-schema bundles (warn
-    # spam + per-task overhead for a handful of groups)
-    return (
-        scored.repartition(4)
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    return _merge_topk(scored, k)
 
 
 def knn_recall_vs_bruteforce(sf_dir: str, k: int = 5) -> float:
@@ -335,27 +317,4 @@ def knn_ivf(
         )
 
     partials = emb.map_batches(scan, batch_format="pyarrow")
-
-    def final_topk(group):
-        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
-        g = g.head(k).reset_index(drop=True)
-        # Arrow output keeps every block schema identical (no pandas/
-        # arrow mix tripping Ray's schema-dedup hashing)
-        return pa.table(
-            {
-                "query_id": pa.array(g["query_id"], pa.int64()),
-                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
-                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
-                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
-            }
-        )
-
-    # coalesce the tiny partial table (n_query * k rows per input
-    # block) before the groupby: with one output partition per input
-    # block, most sort partitions are EMPTY no-schema bundles (warn
-    # spam + per-task overhead for a handful of groups)
-    return (
-        partials.repartition(4)
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    return _merge_topk(partials, k)

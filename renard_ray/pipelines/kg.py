@@ -614,8 +614,11 @@ def relabel_and_aggregate(
             # both fields to their fixed width — an overflow would go
             # negative and the leading '-' would break the
             # lexicographic-min ordering silently.
+            # clamp into [0, 10**16 - 1]: a NEGATIVE aggregated weight
+            # would otherwise encode as an 18-char field (10**16 + |w|)
+            # and silently outrank every 17-digit one.
             enc = [
-                f"{10**16 - min(int(round(float(w) * 100)), 10**16 - 1):017d}"
+                f"{10**16 - max(0, min(int(round(float(w) * 100)), 10**16 - 1)):017d}"
                 f"|{10**6 - min(len(s), 10**6 - 1):07d}|{s}"
                 for w, s in zip(weights, names)
             ]
