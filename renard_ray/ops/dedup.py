@@ -176,6 +176,81 @@ class MinHashStage:
         )
 
 
+# budgets for the local candidate-pair fast path: collision-bucket key
+# count (broadcast + driver loop bound), pairable signature rows
+# (driver collect bound), worst-case emitted pairs (driver memory bound)
+_DUP_BUCKET_LIMIT = 200_000
+_DUP_SIG_ROW_LIMIT = 2_000_000
+_LOCAL_PAIR_LIMIT = 2_000_000
+
+
+def _collect_sig_table(sigs: Dataset) -> pa.Table | None:
+    tabs = [t for t in ray.get(sigs.materialize().to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+def _pairs_local_from_table(
+    tab: pa.Table | None, max_bucket: int, log_drops: bool
+) -> Dataset | None:
+    """Distinct (a, b) pairs from collected (band, bucket, doc_id) int
+    rows, grouped with numpy on the driver — handles the oversized-
+    bucket drop itself.  None when the dup-group or worst-case pair
+    budgets are exceeded (caller runs the distributed plan instead)."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if tab is None or tab.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    key = _bb_key(tab.column("band"), tab.column("bucket")).to_numpy(
+        zero_copy_only=False
+    )
+    doc = tab.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, key))
+    k_s, d_s = key[order], doc[order]
+    starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+    ends = np.r_[starts[1:], len(k_s)]
+    sizes = ends - starts
+    big = sizes > max_bucket
+    if log_drops and big.any():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash LSH: dropping %d oversized (band, bucket) groups "
+            "(> %d members, %d signature rows) — boilerplate/empty-text "
+            "collisions; near-dup pairs inside them are still found via "
+            "their other bands",
+            int(big.sum()), max_bucket, int(sizes[big].sum()),
+        )
+    dup_idx = np.flatnonzero((sizes >= 2) & ~big)
+    if len(dup_idx) > _DUP_BUCKET_LIMIT:
+        return None
+    s_dup = sizes[dup_idx]
+    if int((s_dup * (s_dup - 1) // 2).sum()) > _LOCAL_PAIR_LIMIT:
+        return None
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for gi in dup_idx:
+        g = d_s[starts[gi] : ends[gi]]
+        ia, ib = np.triu_indices(len(g), k=1)
+        out_a.append(g[ia])  # g sorted asc -> a < b holds per pair
+        out_b.append(g[ib])
+    if not out_a:
+        return ray.data.from_arrow(empty)
+    pairs = np.unique(
+        np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1), axis=0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(pairs[:, 0], pa.int64()),
+                "b": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+    )
+
+
 def minhash_candidate_pairs(
     sf_dir: str,
     n_perm: int = 128,
@@ -192,6 +267,21 @@ def minhash_candidate_pairs(
     before the join to cap the pair blowup — standard LSH practice; the
     drop is logged via the returned pair counts being bounded.
     Output: distinct (a, b) with a < b.
+
+    Planning refinements on top of the join shape (all fall back to it
+    unchanged past explicit budgets):
+
+    - FULL-LOCAL: when the whole (band, bucket, doc_id) signature table
+      fits the row budget, bucket sizing, the oversized drop and pair
+      emission are one driver numpy pass — no shuffle at all.
+    - only COLLISION buckets (2 <= n <= max_bucket) can produce pairs;
+      when their key set fits a broadcast budget the signature table is
+      semi-filtered to them before the self-join (one vectorized pass,
+      no exchange) — at CC-like dup rates most signature rows sit in
+      singleton buckets and would ride the exchange for nothing.
+    - when additionally the FILTERED signature rows and the worst-case
+      pair count fit row budgets, pairs are emitted directly from the
+      collected (key, doc) arrays — no join, no pair-dedup shuffle.
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(
@@ -205,15 +295,42 @@ def minhash_candidate_pairs(
         concurrency=(1, 8),
     ).materialize()
 
-    # oversized buckets out (their membership set is small: one row per
-    # oversized (band, bucket)); the drop is explicit and logged — see
-    # the counter below (no silent caps)
+    # FULL-LOCAL plan: the signature table is (band, bucket, doc_id)
+    # int rows — when it fits the row budget, bucket sizes, the
+    # oversized-bucket drop and pair emission are one driver numpy pass
+    # (no sizes shuffle, no self-join, no pair-dedup shuffle).
+    if sigs.count() <= _DUP_SIG_ROW_LIMIT:
+        local = _pairs_local_from_table(
+            _collect_sig_table(sigs), max_bucket, log_drops=True
+        )
+        if local is not None:
+            return local
+
+    # DISTRIBUTED plan.  Oversized buckets out (their membership set is
+    # small: one row per oversized (band, bucket)); the drop is explicit
+    # and logged (no silent caps).
     import logging
 
     from ray.data.aggregate import Count
 
     sizes = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
-    big = sizes.filter(expr=f"n > {max_bucket}").take_all()
+    # one pass over the size table serves both the oversized-bucket drop
+    # and the collision-bucket planning below
+    coll = sizes.filter(expr="n >= 2").materialize()
+    coll_tab: pa.Table | None = None
+    if coll.count() <= _DUP_BUCKET_LIMIT:
+        tabs = [t for t in ray.get(coll.to_arrow_refs()) if t.num_rows]
+        coll_tab = (
+            pa.concat_tables(tabs).combine_chunks() if tabs
+            else pa.table({"band": pa.array([], pa.int32()),
+                           "bucket": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+        )
+        big_mask = pc.greater(coll_tab.column("n"), pa.scalar(max_bucket, pa.int64()))
+        big_tab = coll_tab.filter(big_mask)
+        big = big_tab.to_pylist()
+    else:
+        big = coll.filter(expr=f"n > {max_bucket}").take_all()
     if big:
         n_dropped_rows = sum(r["n"] for r in big)
         logging.getLogger(__name__).warning(
@@ -223,6 +340,37 @@ def minhash_candidate_pairs(
             "their other bands",
             len(big), max_bucket, n_dropped_rows,
         )
+
+    if coll_tab is not None:
+        # semi-filter signatures to PAIRABLE buckets (collision, not
+        # oversized) in one vectorized pass: replaces the oversized-only
+        # drop AND keeps singleton-bucket rows out of the self-join
+        dup_tab = coll_tab.filter(
+            pc.less_equal(coll_tab.column("n"), pa.scalar(max_bucket, pa.int64()))
+        )
+        dup_ref = ray.put(
+            _bb_key(dup_tab.column("band"), dup_tab.column("bucket"))
+        )
+
+        def keep_pairable(batch: pa.Table) -> pa.Table:
+            dk = ray.get(dup_ref)
+            key = _bb_key(batch.column("band"), batch.column("bucket"))
+            return batch.filter(pc.is_valid(pc.index_in(key, value_set=dk)))
+
+        sigs = sigs.map_batches(keep_pairable, batch_format="pyarrow")
+
+        n_arr = dup_tab.column("n").to_numpy(zero_copy_only=False)
+        sig_rows = int(n_arr.sum())
+        pairs_est = int((n_arr * (n_arr - 1) // 2).sum())
+        if sig_rows <= _DUP_SIG_ROW_LIMIT and pairs_est <= _LOCAL_PAIR_LIMIT:
+            # budgets verified from the size table: collect only the
+            # PAIRABLE rows and emit locally (drop already logged above)
+            local = _pairs_local_from_table(
+                _collect_sig_table(sigs), max_bucket, log_drops=False
+            )
+            if local is not None:
+                return local
+    elif big:
         big_keys = pa.array(
             sorted((r["band"] << 32) + r["bucket"] for r in big), pa.int64()
         )

@@ -806,3 +806,23 @@ def test_rotated_out_queries_match_oracle(ray_session):
         assert len(got) == len(want), name
         assert sorted(got.columns) == sorted(want.columns), name
         assert harness.value_hash(got) == harness.value_hash(want), name
+
+
+def test_minhash_candidate_planning_parity(ray_session, docs_dir, monkeypatch):
+    """The three candidate-pair plans return the same distinct (a, b)
+    set: local numpy emission, semi-filter + self-join (pair budget
+    forced to 0), and the plain self-join (collision-bucket broadcast
+    budget forced to 0)."""
+    from renard_ray.ops import dedup
+
+    def pairs():
+        df = dedup.minhash_candidate_pairs(docs_dir).to_pandas()
+        return sorted(map(tuple, df[["a", "b"]].values.tolist()))
+
+    local = pairs()
+    monkeypatch.setattr(dedup, "_LOCAL_PAIR_LIMIT", -1)
+    semi_join = pairs()
+    monkeypatch.setattr(dedup, "_DUP_BUCKET_LIMIT", -1)
+    plain_join = pairs()
+    assert local == semi_join == plain_join
+    assert len(local) > 0
