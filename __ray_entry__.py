@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_last_purchase(sf_dir)
 
+    def _promo_window(sf_dir: str):
+        from renard_ray.ops.rangejoin import events_promo_window_stats
+
+        return events_promo_window_stats(sf_dir)
+
     def doc_distinct_words_exact(sf_dir: str):
         import ray
 
@@ -279,12 +284,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_sliding_window": relational.events_sliding_window,
         "events_asof_last_purchase": _asof_last_purchase,
+        "events_promo_window": _promo_window,
         "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
         "lineitem_qty_percentiles": relational.lineitem_qty_percentiles,
         "orders_rollup": relational.orders_rollup,
         "events_running_total": relational.events_running_total,
         "supplier_region_stats": relational.supplier_nation_join,
-        "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         # text analysis (SQL-checked where expressible)
         "doc_token_stats": textstats.token_stats,
         "corpus_token_summary": textstats.corpus_token_summary,
@@ -334,11 +339,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracle-exact in BOTH round 1 and round 2 (doc_word_topk,
         # top_customers, part_type_stats, order_priority_counts,
         # prolific_sources — moved below this line in round 3, the last
-        # to make room for the new doc_ngram_jaccard).  Every entry,
-        # inside or out, is
-        # still value-checked against its DuckDB oracle by the local
-        # harness (tools/check_correctness.py runs all 60) and by the
-        # pytest fixtures in tests/.
+        # to make room for the new doc_ngram_jaccard;
+        # lineitem_distinct_flags — r1+r2 exact, rotated out for the new
+        # events_promo_window range join).  Every entry, inside or out,
+        # is still value-checked against its DuckDB oracle by the local
+        # harness (tools/check_correctness.py runs all of them) and by
+        # the pytest fixtures in tests/.
+        "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         "prolific_sources": relational.prolific_sources,
         "doc_word_topk": textstats.word_topk,
         "top_customers": relational.top_customers_by_balance,
@@ -595,6 +602,18 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.user_id = e.user_id AND p.ts <= e.ts
                     ORDER BY p.ts DESC LIMIT 1) AS last_purchase_id
             FROM events e
+        """,
+        "events_promo_window": """
+            SELECT p.event_id AS promo_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_value_cents
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND e.ts >= p.ts
+             AND e.ts < p.ts + INTERVAL 10 MINUTE
+            GROUP BY promo_id
         """,
         "orders_rollup": """
             SELECT CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS y,

@@ -789,6 +789,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         )
 
     rotated_out = [
+        "lineitem_distinct_flags",
         "prolific_sources",
         "doc_word_topk",
         "top_customers",
@@ -826,3 +827,123 @@ def test_minhash_candidate_planning_parity(ray_session, docs_dir, monkeypatch):
     plain_join = pairs()
     assert local == semi_join == plain_join
     assert len(local) > 0
+
+
+def test_range_join_paths_and_edges(ray_session):
+    """Broadcast and distributed range-join plans agree with a pandas
+    brute-force oracle, including intervals spanning many buckets
+    (caller-narrowed bucket_width), closed='both' boundaries, null
+    timestamps (dropped, SQL inner semantics), and the disjoint-schema
+    guard."""
+    import pandas as pd
+    import pytest
+    import ray as _ray
+    from renard_ray.ops.rangejoin import range_join
+
+    left = pd.DataFrame(
+        {
+            "lid": range(8),
+            "k": [1, 1, 1, 2, 2, 3, 3, 1],
+            "ts": [5, 10, 99, 10, 55, 7, 1000, None],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": range(5),
+            "rk": [1, 1, 2, 3, 3],
+            # interval 0 spans many narrow buckets; 4 is a point
+            "start": [0, 90, 50, 900, 7],
+            "end": [12, 120, 60, 2000, 7],
+        }
+    )
+
+    def oracle(closed):
+        rows = []
+        for _, l in left.dropna(subset=["ts"]).iterrows():
+            for _, r in right.iterrows():
+                hi_ok = l.ts <= r.end if closed == "both" else l.ts < r.end
+                if l.k == r.rk and l.ts >= r.start and hi_ok:
+                    rows.append((int(l.lid), int(r.rid)))
+        return sorted(rows)
+
+    for closed in ("left", "both"):
+        for kwargs in (
+            {},  # broadcast plan, auto width
+            {"broadcast_limit": 0},  # distributed plan, auto width
+            {"bucket_width": 3},  # interval spans many buckets
+            {"broadcast_limit": 0, "bucket_width": 3},
+        ):
+            got = range_join(
+                _ray.data.from_pandas(left),
+                _ray.data.from_pandas(right),
+                left_ts="ts",
+                right_start="start",
+                right_end="end",
+                on="k",
+                right_on="rk",
+                closed=closed,
+                **kwargs,
+            ).to_pandas()
+            pairs = sorted(map(tuple, got[["lid", "rid"]].astype(int).values.tolist()))
+            assert pairs == oracle(closed), (closed, kwargs)
+            assert not any(c.startswith("__rj_bucket") for c in got.columns)
+
+    # no equi-key: pure interval containment
+    got = range_join(
+        _ray.data.from_pandas(left),
+        _ray.data.from_pandas(right.drop(columns=["rk"])),
+        left_ts="ts",
+        right_start="start",
+        right_end="end",
+    ).to_pandas()
+    want = sorted(
+        (int(l.lid), int(r.rid))
+        for _, l in left.dropna(subset=["ts"]).iterrows()
+        for _, r in right.iterrows()
+        if r.start <= l.ts < r.end
+    )
+    assert sorted(map(tuple, got[["lid", "rid"]].astype(int).values.tolist())) == want
+
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(
+            _ray.data.from_pandas(left),
+            _ray.data.from_pandas(left),
+            left_ts="ts",
+            right_start="ts",
+            right_end="ts",
+        )
+
+
+def test_events_promo_window_matches_duckdb(ray_session):
+    """Range-join demo query vs its SQL oracle at sf0.001, on both
+    plans."""
+    import duckdb
+
+    from renard_ray.ops.rangejoin import events_promo_window_stats
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT p.event_id AS promo_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value*100, 0) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
+        FROM '{sf}/events.parquet' p JOIN '{sf}/events.parquet' e
+          ON e.user_id = p.user_id AND p.event_type = 'purchase'
+         AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 10 MINUTE
+        GROUP BY promo_id ORDER BY promo_id
+        """
+    ).df()
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = (
+            events_promo_window_stats(sf, **kwargs)
+            .to_pandas()
+            .sort_values("promo_id")
+            .reset_index(drop=True)
+        )
+        assert got["promo_id"].tolist() == want["promo_id"].tolist()
+        assert got["n_events"].astype(int).tolist() == want["n_events"].astype(int).tolist()
+        assert (
+            got["total_value_cents"].astype(int).tolist()
+            == want["total_value_cents"].astype(int).tolist()
+        )
