@@ -204,6 +204,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return link_mentions(ray.data.from_items(variants), kb)
 
+    def kg_incremental(sf_dir: str):
+        """Delta-ingest demo (pytest-gated in test_checkpoint.py):
+        bootstrap a graph from one synthetic crawl snapshot, merge a
+        second via the bucket-pruned incremental path, return the live
+        merged triple table.  Deterministic (fixed seeds); ``sf_dir``
+        only scales the page counts."""
+        import shutil
+        import tempfile
+
+        from renard_ray.pipelines import incremental as inc
+        from renard_ray.pipelines.kg import KGConfig, build_kg, read_pages, write_graph
+        from renard_ray.sources.pages import write_pages_parquet
+
+        n = 400 if "0.01" in sf_dir else 120
+        work = tempfile.mkdtemp(prefix="kg_incr_")
+        try:
+            write_pages_parquet(f"{work}/p1", n, seed=101, rows_per_file=100)
+            write_pages_parquet(f"{work}/p2", n // 2, seed=202, rows_per_file=100)
+            g = f"{work}/graph"
+            write_graph(build_kg(read_pages(f"{work}/p1"), KGConfig()), g,
+                        num_buckets=16)
+            inc.ingest_snapshot(g, read_pages(f"{work}/p2"), num_buckets=16,
+                                snapshot_id="s2")
+            return inc.read_graph(g).sort(["subj", "pred", "obj", "block_id"]).to_pandas()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def kg_top_degree(sf_dir: str):
         # distributed: fan-out + groupby(node) + top-k sort — no driver
         # materialization of the triple table
@@ -357,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_degree": kg_top_degree,
         "kg_entity_link": kg_entity_link,
         "knn_lsh": knn_lsh,
+        "kg_incremental": kg_incremental,
     }
 
 

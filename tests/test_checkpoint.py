@@ -135,3 +135,103 @@ def test_granular_checkpoint_midchain_resume(ray_session, tmp_path):
     assert st["coref"]["run"] == 1 and st["coref"]["skipped"] == 1
     assert st["unify"]["run"] == 1 and st["edges"]["run"] == 1
     assert _triples_set(triples2) == got1
+
+
+def test_incremental_ingest(ray_session, tmp_path):
+    """Two-snapshot delta ingest equals the groupby-sum of the two
+    snapshots' own triple tables; untouched buckets keep their files
+    (inode-level pruning proof); a killed swap resumes from the log."""
+    import os
+
+    import pandas as pd
+    import ray as _ray
+
+    from renard_ray.pipelines import incremental as inc
+    from renard_ray.pipelines.kg import KGConfig, build_kg, read_pages, write_graph
+    from renard_ray.sources.pages import write_pages_parquet
+
+    nb = 16
+    p1 = str(tmp_path / "pages1")
+    p2 = str(tmp_path / "pages2")
+    write_pages_parquet(p1, 120, seed=11, rows_per_file=40)
+    write_pages_parquet(p2, 60, seed=22, rows_per_file=30)
+    g = str(tmp_path / "graph")
+
+    # snapshot 1 bootstraps the graph via the plain sink
+    t1 = build_kg(read_pages(p1), KGConfig()).materialize()
+    write_graph(t1, g, num_buckets=nb)
+    files_before = {}
+    for d in os.listdir(g):
+        if d.startswith("bucket="):
+            for fn in os.listdir(os.path.join(g, d)):
+                path = os.path.join(g, d, fn)
+                files_before[path] = os.stat(path).st_mtime_ns
+
+    t2 = build_kg(read_pages(p2), KGConfig()).materialize()
+    row = inc.ingest_snapshot(g, read_pages(p2), num_buckets=nb, snapshot_id="s2")
+    assert row["phase"] in ("staged", "committed") and row["n_delta"] > 0
+
+    # oracle: delta-merge semantics over the two snapshot triple tables
+    keys = inc.TRIPLE_KEYS
+    both = pd.concat([t1.to_pandas(), t2.to_pandas()])
+    want = (
+        both.groupby(keys, as_index=False)[["weight", "polarity"]]
+        .sum()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    got = (
+        inc.read_graph(g)
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)[want.columns]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # pruning: buckets outside the delta's touched set were not rewritten
+    touched = set(row["buckets"])
+    untouched_files = [
+        p for p in files_before
+        if int(p.split("bucket=")[1].split("/")[0]) not in touched
+    ]
+    assert untouched_files, "test needs at least one untouched bucket"
+    for p in untouched_files:
+        assert os.stat(p).st_mtime_ns == files_before[p], p
+
+    # crash-resume: stage a third snapshot's merge, kill before the swap
+    t3_pages = str(tmp_path / "pages3")
+    write_pages_parquet(t3_pages, 40, seed=33, rows_per_file=20)
+    pre = inc.read_graph(g).to_pandas().sort_values(keys).reset_index(drop=True)
+    orig_swap = inc._swap
+    try:
+        inc._swap = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("killed"))
+        try:
+            inc.ingest_snapshot(g, read_pages(t3_pages), num_buckets=nb,
+                                snapshot_id="s3")
+        except RuntimeError:
+            pass
+    finally:
+        inc._swap = orig_swap
+    # graph unchanged until commit (staging invisible to readers)
+    mid = inc.read_graph(g).to_pandas().sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mid, pre, check_dtype=False)
+    # finish_pending completes the swap from the intent row
+    assert inc.finish_pending(g) is True
+    t3 = build_kg(read_pages(t3_pages), KGConfig()).to_pandas()
+    want3 = (
+        pd.concat([pre, t3])
+        .groupby(keys, as_index=False)[["weight", "polarity"]]
+        .sum()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    got3 = (
+        inc.read_graph(g)
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)[want3.columns]
+    )
+    pd.testing.assert_frame_equal(got3, want3, check_dtype=False)
+    # ingest is sealed in the lineage log
+    tokens = {(r["token"], r["phase"]) for r in inc._log_rows(g)}
+    assert ("s2", "committed") in tokens and ("s3", "committed") in tokens
