@@ -231,6 +231,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def kg_triangles(sf_dir: str):
+        # distributed degree-ordered triangle count over the KG
+        # (pytest-gated vs the adjacency-set brute force)
+        from renard_ray.ops.triangles import triangle_count
+
+        return triangle_count(kg_triples(sf_dir))
+
     def kg_top_degree(sf_dir: str):
         # distributed: fan-out + groupby(node) + top-k sort — no driver
         # materialization of the triple table
@@ -385,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_link": kg_entity_link,
         "knn_lsh": knn_lsh,
         "kg_incremental": kg_incremental,
+        "kg_triangles": kg_triangles,
     }
 
 

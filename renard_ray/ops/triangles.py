@@ -1,0 +1,231 @@
+"""Distributed triangle counting over the constructed KG edge list.
+
+Standard degree-ordered orientation (the MapReduce/GraphX formulation):
+
+1. distinct undirected edges (lo, hi) from the triple table;
+2. per-node degree (one groupby over an endpoint fan-out);
+3. orient every edge from the LOWER-ranked endpoint to the higher,
+   rank = (degree, name) — a total order, so each triangle has exactly
+   one "pivot" node with two out-edges and the wedge count is bounded
+   by sum(out_deg^2) = O(m^1.5) instead of sum(deg^2), which a hub
+   node would otherwise blow up;
+4. wedges = oriented self-join on the pivot; a wedge (a, b) closes
+   iff (a, b) is itself an oriented edge — a semi-join on the packed
+   pair key.  Each triangle is counted exactly once.
+
+Scale shape: two joins + two groupbys; nothing graph-sized on the
+driver.  Degrees are vocabulary-bounded (canonical entities), so the
+degree attach rides the size-adaptive broadcast-lookup helper and
+falls back to a hash join past the budget — the same planning policy
+as ``pipelines.kg`` canonicalization.  The wedge self-join broadcasts
+the oriented edge table while it fits a row budget (per-batch Arrow
+hash join, no exchange) and uses ``Dataset.join`` past it.
+
+No counterpart in the reference (no graph analytics at all); sibling
+of ``ops/graphstats.py`` degree/PageRank.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from .relational import (
+    _collect_small,
+    _join_parts_bytes,
+    broadcast_lookup_join,
+    broadcast_semi_join,
+)
+
+_SEP = "\x1f"  # unit separator: cannot appear in extracted entity names
+_EDGE_LIMIT = 4_000_000  # oriented edges broadcast budget (rows)
+
+
+def _distinct_edges(triples: Dataset) -> Dataset:
+    """Distinct undirected (lo, hi) node pairs, self-loops dropped."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s, o = batch.column("subj"), batch.column("obj")
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        t = pa.table({"lo": lo, "hi": hi}).filter(pc.not_equal(lo, hi))
+        # per-batch distinct before the shuffle (hub pairs repeat a lot)
+        return t.group_by(["lo", "hi"]).aggregate([]).select(["lo", "hi"])
+
+    return (
+        triples.map_batches(norm, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .count()
+        .select_columns(["lo", "hi"])
+    )
+
+
+def _degrees(edges: Dataset) -> Dataset:
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("lo").combine_chunks(),
+                        batch.column("hi").combine_chunks(),
+                    ]
+                )
+            }
+        )
+        g = both.group_by(["node"]).aggregate([("node", "count")])
+        return g.select(["node", "node_count"]).rename_columns(["node", "n"])
+
+    return (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="deg"))
+    )
+
+
+def _orient(edges: Dataset, degrees: Dataset, fallback_parts: int) -> Dataset:
+    """(src, dst) with rank(src) < rank(dst), rank = (deg, name)."""
+    with_lo = broadcast_lookup_join(
+        edges, degrees, on="lo", right_on="node", payload=["deg"],
+        fallback_parts=fallback_parts,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [{"deg": "deg_lo"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    both = broadcast_lookup_join(
+        with_lo, degrees, on="hi", right_on="node", payload=["deg"],
+        fallback_parts=fallback_parts,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        lo, hi = batch.column("lo"), batch.column("hi")
+        dlo = batch.column("deg_lo")
+        dhi = batch.column("deg")
+        # lo-first iff (deg_lo, lo) < (deg_hi, hi); names break deg ties
+        lo_first = pc.or_(
+            pc.less(dlo, dhi),
+            pc.and_(pc.equal(dlo, dhi), pc.less(lo, hi)),
+        )
+        return pa.table(
+            {
+                "src": pc.if_else(lo_first, lo, hi),
+                "dst": pc.if_else(lo_first, hi, lo),
+                "deg_dst": pc.if_else(lo_first, dhi, dlo),
+            }
+        )
+
+    return both.map_batches(orient, batch_format="pyarrow")
+
+
+def _pack(a: pa.ChunkedArray, b: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.binary_join_element_wise(a, b, _SEP)
+
+
+def triangle_count(
+    triples: Dataset,
+    *,
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """One-row Dataset {n_triangles, n_edges, n_wedges} for the graph
+    of the given triple table (edges = distinct undirected pairs)."""
+    limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
+    nparts = num_partitions or max(2, _join_parts_bytes(triples))
+    edges = _distinct_edges(triples).materialize()  # consumed 3x below
+    n_edges = edges.count()
+    oriented = _orient(edges, _degrees(edges), nparts).materialize()
+
+    # wedge generation: self-join oriented edges on the pivot node.
+    # Both out-edges of a pivot meet; keep one order per pair via
+    # (deg, name) rank so each wedge emits once.
+    def emit_wedges(batch: pa.Table, rt: pa.Table) -> pa.Table:
+        joined = batch.rename_columns(["src", "b_dst", "b_deg"]).join(
+            rt, keys=["src"], right_keys=["src"], join_type="inner"
+        )
+        a, b = joined.column("b_dst"), joined.column("dst")
+        da, db = joined.column("b_deg"), joined.column("deg_dst")
+        keep = pc.or_(
+            pc.less(da, db), pc.and_(pc.equal(da, db), pc.less(a, b))
+        )
+        w = joined.filter(keep)
+        return pa.table(
+            {"wa": w.column("b_dst"), "wb": w.column("dst")}
+        )
+
+    small = _collect_small(oriented, limit)
+    if small is not None:
+        rt_ref = ray.put(small.combine_chunks())
+
+        def wedges_bcast(batch: pa.Table) -> pa.Table:
+            return emit_wedges(batch, ray.get(rt_ref))
+
+        wedges = oriented.map_batches(wedges_bcast, batch_format="pyarrow")
+    else:
+        rhs = oriented.map_batches(
+            lambda b: b.rename_columns(["src", "b_dst", "b_deg"]),
+            batch_format="pyarrow",
+        )
+        joined = oriented.join(
+            rhs, join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("src",),
+        )
+
+        def keep_ordered(batch: pa.Table) -> pa.Table:
+            a, b = batch.column("b_dst"), batch.column("dst")
+            da, db = batch.column("b_deg"), batch.column("deg_dst")
+            keep = pc.or_(
+                pc.less(da, db), pc.and_(pc.equal(da, db), pc.less(a, b))
+            )
+            w = batch.filter(keep)
+            return pa.table({"wa": w.column("b_dst"), "wb": w.column("dst")})
+
+        wedges = joined.map_batches(keep_ordered, batch_format="pyarrow")
+
+    # materialized: consumed by both the count and the semi-join (the
+    # wedge set is the algorithm's working set — O(m^1.5) worst case,
+    # object-store-resident, never on the driver)
+    packed_wedges = wedges.map_batches(
+        lambda b: pa.table({"key": _pack(b.column("wa"), b.column("wb"))}),
+        batch_format="pyarrow",
+    ).materialize()
+    packed_edges = oriented.map_batches(
+        lambda b: pa.table({"key": _pack(b.column("src"), b.column("dst"))}),
+        batch_format="pyarrow",
+    )
+    n_wedges = packed_wedges.count()
+    closed = broadcast_semi_join(
+        packed_wedges, packed_edges, on="key",
+        limit=limit, fallback_parts=nparts,
+    )
+    n_tri = closed.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+            }
+        )
+    )
+
+
+def triangle_count_bruteforce(edges: list[tuple[str, str]]) -> int:
+    """Small-graph oracle: count triangles by adjacency-set intersection."""
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    count = 0
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if v <= u:
+                continue
+            count += sum(1 for w in adj[v] if w > v and w in nbrs)
+    return count

@@ -947,3 +947,51 @@ def test_events_promo_window_matches_duckdb(ray_session):
             got["total_value_cents"].astype(int).tolist()
             == want["total_value_cents"].astype(int).tolist()
         )
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Degree-ordered distributed triangle count == adjacency-set brute
+    force on a seeded random graph, on both plans; K4 sanity; duplicate
+    and reversed triples collapse to one undirected edge."""
+    import numpy as np
+    import ray as _ray
+
+    from renard_ray.ops.triangles import triangle_count, triangle_count_bruteforce
+
+    rng = np.random.RandomState(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = set()
+    for _ in range(400):
+        a, b = rng.randint(0, 60, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+    want = triangle_count_bruteforce(edges)
+
+    subj = [a for a, b in edges] + [b for a, b in edges][:100]  # noise dups
+    obj = [b for a, b in edges] + [a for a, b in edges][:100]
+    t = pa.table(
+        {
+            "subj": pa.array(subj),
+            "pred": pa.array(["e"] * len(subj)),
+            "obj": pa.array(obj),
+            "weight": pa.array([1.0] * len(subj)),
+        }
+    )
+    ds = _ray.data.from_arrow(t)
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        row = triangle_count(ds, **kwargs).to_pandas().iloc[0]
+        assert row.n_triangles == want
+        assert row.n_edges == len(edges)
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    t4 = pa.table(
+        {
+            "subj": pa.array([x for x, _ in k4]),
+            "pred": pa.array(["e"] * 6),
+            "obj": pa.array([y for _, y in k4]),
+            "weight": pa.array([1.0] * 6),
+        }
+    )
+    row = triangle_count(_ray.data.from_arrow(t4)).to_pandas().iloc[0]
+    assert row.n_triangles == 4 and row.n_edges == 6
