@@ -238,6 +238,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return triangle_count(kg_triples(sf_dir))
 
+    def kg_clustering(sf_dir: str):
+        # per-node local clustering coefficient over the KG: closed
+        # wedges from the shared degree-ordered triangle plan fan out to
+        # their three corners, one groupby sums T(v), left-attach onto
+        # the degree table (pytest-gated vs adjacency-set brute force)
+        from renard_ray.ops.triangles import clustering_coefficient
+
+        return (
+            clustering_coefficient(kg_triples(sf_dir))
+            .sort(
+                ["cc", "n_triangles", "node"],
+                descending=[True, True, False],
+            )
+            .limit(25)
+        )
+
     def kg_top_degree(sf_dir: str):
         # distributed: fan-out + groupby(node) + top-k sort — no driver
         # materialization of the triple table
@@ -393,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": knn_lsh,
         "kg_incremental": kg_incremental,
         "kg_triangles": kg_triangles,
+        "kg_clustering": kg_clustering,
     }
 
 

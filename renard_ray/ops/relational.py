@@ -395,10 +395,10 @@ def q3_top_unshipped_orders(sf_dir: str) -> Dataset:
 def q5_nation_revenue(sf_dir: str) -> Dataset:
     """Revenue per customer nation: lineitem -> orders -> customer ->
     nation, with the 25-row nation map broadcast via ``ray.put``."""
-    nation = {
-        r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
-    }
-    nation_ref = ray.put(nation)
+    nation_tab = _collect_small(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]), 1000
+    )
+    nation_ref = ray.put(nation_tab.combine_chunks())
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     nparts = _join_parts(sf_dir)
@@ -420,10 +420,10 @@ def q5_nation_revenue(sf_dir: str) -> Dataset:
 
     def label(batch: pa.Table) -> pa.Table:
         m = ray.get(nation_ref)
-        names = [m.get(k) for k in batch.column("c_nationkey").to_pylist()]
+        idx = pc.index_in(batch.column("c_nationkey"), value_set=m.column("n_nationkey"))
         return pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
+                "n_name": pc.take(m.column("n_name"), idx),
                 "revenue_c4": batch.column("revenue_c4"),
             }
         )
@@ -561,16 +561,24 @@ def supplier_nation_join(sf_dir: str) -> Dataset:
     """Broadcast join: supplier x nation x region -> stats per region."""
     nation = _read(sf_dir, "nation").take_all()
     region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
-    n2r = {n["n_nationkey"]: region[n["n_regionkey"]] for n in nation}
+    # 25-row driver map, shipped once as an Arrow lookup table
+    n2r = pa.table(
+        {
+            "key": pa.array([n["n_nationkey"] for n in nation], pa.int64()),
+            "r_name": pa.array(
+                [region[n["n_regionkey"]] for n in nation], pa.string()
+            ),
+        }
+    )
     ref = ray.put(n2r)
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
 
     def label(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        names = [m.get(k) for k in batch.column("s_nationkey").to_pylist()]
+        idx = pc.index_in(batch.column("s_nationkey"), value_set=m.column("key"))
         return pa.table(
             {
-                "r_name": pa.array(names, pa.string()),
+                "r_name": pc.take(m.column("r_name"), idx),
                 "acctbal_c": _cents(batch.column("s_acctbal")),
             }
         )

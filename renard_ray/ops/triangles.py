@@ -126,22 +126,24 @@ def _pack(a: pa.ChunkedArray, b: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.binary_join_element_wise(a, b, _SEP)
 
 
-def triangle_count(
+def _closed_wedges(
     triples: Dataset,
     *,
     broadcast_limit: int | None = None,
     num_partitions: int | None = None,
-) -> Dataset:
-    """One-row Dataset {n_triangles, n_edges, n_wedges} for the graph
-    of the given triple table (edges = distinct undirected pairs)."""
+) -> tuple[Dataset, Dataset, Dataset, int]:
+    """(edges, degrees, closed wedges (pivot, wa, wb), n_edges).
+
+    A closed wedge is one triangle, seen from its unique pivot."""
     limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
     edges = _distinct_edges(triples).materialize()  # consumed 3x below
     n_edges = edges.count()
-    oriented = _orient(edges, _degrees(edges), nparts).materialize()
+    degrees = _degrees(edges)
+    oriented = _orient(edges, degrees, nparts).materialize()
 
     # wedge generation: self-join oriented edges on the pivot node.
-    # Both out-edges of a pivot meet; keep one order per pair via
+    # Both out-edges of a pivot meet; keep one order per pair via the
     # (deg, name) rank so each wedge emits once.
     def emit_wedges(batch: pa.Table, rt: pa.Table) -> pa.Table:
         joined = batch.rename_columns(["src", "b_dst", "b_deg"]).join(
@@ -154,7 +156,11 @@ def triangle_count(
         )
         w = joined.filter(keep)
         return pa.table(
-            {"wa": w.column("b_dst"), "wb": w.column("dst")}
+            {
+                "pivot": w.column("src"),
+                "wa": w.column("b_dst"),
+                "wb": w.column("dst"),
+            }
         )
 
     small = _collect_small(oriented, limit)
@@ -182,25 +188,44 @@ def triangle_count(
                 pc.less(da, db), pc.and_(pc.equal(da, db), pc.less(a, b))
             )
             w = batch.filter(keep)
-            return pa.table({"wa": w.column("b_dst"), "wb": w.column("dst")})
+            return pa.table(
+                {
+                    "pivot": w.column("src"),
+                    "wa": w.column("b_dst"),
+                    "wb": w.column("dst"),
+                }
+            )
 
         wedges = joined.map_batches(keep_ordered, batch_format="pyarrow")
 
-    # materialized: consumed by both the count and the semi-join (the
-    # wedge set is the algorithm's working set — O(m^1.5) worst case,
-    # object-store-resident, never on the driver)
     packed_wedges = wedges.map_batches(
-        lambda b: pa.table({"key": _pack(b.column("wa"), b.column("wb"))}),
+        lambda b: b.append_column("key", _pack(b.column("wa"), b.column("wb"))),
         batch_format="pyarrow",
-    ).materialize()
+    )
     packed_edges = oriented.map_batches(
         lambda b: pa.table({"key": _pack(b.column("src"), b.column("dst"))}),
         batch_format="pyarrow",
     )
-    n_wedges = packed_wedges.count()
     closed = broadcast_semi_join(
         packed_wedges, packed_edges, on="key",
         limit=limit, fallback_parts=nparts,
+    ).map_batches(
+        lambda b: b.drop_columns(["key"]), batch_format="pyarrow"
+    )
+    return edges, degrees, closed, n_edges
+
+
+def triangle_count(
+    triples: Dataset,
+    *,
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """One-row Dataset {n_triangles, n_edges} for the graph of the
+    given triple table (edges = distinct undirected pairs)."""
+    _edges, _deg, closed, n_edges = _closed_wedges(
+        triples, broadcast_limit=broadcast_limit,
+        num_partitions=num_partitions,
     )
     n_tri = closed.count()
     return ray.data.from_arrow(
@@ -208,10 +233,100 @@ def triangle_count(
             {
                 "n_triangles": pa.array([n_tri], pa.int64()),
                 "n_edges": pa.array([n_edges], pa.int64()),
-                "n_wedges": pa.array([n_wedges], pa.int64()),
             }
         )
     )
+
+
+def clustering_coefficient(
+    triples: Dataset,
+    *,
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-node local clustering coefficient:
+    ``cc = 2*T(v) / (deg(v) * (deg(v)-1))`` (0 when deg < 2), with the
+    per-node triangle count T(v).  Every node of the graph appears,
+    zero-triangle nodes included.
+
+    Closed wedges fan out to their three corners with a per-batch
+    combine; one groupby sums T(v); the (vocabulary-bounded) count
+    table attaches to the degree table via the size-adaptive lookup
+    join.  Output: (node, deg, n_triangles, cc) — cc as an exact
+    ratio-rounded double (6 digits)."""
+    _edges, degrees, closed, _n = _closed_wedges(
+        triples, broadcast_limit=broadcast_limit,
+        num_partitions=num_partitions,
+    )
+
+    def corners(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [
+                batch.column(c).combine_chunks()
+                for c in ("pivot", "wa", "wb")
+            ]
+        )
+        t = pa.table({"node": node})
+        g = t.group_by(["node"]).aggregate([("node", "count")])
+        return g.select(["node", "node_count"]).rename_columns(["node", "t"])
+
+    tri_per_node = (
+        closed.map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="n_triangles"))
+    )
+
+    # LEFT-attach counts onto degrees so zero-triangle nodes survive:
+    # broadcast the count table (bounded by nodes-in-triangles) and
+    # index_in from the degree side.
+    limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
+    counts_tab = _collect_small(tri_per_node, limit)
+    if counts_tab is not None:
+        ref = ray.put(counts_tab.combine_chunks())
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ct = ray.get(ref)
+            idx = pc.index_in(batch.column("node"), value_set=ct.column("node"))
+            t = pc.fill_null(
+                pc.take(ct.column("n_triangles"), idx), pa.scalar(0, pa.int64())
+            )
+            return batch.append_column("n_triangles", t)
+
+        with_t = degrees.map_batches(attach, batch_format="pyarrow")
+    else:
+        nparts = num_partitions or max(2, _join_parts_bytes(triples))
+        joined = degrees.join(
+            tri_per_node, join_type="left_outer", num_partitions=nparts,
+            on=("node",), right_on=("node",),
+        )
+        with_t = joined.map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n_triangles"),
+                "n_triangles",
+                pc.fill_null(b.column("n_triangles"), pa.scalar(0, pa.int64())),
+            ),
+            batch_format="pyarrow",
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("deg"), pa.float64())
+        t = pc.cast(batch.column("n_triangles"), pa.float64())
+        denom = pc.multiply(d, pc.subtract(d, pa.scalar(1.0)))
+        cc = pc.if_else(
+            pc.greater(denom, pa.scalar(0.0)),
+            pc.divide(pc.multiply(t, pa.scalar(2.0)), denom),
+            pa.scalar(0.0),
+        )
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "deg": batch.column("deg"),
+                "n_triangles": pc.cast(batch.column("n_triangles"), pa.int64()),
+                "cc": pc.round(cc, ndigits=6),
+            }
+        )
+
+    return with_t.map_batches(finalize, batch_format="pyarrow")
 
 
 def triangle_count_bruteforce(edges: list[tuple[str, str]]) -> int:

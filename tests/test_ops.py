@@ -995,3 +995,57 @@ def test_triangle_count_matches_bruteforce(ray_session):
     )
     row = triangle_count(_ray.data.from_arrow(t4)).to_pandas().iloc[0]
     assert row.n_triangles == 4 and row.n_edges == 6
+
+
+def test_clustering_coefficient_matches_bruteforce(ray_session):
+    """Per-node local clustering coefficient == adjacency-set brute
+    force on a seeded random graph, on both plans; zero-triangle and
+    degree-1 nodes appear with cc = 0."""
+    import numpy as np
+    import ray as _ray
+
+    from renard_ray.ops.triangles import clustering_coefficient
+
+    rng = np.random.RandomState(11)
+    nodes = [f"n{i:03d}" for i in range(50)]
+    edges = set()
+    for _ in range(260):
+        a, b = rng.randint(0, 50, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    # pendant node: degree 1, zero triangles, must still appear
+    edges.add(("n000", "pendant"))
+    edges = sorted(edges)
+
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for u, nbrs in adj.items():
+        t = sum(
+            1
+            for v in nbrs
+            for w in adj[v]
+            if v < w and w in nbrs
+        )
+        d = len(nbrs)
+        want[u] = (d, t, round(2.0 * t / (d * (d - 1)), 6) if d > 1 else 0.0)
+
+    t = pa.table(
+        {
+            "subj": pa.array([a for a, b in edges]),
+            "pred": pa.array(["e"] * len(edges)),
+            "obj": pa.array([b for a, b in edges]),
+            "weight": pa.array([1.0] * len(edges)),
+        }
+    )
+    ds = _ray.data.from_arrow(t)
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = clustering_coefficient(ds, **kwargs).to_pandas()
+        assert len(got) == len(want)
+        for row in got.itertuples():
+            d, tri, cc = want[row.node]
+            assert row.deg == d, row.node
+            assert row.n_triangles == tri, row.node
+            assert abs(row.cc - cc) < 1e-9, row.node
