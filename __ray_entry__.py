@@ -67,6 +67,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from renard_ray.ops import dedup, relational, similarity, sketches, textstats
+    from renard_ray.ops import kmeans as kmeans_ops
 
     def _asof_last_purchase(sf_dir: str):
         from renard_ray.ops.asof import events_last_purchase
@@ -366,6 +367,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate regime (n_probe < n_lists) is recall-gated in
         # tests/test_ops.py
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, n_lists=8, n_probe=8),
+        # distributed spherical k-means (Lloyd's with broadcast
+        # centroids + tree-reduced partial sums); per-cluster stats —
+        # iterative, non-SQL (rows-only check; numpy-oracle pytest)
+        "embedding_kmeans": lambda sf: kmeans_ops.kmeans_cluster_stats(
+            sf, k=8, n_iter=10
+        ),
+        # SemDeDup: cluster-local greedy near-dup drop at the same
+        # threshold the exact pair join demonstrates (rows-only check;
+        # oracle-replica pytest + subset-of-exact invariant)
+        "embedding_semantic_dedup": lambda sf: kmeans_ops.semantic_dedup_pairs(
+            sf, threshold=0.45, k=8, n_iter=10
+        ),
         # -------- flagship KG construction (non-SQL; rows-only check)
         "kg_triples": kg_triples,
         "kg_triples_full": kg_triples_full,

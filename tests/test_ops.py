@@ -1049,3 +1049,129 @@ def test_clustering_coefficient_matches_bruteforce(ray_session):
             assert row.deg == d, row.node
             assert row.n_triangles == tri, row.node
             assert abs(row.cc - cc) < 1e-9, row.node
+
+
+def test_kmeans_matches_numpy_oracle(ray_session, tmp_path):
+    """Distributed Lloyd's == a pure-numpy oracle running the identical
+    algorithm (same deterministic smallest-id init, same update rule) on
+    seeded separated blobs; assignments exact, centroids allclose."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from renard_ray.ops.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0], [0, 0, 5.0, 0]])
+    X = np.vstack([c + rng.randn(40, 4) * 0.3 for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [r for r in X.astype(np.float32)], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = _ray.data.from_arrow(t).repartition(5)
+
+    # numpy oracle: identical algorithm on float64-normalized rows
+    Xn = X.astype(np.float32).astype(np.float64)
+    Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+    C = Xn[:3].copy()
+    for _ in range(5):
+        d2 = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(3):
+            if (a == j).any():
+                C[j] = Xn[a == j].mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    got_C = kmeans_fit(ds, k=3, n_iter=5, combine_parts=2)
+    assert np.allclose(got_C, C, atol=1e-9)
+
+    got = (
+        kmeans_assign(ds, got_C)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want_a = np.argmin(((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+    assert (got["cluster"].to_numpy() == want_a).all()
+
+
+def test_semantic_dedup_planted_pairs(ray_session):
+    """SemDeDup drops exactly the planted near-copies (dup_of = the
+    lowest-id original), and every reported pair is a true global
+    near-dup at the threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import kmeans as km
+
+    rng = np.random.RandomState(9)
+    centers = np.array([[6.0, 0, 0, 0], [0, 6.0, 0, 0], [0, 0, 6.0, 0]])
+    base = np.vstack([c + rng.randn(20, 4) * 0.4 for c in centers])
+    # plant 2 near-copies of rows 0 and 25 (tiny noise -> cosine ~ 1)
+    dups = {60: 0, 61: 25}
+    X = np.vstack([base, base[0] + 1e-3, base[25] + 1e-3])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array(
+                [r for r in X.astype(np.float32)], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+    def fake_read(sf_dir):
+        return _ray.data.from_arrow(t).repartition(4)
+
+    thr = 0.999
+    orig = km._read_embeddings
+    km._read_embeddings = fake_read
+    try:
+        C = km.kmeans_fit(fake_read("unused"), k=3, n_iter=5)
+        got = (
+            km.semantic_dedup_pairs("unused", threshold=thr, k=3, n_iter=5)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        km._read_embeddings = orig
+
+    # numpy oracle: same assignment, same greedy-by-id within cluster
+    Xn = X.astype(np.float32).astype(np.float64)
+    Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+    # membership via the engine's own assign kernel (assignment parity
+    # vs an independent formula is covered by the kmeans oracle test;
+    # here near-boundary 1e-16 formula differences would flip clusters)
+    a, _ = km._assign(Xn, C)
+    want = {}
+    for c in range(3):
+        members = np.where(a == c)[0]
+        kept = []
+        for i in members:  # members already id-ascending
+            if kept:
+                sims = Xn[kept] @ Xn[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= thr:
+                    want[int(i)] = (int(kept[j]), round(float(sims[j]), 4))
+                    continue
+            kept.append(i)
+
+    assert got["vec_id"].tolist() == sorted(want)
+    for row in got.itertuples():
+        of, sim = want[row.vec_id]
+        assert row.dup_of == of
+        assert row.cosine_sim == pytest.approx(sim, abs=1e-9)
+    # the planted copies are always among the drops (their keeper may
+    # be any genuinely-near member when the original was itself dropped)
+    dropped = set(got["vec_id"].tolist())
+    for d_id in dups:
+        assert d_id in dropped
+        of = int(got.loc[got.vec_id == d_id, "dup_of"].iloc[0])
+        assert Xn[d_id] @ Xn[of] >= thr
