@@ -239,6 +239,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return triangle_count(kg_triples(sf_dir))
 
+    def kg_communities(sf_dir: str):
+        # synchronous label propagation over the KG (deterministic
+        # argmax-with-tie-min reduce via one Min aggregate per round;
+        # pytest-gated vs the plain-Python oracle on both label-exchange
+        # paths); output = community size distribution
+        from renard_ray.ops.communities import community_sizes
+
+        return community_sizes(kg_triples(sf_dir), n_iter=6)
+
     def kg_clustering(sf_dir: str):
         # per-node local clustering coefficient over the KG: closed
         # wedges from the shared degree-ordered triangle plan fan out to
@@ -423,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": kg_incremental,
         "kg_triangles": kg_triangles,
         "kg_clustering": kg_clustering,
+        "kg_communities": kg_communities,
     }
 
 

@@ -1175,3 +1175,54 @@ def test_semantic_dedup_planted_pairs(ray_session):
         assert d_id in dropped
         of = int(got.loc[got.vec_id == d_id, "dup_of"].iloc[0])
         assert Xn[d_id] @ Xn[of] >= thr
+
+
+def test_label_propagation_matches_oracle(ray_session):
+    """Distributed synchronous LPA == the plain-Python oracle on a
+    seeded random graph, on both the broadcast and join label-exchange
+    paths; two cliques joined by one bridge resolve to two communities."""
+    import numpy as np
+    import ray as _ray
+
+    from renard_ray.ops.communities import (
+        community_sizes,
+        label_propagation,
+        label_propagation_oracle,
+    )
+
+    def triples(edges):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(4)
+
+    rng = np.random.RandomState(13)
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = set()
+    for _ in range(160):
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+    want = label_propagation_oracle(edges, n_iter=6)
+
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = label_propagation(triples(edges), n_iter=6, **kwargs).to_pandas()
+        assert len(got) == len(want)
+        got_map = dict(zip(got["node"], got["community"]))
+        assert got_map == want
+
+    # two 5-cliques + one bridge -> exactly 2 communities
+    cl1 = [f"a{i}" for i in range(5)]
+    cl2 = [f"b{i}" for i in range(5)]
+    ce = [(x, y) for c in (cl1, cl2) for i, x in enumerate(c) for y in c[i + 1:]]
+    ce.append(("a0", "b0"))
+    sizes = community_sizes(triples(ce), n_iter=6).to_pandas()
+    assert len(sizes) == 2
+    assert sorted(sizes["n_members"].tolist()) == [5, 5]
