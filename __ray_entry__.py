@@ -68,6 +68,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from renard_ray.ops import dedup, relational, similarity, sketches, textstats
     from renard_ray.ops import kmeans as kmeans_ops
+    from renard_ray.ops import packing
 
     def _asof_last_purchase(sf_dir: str):
         from renard_ray.ops.asof import events_last_purchase
@@ -352,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_stats": relational.supplier_nation_join,
         # text analysis (SQL-checked where expressible)
         "doc_token_stats": textstats.token_stats,
+        # GPT-style contiguous sequence packing: global token cumsum
+        # (sorted-run + O(#blocks) carry scan) -> block assignment;
+        # exact window-function SQL oracle
+        "doc_pack_blocks": lambda sf: packing.pack_blocks(sf, 512),
         "corpus_token_summary": textstats.corpus_token_summary,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
@@ -775,6 +780,26 @@ def oracle_sql() -> dict[str, str]:
                    array_length(regexp_extract_all(text, '{word_token_re}')) AS n_word_tokens,
                    length(text) AS text_chars
             FROM documents
+        """,
+        "doc_pack_blocks": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS prev
+                FROM tok
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(prev // 512 AS BIGINT) AS block_id,
+                   CAST(prev % 512 AS BIGINT) AS offset_in_block
+            FROM c
         """,
         "corpus_token_summary": """
             SELECT source,

@@ -1226,3 +1226,35 @@ def test_label_propagation_matches_oracle(ray_session):
     sizes = community_sizes(triples(ce), n_iter=6).to_pandas()
     assert len(sizes) == 2
     assert sorted(sizes["n_members"].tolist()) == [5, 5]
+
+
+def test_pack_blocks_matches_python(ray_session, docs_dir):
+    """Contiguous sequence packing == the plain cumsum recipe; blocks
+    fill to the cap and long docs straddle into following blocks."""
+    import pyarrow.parquet as pq
+    import re
+
+    from renard_ray.ops.packing import pack_blocks
+
+    cap = 64
+    got = (
+        pack_blocks(docs_dir, block_tokens=cap)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    tbl = pq.read_table(f"{docs_dir}/documents.parquet")
+    ws = re.compile(r"\s+")
+    acc = 0
+    want = []
+    for did, t in sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    ):
+        n = len(ws.split(t.strip())) if t and t.strip() else 0
+        want.append((did, n, acc // cap, acc % cap))
+        acc += n
+
+    assert list(map(tuple, got.values.tolist())) == want
+    # the corpus is bigger than one block, so packing actually splits
+    assert got["block_id"].nunique() > 1
