@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from renard_ray.ops import dedup, relational, similarity, sketches, textstats
     from renard_ray.ops import kmeans as kmeans_ops
     from renard_ray.ops import packing
+    from renard_ray.ops import tfidf
 
     def _asof_last_purchase(sf_dir: str):
         from renard_ray.ops.asof import events_last_purchase
@@ -357,6 +358,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (sorted-run + O(#blocks) carry scan) -> block assignment;
         # exact window-function SQL oracle
         "doc_pack_blocks": lambda sf: packing.pack_blocks(sf, 512),
+        # corpus tf-idf: df shuffle keyed on tokens + batch-local
+        # per-doc top-k (no doc shuffle).  Gate output is integer-only
+        # (rank encodes the float ordering); the rational-idf score
+        # rides the library surface
+        "doc_tfidf_topk": lambda sf: tfidf.tfidf_topk(sf, 3).select_columns(
+            ["doc_id", "word", "tf", "df", "rank"]
+        ),
         "corpus_token_summary": textstats.corpus_token_summary,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
@@ -780,6 +788,32 @@ def oracle_sql() -> dict[str, str]:
                    array_length(regexp_extract_all(text, '{word_token_re}')) AS n_word_tokens,
                    length(text) AS text_chars
             FROM documents
+        """,
+        "doc_tfidf_topk": """
+            WITH tf AS (
+                SELECT doc_id, word, COUNT(*) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+                    FROM documents WHERE trim(text) <> ''
+                ) WHERE word <> ''
+                GROUP BY doc_id, word
+            ), df AS (
+                SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+            ), ranked AS (
+                SELECT t.doc_id, t.word, t.tf, d.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY (CAST(t.tf AS DOUBLE) *
+                                     (SELECT COUNT(*) FROM documents)) / d.df
+                                    DESC,
+                                    t.word
+                       ) AS rank
+                FROM tf t JOIN df d USING (word)
+            )
+            SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "doc_pack_blocks": """
             WITH tok AS (

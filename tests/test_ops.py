@@ -1258,3 +1258,29 @@ def test_pack_blocks_matches_python(ray_session, docs_dir):
     assert list(map(tuple, got.values.tolist())) == want
     # the corpus is bigger than one block, so packing actually splits
     assert got["block_id"].nunique() > 1
+
+
+def test_tfidf_topk_paths_agree(ray_session, docs_dir):
+    """Broadcast-df and join-fallback tf-idf plans return identical
+    rows; ranks follow (score desc, word asc) with exact integer df."""
+    from renard_ray.ops.tfidf import tfidf_topk
+
+    cols = ["doc_id", "word", "tf", "df", "rank"]
+    a = (
+        tfidf_topk(docs_dir, 3)
+        .to_pandas()[cols]
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_topk(docs_dir, 3, broadcast_limit=0)
+        .to_pandas()[cols]
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0
+    # planted exact dups share their top terms
+    top0 = a[a.doc_id == 0][["word", "tf", "df"]].values.tolist()
+    top20 = a[a.doc_id == 20][["word", "tf", "df"]].values.tolist()
+    assert top0 == top20
