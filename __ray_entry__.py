@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from renard_ray.ops import kmeans as kmeans_ops
     from renard_ray.ops import packing
     from renard_ray.ops import tfidf
+    from renard_ray.ops import lm
 
     def _asof_last_purchase(sf_dir: str):
         from renard_ray.ops.asof import events_last_purchase
@@ -365,6 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": lambda sf: tfidf.tfidf_topk(sf, 3).select_columns(
             ["doc_id", "word", "tf", "df", "rank"]
         ),
+        # CCNet-style bigram-LM perplexity quality scores (corpus-trained
+        # model; log-prob math is non-SQL -> rows-only check + python
+        # oracle pytest on both the broadcast and join scoring paths)
+        "doc_perplexity": lambda sf: lm.perplexity_scores(sf),
         "corpus_token_summary": textstats.corpus_token_summary,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,

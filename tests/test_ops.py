@@ -1284,3 +1284,59 @@ def test_tfidf_topk_paths_agree(ray_session, docs_dir):
     top0 = a[a.doc_id == 0][["word", "tf", "df"]].values.tolist()
     top20 = a[a.doc_id == 20][["word", "tf", "df"]].values.tolist()
     assert top0 == top20
+
+
+def test_perplexity_matches_python_oracle(ray_session, docs_dir):
+    """Bigram-LM perplexity == the plain-Python model on both scoring
+    paths; short docs score null; gibberish scores worse than text the
+    model saw verbatim."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.lm import perplexity_scores
+
+    tbl = pq.read_table(f"{docs_dir}/documents.parquet")
+    ws_re = re.compile(r"\s+")
+
+    def toks(t):
+        return [w for w in ws_re.split(t.strip().lower()) if w] if t and t.strip() else []
+
+    big, c1 = {}, {}
+    vocab = set()
+    docs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    for _d, t in docs:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V, al = len(vocab), 0.5
+    want = {}
+    for d, t in docs:
+        ws = toks(t)
+        if len(ws) < 2:
+            want[d] = (len(ws), None)
+            continue
+        lps = [
+            math.log(big.get((a, b), 0) + al) - math.log(c1.get(a, 0) + al * V)
+            for a, b in zip(ws, ws[1:])
+        ]
+        want[d] = (len(ws), round(math.exp(-sum(lps) / len(lps)), 4))
+
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = (
+            perplexity_scores(docs_dir, **kwargs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        for row in got.itertuples():
+            n, p = want[row.doc_id]
+            assert row.n_tokens == n, row.doc_id
+            if p is None:
+                assert row.ppl != row.ppl  # NaN
+            else:
+                assert row.ppl == pytest.approx(p, abs=2e-4), row.doc_id
