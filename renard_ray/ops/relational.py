@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 _HALF_AWAY = "half_towards_infinity"  # = DuckDB ROUND(double) tie-break
 
@@ -1441,3 +1441,66 @@ def orders_rollup(sf_dir: str) -> Dataset:
         .union(by_year.map_batches(tag_year, batch_format="pyarrow"))
         .union(grand_ds)
     )
+
+
+def events_funnel(
+    sf_dir: str,
+    first_type: str = "view",
+    then_type: str = "purchase",
+) -> Dataset:
+    """Two-step funnel: per user, the first ``first_type`` event and
+    the first STRICTLY LATER ``then_type`` event — the sequential
+    conversion join (EXISTS-after pattern), expressed with aggregates
+    only: one groupby-min for step 1, a size-adaptive lookup join to
+    attach it to step-2 candidates (user table is bounded), a filtered
+    groupby-min for step 2.  No per-user map_groups, no sort.  Output
+    (converted users only): (user_id, first_view_us, first_purchase_us,
+    delay_s), epoch microseconds."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        ).filter(pc.is_valid(batch.column("ts")))
+
+    ev = ev.map_batches(derive, batch_format="pyarrow").materialize()
+    nparts = _join_parts(sf_dir, "events")
+
+    firsts = (
+        ev.filter(expr=f"event_type == '{first_type}'")
+        .groupby("user_id")
+        .aggregate(Min("ts_us", alias_name="ta"))
+    ).materialize()
+
+    step2 = ev.filter(expr=f"event_type == '{then_type}'")
+    with_ta = broadcast_lookup_join(
+        step2, firsts, on="user_id", right_on="user_id", payload=["ta"],
+        fallback_parts=nparts,
+    )
+    conv = (
+        with_ta.map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("ts_us"), b.column("ta"))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Min("ts_us", alias_name="tb"), Min("ta", alias_name="ta"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ta, tb = batch.column("ta"), batch.column("tb")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "first_view_us": ta,
+                "first_purchase_us": tb,
+                "delay_s": pc.divide(pc.subtract(tb, ta), pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    return conv.map_batches(finalize, batch_format="pyarrow")

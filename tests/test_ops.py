@@ -795,6 +795,17 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "top_customers",
         "part_type_stats",
         "order_priority_counts",
+        # round 3: rotated out to make room for the KG graph analytics
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "q4_order_priority",
+        "customers_without_orders",
+        "orders_monthly_counts",
+        "part_topk_per_brand",
+        "customer_order_history",
+        "doc_embedding_join",
+        "events_type_stats",
+        "events_top_users",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
