@@ -119,6 +119,13 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q6_forecast_revenue",
         "events_sessionize",
         "events_asof_last_purchase",
+        # round-3 operators
+        "events_funnel",
+        "doc_pack_blocks",
+        "doc_tfidf_topk",
+        "doc_perplexity",
+        "embedding_kmeans",
+        "kg_triangles",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

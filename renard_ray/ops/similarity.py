@@ -29,6 +29,15 @@ def _read_embeddings(sf_dir: str) -> Dataset:
     )
 
 
+
+def _matrix(col: "pa.ChunkedArray") -> np.ndarray:
+    """Zero-copy list<float> -> (n, d) float64 matrix (flatten the Arrow
+    list buffer and reshape); falls back to to_pylist when nulls exist."""
+    c = col.combine_chunks()
+    if c.null_count:
+        return np.array(c.to_pylist(), dtype=np.float64)
+    return np.asarray(c.flatten(), dtype=np.float64).reshape(len(c), -1)
+
 def _norm_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
@@ -78,8 +87,8 @@ def knn_bruteforce(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_, Q_ = ray.get(q_ref)
-        ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        M = _norm_rows(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        M = _norm_rows(_matrix(batch.column("embedding")))
         sims = Q_ @ M.T  # (n_query, n_batch)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(qids_):
@@ -117,7 +126,7 @@ class SrpIndexStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_pylist()
-        M = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        M = _matrix(batch.column("embedding"))
         out_id, out_t, out_b = [], [], []
         for t in range(self.n_tables):
             bits = (M @ self.planes[t].T) > 0  # (n, n_bits)
@@ -292,8 +301,8 @@ def knn_ivf(
     def scan(batch: pa.Table) -> pa.Table:
         C_ = ray.get(c_ref)
         qids_, Q_, probes = ray.get(q_ref)
-        ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        M = _norm_rows(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        M = _norm_rows(_matrix(batch.column("embedding")))
         assign = (M @ C_.T).argmax(1)  # list id per vector
         sims = Q_ @ M.T
         out_q, out_n, out_s = [], [], []
