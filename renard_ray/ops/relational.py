@@ -1504,3 +1504,88 @@ def events_funnel(
         )
 
     return conv.map_batches(finalize, batch_format="pyarrow")
+
+
+def orders_cube(sf_dir: str) -> Dataset:
+    """CUBE-style aggregate over (order year, order priority): all four
+    grouping sets — (y, p), (y), (p), () — as re-aggregations of the
+    finest level, same cascade shape as ``orders_rollup`` (the fact
+    table is scanned once).  NULL keys encode as -1 / 'ALL'."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "y": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+                "priority": batch.column("o_orderpriority"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    fine = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["y", "priority"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_c", alias_name="total_cents"),
+        )
+        .materialize()
+    )
+    by_y = fine.groupby("y").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    by_p = fine.groupby("priority").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    grand = fine.aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+    def tag(y_col, p_col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "y": y_col(b),
+                    "priority": p_col(b),
+                    "n_orders": b.column("n_orders"),
+                    "total_cents": b.column("total_cents"),
+                }
+            )
+
+        return f
+
+    all_y = lambda b: pa.array([-1] * b.num_rows, pa.int64())  # noqa: E731
+    all_p = lambda b: pa.array(["ALL"] * b.num_rows, pa.string())  # noqa: E731
+
+    import ray as _ray
+
+    grand_ds = _ray.data.from_arrow(
+        pa.table(
+            {
+                "y": pa.array([-1], pa.int64()),
+                "priority": pa.array(["ALL"], pa.string()),
+                "n_orders": pa.array([int(grand["n_orders"] or 0)], pa.int64()),
+                "total_cents": pa.array([int(grand["total_cents"] or 0)], pa.int64()),
+            }
+        )
+    )
+    return (
+        fine.map_batches(
+            tag(lambda b: b.column("y"), lambda b: b.column("priority")),
+            batch_format="pyarrow",
+        )
+        .union(
+            by_y.map_batches(
+                tag(lambda b: b.column("y"), all_p), batch_format="pyarrow"
+            )
+        )
+        .union(
+            by_p.map_batches(
+                tag(all_y, lambda b: b.column("priority")), batch_format="pyarrow"
+            )
+        )
+        .union(grand_ds)
+    )

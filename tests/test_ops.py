@@ -806,6 +806,8 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "doc_embedding_join",
         "events_type_stats",
         "events_top_users",
+        "events_hourly_activity",
+        "events_props_stats",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
