@@ -131,8 +131,11 @@ def _closed_wedges(
     *,
     broadcast_limit: int | None = None,
     num_partitions: int | None = None,
-) -> tuple[Dataset, Dataset, Dataset, int]:
-    """(edges, degrees, closed wedges (pivot, wa, wb), n_edges).
+    keep_wedges: bool = False,
+) -> tuple[Dataset, Dataset, Dataset, int, Dataset]:
+    """(edges, degrees, wedges, n_edges, oriented edges) — ``wedges``
+    is the CLOSED wedge set (pivot, wa, wb) by default, or the raw
+    wedge stream (closure semi-join skipped) with ``keep_wedges``.
 
     A closed wedge is one triangle, seen from its unique pivot."""
     limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
@@ -206,13 +209,15 @@ def _closed_wedges(
         lambda b: pa.table({"key": _pack(b.column("src"), b.column("dst"))}),
         batch_format="pyarrow",
     )
+    if keep_wedges:
+        return edges, degrees, wedges, n_edges, oriented
     closed = broadcast_semi_join(
         packed_wedges, packed_edges, on="key",
         limit=limit, fallback_parts=nparts,
     ).map_batches(
         lambda b: b.drop_columns(["key"]), batch_format="pyarrow"
     )
-    return edges, degrees, closed, n_edges
+    return edges, degrees, closed, n_edges, oriented
 
 
 def triangle_count(
@@ -223,7 +228,7 @@ def triangle_count(
 ) -> Dataset:
     """One-row Dataset {n_triangles, n_edges} for the graph of the
     given triple table (edges = distinct undirected pairs)."""
-    _edges, _deg, closed, n_edges = _closed_wedges(
+    _edges, _deg, closed, n_edges, _or = _closed_wedges(
         triples, broadcast_limit=broadcast_limit,
         num_partitions=num_partitions,
     )
@@ -254,7 +259,7 @@ def clustering_coefficient(
     table attaches to the degree table via the size-adaptive lookup
     join.  Output: (node, deg, n_triangles, cc) — cc as an exact
     ratio-rounded double (6 digits)."""
-    _edges, degrees, closed, _n = _closed_wedges(
+    _edges, degrees, closed, _n, _or = _closed_wedges(
         triples, broadcast_limit=broadcast_limit,
         num_partitions=num_partitions,
     )
@@ -344,3 +349,173 @@ def triangle_count_bruteforce(edges: list[tuple[str, str]]) -> int:
                 continue
             count += sum(1 for w in adj[v] if w > v and w in nbrs)
     return count
+
+
+def link_prediction(
+    triples: Dataset,
+    k: int = 25,
+    *,
+    max_center_degree: int | None = None,
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Common-neighbor link prediction over the KG: rank NON-adjacent
+    node pairs by their number of shared neighbors — the classic
+    missing-edge suggester for a constructed KG.
+
+    Exact common-neighbor counting is inherently sum(deg^2): every
+    pair of a center's neighbors witnesses it, and hub centers
+    dominate.  ``max_center_degree`` bounds that by EXCLUDING centers
+    above the cap (with a logged count) — the Adamic-Adar observation
+    that hub-mediated common neighbors carry little signal anyway;
+    ``None`` counts everything (small/moderate graphs).
+
+    Shape: one self-join of the directed edge list on the center node
+    (size-adaptive: broadcast + per-batch Arrow join under the row
+    budget, ``Dataset.join`` past it), one ``groupby(a, b).sum``, a
+    packed-key ANTI join against the edge list, top-k sort.  Pairs are
+    normalized lexicographically (a < b).
+
+    Output: (a, b, common_neighbors) — top-k by count desc, (a, b) asc.
+    """
+    limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
+    nparts = num_partitions or max(2, _join_parts_bytes(triples))
+    edges = _distinct_edges(triples).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").combine_chunks()
+        hi = batch.column("hi").combine_chunks()
+        return pa.table(
+            {
+                "ctr": pa.concat_arrays([lo, hi]),
+                "nbr": pa.concat_arrays([hi, lo]),
+            }
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    if max_center_degree is not None:
+        import logging
+
+        degrees = _degrees(edges)
+        deg_tab = _collect_small(degrees, limit)
+        if deg_tab is not None:
+            hot = deg_tab.filter(
+                pc.greater(deg_tab.column("deg"), max_center_degree)
+            )
+            if hot.num_rows:
+                logging.getLogger(__name__).warning(
+                    "link_prediction: excluding %d centers above degree "
+                    "cap %d", hot.num_rows, max_center_degree,
+                )
+                hot_ref = ray.put(
+                    hot.column("node").combine_chunks()
+                )
+
+                def drop_hot(batch: pa.Table) -> pa.Table:
+                    hs = ray.get(hot_ref)
+                    m = pc.is_valid(
+                        pc.index_in(batch.column("ctr"), value_set=hs)
+                    )
+                    return batch.filter(pc.invert(m))
+
+                directed = directed.map_batches(
+                    drop_hot, batch_format="pyarrow"
+                )
+        else:
+            directed = broadcast_semi_join(
+                directed,
+                degrees.filter(
+                    expr=f"deg <= {int(max_center_degree)}"
+                ),
+                on="ctr", right_on="node",
+                limit=limit, fallback_parts=nparts,
+            )
+
+    directed = directed.materialize()
+
+    def emit_pairs(batch: pa.Table, rt: pa.Table) -> pa.Table:
+        joined = batch.rename_columns(["ctr", "b_nbr"]).join(
+            rt, keys=["ctr"], right_keys=["ctr"], join_type="inner"
+        )
+        a, b = joined.column("b_nbr"), joined.column("nbr")
+        keep = pc.less(a, b)  # one order per pair, self-pairs dropped
+        w = joined.filter(keep)
+        t = pa.table({"a": w.column("b_nbr"), "b": w.column("nbr")})
+        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        return g.rename_columns(["a", "b", "n"])
+
+    small = _collect_small(directed, limit)
+    if small is not None:
+        rt_ref = ray.put(small.combine_chunks())
+
+        def pairs_bcast(batch: pa.Table) -> pa.Table:
+            return emit_pairs(batch, ray.get(rt_ref))
+
+        pair_partials = directed.map_batches(
+            pairs_bcast, batch_format="pyarrow"
+        )
+    else:
+        rhs = directed.map_batches(
+            lambda b: b.rename_columns(["ctr", "b_nbr"]),
+            batch_format="pyarrow",
+        )
+        joined = directed.join(
+            rhs, join_type="inner", num_partitions=nparts,
+            on=("ctr",), right_on=("ctr",),
+        )
+
+        def keep_pairs(batch: pa.Table) -> pa.Table:
+            keep = pc.less(batch.column("b_nbr"), batch.column("nbr"))
+            w = batch.filter(keep)
+            t = pa.table({"a": w.column("b_nbr"), "b": w.column("nbr")})
+            g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+            return g.rename_columns(["a", "b", "n"])
+
+        pair_partials = joined.map_batches(keep_pairs, batch_format="pyarrow")
+
+    counts = (
+        pair_partials.groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="common_neighbors"))
+    )
+    packed_pairs = counts.map_batches(
+        lambda b: b.append_column("key", _pack(b.column("a"), b.column("b"))),
+        batch_format="pyarrow",
+    )
+    # edges are (lo, hi) with lo < hi — same normalization as the pairs
+    packed_edges = edges.map_batches(
+        lambda b: pa.table({"key": _pack(b.column("lo"), b.column("hi"))}),
+        batch_format="pyarrow",
+    )
+    non_edges = broadcast_semi_join(
+        packed_pairs, packed_edges, on="key", anti=True,
+        limit=limit, fallback_parts=nparts,
+    ).map_batches(lambda b: b.drop_columns(["key"]), batch_format="pyarrow")
+
+    return non_edges.sort(
+        ["common_neighbors", "a", "b"], descending=[True, False, False]
+    ).limit(k)
+
+
+def link_prediction_bruteforce(
+    edges: list[tuple[str, str]], k: int = 25
+) -> list[tuple[str, str, int]]:
+    """Small-graph oracle: common-neighbor counts for all non-adjacent
+    pairs by adjacency-set intersection."""
+    adj: dict[str, set[str]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            cn = len(adj[u] & adj[v])
+            if cn:
+                out[(u, v)] = cn  # u < v lexicographically
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(a, b, c) for (a, b), c in ranked[:k]]

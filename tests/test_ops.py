@@ -808,6 +808,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "events_top_users",
         "events_hourly_activity",
         "events_props_stats",
+        "events_sliding_window",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1353,3 +1354,57 @@ def test_perplexity_matches_python_oracle(ray_session, docs_dir):
                 assert row.ppl != row.ppl  # NaN
             else:
                 assert row.ppl == pytest.approx(p, abs=2e-4), row.doc_id
+
+
+def test_link_prediction_matches_bruteforce(ray_session):
+    """Common-neighbor link prediction == adjacency-set brute force on
+    a seeded random graph (full ranking, both plans); the hub cap
+    excludes a star center's pairs with a logged count."""
+    import logging
+
+    import numpy as np
+    import ray as _ray
+
+    from renard_ray.ops.triangles import (
+        link_prediction,
+        link_prediction_bruteforce,
+    )
+
+    def triples(edges):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(4)
+
+    rng = np.random.RandomState(21)
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = set()
+    for _ in range(150):
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+    want = link_prediction_bruteforce(edges, k=10**6)
+
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = link_prediction(triples(edges), k=10**6, **kwargs).to_pandas()
+        got_list = [
+            (r.a, r.b, int(r.common_neighbors)) for r in got.itertuples()
+        ]
+        assert got_list == want
+
+    # star: every leaf pair shares only the hub; capping below the hub
+    # degree leaves nothing
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    full = link_prediction(triples(star), k=100).to_pandas()
+    assert len(full) == 15 and (full.common_neighbors == 1).all()
+    capped = link_prediction(
+        triples(star), k=100, max_center_degree=3
+    ).to_pandas()
+    assert len(capped) == 0
