@@ -163,11 +163,14 @@ def kmeans_fit(
                 }
             )
 
-        partials = (
-            embs.map_batches(partial, batch_format="pyarrow")
-            .repartition(combine_parts)
-            .map_batches(combine, batch_format="pyarrow", batch_size=None)
-        )
+        partials = embs.map_batches(partial, batch_format="pyarrow")
+        # tree-combine only pays when there are many partial blocks —
+        # below that the repartition stage is pure per-iteration
+        # overhead and the driver merge is already tiny
+        if embs.num_blocks() > combine_parts * 4:
+            partials = partials.repartition(combine_parts).map_batches(
+                combine, batch_format="pyarrow", batch_size=None
+            )
         sums = np.zeros((k, d), dtype=np.float64)
         tot = np.zeros(k, dtype=np.int64)
         for b in partials.iter_batches(batch_format="pyarrow"):
