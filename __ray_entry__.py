@@ -388,7 +388,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": relational.orders_cube,
         "supplier_region_stats": relational.supplier_nation_join,
         # text analysis (SQL-checked where expressible)
-        "doc_token_stats": textstats.token_stats,
         # GPT-style contiguous sequence packing: global token cumsum
         # (sorted-run + O(#blocks) carry scan) -> block assignment;
         # exact window-function SQL oracle
@@ -405,6 +404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle pytest on both the broadcast and join scoring paths)
         "doc_perplexity": lambda sf: lm.perplexity_scores(sf),
         "corpus_token_summary": textstats.corpus_token_summary,
+        # C4-style composed keep/drop filter (first-failing-rule reason);
+        # exact SQL oracle over the quality-signal CTE
+        "doc_training_filter": textstats.training_filter,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
         "doc_redacted": textstats.redact_documents,
@@ -502,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_activity": relational.events_hourly_activity,
         "events_props_stats": relational.events_props_stats,
         "events_sliding_window": relational.events_sliding_window,
+        "doc_token_stats": textstats.token_stats,
     }
 
 
@@ -954,6 +957,43 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'de'
                    END AS pred_lang
             FROM s
+        """,
+        "doc_training_filter": f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_words,
+                       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE (
+                           SELECT COUNT(*) FROM unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+                           WHERE lower(w) IN ({_EN_STOP_SQL})
+                       ) END AS n_stop
+                FROM documents
+            ), sig AS (
+                SELECT doc_id, lang, n_words,
+                       CASE WHEN n_chars = 0 THEN 0
+                            ELSE CAST(ROUND(1e6 * n_punct * 1.0 / n_chars, 0) AS BIGINT) END AS punct_ppm,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE CAST(ROUND(1e6 * n_stop * 1.0 / n_words, 0) AS BIGINT) END AS stopword_ppm,
+                       CASE WHEN n_chars = 0 THEN 0
+                            ELSE CAST(ROUND(1e6 * n_upper * 1.0 / n_chars, 0) AS BIGINT) END AS upper_ppm
+                FROM d
+            ), v AS (
+                SELECT doc_id, lang, n_words,
+                       CASE
+                           WHEN n_words < 50 THEN 'too_short'
+                           WHEN n_words > 20000 THEN 'too_long'
+                           WHEN punct_ppm > 300000 THEN 'high_punct'
+                           WHEN upper_ppm > 300000 THEN 'high_upper'
+                           WHEN lang = 'en' AND stopword_ppm < 10000 THEN 'low_stopword'
+                           ELSE 'ok'
+                       END AS reason
+                FROM sig
+            )
+            SELECT doc_id, lang, n_words, reason = 'ok' AS keep, reason FROM v
         """,
         "doc_quality_scores": f"""
             WITH d AS (

@@ -97,6 +97,55 @@ _UPPER_RE = re.compile(r"[A-Z]")
 _NONWS_RE = re.compile(r"\S")
 
 
+def _ppm(num: int, den: int) -> int:
+    # half-away-from-zero on the same single division the SQL oracle
+    # performs (python round() is half-to-even and would diverge)
+    import math
+
+    return int(math.floor(1e6 * num / den + 0.5)) if den else 0
+
+
+def _quality_batch(batch: pa.Table, passthrough: tuple[str, ...] = ()) -> pa.Table:
+    """Per-batch quality-signal kernel (shared by ``quality_scores``
+    and ``training_filter``); ``passthrough`` columns ride along."""
+    en_stop = _LANG_PROFILES["en"]
+    out = {
+        "doc_id": batch.column("doc_id"),
+        "n_chars": [],
+        "n_words": [],
+        "punct_ppm": [],
+        "stopword_ppm": [],
+        "upper_ppm": [],
+        "mean_word_len_ppm": [],
+    }
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        n = len(t)
+        words = [w for w in _WS_RE.split(t.strip()) if w] if t.strip() else []
+        n_punct = len(_PUNCT_RE.findall(t))
+        n_upper = len(_UPPER_RE.findall(t))
+        n_nonws = len(_NONWS_RE.findall(t))
+        n_stop = sum(1 for w in words if w.lower() in en_stop)
+        out["n_chars"].append(n)
+        out["n_words"].append(len(words))
+        out["punct_ppm"].append(_ppm(n_punct, n))
+        out["stopword_ppm"].append(_ppm(n_stop, len(words)))
+        out["upper_ppm"].append(_ppm(n_upper, n))
+        out["mean_word_len_ppm"].append(_ppm(n_nonws, len(words)))
+    cols = {
+        "doc_id": out["doc_id"],
+        "n_chars": pa.array(out["n_chars"], pa.int64()),
+        "n_words": pa.array(out["n_words"], pa.int64()),
+        "punct_ppm": pa.array(out["punct_ppm"], pa.int64()),
+        "stopword_ppm": pa.array(out["stopword_ppm"], pa.int64()),
+        "upper_ppm": pa.array(out["upper_ppm"], pa.int64()),
+        "mean_word_len_ppm": pa.array(out["mean_word_len_ppm"], pa.int64()),
+    }
+    for c in passthrough:
+        cols[c] = batch.column(c)
+    return pa.table(cols)
+
+
 def quality_scores(sf_dir: str) -> Dataset:
     """Heuristic quality signals per document.
 
@@ -106,52 +155,60 @@ def quality_scores(sf_dir: str) -> Dataset:
     oracle).
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    en_stop = _LANG_PROFILES["en"]
+    return ds.map_batches(_quality_batch, batch_format="pyarrow")
 
-    def ppm(num: int, den: int) -> int:
-        # half-away-from-zero on the same single division the SQL oracle
-        # performs (python round() is half-to-even and would diverge)
-        import math
 
-        return int(math.floor(1e6 * num / den + 0.5)) if den else 0
+def training_filter(sf_dir: str) -> Dataset:
+    """C4-style composed training-data filter: keep/drop verdict per
+    document with the FIRST failing rule as the reason.  Rule cascade
+    (fixed order, all thresholds on the exact integer ppm signals):
 
-    def f(batch: pa.Table) -> pa.Table:
-        out = {
-            "doc_id": batch.column("doc_id"),
-            "n_chars": [],
-            "n_words": [],
-            "punct_ppm": [],
-            "stopword_ppm": [],
-            "upper_ppm": [],
-            "mean_word_len_ppm": [],
-        }
-        for t in batch.column("text").to_pylist():
-            t = t or ""
-            n = len(t)
-            words = [w for w in _WS_RE.split(t.strip()) if w] if t.strip() else []
-            n_punct = len(_PUNCT_RE.findall(t))
-            n_upper = len(_UPPER_RE.findall(t))
-            n_nonws = len(_NONWS_RE.findall(t))
-            n_stop = sum(1 for w in words if w.lower() in en_stop)
-            out["n_chars"].append(n)
-            out["n_words"].append(len(words))
-            out["punct_ppm"].append(ppm(n_punct, n))
-            out["stopword_ppm"].append(ppm(n_stop, len(words)))
-            out["upper_ppm"].append(ppm(n_upper, n))
-            out["mean_word_len_ppm"].append(ppm(n_nonws, len(words)))
+    1. n_words < 50            -> 'too_short'
+    2. n_words > 20000         -> 'too_long'
+    3. punct_ppm > 300000      -> 'high_punct'
+    4. upper_ppm > 300000      -> 'high_upper'
+    5. lang = 'en' and stopword_ppm < 10000 -> 'low_stopword'
+    else keep, reason 'ok'.
+
+    One streaming pass (the quality kernel with ``lang`` passed
+    through); exact SQL oracle over the same CTE as
+    ``doc_quality_scores``."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+    sig = ds.map_batches(
+        lambda b: _quality_batch(b, passthrough=("lang",)),
+        batch_format="pyarrow",
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_words")
+        reason = pa.array(["ok"] * batch.num_rows, pa.string())
+        rules = [
+            (pc.less(nw, 50), "too_short"),
+            (pc.greater(nw, 20000), "too_long"),
+            (pc.greater(batch.column("punct_ppm"), 300_000), "high_punct"),
+            (pc.greater(batch.column("upper_ppm"), 300_000), "high_upper"),
+            (
+                pc.and_(
+                    pc.equal(batch.column("lang"), "en"),
+                    pc.less(batch.column("stopword_ppm"), 10_000),
+                ),
+                "low_stopword",
+            ),
+        ]
+        # apply in REVERSE so the first rule in the cascade wins
+        for mask, tag in reversed(rules):
+            reason = pc.if_else(mask, pa.scalar(tag, pa.string()), reason)
         return pa.table(
             {
-                "doc_id": out["doc_id"],
-                "n_chars": pa.array(out["n_chars"], pa.int64()),
-                "n_words": pa.array(out["n_words"], pa.int64()),
-                "punct_ppm": pa.array(out["punct_ppm"], pa.int64()),
-                "stopword_ppm": pa.array(out["stopword_ppm"], pa.int64()),
-                "upper_ppm": pa.array(out["upper_ppm"], pa.int64()),
-                "mean_word_len_ppm": pa.array(out["mean_word_len_ppm"], pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_words": nw,
+                "keep": pc.equal(reason, "ok"),
+                "reason": reason,
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return sig.map_batches(verdict, batch_format="pyarrow")
 
 
 def detect_language(text: str) -> str:

@@ -809,6 +809,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "events_hourly_activity",
         "events_props_stats",
         "events_sliding_window",
+        "doc_token_stats",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
