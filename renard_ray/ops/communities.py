@@ -37,27 +37,11 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
 
 from .relational import _collect_small, _join_parts_bytes
-from .triangles import _distinct_edges
+from .triangles import _distinct_edges, directed_edges
 
 _LABEL_LIMIT = 5_000_000  # label-table broadcast budget (rows)
 _SEP = "\x1f"  # cannot appear in extracted entity names
 _CNT_W = 13  # count field width; asserts below keep overflow loud
-
-
-def _directed(edges: Dataset) -> Dataset:
-    """Both directions of the undirected edge list: (node, nbr)."""
-
-    def both(batch: pa.Table) -> pa.Table:
-        lo = batch.column("lo").combine_chunks()
-        hi = batch.column("hi").combine_chunks()
-        return pa.table(
-            {
-                "node": pa.concat_arrays([lo, hi]),
-                "nbr": pa.concat_arrays([hi, lo]),
-            }
-        )
-
-    return edges.map_batches(both, batch_format="pyarrow")
 
 
 def _pick_label(votes: Dataset) -> Dataset:
@@ -104,7 +88,7 @@ def label_propagation(
     limit = _LABEL_LIMIT if broadcast_limit is None else broadcast_limit
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
     edges = _distinct_edges(triples).materialize()
-    directed = _directed(edges).materialize()  # scanned every round
+    directed = directed_edges(edges).materialize()  # scanned every round
 
     # round 0: label(v) = v
     labels = directed.groupby("node").count().map_batches(

@@ -40,25 +40,15 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .similarity import _matrix, _read_embeddings  # shared decode/read
+
 _COMBINE_PARTS = 16  # partial-sum tree fan-in before the driver merge
 
 
-def _read_embeddings(sf_dir: str) -> Dataset:
-    from renard_ray.ops.relational import clean_schema
-
-    path = f"{sf_dir}/embeddings.parquet"
-    return ray.data.read_parquet(
-        path, columns=["vec_id", "embedding"],
-        schema=clean_schema(path, ["vec_id", "embedding"]),
-    )
-
-
 def _batch_matrix(batch: pa.Table, vec_col: str, normalize: bool) -> np.ndarray:
-    """Zero-copy list<float> -> (n, d) matrix: flatten the Arrow list
-    buffer and reshape (dims are constant per table)."""
-    col = batch.column(vec_col).combine_chunks()
-    flat = np.asarray(col.flatten(), dtype=np.float64)
-    X = flat.reshape(len(col), -1)
+    """(n, d) float64 matrix via the shared zero-copy decode (null-safe
+    fallback included); optional L2 row normalization."""
+    X = _matrix(batch.column(vec_col))
     if normalize:
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return X

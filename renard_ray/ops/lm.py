@@ -57,21 +57,33 @@ def train_bigram_model(docs: Dataset) -> tuple[Dataset, Dataset, int]:
     ``(w1, c1)``, vocabulary size V)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # ONE tokenize pass emits both bigram count partials (kind 'b')
+        # and per-batch-distinct unigrams for the vocabulary (kind 'u')
         big: dict[str, int] = {}
+        vs: set[str] = set()
         for t in batch.column("text").to_pylist():
             ws = _tokens(t)
+            vs.update(ws)
             for a, b in zip(ws, ws[1:]):
                 k = a + _SEP + b
                 big[k] = big.get(k, 0) + 1
+        uni = sorted(vs)
         return pa.table(
             {
-                "key": pa.array(list(big.keys()), pa.string()),
-                "c_p": pa.array(list(big.values()), pa.int64()),
+                "key": pa.array(list(big.keys()) + uni, pa.string()),
+                "c_p": pa.array(
+                    list(big.values()) + [1] * len(uni), pa.int64()
+                ),
+                "kind": pa.array(
+                    ["b"] * len(big) + ["u"] * len(uni), pa.string()
+                ),
             }
         )
 
+    partials = docs.map_batches(partial, batch_format="pyarrow").materialize()
     bigrams = (
-        docs.map_batches(partial, batch_format="pyarrow")
+        partials.filter(expr="kind == 'b'")
+        .select_columns(["key", "c_p"])
         .groupby("key")
         .aggregate(Sum("c_p", alias_name="c"))
         .materialize()
@@ -92,15 +104,10 @@ def train_bigram_model(docs: Dataset) -> tuple[Dataset, Dataset, int]:
         .materialize()
     )
 
-    def vocab_partial(batch: pa.Table) -> pa.Table:
-        vs: set[str] = set()
-        for t in batch.column("text").to_pylist():
-            vs.update(_tokens(t))
-        return pa.table({"w": pa.array(sorted(vs), pa.string())})
-
     V = (
-        docs.map_batches(vocab_partial, batch_format="pyarrow")
-        .groupby("w")
+        partials.filter(expr="kind == 'u'")
+        .select_columns(["key"])
+        .groupby("key")
         .count()
         .count()
     )
@@ -202,7 +209,9 @@ def perplexity_scores(
             }
         )
 
-    trans = docs.map_batches(emit, batch_format="pyarrow")
+    # materialized: consumed by BOTH filters below (otherwise the
+    # corpus-wide tokenize+emit pass would execute twice)
+    trans = docs.map_batches(emit, batch_format="pyarrow").materialize()
     short = trans.filter(expr="short == True")
     real = trans.filter(expr="short == False").drop_columns(
         ["n_tok_first", "short"]

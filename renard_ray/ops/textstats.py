@@ -188,8 +188,12 @@ def training_filter(sf_dir: str) -> Dataset:
             (pc.greater(batch.column("punct_ppm"), 300_000), "high_punct"),
             (pc.greater(batch.column("upper_ppm"), 300_000), "high_upper"),
             (
+                # fill_null: a NULL lang must fall through to 'ok' like
+                # the SQL CASE (non-Kleene and_ would poison if_else)
                 pc.and_(
-                    pc.equal(batch.column("lang"), "en"),
+                    pc.equal(
+                        pc.fill_null(batch.column("lang"), ""), "en"
+                    ),
                     pc.less(batch.column("stopword_ppm"), 10_000),
                 ),
                 "low_stopword",

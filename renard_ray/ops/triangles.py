@@ -86,6 +86,24 @@ def _degrees(edges: Dataset) -> Dataset:
     )
 
 
+def directed_edges(
+    edges: Dataset, node_col: str = "node", nbr_col: str = "nbr"
+) -> Dataset:
+    """Both directions of the undirected (lo, hi) edge list."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").combine_chunks()
+        hi = batch.column("hi").combine_chunks()
+        return pa.table(
+            {
+                node_col: pa.concat_arrays([lo, hi]),
+                nbr_col: pa.concat_arrays([hi, lo]),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
 def _orient(edges: Dataset, degrees: Dataset, fallback_parts: int) -> Dataset:
     """(src, dst) with rank(src) < rank(dst), rank = (deg, name)."""
     with_lo = broadcast_lookup_join(
@@ -131,11 +149,8 @@ def _closed_wedges(
     *,
     broadcast_limit: int | None = None,
     num_partitions: int | None = None,
-    keep_wedges: bool = False,
-) -> tuple[Dataset, Dataset, Dataset, int, Dataset]:
-    """(edges, degrees, wedges, n_edges, oriented edges) — ``wedges``
-    is the CLOSED wedge set (pivot, wa, wb) by default, or the raw
-    wedge stream (closure semi-join skipped) with ``keep_wedges``.
+) -> tuple[Dataset, Dataset, Dataset, int]:
+    """(edges, degrees, closed wedges (pivot, wa, wb), n_edges).
 
     A closed wedge is one triangle, seen from its unique pivot."""
     limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
@@ -209,15 +224,13 @@ def _closed_wedges(
         lambda b: pa.table({"key": _pack(b.column("src"), b.column("dst"))}),
         batch_format="pyarrow",
     )
-    if keep_wedges:
-        return edges, degrees, wedges, n_edges, oriented
     closed = broadcast_semi_join(
         packed_wedges, packed_edges, on="key",
         limit=limit, fallback_parts=nparts,
     ).map_batches(
         lambda b: b.drop_columns(["key"]), batch_format="pyarrow"
     )
-    return edges, degrees, closed, n_edges, oriented
+    return edges, degrees, closed, n_edges
 
 
 def triangle_count(
@@ -228,7 +241,7 @@ def triangle_count(
 ) -> Dataset:
     """One-row Dataset {n_triangles, n_edges} for the graph of the
     given triple table (edges = distinct undirected pairs)."""
-    _edges, _deg, closed, n_edges, _or = _closed_wedges(
+    _edges, _deg, closed, n_edges = _closed_wedges(
         triples, broadcast_limit=broadcast_limit,
         num_partitions=num_partitions,
     )
@@ -259,7 +272,7 @@ def clustering_coefficient(
     table attaches to the degree table via the size-adaptive lookup
     join.  Output: (node, deg, n_triangles, cc) — cc as an exact
     ratio-rounded double (6 digits)."""
-    _edges, degrees, closed, _n, _or = _closed_wedges(
+    _edges, degrees, closed, _n = _closed_wedges(
         triples, broadcast_limit=broadcast_limit,
         num_partitions=num_partitions,
     )
@@ -382,17 +395,7 @@ def link_prediction(
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
     edges = _distinct_edges(triples).materialize()
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        lo = batch.column("lo").combine_chunks()
-        hi = batch.column("hi").combine_chunks()
-        return pa.table(
-            {
-                "ctr": pa.concat_arrays([lo, hi]),
-                "nbr": pa.concat_arrays([hi, lo]),
-            }
-        )
-
-    directed = edges.map_batches(both_dirs, batch_format="pyarrow")
+    directed = directed_edges(edges, node_col="ctr", nbr_col="nbr")
 
     if max_center_degree is not None:
         import logging
