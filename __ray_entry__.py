@@ -376,8 +376,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_revenue": relational.q5_nation_revenue,
         "events_asof_last_purchase": _asof_last_purchase,
         "events_promo_window": _promo_window,
-        "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
-        "lineitem_qty_percentiles": relational.lineitem_qty_percentiles,
         "orders_rollup": relational.orders_rollup,
         "events_running_total": relational.events_running_total,
         # two-step funnel (first view -> first strictly-later purchase):
@@ -407,6 +405,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C4-style composed keep/drop filter (first-failing-rule reason);
         # exact SQL oracle over the quality-signal CTE
         "doc_training_filter": textstats.training_filter,
+        # Gopher-style within-doc repetition signals (dup lines /
+        # trigrams as exact integer ppm); exact SQL oracle
+        "doc_repetition_stats": textstats.repetition_stats,
+        # reproducible hash split (md5-priority recipe); exact SQL oracle
+        "doc_train_val_split": lambda sf: textstats.train_val_split(sf),
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
         "doc_redacted": textstats.redact_documents,
@@ -505,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "events_sliding_window": relational.events_sliding_window,
         "doc_token_stats": textstats.token_stats,
+        "lineitem_qty_percentiles": relational.lineitem_qty_percentiles,
+        "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
     }
 
 
@@ -957,6 +962,47 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'de'
                    END AS pred_lang
             FROM s
+        """,
+        "doc_train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
+        "doc_repetition_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS lines,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')
+                       END AS ws
+                FROM documents
+            ), t AS (
+                SELECT doc_id, lines,
+                       CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(
+                                generate_series(1, len(ws) - 2),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       END AS tris
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CASE WHEN len(lines) = 0 THEN 0
+                        ELSE CAST(ROUND(1e6 * (len(lines) - len(list_distinct(lines))) * 1.0
+                                        / len(lines), 0) AS BIGINT)
+                   END AS dup_line_ppm,
+                   CAST(len(tris) AS BIGINT) AS n_trigrams,
+                   CASE WHEN len(tris) = 0 THEN 0
+                        ELSE CAST(ROUND(1e6 * (len(tris) - len(list_distinct(tris))) * 1.0
+                                        / len(tris), 0) AS BIGINT)
+                   END AS dup_trigram_ppm
+            FROM t
         """,
         "doc_training_filter": f"""
             WITH d AS (

@@ -339,3 +339,77 @@ def redact_documents(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str) -> Dataset:
+    """Gopher/MassiveText-style within-document repetition signals:
+    fraction of duplicate lines and duplicate word trigrams (exact
+    integer ppm, same rounding recipe as ``quality_scores``).
+
+    One streaming pass; no shuffle.  Output: (doc_id, n_lines,
+    dup_line_ppm, n_trigrams, dup_trigram_ppm)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "n_lines": [], "dup_line_ppm": [],
+            "n_trigrams": [], "dup_trigram_ppm": [],
+        }
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            lines = [x.strip() for x in t.split("\n")]
+            lines = [x for x in lines if x]
+            nl = len(lines)
+            dup_l = nl - len(set(lines))
+            words = [w for w in _WS_RE.split(t.strip().lower()) if w] if t.strip() else []
+            tris = [
+                " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+            ]
+            nt = len(tris)
+            dup_t = nt - len(set(tris))
+            out["n_lines"].append(nl)
+            out["dup_line_ppm"].append(_ppm(dup_l, nl))
+            out["n_trigrams"].append(nt)
+            out["dup_trigram_ppm"].append(_ppm(dup_t, nt))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(out["n_lines"], pa.int64()),
+                "dup_line_ppm": pa.array(out["dup_line_ppm"], pa.int64()),
+                "n_trigrams": pa.array(out["n_trigrams"], pa.int64()),
+                "dup_trigram_ppm": pa.array(out["dup_trigram_ppm"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def train_val_split(
+    sf_dir: str, threshold_hex: str = "f3", salt: str = ""
+) -> Dataset:
+    """Deterministic hash-based train/val split: a document lands in
+    'val' iff ``md5(salt + doc_id)`` (hex string) >= ``threshold_hex``
+    as a string prefix compare — the md5-priority recipe
+    ``stratified_sample`` already uses, so the assignment is
+    reproducible under retries, re-partitioning and re-runs, and
+    exactly mirrored in SQL ('f3' ~ 94.9% train).  One streaming pass,
+    no shuffle."""
+    import hashlib
+
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        splits = [
+            "train"
+            if hashlib.md5((salt + str(d)).encode()).hexdigest() < threshold_hex
+            else "val"
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -810,6 +810,8 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "events_props_stats",
         "events_sliding_window",
         "doc_token_stats",
+        "lineitem_qty_percentiles",
+        "q17_small_qty_revenue",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
