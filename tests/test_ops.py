@@ -1411,3 +1411,37 @@ def test_link_prediction_matches_bruteforce(ray_session):
         triples(star), k=100, max_center_degree=3
     ).to_pandas()
     assert len(capped) == 0
+
+
+def test_pack_blocks_multiblock_carry(ray_session, docs_dir, monkeypatch):
+    """The O(#blocks) carry scan: with the input forced into many
+    blocks (docs straddling block boundaries), packing still equals the
+    single-stream python cumsum."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops import packing
+
+    orig = packing._read_documents
+    monkeypatch.setattr(
+        packing, "_read_documents",
+        lambda sf, cols: orig(sf, cols).repartition(7),
+    )
+    cap = 64
+    got = (
+        packing.pack_blocks(docs_dir, block_tokens=cap)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tbl = pq.read_table(f"{docs_dir}/documents.parquet")
+    ws = re.compile(r"\s+")
+    acc, want = 0, []
+    for did, t in sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    ):
+        n = len(ws.split(t.strip())) if t and t.strip() else 0
+        want.append((did, n, acc // cap, acc % cap))
+        acc += n
+    assert list(map(tuple, got.values.tolist())) == want
