@@ -389,18 +389,21 @@ def link_prediction(
     packed-key ANTI join against the edge list, top-k sort.  Pairs are
     normalized lexicographically (a < b).
 
-    Output: (a, b, common_neighbors) — top-k by count desc, (a, b) asc.
+    Output: (a, b, common_neighbors, aa_score) — top-k by count desc,
+    (a, b) asc; ``aa_score`` is the Adamic-Adar sum
+    ``sum over common neighbors x of 1/ln(deg(x))`` (rounded to 6),
+    the hub-downweighted variant of the same signal.
     """
     limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
     edges = _distinct_edges(triples).materialize()
 
     directed = directed_edges(edges, node_col="ctr", nbr_col="nbr")
+    degrees = _degrees(edges)
 
     if max_center_degree is not None:
         import logging
 
-        degrees = _degrees(edges)
         deg_tab = _collect_small(degrees, limit)
         if deg_tab is not None:
             hot = deg_tab.filter(
@@ -435,18 +438,46 @@ def link_prediction(
                 limit=limit, fallback_parts=nparts,
             )
 
-    directed = directed.materialize()
+    # attach the center's Adamic-Adar weight 1/ln(deg) once (degree
+    # table is vocabulary-bounded; size-adaptive lookup join)
+    with_deg = broadcast_lookup_join(
+        directed, degrees, on="ctr", right_on="node", payload=["deg"],
+        limit=limit, fallback_parts=nparts,
+    )
+
+    def add_wd(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = np.asarray(batch.column("deg"), dtype=np.float64)
+        wd = np.where(d > 1.0, 1.0 / np.log(np.maximum(d, 2.0)), 0.0)
+        return pa.table(
+            {
+                "ctr": batch.column("ctr"),
+                "nbr": batch.column("nbr"),
+                "wd": pa.array(wd),
+            }
+        )
+
+    directed = with_deg.map_batches(
+        add_wd, batch_format="pyarrow"
+    ).materialize()
 
     def emit_pairs(batch: pa.Table, rt: pa.Table) -> pa.Table:
-        joined = batch.rename_columns(["ctr", "b_nbr"]).join(
-            rt, keys=["ctr"], right_keys=["ctr"], join_type="inner"
-        )
+        joined = batch.select(["ctr", "nbr"]).rename_columns(
+            ["ctr", "b_nbr"]
+        ).join(rt, keys=["ctr"], right_keys=["ctr"], join_type="inner")
         a, b = joined.column("b_nbr"), joined.column("nbr")
         keep = pc.less(a, b)  # one order per pair, self-pairs dropped
         w = joined.filter(keep)
-        t = pa.table({"a": w.column("b_nbr"), "b": w.column("nbr")})
-        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
-        return g.rename_columns(["a", "b", "n"])
+        t = pa.table(
+            {
+                "a": w.column("b_nbr"),
+                "b": w.column("nbr"),
+                "aa": w.column("wd"),
+            }
+        )
+        g = t.group_by(["a", "b"]).aggregate([("a", "count"), ("aa", "sum")])
+        return g.rename_columns(["a", "b", "n", "aa"])
 
     small = _collect_small(directed, limit)
     if small is not None:
@@ -460,7 +491,9 @@ def link_prediction(
         )
     else:
         rhs = directed.map_batches(
-            lambda b: b.rename_columns(["ctr", "b_nbr"]),
+            lambda b: b.select(["ctr", "nbr"]).rename_columns(
+                ["ctr", "b_nbr"]
+            ),
             batch_format="pyarrow",
         )
         joined = directed.join(
@@ -471,17 +504,45 @@ def link_prediction(
         def keep_pairs(batch: pa.Table) -> pa.Table:
             keep = pc.less(batch.column("b_nbr"), batch.column("nbr"))
             w = batch.filter(keep)
-            t = pa.table({"a": w.column("b_nbr"), "b": w.column("nbr")})
-            g = t.group_by(["a", "b"]).aggregate([("a", "count")])
-            return g.rename_columns(["a", "b", "n"])
+            t = pa.table(
+                {
+                    "a": w.column("b_nbr"),
+                    "b": w.column("nbr"),
+                    "aa": w.column("wd"),
+                }
+            )
+            g = t.group_by(["a", "b"]).aggregate([("a", "count"), ("aa", "sum")])
+            return g.rename_columns(["a", "b", "n", "aa"])
 
         pair_partials = joined.map_batches(keep_pairs, batch_format="pyarrow")
 
     counts = (
         pair_partials.groupby(["a", "b"])
-        .aggregate(Sum("n", alias_name="common_neighbors"))
+        .aggregate(
+            Sum("n", alias_name="common_neighbors"),
+            Sum("aa", alias_name="aa_raw"),
+        )
     )
+
+    def round_aa(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "common_neighbors": batch.column("common_neighbors"),
+                "aa_score": pa.array(
+                    np.round(
+                        np.asarray(batch.column("aa_raw"), dtype=np.float64), 6
+                    )
+                ),
+            }
+        )
+
     packed_pairs = counts.map_batches(
+        round_aa, batch_format="pyarrow"
+    ).map_batches(
         lambda b: b.append_column("key", _pack(b.column("a"), b.column("b"))),
         batch_format="pyarrow",
     )
@@ -502,9 +563,11 @@ def link_prediction(
 
 def link_prediction_bruteforce(
     edges: list[tuple[str, str]], k: int = 25
-) -> list[tuple[str, str, int]]:
-    """Small-graph oracle: common-neighbor counts for all non-adjacent
-    pairs by adjacency-set intersection."""
+) -> list[tuple[str, str, int, float]]:
+    """Small-graph oracle: common-neighbor counts + Adamic-Adar sums
+    for all non-adjacent pairs by adjacency-set intersection."""
+    import math
+
     adj: dict[str, set[str]] = {}
     for u, v in edges:
         if u == v:
@@ -517,8 +580,13 @@ def link_prediction_bruteforce(
         for v in nodes[i + 1:]:
             if v in adj[u]:
                 continue
-            cn = len(adj[u] & adj[v])
-            if cn:
-                out[(u, v)] = cn  # u < v lexicographically
-    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
-    return [(a, b, c) for (a, b), c in ranked[:k]]
+            common = adj[u] & adj[v]
+            if common:
+                aa = sum(
+                    1.0 / math.log(len(adj[x]))
+                    for x in common
+                    if len(adj[x]) > 1
+                )
+                out[(u, v)] = (len(common), aa)  # u < v lexicographically
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    return [(a, b, c, aa) for (a, b), (c, aa) in ranked[:k]]

@@ -1400,7 +1400,12 @@ def test_link_prediction_matches_bruteforce(ray_session):
         got_list = [
             (r.a, r.b, int(r.common_neighbors)) for r in got.itertuples()
         ]
-        assert got_list == want
+        assert got_list == [(a, b, c) for a, b, c, _aa in want]
+        aa_want = {(a, b): aa for a, b, _c, aa in want}
+        for r in got.itertuples():
+            assert r.aa_score == pytest.approx(
+                aa_want[(r.a, r.b)], abs=1e-5
+            ), (r.a, r.b)
 
     # star: every leaf pair shares only the hub; capping below the hub
     # degree leaves nothing
