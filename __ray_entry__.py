@@ -370,13 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # relational (SQL-oracle-checked)
-        "events_sessionize": relational.events_sessionize,
         "priority_or_big_customers": relational.priority_or_big_customers,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "events_asof_last_purchase": _asof_last_purchase,
         "events_promo_window": _promo_window,
-        "orders_rollup": relational.orders_rollup,
         "events_running_total": relational.events_running_total,
         # two-step funnel (first view -> first strictly-later purchase):
         # aggregates + size-adaptive lookup join only, no per-user
@@ -410,6 +408,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": textstats.repetition_stats,
         # reproducible hash split (md5-priority recipe); exact SQL oracle
         "doc_train_val_split": lambda sf: textstats.train_val_split(sf),
+        # per-source exact distinct words (SQL oracle) + the mergeable
+        # HLL-registers-per-group variant (rows-only; <10% error pytest)
+        "source_distinct_words": sketches.source_distinct_words_exact,
+        "source_distinct_words_hll": sketches.source_distinct_words_hll,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
         "doc_redacted": textstats.redact_documents,
@@ -510,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": textstats.token_stats,
         "lineitem_qty_percentiles": relational.lineitem_qty_percentiles,
         "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
+        "orders_rollup": relational.orders_rollup,
+        "events_sessionize": relational.events_sessionize,
     }
 
 
@@ -962,6 +966,16 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'de'
                    END AS pred_lang
             FROM s
+        """,
+        "source_distinct_words": """
+            SELECT source, CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_words
+            FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY source
         """,
         "doc_train_val_split": """
             SELECT doc_id,

@@ -344,3 +344,92 @@ def build_bloom_filter(
 
 def bloom_contains(bits: np.ndarray, k: int, value) -> bool:
     return _bloom_contains(bits, str(value).encode(), k)
+
+
+def source_distinct_words_hll(sf_dir: str, p: int = 12) -> Dataset:
+    """Per-SOURCE approximate distinct-word counts: one tokenize pass
+    emits a (source, registers) HLL partial per batch-and-source, a
+    bounded groupby (one group per source — the grouping vocabulary,
+    not the corpus) merges registers by elementwise max.  The
+    mergeable-sketch-per-group pattern: at 100 TB the shuffle carries
+    #blocks x #sources fixed-size register rows, never token rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[str, np.ndarray] = {}
+        for src, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            h = _word_hashes(t)
+            if len(h):
+                reg = regs.setdefault(src, _hll_new(p))
+                _hll_add_hashes(reg, h, p)
+        srcs = sorted(regs)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "registers": pa.array(
+                    [regs[s].tobytes() for s in srcs], pa.binary()
+                ),
+            }
+        )
+
+    def merge(group) -> pa.Table:
+        merged = _hll_new(p)
+        for blob in group["registers"]:
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table(
+            {
+                "source": pa.array([group["source"].iloc[0]], pa.string()),
+                "distinct_words_est": pa.array(
+                    [int(round(_hll_count(merged, p)))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .sort("source")
+    )
+
+
+def source_distinct_words_exact(sf_dir: str) -> Dataset:
+    """Exact per-source distinct-word counts (the SQL-checkable
+    baseline for the HLL variant): per-batch distinct (source, word)
+    pairs, one dedup groupby, one count groupby."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for src, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in _WS_RE.split((t or "").lower()):
+                if w:
+                    seen.add((src, w))
+            # (empty docs contribute nothing)
+        srcs = [s for s, _ in seen]
+        ws = [w for _, w in seen]
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "word": pa.array(ws, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .count()
+        .groupby("source")
+        .aggregate(Count(alias_name="distinct_words"))
+        .sort("source")
+    )

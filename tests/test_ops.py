@@ -812,6 +812,8 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "doc_token_stats",
         "lineitem_qty_percentiles",
         "q17_small_qty_revenue",
+        "orders_rollup",
+        "events_sessionize",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1450,3 +1452,24 @@ def test_pack_blocks_multiblock_carry(ray_session, docs_dir, monkeypatch):
         want.append((did, n, acc // cap, acc % cap))
         acc += n
     assert list(map(tuple, got.values.tolist())) == want
+
+
+def test_source_distinct_words_hll_error_bound(ray_session, docs_dir):
+    """Per-group HLL estimates land within 12% of the exact per-group
+    distinct counts (p=12 registers; standard error ~1.04/sqrt(4096))."""
+    from renard_ray.ops.sketches import (
+        source_distinct_words_exact,
+        source_distinct_words_hll,
+    )
+
+    exact = {
+        r.source: r.distinct_words
+        for r in source_distinct_words_exact(docs_dir).to_pandas().itertuples()
+    }
+    est = {
+        r.source: r.distinct_words_est
+        for r in source_distinct_words_hll(docs_dir).to_pandas().itertuples()
+    }
+    assert set(exact) == set(est)
+    for src, n in exact.items():
+        assert abs(est[src] - n) <= max(3, 0.12 * n), (src, n, est[src])
