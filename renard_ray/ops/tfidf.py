@@ -13,9 +13,11 @@ Two streaming passes over the ``documents`` table:
    and re-tokenize per batch; every document's term rows exist inside
    its own batch, so the per-document top-k is computed entirely
    batch-locally — no doc-keyed shuffle, no per-doc ``map_groups``.
-   Past the broadcast budget the fallback joins df onto the term rows
-   and resolves top-k per doc with ``map_groups`` (documented as the
-   non-preferred shape; the broadcast path is the realistic one).
+   Past the broadcast budget (the realistic regime at web scale) the
+   fallback joins df onto the term rows and resolves per-doc top-k
+   with the sorted-run + boundary stitch: one sort, block-local top-k
+   for interior docs, O(k * #blocks) edge-doc candidates to the
+   driver — no per-doc ``map_groups``.
 
 Scoring uses the rational idf variant ``score = tf * N / df`` (no
 logarithm): int64 products are exact and the single float division is
@@ -137,9 +139,12 @@ def tfidf_topk(
 
         return docs.map_batches(score, batch_format="pyarrow")
 
-    # fallback past the broadcast budget: join df onto term rows, then
-    # per-doc top-k (map_groups; the sorted-run variant is the
-    # optimization path if this regime ever dominates)
+    # fallback past the broadcast budget (the realistic regime at web
+    # scale — Heaps' law outgrows any broadcast): join df onto the term
+    # rows, then resolve per-doc top-k with the sorted-run + boundary
+    # stitch (one sort; interior docs of a block are complete, only the
+    # block-EDGE docs' candidate rows — O(k * #blocks) — reach the
+    # driver).  No per-doc map_groups.
     nparts = max(2, _join_parts_bytes(docs))
 
     def emit_tf(batch: pa.Table) -> pa.Table:
@@ -166,26 +171,102 @@ def tfidf_topk(
         on=("word",), right_on=("word_",),
     )
 
-    def topk(group):
-        g = group.copy()
-        g["score"] = (g["tf"].astype("int64") * int(n_docs)).astype(
-            "float64"
-        ) / g["df"].astype("int64")
-        g = g.sort_values(
-            by=["score", "word"], ascending=[False, True]
-        ).head(k).reset_index(drop=True)
+    def add_score(batch: pa.Table) -> pa.Table:
+        tf_arr = np.asarray(batch.column("tf"), dtype=np.int64)
+        dfs = np.asarray(batch.column("df"), dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(g["doc_id"], pa.int64()),
-                "word": pa.array(g["word"], pa.string()),
-                "tf": pa.array(g["tf"], pa.int64()),
-                "df": pa.array(g["df"], pa.int64()),
-                "rank": pa.array(range(1, len(g) + 1), pa.int64()),
-                "score": pa.array(np.round(g["score"].to_numpy(), 6)),
+                "doc_id": batch.column("doc_id"),
+                "word": batch.column("word"),
+                "tf": batch.column("tf"),
+                "df": batch.column("df"),
+                "score": pa.array(
+                    (tf_arr * np.int64(n_docs)).astype(np.float64) / dfs
+                ),
             }
         )
 
-    return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")
+    sorted_ds = (
+        joined.map_batches(add_score, batch_format="pyarrow")
+        .sort(["doc_id", "score", "word"], descending=[False, True, False])
+        .materialize()
+    )
+
+    def block_topk(df_blk):
+        if df_blk.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "kind": pa.array([], pa.string()),
+                }
+            )
+        pos = df_blk.groupby("doc_id", sort=False).cumcount()
+        top = df_blk[pos < k].copy()
+        top["rank"] = pos[pos < k] + 1
+        first_d = df_blk["doc_id"].iloc[0]
+        last_d = df_blk["doc_id"].iloc[-1]
+        edge = top["doc_id"].isin([first_d, last_d])
+        top["kind"] = np.where(edge, "p", "f")
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].astype("int64"), pa.int64()),
+                "word": pa.array(top["word"], pa.string()),
+                "tf": pa.array(top["tf"].astype("int64"), pa.int64()),
+                "df": pa.array(top["df"].astype("int64"), pa.int64()),
+                "rank": pa.array(top["rank"].astype("int64"), pa.int64()),
+                "score": pa.array(top["score"].astype("float64"), pa.float64()),
+            }
+        ).append_column("kind", pa.array(top["kind"], pa.string()))
+
+    marked = sorted_ds.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    final = marked.filter(expr="kind == 'f'").map_batches(
+        lambda b: _round_score(b.drop_columns(["kind"])),
+        batch_format="pyarrow",
+    )
+
+    # O(k * #blocks) edge-doc candidates; the within-doc order (score
+    # desc, word asc) is reconstructible from the values, so no block
+    # key is needed
+    pend = marked.filter(expr="kind == 'p'").to_pandas()
+    if len(pend):
+        pend = pend.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True]
+        )
+        pos = pend.groupby("doc_id", sort=False).cumcount()
+        pend = pend[pos < k].copy()
+        pend["rank"] = (pos[pos < k] + 1).astype("int64")
+        resolved = ray.data.from_arrow(
+            _round_score(
+                pa.table(
+                    {
+                        "doc_id": pa.array(pend["doc_id"].astype("int64")),
+                        "word": pa.array(pend["word"], pa.string()),
+                        "tf": pa.array(pend["tf"].astype("int64")),
+                        "df": pa.array(pend["df"].astype("int64")),
+                        "rank": pa.array(pend["rank"]),
+                        "score": pa.array(pend["score"].astype("float64")),
+                    }
+                )
+            )
+        )
+        return final.union(resolved)
+    return final
+
+
+def _round_score(batch: pa.Table) -> pa.Table:
+    idx = batch.column_names.index("score")
+    return batch.set_column(
+        idx, "score",
+        pa.array(np.round(np.asarray(batch.column("score"), dtype=np.float64), 6)),
+    )
 
 
 def _empty() -> pa.Table:
