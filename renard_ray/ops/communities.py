@@ -37,11 +37,53 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
 
 from .relational import _collect_small, _join_parts_bytes
-from .triangles import _distinct_edges, directed_edges
+from .triangles import _distinct_edges
 
 _LABEL_LIMIT = 5_000_000  # label-table broadcast budget (rows)
 _SEP = "\x1f"  # cannot appear in extracted entity names
 _CNT_W = 13  # count field width; asserts below keep overflow loud
+
+
+def _weighted_edges(triples: Dataset, weight_col: str | None) -> Dataset:
+    """Undirected edge list (lo, hi, wi): wi = per-pair sum of
+    round(weight * 100) as EXACT int64 centi-weights (order-independent
+    sums -> deterministic votes), or 1 per distinct edge when
+    ``weight_col`` is None."""
+    if weight_col is None:
+        return _distinct_edges(triples).map_batches(
+            lambda b: b.append_column(
+                "wi", pa.array([1] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s, o = batch.column("subj"), batch.column("obj")
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        wi = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.cast(batch.column(weight_col), pa.float64()),
+                    pa.scalar(100.0),
+                ),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"lo": lo, "hi": hi, "wi": wi}).filter(
+            pc.not_equal(lo, hi)
+        )
+        return (
+            t.group_by(["lo", "hi"]).aggregate([("wi", "sum")])
+            .rename_columns(["lo", "hi", "wi"])
+        )
+
+    return (
+        triples.map_batches(norm, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("wi", alias_name="wi"))
+    )
 
 
 def _pick_label(votes: Dataset) -> Dataset:
@@ -80,15 +122,34 @@ def label_propagation(
     triples: Dataset,
     n_iter: int = 10,
     *,
+    weight_col: str | None = None,
     broadcast_limit: int | None = None,
     num_partitions: int | None = None,
 ) -> Dataset:
     """(node, community) after ``n_iter`` synchronous LPA rounds over
-    the undirected graph of the triple table."""
+    the undirected graph of the triple table.  With ``weight_col``,
+    votes are weighted by the summed edge weight (exact integer
+    centi-weights), the standard weighted-LPA variant — co-occurrence
+    strength decides contested nodes instead of raw neighbor counts."""
     limit = _LABEL_LIMIT if broadcast_limit is None else broadcast_limit
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
-    edges = _distinct_edges(triples).materialize()
-    directed = directed_edges(edges).materialize()  # scanned every round
+    edges = _weighted_edges(triples, weight_col).materialize()
+
+    def both(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").combine_chunks()
+        hi = batch.column("hi").combine_chunks()
+        wi = batch.column("wi").combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([lo, hi]),
+                "nbr": pa.concat_arrays([hi, lo]),
+                "wi": pa.concat_arrays([wi, wi]),
+            }
+        )
+
+    directed = edges.map_batches(
+        both, batch_format="pyarrow"
+    ).materialize()  # scanned every round
 
     # round 0: label(v) = v
     labels = directed.groupby("node").count().map_batches(
@@ -110,12 +171,13 @@ def label_propagation(
                     {
                         "node": batch.column("node"),
                         "lab": pc.take(lt.column("lab"), idx),
+                        "wi": batch.column("wi"),
                     }
                 )
                 # per-batch combine before the shuffle
                 return (
                     t.group_by(["node", "lab"])
-                    .aggregate([("lab", "count")])
+                    .aggregate([("wi", "sum")])
                     .rename_columns(["node", "lab", "n"])
                 )
 
@@ -131,9 +193,9 @@ def label_propagation(
             )
             votes = nbr_lab.map_batches(
                 lambda b: (
-                    b.select(["node", "lab"])
+                    b.select(["node", "lab", "wi"])
                     .group_by(["node", "lab"])
-                    .aggregate([("lab", "count")])
+                    .aggregate([("wi", "sum")])
                     .rename_columns(["node", "lab", "n"])
                 ),
                 batch_format="pyarrow",
@@ -164,23 +226,31 @@ def community_sizes(
 
 
 def label_propagation_oracle(
-    edges: list[tuple[str, str]], n_iter: int = 10
+    edges: list[tuple[str, str]] | list[tuple[str, str, float]],
+    n_iter: int = 10,
 ) -> dict[str, str]:
     """Small-graph oracle: the identical synchronous LPA in plain
-    Python (independent of the distributed machinery)."""
-    adj: dict[str, set[str]] = {}
-    for u, v in edges:
+    Python (independent of the distributed machinery).  Edges may
+    carry a weight as a third element (centi-weight vote semantics)."""
+    adj: dict[str, dict[str, int]] = {}
+    for e in edges:
+        u, v = e[0], e[1]
         if u == v:
             continue
-        adj.setdefault(u, set()).add(v)
-        adj.setdefault(v, set()).add(u)
+        if len(e) > 2:  # weighted: per-pair centi-weight sums
+            wi = int(round(float(e[2]) * 100))
+            adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0) + wi
+            adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0) + wi
+        else:  # unweighted: distinct edges vote 1 (duplicates ignored)
+            adj.setdefault(u, {})[v] = 1
+            adj.setdefault(v, {})[u] = 1
     lab = {v: v for v in adj}
     for _ in range(n_iter):
         new = {}
         for v, nbrs in adj.items():
             counts: dict[str, int] = {}
-            for u in nbrs:
-                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            for u, wi in nbrs.items():
+                counts[lab[u]] = counts.get(lab[u], 0) + wi
             # ties -> min label: (count desc, label asc)
             top = max(counts.values())
             best_lab = min(l for l, c in counts.items() if c == top)

@@ -1473,3 +1473,63 @@ def test_source_distinct_words_hll_error_bound(ray_session, docs_dir):
     assert set(exact) == set(est)
     for src, n in exact.items():
         assert abs(est[src] - n) <= max(3, 0.12 * n), (src, n, est[src])
+
+
+def test_weighted_label_propagation_matches_oracle(ray_session):
+    """Weighted LPA == the python oracle on a seeded weighted graph
+    (both label-exchange paths), and weights actually change the
+    outcome: a contested node follows its single heavy edge against
+    two light ones."""
+    import numpy as np
+    import ray as _ray
+
+    from renard_ray.ops.communities import (
+        label_propagation,
+        label_propagation_oracle,
+    )
+
+    def triples(edges):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b, w in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b, w in edges]),
+                    "weight": pa.array([float(w) for a, b, w in edges]),
+                }
+            )
+        ).repartition(4)
+
+    rng = np.random.RandomState(31)
+    nodes = [f"n{i:03d}" for i in range(30)]
+    seen = set()
+    edges = []
+    for _ in range(120):
+        a, b = rng.randint(0, 30, 2)
+        if a != b and (min(a, b), max(a, b)) not in seen:
+            seen.add((min(a, b), max(a, b)))
+            edges.append(
+                (nodes[min(a, b)], nodes[max(a, b)], float(rng.randint(1, 20)))
+            )
+    want = label_propagation_oracle(edges, n_iter=5)
+
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = label_propagation(
+            triples(edges), n_iter=5, weight_col="weight", **kwargs
+        ).to_pandas()
+        got_map = dict(zip(got["node"], got["community"]))
+        assert got_map == want, kwargs
+
+    # two triangles bridged by one HEAVY edge: the bridge node's vote
+    # follows the heavy edge under weights, the neighbor count without
+    tri1 = [("a1", "a2", 1.0), ("a1", "a3", 1.0), ("a2", "a3", 1.0)]
+    tri2 = [("b1", "b2", 1.0), ("b1", "b3", 1.0), ("b2", "b3", 1.0)]
+    bridge = [("a1", "b1", 50.0)]
+    ew = tri1 + tri2 + bridge
+    w_res = label_propagation_oracle(ew, n_iter=4)
+    u_res = label_propagation_oracle([(a, b) for a, b, _ in ew], n_iter=4)
+    assert w_res != u_res  # the heavy bridge changes the outcome
+    got_w = label_propagation(
+        triples(ew), n_iter=4, weight_col="weight"
+    ).to_pandas()
+    assert dict(zip(got_w["node"], got_w["community"])) == w_res
