@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style within-doc repetition signals (dup lines /
         # trigrams as exact integer ppm); exact SQL oracle
         "doc_repetition_stats": textstats.repetition_stats,
+        # cross-document duplicate-trigram fraction (exact-substring-
+        # dedup signal, Lee et al. 2022); the ngram-keyed df reduce is
+        # the only all-to-all exchange; exact SQL oracle
+        "doc_cross_dup_ngrams": lambda sf: textstats.cross_doc_dup_ngrams(sf),
         # reproducible hash split (md5-priority recipe); exact SQL oracle
         "doc_train_val_split": lambda sf: textstats.train_val_split(sf),
         # per-source exact distinct words (SQL oracle) + the mergeable
@@ -414,7 +418,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinct_words_hll": sketches.source_distinct_words_hll,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
-        "doc_redacted": textstats.redact_documents,
         "doc_distinct_words_exact": doc_distinct_words_exact,
         "doc_stratified_sample": sketches.stratified_sample,
         # dedup family
@@ -484,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-checked against its DuckDB oracle by the local harness
         # (tools/check_correctness.py runs all of them) and by the
         # pytest fixtures in tests/ (test_rotated_out_queries_match_oracle).
+        "doc_redacted": textstats.redact_documents,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         "prolific_sources": relational.prolific_sources,
         "doc_word_topk": textstats.word_topk,
@@ -1017,6 +1021,39 @@ def oracle_sql() -> dict[str, str]:
                                         / len(tris), 0) AS BIGINT)
                    END AS dup_trigram_ppm
             FROM t
+        """,
+        "doc_cross_dup_ngrams": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')
+                       END AS ws
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(
+                                generate_series(1, len(ws) - 2),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       END AS tris
+                FROM d
+            ), p AS (
+                SELECT DISTINCT doc_id, unnest(tris) AS ngram FROM t
+            ), df AS (
+                SELECT ngram, COUNT(*) AS ndocs FROM p GROUP BY ngram
+            ), s AS (
+                SELECT p.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                       CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                FROM p JOIN df USING (ngram) GROUP BY p.doc_id
+            )
+            SELECT doc_id, n_ngrams, n_dup,
+                   CAST(FLOOR(1e6 * n_dup * 1.0 / n_ngrams + 0.5) AS BIGINT) AS dup_ppm
+            FROM s
+            UNION ALL
+            SELECT doc_id, 0, 0, 0 FROM t WHERE len(tris) = 0
         """,
         "doc_training_filter": f"""
             WITH d AS (

@@ -134,6 +134,38 @@ def _ratio_round(num: pa.ChunkedArray, den: pa.ChunkedArray) -> pa.ChunkedArray:
 _BCAST_ROW_LIMIT = 4_000_000  # ~32 MB of int64 keys in plasma
 
 
+def drop_empty_blocks(ds: Dataset) -> Dataset | None:
+    """Strip zero-column empty blocks from a dataset.
+
+    Ray's hash aggregate emits SCHEMA-LESS (0-column) blocks for empty
+    output partitions, and map_batches passes empty blocks through
+    without calling the UDF — so such blocks survive every downstream
+    stage until a ``Dataset.join`` hash-partitions them: a join
+    partition whose side holds only 0-column blocks finalizes an Arrow
+    table without the key column and Acero raises ``No match ... for
+    key field reference``.  This bites exactly when the aggregate's
+    distinct-key count is small relative to its partition count (tiny
+    inputs, or a filter that kills most groups).
+
+    Materializes ``ds`` (the callers are join fallbacks, where the
+    side is about to be shuffled anyway), probes per-block row counts
+    with tiny remote tasks (no driver fetch of block data), and
+    rebuilds the dataset from the nonempty block refs.  Returns None
+    when every block is empty (caller handles the no-rows case)."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c > 0]
+    if not keep:
+        return None
+    return ray.data.from_arrow_refs(keep)
+
+
 def _collect_small(ds: Dataset, limit: int) -> pa.Table | None:
     """Materialize ``ds`` into one Arrow table iff it has <= ``limit``
     rows; None past the budget (caller takes the shuffle path)."""

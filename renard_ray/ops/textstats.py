@@ -413,3 +413,191 @@ def train_val_split(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cross_doc_dup_ngrams(
+    sf_dir: str, n: int = 3, broadcast_limit: int | None = None
+) -> Dataset:
+    """Cross-document duplicate n-gram stats — the exact-substring-
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at n-gram granularity): for each document,
+    how many of its DISTINCT word n-grams also occur in at least one
+    OTHER document.
+
+    Scale shape (no driver materialization of anything corpus-sized):
+
+    1. one tokenize pass emits per-doc DISTINCT ``(doc_id, ngram)``
+       pairs — the within-doc dedup happens batch-locally, so repeated
+       boilerplate inside a page rides the shuffle at most once per
+       doc; docs with < ``n`` words short-circuit here and never touch
+       a shuffle;
+    2. the only all-to-all exchange is the document-frequency reduce
+       keyed on the ngram string (the canonical exact-substring-dedup
+       shuffle), with Ray's hash aggregate combining per-batch;
+    3. ngrams seen in >= 2 docs — a much smaller set than the pair
+       table — flow back size-adaptively: broadcast ``index_in`` mark
+       under the row budget, left hash join past it;
+    4. one ``groupby(doc_id)`` finalizes the counts.
+
+    Output: (doc_id, n_ngrams, n_dup, dup_ppm) — all integers, exact
+    (ppm via the shared half-away rounding)."""
+    from ray.data.aggregate import Count, Sum
+
+    from renard_ray.ops.relational import (
+        _BCAST_ROW_LIMIT,
+        _collect_small,
+        _join_parts_bytes,
+    )
+
+    limit = _BCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())])
+    short_schema = pa.schema([("doc_id", pa.int64())])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        grams: list[str] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            words = (
+                [w for w in _WS_RE.split(t.strip().lower()) if w]
+                if t.strip()
+                else []
+            )
+            if len(words) < n:
+                continue
+            seen = {
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            }
+            ids.extend([d] * len(seen))
+            grams.extend(seen)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "ngram": pa.array(grams, pa.string())},
+            schema=pair_schema,
+        )
+
+    def short_docs(batch: pa.Table) -> pa.Table:
+        keep: list[int] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            words = (
+                [w for w in _WS_RE.split(t.strip().lower()) if w]
+                if t.strip()
+                else []
+            )
+            if len(words) < n:
+                keep.append(d)
+        return pa.table({"doc_id": pa.array(keep, pa.int64())}, schema=short_schema)
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow").materialize()
+
+    # document-frequency reduce on the ngram key; only the >=2-doc
+    # subset leaves this stage
+    dup_grams = (
+        pairs.groupby("ngram")
+        .aggregate(Count(alias_name="ndocs"))
+        .filter(expr="ndocs >= 2")
+        .select_columns(["ngram"])
+    )
+
+    dup_tab = _collect_small(dup_grams, limit)
+    if dup_tab is not None:
+        dup_ref = ray.put(pc.drop_null(dup_tab.column("ngram")).combine_chunks())
+
+        def mark(batch: pa.Table) -> pa.Table:
+            vs = ray.get(dup_ref)
+            hit = pc.is_valid(pc.index_in(batch.column("ngram"), value_set=vs))
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "is_dup": pc.cast(hit, pa.int64()),
+                }
+            )
+
+        marked = pairs.map_batches(mark, batch_format="pyarrow")
+    else:
+        from renard_ray.ops.relational import drop_empty_blocks
+
+        nparts = max(2, _join_parts_bytes(pairs))
+        flagged = dup_grams.map_batches(
+            lambda b: pa.table(
+                {
+                    "ngram": b.column("ngram"),
+                    "__dup": pa.array([1] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # the aggregate->filter chain leaves schema-less empty blocks
+        # that crash the hash join when keys are sparse — strip them
+        flagged = drop_empty_blocks(flagged)
+        if flagged is None:  # no cross-doc duplicate ngram at all
+            marked = pairs.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b.column("doc_id"),
+                        "is_dup": pa.array([0] * b.num_rows, pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            joined = pairs.join(
+                flagged, join_type="left_outer", num_partitions=nparts,
+                on=("ngram",), right_on=("ngram",),
+            )
+            marked = joined.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b.column("doc_id"),
+                        "is_dup": pc.fill_null(
+                            pc.cast(b.column("__dup"), pa.int64()), 0
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+    stats = (
+        marked.groupby("doc_id")
+        .aggregate(Count(alias_name="n_ngrams"), Sum("is_dup", alias_name="n_dup"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_ngrams": pc.cast(b.column("n_ngrams"), pa.int64()),
+                    "n_dup": pc.fill_null(pc.cast(b.column("n_dup"), pa.int64()), 0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        num = batch.column("n_dup").to_numpy(zero_copy_only=False).astype("int64")
+        den = batch.column("n_ngrams").to_numpy(zero_copy_only=False).astype("int64")
+        import numpy as np
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppm = np.where(
+                den > 0, np.floor(1e6 * num / den + 0.5).astype("int64"), 0
+            )
+        return batch.append_column("dup_ppm", pa.array(ppm, pa.int64()))
+
+    zeros = ds.map_batches(short_docs, batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_ngrams": pa.array([0] * b.num_rows, pa.int64()),
+                "n_dup": pa.array([0] * b.num_rows, pa.int64()),
+                "dup_ppm": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return stats.map_batches(finalize, batch_format="pyarrow").union(zeros)

@@ -814,6 +814,9 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "q17_small_qty_revenue",
         "orders_rollup",
         "events_sessionize",
+        # round 3 (late): rotated out for the new training-data /
+        # window / set-op queries
+        "doc_redacted",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1533,3 +1536,57 @@ def test_weighted_label_propagation_matches_oracle(ray_session):
         triples(ew), n_iter=4, weight_col="weight"
     ).to_pandas()
     assert dict(zip(got_w["node"], got_w["community"])) == w_res
+
+
+def test_cross_doc_dup_ngrams_paths_and_planting(ray_session, tmp_path):
+    """Broadcast-mark and join-fallback plans agree, and a planted
+    shared trigram across two docs (absent everywhere else) is counted
+    on both and only those docs."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.textstats import cross_doc_dup_ngrams
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",       # shares 'alpha beta gamma' with 2
+                    "zz alpha beta gamma yy",        # -> one dup trigram each
+                    "one two three four five",       # all unique
+                    "hi",                            # < 3 words -> zero row
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+
+    a = (
+        cross_doc_dup_ngrams(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    b = (
+        cross_doc_dup_ngrams(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    by_id = a.set_index("doc_id")
+    assert by_id.loc[1, "n_ngrams"] == 2 and by_id.loc[1, "n_dup"] == 1
+    assert by_id.loc[2, "n_ngrams"] == 3 and by_id.loc[2, "n_dup"] == 1
+    assert by_id.loc[3, "n_dup"] == 0
+    assert by_id.loc[4].tolist() == [0, 0, 0]
+    assert by_id.loc[1, "dup_ppm"] == 500000
