@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates + size-adaptive lookup join only, no per-user
         # map_groups, no sort; exact SQL oracle
         "events_funnel": relational.events_funnel,
+        # LAG window function aggregated per user (sorted-run + block-
+        # summary boundary stitch, one global sort); exact SQL oracle
+        "events_lag_delta": relational.events_lag_delta,
         # CUBE grouping sets as re-aggregations of the finest level
         "orders_cube": relational.orders_cube,
         "supplier_region_stats": relational.supplier_nation_join,
@@ -418,7 +421,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinct_words_hll": sketches.source_distinct_words_hll,
         "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
-        "doc_distinct_words_exact": doc_distinct_words_exact,
         "doc_stratified_sample": sketches.stratified_sample,
         # dedup family
         "doc_exact_dedup": dedup.exact_dedup_groups,
@@ -488,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tools/check_correctness.py runs all of them) and by the
         # pytest fixtures in tests/ (test_rotated_out_queries_match_oracle).
         "doc_redacted": textstats.redact_documents,
+        "doc_distinct_words_exact": doc_distinct_words_exact,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         "prolific_sources": relational.prolific_sources,
         "doc_word_topk": textstats.word_topk,
@@ -869,6 +872,19 @@ def oracle_sql() -> dict[str, str]:
                        AS total_cents
             FROM orders
             GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+        """,
+        "events_lag_delta": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
         """,
         "events_funnel": """
             WITH v AS (

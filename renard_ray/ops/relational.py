@@ -1621,3 +1621,123 @@ def orders_cube(sf_dir: str) -> Dataset:
         )
         .union(grand_ds)
     )
+
+
+def events_lag_delta(sf_dir: str) -> Dataset:
+    """Per-user inter-event gap stats — the LAG window function
+    (``ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)``)
+    aggregated per user.  Output: (user_id, n_gaps, sum_gap_us,
+    max_gap_us) for every user with >= 2 events; integer microsecond
+    arithmetic, exact.
+
+    Gap values depend only on the sorted multiset of a user's
+    timestamps (consecutive differences of equal values are 0 under
+    any tie order), so no tie-break column is needed.
+
+    Sorted-run shape, one global sort and no per-group calls:
+
+    1. ``sort(user_id, ts)`` — each block is a contiguous slice;
+    2. per block, one vectorized diff computes every in-block gap
+       (pairs fully inside the block), masked at user changes;
+    3. the ONLY gaps a block can't see are the ones that straddle a
+       block boundary.  Each block emits at most two summary rows —
+       (user, min_ts, max_ts) for its first and last user — and the
+       driver stitches consecutive same-user summaries in (user,
+       min_ts) order: gap = next.min_ts - cur.max_ts.  O(#blocks)
+       driver work at any scale;
+    4. one ``groupby(user_id)`` reduce finalizes count/sum/max.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sorted_ds = ds.sort(["user_id", "ts"])
+
+    row_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("min_us", pa.int64()),
+            ("max_us", pa.int64()),
+            ("is_summary", pa.bool_()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def block_gaps(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return row_schema.empty_table()
+        ts_us = df["ts"].astype("int64")
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        gaps = ts_us.diff()
+        keep = same_user.to_numpy()
+        out_gap = pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy()[keep], pa.int64()),
+                "min_us": pa.array([0] * int(keep.sum()), pa.int64()),
+                "max_us": pa.array([0] * int(keep.sum()), pa.int64()),
+                "is_summary": pa.array([False] * int(keep.sum()), pa.bool_()),
+                "gap_us": pa.array(
+                    gaps.to_numpy()[keep].astype("int64"), pa.int64()
+                ),
+            }
+        )
+        # boundary summaries: the block's first and last user
+        edge_users = {df["user_id"].iloc[0], df["user_id"].iloc[-1]}
+        srows = {"user_id": [], "min_us": [], "max_us": []}
+        for u in sorted(edge_users):
+            m = df["user_id"].eq(u)
+            srows["user_id"].append(int(u))
+            srows["min_us"].append(int(ts_us[m].min()))
+            srows["max_us"].append(int(ts_us[m].max()))
+        out_sum = pa.table(
+            {
+                "user_id": pa.array(srows["user_id"], pa.int64()),
+                "min_us": pa.array(srows["min_us"], pa.int64()),
+                "max_us": pa.array(srows["max_us"], pa.int64()),
+                "is_summary": pa.array([True] * len(srows["user_id"]), pa.bool_()),
+                "gap_us": pa.array([0] * len(srows["user_id"]), pa.int64()),
+            }
+        )
+        return pa.concat_tables([out_gap, out_sum])
+
+    marked = sorted_ds.map_batches(
+        block_gaps, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    gaps = marked.filter(expr="is_summary == False").select_columns(
+        ["user_id", "gap_us"]
+    )
+
+    # O(#blocks) boundary stitch: <= 2 summary rows per block
+    edge = (
+        marked.filter(expr="is_summary == True")
+        .select_columns(["user_id", "min_us", "max_us"])
+        .to_pandas()
+        .sort_values(["user_id", "min_us", "max_us"], kind="stable")
+    )
+    boundary: dict[str, list[int]] = {"user_id": [], "gap_us": []}
+    prev_user = None
+    prev_max = 0
+    for r in edge.itertuples(index=False):
+        if r.user_id == prev_user:
+            boundary["user_id"].append(int(r.user_id))
+            boundary["gap_us"].append(int(r.min_us) - prev_max)
+        prev_user, prev_max = r.user_id, int(r.max_us)
+    if boundary["user_id"]:
+        gaps = gaps.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "user_id": pa.array(boundary["user_id"], pa.int64()),
+                        "gap_us": pa.array(boundary["gap_us"], pa.int64()),
+                    }
+                )
+            )
+        )
+
+    return gaps.groupby("user_id").aggregate(
+        Count(alias_name="n_gaps"),
+        Sum("gap_us", alias_name="sum_gap_us"),
+        Max("gap_us", alias_name="max_gap_us"),
+    )

@@ -817,6 +817,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         # round 3 (late): rotated out for the new training-data /
         # window / set-op queries
         "doc_redacted",
+        "doc_distinct_words_exact",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1590,3 +1591,47 @@ def test_cross_doc_dup_ngrams_paths_and_planting(ray_session, tmp_path):
     assert by_id.loc[3, "n_dup"] == 0
     assert by_id.loc[4].tolist() == [0, 0, 0]
     assert by_id.loc[1, "dup_ppm"] == 500000
+
+
+def test_events_lag_delta_multiblock_stitch(ray_session, monkeypatch):
+    """Boundary stitch: with the sorted input forced into many blocks
+    (users straddling block boundaries) the per-user gap stats still
+    equal a single-stream python LAG."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+
+    from renard_ray.ops import relational
+
+    orig = relational._read
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: orig(sfd, table, cols).repartition(9),
+    )
+    got = {
+        int(r.user_id): (int(r.n_gaps), int(r.sum_gap_us), int(r.max_gap_us))
+        for r in relational.events_lag_delta(sf).to_pandas().itertuples()
+    }
+
+    tbl = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    by_user = defaultdict(list)
+    for u, ts in zip(tbl.column("user_id").to_pylist(), tbl.column("ts").to_pylist()):
+        by_user[u].append(ts)
+    want = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        if len(tss) < 2:
+            continue
+        gaps = [
+            ((b - a).days * 86_400 + (b - a).seconds) * 1_000_000
+            + (b - a).microseconds
+            for a, b in zip(tss, tss[1:])
+        ]
+        want[u] = (len(gaps), sum(gaps), max(gaps))
+    assert got == want
