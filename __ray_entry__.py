@@ -385,6 +385,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": relational.events_lag_delta,
         # CUBE grouping sets as re-aggregations of the finest level
         "orders_cube": relational.orders_cube,
+        # PIVOT as conditional aggregation (known spine, one scan,
+        # one groupby of indicator Sums); exact SQL oracle
+        "orders_pivot": relational.orders_pivot,
+        # INTERSECT/EXCEPT set ops as one scan + groupby-max membership
+        # flags (no self-join, no two-pass distinct); exact SQL oracle
+        "customer_year_setops": relational.customer_year_setops,
         "supplier_region_stats": relational.supplier_nation_join,
         # text analysis (SQL-checked where expressible)
         # GPT-style contiguous sequence packing: global token cumsum
@@ -423,8 +429,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_id": textstats.language_id,
         "doc_stratified_sample": sketches.stratified_sample,
         # dedup family
-        "doc_exact_dedup": dedup.exact_dedup_groups,
-        "doc_exact_dedup_keep": dedup.exact_dedup_keep,
         # 0.45 demonstrates the operator on this corpus (max planted
         # cosine is ~0.48; nothing passes a true near-dup threshold)
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, 0.45),
@@ -491,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest fixtures in tests/ (test_rotated_out_queries_match_oracle).
         "doc_redacted": textstats.redact_documents,
         "doc_distinct_words_exact": doc_distinct_words_exact,
+        "doc_exact_dedup": dedup.exact_dedup_groups,
+        "doc_exact_dedup_keep": dedup.exact_dedup_keep,
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         "prolific_sources": relational.prolific_sources,
         "doc_word_topk": textstats.word_topk,
@@ -863,6 +869,27 @@ def oracle_sql() -> dict[str, str]:
                    array_length(regexp_extract_all(text, '{word_token_re}')) AS n_word_tokens,
                    length(text) AS text_chars
             FROM documents
+        """,
+        "orders_pivot": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+                   CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+                   CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+                   CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_notspec,
+                   CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM orders GROUP BY 1
+        """,
+        "customer_year_setops": """
+            SELECT o_custkey, 'INTERSECT' AS set_op FROM
+              (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+               INTERSECT
+               SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+            UNION ALL
+            SELECT o_custkey, 'EXCEPT' FROM
+              (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+               EXCEPT
+               SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
         """,
         "orders_cube": """
             SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS y,

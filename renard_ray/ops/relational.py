@@ -1741,3 +1741,100 @@ def events_lag_delta(sf_dir: str) -> Dataset:
         Sum("gap_us", alias_name="sum_gap_us"),
         Max("gap_us", alias_name="max_gap_us"),
     )
+
+
+_PIVOT_PRIORITIES = (
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+)
+
+
+def orders_pivot(sf_dir: str) -> Dataset:
+    """PIVOT as conditional aggregation: order counts per year, spread
+    wide over the five priority classes.  The pivot spine is the KNOWN
+    priority domain, so the whole operator is one fact-table scan —
+    per-batch 0/1 indicator columns (vectorized ``pc.equal``) followed
+    by a single ``groupby(y)`` of Sums; no second pass to discover the
+    columns and no driver-side reshaping.  Output: (y, n_urgent,
+    n_high, n_medium, n_notspec, n_low, n_total) — integers, exact."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        cols: dict[str, object] = {
+            "y": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        }
+        for value, col in _PIVOT_PRIORITIES:
+            cols[col] = pc.cast(pc.equal(pri, value), pa.int64())
+        cols["n_total"] = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(col, alias_name=col) for _, col in _PIVOT_PRIORITIES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("y")
+        .aggregate(*aggs)
+    )
+
+
+def customer_year_setops(
+    sf_dir: str, year_a: int = 1996, year_b: int = 1997
+) -> Dataset:
+    """INTERSECT / EXCEPT set semantics over distinct order-customer
+    keys of two years, expressed as ONE fact-table scan + one groupby
+    (no self-join, no two-pass distinct): per batch, rows outside the
+    two years are dropped and 0/1 membership indicators derived; a
+    ``groupby(custkey).max`` reduces them to per-key membership flags;
+    a final vectorized pass emits INTERSECT (in both) and EXCEPT
+    (in ``year_a`` only) rows.  Output: (o_custkey, set_op)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column("o_orderdate"))
+        in_a = pc.equal(y, year_a)
+        in_b = pc.equal(y, year_b)
+        keep = pc.or_(in_a, in_b)
+        batch = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "in_a": pc.cast(in_a, pa.int64()),
+                "in_b": pc.cast(in_b, pa.int64()),
+            }
+        ).filter(keep)
+        return batch
+
+    from ray.data.aggregate import Max
+
+    flags = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+    out_schema = pa.schema([("o_custkey", pa.int64()), ("set_op", pa.string())])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey")
+        in_a = batch.column("in_a")
+        in_b = batch.column("in_b")
+        both = pc.and_(pc.equal(in_a, 1), pc.equal(in_b, 1))
+        only_a = pc.and_(pc.equal(in_a, 1), pc.equal(in_b, 0))
+        parts = []
+        for mask, tag in ((both, "INTERSECT"), (only_a, "EXCEPT")):
+            k = keys.filter(mask)
+            parts.append(
+                pa.table(
+                    {
+                        "o_custkey": pc.cast(k, pa.int64()),
+                        "set_op": pa.array([tag] * len(k), pa.string()),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return flags.map_batches(emit, batch_format="pyarrow")

@@ -818,6 +818,8 @@ def test_rotated_out_queries_match_oracle(ray_session):
         # window / set-op queries
         "doc_redacted",
         "doc_distinct_words_exact",
+        "doc_exact_dedup",
+        "doc_exact_dedup_keep",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
