@@ -396,3 +396,113 @@ def pagerank(
             "rank": [round(b, 8) for _, b in rows],
         }
     )
+
+
+def kcore_dataset(
+    triples: Dataset,
+    k: int = 3,
+    max_rounds: int = 100,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """k-core decomposition by distributed iterative peeling: repeat
+    {degree reduce -> drop nodes with degree < k} until fixpoint.  The
+    result (nodes of the maximal subgraph where every node has >= k
+    neighbors) is unique, so peeling order doesn't matter and the
+    operator is exactly checkable against a single-machine peel.
+
+    Per round: one endpoint fan-out + ``groupby(node)`` degree reduce,
+    then the dead-node set is removed from the edge list via the
+    size-adaptive semi machinery (broadcast ``index_in`` mask under
+    the row budget — the set shrinks every round — or two hash ANTI
+    joins past it).  Edges are re-materialized per round so the loop
+    never re-executes the whole prefix; everything node- or edge-sized
+    stays in the object store.
+
+    Multi-edges (same pair under several predicates) and self-loops
+    are removed up front (one distinct-pair groupby), so degree =
+    distinct-neighbor count, the standard k-core definition.
+
+    Output: (node, n_neighbors) for every node of the k-core."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import broadcast_semi_join
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        t = pa.table(
+            {
+                "u": pc.min_element_wise(s, o),
+                "v": pc.max_element_wise(s, o),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("u"), t.column("v")))
+        # per-batch distinct before the pair shuffle
+        return t.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    edges = (
+        triples.select_columns(["subj", "obj"])
+        .map_batches(norm, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def degrees(eds: Dataset) -> Dataset:
+        def endpoints(batch: pa.Table) -> pa.Table:
+            both = pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            batch.column("u").combine_chunks(),
+                            batch.column("v").combine_chunks(),
+                        ]
+                    )
+                }
+            )
+            g = both.group_by(["node"]).aggregate([("node", "count")])
+            return g.rename_columns(["node", "n"])
+
+        return (
+            eds.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("n", alias_name="n_neighbors"))
+        )
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "n_neighbors": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+    for _ in range(max_rounds):
+        if edges.count() == 0:
+            return empty
+        deg = degrees(edges).materialize()
+        dead = deg.filter(expr=f"n_neighbors < {k}").materialize()
+        if dead.count() == 0:
+            return deg
+        dead_nodes = dead.select_columns(["node"])
+        # size-adaptive removal (broadcast mask / hash anti join): one
+        # pass per endpoint column
+        edges = broadcast_semi_join(
+            edges, dead_nodes, on="u", right_on="node", anti=True, limit=limit
+        )
+        edges = broadcast_semi_join(
+            edges, dead_nodes, on="v", right_on="node", anti=True, limit=limit
+        ).materialize()
+
+    logging.getLogger(__name__).warning(
+        "kcore_dataset: stopped after max_rounds=%d without reaching the "
+        "fixpoint — returning the (supergraph) degrees at that point",
+        max_rounds,
+    )
+    return degrees(edges)

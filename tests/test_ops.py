@@ -820,6 +820,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "doc_distinct_words_exact",
         "doc_exact_dedup",
         "doc_exact_dedup_keep",
+        "embedding_near_dup",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1637,3 +1638,78 @@ def test_events_lag_delta_multiblock_stitch(ray_session, monkeypatch):
         ]
         want[u] = (len(gaps), sum(gaps), max(gaps))
     assert got == want
+
+
+def _kcore_oracle(pairs, k):
+    """Single-machine peel: unique k-core membership + degrees."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_kcore_both_paths_match_oracle(ray_session):
+    """K4+tail sanity and a seeded random graph, on the broadcast and
+    forced-join removal paths; multi-edges (two preds on one pair) and
+    self-loops must not inflate degrees."""
+    import random
+
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.graphstats import kcore_dataset
+
+    def triples(pairs, preds=None):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, _ in pairs], pa.string()),
+                    "pred": pa.array(preds or ["p"] * len(pairs), pa.string()),
+                    "obj": pa.array([b for _, b in pairs], pa.string()),
+                    "weight": pa.array([1.0] * len(pairs), pa.float64()),
+                }
+            )
+        )
+
+    # K4 + pendant chain: 3-core is exactly the K4
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    dup = [("b", "a"), ("a", "a")]  # reversed multi-edge + self-loop
+    got = {
+        r.node: r.n_neighbors
+        for r in kcore_dataset(triples(k4 + tail + dup), k=3)
+        .to_pandas()
+        .itertuples()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(60)]
+    pairs = list(
+        {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(260)
+        }
+    )
+    want = _kcore_oracle(pairs, 3)
+    for limit in (None, 0):  # broadcast mask vs forced hash anti join
+        got = {
+            r.node: r.n_neighbors
+            for r in kcore_dataset(triples(pairs), k=3, broadcast_limit=limit)
+            .to_pandas()
+            .itertuples()
+        }
+        assert got == want, f"limit={limit}"
