@@ -404,6 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flags (no self-join, no two-pass distinct); exact SQL oracle
         "customer_year_setops": relational.customer_year_setops,
         "supplier_region_stats": relational.supplier_nation_join,
+        # exact per-group discrete percentiles via the value-histogram
+        # plan (bounded-domain fast path, one constant-size shuffle);
+        # exact SQL oracle (quantile_disc semantics)
+        "lineitem_qty_median_by_flag": relational.lineitem_qty_median_by_flag,
         # text analysis (SQL-checked where expressible)
         # GPT-style contiguous sequence packing: global token cumsum
         # (sorted-run + O(#blocks) carry scan) -> block assignment;
@@ -446,7 +450,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash family's 25 planted near-dup pairs
         "doc_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, 0.8),
         # similarity search
-        "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
         # full probe (n_probe == n_lists) is exact by construction, so
         # the whole IVF machinery (assignment, probing, partial top-k,
         # merge) gates against the brute-force SQL oracle; the
@@ -510,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 0.45 demonstrates the operator on this corpus (max planted
         # cosine is ~0.48; nothing passes a true near-dup threshold)
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup_pairs(sf, 0.45),
+        "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf),
         "lineitem_distinct_flags": relational.lineitem_distinct_shipmodes,
         "prolific_sources": relational.prolific_sources,
         "doc_word_topk": textstats.word_topk,
@@ -860,6 +864,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(k) * 100 * 1.0 / COUNT(k), 0) AS BIGINT)
                        AS avg_k_c2
             FROM e GROUP BY event_type
+        """,
+        "lineitem_qty_median_by_flag": """
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "supplier_region_stats": """
             SELECT r_name,

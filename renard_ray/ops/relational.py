@@ -1838,3 +1838,81 @@ def customer_year_setops(
         return pa.concat_tables(parts)
 
     return flags.map_batches(emit, batch_format="pyarrow")
+
+
+def lineitem_qty_median_by_flag(
+    sf_dir: str, ps: tuple = (0.25, 0.5, 0.75)
+) -> Dataset:
+    """Exact per-group discrete percentiles (``quantile_disc``
+    semantics: the element at 1-based rank ``ceil(p*n)``) of lineitem
+    quantity per return flag, via the value-HISTOGRAM plan: quantities
+    live in a small integer domain, so the only shuffle is a
+    ``groupby(flag, qty)`` count whose output is bounded by
+    |flags| x |domain| — constant-size regardless of row count.  The
+    percentile walk over cumulative counts happens on that tiny table.
+    (For unbounded/continuous domains use the sort-based
+    ``lineitem_qty_percentiles`` plan instead; this is the
+    low-cardinality fast path.)
+
+    Output: (l_returnflag, n_rows, p25, p50, p75) — integers, exact."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "flag": batch.column("l_returnflag"),
+                "qty": _int(batch.column("l_quantity")),
+            }
+        )
+        g = t.group_by(["flag", "qty"]).aggregate([("qty", "count")])
+        return g.rename_columns(["flag", "qty", "n"])
+
+    hist = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["flag", "qty"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    # bounded: |flags| x |qty domain| rows
+    htab = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ).combine_chunks()
+    import math
+    from collections import defaultdict
+
+    by_flag: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for f, q, n in zip(
+        htab.column("flag").to_pylist(),
+        htab.column("qty").to_pylist(),
+        htab.column("n").to_pylist(),
+    ):
+        by_flag[f].append((int(q), int(n)))
+
+    out = {"l_returnflag": [], "n_rows": []}
+    pcols = [f"p{int(p * 100)}" for p in ps]
+    for c in pcols:
+        out[c] = []
+    for f in sorted(by_flag):
+        vals = sorted(by_flag[f])
+        total = sum(n for _, n in vals)
+        out["l_returnflag"].append(f)
+        out["n_rows"].append(total)
+        for p, c in zip(ps, pcols):
+            rank = math.ceil(p * total)  # 1-based, quantile_disc
+            cum = 0
+            pick = vals[-1][0]
+            for q, n in vals:
+                cum += n
+                if cum >= rank:
+                    pick = q
+                    break
+            out[c].append(pick)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in pcols},
+            }
+        )
+    )
