@@ -759,3 +759,180 @@ def collect_metrics(stage_rows: Dataset) -> dict[str, float]:
         ):
             out[name] = out.get(name, 0.0) + val
     return out
+
+
+def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
+    """Temporal KG growth: per crawl month, how many CANONICAL entities
+    and aggregated edges enter the graph for the first time — the
+    longitudinal view a continuously-crawled corpus needs (which month's
+    crawl actually added knowledge vs re-observed it).
+
+    Plan (everything corpus-sized stays distributed):
+
+    1. the doc kernel runs with ``emit_url=True`` so every edge row
+       keeps its source page;
+    2. months attach to edge rows via the size-adaptive url lookup
+       (broadcast under the row budget, hash join past it);
+    3. endpoints relabel through the canonical-name map — the same
+       driver union-find + broadcast the default ``build_kg`` path
+       uses, bounded by the entity vocabulary (``cfg.broadcast_limit``;
+       past it, raise — the distributed relabel exists in
+       ``relabel_and_aggregate`` and growth over a >limit vocabulary
+       should extend it to carry the month column);
+    4. first-seen reduction: ``groupby(subj,pred,obj).min(month)`` for
+       edges, endpoint fan-out + ``groupby(node).min(month)`` for
+       entities — two shuffles over (key, month) pairs only;
+    5. the per-month counts union into one tiny table via tagged
+       indicator columns + ``groupby(month)`` — no driver reshaping.
+
+    Output: (month, n_new_entities, n_new_edges), month as yyyymm int.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from renard_ray.ops.relational import broadcast_lookup_join
+
+    cfg = cfg or KGConfig()
+    if not cfg.doc.emit_url:
+        from dataclasses import replace
+
+        cfg = KGConfig(
+            doc=replace(cfg.doc, emit_url=True),
+            langs=cfg.langs,
+            kernel_mode=cfg.kernel_mode,
+            kernel_concurrency=cfg.kernel_concurrency,
+            kernel_batch_size=cfg.kernel_batch_size,
+            cc_mode=cfg.cc_mode,
+            mapping=cfg.mapping,
+            broadcast_limit=cfg.broadcast_limit,
+        )
+
+    def to_month(batch: pa.Table) -> pa.Table:
+        ts = batch.column("warc_ts")
+        month = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()), 100),
+            pc.cast(pc.month(ts), pa.int64()),
+        )
+        return pa.table({"url": batch.column("url"), "month": month})
+
+    months = pages.select_columns(["url", "warc_ts"]).map_batches(
+        to_month, batch_format="pyarrow"
+    )
+
+    stage_rows = pages_to_stage_rows(pages, cfg).materialize()
+
+    pairs, counts = _driver_alias_summary(stage_rows)
+    if len(pairs) > cfg.broadcast_limit:
+        raise NotImplementedError(
+            "kg_growth: alias vocabulary exceeds broadcast_limit "
+            f"({len(pairs)} > {cfg.broadcast_limit}); extend the "
+            "distributed relabel in relabel_and_aggregate to carry the "
+            "month column"
+        )
+    name2canon = _driver_cc_and_names(pairs, counts)
+
+    edges = stage_rows.filter(
+        expr=(
+            f"pred != {ALIAS_OF!r} and pred != {NAME_COUNT!r} "
+            f"and pred != {METRIC!r} and url != ''"
+        )
+    ).select_columns(["subj", "pred", "obj", "url"])
+    edges = broadcast_lookup_join(
+        edges, months, on="url", right_on="url", payload=["month"]
+    )
+
+    names_sorted = sorted(name2canon)
+    lookup_keys = pa.array(names_sorted, pa.string())
+    lookup_vals = pa.array([name2canon[n] for n in names_sorted], pa.string())
+    canon_ref = ray.put((lookup_keys, lookup_vals))
+    undirected = pa.array(list(UNDIRECTED_PREDS), pa.string())
+
+    def relabel_with_month(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(canon_ref)
+
+        def remap(col):
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            idx = pc.index_in(col, value_set=keys)
+            mapped = pc.take(vals, idx)
+            return pc.if_else(pc.is_null(mapped), col, mapped)
+
+        s = remap(batch.column("subj"))
+        o = remap(batch.column("obj"))
+        p = batch.column("pred")
+        is_und = pc.is_in(p, value_set=undirected)
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        ns = pc.if_else(is_und, lo, s)
+        no = pc.if_else(is_und, hi, o)
+        t = pa.table(
+            {
+                "subj": ns,
+                "pred": p,
+                "obj": no,
+                "month": batch.column("month"),
+            }
+        ).filter(pc.not_equal(ns, no))
+        # per-batch combine: min month per key before the shuffle
+        g = t.group_by(["subj", "pred", "obj"]).aggregate([("month", "min")])
+        return g.rename_columns(["subj", "pred", "obj", "month"])
+
+    relabeled = edges.map_batches(
+        relabel_with_month, batch_format="pyarrow"
+    ).materialize()
+
+    first_edge = relabeled.groupby(["subj", "pred", "obj"]).aggregate(
+        Min("month", alias_name="first_month")
+    )
+
+    def node_months(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("subj").combine_chunks(),
+                        batch.column("obj").combine_chunks(),
+                    ]
+                ),
+                "month": pa.concat_arrays(
+                    [
+                        batch.column("month").combine_chunks(),
+                        batch.column("month").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        g = t.group_by(["node"]).aggregate([("month", "min")])
+        return g.rename_columns(["node", "month"])
+
+    first_node = (
+        relabeled.map_batches(node_months, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("month", alias_name="first_month"))
+    )
+
+    def tag(ent: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            one = pa.array([1] * n, pa.int64())
+            zero = pa.array([0] * n, pa.int64())
+            return pa.table(
+                {
+                    "month": pc.cast(
+                        batch.column("first_month").combine_chunks(), pa.int64()
+                    ),
+                    "n_new_entities": one if ent else zero,
+                    "n_new_edges": zero if ent else one,
+                }
+            )
+
+        return f
+
+    return (
+        first_node.map_batches(tag(True), batch_format="pyarrow")
+        .union(first_edge.map_batches(tag(False), batch_format="pyarrow"))
+        .groupby("month")
+        .aggregate(
+            Sum("n_new_entities", alias_name="n_new_entities"),
+            Sum("n_new_edges", alias_name="n_new_edges"),
+        )
+        .sort("month")
+    )

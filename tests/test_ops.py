@@ -822,6 +822,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "doc_exact_dedup_keep",
         "embedding_near_dup",
         "knn_bruteforce",
+        "doc_language_id",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)

@@ -280,3 +280,51 @@ def test_cumulative_final_streamed_matches_oracle(ray_session):
     got = q["kg_cumulative_final"](sf_dir).to_pandas().reset_index(drop=True)
     got = got[want.columns.tolist()]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kg_growth_planted_months(ray_session):
+    """Temporal growth: first-seen entity/edge counts per crawl month
+    on a planted two-month corpus (month 2 re-observes one edge — it
+    must not count again)."""
+    import datetime
+
+    import ray
+
+    from renard_ray.pipelines.kg import kg_growth
+
+    def page(url, ym, text):
+        y, m = divmod(ym, 100)
+        return {
+            "url": url,
+            "warc_ts": datetime.datetime(y, m, 15),
+            "text": text,
+            "lang": "eng",
+        }
+
+    pages_tbl = pa.Table.from_pylist(
+        [
+            page(
+                "https://a.example/1",
+                202401,
+                "Yesterday Alice Smith met Bob Jones in town. "
+                "Later Alice Smith smiled at Bob Jones.",
+            ),
+            # month 2 re-observes the existing pair -> nothing new
+            page(
+                "https://a.example/2",
+                202402,
+                "Today Bob Jones met Alice Smith again.",
+            ),
+            # ... and introduces one new entity + one new edge
+            page(
+                "https://a.example/3",
+                202402,
+                "Then Carol White met Bob Jones at noon.",
+            ),
+        ]
+    )
+    got = kg_growth(ray.data.from_arrow(pages_tbl)).to_pandas()
+    assert [tuple(r) for r in got.values.tolist()] == [
+        (202401, 2, 1),
+        (202402, 1, 1),
+    ]
