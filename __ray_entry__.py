@@ -468,7 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL-registers-per-group variant (rows-only; <10% error pytest)
         "source_distinct_words": sketches.source_distinct_words_exact,
         "source_distinct_words_hll": sketches.source_distinct_words_hll,
-        "doc_quality_scores": textstats.quality_scores,
+        # count-min-sketch heavy hitters (fixed-memory top-k; one-sided
+        # error bound pytest vs the exact counts — rows-only check)
+        "doc_word_topk_cms": lambda sf: sketches.word_heavy_hitters_cms(sf),
         "doc_stratified_sample": sketches.stratified_sample,
         # dedup family
         # exact inverted-index set-similarity join (no LSH); SQL oracle
@@ -534,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tools/check_correctness.py runs all of them) and by the
         # pytest fixtures in tests/ (test_rotated_out_queries_match_oracle).
         "doc_redacted": textstats.redact_documents,
+        "doc_quality_scores": textstats.quality_scores,
         "doc_language_id": textstats.language_id,
         "doc_distinct_words_exact": doc_distinct_words_exact,
         "doc_exact_dedup": dedup.exact_dedup_groups,

@@ -126,6 +126,13 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "doc_perplexity",
         "embedding_kmeans",
         "kg_triangles",
+        # late round-3 operators
+        "doc_cross_dup_ngrams",
+        "events_lag_delta",
+        "orders_pivot",
+        "lineitem_qty_median_by_flag",
+        "kg_kcore",
+        "kg_growth",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

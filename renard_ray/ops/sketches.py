@@ -433,3 +433,140 @@ def source_distinct_words_exact(sf_dir: str) -> Dataset:
         .aggregate(Count(alias_name="distinct_words"))
         .sort("source")
     )
+
+
+# -------------------------------------------------------- count-min
+
+def _cms_rows(words: list[str], counts: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """depth x width count-min table for (word, count) pairs: row d uses
+    the d-th 16-bit slice of each word's md5 (independent-enough hash
+    family, deterministic across workers)."""
+    table = np.zeros((depth, width), dtype=np.int64)
+    if not words:
+        return table
+    digs = np.array(
+        [
+            struct.unpack("<QQ", hashlib.md5(w.encode()).digest())
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+    for d in range(depth):
+        half = digs[:, d % 2]
+        sl = (half >> np.uint64(16 * (d // 2))).astype(np.uint64)
+        idx = (sl % np.uint64(width)).astype(np.int64)
+        np.add.at(table[d], idx, counts)
+    return table
+
+
+def _cms_query(table: np.ndarray, words: list[str], width: int, depth: int) -> np.ndarray:
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    digs = np.array(
+        [
+            struct.unpack("<QQ", hashlib.md5(w.encode()).digest())
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+    est = np.full(len(words), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        half = digs[:, d % 2]
+        sl = (half >> np.uint64(16 * (d // 2))).astype(np.uint64)
+        idx = (sl % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, table[d][idx])
+    return est
+
+
+def word_heavy_hitters_cms(
+    sf_dir: str,
+    k: int = 20,
+    width: int = 16384,
+    depth: int = 4,
+    candidates_per_batch: int = 64,
+) -> Dataset:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    over corpus word occurrences — the fixed-memory alternative to the
+    exact ``word_topk`` when the vocabulary itself doesn't fit a
+    reduce.  One streaming pass; the shuffle carries per-batch sketch
+    rows (depth x width int64, constant size) plus a bounded candidate
+    stream — never the vocabulary:
+
+    1. per batch: local occurrence counts fold into a count-min table;
+       the batch's top ``candidates_per_batch`` words are emitted as
+       candidate rows (a true global heavy hitter is a local heavy
+       hitter in at least one batch at this skew — the standard
+       candidate heuristic, error-bound-tested against the exact
+       top-k);
+    2. sketch rows merge by elementwise SUM (count-min is linear), the
+       candidate union dedups through one small groupby;
+    3. the merged table scores the candidates (min over rows); top-k
+       by (estimate desc, word asc).
+
+    Output: (word, n_est) — n_est >= the true count (one-sided CMS
+    error <= 2N/width per row with prob 1 - 2^-depth)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t and t.strip():
+                c.update(w for w in _WS_RE.split(t.strip().lower()) if w)
+        words = sorted(c)
+        counts = np.array([c[w] for w in words], dtype=np.int64)
+        table = _cms_rows(words, counts, width, depth)
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :candidates_per_batch
+        ]
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["sketch"] + ["cand"] * len(top), pa.string()
+                ),
+                "word": pa.array([""] + [w for w, _ in top], pa.string()),
+                "payload": pa.array(
+                    [table.tobytes()] + [b""] * len(top), pa.binary()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def merge_sketches(group) -> pa.Table:
+        merged = np.zeros((depth, width), dtype=np.int64)
+        for blob in group["payload"]:
+            merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+        return pa.table({"payload": pa.array([merged.tobytes()], pa.binary())})
+
+    merged_tab = (
+        rows.filter(expr="kind == 'sketch'")
+        .select_columns(["kind", "payload"])
+        .groupby("kind")
+        .map_groups(merge_sketches, batch_format="pandas")
+        .take_all()
+    )
+    table = np.frombuffer(merged_tab[0]["payload"], dtype=np.int64).reshape(
+        depth, width
+    )
+
+    cand_words = sorted(
+        {
+            w
+            for b in rows.filter(expr="kind == 'cand'")
+            .select_columns(["word"])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            for w in b.column("word").to_pylist()
+        }
+    )
+    est = _cms_query(table, cand_words, width, depth)
+    order = sorted(range(len(cand_words)), key=lambda i: (-est[i], cand_words[i]))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "word": pa.array([cand_words[i] for i in order], pa.string()),
+                "n_est": pa.array([int(est[i]) for i in order], pa.int64()),
+            }
+        )
+    )

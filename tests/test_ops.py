@@ -823,6 +823,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "embedding_near_dup",
         "knn_bruteforce",
         "doc_language_id",
+        "doc_quality_scores",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1715,3 +1716,32 @@ def test_kcore_both_paths_match_oracle(ray_session):
             .itertuples()
         }
         assert got == want, f"limit={limit}"
+
+
+def test_word_heavy_hitters_cms_bounds(ray_session, docs_dir):
+    """CMS estimates are one-sided (>= true count) and with a wide
+    sketch the top-k set matches the exact lowercase word counts."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.sketches import word_heavy_hitters_cms
+
+    k = 10
+    got = word_heavy_hitters_cms(docs_dir, k=k).to_pandas()
+
+    ws = _re.compile(r"\s+")
+    c: Counter = Counter()
+    for t in pq.read_table(f"{docs_dir}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist():
+        if t and t.strip():
+            c.update(w for w in ws.split(t.strip().lower()) if w)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    assert list(got.word) == [w for w, _ in want]
+    for w, est in zip(got.word, got.n_est):
+        assert est >= c[w]
+        # wide sketch on a small corpus: estimates should be near-exact
+        assert est <= c[w] + max(2, 0.05 * c[w]), (w, est, c[w])
