@@ -430,11 +430,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # INTERSECT/EXCEPT set ops as one scan + groupby-max membership
         # flags (no self-join, no two-pass distinct); exact SQL oracle
         "customer_year_setops": relational.customer_year_setops,
-        "supplier_region_stats": relational.supplier_nation_join,
         # exact per-group discrete percentiles via the value-histogram
         # plan (bounded-domain fast path, one constant-size shuffle);
         # exact SQL oracle (quantile_disc semantics)
         "lineitem_qty_median_by_flag": relational.lineitem_qty_median_by_flag,
+        # global NTILE(10) ranking window (rank depends on every other
+        # row): one sort + O(#blocks) carry scan + batch-local NTILE
+        # formula + bounded groupby; exact SQL oracle
+        "orders_price_ntile": relational.orders_price_ntile,
         # text analysis (SQL-checked where expressible)
         # GPT-style contiguous sequence packing: global token cumsum
         # (sorted-run + O(#blocks) carry scan) -> block assignment;
@@ -558,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_link": kg_entity_link,
         "knn_lsh": knn_lsh,
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "supplier_region_stats": relational.supplier_nation_join,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -902,6 +906,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "orders_price_ntile": """
+            WITH r AS (
+                SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+                       NTILE(10) OVER (
+                           ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                    o_orderkey) AS bucket
+                FROM orders
+            )
+            SELECT bucket,
+                   COUNT(*)                        AS n_orders,
+                   CAST(SUM(price_c) AS BIGINT)    AS sum_price_cents,
+                   MIN(price_c)                    AS min_price_cents,
+                   MAX(price_c)                    AS max_price_cents
+            FROM r GROUP BY bucket
         """,
         "supplier_region_stats": """
             SELECT r_name,

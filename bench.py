@@ -133,6 +133,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "lineitem_qty_median_by_flag",
         "kg_kcore",
         "kg_growth",
+        "orders_price_ntile",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import datetime as _dt
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 _HALF_AWAY = "half_towards_infinity"  # = DuckDB ROUND(double) tie-break
 
@@ -1914,5 +1915,138 @@ def lineitem_qty_median_by_flag(
                 "n_rows": pa.array(out["n_rows"], pa.int64()),
                 **{c: pa.array(out[c], pa.int64()) for c in pcols},
             }
+        )
+    )
+
+
+def orders_price_ntile(sf_dir: str, k: int = 10) -> Dataset:
+    """Global NTILE(k) over orders by (totalprice, orderkey): every
+    order gets a decile of the corpus-wide price ranking, then the
+    buckets are summarized (count / sum / min / max, integer cents).
+
+    The global-rank window shape (rank depends on EVERY other row, not
+    just a group): one sort by (price_c, o_orderkey), a vectorized
+    per-block exclusive row count, an O(#blocks) driver carry scan over
+    per-block summaries (same sorted-run + boundary-stitch plan as
+    ``doc_pack_blocks`` / ``events_running_total`` — no per-row driver
+    work), then a batch-local NTILE formula and one bounded
+    ``groupby(bucket)``.  Block order is recovered from each block's
+    first sort key packed as a fixed-width string (lexicographic ==
+    numeric order, no int64 overflow at any scale).
+
+    Output: (bucket, n_orders, sum_price_cents, min_price_cents,
+    max_price_cents) — NTILE semantics identical to SQL (first n%k
+    buckets get one extra row)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "price_c": _cents(batch.column("o_totalprice")),
+                "o_orderkey": batch.column("o_orderkey"),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .sort(["price_c", "o_orderkey"])
+        .materialize()
+    )
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "price_c": pa.array([], pa.int64()),
+                "local_idx": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "bk": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        n = batch.num_rows
+        # block key: first sort key, fixed-width packed so string order
+        # == (price_c, orderkey) order at any magnitude
+        bk = "%020d:%020d" % (
+            batch.column("price_c")[0].as_py(),
+            batch.column("o_orderkey")[0].as_py(),
+        )
+        rows = pa.table(
+            {
+                "kind": pa.array(["r"] * n),
+                "price_c": batch.column("price_c"),
+                "local_idx": pa.array(np.arange(n, dtype=np.int64)),
+                "n_rows": pa.array(np.zeros(n, dtype=np.int64)),
+                "bk": pa.array([bk] * n),
+            }
+        )
+        summary = pa.table(
+            {
+                "kind": pa.array(["s"]),
+                "price_c": pa.array([0], pa.int64()),
+                "local_idx": pa.array([0], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+                "bk": pa.array([bk]),
+            }
+        )
+        return pa.concat_tables([rows, summary])
+
+    marked = sorted_ds.map_batches(
+        block_scan, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # O(#blocks) driver scan: block start offsets + global row count
+    summaries = marked.filter(expr="kind == 's'").to_pandas()
+    summaries = summaries.sort_values("bk")
+    carry: dict[str, int] = {}
+    acc = 0
+    for r in summaries.itertuples(index=False):
+        carry[r.bk] = acc
+        acc += int(r.n_rows)
+    total = acc
+    carry_ref = ray.put(carry)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), "r"))
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "price_c": pa.array([], pa.int64())}
+            )
+        cm = ray.get(carry_ref)
+        bks = np.asarray(batch.column("bk"))
+        uniq = np.unique(bks)
+        offs = np.array([cm[str(b)] for b in uniq], dtype=np.int64)
+        rank = (
+            np.asarray(batch.column("local_idx"), dtype=np.int64)
+            + offs[np.searchsorted(uniq, bks)]
+        )
+        # SQL NTILE: first (total % k) buckets hold (total // k) + 1
+        size, big = divmod(total, k)
+        if size == 0:
+            bucket = rank + 1
+        else:
+            cut = big * (size + 1)
+            bucket = np.where(
+                rank < cut,
+                rank // (size + 1) + 1,
+                big + (rank - cut) // size + 1,
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "price_c": batch.column("price_c"),
+            }
+        )
+
+    return (
+        marked.map_batches(finalize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_c", alias_name="sum_price_cents"),
+            Min("price_c", alias_name="min_price_cents"),
+            Max("price_c", alias_name="max_price_cents"),
         )
     )

@@ -824,6 +824,9 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "knn_bruteforce",
         "doc_language_id",
         "doc_quality_scores",
+        # round 3 (final): rotated out for the global-ranking /
+        # full-outer / span-dedup / decontamination queries
+        "supplier_region_stats",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1745,3 +1748,55 @@ def test_word_heavy_hitters_cms_bounds(ray_session, docs_dir):
         assert est >= c[w]
         # wide sketch on a small corpus: estimates should be near-exact
         assert est <= c[w] + max(2, 0.05 * c[w]), (w, est, c[w])
+
+
+def test_orders_price_ntile_multiblock(ray_session, monkeypatch):
+    """Global NTILE: forced many-block sorted run (carry scan must
+    stitch ranks across blocks) equals a single-stream python NTILE,
+    including the uneven-bucket case (n % k != 0 -> first n % k
+    buckets hold one extra row)."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+
+    from renard_ray.ops import relational
+
+    orig = relational._read
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: orig(sfd, table, cols).repartition(11),
+    )
+    k = 7  # 1500 % 7 != 0: exercises the uneven-bucket arm
+    got = {
+        int(r.bucket): (
+            int(r.n_orders), int(r.sum_price_cents),
+            int(r.min_price_cents), int(r.max_price_cents),
+        )
+        for r in relational.orders_price_ntile(sf, k=k).to_pandas().itertuples()
+    }
+
+    tbl = pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    rows = sorted(
+        (int(round(p * 100)), int(okey))
+        for okey, p in zip(
+            tbl.column("o_orderkey").to_pylist(),
+            tbl.column("o_totalprice").to_pylist(),
+        )
+    )
+    n = len(rows)
+    size, big = divmod(n, k)
+    want = defaultdict(list)
+    for r, (price_c, _) in enumerate(rows):
+        cut = big * (size + 1)
+        b = r // (size + 1) + 1 if r < cut else big + (r - cut) // size + 1
+        want[b].append(price_c)
+    want = {
+        b: (len(v), sum(v), min(v), max(v)) for b, v in want.items()
+    }
+    assert got == want
