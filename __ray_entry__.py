@@ -438,6 +438,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row): one sort + O(#blocks) carry scan + batch-local NTILE
         # formula + bounded groupby; exact SQL oracle
         "orders_price_ntile": relational.orders_price_ntile,
+        # FULL OUTER join of two independently-aggregated fact tables
+        # (aggregate-before-join: the outer exchange moves |months|
+        # rows, not facts; both one-sided regions non-empty by
+        # construction — orders 1995-2001, events 2024); exact SQL
+        # oracle
+        "monthly_orders_vs_events": relational.monthly_orders_vs_events,
         # text analysis (SQL-checked where expressible)
         # GPT-style contiguous sequence packing: global token cumsum
         # (sorted-run + O(#blocks) carry scan) -> block assignment;
@@ -454,7 +460,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model; log-prob math is non-SQL -> rows-only check + python
         # oracle pytest on both the broadcast and join scoring paths)
         "doc_perplexity": lambda sf: lm.perplexity_scores(sf),
-        "corpus_token_summary": textstats.corpus_token_summary,
         # C4-style composed keep/drop filter (first-failing-rule reason);
         # exact SQL oracle over the quality-signal CTE
         "doc_training_filter": textstats.training_filter,
@@ -562,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": knn_lsh,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "supplier_region_stats": relational.supplier_nation_join,
+        "corpus_token_summary": textstats.corpus_token_summary,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -906,6 +912,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "monthly_orders_vs_events": """
+            WITH om AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       COUNT(*) AS n_orders,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS order_price_cents
+                FROM orders GROUP BY 1
+            ), em AS (
+                SELECT strftime(ts, '%Y-%m') AS month,
+                       COUNT(*) AS n_events,
+                       CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                            AS BIGINT) AS event_value_cents
+                FROM events GROUP BY 1
+            )
+            SELECT COALESCE(om.month, em.month)    AS month,
+                   COALESCE(n_orders, 0)           AS n_orders,
+                   COALESCE(order_price_cents, 0)  AS order_price_cents,
+                   COALESCE(n_events, 0)           AS n_events,
+                   COALESCE(event_value_cents, 0)  AS event_value_cents
+            FROM om FULL OUTER JOIN em USING (month)
         """,
         "orders_price_ntile": """
             WITH r AS (

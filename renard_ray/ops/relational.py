@@ -2050,3 +2050,117 @@ def orders_price_ntile(sf_dir: str, k: int = 10) -> Dataset:
             Max("price_c", alias_name="max_price_cents"),
         )
     )
+
+
+def monthly_orders_vs_events(sf_dir: str) -> Dataset:
+    """FULL OUTER JOIN demo over two independently-aggregated fact
+    tables: per-month order volume vs per-month event activity, months
+    present on either side kept (orders span 1995-2001, events 2024 —
+    both one-sided regions are exercised, not just the overlap).
+
+    Scale shape: each side collapses to a bounded per-month aggregate
+    (partial per-batch combine inside the groupby) BEFORE the join, so
+    the full-outer exchange moves |months| rows, not facts; the join
+    itself is Ray's native hash ``full_outer`` (key column merged,
+    missing sides null -> filled to 0 in one vectorized pass).
+
+    Output: (month, n_orders, order_price_cents, n_events,
+    event_value_cents), ints, exact."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    events = _read(sf_dir, "events", ["ts", "value"])
+
+    def o_derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(batch.column("o_orderdate"), format="%Y-%m"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    def e_derive(batch: pa.Table) -> pa.Table:
+        val = pc.fill_null(batch.column("value"), 0.0)
+        return pa.table(
+            {
+                "month": pc.strftime(batch.column("ts"), format="%Y-%m"),
+                "value_c": _cents(val),
+            }
+        )
+
+    om = (
+        orders.map_batches(o_derive, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_c", alias_name="order_price_cents"),
+        )
+    )
+    em = (
+        events.map_batches(e_derive, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="event_value_cents"),
+        )
+    )
+    # hash aggregates emit schema-less empty blocks for empty output
+    # partitions; a full-outer join partition seeing only those on one
+    # side finalizes without the key column (see drop_empty_blocks)
+    om = drop_empty_blocks(om)
+    em = drop_empty_blocks(em)
+    if om is None or em is None:
+        nonempty = em if om is None else om
+        if nonempty is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "month": pa.array([], pa.string()),
+                        "n_orders": pa.array([], pa.int64()),
+                        "order_price_cents": pa.array([], pa.int64()),
+                        "n_events": pa.array([], pa.int64()),
+                        "event_value_cents": pa.array([], pa.int64()),
+                    }
+                )
+            )
+
+        def pad(batch: pa.Table) -> pa.Table:
+            zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+            have = set(batch.column_names)
+            return pa.table(
+                {
+                    "month": batch.column("month"),
+                    "n_orders": batch.column("n_orders")
+                    if "n_orders" in have else zeros,
+                    "order_price_cents": batch.column("order_price_cents")
+                    if "order_price_cents" in have else zeros,
+                    "n_events": batch.column("n_events")
+                    if "n_events" in have else zeros,
+                    "event_value_cents": batch.column("event_value_cents")
+                    if "event_value_cents" in have else zeros,
+                }
+            )
+
+        return nonempty.map_batches(pad, batch_format="pyarrow")
+    joined = om.join(
+        em,
+        join_type="full_outer",
+        num_partitions=_join_parts(sf_dir, "orders"),
+        on=("month",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "month": batch.column("month"),
+                "n_orders": pc.fill_null(batch.column("n_orders"), z),
+                "order_price_cents": pc.fill_null(
+                    batch.column("order_price_cents"), z
+                ),
+                "n_events": pc.fill_null(batch.column("n_events"), z),
+                "event_value_cents": pc.fill_null(
+                    batch.column("event_value_cents"), z
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -827,6 +827,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         # round 3 (final): rotated out for the global-ranking /
         # full-outer / span-dedup / decontamination queries
         "supplier_region_stats",
+        "corpus_token_summary",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1800,3 +1801,47 @@ def test_orders_price_ntile_multiblock(ray_session, monkeypatch):
         b: (len(v), sum(v), min(v), max(v)) for b, v in want.items()
     }
     assert got == want
+
+
+def test_monthly_full_outer_one_sided_and_empty_side(ray_session, monkeypatch):
+    """FULL OUTER: months present on only one side appear with the
+    other side zeroed (both one-sided regions non-empty on the test
+    corpus), and a completely empty side degrades to the pad path with
+    identical schema."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+
+    from renard_ray.ops import relational
+
+    df = relational.monthly_orders_vs_events(sf).to_pandas()
+    only_orders = df[(df.n_orders > 0) & (df.n_events == 0)]
+    only_events = df[(df.n_orders == 0) & (df.n_events > 0)]
+    assert len(only_orders) > 0 and len(only_events) > 0
+    assert (only_orders.event_value_cents == 0).all()
+    assert (only_events.order_price_cents == 0).all()
+    assert df.month.is_unique
+
+    # empty events side -> pad path, same schema, orders rows intact
+    orig = relational._read
+
+    def read_events_empty(sfd, table, cols=None):
+        ds = orig(sfd, table, cols)
+        if table == "events":
+            return ds.filter(expr="value < -1e18")
+        return ds
+
+    monkeypatch.setattr(relational, "_read", read_events_empty)
+    pad = relational.monthly_orders_vs_events(sf).to_pandas()
+    assert list(pad.columns) == list(df.columns)
+    assert (pad.n_events == 0).all() and (pad.event_value_cents == 0).all()
+    want = df[df.n_orders > 0][["month", "n_orders", "order_price_cents"]]
+    got = pad[["month", "n_orders", "order_price_cents"]]
+    assert (
+        got.sort_values("month").reset_index(drop=True)
+        .equals(want.sort_values("month").reset_index(drop=True))
+    )
