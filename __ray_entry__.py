@@ -409,7 +409,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # relational (SQL-oracle-checked)
-        "priority_or_big_customers": relational.priority_or_big_customers,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "events_asof_last_purchase": _asof_last_purchase,
@@ -470,6 +469,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup signal, Lee et al. 2022); the ngram-keyed df reduce is
         # the only all-to-all exchange; exact SQL oracle
         "doc_cross_dup_ngrams": lambda sf: textstats.cross_doc_dup_ngrams(sf),
+        # RefinedWeb-style paragraph (fixed-width span) exact dedup:
+        # first occurrence keeps, later occurrences counted as removed;
+        # span-keyed groupby-min is the only all-to-all, winners
+        # re-attach via the size-adaptive lookup join; exact SQL oracle
+        "doc_span_dedup": lambda sf: dedup.span_dedup(sf),
         # reproducible hash split (md5-priority recipe); exact SQL oracle
         "doc_train_val_split": lambda sf: textstats.train_val_split(sf),
         # per-source exact distinct words (SQL oracle) + the mergeable
@@ -568,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "supplier_region_stats": relational.supplier_nation_join,
         "corpus_token_summary": textstats.corpus_token_summary,
+        "priority_or_big_customers": relational.priority_or_big_customers,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -912,6 +917,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "doc_span_dedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), s AS (
+                SELECT doc_id, i - 1 AS span_idx,
+                       array_to_string(
+                           ws[((i-1)*10 + 1):((i-1)*10 + 10)], ' ') AS span
+                FROM d, unnest(generate_series(1, len(ws) // 10)) AS t(i)
+            ), w AS (
+                SELECT span, MIN(doc_id * 1048576 + span_idx) AS winner
+                FROM s GROUP BY span
+            ), per AS (
+                SELECT s.doc_id, COUNT(*) AS n_spans,
+                       CAST(SUM(CASE WHEN s.doc_id * 1048576 + s.span_idx
+                                          <> w.winner
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+                FROM s JOIN w ON s.span = w.span GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_spans, n_removed FROM per
+            UNION ALL
+            SELECT doc_id, 0 AS n_spans, 0 AS n_removed
+            FROM d WHERE len(ws) // 10 = 0
         """,
         "monthly_orders_vs_events": """
             WITH om AS (

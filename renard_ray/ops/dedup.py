@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 _WS_RE = re.compile(r"\s+")
 
@@ -1255,3 +1255,111 @@ def minhash_dedup_clusters(
         keepers, join_type="inner", num_partitions=nparts, on=("label",)
     )
     return out.select_columns(["doc_id", "keeper_doc_id"]).sort("doc_id")
+
+
+_SPAN_IDX_BITS = 20  # span_idx < 2^20 (a 10M-word doc still fits)
+
+
+def span_dedup(sf_dir: str, span_words: int = 10) -> Dataset:
+    """Paragraph-level exact dedup (RefinedWeb-style), adapted to the
+    corpus's unstructured text: the dedup unit is a fixed-width SPAN of
+    ``span_words`` consecutive lowercased whitespace tokens
+    (non-overlapping; the sub-span tail is ignored).  Corpus-wide, the
+    FIRST occurrence of each distinct span (min (doc_id, span_idx))
+    is the keeper; every later occurrence is a removal.
+
+    Scale shape: ONE read+tokenize pass emits a tagged union of span
+    rows (md5-hex span key + packed (doc_id, span_idx) order key) and
+    zero-span doc rows; the only all-to-all is the span-keyed
+    ``groupby(h).min(packed)`` winner reduce; winners re-attach via the
+    size-adaptive lookup join (broadcast while the distinct-span table
+    fits, hash join past it); the per-doc rollup is one bounded
+    ``groupby(doc_id)``.  Span text never rides an exchange — only its
+    16-byte hash.
+
+    Output: (doc_id, n_spans, n_removed) for EVERY document
+    (zero-span docs included with (0, 0))."""
+    from renard_ray.ops.relational import broadcast_lookup_join, drop_empty_blocks
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    W = span_words
+
+    def emit(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        hs: list[str] = []
+        packed: list[int] = []
+        zero_docs: list[int] = []
+        for did, txt in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = [w for w in _WS_RE.split((txt or "").strip().lower()) if w]
+            n = len(ws) // W
+            if n == 0:
+                zero_docs.append(did)
+                continue
+            assert n < (1 << _SPAN_IDX_BITS), "span_idx overflow"
+            base = did << _SPAN_IDX_BITS
+            for i in range(n):
+                span = " ".join(ws[i * W : (i + 1) * W])
+                doc_ids.append(did)
+                hs.append(hashlib.md5(span.encode()).hexdigest())
+                packed.append(base | i)
+        spans = pa.table(
+            {
+                "kind": pa.array(["s"] * len(doc_ids), pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+        zeros = pa.table(
+            {
+                "kind": pa.array(["d"] * len(zero_docs), pa.string()),
+                "doc_id": pa.array(zero_docs, pa.int64()),
+                "h": pa.array([""] * len(zero_docs), pa.string()),
+                "packed": pa.array([0] * len(zero_docs), pa.int64()),
+            }
+        )
+        return pa.concat_tables([spans, zeros])
+
+    tagged = ds.map_batches(emit, batch_format="pyarrow").materialize()
+    spans = tagged.filter(expr="kind == 's'").select_columns(
+        ["doc_id", "h", "packed"]
+    )
+    spans = drop_empty_blocks(spans)
+    zero_rows = tagged.filter(expr="kind == 'd'").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_spans": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "n_removed": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if spans is None:
+        return zero_rows
+
+    winners = spans.groupby("h").aggregate(Min("packed", alias_name="w"))
+    # hash aggregates emit schema-less blocks for empty partitions,
+    # which crash the hash-join fallback's key resolution (see
+    # drop_empty_blocks); spans is nonempty here so winners has >= 1 row
+    winners = drop_empty_blocks(winners)
+    flagged = broadcast_lookup_join(
+        spans, winners, on="h", right_on="h", payload=["w"]
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        rem = pc.cast(
+            pc.not_equal(batch.column("packed"), batch.column("w")), pa.int64()
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "rem": rem})
+
+    per_doc = (
+        flagged.map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_spans"), Sum("rem", alias_name="n_removed")
+        )
+    )
+    return per_doc.union(zero_rows)

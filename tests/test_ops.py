@@ -828,6 +828,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         # full-outer / span-dedup / decontamination queries
         "supplier_region_stats",
         "corpus_token_summary",
+        "priority_or_big_customers",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1845,3 +1846,62 @@ def test_monthly_full_outer_one_sided_and_empty_side(ray_session, monkeypatch):
         got.sort_values("month").reset_index(drop=True)
         .equals(want.sort_values("month").reset_index(drop=True))
     )
+
+
+def _span_dedup_oracle(texts_by_id, W=10):
+    spans = []
+    zero = []
+    for did in sorted(texts_by_id):
+        ws = [w for w in (texts_by_id[did] or "").strip().lower().split() if w]
+        n = len(ws) // W
+        if n == 0:
+            zero.append(did)
+            continue
+        for i in range(n):
+            spans.append((" ".join(ws[i * W:(i + 1) * W]), did, i))
+    winner = {}
+    for s, did, i in spans:
+        key = did * (1 << 20) + i
+        if s not in winner or key < winner[s]:
+            winner[s] = key
+    out = {d: [0, 0] for d in zero}
+    for s, did, i in spans:
+        st = out.setdefault(did, [0, 0])
+        st[0] += 1
+        st[1] += int(did * (1 << 20) + i != winner[s])
+    return {d: tuple(v) for d, v in out.items()}
+
+
+def test_span_dedup_planted_and_fallback(ray_session, docs_dir, monkeypatch):
+    """Planted corpus: docs share an 80-word repeated prefix, so every
+    doc after the first loses its prefix spans; zero-span docs appear
+    as (0, 0).  Broadcast and forced hash-join-fallback paths agree."""
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops import dedup, relational
+
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in pq.read_table(f"{docs_dir}/documents.parquet").to_pylist()
+    }
+    want = _span_dedup_oracle(texts)
+
+    def got():
+        df = dedup.span_dedup(docs_dir).to_pandas()
+        return {
+            int(r.doc_id): (int(r.n_spans), int(r.n_removed))
+            for r in df.itertuples()
+        }
+
+    bcast = got()
+    assert bcast == want
+    # the shared prefix is 8 IDENTICAL 10-word spans: doc 0 keeps the
+    # first and loses the 7 within-doc repeats, every other full doc
+    # loses all 8 (cross-doc)
+    assert bcast[0] == (8, 7)
+    assert all(bcast[d][1] >= 8 for d in range(1, 20))
+    # zero-span docs present
+    assert bcast[23] == (0, 0) and bcast[24] == (0, 0)
+
+    monkeypatch.setattr(relational, "_BCAST_ROW_LIMIT", -1)
+    assert got() == want
