@@ -409,7 +409,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # relational (SQL-oracle-checked)
-        "q3_top_orders": relational.q3_top_unshipped_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "events_asof_last_purchase": _asof_last_purchase,
         "events_promo_window": _promo_window,
@@ -474,6 +473,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-keyed groupby-min is the only all-to-all, winners
         # re-attach via the size-adaptive lookup join; exact SQL oracle
         "doc_span_dedup": lambda sf: dedup.span_dedup(sf),
+        # benchmark decontamination (train docs sharing any 5-gram with
+        # the held-out val split get flagged; composition of the
+        # reproducible split + the cross-doc ngram plan); exact SQL
+        # oracle
+        "doc_decontaminate": lambda sf: textstats.decontaminate(sf),
         # reproducible hash split (md5-priority recipe); exact SQL oracle
         "doc_train_val_split": lambda sf: textstats.train_val_split(sf),
         # per-source exact distinct words (SQL oracle) + the mergeable
@@ -573,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_stats": relational.supplier_nation_join,
         "corpus_token_summary": textstats.corpus_token_summary,
         "priority_or_big_customers": relational.priority_or_big_customers,
+        "q3_top_orders": relational.q3_top_unshipped_orders,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -917,6 +922,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "doc_decontaminate": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3'
+                            THEN 'train' ELSE 'val' END AS split,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id, split,
+                       array_to_string(ws[i:(i+4)], ' ') AS ngram
+                FROM d, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+                WHERE len(ws) >= 5
+            ), vg AS (
+                SELECT DISTINCT ngram FROM g WHERE split = 'val'
+            ), tr AS (
+                SELECT g.doc_id,
+                       CASE WHEN vg.ngram IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM g LEFT JOIN vg USING (ngram) WHERE g.split = 'train'
+            ), per AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       CAST(SUM(hit) AS BIGINT) AS n_hits
+                FROM tr GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams, n_hits,
+                   CAST(n_hits > 0 AS BIGINT) AS contaminated
+            FROM per
+            UNION ALL
+            SELECT doc_id, 0, 0, 0 FROM d
+            WHERE split = 'train' AND len(ws) < 5
         """,
         "doc_span_dedup": """
             WITH d AS (

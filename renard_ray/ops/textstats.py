@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -601,3 +602,193 @@ def cross_doc_dup_ngrams(
         batch_format="pyarrow",
     )
     return stats.map_batches(finalize, batch_format="pyarrow").union(zeros)
+
+
+def decontaminate(
+    sf_dir: str,
+    n: int = 5,
+    threshold_hex: str = "f3",
+    salt: str = "",
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Benchmark decontamination (the GPT-3/PaLM training-data step):
+    flag TRAIN documents that share any word ``n``-gram with a held-out
+    benchmark set — here the 'val' side of the reproducible
+    ``train_val_split`` recipe, so the composition "split, then scrub
+    train against val" is exercised end-to-end and stays
+    SQL-oracle-checkable.
+
+    Scale shape: ONE tokenize pass emits per-doc DISTINCT n-gram rows
+    tagged with the hash-derived split (plus zero-gram train docs as
+    summary rows); the benchmark gram set is a ``groupby(ngram)``
+    distinct over the val rows only (the benchmark side is a small
+    fraction of the corpus by construction); train grams are marked
+    size-adaptively (broadcast ``index_in`` under the row budget, LEFT
+    hash join past it — the cross_doc_dup_ngrams plan); one
+    ``groupby(doc_id)`` finalizes.  Gram text rides the df exchange
+    once per (doc, gram); nothing corpus-sized lands on the driver.
+
+    Output: (doc_id, n_grams, n_hits, contaminated) for every TRAIN
+    document — contaminated = 1 iff any of its distinct n-grams occurs
+    in any val document."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from renard_ray.ops.relational import (
+        _BCAST_ROW_LIMIT,
+        _collect_small,
+        _join_parts_bytes,
+        drop_empty_blocks,
+    )
+
+    limit = _BCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    schema = pa.schema(
+        [("kind", pa.string()), ("doc_id", pa.int64()), ("ngram", pa.string())]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        kinds: list[str] = []
+        ids: list[int] = []
+        grams: list[str] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            is_train = (
+                hashlib.md5((salt + str(d)).encode()).hexdigest() < threshold_hex
+            )
+            t = t or ""
+            words = (
+                [w for w in _WS_RE.split(t.strip().lower()) if w]
+                if t.strip()
+                else []
+            )
+            if len(words) < n:
+                if is_train:  # zero-gram train doc: summary row
+                    kinds.append("z")
+                    ids.append(d)
+                    grams.append("")
+                continue
+            seen = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+            tag = "t" if is_train else "v"
+            kinds.extend([tag] * len(seen))
+            ids.extend([d] * len(seen))
+            grams.extend(seen)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "ngram": pa.array(grams, pa.string()),
+            },
+            schema=schema,
+        )
+
+    tagged = ds.map_batches(emit, batch_format="pyarrow").materialize()
+    train_pairs = tagged.filter(expr="kind == 't'").select_columns(
+        ["doc_id", "ngram"]
+    )
+    zero_rows = tagged.filter(expr="kind == 'z'").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "n_hits": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "contaminated": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    bench_grams = (
+        tagged.filter(expr="kind == 'v'")
+        .select_columns(["ngram"])
+        .groupby("ngram")
+        .count()
+        .select_columns(["ngram"])
+    )
+
+    train_pairs = drop_empty_blocks(train_pairs)
+    if train_pairs is None:
+        return zero_rows
+
+    bench_tab = _collect_small(bench_grams, limit)
+    if bench_tab is not None:
+        bench_ref = ray.put(
+            pc.drop_null(bench_tab.column("ngram")).combine_chunks()
+        )
+
+        def mark(batch: pa.Table) -> pa.Table:
+            vs = ray.get(bench_ref)
+            hit = pc.is_valid(pc.index_in(batch.column("ngram"), value_set=vs))
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "hit": pc.cast(hit, pa.int64()),
+                }
+            )
+
+        marked = train_pairs.map_batches(mark, batch_format="pyarrow")
+    else:
+        nparts = max(2, _join_parts_bytes(train_pairs))
+        flagged = bench_grams.map_batches(
+            lambda b: pa.table(
+                {
+                    "ngram": b.column("ngram"),
+                    "__hit": pa.array([1] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        flagged = drop_empty_blocks(flagged)
+        if flagged is None:  # empty benchmark side: nothing to scrub
+            marked = train_pairs.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b.column("doc_id"),
+                        "hit": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            joined = train_pairs.join(
+                flagged, join_type="left_outer", num_partitions=nparts,
+                on=("ngram",), right_on=("ngram",),
+            )
+            marked = joined.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b.column("doc_id"),
+                        "hit": pc.fill_null(
+                            pc.cast(b.column("__hit"), pa.int64()), 0
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+    per_doc = (
+        marked.groupby("doc_id")
+        .aggregate(Count(alias_name="n_grams"), Sum("hit", alias_name="n_hits"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_grams": pc.cast(b.column("n_grams"), pa.int64()),
+                    "n_hits": pc.cast(
+                        pc.fill_null(b.column("n_hits"), 0), pa.int64()
+                    ),
+                    "contaminated": pc.cast(
+                        pc.greater(
+                            pc.fill_null(b.column("n_hits"), 0),
+                            pa.scalar(0, pa.int64()),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return per_doc.union(zero_rows)

@@ -829,6 +829,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "supplier_region_stats",
         "corpus_token_summary",
         "priority_or_big_customers",
+        "q3_top_orders",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1905,3 +1906,58 @@ def test_span_dedup_planted_and_fallback(ray_session, docs_dir, monkeypatch):
 
     monkeypatch.setattr(relational, "_BCAST_ROW_LIMIT", -1)
     assert got() == want
+
+
+def test_decontaminate_planted_and_fallback(ray_session, tmp_path, monkeypatch):
+    """Planted corpus with a controlled split: a train doc sharing a
+    5-gram with a val doc is flagged, clean train docs are not, short
+    train docs appear as (0, 0, 0), val docs are absent; broadcast and
+    forced join-fallback paths agree."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops import relational, textstats
+
+    # find doc ids on each side of the md5 split deterministically
+    train_ids = [d for d in range(200) if hashlib.md5(str(d).encode()).hexdigest() < "f3"]
+    val_ids = [d for d in range(200) if hashlib.md5(str(d).encode()).hexdigest() >= "f3"]
+    assert len(val_ids) >= 2 and len(train_ids) >= 3
+
+    leak = "zeta eta theta iota kappa"  # the shared 5-gram
+    texts = {
+        val_ids[0]: f"benchmark question {leak} benchmark answer",
+        val_ids[1]: "completely separate held out content here",
+        train_ids[0]: f"web page mentioning {leak} verbatim somewhere",
+        train_ids[1]: "innocent training document with original words",
+        train_ids[2]: "tiny",  # < 5 words: zero-gram train doc
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+
+    def got():
+        df = textstats.decontaminate(str(tmp_path)).to_pandas()
+        return {
+            int(r.doc_id): (int(r.n_grams), int(r.n_hits), int(r.contaminated))
+            for r in df.itertuples()
+        }
+
+    res = got()
+    assert set(res) == {train_ids[0], train_ids[1], train_ids[2]}
+    assert res[train_ids[0]][2] == 1 and res[train_ids[0]][1] >= 1
+    assert res[train_ids[1]] == (res[train_ids[1]][0], 0, 0)
+    assert res[train_ids[2]] == (0, 0, 0)
+
+    monkeypatch.setattr(relational, "_BCAST_ROW_LIMIT", -1)
+    assert got() == res
