@@ -506,3 +506,117 @@ def kcore_dataset(
         max_rounds,
     )
     return degrees(edges)
+
+
+def bfs_hops_dataset(
+    triples: Dataset,
+    seeds: list[str] | None = None,
+    n_seeds: int = 3,
+    max_hops: int = 25,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Multi-source BFS over the (undirected) KG: shortest hop distance
+    from the seed set to every reachable entity.  The iterative-frontier
+    graph shape (each round touches only the new frontier, not the
+    whole distance table).
+
+    Seeds default to the ``n_seeds`` highest-degree entities
+    (deterministic: degree desc, name asc) — the "distance from the
+    hubs" view; pass ``seeds`` explicitly for ego-style queries.
+
+    Per round: directed adjacency SEMI-joined on the frontier (the
+    size-adaptive broadcast/hash plan — the frontier is usually small),
+    one ``groupby(dst)`` distinct, then an ANTI join against the
+    visited set (broadcast while it fits, hash join past it).  The
+    distance table is unioned + materialized per round so the loop
+    never re-executes its prefix.  Multi-edges/self-loops removed up
+    front by one distinct-pair groupby; both directions are emitted so
+    expansion is a single src-keyed semi join.
+
+    Output: (node, hops) for every node reachable from the seeds
+    (seeds at 0).  Unreachable nodes are absent by design."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import broadcast_semi_join
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        t = pa.table(
+            {
+                "src": pa.concat_arrays([s, o]),
+                "dst": pa.concat_arrays([o, s]),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+
+    edges = (
+        triples.select_columns(["subj", "obj"])
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+
+    if seeds is None:
+        # degree = distinct-neighbor count (edges already distinct);
+        # top-k with (degree desc, name asc) tie-break — tiny driver
+        # fetch of exactly n_seeds rows
+        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
+        seeds = [r["src"] for r in top.take_all()]
+    if not seeds:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()),
+                 "hops": pa.array([], pa.int64())}
+            )
+        )
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(sorted(set(seeds)), pa.string()),
+                "hops": pa.array([0] * len(set(seeds)), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist.select_columns(["node"])
+
+    for h in range(1, max_hops + 1):
+        reached = broadcast_semi_join(
+            edges, frontier, on="src", right_on="node", limit=limit
+        )
+        cand = (
+            reached.select_columns(["dst"])
+            .groupby("dst")
+            .count()
+            .map_batches(
+                lambda b: pa.table({"node": b.column("dst")}),
+                batch_format="pyarrow",
+            )
+        )
+        new = broadcast_semi_join(
+            cand, dist.select_columns(["node"]), on="node", right_on="node",
+            anti=True, limit=limit,
+        ).materialize()
+        if new.count() == 0:
+            break
+        tagged = new.map_batches(
+            lambda b, _h=h: pa.table(
+                {
+                    "node": b.column("node"),
+                    "hops": pa.array(
+                        np.full(b.num_rows, _h, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = dist.union(tagged).materialize()
+        frontier = new
+    return dist

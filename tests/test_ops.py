@@ -1961,3 +1961,72 @@ def test_decontaminate_planted_and_fallback(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(relational, "_BCAST_ROW_LIMIT", -1)
     assert got() == res
+
+
+def _bfs_oracle(pairs, seeds):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_hops_both_paths_match_oracle(ray_session, monkeypatch):
+    """Explicit-seed chain+branch graph (hop counts exact, unreachable
+    component absent), default hub seeds, and a seeded random graph —
+    on the broadcast and forced hash-join frontier/visited paths."""
+    import random
+
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.graphstats import bfs_hops_dataset
+
+    def triples(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, _ in pairs], pa.string()),
+                    "pred": pa.array(["p"] * len(pairs), pa.string()),
+                    "obj": pa.array([b for _, b in pairs], pa.string()),
+                }
+            )
+        )
+
+    def got(pairs, **kw):
+        df = bfs_hops_dataset(triples(pairs), **kw).to_pandas()
+        return {r.node: int(r.hops) for r in df.itertuples()}
+
+    # chain a-b-c-d with branch b-x, island y-z (unreachable from 'a')
+    g1 = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "x"), ("y", "z"),
+          ("b", "a"), ("a", "a")]  # reversed dup + self-loop
+    want1 = {"a": 0, "b": 1, "c": 2, "d": 3, "x": 2}
+    assert got(g1, seeds=["a"]) == want1
+    assert _bfs_oracle(g1, ["a"]) == want1
+
+    # default seeds: top-degree node of g1 is 'b' (deg 3); with
+    # n_seeds=2 the (deg desc, name asc) tie-break adds 'a' (deg 1 ties
+    # with c, x broken by name... a < c < x < y < z)
+    byhub = got(g1, n_seeds=1)
+    assert byhub == _bfs_oracle(g1, ["b"])
+
+    # seeded random graph, multi-source, both join plans
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(60)]
+    g2 = [tuple(rng.sample(nodes, 2)) for _ in range(120)]
+    seeds = ["n0", "n1"]
+    want2 = _bfs_oracle(g2, seeds)
+    assert got(g2, seeds=seeds) == want2
+    assert got(g2, seeds=seeds, broadcast_limit=-1) == want2
