@@ -511,6 +511,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate regime (n_probe < n_lists) is recall-gated in
         # tests/test_ops.py
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, n_lists=8, n_probe=8),
+        # product quantization (Jegou et al. 2011): vectors compressed
+        # to m uint8 codes once, queries scan only the code table via
+        # per-query ADC LUTs — the memory-bounded ANN path (rows-only
+        # check; numpy-PQ parity + recall pytest)
+        "knn_pq": lambda sf: similarity.knn_pq(sf),
         # distributed spherical k-means (Lloyd's with broadcast
         # centroids + tree-reduced partial sums); per-cluster stats —
         # iterative, non-SQL (rows-only check; numpy-oracle pytest)
@@ -529,7 +534,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_dynamic": kg_triples_dynamic,
         "kg_cumulative_final": kg_cumulative_final,
         "kg_reference_corpus": kg_reference_corpus,
-        "kg_pagerank": kg_pagerank,
         "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "media_features": media_features,
@@ -590,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_or_big_customers": relational.priority_or_big_customers,
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "doc_simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(sf),
+        "kg_pagerank": kg_pagerank,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,

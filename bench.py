@@ -138,6 +138,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "monthly_orders_vs_events",
         "doc_decontaminate",
         "kg_bfs_hops",
+        "knn_pq",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

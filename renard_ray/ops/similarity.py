@@ -327,3 +327,111 @@ def knn_ivf(
 
     partials = emb.map_batches(scan, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+def knn_pq(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+) -> Dataset:
+    """Product-quantization approximate top-k (Jegou et al. 2011): the
+    memory-bounded ANN path — vectors are compressed to ``m_subspaces``
+    uint8 codes (one per subspace codebook) in ONE pass over the raw
+    embeddings, and queries scan only the CODES via asymmetric distance
+    computation (per-query LUT of subspace distances, summed by code
+    lookup).  At 100 TB the raw vectors never need to be re-read: the
+    code table is ~m bytes/vector and the ADC scan is a numpy take.
+
+    Codebooks train on a driver-side sample with the same deterministic
+    k-means the IVF quantizer uses (PQ-standard recipe).  Vectors are
+    L2-normalized first, so ADC L2^2 and cosine rank identically
+    (d^2 = 2 - 2 cos); the emitted ``sim`` is the cosine estimate
+    ``1 - d^2/2`` — same output schema as ``knn_bruteforce``.
+
+    Output: (query_id, neighbor_id, rank, cosine_sim) with cosine_sim
+    the PQ ESTIMATE (recall-gated in tests, not exact by design)."""
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    emb = _read_embeddings(sf_dir)
+
+    sample = emb.limit(train_sample).take_all()
+    X = _norm_rows(np.array([r["embedding"] for r in sample], dtype=np.float64))
+    d = X.shape[1]
+    assert d % m_subspaces == 0, "dim must divide evenly into subspaces"
+    sub = d // m_subspaces
+    books = [
+        _kmeans(X[:, j * sub : (j + 1) * sub], n_codes, seed=3 + j)
+        for j in range(m_subspaces)
+    ]
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(books_ref)
+        ids = batch.column("vec_id")
+        M = _norm_rows(_matrix(batch.column("embedding")))
+        cols = {"vec_id": ids}
+        for j, C in enumerate(bks):
+            Xj = M[:, j * sub : (j + 1) * sub]
+            # (n, n_codes) squared distances, argmin code
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            cols[f"code_{j}"] = pa.array(
+                d2.argmin(1).astype(np.uint8), pa.uint8()
+            )
+        return pa.table(cols)
+
+    codes = emb.map_batches(encode, batch_format="pyarrow").materialize()
+
+    q_rows = emb.filter(expr=f"vec_id in {query_ids!r}").take_all()
+    qids = [r["vec_id"] for r in q_rows]
+    Q = _norm_rows(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    # per-query per-subspace LUT: ||q_j - C_j[c]||^2
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[i, j * sub : (j + 1) * sub] - books[j]) ** 2).sum(-1)
+                    for j in range(m_subspaces)
+                ]
+            )
+            for i in range(len(qids))
+        ]
+    )  # (n_query, m, n_codes)
+    q_ref = ray.put((qids, luts))
+
+    def adc_scan(batch: pa.Table) -> pa.Table:
+        qids_, luts_ = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        code_mat = np.stack(
+            [
+                np.asarray(batch.column(f"code_{j}"), dtype=np.int64)
+                for j in range(m_subspaces)
+            ]
+        )  # (m, n_batch)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            # ADC: sum LUT lookups over subspaces — pure numpy take
+            d2 = np.zeros(len(ids), dtype=np.float64)
+            for j in range(m_subspaces):
+                d2 += luts_[qi, j][code_mat[j]]
+            sims = 1.0 - d2 / 2.0
+            mask = ids != qid
+            idx = np.where(mask)[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.argsort(-sims[idx], kind="stable")[:k]]
+            for t in top:
+                out_q.append(qid)
+                out_n.append(int(ids[t]))
+                out_s.append(float(sims[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = codes.map_batches(adc_scan, batch_format="pyarrow")
+    return _merge_topk(partials, k)

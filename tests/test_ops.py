@@ -2030,3 +2030,55 @@ def test_bfs_hops_both_paths_match_oracle(ray_session, monkeypatch):
     want2 = _bfs_oracle(g2, seeds)
     assert got(g2, seeds=seeds) == want2
     assert got(g2, seeds=seeds, broadcast_limit=-1) == want2
+
+
+def test_knn_pq_recall_and_numpy_parity(ray_session, docs_dir):
+    """PQ: ADC estimates match a pure-numpy PQ oracle built from the
+    same deterministic codebooks exactly, and recall@3 vs brute force
+    clears the bar on the clustered fixture."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.similarity import (
+        _kmeans,
+        _norm_rows,
+        knn_bruteforce,
+        knn_pq,
+    )
+
+    got = knn_pq(
+        docs_dir, query_ids=[0, 5], k=3, m_subspaces=4, n_codes=8
+    ).to_pandas()
+
+    # numpy oracle: same sample (whole fixture), same codebooks
+    tbl = pq.read_table(f"{docs_dir}/embeddings.parquet")
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    M = _norm_rows(np.array(tbl.column("embedding").to_pylist(), dtype=np.float64))
+    d = M.shape[1]
+    sub = d // 4
+    books = [_kmeans(M[:, j*sub:(j+1)*sub], 8, seed=3 + j) for j in range(4)]
+    codes = np.stack(
+        [((M[:, None, j*sub:(j+1)*sub] - books[j][None]) ** 2).sum(-1).argmin(1)
+         for j in range(4)]
+    )
+    for qid in (0, 5):
+        qv = M[ids == qid][0]
+        d2 = np.zeros(len(ids))
+        for j in range(4):
+            lut = ((qv[j*sub:(j+1)*sub] - books[j]) ** 2).sum(-1)
+            d2 += lut[codes[j]]
+        sims = 1.0 - d2 / 2.0
+        cand = np.where(ids != qid)[0]
+        top = cand[np.argsort(-sims[cand], kind="stable")[:3]]
+        sub_got = got[got.query_id == qid].sort_values("rank")
+        # same estimates for the ids the Ray path returned
+        for nid, s in zip(sub_got.neighbor_id, sub_got.cosine_sim):
+            assert abs(sims[ids == nid][0] - s) < 5.1e-5  # merge rounds to 4dp
+        # identical top-3 sets (both use the same estimates + tie-break)
+        assert set(sub_got.neighbor_id) == set(int(ids[t]) for t in top)
+
+    exact = knn_bruteforce(docs_dir, query_ids=[0, 5], k=3).to_pandas()
+    es = exact.groupby("query_id")["neighbor_id"].apply(set)
+    as_ = got.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(as_.get(q, set()) & want) / len(want) for q, want in es.items()]
+    assert sum(recalls) / len(recalls) >= 0.5
