@@ -1298,6 +1298,9 @@ def span_dedup(sf_dir: str, span_words: int = 10) -> Dataset:
                 zero_docs.append(did)
                 continue
             assert n < (1 << _SPAN_IDX_BITS), "span_idx overflow"
+            # packed key must stay in int64 (and match the SQL oracle's
+            # doc_id*2^20 + idx): doc_id < 2^43
+            assert did < (1 << 43), "doc_id too large for the packed order key"
             base = did << _SPAN_IDX_BITS
             for i in range(n):
                 span = " ".join(ws[i * W : (i + 1) * W])

@@ -619,4 +619,13 @@ def bfs_hops_dataset(
         )
         dist = dist.union(tagged).materialize()
         frontier = new
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bfs_hops_dataset: frontier still non-empty after "
+            "max_hops=%d — nodes beyond that distance are absent from "
+            "the output (raise max_hops for high-eccentricity graphs)",
+            max_hops,
+        )
     return dist

@@ -2140,10 +2140,14 @@ def monthly_orders_vs_events(sf_dir: str) -> Dataset:
             )
 
         return nonempty.map_batches(pad, batch_format="pyarrow")
+    # size the outer exchange from the AGGREGATED side, not the fact
+    # file: both inputs are |months|-row tables, and far-above-data
+    # partition counts only create empty hash partitions (see
+    # _join_parts' crash note)
     joined = om.join(
         em,
         join_type="full_outer",
-        num_partitions=_join_parts(sf_dir, "orders"),
+        num_partitions=max(2, _join_parts_bytes(om)),
         on=("month",),
     )
 

@@ -356,6 +356,7 @@ def knn_pq(
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
     emb = _read_embeddings(sf_dir)
 
+    assert 1 <= n_codes <= 256, "uint8 codes: n_codes must be <= 256"
     sample = emb.limit(train_sample).take_all()
     X = _norm_rows(np.array([r["embedding"] for r in sample], dtype=np.float64))
     d = X.shape[1]

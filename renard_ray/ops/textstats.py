@@ -385,6 +385,15 @@ def repetition_stats(sf_dir: str) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _is_train(doc_id: int, threshold_hex: str = "f3", salt: str = "") -> bool:
+    """THE reproducible split predicate — md5-priority hex compare,
+    shared by ``train_val_split``, ``decontaminate`` and their SQL
+    oracles; change it here and nowhere else."""
+    import hashlib
+
+    return hashlib.md5((salt + str(doc_id)).encode()).hexdigest() < threshold_hex
+
+
 def train_val_split(
     sf_dir: str, threshold_hex: str = "f3", salt: str = ""
 ) -> Dataset:
@@ -395,15 +404,11 @@ def train_val_split(
     reproducible under retries, re-partitioning and re-runs, and
     exactly mirrored in SQL ('f3' ~ 94.9% train).  One streaming pass,
     no shuffle."""
-    import hashlib
-
     ds = _read_documents(sf_dir, ["doc_id"])
 
     def f(batch: pa.Table) -> pa.Table:
         splits = [
-            "train"
-            if hashlib.md5((salt + str(d)).encode()).hexdigest() < threshold_hex
-            else "val"
+            "train" if _is_train(d, threshold_hex, salt) else "val"
             for d in batch.column("doc_id").to_pylist()
         ]
         return pa.table(
@@ -631,8 +636,6 @@ def decontaminate(
     Output: (doc_id, n_grams, n_hits, contaminated) for every TRAIN
     document — contaminated = 1 iff any of its distinct n-grams occurs
     in any val document."""
-    import hashlib
-
     from ray.data.aggregate import Count, Sum
 
     from renard_ray.ops.relational import (
@@ -656,9 +659,7 @@ def decontaminate(
         for d, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            is_train = (
-                hashlib.md5((salt + str(d)).encode()).hexdigest() < threshold_hex
-            )
+            is_train = _is_train(d, threshold_hex, salt)
             t = t or ""
             words = (
                 [w for w in _WS_RE.split(t.strip().lower()) if w]
@@ -712,8 +713,25 @@ def decontaminate(
     if train_pairs is None:
         return zero_rows
 
+    def zero_hit_marks() -> Dataset:
+        return train_pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "hit": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     bench_tab = _collect_small(bench_grams, limit)
-    if bench_tab is not None:
+    if bench_tab is not None and (
+        "ngram" not in bench_tab.column_names or bench_tab.num_rows == 0
+    ):
+        # an all-short (or absent) val split leaves only schema-less
+        # empty blocks in the aggregate: empty benchmark, zero hits
+        marked = zero_hit_marks()
+    elif bench_tab is not None:
         bench_ref = ray.put(
             pc.drop_null(bench_tab.column("ngram")).combine_chunks()
         )
@@ -742,15 +760,7 @@ def decontaminate(
         )
         flagged = drop_empty_blocks(flagged)
         if flagged is None:  # empty benchmark side: nothing to scrub
-            marked = train_pairs.map_batches(
-                lambda b: pa.table(
-                    {
-                        "doc_id": b.column("doc_id"),
-                        "hit": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            marked = zero_hit_marks()
         else:
             joined = train_pairs.join(
                 flagged, join_type="left_outer", num_partitions=nparts,

@@ -2082,3 +2082,38 @@ def test_knn_pq_recall_and_numpy_parity(ray_session, docs_dir):
     as_ = got.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [len(as_.get(q, set()) & want) / len(want) for q, want in es.items()]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_decontaminate_empty_benchmark_side(ray_session, tmp_path):
+    """All-short val split: the benchmark gram aggregate yields only
+    schema-less empty blocks — the broadcast path must degrade to
+    zero hits instead of KeyError'ing on the missing column."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.textstats import decontaminate
+
+    val = [i for i in range(100)
+           if hashlib.md5(str(i).encode()).hexdigest() >= "f3"][:2]
+    tr = [i for i in range(100)
+          if hashlib.md5(str(i).encode()).hexdigest() < "f3"][:2]
+    ids = sorted(val + tr)
+    texts = {v: "tiny doc" for v in val}
+    texts |= {t: "a full training document with plenty of original words"
+              for t in tr}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    df = decontaminate(str(tmp_path)).to_pandas()
+    assert set(df.doc_id) == set(tr)
+    assert (df.contaminated == 0).all() and (df.n_hits == 0).all()
