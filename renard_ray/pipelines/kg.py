@@ -936,3 +936,130 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
         )
         .sort("month")
     )
+
+
+def snapshot_diff(old: Dataset, new: Dataset) -> Dataset:
+    """Diff two aggregated triple tables (two crawl snapshots of the
+    KG): every (subj, pred, obj) classified as ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` with exact integer centi-weight
+    deltas — the observability complement to ``ingest_snapshot``
+    (what did this crawl change?).
+
+    Scale shape: both sides collapse to (key -> centi-weight) via one
+    ``groupby`` each (exact even if a side arrives un-aggregated or
+    block-split), then ONE full-outer hash join on the packed triple
+    key moves |distinct triples| rows; classification is a vectorized
+    batch pass.  Nothing lands on the driver.
+
+    Output: (subj, pred, obj, status, w_old_c, w_new_c, delta_c),
+    absent sides reported as weight 0."""
+    from ray.data.aggregate import Sum
+
+    from renard_ray.ops.relational import _join_parts_bytes, drop_empty_blocks
+
+    def keyed(ds: Dataset, out: str) -> Dataset:
+        def derive(batch: pa.Table) -> pa.Table:
+            w = pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.cast(batch.column("weight"), pa.float64()),
+                        pa.scalar(100.0),
+                    )
+                ),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "subj": batch.column("subj"),
+                    "pred": batch.column("pred"),
+                    "obj": batch.column("obj"),
+                    out: w,
+                }
+            )
+
+        return (
+            ds.select_columns(["subj", "pred", "obj", "weight"])
+            .map_batches(derive, batch_format="pyarrow")
+            .groupby(["subj", "pred", "obj"])
+            .aggregate(Sum(out, alias_name=out))
+        )
+
+    empty = pa.table(
+        {
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+            "status": pa.array([], pa.string()),
+            "w_old_c": pa.array([], pa.int64()),
+            "w_new_c": pa.array([], pa.int64()),
+            "delta_c": pa.array([], pa.int64()),
+        }
+    )
+
+    def finalize(batch: pa.Table, w_old_present: bool, w_new_present: bool) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        zero = pa.array(np.zeros(n, dtype=np.int64))
+        wo = (
+            pc.fill_null(batch.column("w_old_c"), pa.scalar(0, pa.int64()))
+            if w_old_present else zero
+        )
+        wn = (
+            pc.fill_null(batch.column("w_new_c"), pa.scalar(0, pa.int64()))
+            if w_new_present else zero
+        )
+        had_old = (
+            pc.is_valid(batch.column("w_old_c"))
+            if w_old_present
+            else pa.array(np.zeros(n, dtype=bool))
+        )
+        had_new = (
+            pc.is_valid(batch.column("w_new_c"))
+            if w_new_present
+            else pa.array(np.zeros(n, dtype=bool))
+        )
+        status = pc.if_else(
+            pc.invert(had_old),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.invert(had_new),
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.equal(wo, wn), pa.scalar("unchanged"), pa.scalar("changed")
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "status": status,
+                "w_old_c": wo,
+                "w_new_c": wn,
+                "delta_c": pc.subtract(wn, wo),
+            }
+        )
+
+    o = drop_empty_blocks(keyed(old, "w_old_c"))
+    nw = drop_empty_blocks(keyed(new, "w_new_c"))
+    if o is None and nw is None:
+        return ray.data.from_arrow(empty)
+    if o is None or nw is None:
+        side = nw if o is None else o
+        return side.map_batches(
+            lambda b, _old=(nw is None): finalize(
+                b, w_old_present=_old, w_new_present=not _old
+            ),
+            batch_format="pyarrow",
+        )
+    joined = o.join(
+        nw,
+        join_type="full_outer",
+        num_partitions=max(2, _join_parts_bytes(nw)),
+        on=("subj", "pred", "obj"),
+    )
+    return joined.map_batches(
+        lambda b: finalize(b, True, True), batch_format="pyarrow"
+    )

@@ -328,3 +328,71 @@ def test_kg_growth_planted_months(ray_session):
         (202401, 2, 1),
         (202402, 1, 1),
     ]
+
+
+def test_snapshot_diff_matches_pandas_merge(ray_session):
+    """snapshot_diff vs a pandas outer-merge oracle on hand-planted
+    triple tables: all four statuses, exact centi-weight deltas, and
+    the one-sided degenerate cases."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from renard_ray.pipelines.kg import snapshot_diff
+
+    def triples(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array(["co_occurs_with"] * len(rows), pa.string()),
+                    "obj": pa.array([r[1] for r in rows], pa.string()),
+                    "weight": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            )
+        )
+
+    # old: ab=1.0, ac=2.5, ad=0.5 (split over two rows: groupby must
+    # re-aggregate); new: ab=1.0 (unchanged), ac=3.0 (changed),
+    # ae=4.0 (added); ad removed
+    old = triples([("a", "b", 1.0), ("a", "c", 2.5), ("a", "d", 0.25),
+                   ("a", "d", 0.25)])
+    new = triples([("a", "b", 1.0), ("a", "c", 3.0), ("a", "e", 4.0)])
+    df = snapshot_diff(old, new).to_pandas()
+    got = {
+        (r.subj, r.obj): (r.status, int(r.w_old_c), int(r.w_new_c), int(r.delta_c))
+        for r in df.itertuples()
+    }
+    assert got == {
+        ("a", "b"): ("unchanged", 100, 100, 0),
+        ("a", "c"): ("changed", 250, 300, 50),
+        ("a", "d"): ("removed", 50, 0, -50),
+        ("a", "e"): ("added", 0, 400, 400),
+    }
+
+    # independent oracle: pandas outer merge over the same recipe
+    def pdf(rows):
+        d = pd.DataFrame(rows, columns=["subj", "obj", "w"])
+        d["w_c"] = (d.w * 100).round().astype("int64")
+        return d.groupby(["subj", "obj"], as_index=False).w_c.sum()
+
+    m = pdf([("a", "b", 1.0), ("a", "c", 2.5), ("a", "d", 0.25), ("a", "d", 0.25)]).merge(
+        pdf([("a", "b", 1.0), ("a", "c", 3.0), ("a", "e", 4.0)]),
+        on=["subj", "obj"], how="outer", suffixes=("_o", "_n"),
+    )
+    for r in m.itertuples():
+        wo = 0 if pd.isna(r.w_c_o) else int(r.w_c_o)
+        wn = 0 if pd.isna(r.w_c_n) else int(r.w_c_n)
+        st = ("added" if pd.isna(r.w_c_o) else
+              "removed" if pd.isna(r.w_c_n) else
+              "unchanged" if wo == wn else "changed")
+        assert got[(r.subj, r.obj)] == (st, wo, wn, wn - wo)
+
+    # degenerate: empty old -> everything added; empty new -> removed
+    empty = triples([])
+    all_added = snapshot_diff(empty, new).to_pandas()
+    assert set(all_added.status) == {"added"} and len(all_added) == 3
+    all_removed = snapshot_diff(old, empty).to_pandas()
+    assert set(all_removed.status) == {"removed"} and len(all_removed) == 3
+    none = snapshot_diff(empty, empty).to_pandas()
+    assert len(none) == 0
