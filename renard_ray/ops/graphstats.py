@@ -514,9 +514,12 @@ def bfs_hops_dataset(
     n_seeds: int = 3,
     max_hops: int = 25,
     broadcast_limit: int | None = None,
+    directed: bool = False,
 ) -> Dataset:
-    """Multi-source BFS over the (undirected) KG: shortest hop distance
-    from the seed set to every reachable entity.  The iterative-frontier
+    """Multi-source BFS over the KG (undirected by default; pass
+    ``directed=True`` to follow subj->obj edges only — forward
+    reachability): shortest hop distance from the seed set to every
+    reachable entity.  The iterative-frontier
     graph shape (each round touches only the new frontier, not the
     whole distance table).
 
@@ -541,21 +544,24 @@ def bfs_hops_dataset(
 
     limit = 5_000_000 if broadcast_limit is None else broadcast_limit
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
+    def adjacency(batch: pa.Table) -> pa.Table:
         s = batch.column("subj").combine_chunks()
         o = batch.column("obj").combine_chunks()
-        t = pa.table(
-            {
-                "src": pa.concat_arrays([s, o]),
-                "dst": pa.concat_arrays([o, s]),
-            }
-        )
+        if directed:
+            t = pa.table({"src": s, "dst": o})
+        else:
+            t = pa.table(
+                {
+                    "src": pa.concat_arrays([s, o]),
+                    "dst": pa.concat_arrays([o, s]),
+                }
+            )
         t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
         return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
 
     edges = (
         triples.select_columns(["subj", "obj"])
-        .map_batches(both_dirs, batch_format="pyarrow")
+        .map_batches(adjacency, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["src", "dst"])
@@ -563,9 +569,9 @@ def bfs_hops_dataset(
     )
 
     if seeds is None:
-        # degree = distinct-neighbor count (edges already distinct);
-        # top-k with (degree desc, name asc) tie-break — tiny driver
-        # fetch of exactly n_seeds rows
+        # degree = distinct-(out-)neighbor count (edges already
+        # distinct); top-k with (degree desc, name asc) tie-break —
+        # tiny driver fetch of exactly n_seeds rows
         deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
         top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
         seeds = [r["src"] for r in top.take_all()]
@@ -629,3 +635,81 @@ def bfs_hops_dataset(
             max_hops,
         )
     return dist
+
+
+def neighborhood_stats_dataset(
+    triples: Dataset, broadcast_limit: int | None = None
+) -> Dataset:
+    """One round of GNN-style neighbor aggregation over the undirected
+    KG: for every node, the count / sum / max of its DISTINCT
+    neighbors' degrees — the 2-hop structural feature (a node next to
+    hubs scores high even at degree 1).
+
+    Scale shape: distinct directed adjacency (one groupby), degree =
+    ``groupby(src).count`` over it, each edge's dst-degree attached via
+    the size-adaptive lookup join (degree table broadcast while the
+    vocabulary fits, hash join past it), one final ``groupby(src)``.
+    Feature aggregation is exactly the attach-then-reduce shape every
+    message-passing round uses; nothing node- or edge-sized lands on
+    the driver.
+
+    Output: (node, n_neighbors, sum_nbr_deg, max_nbr_deg)."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import broadcast_lookup_join
+
+    from ray.data.aggregate import Max
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        t = pa.table(
+            {
+                "src": pa.concat_arrays([s, o]),
+                "dst": pa.concat_arrays([o, s]),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+
+    edges = (
+        triples.select_columns(["subj", "obj"])
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg")).map_batches(
+        lambda b: pa.table({"node": b.column("src"), "deg": b.column("deg")}),
+        batch_format="pyarrow",
+    )
+    kwargs = {} if broadcast_limit is None else {"limit": broadcast_limit}
+    attached = broadcast_lookup_join(
+        edges, deg, on="dst", right_on="node", payload=["deg"], **kwargs
+    )
+    return (
+        attached.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("src"), "deg": b.column("deg")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(
+            Count(alias_name="n_neighbors"),
+            Sum("deg", alias_name="sum_nbr_deg"),
+            Max("deg", alias_name="max_nbr_deg"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("src"),
+                    "n_neighbors": pc.cast(b.column("n_neighbors"), pa.int64()),
+                    "sum_nbr_deg": pc.cast(b.column("sum_nbr_deg"), pa.int64()),
+                    "max_nbr_deg": pc.cast(b.column("max_nbr_deg"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

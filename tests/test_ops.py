@@ -2117,3 +2117,88 @@ def test_decontaminate_empty_benchmark_side(ray_session, tmp_path):
     df = decontaminate(str(tmp_path)).to_pandas()
     assert set(df.doc_id) == set(tr)
     assert (df.contaminated == 0).all() and (df.n_hits == 0).all()
+
+
+def test_bfs_hops_directed_mode(ray_session):
+    """directed=True follows subj->obj only: the incoming edge d->a is
+    not traversed from 'a', while undirected mode reaches d."""
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.graphstats import bfs_hops_dataset
+
+    pairs = [("a", "b"), ("b", "c"), ("d", "a")]
+    trip = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([x for x, _ in pairs], pa.string()),
+                "pred": pa.array(["p"] * len(pairs), pa.string()),
+                "obj": pa.array([y for _, y in pairs], pa.string()),
+            }
+        )
+    )
+    directed = {
+        r.node: int(r.hops)
+        for r in bfs_hops_dataset(trip, seeds=["a"], directed=True)
+        .to_pandas().itertuples()
+    }
+    assert directed == {"a": 0, "b": 1, "c": 2}
+    undirected = {
+        r.node: int(r.hops)
+        for r in bfs_hops_dataset(trip, seeds=["a"]).to_pandas().itertuples()
+    }
+    assert undirected == {"a": 0, "b": 1, "c": 2, "d": 1}
+
+
+def test_neighborhood_stats_both_paths(ray_session):
+    """Neighbor-degree aggregation vs a brute-force adjacency oracle,
+    on the broadcast and forced hash-join attach paths; multi-edges
+    and self-loops must not inflate anything."""
+    import random
+    from collections import defaultdict
+
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.graphstats import neighborhood_stats_dataset
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(70)]
+    pairs += [("n0", "n0"), ("n1", "n0")]  # self-loop + reverse dup
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {
+        v: (
+            len(adj[v]),
+            sum(len(adj[w]) for w in adj[v]),
+            max(len(adj[w]) for w in adj[v]),
+        )
+        for v in adj
+    }
+
+    trip = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, _ in pairs], pa.string()),
+                "pred": pa.array(["p"] * len(pairs), pa.string()),
+                "obj": pa.array([b for _, b in pairs], pa.string()),
+            }
+        )
+    )
+
+    def got(**kw):
+        df = neighborhood_stats_dataset(trip, **kw).to_pandas()
+        return {
+            r.node: (int(r.n_neighbors), int(r.sum_nbr_deg), int(r.max_nbr_deg))
+            for r in df.itertuples()
+        }
+
+    assert got() == want
+    assert got(broadcast_limit=-1) == want
