@@ -508,6 +508,42 @@ def kcore_dataset(
     return degrees(edges)
 
 
+def _distinct_adjacency(triples: Dataset, directed: bool = False) -> Dataset | None:
+    """Distinct adjacency list from a triple table: (src, dst) rows,
+    self-loops and multi-edges (several preds on one pair) removed by
+    one pair-keyed groupby; undirected mode emits both directions so
+    expansion / degree are single src-keyed operations.  Returns None
+    when the graph has no surviving edge (empty input or self-loops
+    only) — the aggregate then yields only schema-less empty blocks,
+    which every downstream join/groupby would crash on."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import drop_empty_blocks
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        if directed:
+            t = pa.table({"src": s, "dst": o})
+        else:
+            t = pa.table(
+                {
+                    "src": pa.concat_arrays([s, o]),
+                    "dst": pa.concat_arrays([o, s]),
+                }
+            )
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+
+    return drop_empty_blocks(
+        triples.select_columns(["subj", "obj"])
+        .map_batches(adjacency, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+
+
 def bfs_hops_dataset(
     triples: Dataset,
     seeds: list[str] | None = None,
@@ -533,40 +569,27 @@ def bfs_hops_dataset(
     visited set (broadcast while it fits, hash join past it).  The
     distance table is unioned + materialized per round so the loop
     never re-executes its prefix.  Multi-edges/self-loops removed up
-    front by one distinct-pair groupby; both directions are emitted so
-    expansion is a single src-keyed semi join.
+    front by one distinct-pair groupby; in undirected mode both
+    directions are emitted (directed mode keeps subj->obj only) so
+    expansion is a single src-keyed semi join either way.
 
     Output: (node, hops) for every node reachable from the seeds
     (seeds at 0).  Unreachable nodes are absent by design."""
-    import pyarrow.compute as pc
-
     from renard_ray.ops.relational import broadcast_semi_join
 
     limit = 5_000_000 if broadcast_limit is None else broadcast_limit
 
-    def adjacency(batch: pa.Table) -> pa.Table:
-        s = batch.column("subj").combine_chunks()
-        o = batch.column("obj").combine_chunks()
-        if directed:
-            t = pa.table({"src": s, "dst": o})
-        else:
-            t = pa.table(
+    edges = _distinct_adjacency(triples, directed=directed)
+    if edges is None:  # no surviving edge: explicit seeds sit at hop 0
+        return ray.data.from_arrow(
+            pa.table(
                 {
-                    "src": pa.concat_arrays([s, o]),
-                    "dst": pa.concat_arrays([o, s]),
+                    "node": pa.array(sorted(set(seeds or [])), pa.string()),
+                    "hops": pa.array([0] * len(set(seeds or [])), pa.int64()),
                 }
             )
-        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
-        return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
-
-    edges = (
-        triples.select_columns(["subj", "obj"])
-        .map_batches(adjacency, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
-        .materialize()
-    )
+        )
+    edges = edges.materialize()
 
     if seeds is None:
         # degree = distinct-(out-)neighbor count (edges already
@@ -660,26 +683,19 @@ def neighborhood_stats_dataset(
 
     from ray.data.aggregate import Max
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        s = batch.column("subj").combine_chunks()
-        o = batch.column("obj").combine_chunks()
-        t = pa.table(
-            {
-                "src": pa.concat_arrays([s, o]),
-                "dst": pa.concat_arrays([o, s]),
-            }
+    edges = _distinct_adjacency(triples)
+    if edges is None:  # empty graph (or self-loops only)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "n_neighbors": pa.array([], pa.int64()),
+                    "sum_nbr_deg": pa.array([], pa.int64()),
+                    "max_nbr_deg": pa.array([], pa.int64()),
+                }
+            )
         )
-        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
-        return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
-
-    edges = (
-        triples.select_columns(["subj", "obj"])
-        .map_batches(both_dirs, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
-        .materialize()
-    )
+    edges = edges.materialize()
     deg = edges.groupby("src").aggregate(Count(alias_name="deg")).map_batches(
         lambda b: pa.table({"node": b.column("src"), "deg": b.column("deg")}),
         batch_format="pyarrow",
