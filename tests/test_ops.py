@@ -2202,3 +2202,58 @@ def test_neighborhood_stats_both_paths(ray_session):
 
     assert got() == want
     assert got(broadcast_limit=-1) == want
+
+
+def test_weighted_reservoir_deterministic_and_proportional(ray_session):
+    """A-ES weighted reservoir: python-replica parity, partitioning
+    independence, zero-weight exclusion, and inclusion frequency
+    tracking the weights across seeds."""
+    import hashlib
+    import json
+    import math
+    import struct
+
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.sketches import weighted_reservoir_sample
+
+    rows = [{"id": i, "w": (10.0 if i == 0 else 1.0) if i != 5 else 0.0}
+            for i in range(20)]
+
+    def replica(seed, k):
+        keyed = []
+        for r in rows:
+            if r["w"] <= 0:
+                continue
+            blob = json.dumps(r, sort_keys=True, default=str).encode()
+            h = struct.unpack(
+                "<Q", hashlib.md5(blob + str(seed).encode()).digest()[:8]
+            )[0]
+            u = (h + 1) / (2.0**64 + 2)
+            keyed.append((-math.log(u) / r["w"], r["id"]))
+        return [i for _, i in sorted(keyed)[:k]]
+
+    def ds(nblocks):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([r["id"] for r in rows], pa.int64()),
+                    "w": pa.array([r["w"] for r in rows], pa.float64()),
+                }
+            )
+        ).repartition(nblocks)
+
+    got = [r["id"] for r in weighted_reservoir_sample(ds(1), 5, "w", seed=3)]
+    assert got == replica(3, 5)
+    assert got == [r["id"] for r in weighted_reservoir_sample(ds(7), 5, "w", seed=3)]
+    # zero-weight row never sampled even at k = all
+    all_ids = {r["id"] for r in weighted_reservoir_sample(ds(3), 50, "w", seed=3)}
+    assert 5 not in all_ids and len(all_ids) == 19
+
+    # proportionality: row 0 (w=10) wins the k=1 race ~10/29 of the
+    # time vs ~1/29 for a unit row (python replica — same math as the
+    # distributed path, already proven identical above)
+    wins = sum(replica(s, 1) == [0] for s in range(300))
+    assert 0.20 < wins / 300 < 0.50
