@@ -389,6 +389,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["sum_nbr_deg", "node"], descending=[True, False]
         )
 
+    def kg_scc(sf_dir: str):
+        """Strongly connected components of the mutual-strength
+        digraph derived from the KG: u -> v iff weight(u, v) >= u's
+        mean edge weight (asymmetric by construction, so real cycles
+        arise) — SCCs are the mutually-strong co-occurrence groups.
+        Tarjan-parity pytest; rows-only driver check (iterative,
+        non-SQL)."""
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        import ray as _ray
+        from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+        from renard_ray.ops.graphstats import scc_dataset
+        from renard_ray.ops.relational import broadcast_lookup_join
+
+        trip = kg_triples(sf_dir)
+
+        def endpoints(b: _pa.Table) -> _pa.Table:
+            w = _pc.cast(
+                _pc.round(_pc.multiply(
+                    _pc.cast(b.column("weight"), _pa.float64()),
+                    _pa.scalar(100.0))),
+                _pa.int64(),
+            ).combine_chunks()
+            return _pa.table(
+                {
+                    "node": _pa.concat_arrays(
+                        [b.column("subj").combine_chunks(),
+                         b.column("obj").combine_chunks()]
+                    ),
+                    "w": _pa.concat_arrays([w, w]),
+                }
+            )
+
+        means = (
+            trip.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Sum("w", alias_name="sw"), _Count(alias_name="n"))
+        )
+
+        def both_dirs(b: _pa.Table) -> _pa.Table:
+            w = _pc.cast(
+                _pc.round(_pc.multiply(
+                    _pc.cast(b.column("weight"), _pa.float64()),
+                    _pa.scalar(100.0))),
+                _pa.int64(),
+            ).combine_chunks()
+            return _pa.table(
+                {
+                    "subj": _pa.concat_arrays(
+                        [b.column("subj").combine_chunks(),
+                         b.column("obj").combine_chunks()]
+                    ),
+                    "obj": _pa.concat_arrays(
+                        [b.column("obj").combine_chunks(),
+                         b.column("subj").combine_chunks()]
+                    ),
+                    "w": _pa.concat_arrays([w, w]),
+                }
+            )
+
+        directed = broadcast_lookup_join(
+            trip.map_batches(both_dirs, batch_format="pyarrow"),
+            means, on="subj", right_on="node", payload=["sw", "n"],
+        ).map_batches(
+            # u -> v iff w*n >= sum(w) (i.e. w >= mean, exact ints)
+            lambda b: b.filter(
+                _pc.greater_equal(
+                    _pc.multiply(b.column("w"), b.column("n")),
+                    b.column("sw"),
+                )
+            ).select(["subj", "obj"]),
+            batch_format="pyarrow",
+        )
+        return scc_dataset(directed).sort(
+            ["scc_size", "scc", "node"], descending=[True, False, False]
+        )
+
     def kg_clustering(sf_dir: str):
         # per-node local clustering coefficient over the KG: closed
         # wedges from the shared degree-ordered triangle plan fan out to
@@ -656,6 +736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 k=25, weight_col="l_quantity",
             )
         ),
+        # distributed SCC (trim + forward coloring + backward collect,
+        # Tarjan-parity pytest) over the mutual-strength digraph; below
+        # the window for the same reason as doc_weighted_sample
+        "kg_scc": kg_scc,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,

@@ -141,6 +141,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "knn_pq",
         "kg_snapshot_diff",
         "kg_neighborhood_stats",
+        "kg_scc",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -2257,3 +2257,112 @@ def test_weighted_reservoir_deterministic_and_proportional(ray_session):
     # distributed path, already proven identical above)
     wins = sum(replica(s, 1) == [0] for s in range(300))
     assert 0.20 < wins / 300 < 0.50
+
+
+def _tarjan_scc(pairs):
+    """Iterative Tarjan over the directed pair list; returns
+    {node: frozenset(scc members)}."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            adj[a].append(b)
+            nodes.update((a, b))
+    index = {}
+    low = {}
+    onstack = set()
+    stack = []
+    out = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                fs = frozenset(comp)
+                for w in comp:
+                    out[w] = fs
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+def test_scc_matches_tarjan(ray_session):
+    """Distributed trim+color+collect SCC vs iterative Tarjan: two
+    cycles joined by DAG edges, a self-loop, and a seeded random
+    digraph (where singleton, small and large SCCs all occur)."""
+    import random
+
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.graphstats import scc_dataset
+
+    def triples(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, _ in pairs], pa.string()),
+                    "pred": pa.array(["p"] * len(pairs), pa.string()),
+                    "obj": pa.array([b for _, b in pairs], pa.string()),
+                }
+            )
+        )
+
+    def check(pairs):
+        df = scc_dataset(triples(pairs)).to_pandas()
+        got_groups = df.groupby("scc")["node"].apply(frozenset)
+        got = {}
+        for _, members in got_groups.items():
+            for n in members:
+                got[n] = members
+        want = _tarjan_scc(pairs)
+        assert got == want, (got, want)
+        # size column consistent with the grouping
+        for r in df.itertuples():
+            assert int(r.scc_size) == len(got[r.node])
+
+    # cycle a->b->c->a feeding cycle x->y->x through a DAG edge, plus
+    # a pendant chain and a self-loop (dropped: its node has no other
+    # edge, so it is absent — add an edge to keep it present)
+    check([("a", "b"), ("b", "c"), ("c", "a"), ("c", "x"),
+           ("x", "y"), ("y", "x"), ("y", "z"), ("s", "s"), ("s", "a")])
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(24)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(55)]
+    check(pairs)
