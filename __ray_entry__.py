@@ -545,6 +545,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["subj", "pred", "obj"]
         )
 
+    def events_user_type_pmi(sf_dir: str):
+        # PMI of (user, event_type) association: which users favour
+        # which event types beyond their base rates.  Integer-ratio
+        # score -> exact DuckDB oracle; min_pair_n keeps only attested
+        # pairs (every count >= 3 by construction of the threshold)
+        import pyarrow as _pa
+
+        from renard_ray.ops.pmi import pmi_dataset
+
+        ev = relational._read(sf_dir, "events", ["user_id", "event_type"])
+        out = pmi_dataset(ev, "user_id", "event_type", min_pair_n=3)
+        return out.map_batches(
+            lambda b: b.rename_columns(
+                ["user_id", "event_type", "pair_n", "u_n", "v_n",
+                 "total_n", "pmi_ratio_ppm"]
+            ),
+            batch_format="pyarrow",
+        ).sort(["pmi_ratio_ppm", "user_id", "event_type"],
+               descending=[True, False, False])
+
+    def kg_pmi(sf_dir: str):
+        # entity-pair PMI over the constructed KG: co-occurrence counts
+        # vs the entities' marginal totals — which pairs co-occur more
+        # than their hub-ness predicts (the classic association rescore
+        # of a raw co-occurrence graph).  weight doubles are integral
+        # by construction (exact window counts)
+        from renard_ray.ops.pmi import pmi_dataset
+
+        out = pmi_dataset(kg_triples(sf_dir), "subj", "obj", n_col="weight")
+        return out.map_batches(
+            lambda b: b.rename_columns(
+                ["subj", "obj", "pair_n", "subj_n", "obj_n",
+                 "total_n", "pmi_ratio_ppm"]
+            ),
+            batch_format="pyarrow",
+        ).sort(["pmi_ratio_ppm", "subj", "obj"],
+               descending=[True, False, False])
+
     return {
         # relational (SQL-oracle-checked)
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -740,6 +778,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tarjan-parity pytest) over the mutual-strength digraph; below
         # the window for the same reason as doc_weighted_sample
         "kg_scc": kg_scc,
+        # PMI association scores (Church & Hanks): one pair groupby +
+        # marginals derived from the aggregated pair table, attached
+        # via the size-adaptive lookup join; score is the exact-integer
+        # floor ratio so the events variant hashes against DuckDB.
+        # Below the window (see rotation note above).
+        "events_user_type_pmi": events_user_type_pmi,
+        # entity co-occurrence PMI over the constructed KG (weights are
+        # exact centi-less integral doubles; pandas-oracle pytest,
+        # rows-only driver check — the KG build is non-SQL)
+        "kg_pmi": kg_pmi,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1613,5 +1661,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
                    ROUND(sim, 4) AS cosine_sim
             FROM r WHERE rnk <= 5
+        """,
+        # PMI score stays in exact int64 arithmetic on both sides:
+        # (pair_n * total_n * 1e6) // (u_n * v_n) — the monotone
+        # integer transform of PMI (// is DuckDB integer division,
+        # matching numpy's floor division on non-negative operands)
+        "events_user_type_pmi": """
+            WITH p AS (
+                SELECT user_id, event_type, COUNT(*) AS pair_n
+                FROM events GROUP BY user_id, event_type
+            ),
+            u AS (
+                SELECT user_id, COUNT(*) AS u_n FROM events GROUP BY user_id
+            ),
+            v AS (
+                SELECT event_type, COUNT(*) AS v_n
+                FROM events GROUP BY event_type
+            ),
+            t AS (SELECT COUNT(*) AS total_n FROM events)
+            SELECT p.user_id, p.event_type, p.pair_n, u.u_n, v.v_n,
+                   t.total_n,
+                   (p.pair_n * t.total_n * 1000000) // (u.u_n * v.v_n)
+                       AS pmi_ratio_ppm
+            FROM p
+            JOIN u USING (user_id)
+            JOIN v USING (event_type)
+            CROSS JOIN t
+            WHERE p.pair_n >= 3
         """,
     }

@@ -2366,3 +2366,74 @@ def test_scc_matches_tarjan(ray_session):
     nodes = [f"n{i}" for i in range(24)]
     pairs = [tuple(rng.sample(nodes, 2)) for _ in range(55)]
     check(pairs)
+
+
+def test_pmi_matches_pandas_oracle_both_paths(ray_session):
+    """pmi_dataset vs the exact-Python pmi_table oracle on a pair
+    stream with repeats, null keys and a weighted variant — on both
+    the broadcast lookup plan and the forced hash-join fallback."""
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.pmi import pmi_dataset, pmi_table
+
+    rng = __import__("random").Random(7)
+    users = [f"u{i}" for i in range(12)]
+    types = ["view", "click", "buy"]
+    rows = [
+        {"who": rng.choice(users), "what": rng.choice(types)}
+        for _ in range(400)
+    ]
+    df = pd.DataFrame(rows)
+    want = (
+        pmi_table(df, "who", "what", min_pair_n=2)
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (
+            pmi_dataset(ds, "who", "what", min_pair_n=2, **kwargs)
+            .to_pandas()
+            .sort_values(["u", "v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+    # weighted variant: n_col carries integral-double counts (the KG
+    # triple shape) — equals the oracle fed the same counts
+    wdf = df.groupby(["who", "what"], as_index=False).size()
+    wdf["n"] = wdf.pop("size").astype(float)
+    got_w = (
+        pmi_dataset(ray.data.from_pandas(wdf).repartition(3),
+                    "who", "what", n_col="n", min_pair_n=2)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_w[want.columns.tolist()], want, check_dtype=False
+    )
+
+    # empty input degrades to an empty dataset with the output schema
+    # (Ray's to_pandas drops columns on empty datasets, so check the
+    # Dataset schema itself)
+    empty = pmi_dataset(ray.data.from_pandas(df.head(0)), "who", "what")
+    assert empty.count() == 0
+    assert "pmi_ratio_ppm" in empty.schema().names
+
+    # overflow guard raises instead of wrapping
+    big = pd.DataFrame(
+        {"who": ["a"], "what": ["b"], "n": [3.0e18 / 1e6 / 2]}
+    )
+    try:
+        pmi_dataset(
+            ray.data.from_pandas(big), "who", "what", n_col="n"
+        ).to_pandas()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
