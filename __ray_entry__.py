@@ -389,24 +389,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["sum_nbr_deg", "node"], descending=[True, False]
         )
 
-    def kg_scc(sf_dir: str):
-        """Strongly connected components of the mutual-strength
-        digraph derived from the KG: u -> v iff weight(u, v) >= u's
-        mean edge weight (asymmetric by construction, so real cycles
-        arise) — SCCs are the mutually-strong co-occurrence groups.
-        Tarjan-parity pytest; rows-only driver check (iterative,
-        non-SQL)."""
-        import numpy as _np
+    def _mutual_strength_digraph(trip):
+        """Directed edges (subj, obj, w) with u -> v iff
+        weight(u, v) >= u's mean edge weight (exact centi-weight int
+        arithmetic — w*n >= sum(w), no float division).  Asymmetric by
+        construction, so the derived digraph has real directed
+        structure even though the co-occurrence KG is symmetric."""
         import pyarrow as _pa
         import pyarrow.compute as _pc
 
-        import ray as _ray
         from ray.data.aggregate import Count as _Count, Sum as _Sum
 
-        from renard_ray.ops.graphstats import scc_dataset
         from renard_ray.ops.relational import broadcast_lookup_join
-
-        trip = kg_triples(sf_dir)
 
         def endpoints(b: _pa.Table) -> _pa.Table:
             w = _pc.cast(
@@ -452,7 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        directed = broadcast_lookup_join(
+        return broadcast_lookup_join(
             trip.map_batches(both_dirs, batch_format="pyarrow"),
             means, on="subj", right_on="node", payload=["sw", "n"],
         ).map_batches(
@@ -462,12 +456,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     _pc.multiply(b.column("w"), b.column("n")),
                     b.column("sw"),
                 )
-            ).select(["subj", "obj"]),
+            ).select(["subj", "obj", "w"]),
             batch_format="pyarrow",
+        )
+
+    def kg_scc(sf_dir: str):
+        """Strongly connected components of the mutual-strength
+        digraph derived from the KG: u -> v iff weight(u, v) >= u's
+        mean edge weight (asymmetric by construction, so real cycles
+        arise) — SCCs are the mutually-strong co-occurrence groups.
+        Tarjan-parity pytest; rows-only driver check (iterative,
+        non-SQL)."""
+        from renard_ray.ops.graphstats import scc_dataset
+
+        directed = _mutual_strength_digraph(kg_triples(sf_dir)).map_batches(
+            lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"
         )
         return scc_dataset(directed).sort(
             ["scc_size", "scc", "node"], descending=[True, False, False]
         )
+
+    def kg_hits(sf_dir: str):
+        """HITS hubs & authorities (Kleinberg) over the mutual-strength
+        digraph: hubs are entities whose strong ties point at the
+        entities everyone else's strong ties also point at.  Dense-
+        oracle pytest across all three regimes; rows-only driver check
+        (iterative, non-SQL)."""
+        import pyarrow as _pa
+
+        from renard_ray.ops.graphstats import hits_dataset
+
+        directed = _mutual_strength_digraph(kg_triples(sf_dir)).map_batches(
+            lambda b: _pa.table(
+                {
+                    "subj": b.column("subj"),
+                    "obj": b.column("obj"),
+                    "weight": b.column("w"),  # centi-weight ints
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return hits_dataset(directed, k=25)
 
     def kg_clustering(sf_dir: str):
         # per-node local clustering coefficient over the KG: closed
@@ -788,6 +817,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact centi-less integral doubles; pandas-oracle pytest,
         # rows-only driver check — the KG build is non-SQL)
         "kg_pmi": kg_pmi,
+        # HITS hubs & authorities over the mutual-strength digraph
+        # (dense-oracle pytest across driver-merge / fixed-point /
+        # join-exchange regimes; rows-only — iterative, non-SQL)
+        "kg_hits": kg_hits,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,

@@ -346,6 +346,306 @@ def _pagerank_join(
     return out
 
 
+def _reduce_dense(
+    contrib: Dataset, n: int, small: bool, scale: float
+) -> np.ndarray:
+    """Deterministically reduce (i, c) contribution rows into a dense
+    length-``n`` float vector.
+
+    ``small``: driver merge via lexsort + ``np.add.reduceat`` — result
+    independent of block arrival order.  Else: distributed
+    ``groupby(i).sum`` over fixed-point int64 contributions (integer
+    sums are exactly associative); the driver pull is ≤ n rows."""
+    out = np.zeros(n, dtype=np.float64)
+    if small:
+        tabs = [
+            b
+            for b in contrib.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        if tabs:
+            ct = pa.concat_tables(tabs)
+            i_all = ct.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+            c_all = ct.column("c").to_numpy(zero_copy_only=False)
+            o = np.lexsort((c_all, i_all))
+            i_s, c_s = i_all[o], c_all[o]
+            starts = np.flatnonzero(np.concatenate(([True], i_s[1:] != i_s[:-1])))
+            out[i_s[starts]] = np.add.reduceat(c_s, starts)
+        return out
+
+    def to_fixed(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "i": batch.column("i"),
+                "ci": pa.array(np.rint(c * scale).astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = contrib.map_batches(to_fixed, batch_format="pyarrow").groupby("i").sum("ci")
+    for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+        ii = b.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = b.column("sum(ci)").to_numpy(zero_copy_only=False).astype(np.float64)
+        out[ii] = ss / scale
+    return out
+
+
+def hits_dataset(
+    triples: Dataset,
+    iters: int = 20,
+    k: int | None = None,
+    broadcast_limit: int = 50_000_000,
+    driver_merge_limit: int = 1_000_000,
+) -> Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    weighted edge list (subj -> obj): per iteration
+    ``a = norm1(Aᵀ h)`` then ``h = norm1(A a)`` (L1 normalization).
+
+    Same three regimes as ``pagerank_dataset``, same determinism
+    arguments: driver lexsort merge below ``driver_merge_limit``
+    nodes, distributed fixed-point groupby merge below
+    ``broadcast_limit`` (scale adapted to the max weighted degree so
+    int64 can't overflow), join-based score exchange past it (two hash
+    joins + two groupby-sums per iteration; nothing node-sized on the
+    driver).  Output: (node, hub, authority), authority desc."""
+    import pyarrow.compute as pc
+
+    edges = triples.select_columns(_EDGE_COLS).materialize()
+    deg = degree_dataset(edges).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+    # fixed-point scale: contributions per node are bounded by the max
+    # weighted degree (scores are L1-normalized, entries <= 1), so
+    # D_max * scale must stay inside int64
+    max_deg = float(deg.max("weighted_degree") or 1.0)
+    fp_scale = 10.0**17 / max(max_deg, 1.0)
+    if n_nodes > broadcast_limit:
+        return _hits_join(edges, deg, n_nodes, iters, k, fp_scale)
+
+    dt = pa.concat_tables(
+        [
+            b
+            for b in deg.select_columns(["node"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    ).combine_chunks()
+    dt = dt.take(pc.sort_indices(dt, sort_keys=[("node", "ascending")]))
+    nodes_arr = dt.column("node").combine_chunks()
+    keys_ref = ray.put(nodes_arr)
+
+    def push(batch: pa.Table, vec_ref, src_col: str, dst_col: str) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keys = ray.get(keys_ref)
+        vec = ray.get(vec_ref)
+        si = _pc.index_in(
+            batch.column(src_col).combine_chunks(), value_set=keys
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        di = _pc.index_in(
+            batch.column(dst_col).combine_chunks(), value_set=keys
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        acc = np.zeros(len(vec), dtype=np.float64)
+        np.add.at(acc, di, vec[si] * w)
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {"i": pa.array(nz, pa.int64()), "c": pa.array(acc[nz], pa.float64())}
+        )
+
+    small = n_nodes <= driver_merge_limit
+    h = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    a = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    for _ in range(iters):
+        # authority half: a <- norm1(Aᵀ h)
+        contrib = edges.map_batches(
+            push,
+            fn_kwargs={"vec_ref": ray.put(h), "src_col": "subj", "dst_col": "obj"},
+            batch_format="pyarrow",
+        )
+        a = _reduce_dense(contrib, n_nodes, small, fp_scale)
+        s = a.sum()
+        if s <= 0:
+            break
+        a /= s
+        # hub half: h <- norm1(A a)
+        contrib = edges.map_batches(
+            push,
+            fn_kwargs={"vec_ref": ray.put(a), "src_col": "obj", "dst_col": "subj"},
+            batch_format="pyarrow",
+        )
+        h = _reduce_dense(contrib, n_nodes, small, fp_scale)
+        s = h.sum()
+        if s <= 0:
+            break
+        h /= s
+
+    out = pa.table(
+        {
+            "node": nodes_arr,
+            "hub": pa.array(np.round(h, 8), pa.float64()),
+            "authority": pa.array(np.round(a, 8), pa.float64()),
+        }
+    )
+    out = out.take(
+        pc.sort_indices(
+            out, sort_keys=[("authority", "descending"), ("node", "ascending")]
+        )
+    )
+    if k is not None:
+        out = out.slice(0, k)
+    return ray.data.from_arrow(out)
+
+
+def _hits_join(
+    edges: Dataset,
+    deg: Dataset,
+    n_nodes: int,
+    iters: int,
+    k: int | None,
+    fp_scale: float,
+) -> Dataset:
+    """Join-based HITS for vocabularies past the broadcast limit.
+    Score state lives in (node, val) Datasets; each half-iteration is
+    one hash join (edges ⋈ state on the pushing endpoint) and one
+    ``groupby`` over fixed-point contributions, then a scalar-norm
+    rescale.  Per-edge fixed-point rounding + exact int64 sums keep
+    the result deterministic across runs and partitionings."""
+    from ray.data.aggregate import Sum as _Sum
+
+    nparts = max(2, min(512, n_nodes // 2_000_000 + 2))
+
+    def orient(src: str, dst: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column(src),
+                    "dst": batch.column(dst),
+                    "w": batch.column("weight"),
+                }
+            )
+
+        return fn
+
+    fwd = edges.map_batches(orient("subj", "obj"), batch_format="pyarrow").materialize()
+    rev = edges.map_batches(orient("obj", "subj"), batch_format="pyarrow").materialize()
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "val": pa.array(np.full(batch.num_rows, 1.0 / n_nodes), pa.float64()),
+            }
+        )
+
+    nodes = deg.select_columns(["node"]).materialize()
+    h = nodes.map_batches(init_state, batch_format="pyarrow").materialize()
+    a = h
+
+    def edge_contrib(batch: pa.Table) -> pa.Table:
+        v = batch.column("val").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        ci = np.rint(v * w * fp_scale).astype(np.int64)
+        t = pa.table({"dst": batch.column("dst"), "ci": pa.array(ci, pa.int64())})
+        if t.num_rows:
+            t = (
+                t.group_by(["dst"])
+                .aggregate([("ci", "sum")])
+                .rename_columns(["dst", "ci"])
+            )
+        return t
+
+    def half(ed: Dataset, state: Dataset) -> Dataset | None:
+        pushed = (
+            ed.join(
+                state,
+                join_type="inner",
+                num_partitions=nparts,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(edge_contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .sum("ci")
+            .materialize()
+        )
+        tot = pushed.aggregate(_Sum("sum(ci)", alias_name="t"))["t"]
+        if not tot:
+            return None
+        inv = 1.0 / (float(tot) / fp_scale)
+
+        def finish(batch: pa.Table) -> pa.Table:
+            s = batch.column("sum(ci)").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "node": batch.column("dst"),
+                    "val": pa.array(s / fp_scale * inv, pa.float64()),
+                }
+            )
+
+        return pushed.map_batches(finish, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        nxt_a = half(fwd, h)
+        if nxt_a is None:
+            break
+        a = nxt_a
+        nxt_h = half(rev, a)
+        if nxt_h is None:
+            break
+        h = nxt_h
+
+    # zero-score nodes dropped by the inner joins come back with 0.0
+    def rename(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch.column("node"), col: batch.column("val")}
+            )
+
+        return fn
+
+    out = nodes.join(
+        h.map_batches(rename("hub"), batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("node",),
+    ).join(
+        a.map_batches(rename("authority"), batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("node",),
+    )
+
+    def fill_round(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        hv = _pc.coalesce(batch.column("hub"), pa.scalar(0.0, pa.float64()))
+        av = _pc.coalesce(batch.column("authority"), pa.scalar(0.0, pa.float64()))
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "hub": _pc.round(hv, 8),
+                "authority": _pc.round(av, 8),
+            }
+        )
+
+    res = out.map_batches(fill_round, batch_format="pyarrow").sort(
+        ["authority", "node"], descending=[True, False]
+    )
+    if k is not None:
+        res = res.limit(k)
+    return res
+
+
 # ---------------------------------------------------- small-graph oracles
 
 
@@ -396,6 +696,40 @@ def pagerank(
             "rank": [round(b, 8) for _, b in rows],
         }
     )
+
+
+def hits_table(triples: pd.DataFrame, iters: int = 20) -> pd.DataFrame:
+    """Dense-numpy HITS oracle mirroring ``hits_dataset`` exactly
+    (directed subj->obj, L1 normalization, a-half then h-half)."""
+    nodes = sorted(set(triples["subj"]) | set(triples["obj"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": [], "hub": [], "authority": []})
+    si = np.array([idx[s] for s in triples["subj"]], dtype=np.int64)
+    oi = np.array([idx[o] for o in triples["obj"]], dtype=np.int64)
+    w = triples["weight"].to_numpy(dtype=np.float64)
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        np.add.at(nxt, oi, h[si] * w)
+        s = nxt.sum()
+        if s <= 0:
+            break
+        a = nxt / s
+        nxt = np.zeros(n)
+        np.add.at(nxt, si, a[oi] * w)
+        s = nxt.sum()
+        if s <= 0:
+            break
+        h = nxt / s
+    df = pd.DataFrame(
+        {"node": nodes, "hub": np.round(h, 8), "authority": np.round(a, 8)}
+    )
+    return df.sort_values(
+        ["authority", "node"], ascending=[False, True]
+    ).reset_index(drop=True)
 
 
 def kcore_dataset(

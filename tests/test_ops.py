@@ -2437,3 +2437,51 @@ def test_pmi_matches_pandas_oracle_both_paths(ray_session):
     except Exception:
         raised = True
     assert raised
+
+
+def test_hits_matches_dense_oracle_all_regimes(ray_session):
+    """hits_dataset vs the dense-numpy oracle on a seeded directed
+    graph, across the driver-merge, distributed fixed-point merge and
+    join-exchange regimes."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.graphstats import hits_dataset, hits_table
+
+    rng = np.random.RandomState(9)
+    names = [f"n{i}" for i in range(30)]
+    rows = []
+    for _ in range(150):
+        a, b = rng.choice(30, size=2, replace=False)
+        rows.append(
+            {
+                "subj": names[a],  # directed: no min/max ordering
+                "pred": "links_to",
+                "obj": names[b],
+                "weight": float(rng.randint(1, 6)),
+                "polarity": 0.0,
+                "block_id": 0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    want = hits_table(df, iters=6)
+    # sanity: directed graph -> hubs and authorities genuinely differ
+    assert not np.allclose(want["hub"], want["authority"])
+
+    for kwargs in (
+        {},
+        {"driver_merge_limit": 1},
+        {"broadcast_limit": 1},
+    ):
+        got = (
+            hits_dataset(ds, iters=6, **kwargs)
+            .to_pandas()
+            .sort_values(["authority", "node"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        assert got["node"].tolist() == want["node"].tolist(), kwargs
+        assert np.allclose(got["hub"], want["hub"], atol=1e-6), kwargs
+        assert np.allclose(got["authority"], want["authority"], atol=1e-6), kwargs
