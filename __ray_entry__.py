@@ -821,6 +821,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (dense-oracle pytest across driver-merge / fixed-point /
         # join-exchange regimes; rows-only — iterative, non-SQL)
         "kg_hits": kg_hits,
+        # DSIR importance log-weights (Xie et al. 2023): hashed
+        # uni+bigram bucket counts (target = held-out md5-split val
+        # side), one bounded-width groupby, broadcast log-ratio
+        # vector, batch-local scoring; composes with the weighted
+        # reservoir for the paper's resampling step (python-replica
+        # pytest + planted-signal ordering; rows-only — log-domain
+        # floats are non-SQL)
+        "doc_dsir_weights": lambda sf: __import__(
+            "renard_ray.ops.dsir", fromlist=["dsir_weights"]
+        ).dsir_weights(sf),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,

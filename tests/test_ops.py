@@ -2485,3 +2485,84 @@ def test_hits_matches_dense_oracle_all_regimes(ray_session):
         assert got["node"].tolist() == want["node"].tolist(), kwargs
         assert np.allclose(got["hub"], want["hub"], atol=1e-6), kwargs
         assert np.allclose(got["authority"], want["authority"], atol=1e-6), kwargs
+
+
+def test_dsir_weights_replica_and_planted_signal(ray_session, tmp_path):
+    """DSIR importance weights vs a plain-Python replica on a planted
+    corpus (multi-block), plus the semantic check: train docs sharing
+    the target split's distinctive token outrank those that don't."""
+    import hashlib
+    import math
+    import zlib
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from renard_ray.ops.dsir import dsir_weights
+
+    thr = "80"  # ~50/50 split on md5 hex
+    n_docs, n_buckets = 40, 512
+    base = "alpha beta gamma delta epsilon zeta"
+
+    def is_train(d):
+        return hashlib.md5(str(d).encode()).hexdigest() < thr
+
+    marked_train = [d for d in range(n_docs) if is_train(d)][:5]
+    texts = []
+    for d in range(n_docs):
+        t = base + f" tail{d}"
+        if (not is_train(d)) or d in marked_train:
+            t += " quantum flux quantum"
+        texts.append(t)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n_docs)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n_docs, pa.string()),
+                "source": pa.array(["s"] * n_docs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+
+    # plain-Python replica
+    def feats(t):
+        ws = t.strip().lower().split()
+        fs = ws + [ws[i] + "\x1f" + ws[i + 1] for i in range(len(ws) - 1)]
+        return [zlib.crc32(f.encode()) % n_buckets for f in fs]
+
+    raw = [0] * n_buckets
+    tgt = [0] * n_buckets
+    for d, t in enumerate(texts):
+        vec = tgt if not is_train(d) else raw
+        for b in feats(t):
+            vec[b] += 1
+    sr, st = sum(raw), sum(tgt)
+    lam = [
+        math.log((tgt[b] + 1.0) / (st + n_buckets))
+        - math.log((raw[b] + 1.0) / (sr + n_buckets))
+        for b in range(n_buckets)
+    ]
+    want = {
+        d: round(sum(lam[b] for b in feats(texts[d])), 6)
+        for d in range(n_docs)
+    }
+
+    got = (
+        dsir_weights(str(tmp_path), n_buckets=n_buckets, threshold_hex=thr)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == n_docs
+    for d in range(n_docs):
+        assert abs(got.loc[d, "logweight"] - want[d]) < 1e-6, d
+        assert got.loc[d, "split"] == ("train" if is_train(d) else "val")
+        assert got.loc[d, "n_feats"] == 2 * len(texts[d].split()) - 1
+
+    # planted signal: marked train docs outrank every unmarked one
+    tr = got[got["split"] == "train"]
+    marked_min = tr.loc[marked_train, "logweight"].min()
+    unmarked = tr.drop(index=marked_train)
+    assert marked_min > unmarked["logweight"].max()
