@@ -831,6 +831,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": lambda sf: __import__(
             "renard_ray.ops.dsir", fromlist=["dsir_weights"]
         ).dsir_weights(sf),
+        # FIRST_VALUE/LAST_VALUE window semantics via packed-int64
+        # argmin/argmax aggregates (one groupby, no sort, no window
+        # scan); exact SQL oracle packing identically
+        "customer_first_last_order": relational.customer_first_last_order,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1731,5 +1735,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN v USING (event_type)
             CROSS JOIN t
             WHERE p.pair_n >= 3
+        """,
+        # FIRST_VALUE/LAST_VALUE(orderkey, day) per customer via the
+        # same packed-int64 argmin/argmax encoding the Ray side uses
+        # (day*2^40 + orderkey; // and % recover the fields exactly)
+        "customer_first_last_order": """
+            WITH o AS (
+                SELECT o_custkey AS custkey,
+                       date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                 o_orderdate) * 1099511627776
+                           + o_orderkey AS packed
+                FROM orders
+            ),
+            p AS (
+                SELECT custkey, COUNT(*) AS n_orders,
+                       MIN(packed) AS fk, MAX(packed) AS lk
+                FROM o GROUP BY custkey
+            )
+            SELECT custkey, n_orders,
+                   fk % 1099511627776 AS first_orderkey,
+                   fk // 1099511627776 AS first_day,
+                   lk % 1099511627776 AS last_orderkey,
+                   lk // 1099511627776 AS last_day
+            FROM p
         """,
     }

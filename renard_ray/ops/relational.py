@@ -2168,3 +2168,62 @@ def monthly_orders_vs_events(sf_dir: str) -> Dataset:
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+_FL_PACK = 1 << 40  # (day << 40) | orderkey — day < 2^22, key < 2^40
+
+
+def customer_first_last_order(sf_dir: str) -> Dataset:
+    """FIRST_VALUE / LAST_VALUE window semantics without a window scan:
+    per customer, the (orderkey, epoch-day) of the chronologically
+    first and last order, tie-broken on orderkey.
+
+    The argmin/argmax rides ONE ``groupby(custkey)`` as Min/Max over
+    the packed int64 key ``day * 2^40 + orderkey`` — no global sort,
+    no per-group map_groups, and the exchange carries three int64
+    aggregates per customer.  Packing bounds are asserted (a key past
+    2^40 or a day past 2^22 fails loudly instead of reordering); the
+    SQL oracle packs identically, so the match is bit-exact."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts // 86_400_000_000  # timestamp[us] -> whole epoch days
+        key = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(key):
+            assert key.max() < _FL_PACK and key.min() >= 0, "orderkey > 2^40"
+            assert 0 <= day.min() and day.max() < (1 << 22), "day out of range"
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey"),
+                "packed": pa.array(day * _FL_PACK + key, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Min("packed", alias_name="fk"),
+            Max("packed", alias_name="lk"),
+        )
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        fk = batch.column("fk").to_numpy(zero_copy_only=False)
+        lk = batch.column("lk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": batch.column("custkey"),
+                "n_orders": batch.column("n_orders"),
+                "first_orderkey": pa.array(fk % _FL_PACK, pa.int64()),
+                "first_day": pa.array(fk // _FL_PACK, pa.int64()),
+                "last_orderkey": pa.array(lk % _FL_PACK, pa.int64()),
+                "last_day": pa.array(lk // _FL_PACK, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

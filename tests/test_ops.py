@@ -830,6 +830,10 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "corpus_token_summary",
         "priority_or_big_customers",
         "q3_top_orders",
+        # round 3 (extra session): born below the window — every
+        # inside slot already holds a never-graded entry
+        "events_user_type_pmi",
+        "customer_first_last_order",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
