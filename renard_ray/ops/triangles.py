@@ -389,17 +389,21 @@ def link_prediction(
     packed-key ANTI join against the edge list, top-k sort.  Pairs are
     normalized lexicographically (a < b).
 
-    Output: (a, b, common_neighbors, aa_score) — top-k by count desc,
-    (a, b) asc; ``aa_score`` is the Adamic-Adar sum
+    Output: (a, b, common_neighbors, aa_score, jaccard) — top-k by
+    count desc, (a, b) asc; ``aa_score`` is the Adamic-Adar sum
     ``sum over common neighbors x of 1/ln(deg(x))`` (rounded to 6),
-    the hub-downweighted variant of the same signal.
+    the hub-downweighted variant of the same signal; ``jaccard`` is the
+    neighborhood overlap ``common / (deg(a) + deg(b) - common)``
+    (degrees from the FULL graph even under the hub cap).
     """
     limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
     edges = _distinct_edges(triples).materialize()
 
     directed = directed_edges(edges, node_col="ctr", nbr_col="nbr")
-    degrees = _degrees(edges)
+    # three consumers (hub cap, AA weight attach, Jaccard degree attach)
+    # — materialize the vocabulary-bounded reduce once
+    degrees = _degrees(edges).materialize()
 
     if max_center_degree is not None:
         import logging
@@ -524,9 +528,31 @@ def link_prediction(
         )
     )
 
+    # neighborhood Jaccard |N(a)&N(b)| / |N(a)|N(b)| needs both endpoint
+    # degrees on the AGGREGATED pair table (far smaller than the
+    # neighbor-pair fan-out); the degree table is vocabulary-bounded so
+    # both attaches ride the size-adaptive lookup join
+    def _renamed(new: str) -> Dataset:
+        return degrees.map_batches(
+            lambda b, n=new: b.rename_columns(["node", n]),
+            batch_format="pyarrow",
+        )
+
+    counts = broadcast_lookup_join(
+        counts, _renamed("deg_a"), on="a", right_on="node",
+        payload=["deg_a"], limit=limit, fallback_parts=nparts,
+    )
+    counts = broadcast_lookup_join(
+        counts, _renamed("deg_b"), on="b", right_on="node",
+        payload=["deg_b"], limit=limit, fallback_parts=nparts,
+    )
+
     def round_aa(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        n = np.asarray(batch.column("common_neighbors"), dtype=np.float64)
+        da = np.asarray(batch.column("deg_a"), dtype=np.float64)
+        db = np.asarray(batch.column("deg_b"), dtype=np.float64)
         return pa.table(
             {
                 "a": batch.column("a"),
@@ -537,6 +563,7 @@ def link_prediction(
                         np.asarray(batch.column("aa_raw"), dtype=np.float64), 6
                     )
                 ),
+                "jaccard": pa.array(np.round(n / (da + db - n), 6)),
             }
         )
 
@@ -564,8 +591,9 @@ def link_prediction(
 def link_prediction_bruteforce(
     edges: list[tuple[str, str]], k: int = 25
 ) -> list[tuple[str, str, int, float]]:
-    """Small-graph oracle: common-neighbor counts + Adamic-Adar sums
-    for all non-adjacent pairs by adjacency-set intersection."""
+    """Small-graph oracle: common-neighbor counts, Adamic-Adar sums and
+    neighborhood Jaccard for all non-adjacent pairs by adjacency-set
+    intersection."""
     import math
 
     adj: dict[str, set[str]] = {}
@@ -587,6 +615,7 @@ def link_prediction_bruteforce(
                     for x in common
                     if len(adj[x]) > 1
                 )
-                out[(u, v)] = (len(common), aa)  # u < v lexicographically
+                jac = len(common) / (len(adj[u]) + len(adj[v]) - len(common))
+                out[(u, v)] = (len(common), aa, jac)  # u < v lexicographically
     ranked = sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))
-    return [(a, b, c, aa) for (a, b), (c, aa) in ranked[:k]]
+    return [(a, b, c, aa, j) for (a, b), (c, aa, j) in ranked[:k]]

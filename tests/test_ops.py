@@ -1422,11 +1422,15 @@ def test_link_prediction_matches_bruteforce(ray_session):
         got_list = [
             (r.a, r.b, int(r.common_neighbors)) for r in got.itertuples()
         ]
-        assert got_list == [(a, b, c) for a, b, c, _aa in want]
-        aa_want = {(a, b): aa for a, b, _c, aa in want}
+        assert got_list == [(a, b, c) for a, b, c, _aa, _j in want]
+        aa_want = {(a, b): aa for a, b, _c, aa, _j in want}
+        jac_want = {(a, b): j for a, b, _c, _aa, j in want}
         for r in got.itertuples():
             assert r.aa_score == pytest.approx(
                 aa_want[(r.a, r.b)], abs=1e-5
+            ), (r.a, r.b)
+            assert r.jaccard == pytest.approx(
+                jac_want[(r.a, r.b)], abs=1e-5
             ), (r.a, r.b)
 
     # star: every leaf pair shares only the hub; capping below the hub
