@@ -835,6 +835,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmin/argmax aggregates (one groupby, no sort, no window
         # scan); exact SQL oracle packing identically
         "customer_first_last_order": relational.customer_first_last_order,
+        # per-group DENSE_RANK window (one sort + block-local cumsum
+        # ranks + O(#blocks) boundary-stitch offsets); exact SQL oracle
+        "orders_rank_in_customer": relational.orders_rank_in_customer,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1758,5 +1761,14 @@ def oracle_sql() -> dict[str, str]:
                    lk % 1099511627776 AS last_orderkey,
                    lk // 1099511627776 AS last_day
             FROM p
+        """,
+        "orders_rank_in_customer": """
+            SELECT o_custkey, o_orderkey,
+                   DENSE_RANK() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           DESC
+                   ) AS price_rank
+            FROM orders
         """,
     }

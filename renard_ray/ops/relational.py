@@ -2052,6 +2052,167 @@ def orders_price_ntile(sf_dir: str, k: int = 10) -> Dataset:
     )
 
 
+def orders_rank_in_customer(sf_dir: str) -> Dataset:
+    """Per-group DENSE_RANK window: every order's dense price rank
+    within its customer (``DENSE_RANK() OVER (PARTITION BY o_custkey
+    ORDER BY price_cents DESC)``) — the partitioned ranking window
+    shape, complementing the GLOBAL ranking of ``orders_price_ntile``.
+
+    Plan (one sort, no per-group calls, no window scan): sort by
+    (custkey asc, price desc); each block computes its rows' dense
+    ranks with one vectorized cumsum over new-value flags reset at
+    customer changes.  The only rows a block can mis-rank are its
+    FIRST customer run when that customer straddles from an earlier
+    block, so each block emits ONE summary row (first/last customer,
+    boundary prices, distinct-price count of its last run) and an
+    O(#blocks) driver carry scan derives the additive rank offset per
+    block — same sorted-run + boundary-stitch machinery as
+    ``events_lag_delta`` / ``orders_price_ntile``.  Ties (equal cents
+    within a customer) share a rank with no gap, exactly as SQL.
+
+    Output: (o_custkey, o_orderkey, price_rank) for every order."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": batch.column("o_custkey"),
+                "okey": batch.column("o_orderkey"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    # okey is a UNIQUE tie-break so every block's first-row key (the
+    # block key below) is distinct; it cannot affect dense ranks
+    sorted_ds = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .sort(["cust", "price_c", "okey"], descending=[False, True, False])
+        .materialize()
+    )
+
+    _empty = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("cust", pa.int64()),
+            ("okey", pa.int64()),
+            ("price_c", pa.int64()),
+            ("local", pa.int64()),
+            ("first_run", pa.bool_()),
+            ("aux", pa.int64()),
+            ("bk", pa.string()),
+        ]
+    )
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty.empty_table()
+        n = batch.num_rows
+        cust = np.asarray(batch.column("cust"), dtype=np.int64)
+        price = np.asarray(batch.column("price_c"), dtype=np.int64)
+        # block key = first sort key, fixed-width packed (price
+        # inverted: string order == (cust asc, price desc) order)
+        okey = np.asarray(batch.column("okey"), dtype=np.int64)
+        assert price[0] < 10**20 and cust[0] >= 0 and okey[0] >= 0
+        bk = "%020d:%020d:%020d" % (
+            cust[0], 10**20 - 1 - price[0], okey[0]
+        )
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = cust[1:] != cust[:-1]
+        new_val = new_grp.copy()
+        new_val[1:] |= price[1:] != price[:-1]
+        c = np.cumsum(new_val)
+        gs = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n, dtype=np.int64), -1)
+        )
+        local = c - c[gs] + 1
+        first_run = cust == cust[0]  # sorted => the first run is a prefix
+        rows = pa.table(
+            {
+                "kind": pa.array(["r"] * n),
+                "cust": batch.column("cust"),
+                "okey": batch.column("okey"),
+                "price_c": batch.column("price_c"),
+                "local": pa.array(local.astype(np.int64)),
+                "first_run": pa.array(first_run),
+                "aux": pa.array(np.zeros(n, dtype=np.int64)),
+                "bk": pa.array([bk] * n),
+            }
+        )
+        # summary: (first_cust, first_price) in (cust, price_c),
+        # (last_cust, last_price) in (okey, local), distinct-price
+        # count of the last customer run in aux
+        n_dist_last = int(c[-1] - c[gs[-1]] + 1)
+        summary = pa.table(
+            {
+                "kind": pa.array(["s"]),
+                "cust": pa.array([int(cust[0])], pa.int64()),
+                "okey": pa.array([int(cust[-1])], pa.int64()),
+                "price_c": pa.array([int(price[0])], pa.int64()),
+                "local": pa.array([int(price[-1])], pa.int64()),
+                "first_run": pa.array([False]),
+                "aux": pa.array([n_dist_last], pa.int64()),
+                "bk": pa.array([bk]),
+            }
+        )
+        return pa.concat_tables([rows, summary])
+
+    marked = sorted_ds.map_batches(
+        block_scan, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # O(#blocks) carry scan: additive offset for each block's first run
+    summaries = marked.filter(expr="kind == 's'").to_pandas()
+    summaries = summaries.sort_values("bk")
+    off: dict[str, int] = {}
+    carry_cust: int | None = None
+    carry_price = 0
+    carry_n = 0
+    for r in summaries.itertuples(index=False):
+        f_cust, f_price = int(r.cust), int(r.price_c)
+        l_cust, l_price = int(r.okey), int(r.local)
+        if f_cust == carry_cust:
+            o = carry_n - (1 if f_price == carry_price else 0)
+        else:
+            o = 0
+        off[r.bk] = o
+        if f_cust == l_cust and f_cust == carry_cust:
+            carry_n = o + int(r.aux)  # block continues one customer
+        else:
+            carry_n = int(r.aux)
+        carry_cust, carry_price = l_cust, l_price
+    off_ref = ray.put(off)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), "r"))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "price_rank": pa.array([], pa.int64()),
+                }
+            )
+        cm = ray.get(off_ref)
+        bks = np.asarray(batch.column("bk"))
+        uniq = np.unique(bks)
+        offs = np.array([cm[str(b)] for b in uniq], dtype=np.int64)
+        add = np.where(
+            np.asarray(batch.column("first_run")),
+            offs[np.searchsorted(uniq, bks)],
+            0,
+        )
+        rank = np.asarray(batch.column("local"), dtype=np.int64) + add
+        return pa.table(
+            {
+                "o_custkey": batch.column("cust"),
+                "o_orderkey": batch.column("okey"),
+                "price_rank": pa.array(rank.astype(np.int64)),
+            }
+        )
+
+    return marked.map_batches(finalize, batch_format="pyarrow")
+
+
 def monthly_orders_vs_events(sf_dir: str) -> Dataset:
     """FULL OUTER JOIN demo over two independently-aggregated fact
     tables: per-month order volume vs per-month event activity, months

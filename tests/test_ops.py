@@ -834,6 +834,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         # inside slot already holds a never-graded entry
         "events_user_type_pmi",
         "customer_first_last_order",
+        "orders_rank_in_customer",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1655,6 +1656,74 @@ def test_events_lag_delta_multiblock_stitch(ray_session, monkeypatch):
         ]
         want[u] = (len(gaps), sum(gaps), max(gaps))
     assert got == want
+
+
+def test_orders_rank_in_customer_multiblock(ray_session, monkeypatch):
+    """Per-group DENSE_RANK: with the sorted input forced into many
+    blocks (customers and TIED prices straddling block boundaries) the
+    ranks equal a pandas dense-rank replica — on the real sf0.001
+    orders table and on a synthetic heavy-tie corpus."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def check(ds_factory, raw: pd.DataFrame):
+        orig = relational._read
+        monkeypatch.setattr(relational, "_read", ds_factory)
+        try:
+            got = relational.orders_rank_in_customer("ignored").to_pandas()
+        finally:
+            monkeypatch.setattr(relational, "_read", orig)
+        cents = (raw["o_totalprice"] * 100).round().astype("int64")
+        want = raw.assign(
+            price_rank=cents.groupby(raw["o_custkey"])
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        g = got.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+        w = want.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+        assert list(g.o_custkey) == list(w.o_custkey)
+        assert list(g.o_orderkey) == list(w.o_orderkey)
+        assert list(g.price_rank) == list(w.price_rank)
+
+    # synthetic heavy ties: 5 customers x 60 orders over 4 price points,
+    # forced into 7 blocks so tied runs straddle boundaries
+    rng = np.random.RandomState(7)
+    n = 300
+    raw = pd.DataFrame(
+        {
+            "o_custkey": rng.randint(1, 6, n).astype("int64"),
+            "o_orderkey": np.arange(1, n + 1, dtype="int64"),
+            "o_totalprice": rng.choice([100.0, 250.5, 250.5, 999.99], n),
+        }
+    )
+
+    def synth_read(sfd, table, cols=None):
+        return _ray.data.from_arrow(pa.Table.from_pandas(raw)).repartition(7)
+
+    check(synth_read, raw)
+
+    sf = "/root/testdata/sf0.001"
+    if os.path.isdir(sf):
+        import pyarrow.parquet as pq
+
+        orig_read = relational._read
+        real = pq.read_table(
+            f"{sf}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        ).to_pandas()
+        check(
+            lambda sfd, table, cols=None: orig_read(sf, table, cols)
+            .repartition(9),
+            real,
+        )
 
 
 def _kcore_oracle(pairs, k):
