@@ -528,6 +528,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pagerank_dataset(kg_triples(sf_dir), k=25)
 
+    def kg_ppr(sf_dir: str):
+        """Personalized PageRank: proximity of every entity to the two
+        top-degree hubs — (1 - d) teleport mass restarts on the seed
+        set only; same three execution regimes as kg_pagerank (numpy-
+        oracle pytest across all of them; rows-only — iterative)."""
+        from renard_ray.ops.graphstats import (
+            pagerank_dataset,
+            top_degree_dataset,
+        )
+
+        triples = kg_triples(sf_dir).materialize()
+        seeds = [
+            r["node"]
+            for r in top_degree_dataset(triples, k=2).take_all()
+        ]
+        return pagerank_dataset(triples, k=25, seeds=seeds)
+
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
         ``cumulative_graph`` semantics on the aggregated table) —
@@ -789,6 +806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_unshipped_orders,
         "doc_simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(sf),
         "kg_pagerank": kg_pagerank,
+        # personalized PageRank seeded at the top-degree hubs (below
+        # the window: rows-only, pytest-gated across all 3 regimes)
+        "kg_ppr": kg_ppr,
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         # weighted reservoir sample (A-ES priorities; pytest-gated:

@@ -88,6 +88,7 @@ def pagerank_dataset(
     k: int | None = None,
     broadcast_limit: int = 50_000_000,
     driver_merge_limit: int = 1_000_000,
+    seeds: "list[str] | None" = None,
 ) -> Dataset:
     """Deterministic power iteration over the undirected weighted edge
     list.
@@ -104,7 +105,15 @@ def pagerank_dataset(
       the driver only ever holds the dense rank vector.
     - past ``broadcast_limit``: join-based rank exchange
       (``_pagerank_join``) — rank state is a Dataset joined to the edge
-      list each iteration; nothing node-sized lands on the driver."""
+      list each iteration; nothing node-sized lands on the driver.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the (1 - damping)
+    teleport mass restarts uniformly over the seed set instead of over
+    all nodes (and the iteration starts from the seed distribution) —
+    proximity-to-seeds scoring for entity recommendation.  Seeds absent
+    from the graph are dropped with a logged count; all-absent raises.
+    The seed set must stay small (it rides every teleport step as a
+    broadcast list), which is its semantic regime anyway."""
     import pyarrow.compute as pc
 
     edges = triples.select_columns(_EDGE_COLS).materialize()
@@ -116,8 +125,10 @@ def pagerank_dataset(
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
+    if seeds is not None:
+        seeds = _validate_seeds(deg, seeds)
     if n_nodes > broadcast_limit:
-        return _pagerank_join(edges, deg, n_nodes, damping, iters, k)
+        return _pagerank_join(edges, deg, n_nodes, damping, iters, k, seeds)
 
     # dense driver state, sorted node order (vectorized, no per-row loop)
     dt = pa.concat_tables(
@@ -132,7 +143,19 @@ def pagerank_dataset(
     nodes_arr = dt.column("node").combine_chunks()
     ow = dt.column("weighted_degree").to_numpy(zero_copy_only=False).astype(np.float64)
     ow = np.maximum(ow, 1e-300)
-    pr = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    if seeds is None:
+        pr = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+        tele = np.full(n_nodes, (1.0 - damping) / n_nodes, dtype=np.float64)
+    else:
+        sidx = (
+            pc.index_in(pa.array(seeds, pa.string()), value_set=nodes_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pr = np.zeros(n_nodes, dtype=np.float64)
+        pr[sidx] = 1.0 / len(seeds)
+        tele = np.zeros(n_nodes, dtype=np.float64)
+        tele[sidx] = (1.0 - damping) / len(seeds)
     keys_ref = ray.put(nodes_arr)
 
     def contrib_batch(batch: pa.Table, pr_ref) -> pa.Table:
@@ -174,7 +197,7 @@ def pagerank_dataset(
         contrib = edges.map_batches(
             contrib_batch, fn_kwargs={"pr_ref": pr_ref}, batch_format="pyarrow"
         )
-        nxt = np.full(n_nodes, (1.0 - damping) / n_nodes, dtype=np.float64)
+        nxt = tele.copy()
         if small:
             # driver merge: lexsort (i, then c) + reduceat — identical
             # result for any block arrival order
@@ -224,6 +247,38 @@ def pagerank_dataset(
     return ray.data.from_arrow(out)
 
 
+def _validate_seeds(deg: Dataset, seeds: "list[str]") -> "list[str]":
+    """Intersect the (small) seed list with the graph's node set —
+    one streaming membership filter over the degree table, never a
+    node-sized driver pull.  Absent seeds are dropped with a logged
+    count; an all-absent seed set raises."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    sset = sorted(set(seeds))
+    sarr = pa.array(sset, pa.string())
+
+    def member(batch: pa.Table) -> pa.Table:
+        m = pc.is_valid(pc.index_in(batch.column("node"), value_set=sarr))
+        return batch.filter(m).select(["node"])
+
+    present: set = set()
+    for b in deg.map_batches(member, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        present.update(b.column("node").to_pylist())
+    kept = [s for s in sset if s in present]
+    if len(kept) < len(sset):
+        logging.getLogger(__name__).warning(
+            "personalized pagerank: dropping %d seed(s) not in the graph",
+            len(sset) - len(kept),
+        )
+    if not kept:
+        raise ValueError("personalized pagerank: no seed present in the graph")
+    return kept
+
+
 def _pagerank_join(
     edges: Dataset,
     deg: Dataset,
@@ -231,6 +286,7 @@ def _pagerank_join(
     damping: float,
     iters: int,
     k: int | None,
+    seeds: "list[str] | None" = None,
 ) -> Dataset:
     """Join-based rank exchange for vocabularies past the broadcast
     limit (10^8-10^9 entities).  Rank state lives in a (node, rank)
@@ -273,13 +329,21 @@ def _pagerank_join(
         .materialize()
     )
 
+    seed_arr = pa.array(seeds, pa.string()) if seeds is not None else None
+    n_seeds = len(seeds) if seeds is not None else 0
+
     def init_rank(batch: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            r = np.full(batch.num_rows, 1.0 / n_nodes)
+        else:
+            m = pc.is_valid(
+                pc.index_in(batch.column("node"), value_set=seed_arr)
+            ).to_numpy(zero_copy_only=False)
+            r = np.where(m, 1.0 / n_seeds, 0.0)
         return pa.table(
             {
                 "node": batch.column("node"),
-                "rank": pa.array(
-                    np.full(batch.num_rows, 1.0 / n_nodes), pa.float64()
-                ),
+                "rank": pa.array(r, pa.float64()),
             }
         )
 
@@ -304,10 +368,17 @@ def _pagerank_join(
 
     def finish_rank(batch: pa.Table) -> pa.Table:
         s = batch.column("sum(ci)").to_numpy(zero_copy_only=False).astype(np.float64)
+        if seed_arr is None:
+            t = teleport
+        else:
+            m = pc.is_valid(
+                pc.index_in(batch.column("dst"), value_set=seed_arr)
+            ).to_numpy(zero_copy_only=False)
+            t = np.where(m, (1.0 - damping) / n_seeds, 0.0)
         return pa.table(
             {
                 "node": batch.column("dst"),
-                "rank": pa.array(teleport + damping * (s / _PR_SCALE), pa.float64()),
+                "rank": pa.array(t + damping * (s / _PR_SCALE), pa.float64()),
             }
         )
 

@@ -506,6 +506,81 @@ def test_graphstats_distributed_matches_pandas_oracle(ray_session):
     assert np.allclose(got_jn["rank"], want_pr["rank"], atol=1e-6)
 
 
+def test_personalized_pagerank_all_regimes(ray_session):
+    """Personalized PageRank (teleport restricted to a seed set) vs a
+    dense numpy power-iteration oracle, across the driver-merge /
+    fixed-point-groupby / join-exchange regimes; absent seeds drop with
+    a warning, an all-absent seed set raises."""
+    import pandas as pd
+    import pytest
+    import ray
+
+    from renard_ray.ops.graphstats import pagerank_dataset
+
+    rng = np.random.RandomState(9)
+    names = [f"n{i}" for i in range(30)]
+    rows = []
+    for _ in range(120):
+        a, b = rng.choice(30, size=2, replace=False)
+        rows.append(
+            {
+                "subj": names[min(a, b)],
+                "pred": "e",
+                "obj": names[max(a, b)],
+                "weight": float(rng.randint(1, 5)),
+            }
+        )
+    df = pd.DataFrame(rows).drop_duplicates(["subj", "obj"])
+    ds = ray.data.from_pandas(df)
+
+    # dense numpy oracle (same iteration scheme, seeded teleport)
+    seeds = ["n0", "n7"]
+    nodes = sorted(set(df.subj) | set(df.obj))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for r in df.itertuples():
+        W[idx[r.subj], idx[r.obj]] += r.weight
+        W[idx[r.obj], idx[r.subj]] += r.weight
+    ow = np.maximum(W.sum(axis=1), 1e-300)
+    d = 0.85
+    tele = np.zeros(n)
+    for s in seeds:
+        tele[idx[s]] = (1 - d) / len(seeds)
+    pr = np.zeros(n)
+    for s in seeds:
+        pr[idx[s]] = 1.0 / len(seeds)
+    for _ in range(30):
+        pr = tele + d * (W.T @ (pr / ow))
+    want = sorted(
+        ((nodes[i], round(pr[i], 8)) for i in range(n)),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+
+    for kwargs in (
+        {},
+        {"driver_merge_limit": 1},
+        {"broadcast_limit": 1},
+    ):
+        got = (
+            pagerank_dataset(ds, k=10, seeds=seeds, **kwargs)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got["node"].tolist() == [nd for nd, _ in want], kwargs
+        assert np.allclose(
+            got["rank"], [r for _, r in want], atol=1e-6
+        ), kwargs
+
+    # absent seeds drop (result equals the valid-seed run); all-absent raises
+    got2 = pagerank_dataset(
+        ds, k=10, seeds=seeds + ["ghost"]
+    ).to_pandas()
+    assert got2["node"].tolist() == [nd for nd, _ in want]
+    with pytest.raises(ValueError):
+        pagerank_dataset(ds, k=5, seeds=["ghost"])
+
+
 def test_asof_join_matches_pandas_merge_asof(ray_session):
     """The distributed as-of join (sort + block ffill + carry stitch)
     must agree with pandas merge_asof on interleaved multi-block data,
