@@ -545,6 +545,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return pagerank_dataset(triples, k=25, seeds=seeds)
 
+    def kg_random_walks(sf_dir: str):
+        """DeepWalk-style random-walk corpus over the KG: 2 uniform
+        walks of length 5 per entity, deterministic (hash priorities),
+        for downstream embedding training."""
+        from renard_ray.ops.walks import random_walks_dataset
+
+        return random_walks_dataset(
+            kg_triples(sf_dir), walks_per_node=2, walk_len=5, seed=13
+        )
+
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
         ``cumulative_graph`` semantics on the aggregated table) —
@@ -809,6 +819,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # personalized PageRank seeded at the top-degree hubs (below
         # the window: rows-only, pytest-gated across all 3 regimes)
         "kg_ppr": kg_ppr,
+        # DeepWalk-style deterministic random-walk corpus (skip-gram
+        # training sequences over the KG; python-replica pytest on
+        # both adjacency plans — rows-only, hash-driven)
+        "kg_random_walks": kg_random_walks,
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         # weighted reservoir sample (A-ES priorities; pytest-gated:

@@ -1801,6 +1801,73 @@ def test_orders_rank_in_customer_multiblock(ray_session, monkeypatch):
         )
 
 
+def test_random_walks_match_bruteforce(ray_session):
+    """Deterministic DeepWalk corpus == the plain-python replica (same
+    hash primitives, independent frontier loop) on a seeded random
+    graph, on BOTH the broadcast-adjacency and forced-distributed-join
+    plans; walks are valid paths and independent of partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.walks import (
+        random_walks_bruteforce,
+        random_walks_dataset,
+    )
+
+    rng = np.random.RandomState(33)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = set()
+    for _ in range(80):
+        a, b = rng.randint(0, 25, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+
+    def triples(parts):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(parts)
+
+    want = sorted(
+        random_walks_bruteforce(edges, walks_per_node=2, walk_len=4, seed=7)
+    )
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    for kwargs, parts in (({}, 3), ({"broadcast_limit": 0}, 5)):
+        got_df = random_walks_dataset(
+            triples(parts), walks_per_node=2, walk_len=4, seed=7, **kwargs
+        ).to_pandas()
+        got = sorted(
+            (r.src, int(r.walk), int(r.step), r.node)
+            for r in got_df.itertuples()
+        )
+        assert got == want, kwargs
+        # every consecutive pair is a real edge
+        byw = {}
+        for s, w, st, nd in got:
+            byw.setdefault((s, w), []).append((st, nd))
+        assert len(byw) == len(adj) * 2
+        for (s, w), steps in byw.items():
+            steps.sort()
+            assert [st for st, _ in steps] == [0, 1, 2, 3]
+            assert steps[0][1] == s
+            for (_, a), (_, b) in zip(steps, steps[1:]):
+                assert b in adj[a], (s, w, a, b)
+
+
 def _kcore_oracle(pairs, k):
     """Single-machine peel: unique k-core membership + degrees."""
     from collections import defaultdict
