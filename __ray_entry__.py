@@ -872,6 +872,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group DENSE_RANK window (one sort + block-local cumsum
         # ranks + O(#blocks) boundary-stitch offsets); exact SQL oracle
         "orders_rank_in_customer": relational.orders_rank_in_customer,
+        # correlated scalar subquery, decorrelated (aggregate-before-
+        # join + exact integer cross-multiply); exact SQL oracle
+        "orders_above_customer_avg": relational.orders_above_customer_avg,
+        # exact PERCENTILE_CONT building blocks (one sort + O(#blocks)
+        # offsets + targeted row pick, all-integer); exact SQL oracle
+        "lineitem_price_percentiles_exact":
+            relational.lineitem_price_percentiles_exact,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1804,5 +1811,41 @@ def oracle_sql() -> dict[str, str]:
                            DESC
                    ) AS price_rank
             FROM orders
+        """,
+        "orders_above_customer_avg": """
+            WITH a AS (
+                SELECT o_custkey AS ck,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_custkey, COUNT(*) AS n_above
+            FROM orders o JOIN a ON o.o_custkey = a.ck
+            WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * a.n > a.s
+            GROUP BY o.o_custkey
+        """,
+        "lineitem_price_percentiles_exact": """
+            WITH v AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem
+            ),
+            r AS (
+                SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS rn FROM v
+            ),
+            cnt AS (SELECT COUNT(*) AS n FROM v),
+            qs AS (
+                SELECT * FROM (
+                    VALUES (250000), (500000), (750000), (950000)
+                ) AS t(q_ppm)
+            )
+            SELECT q.q_ppm, cnt.n,
+                   lo.c AS lo_cents, hi.c AS hi_cents,
+                   (q.q_ppm * (cnt.n - 1)) % 1000000 AS frac_ppm
+            FROM qs q
+            CROSS JOIN cnt
+            JOIN r lo ON lo.rn = (q.q_ppm * (cnt.n - 1)) // 1000000
+            JOIN r hi ON hi.rn = (q.q_ppm * (cnt.n - 1)) // 1000000
+                + CASE WHEN (q.q_ppm * (cnt.n - 1)) % 1000000 > 0
+                       THEN 1 ELSE 0 END
         """,
     }

@@ -2334,6 +2334,202 @@ def monthly_orders_vs_events(sf_dir: str) -> Dataset:
 _FL_PACK = 1 << 40  # (day << 40) | orderkey — day < 2^22, key < 2^40
 
 
+def orders_above_customer_avg(sf_dir: str) -> Dataset:
+    """Correlated-scalar-subquery shape, decorrelated: per customer,
+    how many of their orders are STRICTLY above their own average
+    order value (``WHERE o_totalprice > (SELECT AVG(...) ... same
+    customer)``).
+
+    Plan: aggregate-before-join — one ``groupby(custkey)`` collapses
+    the fact table to (sum_cents, n) per customer (customer-bounded),
+    attached back via the size-adaptive lookup join; the comparison is
+    the exact integer cross-multiply ``price_c * n > sum_c`` (no float
+    division anywhere), then one bounded ``groupby(custkey).count``.
+    Customers whose orders are all equal have no strict-above rows and
+    are absent, matching the SQL.
+
+    Output: (o_custkey, n_above) — exact."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    facts = ds.map_batches(derive, batch_format="pyarrow")
+    per_cust = facts.groupby("o_custkey").aggregate(
+        Sum("price_c", alias_name="sum_c"),
+        Count(alias_name="n"),
+    )
+    joined = broadcast_lookup_join(
+        facts,
+        per_cust.map_batches(
+            lambda b: b.rename_columns(["ck", "sum_c", "n"]),
+            batch_format="pyarrow",
+        ),
+        on="o_custkey", right_on="ck", payload=["sum_c", "n"],
+        fallback_parts=_join_parts_bytes(facts),
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(
+                pc.cast(batch.column("price_c"), pa.int64()),
+                batch.column("n"),
+            ),
+            batch.column("sum_c"),
+        )
+        return batch.filter(keep).select(["o_custkey"])
+
+    return (
+        joined.map_batches(above, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_above"))
+    )
+
+
+def lineitem_price_percentiles_exact(
+    sf_dir: str,
+    quantiles_ppm: "tuple[int, ...]" = (250_000, 500_000, 750_000, 950_000),
+) -> Dataset:
+    """EXACT interpolated percentiles (the PERCENTILE_CONT /
+    ``quantile_cont`` shape) over an unbounded money column — the
+    exact complement to the mergeable ``quantile_sketch``.
+
+    All arithmetic is integer: quantiles come in as parts-per-million,
+    the continuous rank ``q * (N - 1)`` is the exact int ``q_ppm *
+    (N - 1)`` split into a floor index and a ppm remainder, and the
+    output carries (lo_cents, hi_cents, frac_ppm) — the caller (or
+    SQL) interpolates; nothing floats, so the oracle hashes exactly.
+
+    Scale shape: ONE global sort, a per-block summary pass (one
+    (block_key, n_rows) row per block), an O(#blocks) driver offset
+    scan that maps each of the <= 2|q| target global indexes to a
+    (block, local index) pair, and a second pass over the SAME
+    materialized sorted blocks that emits only the targeted rows.
+    Row selection is O(|q|) rows to the driver at any data size —
+    never a percentile-bucket scan."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "price_c": _cents(batch.column("l_extendedprice")),
+                "okey": batch.column("l_orderkey"),
+                "ln": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            }
+        )
+
+    # (okey, ln) is a UNIQUE tie-break: block keys stay distinct and
+    # block order is content-determined, same trick as the rank windows
+    sorted_ds = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .sort(["price_c", "okey", "ln"])
+        .materialize()
+    )
+
+    def _bk(batch: pa.Table) -> str:
+        p = batch.column("price_c")[0].as_py()
+        o = batch.column("okey")[0].as_py()
+        ln = batch.column("ln")[0].as_py()
+        assert 0 <= p < 10**20 and 0 <= o < 10**20 and 0 <= ln < 10**10
+        return "%020d:%020d:%010d" % (p, o, ln)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bk": pa.array([], pa.string()),
+                 "n_rows": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"bk": pa.array([_bk(batch)]),
+             "n_rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    summaries = (
+        sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("bk")
+    )
+    total = int(summaries["n_rows"].sum())
+    if total == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "q_ppm": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "lo_cents": pa.array([], pa.int64()),
+                    "hi_cents": pa.array([], pa.int64()),
+                    "frac_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # target global indexes -> (block, local) via the offset scan
+    targets: dict[int, tuple[int, int]] = {}  # q_ppm -> (lo_gidx, hi_gidx)
+    need: set[int] = set()
+    for q in quantiles_ppm:
+        pos = q * (total - 1)
+        lo_g, rem = divmod(pos, 1_000_000)
+        hi_g = lo_g + (1 if rem else 0)
+        targets[q] = (lo_g, hi_g)
+        need.update((lo_g, hi_g))
+    wanted: dict[str, list[tuple[int, int]]] = {}
+    acc = 0
+    for r in summaries.itertuples(index=False):
+        nb = int(r.n_rows)
+        for g in need:
+            if acc <= g < acc + nb:
+                wanted.setdefault(r.bk, []).append((g, g - acc))
+        acc += nb
+    wanted_ref = ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gidx": pa.array([], pa.int64()),
+             "cents": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        w = ray.get(wanted_ref).get(_bk(batch))
+        if not w:
+            return empty
+        price = batch.column("price_c")
+        return pa.table(
+            {
+                "gidx": pa.array([g for g, _loc in w], pa.int64()),
+                "cents": pa.array(
+                    [price[loc].as_py() for _g, loc in w], pa.int64()
+                ),
+            }
+        )
+
+    got = {
+        int(r["gidx"]): int(r["cents"])
+        for r in sorted_ds.map_batches(
+            pick, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    }
+    rows = {
+        "q_ppm": [], "n": [], "lo_cents": [], "hi_cents": [], "frac_ppm": []
+    }
+    for q in quantiles_ppm:
+        lo_g, hi_g = targets[q]
+        rows["q_ppm"].append(q)
+        rows["n"].append(total)
+        rows["lo_cents"].append(got[lo_g])
+        rows["hi_cents"].append(got[hi_g])
+        rows["frac_ppm"].append((q * (total - 1)) % 1_000_000)
+    return ray.data.from_arrow(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    )
+
+
 def customer_first_last_order(sf_dir: str) -> Dataset:
     """FIRST_VALUE / LAST_VALUE window semantics without a window scan:
     per customer, the (orderkey, epoch-day) of the chronologically

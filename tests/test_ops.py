@@ -910,6 +910,8 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "events_user_type_pmi",
         "customer_first_last_order",
         "orders_rank_in_customer",
+        "orders_above_customer_avg",
+        "lineitem_price_percentiles_exact",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1799,6 +1801,52 @@ def test_orders_rank_in_customer_multiblock(ray_session, monkeypatch):
             .repartition(9),
             real,
         )
+
+
+def test_exact_percentiles_multiblock(ray_session, monkeypatch):
+    """Exact PERCENTILE_CONT building blocks: with the input forced
+    into 9 blocks, the (lo, hi, frac) triples equal a numpy replica on
+    the real sf0.001 lineitem table — including targets that land on
+    block boundaries."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+
+    from renard_ray.ops import relational
+
+    orig = relational._read
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: orig(sfd, table, cols).repartition(9),
+    )
+    qs = (1, 250_000, 500_000, 999_999, 1_000_000)
+    got = {
+        int(r.q_ppm): (int(r.n), int(r.lo_cents), int(r.hi_cents), int(r.frac_ppm))
+        for r in relational.lineitem_price_percentiles_exact(
+            sf, quantiles_ppm=qs
+        ).to_pandas().itertuples()
+    }
+
+    c = np.sort(
+        np.rint(
+            pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])
+            .column("l_extendedprice")
+            .to_numpy()
+            * 100
+        ).astype(np.int64)
+    )
+    n = len(c)
+    for q in qs:
+        pos = q * (n - 1)
+        lo, rem = divmod(pos, 1_000_000)
+        hi = lo + (1 if rem else 0)
+        assert got[q] == (n, int(c[lo]), int(c[hi]), rem), q
 
 
 def test_random_walks_match_bruteforce(ray_session):
