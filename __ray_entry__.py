@@ -879,6 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # offsets + targeted row pick, all-integer); exact SQL oracle
         "lineitem_price_percentiles_exact":
             relational.lineitem_price_percentiles_exact,
+        # bounded window frame (ROWS BETWEEN 2 PRECEDING) peak per
+        # user — sorted-run + <= w-1-row carry fix-up; exact SQL oracle
+        "events_peak_moving_sum": relational.events_peak_moving_sum,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1847,5 +1850,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN r hi ON hi.rn = (q.q_ppm * (cnt.n - 1)) // 1000000
                 + CASE WHEN (q.q_ppm * (cnt.n - 1)) % 1000000 > 0
                        THEN 1 ELSE 0 END
+        """,
+        "events_peak_moving_sum": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       ts, event_id
+                FROM events
+            ),
+            m AS (
+                SELECT user_id,
+                       SUM(v) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                       ) AS s
+                FROM e
+            )
+            SELECT user_id, CAST(MAX(s) AS BIGINT) AS peak_sum_cents
+            FROM m GROUP BY user_id
         """,
     }

@@ -2530,6 +2530,142 @@ def lineitem_price_percentiles_exact(
     )
 
 
+def events_peak_moving_sum(sf_dir: str, w: int = 3) -> Dataset:
+    """Bounded window FRAME (``SUM(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW)``), aggregated to each user's PEAK — burst detection: the
+    largest w-event spend run per user.  Completes the window-family
+    coverage: LAG (events_lag_delta), cumulative (running totals),
+    global rank (NTILE), per-group rank (DENSE_RANK), and now the
+    bounded-frame rolling aggregate.
+
+    Sorted-run plan: one (user, ts, event_id) sort; each block
+    computes every in-block moving sum with one cumsum + clamped
+    window-start indexes (no per-group loop).  Only a block's FIRST
+    user run can need rows from earlier blocks — at most w-1 of them
+    — so each block emits its LAST run's tail (<= w-1 rows) and an
+    O(#blocks * w) driver scan hands each block its carry values; a
+    <= w-1-row fix-up inside the block applies them.  Exact integer
+    cents.
+
+    Output: (user_id, peak_sum_cents) for every user with >= 1
+    event."""
+    assert w >= 1
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column("user_id"),
+                "t": pc.cast(batch.column("ts"), pa.int64()),
+                "e": batch.column("event_id"),
+                "v": _cents(batch.column("value")),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .sort(["u", "t", "e"])
+        .materialize()
+    )
+
+    def _bk(batch: pa.Table) -> str:
+        u = batch.column("u")[0].as_py()
+        t = batch.column("t")[0].as_py()
+        e = batch.column("e")[0].as_py()
+        assert 0 <= u < 10**20 and 0 <= e < 10**20
+        # ts microseconds are signed — offset into non-negative range
+        return "%020d:%020d:%020d" % (u, t + 2**62, e)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bk": pa.array([], pa.string()),
+                "first_u": pa.array([], pa.int64()),
+                "last_u": pa.array([], pa.int64()),
+                "tail_v": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        # tail of the LAST user run: up to w-1 newest values, oldest first
+        changes = np.flatnonzero(u != u[-1])
+        run_start = int(changes[-1]) + 1 if len(changes) else 0
+        tail = v[max(run_start, len(u) - (w - 1)) :] if w > 1 else v[:0]
+        return pa.table(
+            {
+                "bk": pa.array([_bk(batch)]),
+                "first_u": pa.array([int(u[0])], pa.int64()),
+                "last_u": pa.array([int(u[-1])], pa.int64()),
+                "tail_v": pa.array([[int(x) for x in tail]], pa.list_(pa.int64())),
+            }
+        )
+
+    summaries = (
+        sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("bk")
+    )
+    # O(#blocks * w) carry scan: the <= w-1 values preceding each
+    # block's first row WITHIN that row's user partition
+    carries: dict[str, list[int]] = {}
+    buf_user: int | None = None
+    buf: list[int] = []
+    for r in summaries.itertuples(index=False):
+        if int(r.first_u) == buf_user:
+            carries[r.bk] = list(buf)
+        else:
+            carries[r.bk] = []
+        tail = list(r.tail_v)
+        if int(r.first_u) == int(r.last_u) and int(r.first_u) == buf_user:
+            buf = (buf + tail)[-(w - 1) :] if w > 1 else []
+        else:
+            buf = tail
+        buf_user = int(r.last_u)
+    carry_ref = ray.put(carries)
+
+    def moving(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "ms": pa.array([], pa.int64())}
+            )
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        n = len(u)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = u[1:] != u[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n, dtype=np.int64), -1)
+        )
+        cs = np.concatenate(([0], np.cumsum(v)))
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum(idx - (w - 1), gs)
+        ms = cs[idx + 1] - cs[start]
+        # fix-up: the first run's first <= w-1 rows may extend into the
+        # carry from earlier blocks (constant work per block)
+        carry = ray.get(carry_ref).get(_bk(batch), [])
+        if carry:
+            run_len = int(np.sum(u == u[0]))
+            for j in range(min(w - 1, run_len)):
+                need = w - 1 - j  # values still missing before row j
+                ms[j] += sum(carry[len(carry) - min(need, len(carry)) :])
+        return pa.table(
+            {
+                "user_id": batch.column("u"),
+                "ms": pa.array(ms.astype(np.int64)),
+            }
+        )
+
+    return (
+        sorted_ds.map_batches(moving, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Max("ms", alias_name="peak_sum_cents"))
+    )
+
+
 def customer_first_last_order(sf_dir: str) -> Dataset:
     """FIRST_VALUE / LAST_VALUE window semantics without a window scan:
     per customer, the (orderkey, epoch-day) of the chronologically

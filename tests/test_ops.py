@@ -912,6 +912,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "orders_rank_in_customer",
         "orders_above_customer_avg",
         "lineitem_price_percentiles_exact",
+        "events_peak_moving_sum",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1847,6 +1848,56 @@ def test_exact_percentiles_multiblock(ray_session, monkeypatch):
         lo, rem = divmod(pos, 1_000_000)
         hi = lo + (1 if rem else 0)
         assert got[q] == (n, int(c[lo]), int(c[hi]), rem), q
+
+
+def test_events_peak_moving_sum_multiblock(ray_session, monkeypatch):
+    """Bounded-frame rolling sum: with the sorted input forced into
+    25 tiny blocks (user runs straddling SEVERAL blocks, so the carry
+    accumulates across summaries) the per-user peaks equal a pandas
+    rolling replica, for w=3 and w=5."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(17)
+    n = 120
+    raw = pd.DataFrame(
+        {
+            "event_id": np.arange(1, n + 1, dtype="int64"),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**6, n), unit="s", origin="2024-01-01"
+            ),
+            "user_id": rng.randint(1, 4, n).astype("int64"),
+            "value": rng.randint(1, 500, n) / 100.0,
+        }
+    )
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(25),
+    )
+    for w in (3, 5):
+        got = {
+            int(r.user_id): int(r.peak_sum_cents)
+            for r in relational.events_peak_moving_sum("x", w=w)
+            .to_pandas()
+            .itertuples()
+        }
+        cents = (raw["value"] * 100).round().astype("int64")
+        df = raw.assign(v=cents).sort_values(["user_id", "ts", "event_id"])
+        want = (
+            df.groupby("user_id")["v"]
+            .apply(lambda s: s.rolling(w, min_periods=1).sum().max())
+            .astype("int64")
+            .to_dict()
+        )
+        assert got == want, w
 
 
 def test_random_walks_match_bruteforce(ray_session):
