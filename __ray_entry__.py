@@ -823,6 +823,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training sequences over the KG; python-replica pytest on
         # both adjacency plans — rows-only, hash-driven)
         "kg_random_walks": kg_random_walks,
+        # BPE tokenizer: train merges on the md5-priority reservoir
+        # sample, apply corpus-wide via an actor pool (ranks + memo in
+        # __init__), top-50 subwords; python-replica pytest (rows-only
+        # — iterative merge training is non-SQL)
+        "doc_bpe_vocab": lambda sf: __import__(
+            "renard_ray.ops.bpe", fromlist=["doc_bpe_vocab"]
+        ).doc_bpe_vocab(sf),
         "doc_minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(sf),
         "doc_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(sf),
         # weighted reservoir sample (A-ES priorities; pytest-gated:

@@ -1900,6 +1900,53 @@ def test_events_peak_moving_sum_multiblock(ray_session, monkeypatch):
         assert got == want, w
 
 
+def test_bpe_train_and_distributed_apply(ray_session, docs_dir):
+    """BPE: known-merge toy training (deterministic lexicographic tie
+    break), and the distributed actor-pool apply equals a plain-python
+    encode over every document of the fixture corpus."""
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.bpe import (
+        _PRETOK_RE,
+        bpe_apply_wordcounts,
+        bpe_encode_word,
+        train_bpe_merges,
+    )
+    from renard_ray.ops.textstats import _read_documents
+
+    # toy: "aaab" x10 — (a,a) wins outright, then the 3-way tie at 10
+    # resolves to the lexicographic min ("a","b")
+    merges = train_bpe_merges({"aaab": 10}, 2)
+    assert merges == [("a", "a"), ("a", "b")]
+
+    # apply parity on the fixture corpus, multi-block
+    texts = pq.read_table(
+        f"{docs_dir}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    wc = {}
+    for t in texts:
+        for w in _PRETOK_RE.findall((t or "").lower()):
+            wc[w] = wc.get(w, 0) + 1
+    merges = train_bpe_merges(wc, 50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = {}
+    for t in texts:
+        for w in _PRETOK_RE.findall((t or "").lower()):
+            for tok in bpe_encode_word(w, ranks):
+                want[tok] = want.get(tok, 0) + 1
+
+    docs = _read_documents(docs_dir, ["doc_id", "text"]).repartition(5)
+    got = {
+        r.token: int(r.n)
+        for r in bpe_apply_wordcounts(docs, merges, concurrency=2)
+        .to_pandas()
+        .itertuples()
+    }
+    assert got == want
+    # merges actually fired: some multi-char subword exists
+    assert any(len(tok.replace("</w>", "")) > 1 for tok in got)
+
+
 def test_random_walks_match_bruteforce(ray_session):
     """Deterministic DeepWalk corpus == the plain-python replica (same
     hash primitives, independent frontier loop) on a seeded random
