@@ -889,6 +889,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded window frame (ROWS BETWEEN 2 PRECEDING) peak per
         # user — sorted-run + <= w-1-row carry fix-up; exact SQL oracle
         "events_peak_moving_sum": relational.events_peak_moving_sum,
+        # bucket-partitioned inverted index + pruned AND lookup; exact
+        # SQL oracle (regex tokenizer replicated in DuckDB)
+        "doc_search_index": lambda sf: __import__(
+            "renard_ray.ops.invindex", fromlist=["doc_search_index"]
+        ).doc_search_index(sf),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1875,5 +1880,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(MAX(s) AS BIGINT) AS peak_sum_cents
             FROM m GROUP BY user_id
+        """,
+        "doc_search_index": """
+            WITH toks AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                                     '[^a-z'']+')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            )
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id, tok FROM toks
+                WHERE tok IN ('filter', 'merge')
+            )
+            GROUP BY doc_id HAVING COUNT(*) = 2
+            ORDER BY doc_id
         """,
     }

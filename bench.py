@@ -142,6 +142,15 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_snapshot_diff",
         "kg_neighborhood_stats",
         "kg_scc",
+        # extra-session round-3 operators
+        "orders_rank_in_customer",
+        "events_peak_moving_sum",
+        "lineitem_price_percentiles_exact",
+        "orders_above_customer_avg",
+        "kg_ppr",
+        "kg_random_walks",
+        "doc_bpe_vocab",
+        "kg_link_prediction",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

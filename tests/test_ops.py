@@ -913,6 +913,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "orders_above_customer_avg",
         "lineitem_price_percentiles_exact",
         "events_peak_moving_sum",
+        "doc_search_index",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -1945,6 +1946,76 @@ def test_bpe_train_and_distributed_apply(ray_session, docs_dir):
     assert got == want
     # merges actually fired: some multi-char subword exists
     assert any(len(tok.replace("</w>", "")) > 1 for tok in got)
+
+
+def test_inverted_index_pruned_search(ray_session, docs_dir, tmp_path):
+    """Bucket-partitioned inverted index: AND search equals a python
+    set-intersection replica, reads only the buckets its terms hash
+    to, the max_df stopword drop removes corpus-scale terms, and
+    empty/absent-term queries degrade to zero rows."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.invindex import (
+        _bucket_of,
+        build_inverted_index,
+        search_index,
+    )
+    from renard_ray.ops.textstats import _read_documents
+
+    P = re.compile(r"[a-z']+")
+    tab = pq.read_table(
+        f"{docs_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {
+        int(d): set(P.findall((t or "").lower()))
+        for d, t in zip(
+            tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+        )
+    }
+    # two terms that co-occur somewhere
+    from collections import Counter
+
+    dfc = Counter(t for s in toks.values() for t in s)
+    terms = [w for w, _ in dfc.most_common(6)][:2]
+    want = sorted(
+        d for d, s in toks.items() if all(t in s for t in terms)
+    )
+    assert want, "fixture corpus must have a non-empty AND result"
+
+    idx = str(tmp_path / "idx")
+    docs = _read_documents(docs_dir, ["doc_id", "text"]).repartition(4)
+    build_inverted_index(docs, idx, num_buckets=8)
+
+    got = [
+        int(r["doc_id"])
+        for r in search_index(idx, terms, num_buckets=8).take_all()
+    ]
+    assert got == want
+
+    # pruning: the search only needs the term buckets (the index holds
+    # more non-empty buckets than the query touches)
+    all_buckets = {d for d in os.listdir(idx) if d.startswith("bucket=")}
+    q_buckets = {f"bucket={_bucket_of(t, 8)}" for t in terms}
+    assert q_buckets < all_buckets
+
+    # absent term -> empty; empty query -> empty
+    assert search_index(idx, ["zzzznotaword"], num_buckets=8).count() == 0
+    assert search_index(idx, [], num_buckets=8).count() == 0
+
+    # max_df drops the corpus-scale term: searching for it finds nothing
+    stop = dfc.most_common(1)[0][0]
+    idx2 = str(tmp_path / "idx2")
+    build_inverted_index(
+        docs, idx2, num_buckets=8, max_df=dfc[stop] - 1
+    )
+    assert search_index(idx2, [stop], num_buckets=8).count() == 0
+    rare = [w for w, n in dfc.items() if n <= dfc[stop] - 1][0]
+    assert search_index(idx2, [rare], num_buckets=8).count() == len(
+        [d for d, s in toks.items() if rare in s]
+    )
 
 
 def test_random_walks_match_bruteforce(ray_session):
