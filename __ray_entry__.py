@@ -555,6 +555,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kg_triples(sf_dir), walks_per_node=2, walk_len=5, seed=13
         )
 
+    def kg_centrality(sf_dir: str):
+        """Closeness + harmonic centrality of the 3 top-degree hubs
+        (seed-tagged BFS; exact hop sums, rounded 6 scores)."""
+        from renard_ray.ops.graphstats import seed_centrality_dataset
+
+        return seed_centrality_dataset(kg_triples(sf_dir), n_seeds=3)
+
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
         ``cumulative_graph`` semantics on the aggregated table) —
@@ -823,6 +830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training sequences over the KG; python-replica pytest on
         # both adjacency plans — rows-only, hash-driven)
         "kg_random_walks": kg_random_walks,
+        # closeness/harmonic centrality of the top-degree seed set via
+        # seed-tagged BFS (python-BFS-oracle pytest on both plans;
+        # rows-only — iterative)
+        "kg_centrality": kg_centrality,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

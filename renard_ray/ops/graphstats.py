@@ -1065,6 +1065,221 @@ def bfs_hops_dataset(
     return dist
 
 
+def seed_centrality_dataset(
+    triples: Dataset,
+    seeds: "list[str] | None" = None,
+    n_seeds: int = 3,
+    max_hops: int = 25,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Closeness + harmonic centrality of a SEED set: per seed, a
+    tagged BFS measures the hop distance to every reachable node, then
+    one bounded reduce yields ``closeness = (n_reachable) / sum(d)``
+    and ``harmonic = sum(1/d)`` — the exact all-pairs definitions
+    restricted to the seeds (all-pairs itself is O(V·E); centrality of
+    a chosen/top-degree seed set is the tractable production shape,
+    cf. sampled-seed estimators).
+
+    Per round, over ALL seeds at once: the (seed, node) frontier joins
+    the adjacency on node (size-adaptive broadcast/hash), one
+    ``groupby(seed, dst)`` distinct, one packed-key ANTI join against
+    the visited set, union + materialize — identical machinery to
+    ``bfs_hops_dataset`` with the seed riding every row, so seeds
+    don't multiply rounds, only row counts.
+
+    Output: (seed, n_reachable, sum_hops, closeness, harmonic) —
+    closeness/harmonic rounded to 6; seeds with no reachable node
+    emit (seed, 0, 0, 0.0, 0.0)."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import broadcast_semi_join
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+    out_schema = pa.schema(
+        [
+            ("seed", pa.string()),
+            ("n_reachable", pa.int64()),
+            ("sum_hops", pa.int64()),
+            ("closeness", pa.float64()),
+            ("harmonic", pa.float64()),
+        ]
+    )
+
+    def _finish(dist: Dataset) -> Dataset:
+        def per_seed(batch: pa.Table) -> pa.Table:
+            h = np.asarray(batch.column("hops"), dtype=np.float64)
+            return pa.table(
+                {
+                    "seed": batch.column("seed"),
+                    "n": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64)
+                    ),
+                    "s": batch.column("hops"),
+                    "inv": pa.array(1.0 / h),
+                }
+            )
+
+        agg = (
+            dist.filter(expr="hops > 0")
+            .map_batches(per_seed, batch_format="pyarrow")
+            .groupby("seed")
+            .aggregate(
+                Sum("n", alias_name="n_reachable"),
+                Sum("s", alias_name="sum_hops"),
+                Sum("inv", alias_name="harmonic_raw"),
+            )
+        )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            n = np.asarray(batch.column("n_reachable"), dtype=np.float64)
+            s = np.asarray(batch.column("sum_hops"), dtype=np.float64)
+            return pa.table(
+                {
+                    "seed": batch.column("seed"),
+                    "n_reachable": batch.column("n_reachable"),
+                    "sum_hops": batch.column("sum_hops"),
+                    "closeness": pa.array(
+                        np.round(np.where(s > 0, n / np.maximum(s, 1.0), 0.0), 6)
+                    ),
+                    "harmonic": pa.array(
+                        np.round(
+                            np.asarray(
+                                batch.column("harmonic_raw"), dtype=np.float64
+                            ),
+                            6,
+                        )
+                    ),
+                }
+            )
+
+        got = {}
+        for b in agg.map_batches(finalize, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for r in b.to_pylist():
+                got[r["seed"]] = r
+        rows = []
+        for s in sorted(set(seeds)):
+            rows.append(
+                got.get(
+                    s,
+                    {
+                        "seed": s, "n_reachable": 0, "sum_hops": 0,
+                        "closeness": 0.0, "harmonic": 0.0,
+                    },
+                )
+            )
+        return ray.data.from_arrow(
+            pa.Table.from_pylist(rows, schema=out_schema)
+        )
+
+    edges = _distinct_adjacency(triples, directed=False)
+    if edges is None:
+        if not seeds:
+            return ray.data.from_arrow(out_schema.empty_table())
+        return _finish(
+            ray.data.from_arrow(
+                pa.table(
+                    {"seed": pa.array([], pa.string()),
+                     "node": pa.array([], pa.string()),
+                     "hops": pa.array([], pa.int64())}
+                )
+            )
+        )
+    edges = edges.materialize()
+
+    if seeds is None:
+        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
+        seeds = [r["src"] for r in top.take_all()]
+    seeds = sorted(set(seeds))
+    if not seeds:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def _packed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sk",
+            pc.binary_join_element_wise(
+                batch.column("seed"), batch.column("node"), "\x1f"
+            ),
+        )
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(seeds, pa.string()),
+                "node": pa.array(seeds, pa.string()),
+                "hops": pa.array([0] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist.select_columns(["seed", "node"])
+
+    from renard_ray.ops.relational import _collect_small, _join_parts_bytes
+
+    small_edges = _collect_small(edges, limit)
+    edges_ref = (
+        ray.put(small_edges.combine_chunks())
+        if small_edges is not None
+        else None
+    )
+    nparts = max(2, _join_parts_bytes(edges))
+
+    for h in range(1, max_hops + 1):
+        if edges_ref is not None:
+
+            def expand(batch: pa.Table) -> pa.Table:
+                et = ray.get(edges_ref)
+                j = batch.join(
+                    et, keys=["node"], right_keys=["src"], join_type="inner"
+                )
+                return pa.table(
+                    {"seed": j.column("seed"), "node": j.column("dst")}
+                )
+
+            expanded = frontier.map_batches(expand, batch_format="pyarrow")
+        else:
+            expanded = frontier.join(
+                edges, join_type="inner", num_partitions=nparts,
+                on=("node",), right_on=("src",),
+            ).map_batches(
+                lambda b: pa.table(
+                    {"seed": b.column("seed"), "node": b.column("dst")}
+                ),
+                batch_format="pyarrow",
+            )
+        cand = (
+            expanded.groupby(["seed", "node"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["seed", "node"])
+        )
+        new = broadcast_semi_join(
+            cand.map_batches(_packed, batch_format="pyarrow"),
+            dist.map_batches(_packed, batch_format="pyarrow").select_columns(
+                ["sk"]
+            ),
+            on="sk", right_on="sk", anti=True, limit=limit,
+        ).materialize()
+        if new.count() == 0:
+            break
+        tagged = new.map_batches(
+            lambda b, _h=h: pa.table(
+                {
+                    "seed": b.column("seed"),
+                    "node": b.column("node"),
+                    "hops": pa.array(
+                        np.full(b.num_rows, _h, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = dist.union(tagged).materialize()
+        frontier = new.select_columns(["seed", "node"])
+
+    return _finish(dist)
+
+
 def neighborhood_stats_dataset(
     triples: Dataset, broadcast_limit: int | None = None
 ) -> Dataset:

@@ -2018,6 +2018,91 @@ def test_inverted_index_pruned_search(ray_session, docs_dir, tmp_path):
     )
 
 
+def test_seed_centrality_matches_bfs_oracle(ray_session):
+    """Closeness/harmonic centrality of a seed set == a python BFS
+    replica on a seeded random graph (both adjacency plans), including
+    an isolated seed (0 reachable) and default top-degree seeds."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import seed_centrality_dataset
+
+    rng = np.random.RandomState(5)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = set()
+    for _ in range(70):
+        a, b = rng.randint(0, 28, 2)  # n28/n29 isolated
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+
+    def triples():
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(4)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def oracle(seed):
+        if seed not in adj:
+            return (0, 0, 0.0, 0.0)
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        ds = [d for d in dist.values() if d > 0]
+        if not ds:
+            return (0, 0, 0.0, 0.0)
+        return (
+            len(ds),
+            sum(ds),
+            round(len(ds) / sum(ds), 6),
+            round(sum(1.0 / d for d in ds), 6),
+        )
+
+    seeds = ["n00", "n05", "n29"]  # n29 isolated
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = {
+            r.seed: (
+                int(r.n_reachable), int(r.sum_hops),
+                float(r.closeness), float(r.harmonic),
+            )
+            for r in seed_centrality_dataset(triples(), seeds=seeds, **kwargs)
+            .to_pandas()
+            .itertuples()
+        }
+        want = {s: oracle(s) for s in seeds}
+        for s in seeds:
+            g, w = got[s], want[s]
+            assert g[0] == w[0] and g[1] == w[1], (s, kwargs)
+            assert g[2] == pytest.approx(w[2], abs=1e-6), s
+            assert g[3] == pytest.approx(w[3], abs=1e-6), s
+
+    # default seeds: top-3 by distinct degree (deg desc, name asc)
+    degs = sorted(((-len(v), k) for k, v in adj.items()))
+    top3 = sorted(k for _, k in degs[:3])
+    auto = seed_centrality_dataset(triples(), n_seeds=3).to_pandas()
+    assert sorted(auto.seed) == top3
+
+
 def test_random_walks_match_bruteforce(ray_session):
     """Deterministic DeepWalk corpus == the plain-python replica (same
     hash primitives, independent frontier loop) on a seeded random
