@@ -555,6 +555,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kg_triples(sf_dir), walks_per_node=2, walk_len=5, seed=13
         )
 
+    def kg_node2vec_walks(sf_dir: str):
+        """node2vec-biased walk corpus (p=0.5 return-y, q=2.0
+        DFS-ish): the 2nd-order bias rides the same per-step
+        join+argmin with one extra (prev, nbr) membership probe."""
+        from renard_ray.ops.walks import random_walks_dataset
+
+        return random_walks_dataset(
+            kg_triples(sf_dir), walks_per_node=2, walk_len=5, seed=13,
+            p=0.5, q=2.0,
+        )
+
     def kg_centrality(sf_dir: str):
         """Closeness + harmonic centrality of the 3 top-degree hubs
         (seed-tagged BFS; exact hop sums, rounded 6 scores)."""
@@ -830,6 +841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training sequences over the KG; python-replica pytest on
         # both adjacency plans — rows-only, hash-driven)
         "kg_random_walks": kg_random_walks,
+        # node2vec-biased variant (replica-parity pytest on both
+        # membership plans; rows-only)
+        "kg_node2vec_walks": kg_node2vec_walks,
         # closeness/harmonic centrality of the top-degree seed set via
         # seed-tagged BFS (python-BFS-oracle pytest on both plans;
         # rows-only — iterative)

@@ -93,16 +93,36 @@ def _pack_choice(prio_u64: np.ndarray, names: pa.Array) -> pa.Array:
     return pc.binary_join_element_wise(padded, names, ":")
 
 
+def _race_key_bits(prio: np.ndarray, weight: np.ndarray) -> np.ndarray:
+    """Deterministic WEIGHTED choice (Efraimidis–Spirakis race): key =
+    -ln(u)/w with u = (h+1)/2^64 from the uint64 priority — the min
+    key wins with probability w_i / sum(w).  Non-negative IEEE doubles
+    order identically to their raw bit patterns, so the float key is
+    packed EXACTLY by viewing its bits as uint64 (no rounding, no
+    fixed-point scale to overflow)."""
+    u = (prio.astype(np.float64) + 1.0) / 2.0**64
+    key = -np.log(u) / weight
+    return key.view(_U64)
+
+
 def random_walks_dataset(
     triples: Dataset,
     walks_per_node: int = 2,
     walk_len: int = 5,
     seed: int = 0,
+    p: float = 1.0,
+    q: float = 1.0,
     broadcast_limit: int = 5_000_000,
     num_partitions: int | None = None,
 ) -> Dataset:
-    """Uniform random-walk corpus over the undirected distinct-pair
-    graph of a triple table.
+    """Random-walk corpus over the undirected distinct-pair graph of a
+    triple table — uniform (DeepWalk) by default, node2vec-biased
+    (Grover & Leskovec 2016, KDD — public paper) when ``p``/``q`` are
+    set: stepping from ``cur`` with predecessor ``prev``, a candidate
+    neighbor is weighted 1/p if it returns to ``prev``, 1 if it is
+    adjacent to ``prev`` (BFS-ish), 1/q otherwise (DFS-ish); the
+    weighted choice is the deterministic Efraimidis–Spirakis race over
+    the same hash priorities (first step is uniform — no predecessor).
 
     Output: (src, walk, step, node) — for every graph node ``src`` and
     walk index ``walk`` in [0, walks_per_node), the visited node at
@@ -111,10 +131,17 @@ def random_walks_dataset(
     neighbor).  Isolated nodes (no edges) have no walks, matching
     DeepWalk on the edge list.
 
+    The node2vec bias needs one extra input per candidate — is the
+    neighbor adjacent to the walk's predecessor — answered by a packed
+    (prev, nbr) membership probe: an ``index_in`` mask against the
+    broadcast edge-key set while the edge list fits the row budget, a
+    LEFT hash join against it past that (one extra join per step,
+    documented cost of the biased regime).
+
     Deterministic: the corpus is a pure function of (graph, seed,
-    walks_per_node, walk_len) — independent of partitioning, retries
-    and execution order (priorities are content hashes; the per-step
-    reduce is an exact string Min)."""
+    walks_per_node, walk_len, p, q) — independent of partitioning,
+    retries and execution order (priorities are content hashes; the
+    per-step reduce is an exact string Min)."""
     from renard_ray.ops.relational import (
         _collect_small,
         _join_parts_bytes,
@@ -176,7 +203,11 @@ def random_walks_dataset(
         limit=broadcast_limit, fallback_parts=nparts,
     ).materialize()
 
-    # start frontier: walks_per_node rows per node, salt carried along
+    biased = not (p == 1.0 and q == 1.0)
+    assert p > 0 and q > 0
+
+    # start frontier: walks_per_node rows per node, salt carried along;
+    # prev = "" (no predecessor -> first step uniform, as in node2vec)
     def start_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         names = batch.column("node").combine_chunks()
@@ -192,6 +223,7 @@ def random_walks_dataset(
                 "walk": pa.array(walk, pa.int64()),
                 "salt": pa.array(salt.view(np.int64), pa.int64()),
                 "cur": names.take(pa.array(reps)),
+                "prev": pa.array([""] * len(reps), pa.string()),
             }
         )
 
@@ -212,35 +244,80 @@ def random_walks_dataset(
     small_adj = _collect_small(adj, broadcast_limit)
     adj_ref = ray.put(small_adj.combine_chunks()) if small_adj is not None else None
 
-    for step in range(1, walk_len):
+    def _ek(prev_col, nxt_col) -> pa.Array:
+        return pc.binary_join_element_wise(prev_col, nxt_col, "\x1f")
 
-        def score(batch: pa.Table, _step=step) -> pa.Table:
-            """Candidate rows -> packed (priority, name) choice key."""
-            if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "w_src": pa.array([], pa.string()),
-                        "walk": pa.array([], pa.int64()),
-                        "salt": pa.array([], pa.int64()),
-                        "pick": pa.array([], pa.string()),
-                    }
+    ek_ref = None
+    ekds = None
+    if biased:
+        if small_adj is not None:
+            ek_ref = ray.put(
+                _ek(
+                    small_adj.column("cur").combine_chunks(),
+                    small_adj.column("nxt").combine_chunks(),
                 )
-            salt = np.asarray(batch.column("salt"), dtype=np.int64).view(_U64)
-            nid = np.asarray(
-                batch.column("nxt_nid"), dtype=np.int64
-            ).view(_U64)
-            prio = _step_priority(salt, _step, nid)
+            )
+        else:
+            ekds = adj.map_batches(
+                lambda b: pa.table(
+                    {
+                        "ek": _ek(
+                            b.column("cur").combine_chunks(),
+                            b.column("nxt").combine_chunks(),
+                        ),
+                        "adjflag": pa.array(
+                            np.ones(b.num_rows, dtype=np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+
+    def score(batch: pa.Table, _step: int, adjflag=None) -> pa.Table:
+        """Candidate rows -> packed (priority, name) choice key;
+        node2vec weighting when biased (adjflag: bool array = neighbor
+        adjacent to the walk's predecessor)."""
+        if batch.num_rows == 0:
             return pa.table(
                 {
-                    "w_src": batch.column("w_src"),
-                    "walk": batch.column("walk"),
-                    "salt": batch.column("salt"),
-                    "pick": _pack_choice(
-                        prio, batch.column("nxt").combine_chunks()
-                    ),
+                    "w_src": pa.array([], pa.string()),
+                    "walk": pa.array([], pa.int64()),
+                    "salt": pa.array([], pa.int64()),
+                    "cur": pa.array([], pa.string()),
+                    "pick": pa.array([], pa.string()),
                 }
             )
+        salt = np.asarray(batch.column("salt"), dtype=np.int64).view(_U64)
+        nid = np.asarray(
+            batch.column("nxt_nid"), dtype=np.int64
+        ).view(_U64)
+        prio = _step_priority(salt, _step, nid)
+        if biased:
+            prev = np.asarray(batch.column("prev"))
+            nxt = np.asarray(batch.column("nxt"))
+            w = np.where(
+                prev == "", 1.0,
+                np.where(
+                    nxt == prev, 1.0 / p,
+                    np.where(np.asarray(adjflag, dtype=bool), 1.0, 1.0 / q),
+                ),
+            )
+            bits = _race_key_bits(prio, w)
+        else:
+            bits = prio
+        return pa.table(
+            {
+                "w_src": batch.column("w_src"),
+                "walk": batch.column("walk"),
+                "salt": batch.column("salt"),
+                "cur": batch.column("cur"),
+                "pick": _pack_choice(
+                    bits, batch.column("nxt").combine_chunks()
+                ),
+            }
+        )
 
+    for step in range(1, walk_len):
         if adj_ref is not None:
 
             def expand(batch: pa.Table, _step=step) -> pa.Table:
@@ -248,17 +325,56 @@ def random_walks_dataset(
                 joined = batch.join(
                     at, keys=["cur"], right_keys=["cur"], join_type="inner"
                 )
-                return score(joined, _step)
+                flag = None
+                if biased:
+                    flag = pc.is_valid(
+                        pc.index_in(
+                            _ek(
+                                joined.column("prev").combine_chunks(),
+                                joined.column("nxt").combine_chunks(),
+                            ),
+                            value_set=ray.get(ek_ref),
+                        )
+                    ).to_numpy(zero_copy_only=False)
+                return score(joined, _step, flag)
 
             cands = frontier.map_batches(expand, batch_format="pyarrow")
         else:
-            cands = frontier.join(
+            joined = frontier.join(
                 adj, join_type="inner", num_partitions=nparts,
                 on=("cur",), right_on=("cur",),
-            ).map_batches(score, batch_format="pyarrow")
+            )
+            if biased:
+                with_ck = joined.map_batches(
+                    lambda b: b.append_column(
+                        "ck",
+                        _ek(
+                            b.column("prev").combine_chunks(),
+                            b.column("nxt").combine_chunks(),
+                        ),
+                    ),
+                    batch_format="pyarrow",
+                )
+                flagged = with_ck.join(
+                    ekds, join_type="left_outer", num_partitions=nparts,
+                    on=("ck",), right_on=("ek",),
+                )
+
+                def score_flag(batch: pa.Table, _step=step) -> pa.Table:
+                    f = pc.fill_null(
+                        pc.cast(batch.column("adjflag"), pa.int64()), 0
+                    ).to_numpy(zero_copy_only=False).astype(bool)
+                    return score(batch, _step, f)
+
+                cands = flagged.map_batches(score_flag, batch_format="pyarrow")
+            else:
+                cands = joined.map_batches(
+                    lambda b, _step=step: score(b, _step),
+                    batch_format="pyarrow",
+                )
 
         winners = (
-            cands.groupby(["w_src", "walk", "salt"])
+            cands.groupby(["w_src", "walk", "salt", "cur"])
             .aggregate(Min("pick", alias_name="pick"))
         )
 
@@ -272,6 +388,7 @@ def random_walks_dataset(
                     "walk": batch.column("walk"),
                     "salt": batch.column("salt"),
                     "cur": node,
+                    "prev": batch.column("cur"),
                 }
             )
 
@@ -303,9 +420,13 @@ def random_walks_bruteforce(
     walks_per_node: int = 2,
     walk_len: int = 5,
     seed: int = 0,
+    p: float = 1.0,
+    q: float = 1.0,
 ) -> "list[tuple[str, int, int, str]]":
     """Single-machine replica: identical hash primitives, plain-python
-    frontier loop — validates the distributed join/argmin machinery."""
+    frontier loop — validates the distributed join/argmin machinery
+    (uniform and node2vec-biased regimes)."""
+    biased = not (p == 1.0 and q == 1.0)
     adj: dict[str, set] = {}
     for a, b in edges:
         if a == b:
@@ -317,21 +438,31 @@ def random_walks_bruteforce(
         nid = np.array([_node_id_u64(src)], dtype=_U64)
         for w in range(walks_per_node):
             salt = _walk_salt(nid, np.array([w], dtype=np.int64), seed)
-            cur = src
+            cur, prev = src, ""
             out.append((src, w, 0, cur))
             for step in range(1, walk_len):
                 best = None
                 for nbr in sorted(adj[cur]):
-                    p = int(
-                        _step_priority(
-                            salt,
-                            step,
-                            np.array([_node_id_u64(nbr)], dtype=_U64),
-                        )[0]
+                    prio = _step_priority(
+                        salt, step, np.array([_node_id_u64(nbr)], dtype=_U64)
                     )
-                    key = ("%020d" % (p >> 1), nbr)
+                    if biased:
+                        if prev == "":
+                            wt = 1.0
+                        elif nbr == prev:
+                            wt = 1.0 / p
+                        elif nbr in adj[prev]:
+                            wt = 1.0
+                        else:
+                            wt = 1.0 / q
+                        bits = int(
+                            _race_key_bits(prio, np.array([wt]))[0]
+                        )
+                    else:
+                        bits = int(prio[0])
+                    key = ("%020d" % (bits >> 1), nbr)
                     if best is None or key < best[0:2]:
                         best = (key[0], nbr)
-                cur = best[1]
+                cur, prev = best[1], cur
                 out.append((src, w, step, cur))
     return out

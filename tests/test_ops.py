@@ -2169,6 +2169,24 @@ def test_random_walks_match_bruteforce(ray_session):
             for (_, a), (_, b) in zip(steps, steps[1:]):
                 assert b in adj[a], (s, w, a, b)
 
+    # node2vec-biased regime (p=0.5 return-y, q=4.0 BFS-ish): replica
+    # parity on both membership plans, and the bias changes the corpus
+    want_b = sorted(
+        random_walks_bruteforce(
+            edges, walks_per_node=2, walk_len=4, seed=7, p=0.5, q=4.0
+        )
+    )
+    assert want_b != want
+    for kwargs, parts in (({}, 3), ({"broadcast_limit": 0}, 4)):
+        got_b = sorted(
+            (r.src, int(r.walk), int(r.step), r.node)
+            for r in random_walks_dataset(
+                triples(parts), walks_per_node=2, walk_len=4, seed=7,
+                p=0.5, q=4.0, **kwargs
+            ).to_pandas().itertuples()
+        )
+        assert got_b == want_b, kwargs
+
 
 def _kcore_oracle(pairs, k):
     """Single-machine peel: unique k-core membership + degrees."""
