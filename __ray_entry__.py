@@ -573,6 +573,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return seed_centrality_dataset(kg_triples(sf_dir), n_seeds=3)
 
+    def kg_spectral_embedding(sf_dir: str):
+        """Top-2 spectral embedding of the weighted co-occurrence
+        adjacency by distributed subspace iteration: per iteration ONE
+        edges⋈X hash join + ONE k-column fixed-point groupby-sum, k×k
+        Gram/Cholesky on the driver only (numpy-eigh-oracle pytest;
+        rows-only — iterative eigensolve is non-SQL)."""
+        from renard_ray.ops.spectral import spectral_embedding_dataset
+
+        return spectral_embedding_dataset(kg_triples(sf_dir), dim=2, iters=15)
+
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference
         ``cumulative_graph`` semantics on the aggregated table) —
@@ -848,6 +858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seed-tagged BFS (python-BFS-oracle pytest on both plans;
         # rows-only — iterative)
         "kg_centrality": kg_centrality,
+        # top-k spectral embedding of the adjacency via distributed
+        # subspace iteration (join + k-column groupby per round, k×k
+        # driver state only; numpy-eigh-oracle pytest, rows-only)
+        "kg_spectral_embedding": kg_spectral_embedding,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

@@ -2018,6 +2018,78 @@ def test_inverted_index_pruned_search(ray_session, docs_dir, tmp_path):
     )
 
 
+def test_spectral_embedding_matches_numpy_eigh(ray_session):
+    """Distributed subspace iteration vs a dense numpy eigh oracle:
+    each embedding column aligns (|cos| ~ 1) with the corresponding
+    top-|eigenvalue| eigenvector, the lam estimates match |eigh|, the
+    result is deterministic across partitionings, and columns are
+    orthonormal."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.spectral import spectral_embedding_dataset
+
+    n = 19
+    nodes = [f"n{i:02d}" for i in range(n)]
+    # weighted cliques (sizes 8/6/5, weights 3/1.5/0.8) joined by tiny
+    # bridges: top |eigenvalues| ~ 21, 7.5, then a cluster near 3 —
+    # clean ratios for column-wise subspace-iteration convergence
+    A = np.zeros((n, n))
+    for lo, hi, w in ((0, 8, 3.0), (8, 14, 1.5), (14, 19, 0.8)):
+        for i in range(lo, hi):
+            for j in range(i + 1, hi):
+                A[i, j] = A[j, i] = w
+    A[0, 8] = A[8, 0] = 0.01
+    A[8, 14] = A[14, 8] = 0.01
+    ew, ev = np.linalg.eigh(A)
+    order = np.argsort(-np.abs(ew))
+    dim = 2
+    # spectrum must be well separated for column-wise convergence
+    gaps = np.abs(ew[order])
+    assert gaps[0] / gaps[1] > 2 and gaps[1] / gaps[2] > 2
+
+    def triples(parts):
+        s, o, w = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if A[i, j]:
+                    s.append(nodes[i])
+                    o.append(nodes[j])
+                    w.append(float(A[i, j]))
+        return _ray.data.from_arrow(
+            pa.table(
+                {"subj": pa.array(s), "pred": pa.array(["e"] * len(s)),
+                 "obj": pa.array(o), "weight": pa.array(w)}
+            )
+        ).repartition(parts)
+
+    dfs = []
+    for parts in (3, 7):
+        df = spectral_embedding_dataset(
+            triples(parts), dim=dim, iters=40
+        ).to_pandas()
+        assert df.node.tolist() == nodes
+        dfs.append(df)
+    # deterministic across partitionings
+    for c in dfs[0].columns:
+        if c == "node":
+            continue
+        assert np.allclose(dfs[0][c], dfs[1][c], atol=1e-9), c
+
+    df = dfs[0]
+    X = df[[f"x{j}" for j in range(dim)]].to_numpy()
+    # orthonormal columns
+    assert np.allclose(X.T @ X, np.eye(dim), atol=1e-6)
+    for j in range(dim):
+        want_vec = ev[:, order[j]]
+        cos = abs(float(X[:, j] @ want_vec))
+        assert cos > 0.999, (j, cos)
+        lam_est = float(df[f"lam{j}"].iloc[0])
+        assert lam_est == pytest.approx(abs(ew[order[j]]), rel=1e-3), j
+
+
 def test_seed_centrality_matches_bfs_oracle(ray_session):
     """Closeness/harmonic centrality of a seed set == a python BFS
     replica on a seeded random graph (both adjacency plans), including
