@@ -182,6 +182,38 @@ def _collect_small(ds: Dataset, limit: int) -> pa.Table | None:
     return None  # no blocks at all (schema unknown) — shuffle path
 
 
+def _scrub_schemaless(ds: Dataset) -> Dataset | None:
+    """Normalize a dataset's blocks before a ``Dataset.join``: drop
+    every EMPTY block whenever at least one non-empty block exists.
+    Empty blocks are schema hazards twice over — Ray's hash aggregate
+    emits SCHEMA-LESS (0-column) blocks for empty partitions, and
+    map_batches/Project SKIP empty blocks without applying the UDF,
+    so an empty block can carry a STALE pre-projection schema (extra
+    columns) into a join partition, where Acero's key resolution
+    raises ``No match or multiple matches``.  Probes per-block
+    (rows, cols) with tiny remote tasks (no driver fetch of data).
+    When EVERY block is empty, keeps one schema-ful block so the
+    caller's join still sees the key column; returns None only when
+    no block has a schema at all."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _meta(t: pa.Table) -> tuple:
+        return (t.num_rows, t.num_columns)
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+    nonempty = [r for r, (n, _c) in zip(refs, metas) if n > 0]
+    if nonempty:
+        if len(nonempty) == len(refs):
+            return mat
+        return ray.data.from_arrow_refs(nonempty)
+    for r, (_n, c) in zip(refs, metas):
+        if c > 0:
+            return ray.data.from_arrow_refs([r])
+    return None
+
+
 def broadcast_semi_join(
     left: Dataset,
     right: Dataset,
@@ -216,7 +248,15 @@ def broadcast_semi_join(
         return left.map_batches(semi, batch_format="pyarrow")
 
     nparts = fallback_parts or max(2, _join_parts_bytes(right))
-    dedup = right.select_columns([right_on]).groupby(right_on).count()
+    scrubbed = _scrub_schemaless(left)
+    if scrubbed is None:  # only schema-less empty blocks: nothing to keep
+        return left.limit(0)
+    left = scrubbed
+    dedup = _scrub_schemaless(
+        right.select_columns([right_on]).groupby(right_on).count()
+    )
+    if dedup is None or dedup.count() == 0:  # no keyed right rows
+        return left.limit(0) if not anti else left
     if not anti:
         out_cols = left.schema().names
         joined = left.join(
@@ -288,7 +328,10 @@ def broadcast_lookup_join(
             "back to the hash join", right_on,
         )
     nparts = fallback_parts or max(2, _join_parts_bytes(right))
-    return left.join(
+    scrubbed = _scrub_schemaless(left)
+    if scrubbed is None:  # only schema-less empty blocks: inner join is empty
+        return left.limit(0)
+    return scrubbed.join(
         right.select_columns([right_on] + payload),
         join_type="inner",
         num_partitions=nparts,
