@@ -573,6 +573,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return seed_centrality_dataset(kg_triples(sf_dir), n_seeds=3)
 
+    def kg_betweenness(sf_dir: str):
+        """Source-sampled betweenness centrality (Brandes dependency
+        accumulation from the top-4 hubs): seed-tagged sigma-BFS
+        forward, per-level fixed-point credit exchange backward
+        (Brandes-replica pytest on both plans; rows-only —
+        iterative)."""
+        from renard_ray.ops.graphstats import betweenness_dataset
+
+        return betweenness_dataset(kg_triples(sf_dir), n_seeds=4)
+
+    def kg_neighborhood_function(sf_dir: str):
+        """HyperANF neighborhood function + effective diameter:
+        per-node HLL as sparse (node, reg, rank) rows, one
+        groupby-Max merge per round, exact-int fixpoint stop
+        (exact-BFS-oracle pytest; rows-only — sketch-based)."""
+        from renard_ray.ops.anf import neighborhood_function_dataset
+
+        return neighborhood_function_dataset(kg_triples(sf_dir), p=8)
+
+    def kg_label_spreading(sf_dir: str):
+        """Semi-supervised label spreading from the two top-degree
+        hubs (clamped seeds, synchronous weighted-majority rounds,
+        deterministic packed-key argmax; replica pytest on both
+        plans; rows-only — iterative)."""
+        from renard_ray.ops.graphstats import (
+            label_spreading_dataset,
+            top_degree_dataset,
+        )
+
+        tri = kg_triples(sf_dir).materialize()
+        top = top_degree_dataset(tri, k=2).take_all()
+        seeds = [
+            (r["node"], f"community_{i}") for i, r in enumerate(top)
+        ]
+        return label_spreading_dataset(tri, seeds)
+
+    def kg_shortest_path(sf_dir: str):
+        """One shortest path between the two top-degree hubs
+        (deterministic min-parent tie-break; BFS-replica pytest on
+        both plans; rows-only — iterative)."""
+        from renard_ray.ops.graphstats import (
+            shortest_path_dataset,
+            top_degree_dataset,
+        )
+
+        import pyarrow as _pa
+
+        import ray as _ray
+
+        tri = kg_triples(sf_dir).materialize()
+        top = top_degree_dataset(tri, k=2).take_all()
+        if len(top) < 2:
+            return _ray.data.from_arrow(
+                _pa.schema(
+                    [("step", _pa.int64()), ("node", _pa.string())]
+                ).empty_table()
+            )
+        return shortest_path_dataset(tri, top[0]["node"], top[1]["node"])
+
+    def kg_ego_subgraph(sf_dir: str):
+        """2-hop ego network of the top-degree hub: one multi-source
+        BFS for membership + two packed-key SEMI joins of the triple
+        table (python-BFS-oracle pytest on both plans; rows-only)."""
+        from renard_ray.ops.graphstats import ego_subgraph_dataset
+
+        return ego_subgraph_dataset(kg_triples(sf_dir), n_seeds=1, hops=2)
+
+    def doc_quality_classifier(sf_dir: str):
+        """fastText-style linear quality classifier (CCNet-shape):
+        train driver-side on the md5-priority reservoir sample with
+        lang=='en' as the reference class, score the whole corpus via
+        an autoscaling actor pool (weights fetched once per actor).
+        Replica-parity + separability pytest; rows-only — iterative
+        training is non-SQL."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        import ray as _ray
+
+        from renard_ray.ops.quality_clf import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs = _ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def label(batch: _pa.Table) -> _pa.Table:
+            return batch.append_column(
+                "label",
+                _pc.cast(_pc.equal(batch.column("lang"), "en"), _pa.int64()),
+            )
+
+        labeled = docs.map_batches(label, batch_format="pyarrow")
+        model = train_quality_classifier(
+            labeled, label_col="label", sample_n=1_000, seed=11
+        )
+        return score_quality(
+            labeled, model, keep_cols=("doc_id", "label")
+        ).sort("doc_id")
+
+    def kg_ktruss(sf_dir: str):
+        """4-truss subgraph of the KG: iterative support peel built
+        from the degree-oriented wedge machinery (python-peeling
+        oracle pytest on both plans; rows-only — iterative)."""
+        from renard_ray.ops.triangles import ktruss_dataset
+
+        return ktruss_dataset(kg_triples(sf_dir), k=4)
+
     def kg_spectral_embedding(sf_dir: str):
         """Top-2 spectral embedding of the weighted co-occurrence
         adjacency by distributed subspace iteration: per iteration ONE
@@ -862,6 +972,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # subspace iteration (join + k-column groupby per round, k×k
         # driver state only; numpy-eigh-oracle pytest, rows-only)
         "kg_spectral_embedding": kg_spectral_embedding,
+        # Brandes source-sampled betweenness (sigma-BFS forward +
+        # per-level credit exchange backward; Brandes-replica pytest
+        # on both plans, rows-only)
+        "kg_betweenness": kg_betweenness,
+        # HyperANF N(t) + effective diameter (sparse HLL registers,
+        # groupby-Max merge per round; exact-BFS-oracle pytest,
+        # rows-only)
+        "kg_neighborhood_function": kg_neighborhood_function,
+        # k-truss subgraph via iterative support peel (peeling-oracle
+        # pytest on both plans; rows-only)
+        "kg_ktruss": kg_ktruss,
+        # fastText-style quality classifier: train-on-sample,
+        # actor-pool apply (replica-parity pytest; rows-only)
+        "doc_quality_classifier": doc_quality_classifier,
+        # k-hop ego network (BFS membership + two SEMI joins;
+        # BFS-oracle pytest on both plans; rows-only)
+        "kg_ego_subgraph": kg_ego_subgraph,
+        # shortest path between the top hubs (min-parent BFS +
+        # driver backtrack of path length only; rows-only)
+        "kg_shortest_path": kg_shortest_path,
+        # seeded label spreading (clamped seeds, packed-key argmax;
+        # replica pytest on both plans; rows-only)
+        "kg_label_spreading": kg_label_spreading,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

@@ -151,6 +151,12 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_random_walks",
         "doc_bpe_vocab",
         "kg_link_prediction",
+        # final-session round-3 operators
+        "kg_spectral_embedding",
+        "kg_betweenness",
+        "kg_neighborhood_function",
+        "kg_ktruss",
+        "doc_quality_classifier",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

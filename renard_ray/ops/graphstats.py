@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 _EDGE_COLS = ["subj", "obj", "weight"]
 
@@ -1669,3 +1669,696 @@ def scc_dataset(
         labels, sizes, on="scc", right_on="scc", payload=["scc_size"],
         limit=limit,
     )
+
+
+_BC_SCALE = 10**9  # fixed-point scale for the dependency exchange
+
+
+def betweenness_dataset(
+    triples: Dataset,
+    seeds: "list[str] | None" = None,
+    n_seeds: int = 4,
+    max_hops: int = 25,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Source-sampled betweenness centrality (Brandes 2001, the
+    sampled estimator of Brandes/Pich 2007 — public references): the
+    exact single-source dependency accumulation run from a SEED set,
+    summed over seeds.  With ``seeds`` = all nodes this is exact
+    unnormalized undirected betweenness; with a sample it is the
+    standard unbiased estimator up to the n/|S| factor (left to the
+    caller, documented, so the output is an exact function of the
+    seed set).
+
+    Forward (per round, all seeds at once — the seed-tagged BFS of
+    ``seed_centrality_dataset`` carrying shortest-path counts): the
+    (seed, node, sigma) frontier joins the adjacency (size-adaptive
+    broadcast/hash), ``groupby(seed, dst).sum(sigma)`` computes each
+    new node's path count (sum over its BFS-DAG predecessors — exact
+    int64), a packed-key ANTI join vs the visited set keeps only the
+    new level.  Levels are kept as separate materialized Datasets so
+    the backward pass never rescans the union.
+
+    Backward (per level, deepest first): each (seed, w) row emits the
+    per-edge credit ``round(SCALE*(1+delta_w)/sigma_w)`` — rounded
+    ONCE per row, summed exactly in int64 — through the same
+    adjacency join; an inner join against the level-(d) table keeps
+    true BFS-DAG predecessors and attaches sigma_v, giving
+    ``delta_v = sigma_v * credit_sum / SCALE``.  Every per-node value
+    is a pure function of exact ints, so the result is deterministic
+    under any partitioning.
+
+    Output: (node, betweenness) for every node reached by any seed
+    BFS, betweenness = sum of dependencies / 2 (undirected pair
+    symmetry), rounded to 6.  Driver state: per-round row counts and
+    one max-sigma guard scalar — never node-sized."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import (
+        _collect_small,
+        _join_parts_bytes,
+        _scrub_schemaless,
+        broadcast_semi_join,
+    )
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+    out_schema = pa.schema(
+        [("node", pa.string()), ("betweenness", pa.float64())]
+    )
+
+    edges = _distinct_adjacency(triples, directed=False)
+    if edges is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    edges = edges.materialize()
+
+    if seeds is None:
+        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
+        seeds = [r["src"] for r in top.take_all()]
+    seeds = sorted(set(seeds))
+    if not seeds:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def _packed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sk",
+            pc.binary_join_element_wise(
+                batch.column("seed"), batch.column("node"), "\x1f"
+            ),
+        )
+
+    small_edges = _collect_small(edges, limit)
+    edges_ref = (
+        ray.put(small_edges.combine_chunks())
+        if small_edges is not None
+        else None
+    )
+    nparts = max(2, _join_parts_bytes(edges))
+
+    def expand(ds: Dataset, payload: str) -> Dataset:
+        """(seed, node, <payload>) x adjacency -> (seed, node=dst,
+        <payload>) neighbor fan-out, size-adaptive."""
+        if edges_ref is not None:
+
+            def bcast(batch: pa.Table) -> pa.Table:
+                et = ray.get(edges_ref)
+                j = batch.join(
+                    et, keys=["node"], right_keys=["src"], join_type="inner"
+                )
+                return pa.table(
+                    {
+                        "seed": j.column("seed"),
+                        "node": j.column("dst"),
+                        payload: j.column(payload),
+                    }
+                )
+
+            return ds.map_batches(bcast, batch_format="pyarrow")
+        # hash plan: scrub schema-less aggregate residue before Acero
+        dsne = _scrub_schemaless(ds)
+        if dsne is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"seed": pa.array([], pa.string()),
+                     "node": pa.array([], pa.string()),
+                     payload: pa.array([], pa.int64())}
+                )
+            )
+        return dsne.join(
+            edges, join_type="inner", num_partitions=nparts,
+            on=("node",), right_on=("src",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "seed": b.column("seed"),
+                    "node": b.column("dst"),
+                    payload: b.column(payload),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # ---- forward: levels[d] = (seed, node, sigma), materialized ----
+    lev0 = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(seeds, pa.string()),
+                "node": pa.array(seeds, pa.string()),
+                "sigma": pa.array([1] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+    levels = [lev0]
+    visited = lev0.map_batches(_packed, batch_format="pyarrow").select_columns(
+        ["sk"]
+    ).materialize()
+
+    for _h in range(1, max_hops + 1):
+        cand = (
+            expand(levels[-1], "sigma")
+            .groupby(["seed", "node"])
+            .aggregate(Sum("sigma", alias_name="sigma"))
+        )
+        new = broadcast_semi_join(
+            cand.map_batches(_packed, batch_format="pyarrow"),
+            visited, on="sk", right_on="sk", anti=True, limit=limit,
+        ).select_columns(["seed", "node", "sigma"]).materialize()
+        if new.count() == 0:
+            break
+        # sigma rides exact int64 sums; a path-count blowup past the
+        # float53 regime the backward division assumes fails LOUDLY
+        smax = int(new.max("sigma"))
+        if smax >= 2**53:
+            raise ValueError(
+                f"betweenness_dataset: path-count sigma={smax} exceeds "
+                "2^53 — shortest-path counts on this graph overflow the "
+                "dependency division's exact-float regime"
+            )
+        levels.append(new)
+        visited = visited.union(
+            new.map_batches(_packed, batch_format="pyarrow").select_columns(
+                ["sk"]
+            )
+        ).materialize()
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "betweenness_dataset: frontier still non-empty after "
+            "max_hops=%d — dependencies beyond that depth are dropped",
+            max_hops,
+        )
+
+    # ---- backward: dependency accumulation, deepest level first ----
+    def with_delta0(ds: Dataset) -> Dataset:
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "delta", pa.array(np.zeros(b.num_rows), pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    acc: Dataset | None = None  # (seed, node, delta) for levels >= 1
+    cur = with_delta0(levels[-1]).materialize()
+    for d in range(len(levels) - 2, -1, -1):
+        # cur is level d+1 (levels dmax..1 over the loop): accumulate
+        contrib = cur.select_columns(["seed", "node", "delta"])
+        acc = contrib if acc is None else acc.union(contrib)
+
+        def credit(batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch.column("sigma"), dtype=np.float64)
+            dl = np.asarray(batch.column("delta"), dtype=np.float64)
+            c = np.rint((1.0 + dl) / s * _BC_SCALE).astype(np.int64)
+            return pa.table(
+                {
+                    "seed": batch.column("seed"),
+                    "node": batch.column("node"),
+                    "c": pa.array(c, pa.int64()),
+                }
+            )
+
+        sums = _scrub_schemaless(
+            expand(cur.map_batches(credit, batch_format="pyarrow"), "c")
+            .groupby(["seed", "node"])
+            .aggregate(Sum("c", alias_name="csum"))
+            .map_batches(_packed, batch_format="pyarrow")
+            .select_columns(["sk", "csum"])
+        )
+        if sums is None:
+            sums = ray.data.from_arrow(
+                pa.table(
+                    {"sk": pa.array([], pa.string()),
+                     "csum": pa.array([], pa.int64())}
+                )
+            )
+        ld = levels[d].map_batches(_packed, batch_format="pyarrow")
+        small_sums = _collect_small(sums, limit)
+        if small_sums is not None:
+            sref = ray.put(small_sums.combine_chunks())
+
+            def attach(batch: pa.Table) -> pa.Table:
+                st = ray.get(sref)
+                j = batch.join(st, keys=["sk"], join_type="inner")
+                return j.select(["seed", "node", "sigma", "csum"])
+
+            joined = ld.map_batches(attach, batch_format="pyarrow")
+        else:
+            ldne = _scrub_schemaless(ld)
+            joined = (
+                ldne.join(
+                    sums, join_type="inner",
+                    num_partitions=nparts, on=("sk",),
+                ).select_columns(["seed", "node", "sigma", "csum"])
+                if ldne is not None
+                else ray.data.from_arrow(
+                    pa.table(
+                        {"seed": pa.array([], pa.string()),
+                         "node": pa.array([], pa.string()),
+                         "sigma": pa.array([], pa.int64()),
+                         "csum": pa.array([], pa.int64())}
+                    )
+                )
+            )
+
+        def to_delta(batch: pa.Table) -> pa.Table:
+            sg = np.asarray(batch.column("sigma"), dtype=np.float64)
+            cs = np.asarray(batch.column("csum"), dtype=np.float64)
+            return pa.table(
+                {
+                    "seed": batch.column("seed"),
+                    "node": batch.column("node"),
+                    "sigma": batch.column("sigma"),
+                    "delta": pa.array(sg * cs / _BC_SCALE, pa.float64()),
+                }
+            )
+
+        nxt = joined.map_batches(to_delta, batch_format="pyarrow")
+        # BFS-DAG leaves at level d (no successors) carry delta 0 but
+        # must still flow downward as (1+0)/sigma sources next round
+        got = nxt.select_columns(["seed", "node"]).map_batches(
+            _packed, batch_format="pyarrow"
+        ).select_columns(["sk"])
+        rest = with_delta0(
+            broadcast_semi_join(
+                levels[d].map_batches(_packed, batch_format="pyarrow"),
+                got, on="sk", right_on="sk", anti=True, limit=limit,
+            ).select_columns(["seed", "node", "sigma"])
+        )
+        cur = nxt.union(rest).materialize()
+
+    # level 0 rows are each seed itself — dependency not accumulated
+    if acc is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def fixed(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("delta"), dtype=np.float64)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "dfp": pa.array(
+                    np.rint(d * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    total = (
+        acc.map_batches(fixed, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("dfp", alias_name="dfp"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("dfp"), dtype=np.float64) / 1_000_000.0
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "betweenness": pa.array(np.round(v / 2.0, 6), pa.float64()),
+            }
+        )
+
+    return total.map_batches(finalize, batch_format="pyarrow").sort("node")
+
+
+def ego_subgraph_dataset(
+    triples: Dataset,
+    seeds: "list[str] | None" = None,
+    n_seeds: int = 3,
+    hops: int = 2,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """k-hop ego network of a seed set: every aggregated triple whose
+    BOTH endpoints lie within ``hops`` of the seeds (undirected
+    reachability) — the "show me the neighborhood of these entities"
+    query, and the standard subgraph-sampling primitive for GNN-style
+    training.
+
+    Shape: one multi-source BFS (``bfs_hops_dataset`` machinery —
+    per-round semi joins, never node-sized on the driver) to get the
+    member set, then TWO packed-key SEMI joins of the triple table
+    against it (subj then obj) — broadcast while the member set fits
+    the row budget, hash join past it.  The triple payload streams;
+    only (node) keys ride the membership exchange.
+
+    Output: (subj, pred, obj, weight) of the induced subgraph,
+    sorted."""
+    from renard_ray.ops.relational import broadcast_semi_join
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+    members = bfs_hops_dataset(
+        triples, seeds=seeds, n_seeds=n_seeds, max_hops=hops,
+        broadcast_limit=limit,
+    ).select_columns(["node"]).materialize()
+    out_schema = pa.schema(
+        [
+            ("subj", pa.string()), ("pred", pa.string()),
+            ("obj", pa.string()), ("weight", pa.float64()),
+        ]
+    )
+    if members.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    kept = broadcast_semi_join(
+        triples.select_columns(["subj", "pred", "obj", "weight"]),
+        members, on="subj", right_on="node", limit=limit,
+    )
+    kept = broadcast_semi_join(
+        kept, members, on="obj", right_on="node", limit=limit,
+    )
+    return kept.sort(["subj", "pred", "obj"])
+
+
+def shortest_path_dataset(
+    triples: Dataset,
+    src: str,
+    dst: str,
+    max_hops: int = 25,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """ONE shortest path between two entities (undirected, unweighted
+    BFS) with deterministic tie-breaks: when several predecessors
+    reach a node in the same round, the lexicographically smallest
+    parent wins (one ``groupby(node).min(parent)`` — exact, partition-
+    independent).
+
+    Forward: the standard per-round frontier expansion (size-adaptive
+    adjacency join + groupby + packed... ANTI vs visited), keeping one
+    small (node, parent) Dataset PER LEVEL; stops as soon as ``dst``
+    appears.  Backtrack: <= path-length driver steps, each a filter of
+    one level table for a single node — the driver only ever holds the
+    path itself.
+
+    Output: (step, node) from src (step 0) to dst, or an EMPTY table
+    when dst is unreachable within ``max_hops``."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import (
+        _collect_small,
+        _join_parts_bytes,
+        _scrub_schemaless,
+        broadcast_semi_join,
+    )
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+    out_schema = pa.schema([("step", pa.int64()), ("node", pa.string())])
+    if src == dst:
+        return ray.data.from_arrow(
+            pa.table({"step": pa.array([0], pa.int64()),
+                      "node": pa.array([src], pa.string())})
+        )
+
+    edges = _distinct_adjacency(triples, directed=False)
+    if edges is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    edges = edges.materialize()
+
+    small_edges = _collect_small(edges, limit)
+    edges_ref = (
+        ray.put(small_edges.combine_chunks())
+        if small_edges is not None
+        else None
+    )
+    nparts = max(2, _join_parts_bytes(edges))
+
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array([src], pa.string())})
+    ).materialize()
+    visited = frontier
+    levels: list[Dataset] = []  # levels[i] = (node, parent) at hops i+1
+    found_at = -1
+
+    for h in range(1, max_hops + 1):
+        if edges_ref is not None:
+
+            def expand(batch: pa.Table) -> pa.Table:
+                et = ray.get(edges_ref)
+                j = batch.join(
+                    et, keys=["node"], right_keys=["src"], join_type="inner"
+                )
+                return pa.table(
+                    {"node": j.column("dst"), "parent": j.column("node")}
+                )
+
+            cand = frontier.map_batches(expand, batch_format="pyarrow")
+        else:
+            fne = _scrub_schemaless(frontier)
+            cand = (
+                fne.join(
+                    edges, join_type="inner", num_partitions=nparts,
+                    on=("node",), right_on=("src",),
+                ).map_batches(
+                    lambda b: pa.table(
+                        {"node": b.column("dst"), "parent": b.column("node")}
+                    ),
+                    batch_format="pyarrow",
+                )
+                if fne is not None
+                else ray.data.from_arrow(
+                    pa.table({"node": pa.array([], pa.string()),
+                              "parent": pa.array([], pa.string())})
+                )
+            )
+        picked = cand.groupby("node").aggregate(
+            Min("parent", alias_name="parent")
+        )
+        new = broadcast_semi_join(
+            picked, visited.select_columns(["node"]),
+            on="node", right_on="node", anti=True, limit=limit,
+        ).materialize()
+        if new.count() == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        levels.append(new)
+        hit = new.map_batches(
+            lambda b, _d=dst: b.filter(pc.equal(b.column("node"), _d)),
+            batch_format="pyarrow",
+        )
+        if hit.count() > 0:
+            found_at = h
+            break
+        visited = visited.union(new.select_columns(["node"])).materialize()
+        frontier = new.select_columns(["node"])
+    if found_at < 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # backtrack: <= path-length tiny filters, driver holds the path only
+    path = [dst]
+    cur = dst
+    for lvl in range(found_at - 1, -1, -1):
+        rows = levels[lvl].map_batches(
+            lambda b, _c=cur: b.filter(pc.equal(b.column("node"), _c)),
+            batch_format="pyarrow",
+        ).take_all()
+        cur = rows[0]["parent"]
+        path.append(cur)
+    path.reverse()
+    assert path[0] == src
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(list(range(len(path))), pa.int64()),
+                "node": pa.array(path, pa.string()),
+            }
+        )
+    )
+
+
+def label_spreading_dataset(
+    triples: Dataset,
+    seed_labels: "list[tuple[str, str]]",
+    max_rounds: int = 15,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Semi-supervised label propagation from a SEED set (Zhu &
+    Ghahramani 2002 — public reference), the classification sibling of
+    the community-detection LP: seeds are CLAMPED, every other node
+    synchronously takes the weighted-majority label of its labeled
+    neighbors each round (edge weights as exact centi-integers; ties
+    broken lexicographically on the label), until no label changes or
+    ``max_rounds``.
+
+    Per round: ONE adjacency⋈labels hash/broadcast join, ONE
+    ``groupby(dst, label).sum`` of int64 centi-weights, ONE
+    ``groupby(dst).min`` over the packed (inverted-weight, label) key
+    (the repo's deterministic argmax encoding), a seed-clamp ANTI
+    join, and ONE packed-key ANTI join for change detection — driver
+    state is a changed-row count per round.
+
+    Output: (node, label, hops-free) — every node that acquired a
+    label; unreachable nodes are absent."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import (
+        _collect_small,
+        _join_parts_bytes,
+        _scrub_schemaless,
+        broadcast_semi_join,
+    )
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+    out_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+    if not seed_labels:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # weighted both-direction adjacency with exact centi-weights
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        w = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch.column("weight"), pa.float64()), 100.0)
+            ),
+            pa.int64(),
+        ).combine_chunks()
+        t = pa.table(
+            {
+                "src": pa.concat_arrays([s, o]),
+                "dst": pa.concat_arrays([o, s]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+        return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+
+    edges = (
+        triples.select_columns(["subj", "obj", "weight"])
+        .map_batches(both, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()
+    )
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(
+                        [n for n, _l in sorted(set(seed_labels))], pa.string()
+                    ),
+                    "label": pa.array(
+                        [l for _n, l in sorted(set(seed_labels))], pa.string()
+                    ),
+                }
+            )
+        )
+
+    seeds = sorted({n for n, _l in seed_labels})
+    seed_tab = pa.table(
+        {
+            "node": pa.array([n for n, _l in sorted(set(seed_labels))]),
+            "label": pa.array([l for _n, l in sorted(set(seed_labels))]),
+        }
+    )
+    seeds_ds = ray.data.from_arrow(seed_tab).materialize()
+
+    small_edges = _collect_small(edges, limit)
+    edges_ref = (
+        ray.put(small_edges.combine_chunks())
+        if small_edges is not None
+        else None
+    )
+    nparts = max(2, _join_parts_bytes(edges))
+
+    def argmax_label(batch: pa.Table) -> pa.Table:
+        """Pack (inverted weight, label) so groupby-Min = (max weight,
+        then lexicographically smallest label)."""
+        w = np.asarray(batch.column("wsum"), dtype=np.int64)
+        assert (w < 10**16).all() and (w >= 0).all(), (
+            "label_spreading: weight sum outside the packed-key range"
+        )
+        inv = pc.utf8_lpad(
+            pc.cast(pa.array(10**16 - 1 - w, pa.int64()), pa.string()),
+            16, "0",
+        )
+        key = pc.binary_join_element_wise(inv, batch.column("label"), "\x1f")
+        return pa.table({"node": batch.column("dst"), "pk": key})
+
+    labels = seeds_ds
+    for _round in range(max_rounds):
+        lab = labels
+        if edges_ref is not None:
+
+            def msg(batch: pa.Table) -> pa.Table:
+                et = ray.get(edges_ref)
+                j = batch.join(
+                    et, keys=["node"], right_keys=["src"], join_type="inner"
+                )
+                return pa.table(
+                    {
+                        "dst": j.column("dst"),
+                        "label": j.column("label"),
+                        "w": j.column("w"),
+                    }
+                )
+
+            msgs = lab.map_batches(msg, batch_format="pyarrow")
+        else:
+            lne = _scrub_schemaless(lab)
+            msgs = (
+                lne.join(
+                    edges, join_type="inner", num_partitions=nparts,
+                    on=("node",), right_on=("src",),
+                ).map_batches(
+                    lambda b: pa.table(
+                        {
+                            "dst": b.column("dst"),
+                            "label": b.column("label"),
+                            "w": b.column("w"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                if lne is not None
+                else ray.data.from_arrow(
+                    pa.table(
+                        {"dst": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string()),
+                         "w": pa.array([], pa.int64())}
+                    )
+                )
+            )
+        best = (
+            msgs.groupby(["dst", "label"])
+            .aggregate(Sum("w", alias_name="wsum"))
+            .map_batches(argmax_label, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("pk", alias_name="pk"))
+        )
+
+        def decode(batch: pa.Table) -> pa.Table:
+            lab_arr = pc.utf8_slice_codeunits(
+                batch.column("pk"), 17, 2**31 - 1
+            )
+            return pa.table({"node": batch.column("node"), "label": lab_arr})
+
+        prop = best.map_batches(decode, batch_format="pyarrow")
+        # seeds stay clamped: drop propagated rows for seed nodes
+        prop = broadcast_semi_join(
+            prop, seeds_ds.select_columns(["node"]),
+            on="node", right_on="node", anti=True, limit=limit,
+        )
+        new_labels = seeds_ds.union(prop).materialize()
+
+        # change detection: any (node, label) in new not in old?
+        def packed_nl(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": pc.binary_join_element_wise(
+                        batch.column("node"), batch.column("label"), "\x1f"
+                    )
+                }
+            )
+
+        changed = broadcast_semi_join(
+            new_labels.map_batches(packed_nl, batch_format="pyarrow"),
+            labels.map_batches(packed_nl, batch_format="pyarrow"),
+            on="k", right_on="k", anti=True, limit=limit,
+        ).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "label_spreading_dataset: labels not stable after "
+            "max_rounds=%d (synchronous LP can oscillate) — returning "
+            "the last assignment",
+            max_rounds,
+        )
+    return labels.sort(["node"])

@@ -619,3 +619,148 @@ def link_prediction_bruteforce(
                 out[(u, v)] = (len(common), aa, jac)  # u < v lexicographically
     ranked = sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))
     return [(a, b, c, aa, j) for (a, b), (c, aa, j) in ranked[:k]]
+
+
+def ktruss_dataset(
+    triples: Dataset,
+    k: int = 4,
+    *,
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+) -> Dataset:
+    """k-truss subgraph (Cohen 2008 — public reference): the maximal
+    subgraph in which every edge lies on at least ``k-2`` triangles of
+    the SUBGRAPH.  The standard iterative peel — compute per-edge
+    triangle support, drop under-supported edges, repeat on the
+    shrunken graph until no edge is dropped — with every round built
+    from the existing degree-oriented wedge machinery:
+
+    - support: each closed wedge fans to its THREE normalized edge
+      keys with a per-batch combine, then ONE ``groupby(key).sum`` —
+      the same bounded exchange as the triangle count;
+    - peel: one packed-key SEMI join of the edge list against the
+      ``support >= k-2`` key set (size-adaptive broadcast/hash);
+    - the surviving (lo, hi) table re-enters ``_closed_wedges`` as a
+      (subj, obj) triple table — degrees/orientation recompute on the
+      shrunken graph, as the algorithm requires.
+
+    Driver state: one edge-count scalar per round.  Rounds are
+    data-dependent (the peel cascade depth), bounded by
+    ``max_rounds`` with a loud warning on truncation.
+
+    Output: (src, dst, support) for the k-truss edges, sorted —
+    support measured IN the final subgraph."""
+    assert k >= 3, "k-truss is defined for k >= 3"
+    limit = _EDGE_LIMIT if broadcast_limit is None else broadcast_limit
+
+    out_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("support", pa.int64())]
+    )
+
+    def tri_edge_keys(batch: pa.Table) -> pa.Table:
+        """Fan each triangle to its three normalized edge keys, with a
+        per-batch combine (dense subgraphs repeat keys a lot)."""
+        p = batch.column("pivot").combine_chunks()
+        a = batch.column("wa").combine_chunks()
+        b = batch.column("wb").combine_chunks()
+        los, his = [], []
+        for x, y in ((p, a), (p, b), (a, b)):
+            lo = pc.min_element_wise(x, y)
+            hi = pc.max_element_wise(x, y)
+            if isinstance(lo, pa.ChunkedArray):
+                lo = lo.combine_chunks()
+            if isinstance(hi, pa.ChunkedArray):
+                hi = hi.combine_chunks()
+            los.append(lo)
+            his.append(hi)
+        t = pa.table(
+            {
+                "key": _pack(
+                    pa.concat_arrays(los), pa.concat_arrays(his)
+                ),
+            }
+        )
+        t = t.append_column(
+            "n", pa.array([1] * t.num_rows, pa.int64())
+        )
+        return (
+            t.group_by(["key"]).aggregate([("n", "sum")])
+            .rename_columns(["key", "n"])
+        )
+
+    cur = triples
+    n_prev = -1
+    for _round in range(max_rounds):
+        edges, _deg, closed, n_edges = _closed_wedges(
+            cur, broadcast_limit=broadcast_limit,
+            num_partitions=num_partitions,
+        )
+        if n_edges == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        supp = (
+            closed.map_batches(tri_edge_keys, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("n", alias_name="support"))
+            .materialize()
+        )
+        if supp.count() == 0:  # no triangles at all: nothing survives
+            return ray.data.from_arrow(out_schema.empty_table())
+        enough = supp.filter(expr=f"support >= {k - 2}").select_columns(
+            ["key", "support"]
+        )
+        packed = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("lo"),
+                    "dst": b.column("hi"),
+                    "key": _pack(b.column("lo"), b.column("hi")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        from .relational import broadcast_lookup_join as _lkp
+
+        survivors = _lkp(
+            packed, enough, on="key", right_on="key",
+            payload=["support"], limit=limit,
+        ).materialize()
+        n_new = survivors.count()
+        if n_new == n_edges:
+            # fixpoint: every remaining edge has enough support
+            return survivors.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b.column("src"),
+                        "dst": b.column("dst"),
+                        "support": b.column("support"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sort(["src", "dst"])
+        if n_new == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        n_prev = n_new
+        cur = survivors.map_batches(
+            lambda b: pa.table(
+                {"subj": b.column("src"), "obj": b.column("dst")}
+            ),
+            batch_format="pyarrow",
+        )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "ktruss_dataset: peel not at fixpoint after max_rounds=%d "
+        "(last edge count %d) — returning the truncated peel",
+        max_rounds, n_prev,
+    )
+    return survivors.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "support": b.column("support"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["src", "dst"])

@@ -3177,3 +3177,577 @@ def test_dsir_weights_replica_and_planted_signal(ray_session, tmp_path):
     marked_min = tr.loc[marked_train, "logweight"].min()
     unmarked = tr.drop(index=marked_train)
     assert marked_min > unmarked["logweight"].max()
+
+
+def test_betweenness_matches_brandes_oracle(ray_session):
+    """Source-sampled betweenness == a pure-python Brandes replica
+    restricted to the same seed set, on a seeded random graph, on both
+    adjacency plans (broadcast and forced hash-join), plus a known
+    path graph and the default top-degree seed rule."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import betweenness_dataset
+
+    def triples(edges, parts=4):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(parts)
+
+    def brandes(adj, sources):
+        bc = {v: 0.0 for v in adj}
+        for s in sources:
+            if s not in adj:
+                continue
+            dist, sigma, preds, order = {s: 0}, {s: 1.0}, {s: []}, [s]
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                for w in sorted(adj[v]):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0.0
+                        preds[w] = []
+                        q.append(w)
+                        order.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = {v: 0.0 for v in order}
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return {v: b / 2.0 for v, b in bc.items()}
+
+    # path graph, all nodes as seeds: the textbook exact values
+    path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+    want = brandes(
+        {f"p{i}": {f"p{j}" for j in (i - 1, i + 1) if 0 <= j <= 5}
+         for i in range(6)},
+        [f"p{i}" for i in range(6)],
+    )
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_dataset(
+            triples(path, 2), seeds=[f"p{i}" for i in range(6)]
+        ).take_all()
+    }
+    # interior of a 6-path: exact 4, 6, 6, 4 (pairs through each node)
+    assert got["p1"] == pytest.approx(4.0, abs=1e-5)
+    assert got["p2"] == pytest.approx(6.0, abs=1e-5)
+    for n, v in want.items():
+        assert got.get(n, 0.0) == pytest.approx(v, abs=1e-4), n
+
+    # seeded random graph, sampled seeds, both join plans
+    rng = np.random.RandomState(11)
+    nodes = [f"n{i:02d}" for i in range(26)]
+    edges = set()
+    for _ in range(60):
+        a, b = rng.randint(0, 26, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = ["n00", "n03", "n07", "n19"]
+    want = brandes(adj, seeds)
+
+    for bl in (None, 0):  # broadcast plan / forced hash-join plan
+        res = betweenness_dataset(
+            triples(edges, 5), seeds=seeds, broadcast_limit=bl
+        ).take_all()
+        got = {r["node"]: r["betweenness"] for r in res}
+        for n in got:
+            assert got[n] == pytest.approx(want.get(n, 0.0), abs=1e-4), (bl, n)
+        # every node with non-zero oracle dependency must be present
+        for n, v in want.items():
+            if v > 1e-9:
+                assert n in got, (bl, n)
+
+    # default seed rule runs end-to-end and emits plausible rows
+    d = betweenness_dataset(triples(edges, 3), n_seeds=3).take_all()
+    assert len(d) > 0 and all(r["betweenness"] >= 0.0 for r in d)
+
+
+def test_neighborhood_function_matches_exact_bfs(ray_session):
+    """HyperANF sparse-register N(t) tracks the exact BFS
+    neighborhood function within HLL error, reaches the register
+    fixpoint at the true diameter, and is byte-deterministic across
+    partitionings."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.anf import neighborhood_function_dataset
+
+    def triples(edges, parts):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(parts)
+
+    def exact_nf(adj):
+        """N(t) for t = 0..diameter via BFS from every node."""
+        balls = []
+        for s in adj:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            balls.append(dist)
+        dmax = max(max(d.values()) for d in balls)
+        return [
+            sum(sum(1 for x in d.values() if x <= t) for d in balls)
+            for t in range(dmax + 1)
+        ]
+
+    # path graph: diameter 8, known exact series
+    pedges = [(f"p{i}", f"p{i+1}") for i in range(8)]
+    padj = {
+        f"p{i}": {f"p{j}" for j in (i - 1, i + 1) if 0 <= j <= 8}
+        for i in range(9)
+    }
+    want = exact_nf(padj)
+    out = neighborhood_function_dataset(
+        triples(pedges, 2), p=10, max_hops=20
+    ).to_pandas()
+    assert out.hops.tolist() == list(range(len(want)))  # fixpoint at diameter
+    for t, w in enumerate(want):
+        got = out.est_pairs.iloc[t]
+        assert abs(got - w) / w < 0.06, (t, got, w)
+    assert (np.diff(out.est_pairs.to_numpy()) >= 0).all()
+    assert out.frac_of_final.iloc[-1] == pytest.approx(1.0)
+    # effective diameter: first t with exact frac >= 0.9 is 6 on P9
+    exact_eff = next(
+        t for t, v in enumerate(want) if v >= 0.9 * want[-1]
+    )
+    assert abs(int(out.effective_diameter.iloc[0]) - exact_eff) <= 1
+
+    # seeded random graph + partitioning determinism
+    rng = np.random.RandomState(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = set()
+    for _ in range(40):
+        a, b = rng.randint(0, 24, 2)
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges = sorted(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = exact_nf(adj)
+
+    # one run per (partitioning, join plan) pair: byte-equality covers
+    # determinism across BOTH axes at once
+    df = neighborhood_function_dataset(
+        triples(edges, 3), p=10, max_hops=20
+    ).to_pandas()
+    df_hash = neighborhood_function_dataset(
+        triples(edges, 7), p=10, max_hops=20, broadcast_limit=0
+    ).to_pandas()
+    assert df_hash.equals(df)
+    assert len(df) == len(want)
+    for t, w in enumerate(want):
+        assert abs(df.est_pairs.iloc[t] - w) / w < 0.08, (t, w)
+
+
+def test_ktruss_matches_peeling_oracle(ray_session):
+    """Distributed k-truss peel == a python peeling replica: a planted
+    5-clique + 4-clique + triangle chain + tails, at k=3/4/5, on both
+    join plans; supports reported in the FINAL subgraph."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.triangles import ktruss_dataset
+
+    def peel(edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            supp = {
+                (a, b): len(adj[a] & adj[b]) for a, b in es
+            }
+            drop = {e for e, s in supp.items() if s < k - 2}
+            if not drop:
+                return {e: supp[e] for e in es}
+            es -= drop
+            if not es:
+                return {}
+
+    # 5-clique (in the 5-truss), 4-clique sharing one node, a chain of
+    # triangles (3-truss only), and tree tails (no truss)
+    c5 = [f"a{i}" for i in range(5)]
+    c4 = ["a0", "b1", "b2", "b3"]
+    edges = [
+        (c5[i], c5[j]) for i in range(5) for j in range(i + 1, 5)
+    ] + [
+        (c4[i], c4[j]) for i in range(4) for j in range(i + 1, 4)
+    ] + [
+        ("b3", "t0"), ("t0", "t1"), ("t1", "b3"),   # triangle chain
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),
+        ("t3", "x0"), ("x0", "x1"),                 # tail
+    ]
+    rng = np.random.RandomState(3)
+    nodes = [f"r{i}" for i in range(14)]
+    for _ in range(24):
+        a, b = rng.randint(0, 14, 2)
+        if a != b:
+            edges.append((nodes[min(a, b)], nodes[max(a, b)]))
+
+    def triples(parts):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(parts)
+
+    for k in (3, 4, 5):
+        want = peel(edges, k)
+        for bl in (None, 0):
+            got = {
+                (r["src"], r["dst"]): r["support"]
+                for r in ktruss_dataset(
+                    triples(4), k=k, broadcast_limit=bl
+                ).take_all()
+            }
+            assert got == want, (k, bl)
+    # sanity: the 5-truss is exactly the 5-clique
+    want5 = peel(edges, 5)
+    assert set().union(*[set(e) for e in want5]) == set(c5)
+
+
+def test_quality_classifier_train_apply(ray_session):
+    """fastText-style linear classifier: trains on the deterministic
+    reservoir sample, separates a planted two-vocabulary corpus on
+    held-out docs, and the distributed actor-pool scores match the
+    python replica exactly, independent of partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.quality_clf import (
+        score_quality,
+        score_quality_replica,
+        train_quality_classifier,
+    )
+
+    rng = np.random.RandomState(17)
+    good_vocab = ["science", "method", "careful", "study", "theory",
+                  "result", "measured", "evidence", "precise", "model"]
+    spam_vocab = ["buy", "click", "free", "winner", "casino",
+                  "cheap", "pills", "offer", "prize", "urgent"]
+
+    def make(n, vocab, start):
+        rows = []
+        for i in range(n):
+            words = [vocab[j] for j in rng.randint(0, len(vocab), 12)]
+            rows.append(
+                {"doc_id": start + i, "text": " ".join(words)}
+            )
+        return rows
+
+    train_rows = [
+        {**r, "label": 1} for r in make(120, good_vocab, 0)
+    ] + [{**r, "label": 0} for r in make(120, spam_vocab, 1000)]
+    test_rows = make(40, good_vocab, 5000) + make(40, spam_vocab, 6000)
+    want_label = [1] * 40 + [0] * 40
+
+    train_ds = _ray.data.from_items(train_rows).repartition(5)
+    model = train_quality_classifier(
+        train_ds, label_col="label", sample_n=200, seed=3, n_buckets=4096
+    )
+
+    dfs = []
+    for parts in (3, 7):
+        test_ds = _ray.data.from_items(test_rows).repartition(parts)
+        df = (
+            score_quality(test_ds, model, keep_cols=("doc_id",))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        dfs.append(df)
+    assert dfs[0].equals(dfs[1])  # partitioning-independent
+    df = dfs[0]
+
+    # exact parity with the python replica
+    by_id = {r["doc_id"]: r["text"] for r in test_rows}
+    for _, row in df.iterrows():
+        want = round(score_quality_replica(by_id[row.doc_id], model), 6)
+        assert row.q_score == pytest.approx(want, abs=1e-9)
+
+    # the planted task is separable: held-out accuracy >= 95%
+    pred = (df.q_score > 0.5).astype(int).to_numpy()
+    acc = (pred == np.array(want_label)).mean()
+    assert acc >= 0.95, acc
+    # training is deterministic: same corpus + seed => same weights
+    model2 = train_quality_classifier(
+        _ray.data.from_items(train_rows).repartition(9),
+        label_col="label", sample_n=200, seed=3, n_buckets=4096,
+    )
+    assert model2["b"] == model["b"]
+    assert np.array_equal(model2["w"], model["w"])
+
+
+def test_ego_subgraph_matches_bfs_oracle(ray_session):
+    """k-hop ego network == the python-BFS induced subgraph, on both
+    membership plans, including an unreachable component that must be
+    absent."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import ego_subgraph_dataset
+
+    rng = np.random.RandomState(9)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = set()
+    for _ in range(40):
+        a, b = rng.randint(0, 20, 2)  # n20..n23 form a separate island
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges |= {("n20", "n21"), ("n21", "n22"), ("n22", "n23")}
+    edges = sorted(edges)
+
+    t = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, b in edges]),
+                "pred": pa.array(["e"] * len(edges)),
+                "obj": pa.array([b for a, b in edges]),
+                "weight": pa.array([1.0] * len(edges)),
+            }
+        )
+    ).repartition(4)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def oracle(seeds, hops):
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] >= hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        mem = set(dist)
+        return sorted(
+            (a, "e", b, 1.0) for a, b in edges if a in mem and b in mem
+        )
+
+    for seeds, hops in ((["n00"], 1), (["n00", "n05"], 2)):
+        want = oracle(seeds, hops)
+        for bl in (None, 0):
+            got = [
+                (r["subj"], r["pred"], r["obj"], r["weight"])
+                for r in ego_subgraph_dataset(
+                    t, seeds=seeds, hops=hops, broadcast_limit=bl
+                ).take_all()
+            ]
+            assert got == want, (seeds, hops, bl)
+            # island edges never leak in
+            assert all(not s.startswith("n2") for s, _, o, _ in got)
+
+
+def test_shortest_path_matches_bfs_oracle(ray_session):
+    """Shortest-path extraction == a python BFS replica with the same
+    min-parent tie-break, on both plans, plus the unreachable and
+    src==dst degenerates."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import shortest_path_dataset
+
+    rng = np.random.RandomState(21)
+    nodes = [f"n{i:02d}" for i in range(22)]
+    edges = set()
+    for _ in range(34):
+        a, b = rng.randint(0, 20, 2)  # n20/n21 isolated pair
+        if a != b:
+            edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    edges.add(("n20", "n21"))
+    edges = sorted(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def t(parts):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(parts)
+
+    def oracle(src, dst):
+        if src == dst:
+            return [src]
+        parent, dist = {src: None}, {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in sorted(adj.get(u, ())):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    parent[v] = u
+                    q.append(v)
+                elif dist[v] == dist[u] + 1 and u < parent.get(v, "￿"):
+                    parent[v] = u  # min-parent tie-break
+        if dst not in dist:
+            return None
+        path = [dst]
+        while parent[path[-1]] is not None:
+            path.append(parent[path[-1]])
+        return path[::-1]
+
+    cases = [("n00", "n13"), ("n05", "n19"), ("n00", "n21"), ("n07", "n07")]
+    for s, d in cases:
+        want = oracle(s, d)
+        for bl in (None, 0):
+            got = [
+                r["node"]
+                for r in shortest_path_dataset(
+                    t(4), s, d, broadcast_limit=bl
+                ).sort("step").take_all()
+            ]
+            if want is None:
+                assert got == [], (s, d, bl)
+            else:
+                assert got == want, (s, d, bl, got, want)
+
+
+def test_label_spreading_matches_replica(ray_session):
+    """Seeded label propagation == a python replica of the same
+    synchronous weighted-majority update (min-label ties, clamped
+    seeds), on both plans, over two planted communities with a weak
+    bridge; seeds stay clamped even when the majority disagrees."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import label_spreading_dataset
+
+    # two dense clusters bridged weakly; seeds one per cluster
+    edges = []
+    ca = [f"a{i}" for i in range(6)]
+    cb = [f"b{i}" for i in range(6)]
+    for grp, w in ((ca, 3.0), (cb, 2.0)):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((grp[i], grp[j], w))
+    edges.append(("a0", "b0", 0.25))
+    edges.append(("b5", "c0", 1.0))  # tail off cluster B
+
+    t = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, b, w in edges]),
+                "pred": pa.array(["e"] * len(edges)),
+                "obj": pa.array([b for a, b, w in edges]),
+                "weight": pa.array([w for a, b, w in edges]),
+            }
+        )
+    ).repartition(3)
+
+    seeds = [("a1", "alpha"), ("b1", "beta")]
+
+    def replica(max_rounds=15):
+        adj = {}
+        for a, b, w in edges:
+            wc = int(round(w * 100))
+            adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + wc
+            adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + wc
+        lab = dict(seeds)
+        clamp = {n for n, _ in seeds}
+        for _ in range(max_rounds):
+            new = dict(seeds)
+            # every node with a labeled neighbor takes weighted majority
+            for v in adj:
+                if v in clamp:
+                    continue
+                tally = {}
+                for u, w in adj[v].items():
+                    if u in lab:
+                        tally[lab[u]] = tally.get(lab[u], 0) + w
+                if tally:
+                    best = max(tally.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+                    # max weight, then lexicographically smallest label
+                    mx = max(tally.values())
+                    best = min(l for l, w in tally.items() if w == mx)
+                    new[v] = best
+            if new == lab:
+                return lab
+            lab = new
+        return lab
+
+    want = dict(sorted(replica().items()))
+    for bl in (None, 0):
+        got = {
+            r["node"]: r["label"]
+            for r in label_spreading_dataset(
+                t, seeds, broadcast_limit=bl
+            ).take_all()
+        }
+        assert got == want, (bl, got, want)
+    # cluster A all alpha, cluster B all beta, tail follows B
+    assert all(want[n] == "alpha" for n in ca)
+    assert all(want[n] == "beta" for n in cb + ["c0"])
