@@ -640,6 +640,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ego_subgraph_dataset(kg_triples(sf_dir), n_seeds=1, hops=2)
 
+    def doc_textrank_keywords(sf_dir: str):
+        """Top-3 TextRank keywords per document: per-doc PageRank on
+        the sliding-window co-occurrence graph — ONE stateless
+        map_batches pass, no shuffle (independent-PageRank-oracle
+        pytest; rows-only — iterative)."""
+        import ray as _ray
+
+        from renard_ray.ops.textrank import textrank_keywords
+
+        docs = _ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return textrank_keywords(docs, topk=3).sort(["doc_id", "rank"])
+
     def doc_quality_classifier(sf_dir: str):
         """fastText-style linear quality classifier (CCNet-shape):
         train driver-side on the md5-priority reservoir sample with
@@ -986,6 +1000,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fastText-style quality classifier: train-on-sample,
         # actor-pool apply (replica-parity pytest; rows-only)
         "doc_quality_classifier": doc_quality_classifier,
+        # per-doc TextRank keywords (one stateless batch pass;
+        # independent-PageRank pytest; rows-only)
+        "doc_textrank_keywords": doc_textrank_keywords,
         # k-hop ego network (BFS membership + two SEMI joins;
         # BFS-oracle pytest on both plans; rows-only)
         "kg_ego_subgraph": kg_ego_subgraph,

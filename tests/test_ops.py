@@ -3751,3 +3751,88 @@ def test_label_spreading_matches_replica(ray_session):
     # cluster A all alpha, cluster B all beta, tail follows B
     assert all(want[n] == "alpha" for n in ca)
     assert all(want[n] == "beta" for n in cb + ["c0"])
+
+
+def test_textrank_keywords(ray_session):
+    """Per-doc TextRank == the shared replica AND an independent
+    pure-python PageRank over the same co-occurrence graph; hub words
+    outrank peripheral ones; truncation and empty docs degrade
+    cleanly; partitioning-independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.textrank import (
+        textrank_keywords,
+        textrank_keywords_replica,
+    )
+
+    def indep_pagerank(text, window=4, iters=30, d=0.85):
+        import re as _re
+
+        toks = _re.findall(r"[a-z][a-z']{2,}", text.lower())
+        vocab = list(dict.fromkeys(toks))
+        idx = {w: i for i, w in enumerate(vocab)}
+        n = len(vocab)
+        W = [[0.0] * n for _ in range(n)]
+        for off in range(1, window + 1):
+            for i in range(len(toks) - off):
+                a, b = idx[toks[i]], idx[toks[i + off]]
+                if a != b:
+                    W[a][b] += 1.0
+                    W[b][a] += 1.0
+        out = [sum(row[j] for row in W) for j in range(n)]
+        p = [1.0 / n] * n
+        for _ in range(iters):
+            p = [
+                (1 - d) / n
+                + d * sum(
+                    W[i][j] * p[j] / out[j] if out[j] else 0.0
+                    for j in range(n)
+                )
+                for i in range(n)
+            ]
+        return {vocab[i]: p[i] for i in range(n)}
+
+    # a hub word co-occurring with everything
+    text = (
+        "galaxy stars orbit galaxy planets orbit galaxy dust cloud "
+        "galaxy nebula stars cloud planets nebula orbit dust"
+    )
+    rep = textrank_keywords_replica(text, topk=5)
+    ind = indep_pagerank(text)
+    top_ind = sorted(ind.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [w for w, _ in rep] == [w for w, _ in top_ind]
+    for (w1, s1), (w2, s2) in zip(rep, top_ind):
+        # replica rounds to 8 digits
+        assert s1 == pytest.approx(s2, abs=1e-7), (w1, w2)
+    assert rep[0][0] == "galaxy"
+
+    rows = [
+        {"doc_id": 1, "text": text},
+        {"doc_id": 2, "text": "alpha beta alpha beta alpha gamma"},
+        {"doc_id": 3, "text": ""},          # empty: no rows
+        {"doc_id": 4, "text": "xy zz"},     # no >=3-letter words
+    ]
+    for parts in (1, 3):
+        ds = _ray.data.from_items(rows).repartition(parts)
+        got = textrank_keywords(ds, topk=5).to_pandas().sort_values(
+            ["doc_id", "rank"]
+        ).reset_index(drop=True)
+        assert set(got.doc_id) == {1, 2}
+        g1 = got[got.doc_id == 1]
+        assert g1.keyword.tolist() == [w for w, _ in rep]
+        assert [round(s, 8) for s in g1.score] == [s for _, s in rep]
+        assert got[got.doc_id == 2].iloc[0].keyword == "alpha"
+
+    # truncation cap degrades cleanly (still returns topk rows)
+    import itertools
+
+    big = " ".join(
+        "".join(c) for c in itertools.islice(
+            itertools.product("abcdefghij", repeat=3), 900
+        )
+    )
+    small_cap = textrank_keywords_replica(big, topk=3, max_vocab=100)
+    assert len(small_cap) == 3
