@@ -640,6 +640,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ego_subgraph_dataset(kg_triples(sf_dir), n_seeds=1, hops=2)
 
+    def doc_chunk_windows(sf_dir: str):
+        """Sliding-window chunking (32-token windows, 8-token
+        overlap): the RAG/long-context preprocessing flat-map — one
+        stateless batch pass, no shuffle; exact DuckDB oracle (the
+        whitespace tokenizer and ' '-joins are byte-reproducible in
+        SQL)."""
+        import ray as _ray
+
+        from renard_ray.ops.chunking import chunk_documents
+
+        docs = _ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return chunk_documents(docs, chunk_tokens=32, overlap=8).sort(
+            ["doc_id", "chunk_idx"]
+        )
+
     def doc_textrank_keywords(sf_dir: str):
         """Top-3 TextRank keywords per document: per-doc PageRank on
         the sliding-window co-occurrence graph — ONE stateless
@@ -1003,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc TextRank keywords (one stateless batch pass;
         # independent-PageRank pytest; rows-only)
         "doc_textrank_keywords": doc_textrank_keywords,
+        # sliding-window chunking (stateless flat-map; exact DuckDB
+        # oracle — byte-identical chunk text)
+        "doc_chunk_windows": doc_chunk_windows,
         # k-hop ego network (BFS membership + two SEMI joins;
         # BFS-oracle pytest on both plans; rows-only)
         "kg_ego_subgraph": kg_ego_subgraph,
@@ -1265,6 +1285,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand, p_partkey, CAST(rnk AS BIGINT) AS rank, price_cents
             FROM r WHERE rnk <= 3
+        """,
+        "doc_chunk_windows": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(text, '\s+'), x -> x <> ''
+                       ) AS tk
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id,
+                   CAST(s // 24 AS BIGINT) AS chunk_idx,
+                   CAST(least(32, n - s) AS BIGINT) AS n_tokens,
+                   array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text
+            FROM sized, UNNEST(generate_series(0, n - 1, 24)) AS u(s)
+            WHERE s = 0 OR s < n - 8
+            ORDER BY doc_id, chunk_idx
         """,
         "doc_word_topk": """
             WITH w AS (

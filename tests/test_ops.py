@@ -3836,3 +3836,55 @@ def test_textrank_keywords(ray_session):
     )
     small_cap = textrank_keywords_replica(big, topk=3, max_vocab=100)
     assert len(small_cap) == 3
+
+
+def test_chunk_documents(ray_session):
+    """Sliding-window chunking: window/overlap/tail semantics vs a
+    python replica, boundary cases (exact fit, shorter-than-window,
+    all-whitespace, tail inside overlap), partitioning-independent."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.chunking import chunk_documents
+
+    def replica(text, chunk, overlap):
+        toks = (text or "").split()
+        n, out, idx = len(toks), [], 0
+        if n == 0:
+            return out
+        for start in range(0, n, chunk - overlap):
+            w = toks[start : start + chunk]
+            out.append((idx, len(w), " ".join(w)))
+            idx += 1
+            if start + chunk >= n:
+                break
+        return out
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},   # multi
+        {"doc_id": 2, "text": " ".join(f"u{i}" for i in range(4))},    # exact fit
+        {"doc_id": 3, "text": "one two"},                              # short
+        {"doc_id": 4, "text": "   \n\t  "},                            # empty
+        {"doc_id": 5, "text": " ".join(f"v{i}" for i in range(5))},    # tail=1
+    ]
+    for parts in (1, 3):
+        ds = _ray.data.from_items(rows).repartition(parts)
+        got = (
+            chunk_documents(ds, chunk_tokens=4, overlap=1)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        assert 4 not in set(got.doc_id)
+        for r in rows:
+            want = replica(r["text"], 4, 1)
+            sub = got[got.doc_id == r["doc_id"]]
+            assert [
+                (a, b, c)
+                for a, b, c in zip(sub.chunk_idx, sub.n_tokens, sub.chunk_text)
+            ] == want, r["doc_id"]
+    # every consecutive pair overlaps by exactly `overlap` tokens
+    sub = got[got.doc_id == 1].chunk_text.tolist()
+    for a, b in zip(sub, sub[1:]):
+        assert a.split()[-1:] == b.split()[:1]
