@@ -706,6 +706,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             labeled, model, keep_cols=("doc_id", "label")
         ).sort("doc_id")
 
+    def kg_pmi_embedding(sf_dir: str):
+        """Composability demo with real semantics: spectral embedding
+        of the PMI-RESCORED co-occurrence graph (hub-dominated raw
+        weights replaced by association strength before the
+        eigensolve — the classic PMI->SVD word-embedding recipe,
+        Levy & Goldberg 2014) — pmi_dataset piped into
+        spectral_embedding_dataset unchanged.  Rows-only
+        (iterative)."""
+        import pyarrow as _pa
+
+        from renard_ray.ops.pmi import pmi_dataset
+        from renard_ray.ops.spectral import spectral_embedding_dataset
+
+        pmi = pmi_dataset(kg_triples(sf_dir), "subj", "obj", n_col="weight")
+
+        def as_triples(batch: _pa.Table) -> _pa.Table:
+            import numpy as _np
+
+            w = _np.asarray(
+                batch.column("pmi_ratio_ppm"), dtype=_np.float64
+            ) / 1e6
+            return _pa.table(
+                {
+                    "subj": batch.column("u"),
+                    "pred": _pa.array(["pmi"] * batch.num_rows),
+                    "obj": batch.column("v"),
+                    "weight": _pa.array(_np.maximum(w, 0.0)),
+                }
+            )
+
+        return spectral_embedding_dataset(
+            pmi.map_batches(as_triples, batch_format="pyarrow"),
+            dim=2, iters=15,
+        )
+
     def kg_ktruss(sf_dir: str):
         """4-truss subgraph of the KG: iterative support peel built
         from the degree-oriented wedge machinery (python-peeling
@@ -1014,6 +1049,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-truss subgraph via iterative support peel (peeling-oracle
         # pytest on both plans; rows-only)
         "kg_ktruss": kg_ktruss,
+        # PMI-rescored spectral embedding (pmi_dataset piped into
+        # spectral_embedding_dataset — the PMI->SVD recipe; rows-only)
+        "kg_pmi_embedding": kg_pmi_embedding,
         # fastText-style quality classifier: train-on-sample,
         # actor-pool apply (replica-parity pytest; rows-only)
         "doc_quality_classifier": doc_quality_classifier,
