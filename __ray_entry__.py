@@ -738,7 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spectral_embedding_dataset(
             pmi.map_batches(as_triples, batch_format="pyarrow"),
-            dim=2, iters=15,
+            dim=2, iters=15, tol=1e-4,
         )
 
     def kg_ktruss(sf_dir: str):
@@ -757,7 +757,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows-only — iterative eigensolve is non-SQL)."""
         from renard_ray.ops.spectral import spectral_embedding_dataset
 
-        return spectral_embedding_dataset(kg_triples(sf_dir), dim=2, iters=15)
+        return spectral_embedding_dataset(
+            kg_triples(sf_dir), dim=2, iters=15, tol=1e-4
+        )
 
     def kg_cumulative_final(sf_dir: str):
         """Final cumulative snapshot of the dynamic graph (reference

@@ -57,14 +57,26 @@ def spectral_embedding_dataset(
     dim: int = 4,
     iters: int = 25,
     num_partitions: int | None = None,
+    tol: float = 1e-7,
+    broadcast_limit: int = 5_000_000,
 ) -> Dataset:
     """Top-``dim`` eigenvector embedding of the undirected weighted
     co-occurrence adjacency.  Output: (node, x0..x{dim-1},
     lam0..lam{dim-1}) sorted by node — the lam columns carry the
     per-column |eigenvalue| estimates (constant per column; attached
-    to every row so downstream filters need no side channel)."""
+    to every row so downstream filters need no side channel).
+
+    Per round the distributed work is ONE edges⋈Y hash join + ONE
+    k-column fixed-point groupby + one materialize + the k×k Gram
+    reduce: the orthonormalization X = Y·R⁻¹ is FOLDED into the next
+    round's contribution map (R⁻¹ is k×k, applied per batch), so the
+    iterate X never materializes mid-loop.  ``tol``: stop early once
+    every |eigenvalue| estimate changes by less than ``tol`` relative
+    between consecutive rounds (the lam series is deterministic, so
+    the stop round — hence the output — stays partition-independent);
+    pass ``tol=0`` for exactly ``iters`` rounds."""
     from renard_ray.ops.graphstats import degree_dataset
-    from renard_ray.ops.relational import _join_parts_bytes
+    from renard_ray.ops.relational import _collect_small, _join_parts_bytes
 
     xcols = [f"x{j}" for j in range(dim)]
     ycols = [f"y{j}" for j in range(dim)]
@@ -112,10 +124,10 @@ def spectral_embedding_dataset(
         x = _init_x(names, dim)
         return pa.table(
             {"node": batch.column("node"),
-             **{c: pa.array(x[:, j]) for j, c in enumerate(xcols)}}
+             **{c: pa.array(x[:, j]) for j, c in enumerate(ycols)}}
         )
 
-    X = deg.select_columns(["node"]).map_batches(
+    cur = deg.select_columns(["node"]).map_batches(
         init_rows, batch_format="pyarrow"
     ).materialize()
 
@@ -155,15 +167,25 @@ def spectral_embedding_dataset(
         return g
 
     lam = np.zeros(dim)
+    rinv_prev = np.eye(dim)
     for it in range(iters):
-        # Y = A X: one hash join + one k-column fixed-point groupby
+        rprev_ref = ray.put(rinv_prev)
+
+        # Y = A·(Y_prev·R⁻¹): the orthonormalization rides the
+        # contribution map (k×k matmul per batch) — X never
+        # materializes mid-loop
         def contrib(batch: pa.Table) -> pa.Table:
+            ri = ray.get(rprev_ref)
             w = np.asarray(batch.column("w"), dtype=np.float64)
+            ym = np.stack(
+                [np.asarray(batch.column(c), dtype=np.float64) for c in ycols],
+                axis=1,
+            )
+            x = ym @ ri
             out = {"dst": batch.column("dst")}
-            for j, c in enumerate(xcols):
-                x = np.asarray(batch.column(c), dtype=np.float64)
+            for j in range(dim):
                 out[f"c{j}"] = pa.array(
-                    np.rint(w * x * scale).astype(np.int64), pa.int64()
+                    np.rint(w * x[:, j] * scale).astype(np.int64), pa.int64()
                 )
             t = pa.table(out)
             # map-side combine (hub dst keys repeat within a batch)
@@ -173,11 +195,29 @@ def spectral_embedding_dataset(
                 .rename_columns(["dst"] + [f"c{j}" for j in range(dim)])
             )
 
-        Ysum = (
-            ed.join(
-                X, join_type="inner", num_partitions=nparts,
+        # size-adaptive attach: the iterate is vocabulary-bounded
+        # (one row per node), so broadcast it while it fits the row
+        # budget — the per-round exchange is then ONLY the dst groupby;
+        # hash join past the budget (same plan family as the rest of
+        # the repo)
+        cur_small = _collect_small(cur, broadcast_limit)
+        if cur_small is not None:
+            cref = ray.put(cur_small.combine_chunks())
+
+            def attach_bcast(batch: pa.Table) -> pa.Table:
+                ct = ray.get(cref)
+                return batch.join(
+                    ct, keys=["src"], right_keys=["node"], join_type="inner"
+                )
+
+            joined = ed.map_batches(attach_bcast, batch_format="pyarrow")
+        else:
+            joined = ed.join(
+                cur, join_type="inner", num_partitions=nparts,
                 on=("src",), right_on=("node",),
             )
+        Ysum = (
+            joined
             .map_batches(contrib, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(*[Sum(f"c{j}", alias_name=f"s{j}") for j in range(dim)])
@@ -196,12 +236,12 @@ def spectral_embedding_dataset(
                  }}
             )
 
-        Y = Ysum.map_batches(to_float, batch_format="pyarrow").materialize()
+        cur = Ysum.map_batches(to_float, batch_format="pyarrow").materialize()
 
-        G = reduce_gram(Y, ycols)
+        G = reduce_gram(cur, ycols)
         # G = Yᵀ Y = Xᵀ A² X with Xᵀ X = I, so sqrt(diag(G)) estimates
         # the top |eigenvalues| once the columns settle
-        lam = np.sqrt(np.maximum(np.diag(G), 0.0))
+        lam_new = np.sqrt(np.maximum(np.diag(G), 0.0))
         # orthonormalize: X = Y R⁻¹ with G = Rᵀ R (Cholesky)
         # jitter the diagonal if a column collapsed (rank-deficient G)
         try:
@@ -210,22 +250,33 @@ def spectral_embedding_dataset(
             ).T
         except np.linalg.LinAlgError:
             R = np.linalg.cholesky(G + np.eye(dim) * 1e-6).T
-        Rinv = np.linalg.inv(R)
-        rref = ray.put(Rinv)
+        rinv_prev = np.linalg.inv(R)
+        settled = (
+            tol > 0.0
+            and it > 0
+            and float(
+                np.max(np.abs(lam_new - lam) / np.maximum(lam_new, 1e-300))
+            ) < tol
+        )
+        lam = lam_new
+        if settled:
+            break
 
-        def apply_rinv(batch: pa.Table) -> pa.Table:
-            ri = ray.get(rref)
-            m = np.stack(
-                [np.asarray(batch.column(c), dtype=np.float64) for c in ycols],
-                axis=1,
-            )
-            nx = m @ ri
-            return pa.table(
-                {"node": batch.column("node"),
-                 **{xcols[j]: pa.array(nx[:, j]) for j in range(dim)}}
-            )
+    rref = ray.put(rinv_prev)
 
-        X = Y.map_batches(apply_rinv, batch_format="pyarrow").materialize()
+    def apply_rinv(batch: pa.Table) -> pa.Table:
+        ri = ray.get(rref)
+        m = np.stack(
+            [np.asarray(batch.column(c), dtype=np.float64) for c in ycols],
+            axis=1,
+        )
+        nx = m @ ri
+        return pa.table(
+            {"node": batch.column("node"),
+             **{xcols[j]: pa.array(nx[:, j]) for j in range(dim)}}
+        )
+
+    X = cur.map_batches(apply_rinv, batch_format="pyarrow").materialize()
 
     # canonical signs: per column, flip so the entry at the smallest
     # node name among near-max-|value| rows is positive — two bounded

@@ -2068,7 +2068,7 @@ def test_spectral_embedding_matches_numpy_eigh(ray_session):
     dfs = []
     for parts in (3, 7):
         df = spectral_embedding_dataset(
-            triples(parts), dim=dim, iters=40
+            triples(parts), dim=dim, iters=40, tol=0.0
         ).to_pandas()
         assert df.node.tolist() == nodes
         dfs.append(df)
@@ -3888,3 +3888,48 @@ def test_chunk_documents(ray_session):
     sub = got[got.doc_id == 1].chunk_text.tolist()
     for a, b in zip(sub, sub[1:]):
         assert a.split()[-1:] == b.split()[:1]
+
+
+def test_spectral_early_stop_matches_full_run(ray_session):
+    """tol-based early stop: same top eigenvector quality as the full
+    run, fewer rounds, and still deterministic across partitionings."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.spectral import spectral_embedding_dataset
+
+    n = 12
+    nodes = [f"m{i:02d}" for i in range(n)]
+    A = np.zeros((n, n))
+    for lo, hi, w in ((0, 7, 2.0), (7, 12, 0.7)):
+        for i in range(lo, hi):
+            for j in range(i + 1, hi):
+                A[i, j] = A[j, i] = w
+    A[0, 7] = A[7, 0] = 0.01
+    ew, ev = np.linalg.eigh(A)
+    top = ev[:, np.argmax(np.abs(ew))]
+
+    s, o, w = [], [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if A[i, j]:
+                s.append(nodes[i]); o.append(nodes[j]); w.append(A[i, j])
+    t = lambda p: _ray.data.from_arrow(
+        pa.table({"subj": pa.array(s), "pred": pa.array(["e"] * len(s)),
+                  "obj": pa.array(o), "weight": pa.array(w)})
+    ).repartition(p)
+
+    dfs = [
+        spectral_embedding_dataset(t(p), dim=1, iters=60, tol=1e-7).to_pandas()
+        for p in (2, 5)
+    ]
+    assert dfs[0].equals(dfs[1])  # stop round is partition-independent
+    x = dfs[0].x0.to_numpy()
+    assert abs(float(x @ top)) > 0.999
+    # forced hash-join plan is byte-identical to the broadcast plan
+    df_hash = spectral_embedding_dataset(
+        t(3), dim=1, iters=60, tol=1e-7, broadcast_limit=0
+    ).to_pandas()
+    assert df_hash.equals(dfs[0])
