@@ -706,6 +706,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             labeled, model, keep_cols=("doc_id", "label")
         ).sort("doc_id")
 
+    def kg_node_embeddings(sf_dir: str):
+        """DeepWalk completion: SGNS skip-gram embeddings trained on
+        the deterministic walk corpus (driver-side on the
+        vocabulary-bounded corpus — the train-small/apply-big recipe),
+        unit rows ready for the ANN operators (clique-separation +
+        determinism pytest; rows-only — iterative training)."""
+        from renard_ray.ops.sgns import sgns_node_embeddings
+        from renard_ray.ops.walks import random_walks_dataset
+
+        walks = random_walks_dataset(
+            kg_triples(sf_dir), walks_per_node=4, walk_len=8, seed=13
+        )
+        return sgns_node_embeddings(walks, dim=8, epochs=5, seed=13)
+
     def kg_pmi_embedding(sf_dir: str):
         """Composability demo with real semantics: spectral embedding
         of the PMI-RESCORED co-occurrence graph (hub-dominated raw
@@ -1054,6 +1068,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI-rescored spectral embedding (pmi_dataset piped into
         # spectral_embedding_dataset — the PMI->SVD recipe; rows-only)
         "kg_pmi_embedding": kg_pmi_embedding,
+        # SGNS node embeddings on the walk corpus (train-small/
+        # apply-big; clique-separation pytest; rows-only)
+        "kg_node_embeddings": kg_node_embeddings,
         # fastText-style quality classifier: train-on-sample,
         # actor-pool apply (replica-parity pytest; rows-only)
         "doc_quality_classifier": doc_quality_classifier,

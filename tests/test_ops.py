@@ -3933,3 +3933,65 @@ def test_spectral_early_stop_matches_full_run(ray_session):
         t(3), dim=1, iters=60, tol=1e-7, broadcast_limit=0
     ).to_pandas()
     assert df_hash.equals(dfs[0])
+
+
+def test_sgns_node_embeddings(ray_session):
+    """DeepWalk completion: SGNS on the walk corpus separates two
+    planted cliques (intra-clique cosine > inter-clique), unit rows,
+    deterministic given (corpus, seed), partitioning-independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.sgns import sgns_node_embeddings
+    from renard_ray.ops.walks import random_walks_dataset
+
+    ca = [f"a{i}" for i in range(6)]
+    cb = [f"b{i}" for i in range(6)]
+    edges = []
+    for grp in (ca, cb):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((grp[i], grp[j]))
+    edges.append(("a0", "b0"))  # weak bridge
+
+    def t(parts):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, b in edges]),
+                    "pred": pa.array(["e"] * len(edges)),
+                    "obj": pa.array([b for a, b in edges]),
+                    "weight": pa.array([1.0] * len(edges)),
+                }
+            )
+        ).repartition(parts)
+
+    embs = []
+    for parts in (2, 5):
+        walks = random_walks_dataset(
+            t(parts), walks_per_node=6, walk_len=8, seed=3
+        )
+        df = sgns_node_embeddings(
+            walks, dim=8, window=2, epochs=8, seed=5
+        ).to_pandas()
+        embs.append(df)
+    assert embs[0].equals(embs[1])  # pure function of (corpus, seed)
+    df = embs[0]
+    m = {
+        r.node: np.array([getattr(r, f"e{j}") for j in range(8)])
+        for r in df.itertuples()
+    }
+    for v in m.values():
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-6)
+
+    def mean_cos(xs, ys):
+        vals = [
+            float(m[x] @ m[y]) for x in xs for y in ys if x != y
+        ]
+        return sum(vals) / len(vals)
+
+    intra = (mean_cos(ca, ca) + mean_cos(cb, cb)) / 2
+    inter = mean_cos(ca, cb)
+    assert intra > inter + 0.2, (intra, inter)
