@@ -592,6 +592,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return neighborhood_function_dataset(kg_triples(sf_dir), p=8)
 
+    def kg_weighted_distances(sf_dir: str):
+        """Weighted SSSP from the top-3 hubs (frontier Bellman-Ford
+        on exact centi-weights; Dijkstra-oracle pytest on both plans;
+        rows-only — iterative)."""
+        from renard_ray.ops.graphstats import weighted_distances_dataset
+
+        return weighted_distances_dataset(kg_triples(sf_dir), n_seeds=3)
+
     def kg_label_spreading(sf_dir: str):
         """Semi-supervised label spreading from the two top-degree
         hubs (clamped seeds, synchronous weighted-majority rounds,
@@ -1089,6 +1097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seeded label spreading (clamped seeds, packed-key argmax;
         # replica pytest on both plans; rows-only)
         "kg_label_spreading": kg_label_spreading,
+        # weighted SSSP (frontier Bellman-Ford, exact centi-ints;
+        # Dijkstra-oracle pytest on both plans; rows-only)
+        "kg_weighted_distances": kg_weighted_distances,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

@@ -2362,3 +2362,235 @@ def label_spreading_dataset(
             max_rounds,
         )
     return labels.sort(["node"])
+
+
+def weighted_distances_dataset(
+    triples: Dataset,
+    seeds: "list[str] | None" = None,
+    n_seeds: int = 3,
+    max_rounds: int = 50,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Single-source-set WEIGHTED shortest distances (non-negative
+    weights) by frontier-based Bellman-Ford — the Pregel SSSP shape:
+    only nodes whose distance improved last round send messages, so a
+    round touches the active frontier x its edges, not the whole
+    graph; the fixpoint (empty frontier) is exact SSSP.
+
+    Edge length = the triple weight in exact centi-integers (parallel
+    edges collapse to their MINIMUM — the shortest-path-relevant one —
+    in the same distinct-pair groupby that drops self-loops).  All
+    arithmetic is int64 mins/sums: deterministic under any
+    partitioning, no float accumulation.
+
+    Per round: ONE frontier⋈adjacency join (size-adaptive broadcast /
+    hash), ONE ``groupby(node).min`` of candidate distances, ONE
+    lookup join against the current distance table + filter to the
+    strict improvements, ONE ANTI join to splice the improved rows in.
+    Driver state: the improved-row count.
+
+    Output: (node, dist_centi, dist) for every reachable node (seeds
+    at 0)."""
+    import pyarrow.compute as pc
+
+    from renard_ray.ops.relational import (
+        _collect_small,
+        _join_parts_bytes,
+        _scrub_schemaless,
+        broadcast_semi_join,
+    )
+
+    limit = 5_000_000 if broadcast_limit is None else broadcast_limit
+    out_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("dist_centi", pa.int64()),
+            ("dist", pa.float64()),
+        ]
+    )
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").combine_chunks()
+        o = batch.column("obj").combine_chunks()
+        w = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch.column("weight"), pa.float64()), 100.0)
+            ),
+            pa.int64(),
+        ).combine_chunks()
+        t = pa.table(
+            {
+                "src": pa.concat_arrays([s, o]),
+                "dst": pa.concat_arrays([o, s]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        return t.filter(pc.greater_equal(t.column("w"), 0))
+
+    edges = (
+        triples.select_columns(["subj", "obj", "weight"])
+        .map_batches(both, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Min("w", alias_name="w"))  # parallel edges: shortest
+        .materialize()
+    )
+    if edges.count() == 0:
+        rows = sorted(set(seeds or []))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(rows, pa.string()),
+                    "dist_centi": pa.array([0] * len(rows), pa.int64()),
+                    "dist": pa.array([0.0] * len(rows), pa.float64()),
+                }
+            )
+        )
+
+    if seeds is None:
+        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
+        seeds = [r["src"] for r in top.take_all()]
+    seeds = sorted(set(seeds))
+    if not seeds:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    small_edges = _collect_small(edges, limit)
+    edges_ref = (
+        ray.put(small_edges.combine_chunks())
+        if small_edges is not None
+        else None
+    )
+    nparts = max(2, _join_parts_bytes(edges))
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds, pa.string()),
+                "d": pa.array([0] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+
+    for _round in range(max_rounds):
+        if edges_ref is not None:
+
+            def relax(batch: pa.Table) -> pa.Table:
+                et = ray.get(edges_ref)
+                j = batch.join(
+                    et, keys=["node"], right_keys=["src"], join_type="inner"
+                )
+                return pa.table(
+                    {
+                        "node": j.column("dst"),
+                        "cand": pc.add(j.column("d"), j.column("w")),
+                    }
+                )
+
+            cands = frontier.map_batches(relax, batch_format="pyarrow")
+        else:
+            fne = _scrub_schemaless(frontier)
+            cands = (
+                fne.join(
+                    edges, join_type="inner", num_partitions=nparts,
+                    on=("node",), right_on=("src",),
+                ).map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": b.column("dst"),
+                            "cand": pc.add(b.column("d"), b.column("w")),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                if fne is not None
+                else ray.data.from_arrow(
+                    pa.table(
+                        {"node": pa.array([], pa.string()),
+                         "cand": pa.array([], pa.int64())}
+                    )
+                )
+            )
+        best = cands.groupby("node").aggregate(Min("cand", alias_name="cand"))
+
+        # keep strict improvements: LEFT-attach the current distance
+        cur_small = _collect_small(dist, limit)
+        if cur_small is not None:
+            dref = ray.put(cur_small.combine_chunks())
+
+            def improved_f(batch: pa.Table) -> pa.Table:
+                dt = ray.get(dref)
+                idx = pc.index_in(
+                    batch.column("node"), value_set=dt.column("node")
+                )
+                old = pc.take(dt.column("d"), idx)  # null when absent
+                keep = pc.fill_null(
+                    pc.less(batch.column("cand"), old), True
+                )
+                kept = batch.filter(keep)
+                return pa.table(
+                    {"node": kept.column("node"), "d": kept.column("cand")}
+                )
+
+            improved = best.map_batches(
+                improved_f, batch_format="pyarrow"
+            ).materialize()
+        else:
+            bne = _scrub_schemaless(best)
+            dne = _scrub_schemaless(dist)
+            joined = bne.join(
+                dne.map_batches(
+                    lambda b: pa.table(
+                        {"node": b.column("node"), "old": b.column("d")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                join_type="left_outer", num_partitions=nparts,
+                on=("node",),
+            )
+            improved = joined.map_batches(
+                lambda b: (
+                    lambda kept: pa.table(
+                        {
+                            "node": kept.column("node"),
+                            "d": kept.column("cand"),
+                        }
+                    )
+                )(
+                    b.filter(
+                        pc.fill_null(
+                            pc.less(b.column("cand"), b.column("old")), True
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        if improved.count() == 0:
+            break
+        stale = broadcast_semi_join(
+            dist, improved.select_columns(["node"]),
+            on="node", right_on="node", anti=True, limit=limit,
+        )
+        dist = stale.union(improved).materialize()
+        frontier = improved
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "weighted_distances_dataset: frontier still active after "
+            "max_rounds=%d — distances may not be final on "
+            "high-diameter / tiny-weight graphs", max_rounds,
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("d"), dtype=np.int64)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "dist_centi": batch.column("d"),
+                "dist": pa.array(d / 100.0, pa.float64()),
+            }
+        )
+
+    return dist.map_batches(finish, batch_format="pyarrow").sort("node")

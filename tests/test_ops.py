@@ -3995,3 +3995,74 @@ def test_sgns_node_embeddings(ray_session):
     intra = (mean_cos(ca, ca) + mean_cos(cb, cb)) / 2
     inter = mean_cos(ca, cb)
     assert intra > inter + 0.2, (intra, inter)
+
+
+def test_weighted_distances_matches_dijkstra(ray_session):
+    """Frontier Bellman-Ford SSSP == python Dijkstra on exact
+    centi-weights, on both plans, with multi-seed min semantics,
+    parallel-edge min collapse, and an unreachable island absent."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import weighted_distances_dataset
+
+    rng = np.random.RandomState(13)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    edges = []
+    for _ in range(36):
+        a, b = rng.randint(0, 18, 2)  # n18/n19 island
+        if a != b:
+            edges.append(
+                (nodes[min(a, b)], nodes[max(a, b)],
+                 float(rng.randint(1, 60)) / 4.0)
+            )
+    edges.append(("n00", "n01", 0.25))  # parallel edge, lighter
+    edges.append(("n18", "n19", 1.0))
+
+    t = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, b, w in edges]),
+                "pred": pa.array(["e"] * len(edges)),
+                "obj": pa.array([b for a, b, w in edges]),
+                "weight": pa.array([w for a, b, w in edges]),
+            }
+        )
+    ).repartition(4)
+
+    def dijkstra(seeds):
+        adj = {}
+        for a, b, w in edges:
+            wc = int(round(w * 100))
+            for u, v in ((a, b), (b, a)):
+                cur = adj.setdefault(u, {})
+                cur[v] = min(cur.get(v, 1 << 60), wc)
+        dist = {s: 0 for s in seeds}
+        pq = [(0, s) for s in seeds]
+        heapq.heapify(pq)
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, {}).items():
+                nd = d + w
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    seeds = ["n00", "n07"]
+    want = dijkstra(seeds)
+    for bl in (None, 0):
+        got = {
+            r["node"]: r["dist_centi"]
+            for r in weighted_distances_dataset(
+                t, seeds=seeds, broadcast_limit=bl
+            ).take_all()
+        }
+        assert got == want, (bl)
+        assert "n18" not in got and "n19" not in got
