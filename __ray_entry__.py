@@ -594,11 +594,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_weighted_distances(sf_dir: str):
         """Weighted SSSP from the top-3 hubs (frontier Bellman-Ford
-        on exact centi-weights; Dijkstra-oracle pytest on both plans;
-        rows-only — iterative)."""
+        on exact centi-weights; Dijkstra-oracle pytest on both
+        plans; rows-only — iterative).  Edge LENGTH is the inverse
+        co-occurrence weight (strong ties are short), rounded to
+        centi-ints before the relaxation."""
+        import numpy as _np
+        import pyarrow as _pa
+
         from renard_ray.ops.graphstats import weighted_distances_dataset
 
-        return weighted_distances_dataset(kg_triples(sf_dir), n_seeds=3)
+        def invert(batch: _pa.Table) -> _pa.Table:
+            w = _np.asarray(batch.column("weight"), dtype=_np.float64)
+            return _pa.table(
+                {
+                    "subj": batch.column("subj"),
+                    "pred": batch.column("pred"),
+                    "obj": batch.column("obj"),
+                    "weight": _pa.array(1.0 / _np.maximum(w, 1e-9)),
+                }
+            )
+
+        tri = kg_triples(sf_dir).map_batches(invert, batch_format="pyarrow")
+        return weighted_distances_dataset(tri, n_seeds=3)
 
     def kg_label_spreading(sf_dir: str):
         """Semi-supervised label spreading from the two top-degree
