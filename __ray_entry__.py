@@ -610,7 +610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "subj": batch.column("subj"),
                     "pred": batch.column("pred"),
                     "obj": batch.column("obj"),
-                    "weight": _pa.array(1.0 / _np.maximum(w, 1e-9)),
+                    # 100/w keeps the inverse lengths comfortably above
+                    # the centi-int resolution for any realistic weight
+                    "weight": _pa.array(100.0 / _np.maximum(w, 1e-9)),
                 }
             )
 
