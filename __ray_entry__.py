@@ -667,6 +667,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ego_subgraph_dataset(kg_triples(sf_dir), n_seeds=1, hops=2)
 
+    def doc_line_clean(sf_dir: str):
+        """C4-style line-level boilerplate cleaning (min 20 words per
+        line, banned-substring drop; the terminal-punct rule is off —
+        the synthetic corpus has no sentence punctuation): one
+        stateless pass, exact DuckDB oracle on the re-joined clean
+        text."""
+        import ray as _ray
+
+        from renard_ray.ops.lineclean import clean_lines
+
+        docs = _ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return clean_lines(
+            docs, min_words=20, require_terminal_punct=False
+        ).sort("doc_id")
+
     def doc_chunk_windows(sf_dir: str):
         """Sliding-window chunking (32-token windows, 8-token
         overlap): the RAG/long-context preprocessing flat-map — one
@@ -1107,6 +1124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding-window chunking (stateless flat-map; exact DuckDB
         # oracle — byte-identical chunk text)
         "doc_chunk_windows": doc_chunk_windows,
+        # C4-style line-level boilerplate cleaning (stateless pass;
+        # exact DuckDB oracle on the re-joined clean text)
+        "doc_line_clean": doc_line_clean,
         # k-hop ego network (BFS membership + two SEMI joins;
         # BFS-oracle pytest on both plans; rows-only)
         "kg_ego_subgraph": kg_ego_subgraph,
@@ -1372,6 +1392,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand, p_partkey, CAST(rnk AS BIGINT) AS rank, price_cents
             FROM r WHERE rnk <= 3
+        """,
+        "doc_line_clean": r"""
+            WITH split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS arr
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, trim(arr[i]) AS ls, i
+                FROM split, UNNEST(generate_series(1, len(arr))) AS u(i)
+            ), nonempty AS (
+                SELECT doc_id, ls, i FROM lines WHERE ls <> ''
+            ), kept AS (
+                SELECT doc_id, ls, i FROM nonempty
+                WHERE len(
+                        list_filter(
+                            string_split_regex(ls, '\s+'), x -> x <> ''
+                        )
+                      ) >= 20
+                  AND NOT contains(lower(ls), 'javascript')
+                  AND NOT contains(lower(ls), 'lorem ipsum')
+                  AND NOT contains(lower(ls), 'cookie')
+                  AND NOT contains(lower(ls), '{')
+            ), tot AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM nonempty GROUP BY doc_id
+            )
+            SELECT k.doc_id, t.n_lines,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(k.ls, chr(10) ORDER BY k.i) AS clean_text
+            FROM kept k JOIN tot t USING (doc_id)
+            GROUP BY k.doc_id, t.n_lines
+            ORDER BY k.doc_id
         """,
         "doc_chunk_windows": r"""
             WITH toks AS (

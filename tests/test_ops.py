@@ -4066,3 +4066,42 @@ def test_weighted_distances_matches_dijkstra(ray_session):
         }
         assert got == want, (bl)
         assert "n18" not in got and "n19" not in got
+
+
+def test_line_clean_c4_rules(ray_session):
+    """Full C4 line ruleset on planted boilerplate: short lines, no
+    terminal punct, cookie/JS/lorem/'{' lines dropped; prose kept,
+    trimmed, re-joined; all-boilerplate docs absent; partitioning-
+    independent."""
+    import ray as _ray
+
+    from renard_ray.ops.lineclean import clean_lines
+
+    prose1 = "This is a perfectly normal sentence with enough words."
+    prose2 = 'He said the quoted thing was "entirely fine and true."'
+    rows = [
+        {
+            "doc_id": 1,
+            "text": "\n".join(
+                [
+                    prose1,
+                    "Accept all cookies to continue reading this.",  # cookie
+                    "Enable JavaScript to view the full content here.",
+                    "short line.",                      # < 5 words
+                    "no terminal punctuation at all here",
+                    "  " + prose2 + "  ",               # trimmed, kept
+                    "function() { return 1; } and more words here.",  # '{'
+                    "Lorem ipsum dolor sit amet consectetur adipiscing.",
+                ]
+            ),
+        },
+        {"doc_id": 2, "text": "Menu\nHome\nAbout\nContact us."},  # all drop
+        {"doc_id": 3, "text": ""},
+    ]
+    for parts in (1, 2):
+        ds = _ray.data.from_items(rows).repartition(parts)
+        got = clean_lines(ds).to_pandas().sort_values("doc_id")
+        assert got.doc_id.tolist() == [1]
+        r = got.iloc[0]
+        assert r.n_lines == 8 and r.n_kept == 2
+        assert r.clean_text == prose1 + "\n" + prose2
