@@ -59,10 +59,27 @@ def train_quality_classifier(
 
     Full-batch logistic regression with L2, zero init, fixed ``iters``
     — a pure function of the sample, hence of (corpus, seed)."""
+    import pyarrow.compute as pc
+
     from renard_ray.ops.sketches import reservoir_sample
 
+    def binary_only(batch: pa.Table) -> pa.Table:
+        lab = batch.column(label_col)
+        return batch.filter(
+            pc.and_(
+                pc.is_valid(lab),
+                pc.is_in(
+                    pc.cast(lab, pa.int64()),
+                    value_set=pa.array([0, 1], pa.int64()),
+                ),
+            )
+        )
+
     rows = reservoir_sample(
-        ds.select_columns([text_col, label_col]), k=sample_n, seed=seed
+        ds.select_columns([text_col, label_col]).map_batches(
+            binary_only, batch_format="pyarrow"
+        ),
+        k=sample_n, seed=seed,
     )
     if not rows:
         raise ValueError("train_quality_classifier: empty sample")

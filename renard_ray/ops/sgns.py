@@ -12,11 +12,13 @@ merges / PQ codebooks / the quality classifier):
   (the same argument as the canonicalization broadcast); a
   deterministic md5 walk-subset cap guards the pathological case and
   logs what it dropped;
-- SGNS training runs driver-side in numpy: seeded init from the md5
-  node ids, pair order and negative draws from one seeded
-  RandomState — the embedding table is a PURE FUNCTION of
+- SGNS training runs driver-side in numpy: init, pair order and
+  negative draws all come from ONE seeded RandomState over the
+  SORTED vocabulary — the embedding table is a PURE FUNCTION of
   (corpus, hyperparameters, seed), hence reproducible under retries
-  and partitioning;
+  and partitioning (note: per-node init depends on the node's sorted
+  position, so growing the corpus re-draws everyone's init — train
+  runs are comparable only at fixed corpus+seed);
 - the output is a (node, e0..e{dim-1}) Dataset — unit-normalized
   rows ready for the ANN operators (knn_bruteforce & friends).
 """
@@ -49,7 +51,7 @@ def sgns_node_embeddings(
 ) -> Dataset:
     """Train SGNS embeddings on a (src, walk, step, node) walk corpus;
     returns a sorted (node, e0..e{dim-1}) Dataset of unit vectors."""
-    rows = walks.select_columns(["src", "walk", "step", "node"])
+    rows = walks.select_columns(["src", "walk", "step", "node"]).materialize()
     n_rows = rows.count()
     if n_rows == 0:
         return ray.data.from_arrow(
@@ -135,7 +137,8 @@ def sgns_node_embeddings(
             )
         )
 
-    # seeded init from md5 node ids (partitioning-independent)
+    # one seeded RandomState drives init, pair order and negatives:
+    # pure function of (sorted vocab, seed)
     rng = np.random.RandomState(seed)
     w_in = (rng.rand(nv, dim) - 0.5) / dim
     w_out = np.zeros((nv, dim), dtype=np.float64)

@@ -47,7 +47,10 @@ def _init_x(names: list, dim: int) -> np.ndarray:
     nid = np.array([_node_id_u64(n) for n in names], dtype=_U64)
     cols = []
     for j in range(dim):
-        h = _splitmix64(nid ^ _U64(0x5851F42D4C957F2D * (j + 1)))
+        # mask to 64 bits in python-int space: the raw product exceeds
+        # 2^64 for j >= 2 and np.uint64() refuses oversized ints
+        salt = _U64((0x5851F42D4C957F2D * (j + 1)) & 0xFFFFFFFFFFFFFFFF)
+        h = _splitmix64(nid ^ salt)
         cols.append((h.astype(np.float64) / 2.0**63) - 1.0)
     return np.stack(cols, axis=1)
 
@@ -72,9 +75,12 @@ def spectral_embedding_dataset(
     round's contribution map (R⁻¹ is k×k, applied per batch), so the
     iterate X never materializes mid-loop.  ``tol``: stop early once
     every |eigenvalue| estimate changes by less than ``tol`` relative
-    between consecutive rounds (the lam series is deterministic, so
-    the stop round — hence the output — stays partition-independent);
-    pass ``tol=0`` for exactly ``iters`` rounds."""
+    between consecutive rounds.  The Gram partials are float sums
+    grouped by the aggregate's output blocks, so lam can differ in the
+    last ulps between partitionings — in practice the groupby's
+    hash-partitioned output keeps the series (and stop round) stable,
+    but only ``tol=0`` (exactly ``iters`` rounds) carries the repo's
+    byte-determinism guarantee."""
     from renard_ray.ops.graphstats import degree_dataset
     from renard_ray.ops.relational import _collect_small, _join_parts_bytes
 
@@ -109,13 +115,17 @@ def spectral_embedding_dataset(
         s = batch.column("subj").combine_chunks()
         o = batch.column("obj").combine_chunks()
         w = pc.cast(batch.column("weight"), pa.float64()).combine_chunks()
-        return pa.table(
+        t = pa.table(
             {
                 "src": pa.concat_arrays([s, o]),
                 "dst": pa.concat_arrays([o, s]),
                 "w": pa.concat_arrays([w, w]),
             }
         )
+        # self-loops out, matching _distinct_adjacency's convention —
+        # a reflexive pair would otherwise put 2w on the diagonal and
+        # shift the spectrum
+        return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
 
     ed = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
 

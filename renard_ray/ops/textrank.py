@@ -70,7 +70,7 @@ def _doc_keywords(
     P = W / cols[None, :]  # P[i, j] = W[i, j] / out[j]: column-normalized
     p = np.full(n, 1.0 / n)
     for _ in range(iters):
-        p = (1.0 - damping) / n + damping * (P * p[None, :]).sum(axis=1)
+        p = (1.0 - damping) / n + damping * (P @ p)
     words = list(vocab)
     order = sorted(range(n), key=lambda i: (-p[i], words[i]))[:topk]
     return [words[i] for i in order], [float(p[i]) for i in order], truncated

@@ -4105,3 +4105,37 @@ def test_line_clean_c4_rules(ray_session):
         r = got.iloc[0]
         assert r.n_lines == 8 and r.n_kept == 2
         assert r.clean_text == prose1 + "\n" + prose2
+
+
+def test_spectral_dim_ge3_and_self_loops(ray_session):
+    """Regression: dim >= 3 must not overflow the init salt, and
+    self-loop triples are ignored (spectrum matches the loop-free
+    adjacency)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.spectral import spectral_embedding_dataset
+
+    nodes = [f"s{i}" for i in range(8)]
+    s, o, w = [], [], []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            s.append(nodes[i]); o.append(nodes[j]); w.append(1.0 + (i + j) % 3)
+
+    def t(extra_loop):
+        ss, oo, ww = list(s), list(o), list(w)
+        if extra_loop:
+            ss.append("s0"); oo.append("s0"); ww.append(50.0)
+        return _ray.data.from_arrow(
+            pa.table({"subj": pa.array(ss), "pred": pa.array(["e"] * len(ss)),
+                      "obj": pa.array(oo), "weight": pa.array(ww)})
+        ).repartition(3)
+
+    a = spectral_embedding_dataset(t(False), dim=4, iters=8, tol=0.0).to_pandas()
+    b = spectral_embedding_dataset(t(True), dim=4, iters=8, tol=0.0).to_pandas()
+    assert list(a.columns) == ["node"] + [f"x{j}" for j in range(4)] + [
+        f"lam{j}" for j in range(4)
+    ]
+    assert a.equals(b)  # the self-loop changed nothing
