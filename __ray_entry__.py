@@ -672,7 +672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         line, banned-substring drop; the terminal-punct rule is off —
         the synthetic corpus has no sentence punctuation): one
         stateless pass, exact DuckDB oracle on the re-joined clean
-        text."""
+        text.  Oracle caveat: DuckDB trim()/RE2 '\\s' are ASCII while
+        python strip()/split() are unicode — byte-identical on this
+        space/newline-only corpus; unicode whitespace would be
+        handled more aggressively by the op."""
         import ray as _ray
 
         from renard_ray.ops.lineclean import clean_lines

@@ -1868,7 +1868,17 @@ def betweenness_dataset(
         def credit(batch: pa.Table) -> pa.Table:
             s = np.asarray(batch.column("sigma"), dtype=np.float64)
             dl = np.asarray(batch.column("delta"), dtype=np.float64)
-            c = np.rint((1.0 + dl) / s * _BC_SCALE).astype(np.int64)
+            cf = (1.0 + dl) / s * _BC_SCALE
+            # loud, like the forward sigma guard: a silent int64 wrap
+            # would corrupt every downstream dependency sum
+            if cf.size and float(np.max(cf)) >= 2.0**62:
+                raise ValueError(
+                    "betweenness_dataset: dependency credit "
+                    f"{float(np.max(cf)):.3g} exceeds the int64 "
+                    "fixed-point range — lower _BC_SCALE for graphs "
+                    "with dependencies this large"
+                )
+            c = np.rint(cf).astype(np.int64)
             return pa.table(
                 {
                     "seed": batch.column("seed"),
@@ -1932,7 +1942,10 @@ def betweenness_dataset(
                 }
             )
 
-        nxt = joined.map_batches(to_delta, batch_format="pyarrow")
+        # materialize once: got (below) and the union both consume nxt
+        nxt = joined.map_batches(
+            to_delta, batch_format="pyarrow"
+        ).materialize()
         # BFS-DAG leaves at level d (no successors) carry delta 0 but
         # must still flow downward as (1+0)/sigma sources next round
         got = nxt.select_columns(["seed", "node"]).map_batches(
@@ -2196,6 +2209,13 @@ def label_spreading_dataset(
     out_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
     if not seed_labels:
         return ray.data.from_arrow(out_schema.empty_table())
+    by_node: dict[str, str] = {}
+    for n, l in seed_labels:
+        if by_node.setdefault(n, l) != l:
+            raise ValueError(
+                f"label_spreading_dataset: node {n!r} seeded with "
+                f"conflicting labels {by_node[n]!r} and {l!r}"
+            )
 
     # weighted both-direction adjacency with exact centi-weights
     def both(batch: pa.Table) -> pa.Table:
@@ -2237,7 +2257,6 @@ def label_spreading_dataset(
             )
         )
 
-    seeds = sorted({n for n, _l in seed_labels})
     seed_tab = pa.table(
         {
             "node": pa.array([n for n, _l in sorted(set(seed_labels))]),
@@ -2426,7 +2445,13 @@ def weighted_distances_dataset(
             }
         )
         t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
-        return t.filter(pc.greater_equal(t.column("w"), 0))
+        if t.num_rows and pc.min(t.column("w")).as_py() < 0:
+            raise ValueError(
+                "weighted_distances_dataset: negative edge weight — "
+                "Bellman-Ford over non-negative lengths only (fix the "
+                "input, don't let it be silently edited)"
+            )
+        return t
 
     edges = (
         triples.select_columns(["subj", "obj", "weight"])
@@ -2539,6 +2564,8 @@ def weighted_distances_dataset(
         else:
             bne = _scrub_schemaless(best)
             dne = _scrub_schemaless(dist)
+            if bne is None or dne is None:  # no candidates this round
+                break
             joined = bne.join(
                 dne.map_batches(
                     lambda b: pa.table(

@@ -719,9 +719,7 @@ def ktruss_dataset(
             ),
             batch_format="pyarrow",
         )
-        from .relational import broadcast_lookup_join as _lkp
-
-        survivors = _lkp(
+        survivors = broadcast_lookup_join(
             packed, enough, on="key", right_on="key",
             payload=["support"], limit=limit,
         ).materialize()

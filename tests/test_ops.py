@@ -4139,3 +4139,41 @@ def test_spectral_dim_ge3_and_self_loops(ray_session):
         f"lam{j}" for j in range(4)
     ]
     assert a.equals(b)  # the self-loop changed nothing
+
+
+def test_graph_ops_input_validation(ray_session):
+    """Review regressions: conflicting seed labels raise; negative
+    weights raise in SSSP; absent-seed SSSP agrees across plans
+    (hash plan used to crash on the empty candidate set)."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import (
+        label_spreading_dataset,
+        weighted_distances_dataset,
+    )
+
+    t = _ray.data.from_arrow(
+        pa.table(
+            {"subj": pa.array(["a", "b"]), "pred": pa.array(["e", "e"]),
+             "obj": pa.array(["b", "c"]), "weight": pa.array([1.0, 2.0])}
+        )
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        label_spreading_dataset(t, [("a", "x"), ("a", "y")])
+
+    neg = _ray.data.from_arrow(
+        pa.table(
+            {"subj": pa.array(["a"]), "pred": pa.array(["e"]),
+             "obj": pa.array(["b"]), "weight": pa.array([-1.0])}
+        )
+    )
+    with pytest.raises(Exception, match="negative edge weight"):
+        weighted_distances_dataset(neg, seeds=["a"]).take_all()
+
+    for bl in (None, 0):
+        got = weighted_distances_dataset(
+            t, seeds=["ghost"], broadcast_limit=bl
+        ).take_all()
+        assert [(r["node"], r["dist_centi"]) for r in got] == [("ghost", 0)], bl
