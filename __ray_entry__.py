@@ -1201,6 +1201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correlated scalar subquery, decorrelated (aggregate-before-
         # join + exact integer cross-multiply); exact SQL oracle
         "orders_above_customer_avg": relational.orders_above_customer_avg,
+        # per-user 3-sigma outlier events via the exact-integer
+        # cross-multiplied decision (n*x-S)^2 > 9*(n*Q-S^2) — no
+        # float division/sqrt anywhere; exact SQL oracle
+        "events_spend_outliers": relational.events_spend_outliers,
         # exact PERCENTILE_CONT building blocks (one sort + O(#blocks)
         # offsets + targeted row pick, all-integer); exact SQL oracle
         "lineitem_price_percentiles_exact":
@@ -2194,6 +2198,26 @@ def oracle_sql() -> dict[str, str]:
                            DESC
                    ) AS price_rank
             FROM orders
+        """,
+        "events_spend_outliers": """
+            WITH f AS (
+                SELECT user_id, event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       SUM(value_cents) AS s_c,
+                       SUM(value_cents * value_cents) AS q_c,
+                       COUNT(*) AS n
+                FROM f GROUP BY user_id
+            )
+            SELECT f.user_id, f.event_id, f.value_cents
+            FROM f JOIN s USING (user_id)
+            WHERE (s.n * f.value_cents - s.s_c) > 0
+              AND (s.n * f.value_cents - s.s_c)
+                  * (s.n * f.value_cents - s.s_c)
+                  > 9 * (s.n * s.q_c - s.s_c * s.s_c)
+            ORDER BY f.user_id, f.event_id
         """,
         "orders_above_customer_avg": """
             WITH a AS (

@@ -2763,3 +2763,87 @@ def customer_first_last_order(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def events_spend_outliers(sf_dir: str) -> Dataset:
+    """Per-user 3-sigma outlier detection on event values — the
+    anomaly-flagging shape — with an ALL-INTEGER decision so the
+    result hashes exactly against the SQL oracle:
+
+    ``x - mu > 3*sigma``  (population moments over the user's events)
+    is cross-multiplied to  ``(n*x - S) > 0  AND
+    (n*x - S)^2 > 9*(n*Q - S^2)``  with S = sum(cents), Q =
+    sum(cents^2) — no float division, no sqrt, no float comparison
+    anywhere.  Single-event users have n*Q == S^2 and (n*x - S) == 0,
+    so they emit nothing, matching the SQL.
+
+    Plan: aggregate-before-join — ONE ``groupby(user_id)`` collapses
+    the facts to (S, Q, n) (user-bounded), attached back via the
+    size-adaptive lookup join; the squared terms are guarded against
+    the int64 range LOUDLY (they grow as (n*x)^2 — at ~2^31 cents x
+    events-per-user the decision needs a wider type).
+
+    Output: (user_id, event_id, value_cents) of the outlier events."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "value_cents": c,
+                "sq": pc.multiply(
+                    pc.cast(c, pa.int64()), pc.cast(c, pa.int64())
+                ),
+            }
+        )
+
+    facts = ds.map_batches(derive, batch_format="pyarrow")
+    per_user = facts.groupby("user_id").aggregate(
+        Sum("value_cents", alias_name="s_c"),
+        Sum("sq", alias_name="q_c"),
+        Count(alias_name="n"),
+    )
+    joined = broadcast_lookup_join(
+        facts.drop_columns(["sq"]),
+        per_user.map_batches(
+            lambda b: b.rename_columns(["uk", "s_c", "q_c", "n"]),
+            batch_format="pyarrow",
+        ),
+        on="user_id", right_on="uk", payload=["s_c", "q_c", "n"],
+        fallback_parts=_join_parts_bytes(facts),
+    )
+
+    def outlier(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = np.asarray(batch.column("value_cents"), dtype=np.int64)
+        s = np.asarray(batch.column("s_c"), dtype=np.int64)
+        q = np.asarray(batch.column("q_c"), dtype=np.int64)
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        dev = n * x - s
+        var9 = 9 * (n * q - s * s)
+        # loud int64-range guard on the squared terms (object-free
+        # check in float is exact enough as a BOUND test at 2^62)
+        if len(x) and (
+            float(np.max(np.abs(dev))) >= 2.0**31
+            or float(np.max(n * np.abs(q).astype(np.float64))) >= 2.0**62
+        ):
+            raise ValueError(
+                "events_spend_outliers: moment terms exceed the exact "
+                "int64 decision range — rescale the cents unit"
+            )
+        keep = (dev > 0) & (dev * dev > var9)
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": kept.column("user_id"),
+                "event_id": kept.column("event_id"),
+                "value_cents": kept.column("value_cents"),
+            }
+        )
+
+    return joined.map_batches(outlier, batch_format="pyarrow").sort(
+        ["user_id", "event_id"]
+    )

@@ -4177,3 +4177,63 @@ def test_graph_ops_input_validation(ray_session):
             t, seeds=["ghost"], broadcast_limit=bl
         ).take_all()
         assert [(r["node"], r["dist_centi"]) for r in got] == [("ghost", 0)], bl
+
+
+def test_events_spend_outliers_exact_decision(ray_session):
+    """3-sigma outlier flagging == a numpy float replica on planted
+    data where the decision is unambiguous, plus the exact-integer
+    boundary semantics (strictly-above only; single-event users and
+    constant users emit nothing)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    import renard_ray.ops.relational as rel
+
+    rows = []
+    # user 1: tight cluster + one huge spike (clear outlier)
+    for i, v in enumerate([10.0] * 20 + [500.0]):
+        rows.append({"user_id": 1, "event_id": 100 + i, "value": v})
+    # user 2: constant values — sigma 0, nothing strictly above
+    for i in range(5):
+        rows.append({"user_id": 2, "event_id": 200 + i, "value": 7.0})
+    # user 3: single event
+    rows.append({"user_id": 3, "event_id": 300, "value": 9.9})
+    # user 4: mild spread, no 3-sigma outlier
+    for i, v in enumerate([5.0, 6.0, 7.0, 8.0]):
+        rows.append({"user_id": 4, "event_id": 400 + i, "value": v})
+
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+                    "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+                    "value": pa.array([r["value"] for r in rows], pa.float64()),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        got = [
+            (r["user_id"], r["event_id"])
+            for r in rel.events_spend_outliers(d).take_all()
+        ]
+    # numpy replica (population sigma)
+    want = []
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in sorted(by_user.items()):
+        xs = np.array([round(r["value"] * 100) for r in rs], dtype=np.float64)
+        mu, sd = xs.mean(), xs.std()
+        for r, x in zip(rs, xs):
+            if x - mu > 3 * sd + 1e-9:
+                want.append((u, r["event_id"]))
+    assert got == want
+    assert got == [(1, 120)]
