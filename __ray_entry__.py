@@ -1205,6 +1205,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-multiplied decision (n*x-S)^2 > 9*(n*Q-S^2) — no
         # float division/sqrt anywhere; exact SQL oracle
         "events_spend_outliers": relational.events_spend_outliers,
+        # edit-distance-1 fuzzy value pairs by FastSS deletion-
+        # neighborhood join (distinct reduce -> hashed-variant
+        # flat-map -> bucket groupby/self-join -> exact verify);
+        # exact SQL oracle via DuckDB's levenshtein on the distinct
+        # cross self-join (tractable at oracle scale only)
+        "customer_fuzzy_name_pairs": lambda sf: __import__(
+            "renard_ray.ops.fuzzy", fromlist=["customer_fuzzy_name_pairs"]
+        ).customer_fuzzy_name_pairs(sf),
         # exact PERCENTILE_CONT building blocks (one sort + O(#blocks)
         # offsets + targeted row pick, all-integer); exact SQL oracle
         "lineitem_price_percentiles_exact":
@@ -2218,6 +2226,14 @@ def oracle_sql() -> dict[str, str]:
                   * (s.n * f.value_cents - s.s_c)
                   > 9 * (s.n * s.q_c - s.s_c * s.s_c)
             ORDER BY f.user_id, f.event_id
+        """,
+        "customer_fuzzy_name_pairs": """
+            WITH d AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(1 AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY name_a, name_b
         """,
         "orders_above_customer_avg": """
             WITH a AS (

@@ -4237,3 +4237,81 @@ def test_events_spend_outliers_exact_decision(ray_session):
                 want.append((u, r["event_id"]))
     assert got == want
     assert got == [(1, 120)]
+
+
+def test_ed1_fuzzy_pairs(ray_session):
+    """Deletion-neighborhood fuzzy pairing == a brute-force full-DP
+    Levenshtein oracle on BOTH plans (local numpy scan and the forced
+    distributed self-join), plus the documented semantics: transposition
+    is NOT ed 1, duplicates collapse in the distinct reduce, the
+    oversized-bucket cap drops pairs loudly rather than silently."""
+    import random
+
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.fuzzy import ed1_pairs_dataset, ed_le1
+
+    def lev(a: str, b: str) -> int:  # independent full DP oracle
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (x != y))
+                )
+            prev = cur
+        return prev[-1]
+
+    # the two-pointer check agrees with the DP on exhaustive short pairs
+    alpha = "ab"
+    short = [""] + [
+        x + y + z for x in alpha for y in alpha for z in alpha + ""
+    ]
+    for a in short:
+        for b in short:
+            assert ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    rng = random.Random(42)
+    vals = list(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(2, 5)))
+            for _ in range(80)
+        }
+    )
+    vals += vals[:10]  # duplicates must collapse
+    vals += ["ab", "ba", "anna", "ana", "annna"]
+    ds = _ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.string())})
+    ).repartition(7)
+
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(sorted(set(vals)))
+        for b in sorted(set(vals))[i + 1 :]
+        if lev(a, b) <= 1
+    )
+    assert ("ana", "anna") in want and ("ab", "ba") not in want
+
+    for limit in (2_000_000, 0):  # local plan, then forced distributed
+        got = sorted(
+            (r["name_a"], r["name_b"])
+            for r in ed1_pairs_dataset(
+                ds, "v", sig_row_limit=limit
+            ).take_all()
+        )
+        assert got == want, f"plan sig_row_limit={limit}"
+
+    # dist column is the constant 1 (distinct inputs, verified pairs)
+    tab = ed1_pairs_dataset(ds, "v").to_pandas()
+    assert set(tab["dist"]) <= {1}
+
+    # tiny max_bucket drops collision buckets: strictly fewer pairs,
+    # never an error (the drop is logged as a recall cap)
+    capped = ed1_pairs_dataset(ds, "v", max_bucket=1).count()
+    assert capped < len(want)
+
+    # empty input
+    empty = _ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    assert ed1_pairs_dataset(empty, "v").count() == 0
