@@ -1213,6 +1213,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_name_pairs": lambda sf: __import__(
             "renard_ray.ops.fuzzy", fromlist=["customer_fuzzy_name_pairs"]
         ).customer_fuzzy_name_pairs(sf),
+        # gaps-and-islands run collapse (SCD2 / RLE shape): maximal
+        # consecutive equal-event_type runs per user -> validity
+        # intervals, sorted-run + boundary stitch; exact SQL oracle
+        # (LAG change flags + SUM OVER run ids)
+        "events_type_runs": relational.events_type_runs,
         # exact PERCENTILE_CONT building blocks (one sort + O(#blocks)
         # offsets + targeted row pick, all-integer); exact SQL oracle
         "lineitem_price_percentiles_exact":
@@ -2226,6 +2231,30 @@ def oracle_sql() -> dict[str, str]:
                   * (s.n * f.value_cents - s.s_c)
                   > 9 * (s.n * s.q_c - s.s_c * s.s_c)
             ORDER BY f.user_id, f.event_id
+        """,
+        "events_type_runs": """
+            WITH e AS (
+                SELECT user_id, event_type, event_id,
+                       epoch_us(ts) AS ts_us,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ), f AS (
+                SELECT user_id, event_type, ts_us, event_id,
+                       SUM(CASE WHEN prev_type IS NULL
+                                     OR prev_type <> event_type
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                       ) AS rid
+                FROM e
+            )
+            SELECT user_id, event_type,
+                   CAST(rid - 1 AS BIGINT) AS run_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+            FROM f GROUP BY user_id, event_type, rid
+            ORDER BY user_id, run_id
         """,
         "customer_fuzzy_name_pairs": """
             WITH d AS (SELECT DISTINCT c_name FROM customer)

@@ -2847,3 +2847,168 @@ def events_spend_outliers(sf_dir: str) -> Dataset:
     return joined.map_batches(outlier, batch_format="pyarrow").sort(
         ["user_id", "event_id"]
     )
+
+
+def events_type_runs(sf_dir: str) -> Dataset:
+    """Gaps-and-islands run collapse: each user's event stream, ordered
+    by (ts, event_id), is compressed into maximal runs of CONSECUTIVE
+    equal ``event_type`` — the SCD2 / run-length-encoding shape (the
+    change-point dual of :func:`events_sessionize`, which splits on
+    time gaps instead of value changes).
+
+    Output: (user_id, event_type, run_id, n_events, start_us, end_us)
+    with ``run_id`` 0-based per user in time order and the bounds as
+    exact int64 microseconds — every column integral or categorical,
+    so the result value-hashes against the LAG/SUM-OVER SQL oracle.
+
+    Plan (sorted-run + boundary stitch, same family as sessionize):
+    ONE global sort on (user_id, ts, event_id); per block a vectorized
+    pandas change-point pass finalizes every run of users strictly
+    interior to the block; only block-EDGE users' RUNS (<= 2 users per
+    block) reach the driver, which merges same-type runs adjacent
+    across a block boundary and assigns their ordinals — O(#blocks +
+    edge-user runs) driver work at any scale, no per-group map_groups.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"])
+
+    run_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("run_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("final", pa.bool_()),
+        ]
+    )
+
+    def block_runs(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return run_schema.empty_table()
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_type = df["event_type"].ne(df["event_type"].shift())
+        rid = (new_user | new_type).cumsum()
+        ts_us = df["ts"].astype("int64")
+        runs = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "event_type": df["event_type"],
+                    "rid": rid,
+                    "ts_us": ts_us,
+                    "eid": df["event_id"],
+                }
+            )
+            .groupby("rid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                event_type=("event_type", "first"),
+                start_us=("ts_us", "first"),
+                end_us=("ts_us", "last"),
+                n_events=("ts_us", "size"),
+                first_eid=("eid", "first"),
+            )
+            .reset_index(drop=True)
+        )
+        edge_users = {df["user_id"].iloc[0], df["user_id"].iloc[-1]}
+        is_edge = runs["user_id"].isin(edge_users)
+        interior = runs[~is_edge]
+        out_int = pd.DataFrame(
+            {
+                "user_id": interior["user_id"],
+                "event_type": interior["event_type"],
+                "run_id": interior.groupby("user_id").cumcount(),
+                "n_events": interior["n_events"],
+                "start_us": interior["start_us"],
+                "end_us": interior["end_us"],
+                "first_eid": interior["first_eid"],
+                "final": True,
+            }
+        )
+        edge = runs[is_edge]
+        out_edge = pd.DataFrame(
+            {
+                "user_id": edge["user_id"],
+                "event_type": edge["event_type"],
+                "run_id": -1,
+                "n_events": edge["n_events"],
+                "start_us": edge["start_us"],
+                "end_us": edge["end_us"],
+                "first_eid": edge["first_eid"],
+                "final": False,
+            }
+        )
+        out = pd.concat([out_int, out_edge], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=run_schema, preserve_index=False)
+
+    out_cols = ["user_id", "event_type", "run_id", "n_events", "start_us", "end_us"]
+    marked = sorted_ds.map_batches(
+        block_runs, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    # fused filter+project (one UDF) so a block with zero final rows
+    # still emits the 6-column OUTPUT schema — a plain filter +
+    # select_columns leaves empty blocks with the stale 8-column
+    # schema and the union below warns on every merge
+    def finalize(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("final")).select(out_cols)
+
+    finals = marked.map_batches(finalize, batch_format="pyarrow")
+
+    edge_df = (
+        marked.filter(expr="final == False")
+        .select_columns(
+            ["user_id", "event_type", "n_events", "start_us", "end_us", "first_eid"]
+        )
+        .to_pandas()
+    )
+    if edge_df.empty:
+        return finals
+
+    # blocks are globally (user, ts, event_id)-sorted, so sorting the
+    # edge runs by the run's FIRST event key restores event order;
+    # in-block maximality guarantees in-block-adjacent runs differ in
+    # type, so "merge sorted-adjacent runs of equal type" merges
+    # exactly the runs split by a block boundary
+    edge_df = edge_df.sort_values(
+        ["user_id", "start_us", "first_eid"], kind="stable"
+    )
+    rows: list[tuple[int, str, int, int, int, int]] = []
+    cur = None  # [user_id, event_type, n, start_us, end_us]
+    rid = 0
+
+    def flush():
+        if cur is not None:
+            rows.append((int(cur[0]), cur[1], rid, int(cur[2]), int(cur[3]), int(cur[4])))
+
+    for r in edge_df.itertuples(index=False):
+        if cur is None or r.user_id != cur[0]:
+            flush()
+            cur, rid = [r.user_id, r.event_type, r.n_events, r.start_us, r.end_us], 0
+        elif r.event_type != cur[1]:
+            flush()
+            rid += 1
+            cur = [r.user_id, r.event_type, r.n_events, r.start_us, r.end_us]
+        else:  # same type across a block boundary: one run
+            cur[2] += r.n_events
+            cur[4] = max(cur[4], r.end_us)
+    flush()
+
+    stitched = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([t[0] for t in rows], pa.int64()),
+                "event_type": pa.array([t[1] for t in rows], pa.string()),
+                "run_id": pa.array([t[2] for t in rows], pa.int64()),
+                "n_events": pa.array([t[3] for t in rows], pa.int64()),
+                "start_us": pa.array([t[4] for t in rows], pa.int64()),
+                "end_us": pa.array([t[5] for t in rows], pa.int64()),
+            }
+        )
+    )
+    return finals.union(stitched)

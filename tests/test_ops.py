@@ -914,6 +914,8 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "lineitem_price_percentiles_exact",
         "events_peak_moving_sum",
         "doc_search_index",
+        "customer_fuzzy_name_pairs",
+        "events_type_runs",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -4315,3 +4317,82 @@ def test_ed1_fuzzy_pairs(ray_session):
     # empty input
     empty = _ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
     assert ed1_pairs_dataset(empty, "v").count() == 0
+
+
+def test_events_type_runs_multiblock(ray_session, monkeypatch):
+    """Gaps-and-islands run collapse: with the sorted input forced into
+    25 tiny blocks (type runs straddling SEVERAL block boundaries, ts
+    ties resolved by event_id) the output equals an independent pandas
+    change-point replica, including the 0-based per-user run ordinals."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(23)
+    per_user = 50
+    frames = []
+    for u in (1, 2, 3):
+        # types sticky ALONG EACH USER'S TIME ORDER (switch p=0.1) =>
+        # runs far longer than the tiny 6-row blocks below; ts = i//2
+        # plants equal-ts ties that need the event_id break
+        frames.append(
+            pd.DataFrame(
+                {
+                    "ts": pd.to_datetime(
+                        np.arange(per_user) // 2, unit="s", origin="2024-01-01"
+                    ),
+                    "user_id": np.int64(u),
+                    "event_type": np.array(["a", "b"])[
+                        (rng.rand(per_user) < 0.1).cumsum() % 2
+                    ],
+                }
+            )
+        )
+    raw = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=7
+    ).reset_index(drop=True)
+    raw["event_id"] = np.arange(1, len(raw) + 1, dtype="int64")
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(25),
+    )
+    got = (
+        relational.events_type_runs("x")
+        .to_pandas()
+        .sort_values(["user_id", "run_id"])
+        .reset_index(drop=True)
+    )
+
+    df = raw.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    chg = df["user_id"].ne(df["user_id"].shift()) | df["event_type"].ne(
+        df["event_type"].shift()
+    )
+    df = df.assign(rid=chg.cumsum(), ts_us=df["ts"].astype("int64"))
+    want = (
+        df.groupby("rid", sort=True)
+        .agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            n_events=("ts_us", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+        )
+        .reset_index(drop=True)
+    )
+    want["run_id"] = want.groupby("user_id").cumcount()
+    want = want[
+        ["user_id", "event_type", "run_id", "n_events", "start_us", "end_us"]
+    ].sort_values(["user_id", "run_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("object"), want.astype("object")
+    )
+    # sanity: the forced tiny blocks actually produced multi-block runs
+    assert (want["n_events"] > 10).any()
