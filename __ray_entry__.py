@@ -592,6 +592,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return neighborhood_function_dataset(kg_triples(sf_dir), p=8)
 
+    def kg_max_spanning_forest(sf_dir: str):
+        """Maximum spanning forest of the co-occurrence KG — the
+        strongest-ties backbone (Borůvka rounds; one tree per
+        component, n_nodes - n_components edges).  Kruskal-replica
+        pytest on both plans; rows-only driver check (iterative,
+        non-SQL)."""
+        from renard_ray.ops.mst import mst_dataset
+
+        return mst_dataset(kg_triples(sf_dir), maximum=True)
+
     def kg_weighted_distances(sf_dir: str):
         """Weighted SSSP from the top-3 hubs (frontier Bellman-Ford
         on exact centi-weights; Dijkstra-oracle pytest on both
@@ -1142,6 +1152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted SSSP (frontier Bellman-Ford, exact centi-ints;
         # Dijkstra-oracle pytest on both plans; rows-only)
         "kg_weighted_distances": kg_weighted_distances,
+        # maximum spanning forest backbone (Borůvka rounds, packed-key
+        # Min picks + CC contraction; Kruskal-replica pytest on both
+        # plans; rows-only)
+        "kg_max_spanning_forest": kg_max_spanning_forest,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

@@ -4396,3 +4396,114 @@ def test_events_type_runs_multiblock(ray_session, monkeypatch):
     )
     # sanity: the forced tiny blocks actually produced multi-block runs
     assert (want["n_events"] > 10).any()
+
+
+def test_mst_boruvka(ray_session):
+    """Distributed Borůvka spanning forest == a sequential Kruskal
+    replica on the same (effective weight, u, v) total order, for BOTH
+    modes (min / max) and BOTH plans (broadcast and forced hash joins +
+    distributed contraction CC), on a graph with two components, heavy
+    weight ties, parallel/reversed duplicate edges and a self-loop."""
+    import random
+
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.mst import _W_CAP, mst_dataset
+
+    rng = random.Random(11)
+    nodes_a = [f"a{i:02d}" for i in range(9)]
+    nodes_b = [f"b{i}" for i in range(4)]
+    rows = []
+    for comp in (nodes_a, nodes_b):
+        # ring (connected) + random chords, tie-heavy integer weights
+        for i, u in enumerate(comp):
+            rows.append((u, comp[(i + 1) % len(comp)], rng.randint(1, 4)))
+        for _ in range(12):
+            u, v = rng.sample(comp, 2)
+            rows.append((u, v, rng.randint(1, 4)))
+    rows.append(("a00", "a00", 1))          # self-loop: dropped
+    rows.append(("a03", "a01", 2))          # reversed duplicate
+    rows.append(("a01", "a03", 9))          # parallel, heavier
+    triples = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "obj": pa.array([r[1] for r in rows], pa.string()),
+                "weight": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+    ).repartition(5)
+
+    def collapse(maximum):
+        es = {}
+        for u, v, w in rows:
+            if u == v:
+                continue
+            a, b = (u, v) if u < v else (v, u)
+            wc = w * 100
+            if (a, b) not in es:
+                es[(a, b)] = wc
+            else:
+                es[(a, b)] = max(es[(a, b)], wc) if maximum else min(es[(a, b)], wc)
+        return es
+
+    def kruskal(maximum):
+        es = collapse(maximum)
+        order = sorted(
+            es.items(),
+            key=lambda kv: (
+                kv[1] if not maximum else _W_CAP - 1 - kv[1],
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for (a, b), w in order:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                out.append((a, b, w))
+        return sorted(out)
+
+    n_nodes = len(nodes_a) + len(nodes_b)
+    for maximum in (False, True):
+        want = kruskal(maximum)
+        assert len(want) == n_nodes - 2  # forest: two components
+        for kwargs in (
+            {},
+            {"broadcast_limit": 0, "cc_driver_limit": 0},
+        ):
+            got = sorted(
+                (r["u"], r["v"], r["w_centi"])
+                for r in mst_dataset(triples, maximum=maximum, **kwargs).take_all()
+            )
+            assert got == want, (maximum, kwargs)
+
+    # weight column is the centi value scaled back
+    df = mst_dataset(triples).to_pandas()
+    assert (df["weight"] * 100).round().astype("int64").tolist() == df[
+        "w_centi"
+    ].tolist()
+
+    # empty graph (only a self-loop) -> empty forest
+    loop_only = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["x"], pa.string()),
+                "obj": pa.array(["x"], pa.string()),
+                "weight": pa.array([1.0], pa.float64()),
+            }
+        )
+    )
+    assert mst_dataset(loop_only).count() == 0
