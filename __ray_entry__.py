@@ -602,6 +602,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mst_dataset(kg_triples(sf_dir), maximum=True)
 
+    def kg_mis(sf_dir: str):
+        """Maximal independent set of the co-occurrence KG by
+        deterministic Luby rounds (md5 priorities): a maximal set of
+        pairwise NON-co-occurring entities — the diversity-cover /
+        symmetry-breaking primitive.  Sequential-replica + exact
+        independence/maximality pytest on both plans; rows-only."""
+        from renard_ray.ops.mis import mis_dataset
+
+        return mis_dataset(kg_triples(sf_dir))
+
     def kg_weighted_distances(sf_dir: str):
         """Weighted SSSP from the top-3 hubs (frontier Bellman-Ford
         on exact centi-weights; Dijkstra-oracle pytest on both
@@ -1156,6 +1166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Min picks + CC contraction; Kruskal-replica pytest on both
         # plans; rows-only)
         "kg_max_spanning_forest": kg_max_spanning_forest,
+        # maximal independent set (deterministic Luby; replica +
+        # exact independence/maximality pytest on both plans;
+        # rows-only)
+        "kg_mis": kg_mis,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

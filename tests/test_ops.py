@@ -4507,3 +4507,100 @@ def test_mst_boruvka(ray_session):
         )
     )
     assert mst_dataset(loop_only).count() == 0
+
+
+def test_mis_luby(ray_session):
+    """Deterministic-Luby MIS: equals a sequential replica running the
+    SAME md5 priority order on both plans, and satisfies the exact set
+    properties — independence (no edge inside) and maximality (every
+    outside node has an inside neighbor) — on a random graph plus a
+    triangle, an isolated star, a self-loop and a no-edge degenerate."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.mis import mis_dataset
+
+    rng = random.Random(3)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    pairs = set()
+    while len(pairs) < 30:
+        u, v = rng.sample(nodes, 2)
+        pairs.add((u, v))
+    pairs |= {("t1", "t2"), ("t2", "t3"), ("t1", "t3")}   # triangle
+    pairs |= {("hub", f"leaf{i}") for i in range(5)}      # star island
+    rows = sorted(pairs) + [("n00", "n00")]               # self-loop
+    triples = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "obj": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(4)
+
+    adj: dict = {}
+    for u, v in pairs:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    all_nodes = set(adj) | {u for r in rows for u in r}
+
+    def replica(seed):
+        live = set(all_nodes)
+        mis = set()
+        rnd = 0
+        while live:
+            k = {
+                n: hashlib.md5(f"{seed}|{rnd}|{n}".encode()).hexdigest()
+                + "\x1f"
+                + n
+                for n in live
+            }
+            win = {
+                n
+                for n in live
+                if all(
+                    k[n] < k[m] for m in adj.get(n, ()) if m in live
+                )
+            }
+            mis |= win
+            live -= win | {m for n in win for m in adj.get(n, ())}
+            rnd += 1
+        return mis
+
+    for kwargs in ({}, {"broadcast_limit": 0}):
+        got = [r["node"] for r in mis_dataset(triples, **kwargs).take_all()]
+        assert got == sorted(set(got)), kwargs  # sorted, no dups
+        gs = set(got)
+        # independence + maximality (exact properties, oracle-free)
+        assert not any(v in gs for u in gs for v in adj.get(u, ())), kwargs
+        assert all(
+            n in gs or any(m in gs for m in adj.get(n, ()))
+            for n in all_nodes
+        ), kwargs
+        # the self-looped node has no simple-graph neighbors: it must
+        # be IN the set (isolated after loop-stripping)
+        assert "n00" in gs or adj.get("n00") , kwargs
+        assert gs == replica(42), kwargs
+
+    # different seed still yields a valid MIS (may differ)
+    alt = {r["node"] for r in mis_dataset(triples, seed=7).take_all()}
+    assert alt == replica(7)
+
+    # no-edge graph: everyone is in
+    loops = _ray.data.from_arrow(
+        pa.table(
+            {"subj": pa.array(["x", "y"]), "obj": pa.array(["x", "y"])}
+        )
+    )
+    assert [r["node"] for r in mis_dataset(loops).take_all()] == ["x", "y"]
+
+    # empty input
+    emp = _ray.data.from_arrow(
+        pa.table({"subj": pa.array([], pa.string()), "obj": pa.array([], pa.string())})
+    )
+    assert mis_dataset(emp).count() == 0
