@@ -1241,6 +1241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_name_pairs": lambda sf: __import__(
             "renard_ray.ops.fuzzy", fromlist=["customer_fuzzy_name_pairs"]
         ).customer_fuzzy_name_pairs(sf),
+        # exact per-group MEDIAN + MAD from ONE bounded (group, cents)
+        # histogram shuffle — both robust statistics derived from the
+        # histogram alone, all-integer via the x2 midpoint trick;
+        # exact SQL oracle
+        "events_value_mad": relational.events_value_mad,
         # gaps-and-islands run collapse (SCD2 / RLE shape): maximal
         # consecutive equal-event_type runs per user -> validity
         # intervals, sorted-run + boundary stitch; exact SQL oracle
@@ -2259,6 +2264,23 @@ def oracle_sql() -> dict[str, str]:
                   * (s.n * f.value_cents - s.s_c)
                   > 9 * (s.n * s.q_c - s.s_c * s.s_c)
             ORDER BY f.user_id, f.event_id
+        """,
+        "events_value_mad": """
+            WITH f AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                FROM events
+            ), m AS (
+                SELECT event_type, COUNT(*) AS n_rows,
+                       CAST(2 * MEDIAN(c) AS BIGINT) AS med2
+                FROM f GROUP BY event_type
+            )
+            SELECT f.event_type, m.n_rows, m.med2 AS med2_cents,
+                   CAST(2 * MEDIAN(ABS(2 * f.c - m.med2)) AS BIGINT)
+                       AS mad4_cents
+            FROM f JOIN m USING (event_type)
+            GROUP BY f.event_type, m.n_rows, m.med2
+            ORDER BY f.event_type
         """,
         "events_type_runs": """
             WITH e AS (

@@ -3012,3 +3012,110 @@ def events_type_runs(sf_dir: str) -> Dataset:
         )
     )
     return finals.union(stitched)
+
+
+_MAD_HIST_LIMIT = 5_000_000
+
+
+def events_value_mad(sf_dir: str, hist_limit: int = _MAD_HIST_LIMIT) -> Dataset:
+    """Exact per-group robust statistics — interpolated MEDIAN and MAD
+    (median absolute deviation) of event value per event_type — with
+    every output an exact integer: ``med2 = 2*median(cents)`` and
+    ``mad4 = 2*median(|2*cents - med2|)`` = 4 x MAD in cents (one
+    factor 2 from the doubled deviations, one from the even-count
+    midpoint trick) — integral by construction, so the result
+    value-hashes against the SQL oracle; no float statistics
+    anywhere.
+
+    Plan (value-HISTOGRAM — the low-cardinality exact path): the ONLY
+    corpus-scale exchange is a ``groupby(event_type, cents)`` count
+    with per-batch combine, whose output is bounded by
+    |groups| x |cent domain| — a fixed-resolution bounded metric's
+    domain does not grow with row count, so the histogram is
+    constant-size at any scale.  BOTH statistics then derive from the
+    histogram alone on the driver (the deviation multiset
+    |2c - med2| is a re-keying of the same counts — no second corpus
+    pass).  A histogram larger than ``hist_limit`` raises LOUDLY with
+    a pointer to the sort-based percentile plan (the right tool for
+    unbounded/continuous domains).
+
+    Output: (event_type, n_rows, med2_cents, mad4_cents)."""
+    from collections import defaultdict
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "g": batch.column("event_type"),
+                "c": _cents(batch.column("value")),
+            }
+        )
+        out = t.group_by(["g", "c"]).aggregate([("c", "count")])
+        return out.rename_columns(["g", "c", "n"])
+
+    hist = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["g", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    n_hist = hist.count()
+    if n_hist > hist_limit:
+        raise ValueError(
+            f"events_value_mad: histogram has {n_hist} (group, value) rows "
+            f"> hist_limit={hist_limit} — the value domain is not "
+            "low-cardinality; use the sort-based exact-percentile plan "
+            "(lineitem_price_percentiles_exact shape) instead"
+        )
+
+    htab = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ).combine_chunks()
+    by_g: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for g, c, n in zip(
+        htab.column("g").to_pylist(),
+        htab.column("c").to_pylist(),
+        htab.column("n").to_pylist(),
+    ):
+        by_g[g].append((int(c), int(n)))
+
+    def med2_of(pairs: "list[tuple[int, int]]", total: int) -> int:
+        """2 x interpolated median of the multiset given as sorted
+        (value, count) pairs — lower rank (n+1)//2, upper n//2 + 1
+        (1-based), summed (PERCENTILE_CONT(0.5) x 2, exactly)."""
+        k_lo, k_hi = (total + 1) // 2, total // 2 + 1
+        lo = hi = None
+        cum = 0
+        for v, n in pairs:
+            cum += n
+            if lo is None and cum >= k_lo:
+                lo = v
+            if cum >= k_hi:
+                hi = v
+                break
+        return lo + hi
+
+    out = {"event_type": [], "n_rows": [], "med2_cents": [], "mad4_cents": []}
+    for g in sorted(by_g):
+        pairs = sorted(by_g[g])
+        total = sum(n for _, n in pairs)
+        med2 = med2_of(pairs, total)
+        dev: dict[int, int] = defaultdict(int)
+        for v, n in pairs:  # re-key the SAME counts: |2v - med2|
+            dev[abs(2 * v - med2)] += n
+        mad4 = med2_of(sorted(dev.items()), total)
+        out["event_type"].append(g)
+        out["n_rows"].append(total)
+        out["med2_cents"].append(med2)
+        out["mad4_cents"].append(mad4)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "med2_cents": pa.array(out["med2_cents"], pa.int64()),
+                "mad4_cents": pa.array(out["mad4_cents"], pa.int64()),
+            }
+        )
+    )

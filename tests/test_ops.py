@@ -916,6 +916,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "doc_search_index",
         "customer_fuzzy_name_pairs",
         "events_type_runs",
+        "events_value_mad",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -4604,3 +4605,57 @@ def test_mis_luby(ray_session):
         pa.table({"subj": pa.array([], pa.string()), "obj": pa.array([], pa.string())})
     )
     assert mis_dataset(emp).count() == 0
+
+
+def test_events_value_mad(ray_session, monkeypatch):
+    """Histogram-plan exact median/MAD == a numpy interpolated-median
+    replica (x2/x4 integer encodings) on a multi-block frame with odd
+    AND even group sizes and heavy value ties; the hist_limit guard
+    raises loudly instead of silently degrading."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for g, n in (("a", 101), ("b", 100), ("c", 1)):  # odd, even, single
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_type": g,
+                    # coarse grid => many exact ties in the histogram
+                    "value": rng.randint(0, 25, n) / 4.0,
+                }
+            )
+        )
+    raw = pd.concat(frames, ignore_index=True)
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(9),
+    )
+    got = (
+        relational.events_value_mad("x")
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+
+    for g, sub in raw.groupby("event_type"):
+        c = (sub["value"] * 100).round().astype("int64").to_numpy()
+        med2 = int(round(2 * float(np.median(c))))
+        mad4 = int(round(2 * float(np.median(np.abs(2 * c - med2)))))
+        row = got.loc[g]
+        assert int(row["n_rows"]) == len(c), g
+        assert int(row["med2_cents"]) == med2, g
+        assert int(row["mad4_cents"]) == mad4, g
+
+    with pytest.raises(ValueError, match="hist_limit"):
+        relational.events_value_mad("x", hist_limit=1)
