@@ -1024,6 +1024,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-query ADC LUTs — the memory-bounded ANN path (rows-only
         # check; numpy-PQ parity + recall pytest)
         "knn_pq": lambda sf: similarity.knn_pq(sf),
+        # exact ALL-PAIRS kNN GRAPH (every vector's top-k neighbors —
+        # the SemDeDup/clustering primitive): tile fan-out with
+        # per-row per-tile top-k partials, sorted-run row-number merge
+        # (no per-group map_groups); ppm-quantized ranking so the
+        # graph is deterministic (rows-only; full-matrix numpy pytest)
+        "knn_graph": lambda sf: similarity.knn_graph(sf),
         # distributed spherical k-means (Lloyd's with broadcast
         # centroids + tree-reduced partial sums); per-cluster stats —
         # iterative, non-SQL (rows-only check; numpy-oracle pytest)

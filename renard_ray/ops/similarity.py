@@ -14,6 +14,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -436,3 +437,244 @@ def knn_pq(
 
     partials = codes.map_batches(adc_scan, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+def knn_graph_dataset(
+    emb: Dataset, k: int = 5, n_chunks: int = 8
+) -> Dataset:
+    """EXACT k-nearest-neighbor GRAPH over the whole embedding table —
+    every vector's top-k cosine neighbors (the SemDeDup / clustering /
+    graph-building primitive; unlike :func:`knn_bruteforce` there is
+    no small query set: all n rows are queries).
+
+    Plan: the block-pair tile fan-out of
+    ``dedup.embedding_near_dup_pairs`` (every vector rides to its
+    B(B+1)/2 chunk-pair groups; O(n^2/B^2) numpy matmul per tile —
+    exact all-pairs compute is inherent to an exact kNN graph), but
+    each tile emits only its PER-ROW TOP-K (global top-k is a subset
+    of the union of tile top-ks), so the merge input is n·B·k rows,
+    not n^2.  The merge is the house sorted-run shape: ONE global sort
+    on (src, inv_sim_ppm, dst), vectorized block-local row numbers,
+    and an O(#blocks) driver carry scan that offsets the single
+    straddling src run per block — no per-group map_groups at any
+    scale.  Similarities are quantized to ppm ints BEFORE ranking
+    (ties break on dst asc), so the graph is deterministic.
+
+    Output: (src, dst, rank, sim_ppm, cosine_sim), rank 0-based."""
+    B = max(2, n_chunks)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c = ids % B
+        parts = []
+        for j in range(B):
+            pk = np.minimum(c, j) * B + np.maximum(c, j)
+            parts.append(batch.append_column("pk", pa.array(pk, pa.int64())))
+        return pa.concat_tables(parts)
+
+    def tile_topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        M = _norm_rows(_matrix(group.column("embedding")))
+        pk = int(group.column("pk")[0].as_py())
+        gi, gj = pk // B, pk % B
+        c = ids % B
+        src_out: list[np.ndarray] = []
+        dst_out: list[np.ndarray] = []
+        ppm_out: list[np.ndarray] = []
+
+        # self-pairs get a sentinel BELOW any valid ppm (>= -1e6) that
+        # still fits the packed key: |sent|*1e12 + dst must stay in
+        # int64, so dst ids are asserted < 1e12
+        _SENT = -(8 * 10**6)
+
+        def emit(ids_l, ids_r, sims):
+            # per-LEFT-row top-k of this tile (sims: |L| x |R| ppm ints)
+            kk = min(k, sims.shape[1])
+            if kk == 0:
+                return
+            assert ids_r.min() >= 0 and ids_r.max() < 10**12, (
+                "knn_graph: vec_id outside [0, 1e12) breaks the packed "
+                "tie-break key"
+            )
+            # order by (-sim, dst): argsort a packed key, take k
+            key = sims.astype(np.int64) * -(10**12) + ids_r[None, :]
+            idx = np.argsort(key, axis=1, kind="stable")[:, :kk]
+            src_out.append(np.repeat(ids_l, kk))
+            dst_out.append(ids_r[idx].ravel())
+            ppm_out.append(np.take_along_axis(sims, idx, axis=1).ravel())
+
+        if gi == gj:
+            sims = np.rint((M @ M.T) * 1e6).astype(np.int64)
+            np.fill_diagonal(sims, _SENT)  # no self-pairs
+            emit(ids, ids, sims)
+        else:
+            li, lj = c == gi, c == gj
+            if li.any() and lj.any():
+                sims = np.rint((M[li] @ M[lj].T) * 1e6).astype(np.int64)
+                emit(ids[li], ids[lj], sims)
+                emit(ids[lj], ids[li], sims.T)
+        if not src_out:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "ppm": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "src": pa.array(np.concatenate(src_out), pa.int64()),
+                "dst": pa.array(np.concatenate(dst_out), pa.int64()),
+                "ppm": pa.array(np.concatenate(ppm_out), pa.int64()),
+            }
+        )
+        # sentinel self-rows from the diagonal fill (only possible in
+        # the gi == gj branch when a row's chunk has <= k members);
+        # every valid ppm is >= -1e6
+        return t.filter(
+            pc.greater_equal(t.column("ppm"), pa.scalar(-(10**6), pa.int64()))
+        )
+
+    cands = (
+        emb.map_batches(fanout, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(tile_topk, batch_format="pyarrow")
+    )
+
+    def inv(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "iv": pc.subtract(
+                    pa.scalar(10**6, pa.int64()), batch.column("ppm")
+                ),
+            }
+        )
+
+    sorted_ds = (
+        cands.map_batches(inv, batch_format="pyarrow")
+        .sort(["src", "iv", "dst"])
+        .materialize()
+    )
+
+    _schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("iv", pa.int64()),
+            ("local", pa.int64()),
+            ("first_run", pa.bool_()),
+            ("bk", pa.string()),
+        ]
+    )
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        n = batch.num_rows
+        src = np.asarray(batch.column("src"), dtype=np.int64)
+        iv = np.asarray(batch.column("iv"), dtype=np.int64)
+        dst = np.asarray(batch.column("dst"), dtype=np.int64)
+        assert src[0] >= 0 and iv[0] >= 0 and dst[0] >= 0
+        bk = "%020d:%020d:%020d" % (src[0], iv[0], dst[0])
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = src[1:] != src[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n, dtype=np.int64), -1)
+        )
+        local = np.arange(n, dtype=np.int64) - gs  # 0-based row number
+        first_run = src == src[0]
+        rows = pa.table(
+            {
+                "kind": pa.array(["r"] * n),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "iv": batch.column("iv"),
+                "local": pa.array(local),
+                "first_run": pa.array(first_run),
+                "bk": pa.array([bk] * n),
+            }
+        )
+        # summary carries (first_src, first_run_rows, last_src,
+        # last_run_rows) packed into (src, local) / (dst, iv)
+        summary = pa.table(
+            {
+                "kind": pa.array(["s"]),
+                "src": pa.array([int(src[0])], pa.int64()),
+                "dst": pa.array([int(src[-1])], pa.int64()),
+                "iv": pa.array([int(n - gs[-1])], pa.int64()),  # last-run rows
+                "local": pa.array([int(first_run.sum())], pa.int64()),
+                "first_run": pa.array([False]),
+                "bk": pa.array([bk]),
+            }
+        )
+        return pa.concat_tables([rows, summary])
+
+    marked = sorted_ds.map_batches(
+        block_scan, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # O(#blocks) carry scan: offset for each block's FIRST src run
+    summ = marked.filter(expr="kind == 's'").to_pandas().sort_values("bk")
+    off: dict[str, int] = {}
+    carry_src: int | None = None
+    carry_n = 0
+    for r in summ.itertuples(index=False):
+        f_src, f_n = int(r.src), int(r.local)
+        l_src, l_n = int(r.dst), int(r.iv)
+        o = carry_n if f_src == carry_src else 0
+        if o:
+            off[r.bk] = o
+        if l_src == f_src:  # the whole block is one src run
+            carry_src, carry_n = l_src, o + f_n
+        else:
+            carry_src, carry_n = l_src, l_n
+
+    off_ref = ray.put(off)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), pa.scalar("r")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "sim_ppm": pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        omap = ray.get(off_ref)
+        local = np.asarray(t.column("local"), dtype=np.int64)
+        if omap:
+            bks = t.column("bk").to_pylist()
+            fr = np.asarray(t.column("first_run"))
+            add = np.array(
+                [omap.get(b, 0) if f else 0 for b, f in zip(bks, fr)],
+                dtype=np.int64,
+            )
+            local = local + add
+        keep = local < k
+        t = t.filter(pa.array(keep))
+        rank = local[keep]
+        ppm = pc.subtract(pa.scalar(10**6, pa.int64()), t.column("iv"))
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "rank": pa.array(rank),
+                "sim_ppm": ppm,
+                "cosine_sim": pc.divide(pc.cast(ppm, pa.float64()), 1e6),
+            }
+        )
+
+    return marked.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def knn_graph(sf_dir: str, k: int = 5) -> Dataset:
+    """Exact top-k cosine neighbor graph over the embeddings table."""
+    return knn_graph_dataset(_read_embeddings(sf_dir), k=k).sort(
+        ["src", "rank"]
+    )

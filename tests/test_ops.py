@@ -4659,3 +4659,71 @@ def test_events_value_mad(ray_session, monkeypatch):
 
     with pytest.raises(ValueError, match="hist_limit"):
         relational.events_value_mad("x", hist_limit=1)
+
+
+def test_knn_graph_exact(ray_session):
+    """Tile-fanout kNN graph == a full-matrix numpy oracle using the
+    identical ppm quantization and (−sim, dst) tie order, on a
+    multi-block table with planted DUPLICATE vectors (exact ties), a
+    small chunk count (every row straddles several tiles) and k larger
+    than some chunks; rank column is dense 0-based per src."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.similarity import knn_graph_dataset
+
+    rng = np.random.RandomState(9)
+    n, d, k = 40, 6, 5
+    M = rng.randint(-3, 4, size=(n, d)).astype(np.float64)
+    M[7] = M[3]            # exact duplicate -> sim ties
+    M[25] = -M[3]
+    M[np.abs(M).sum(1) == 0] += 1.0
+    ids = np.arange(n, dtype=np.int64)
+
+    emb = _ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(M), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(7)
+
+    got = sorted(
+        (r["src"], r["rank"], r["dst"], r["sim_ppm"])
+        for r in knn_graph_dataset(emb, k=k, n_chunks=4).take_all()
+    )
+
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = np.rint((Mn @ Mn.T) * 1e6).astype(np.int64)
+    want = []
+    for i in range(n):
+        cand = [(-sims[i, j], j) for j in range(n) if j != i]
+        cand.sort()
+        for r, (negs, j) in enumerate(cand[:k]):
+            want.append((i, r, j, -negs))
+    assert got == sorted(want)
+
+    # duplicate vector: the dup pair must be each other's rank-0 at ppm 1e6
+    by_src = {(s, r): (dd, p) for s, r, dd, p in got}
+    assert by_src[(3, 0)] == (7, 10**6)
+    assert by_src[(7, 0)] == (3, 10**6)
+
+    # n <= k: every node links to all others, ranks dense
+    small = _ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    rows = knn_graph_dataset(small, k=5, n_chunks=2).take_all()
+    assert len(rows) == 6
+    assert {(r["src"], r["rank"]) for r in rows} == {
+        (s, r) for s in (0, 1, 2) for r in (0, 1)
+    }
