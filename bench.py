@@ -157,6 +157,13 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_neighborhood_function",
         "kg_ktruss",
         "doc_quality_classifier",
+        # continuation-session round-3 operators
+        "customer_fuzzy_name_pairs",
+        "events_type_runs",
+        "kg_max_spanning_forest",
+        "kg_mis",
+        "events_value_mad",
+        "knn_graph",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
