@@ -602,6 +602,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mst_dataset(kg_triples(sf_dir), maximum=True)
 
+    def kg_densest_subgraph(sf_dir: str):
+        """Densest-subgraph community core of the co-occurrence KG by
+        exact-integer (1+eps) greedy peeling (2(1+eps)-approx,
+        O(log n) rounds guaranteed).  Sequential-replica pytest on
+        both plans; rows-only (iterative, non-SQL)."""
+        from renard_ray.ops.densest import densest_subgraph_dataset
+
+        return densest_subgraph_dataset(kg_triples(sf_dir))
+
     def kg_mis(sf_dir: str):
         """Maximal independent set of the co-occurrence KG by
         deterministic Luby rounds (md5 priorities): a maximal set of
@@ -1176,6 +1185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact independence/maximality pytest on both plans;
         # rows-only)
         "kg_mis": kg_mis,
+        # densest-subgraph community core ((1+eps) greedy peel,
+        # exact-integer thresholds; replica pytest on both plans;
+        # rows-only)
+        "kg_densest_subgraph": kg_densest_subgraph,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

@@ -4727,3 +4727,80 @@ def test_knn_graph_exact(ray_session):
     assert {(r["src"], r["rank"]) for r in rows} == {
         (s, r) for s in (0, 1, 2) for r in (0, 1)
     }
+
+
+def test_densest_subgraph_peel(ray_session):
+    """(1+eps)-peel densest subgraph == a sequential replica running
+    the SAME exact-integer thresholds and earliest-best-round rule, on
+    a planted K8 clique wired to a sparse periphery (the clique is the
+    true densest core and must come back exactly), on BOTH join plans
+    and two eps values; degenerate empty/self-loop inputs."""
+    import random
+    from fractions import Fraction
+
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.densest import densest_subgraph_dataset
+
+    rng = random.Random(13)
+    clique = [f"c{i}" for i in range(8)]
+    periph = [f"p{i:02d}" for i in range(24)]
+    pairs = {(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]}
+    for i in range(len(periph) - 1):          # path through the periphery
+        pairs.add((periph[i], periph[i + 1]))
+    for p in periph[::4]:                     # sparse ties into the clique
+        pairs.add((p, rng.choice(clique)))
+    rows = sorted(pairs) + [("c0", "c0")]     # self-loop ignored
+    triples = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "obj": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(5)
+
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def replica(eps_num, eps_den):
+        live = set(adj)
+        stats, removed = [], []
+        while live:
+            m2 = sum(len(adj[u] & live) for u in live)
+            stats.append((len(live), m2 // 2))
+            thr = ((eps_den + eps_num) * m2) // (eps_den * len(live))
+            out = {u for u in live if len(adj[u] & live) <= thr}
+            removed.append(out)
+            live -= out
+        best_rnd, best = 0, Fraction(stats[0][1], stats[0][0])
+        for i, (n, m) in enumerate(stats[1:], 1):
+            if Fraction(m, n) > best:
+                best, best_rnd = Fraction(m, n), i
+        return set().union(*removed[best_rnd:]), stats[best_rnd]
+
+    for eps in ((1, 10), (1, 2)):
+        want, (wn, wm) = replica(*eps)
+        for kwargs in ({}, {"broadcast_limit": 0}):
+            got = densest_subgraph_dataset(
+                triples, eps_num=eps[0], eps_den=eps[1], **kwargs
+            ).to_pandas()
+            assert set(got["node"]) == want, (eps, kwargs)
+            assert got["node"].is_monotonic_increasing
+            assert (got["n_nodes"] == wn).all() and (got["m_edges"] == wm).all()
+            assert (got["density_ppm"] == 10**6 * wm // wn).all()
+        # the planted clique is the densest core: it must survive intact
+        assert set(clique) <= want, eps
+
+    emp = _ray.data.from_arrow(
+        pa.table({"subj": pa.array([], pa.string()), "obj": pa.array([], pa.string())})
+    )
+    assert densest_subgraph_dataset(emp).count() == 0
+    loop = _ray.data.from_arrow(
+        pa.table({"subj": pa.array(["x"]), "obj": pa.array(["x"])})
+    )
+    assert densest_subgraph_dataset(loop).count() == 0
