@@ -602,6 +602,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mst_dataset(kg_triples(sf_dir), maximum=True)
 
+    def kg_warclike(sf_dir: str):
+        """Full KG built from WARC-style record-framed archives (the
+        crawl-archive ingest path): the pages corpus is written as
+        Content-Length-framed .warx files and read back distributedly
+        (one archive per task, text re-derived from the payload) —
+        pytest pins byte-identical pages AND triple parity with the
+        parquet path; rows-only driver check."""
+        import pyarrow.parquet as pq
+
+        from renard_ray.pipelines.kg import KGConfig, build_kg
+        from renard_ray.sources.warclike import (
+            read_pages_warclike,
+            write_pages_warclike,
+        )
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        n_pages = max(100, min(2000, n_docs))
+        d = f"/tmp/renard_warx_{n_pages}"
+        write_pages_warclike(d, n_pages, seed=42, records_per_file=100)
+        return build_kg(read_pages_warclike(d), KGConfig())
+
     def kg_densest_subgraph(sf_dir: str):
         """Densest-subgraph community core of the co-occurrence KG by
         exact-integer (1+eps) greedy peeling (2(1+eps)-approx,
@@ -1189,6 +1210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer thresholds; replica pytest on both plans;
         # rows-only)
         "kg_densest_subgraph": kg_densest_subgraph,
+        # KG from WARC-style record-framed archives (Content-Length
+        # framing, one archive per task; pytest pins pages byte-parity
+        # + triple parity with the parquet path; rows-only)
+        "kg_warclike": kg_warclike,
         # BPE tokenizer: train merges on the md5-priority reservoir
         # sample, apply corpus-wide via an actor pool (ranks + memo in
         # __init__), top-50 subwords; python-replica pytest (rows-only

@@ -4804,3 +4804,73 @@ def test_densest_subgraph_peel(ray_session):
         pa.table({"subj": pa.array(["x"]), "obj": pa.array(["x"])})
     )
     assert densest_subgraph_dataset(loop).count() == 0
+
+
+def test_warclike_roundtrip_and_kg(ray_session, tmp_path):
+    """Record-framed archive source: write -> distributed read is
+    byte/value-identical to the in-memory pages table (text re-derived
+    from the payload), the KG built from the archives equals the KG
+    built from the same parquet-path pages, and malformed archives
+    raise loudly instead of dropping records."""
+    import pyarrow as pa
+    import pytest
+
+    import ray as _ray
+
+    from renard_ray.pipelines.kg import KGConfig, build_kg
+    from renard_ray.sources.pages import generate_pages_table
+    from renard_ray.sources.warclike import (
+        parse_warclike_bytes,
+        read_pages_warclike,
+        write_pages_warclike,
+    )
+
+    n = 230
+    d = str(tmp_path / "warx")
+    paths = write_pages_warclike(d, n, seed=42, records_per_file=60)
+    assert len(paths) == 4  # 60+60+60+50
+
+    got = (
+        read_pages_warclike(d)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        generate_pages_table(n, seed=42)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    for col in ("url", "warc_ts", "html", "text", "lang"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+    # KG parity: archives and parquet-shape pages give identical triples
+    t_warc = (
+        build_kg(read_pages_warclike(d), KGConfig())
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj", "block_id"])
+        .reset_index(drop=True)
+    )
+    t_mem = (
+        build_kg(
+            _ray.data.from_arrow(generate_pages_table(n, seed=42)), KGConfig()
+        )
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj", "block_id"])
+        .reset_index(drop=True)
+    )
+    assert t_warc.values.tolist() == t_mem.values.tolist()
+
+    # malformed inputs raise (never silently skip)
+    blob = open(paths[0], "rb").read()
+    with pytest.raises(ValueError, match="magic"):
+        parse_warclike_bytes(b"JUNK" + blob)
+    with pytest.raises(ValueError, match="truncated|mis-framed"):
+        parse_warclike_bytes(blob[:-10])
+    hdr_end = blob.find(b"\r\n\r\n")
+    with pytest.raises(ValueError, match="bad headers"):
+        parse_warclike_bytes(
+            blob.replace(b"Content-Length: ", b"Content-Lenght: ", 1)
+        )
