@@ -1285,6 +1285,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_name_pairs": lambda sf: __import__(
             "renard_ray.ops.fuzzy", fromlist=["customer_fuzzy_name_pairs"]
         ).customer_fuzzy_name_pairs(sf),
+        # RefinedWeb-style per-domain doc cap (keep md5-priority top-N
+        # per source; sorted-run row number, no per-group map_groups);
+        # exact SQL oracle (DuckDB md5 == hashlib md5)
+        "doc_domain_cap": lambda sf: __import__(
+            "renard_ray.ops.textstats", fromlist=["domain_cap"]
+        ).domain_cap(sf),
         # exact per-group MEDIAN + MAD from ONE bounded (group, cents)
         # histogram shuffle — both robust statistics derived from the
         # histogram alone, all-integer via the x2 midpoint trick;
@@ -2308,6 +2314,18 @@ def oracle_sql() -> dict[str, str]:
                   * (s.n * f.value_cents - s.s_c)
                   > 9 * (s.n * s.q_c - s.s_c * s.s_c)
             ORDER BY f.user_id, f.event_id
+        """,
+        "doc_domain_cap": """
+            WITH r AS (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT source, doc_id, rk FROM r WHERE rk <= 10
+            ORDER BY source, rk
         """,
         "events_value_mad": """
             WITH f AS (

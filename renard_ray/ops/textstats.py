@@ -802,3 +802,168 @@ def decontaminate(
         )
     )
     return per_doc.union(zero_rows)
+
+
+def domain_cap(sf_dir: str, cap: int = 10) -> Dataset:
+    """RefinedWeb-style per-domain document cap (Penedo et al. 2023
+    §3.1 keep-at-most-N-per-domain): every ``source`` keeps its ``cap``
+    best documents under the deterministic md5(doc_id) priority — the
+    standard anti-boilerplate / anti-SEO-farm downsampler, reproducible
+    under retries and partitioning (same md5-priority recipe as the
+    train/val split and the reservoir samples).
+
+    Plan (sorted-run row number — no per-group map_groups at any
+    domain count): ONE pass derives the packed sort key
+    ``source\\x1f md5(doc_id)\\x1f doc_id``; ONE global sort on it;
+    each block assigns vectorized per-source row numbers; only the
+    single straddling source run per block needs the O(#blocks)
+    driver carry offset.  Output (source, doc_id, rk) with 1-based
+    ``rk <= cap``, value-hash-exact against the ROW_NUMBER SQL oracle
+    (DuckDB's md5 of the decimal doc_id string matches hashlib's).
+    """
+    import hashlib
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        sk = [
+            f"{s}\x1f{hashlib.md5(str(i).encode()).hexdigest()}\x1f{i:020d}"
+            for s, i in zip(srcs, ids)
+        ]
+        return pa.table(
+            {
+                "sk": pa.array(sk, pa.string()),
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(derive, batch_format="pyarrow").sort("sk").materialize()
+    )
+
+    _schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("source", pa.string()),
+            ("doc_id", pa.int64()),
+            ("local", pa.int64()),
+            ("first_run", pa.bool_()),
+            ("bk", pa.string()),
+        ]
+    )
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        n = batch.num_rows
+        src = np.asarray(batch.column("source"), dtype=object)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = src[1:] != src[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n, dtype=np.int64), -1)
+        )
+        local = np.arange(n, dtype=np.int64) - gs
+        first_run = src == src[0]
+        bk = batch.column("sk")[0].as_py()
+        rows = pa.table(
+            {
+                "kind": pa.array(["r"] * n),
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id"),
+                "local": pa.array(local),
+                "first_run": pa.array(first_run),
+                "bk": pa.array([bk] * n),
+            }
+        )
+        summary = pa.table(
+            {
+                "kind": pa.array(["s"]),
+                "source": pa.array([str(src[0])]),
+                # first-run rows in local, last-run rows in doc_id,
+                # last source name rides the bk-suffix-free column? no:
+                # pack last source into 'bk'? keep a 2-row summary
+                "doc_id": pa.array([int(first_run.sum())], pa.int64()),
+                "local": pa.array([int(n - gs[-1])], pa.int64()),
+                "first_run": pa.array([False]),
+                "bk": pa.array([bk]),
+            }
+        )
+        last = pa.table(
+            {
+                "kind": pa.array(["t"]),
+                "source": pa.array([str(src[-1])]),
+                "doc_id": pa.array([0], pa.int64()),
+                "local": pa.array([0], pa.int64()),
+                "first_run": pa.array([False]),
+                "bk": pa.array([bk]),
+            }
+        )
+        return pa.concat_tables([rows, summary, last])
+
+    marked = sorted_ds.map_batches(
+        block_scan, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    summ = (
+        marked.filter(expr="kind == 's' or kind == 't'")
+        .to_pandas()
+        .sort_values(["bk", "kind"])
+    )
+    off: dict[str, int] = {}
+    carry_src: str | None = None
+    carry_n = 0
+    # rows alternate (s, t) per block in bk order
+    by_bk: dict[str, dict] = {}
+    for r in summ.itertuples(index=False):
+        d = by_bk.setdefault(r.bk, {})
+        if r.kind == "s":
+            d["f_src"], d["f_n"], d["l_n"] = r.source, int(r.doc_id), int(r.local)
+        else:
+            d["l_src"] = r.source
+    for bk in sorted(by_bk):
+        d = by_bk[bk]
+        o = carry_n if d["f_src"] == carry_src else 0
+        if o:
+            off[bk] = o
+        if d["l_src"] == d["f_src"]:
+            carry_src, carry_n = d["l_src"], o + d["f_n"]
+        else:
+            carry_src, carry_n = d["l_src"], d["l_n"]
+
+    off_ref = ray.put(off)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), pa.scalar("r")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        omap = ray.get(off_ref)
+        local = np.asarray(t.column("local"), dtype=np.int64)
+        if omap:
+            bks = t.column("bk").to_pylist()
+            fr = np.asarray(t.column("first_run"))
+            local = local + np.array(
+                [omap.get(b, 0) if f else 0 for b, f in zip(bks, fr)],
+                dtype=np.int64,
+            )
+        keep = local < cap
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "doc_id": t.column("doc_id"),
+                "rk": pa.array(local[keep] + 1),
+            }
+        )
+
+    return marked.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    ).sort(["source", "rk"])

@@ -917,6 +917,7 @@ def test_rotated_out_queries_match_oracle(ray_session):
         "customer_fuzzy_name_pairs",
         "events_type_runs",
         "events_value_mad",
+        "doc_domain_cap",
     ]
     # the rotation invariant itself: these sit BELOW the 50-entry line
     order = list(qs)
@@ -4874,3 +4875,51 @@ def test_warclike_roundtrip_and_kg(ray_session, tmp_path):
         parse_warclike_bytes(
             blob.replace(b"Content-Length: ", b"Content-Lenght: ", 1)
         )
+
+
+def test_doc_domain_cap_multiblock(ray_session, monkeypatch):
+    """Per-domain cap: with the sorted input forced into 25 tiny
+    blocks (one domain's priority run straddles MANY blocks) the kept
+    set equals a pandas ROW_NUMBER replica on the identical
+    (md5(doc_id), doc_id) priority, including the 1-based rk values."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import textstats
+
+    rng = np.random.RandomState(31)
+    # skewed: one giant domain (120 docs), two small, one below the cap
+    srcs = (["big"] * 120) + (["mid"] * 18) + (["sm"] * 7) + (["tiny"] * 2)
+    raw = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, 1000 + len(srcs), dtype="int64"),
+            "source": srcs,
+        }
+    ).sample(frac=1.0, random_state=3).reset_index(drop=True)
+
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(25),
+    )
+    got = textstats.domain_cap("x", cap=5).to_pandas()
+
+    raw["pr"] = raw["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    raw = raw.sort_values(["source", "pr", "doc_id"], kind="stable")
+    raw["rk"] = raw.groupby("source").cumcount() + 1
+    want = raw[raw["rk"] <= 5][["source", "doc_id", "rk"]].sort_values(
+        ["source", "rk"]
+    ).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "rk"]].reset_index(drop=True), want
+    )
+    assert got.groupby("source").size().to_dict() == {
+        "big": 5, "mid": 5, "sm": 5, "tiny": 2,
+    }
