@@ -89,14 +89,11 @@ def densest_subgraph_dataset(
 
         # exact integer threshold: deg <= floor((1+eps) * 2m / n)
         thr = ((eps_den + eps_num) * m2) // (eps_den * n)
+        # just the node column: reconstruction indexes `removed` by
+        # list position, so a per-row round column would be dead weight
         victims = deg.map_batches(
-            lambda b, t=thr, r=rnd: (
-                lambda f: pa.table(
-                    {
-                        "node": f.column("src"),
-                        "round": pa.array([r] * f.num_rows, pa.int64()),
-                    }
-                )
+            lambda b, t=thr: (
+                lambda f: pa.table({"node": f.column("src")})
             )(b.filter(pc.less_equal(b.column("deg"), pa.scalar(t, pa.int64())))),
             batch_format="pyarrow",
         ).materialize()

@@ -138,6 +138,13 @@ def _pairs_local(
     ends = np.r_[starts[1:], len(k_s)]
     sizes = ends - starts
     big = sizes > max_bucket
+    dup_idx = np.flatnonzero((sizes >= 2) & ~big)
+    s_dup = sizes[dup_idx]
+    # budget check BEFORE the drop warning: on the fall-through path
+    # the distributed plan recomputes and logs the drops itself, and a
+    # double warning would misreport the recall cap
+    if int((s_dup * (s_dup - 1) // 2).sum()) > _PAIR_LIMIT:
+        return None
     if log_drops and big.any():
         logger.warning(
             "ed1_pairs: dropping %d oversized variant buckets (> %d "
@@ -148,10 +155,6 @@ def _pairs_local(
             max_bucket,
             int(sizes[big].sum()),
         )
-    dup_idx = np.flatnonzero((sizes >= 2) & ~big)
-    s_dup = sizes[dup_idx]
-    if int((s_dup * (s_dup - 1) // 2).sum()) > _PAIR_LIMIT:
-        return None
     pairs: set[tuple[str, str]] = set()
     for gi in dup_idx:
         g = v_s[starts[gi] : ends[gi]]
@@ -222,66 +225,19 @@ def ed1_pairs_dataset(
         if local is not None:
             return local
 
-    # distributed plan: size the buckets, drop oversized loudly, filter
-    # signatures to pairable buckets (2 <= n <= max_bucket) when the
-    # key set fits a broadcast, then self-join on the variant hash
+    # distributed plan: size the buckets, drop oversized loudly, keep
+    # only signatures of pairable buckets (2 <= n <= max_bucket), then
+    # self-join on the variant hash.  The semi join is the shared
+    # size-adaptive helper (broadcast under the key budget, hash join
+    # past it) — no bespoke index_in plumbing here.
+    from renard_ray.ops.relational import _join_parts_bytes, broadcast_semi_join
+
     sizes = sigs.groupby("vh").aggregate(Count(alias_name="n")).materialize()
     coll = sizes.filter(expr="n >= 2").materialize()
-    n_coll = coll.count()
-    big_ds = coll.filter(expr=f"n > {max_bucket}")
-    n_big_rows = 0
-    if n_coll <= _BUCKET_KEY_LIMIT:
-        tabs = [t for t in ray.get(coll.to_arrow_refs()) if t.num_rows]
-        coll_tab = (
-            pa.concat_tables(tabs).combine_chunks()
-            if tabs
-            else pa.table(
-                {"vh": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
-            )
-        )
-        small = coll_tab.filter(
-            pc.less_equal(coll_tab.column("n"), pa.scalar(max_bucket, pa.int64()))
-        )
-        n_big = coll_tab.num_rows - small.num_rows
-        if n_big:
-            big_col = coll_tab.filter(
-                pc.greater(coll_tab.column("n"), pa.scalar(max_bucket, pa.int64()))
-            ).column("n")
-            n_big_rows = int(pc.sum(big_col).as_py() or 0)
-        keep_ref = ray.put(small.column("vh").combine_chunks())
-
-        def keep_pairable(batch: pa.Table) -> pa.Table:
-            ks = ray.get(keep_ref)
-            return batch.filter(
-                pc.is_valid(
-                    pc.index_in(batch.column("vh").combine_chunks(), value_set=ks)
-                )
-            )
-
-        sigs = sigs.map_batches(keep_pairable, batch_format="pyarrow")
-    else:
-        # bucket-key set too large to broadcast: drop only the
-        # (rare, by definition few) oversized keys via an anti mask
-        big = big_ds.take_all()
-        n_big = len(big)
-        n_big_rows = sum(r["n"] for r in big)
-        if big:
-            big_ref = ray.put(pa.array(sorted(r["vh"] for r in big), pa.int64()))
-
-            def drop_big(batch: pa.Table) -> pa.Table:
-                bk = ray.get(big_ref)
-                return batch.filter(
-                    pc.invert(
-                        pc.is_valid(
-                            pc.index_in(
-                                batch.column("vh").combine_chunks(), value_set=bk
-                            )
-                        )
-                    )
-                )
-
-            sigs = sigs.map_batches(drop_big, batch_format="pyarrow")
+    big_ds = coll.filter(expr=f"n > {max_bucket}").materialize()
+    n_big = big_ds.count()
     if n_big:
+        n_big_rows = int(big_ds.sum("n") or 0)
         logger.warning(
             "ed1_pairs: dropping %d oversized variant buckets (> %d "
             "members, %d signature rows) — a dropped bucket's pairs are "
@@ -291,8 +247,10 @@ def ed1_pairs_dataset(
             max_bucket,
             n_big_rows,
         )
-
-    from renard_ray.ops.relational import _join_parts_bytes
+    pairable = coll.filter(expr=f"n <= {max_bucket}")
+    sigs = broadcast_semi_join(
+        sigs, pairable, on="vh", limit=_BUCKET_KEY_LIMIT
+    )
 
     nparts = _join_parts_bytes(sigs)
     rhs = sigs.map_batches(

@@ -54,14 +54,14 @@ def _edge_table(triples: Dataset, maximum: bool) -> Dataset:
     self-loops drop.  Adds the packed total-order key."""
 
     def normalize(batch: pa.Table) -> pa.Table:
+        from renard_ray.ops.relational import _cents
+
         s = batch.column("subj").combine_chunks()
         o = batch.column("obj").combine_chunks()
-        w = pc.cast(
-            pc.round(
-                pc.multiply(pc.cast(batch.column("weight"), pa.float64()), 100.0)
-            ),
-            pa.int64(),
-        )
+        # the repo-wide half-away centi recipe (_cents), NOT pc.round's
+        # default half-to-even — a 1.005 weight must pack as 101 like
+        # every oracle-checked operator and DuckDB's ROUND
+        w = _cents(pc.cast(batch.column("weight"), pa.float64()))
         lt = pc.less(s, o)
         t = pa.table(
             {

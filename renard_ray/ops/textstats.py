@@ -882,9 +882,11 @@ def domain_cap(sf_dir: str, cap: int = 10) -> Dataset:
             {
                 "kind": pa.array(["s"]),
                 "source": pa.array([str(src[0])]),
-                # first-run rows in local, last-run rows in doc_id,
-                # last source name rides the bk-suffix-free column? no:
-                # pack last source into 'bk'? keep a 2-row summary
+                # 2-row summary per block: the 's' row packs
+                # (first source, first-run rows -> doc_id,
+                #  last-run rows -> local); the 't' row carries the
+                # last source's NAME (string, so it can't ride an
+                # int column of the 's' row)
                 "doc_id": pa.array([int(first_run.sum())], pa.int64()),
                 "local": pa.array([int(n - gs[-1])], pa.int64()),
                 "first_run": pa.array([False]),

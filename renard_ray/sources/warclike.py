@@ -110,6 +110,14 @@ def parse_warclike_bytes(blob: bytes, path: str = "<mem>") -> pa.Table:
             clen = int(headers["Content-Length"])
         except (KeyError, ValueError) as e:
             raise ValueError(f"warclike: bad headers in {path}: {e}") from e
+        if clen < 0:
+            # a negative length would put body_end BEFORE the header
+            # terminator, where blob[body_end:body_end+4] can happen to
+            # equal \r\n\r\n — the parser would silently resume inside
+            # the real payload (corpus corruption, not an error)
+            raise ValueError(
+                f"warclike: negative Content-Length {clen} for {url} in {path}"
+            )
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end + 4 > end or blob[body_end: body_end + 4] != b"\r\n\r\n":

@@ -4875,6 +4875,14 @@ def test_warclike_roundtrip_and_kg(ray_session, tmp_path):
         parse_warclike_bytes(
             blob.replace(b"Content-Length: ", b"Content-Lenght: ", 1)
         )
+    # negative length: body_end lands back on the header terminator, so
+    # without the explicit guard the parser would resume INSIDE the
+    # payload instead of raising
+    import re as _re
+
+    neg = _re.sub(rb"Content-Length: \d+", b"Content-Length: -4", blob, count=1)
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warclike_bytes(neg)
 
 
 def test_doc_domain_cap_multiblock(ray_session, monkeypatch):
