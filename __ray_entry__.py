@@ -1313,6 +1313,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # cohort retention triangle: first-active-week cohorts x
+        # distinct active users per week offset — per-batch (user,
+        # week) dedup combiner, one groupby-min cohort map attached
+        # via the size-adaptive lookup join; exact SQL oracle
+        "events_retention": relational.events_retention,
+        # exact single-pass Pearson corr per group from mergeable
+        # integer moment sums; Sy/Sxy/Syy ride as base-2^31 limb pairs
+        # so the reduction can't wrap int64 at any corpus size; exact
+        # SQL oracle (same closed form over HUGEINT sums)
+        "lineitem_corr_qty_price": relational.lineitem_corr_qty_price,
+        # Zipf / Good-Turing frequency-of-frequencies over the corpus
+        # vocabulary (hapax bulge = OCR noise, high-count bulge =
+        # boilerplate); count-of-counts re-combine after the word
+        # groupby so the second exchange is O(distinct counts); exact
+        # SQL oracle
+        "doc_zipf_spectrum": lambda sf: __import__(
+            "renard_ray.ops.textstats", fromlist=["zipf_spectrum"]
+        ).zipf_spectrum(sf),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -2343,6 +2361,55 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ), c AS (
+                SELECT user_id, MIN(week) AS cohort_week
+                FROM w GROUP BY user_id
+            )
+            SELECT c.cohort_week,
+                   w.week - c.cohort_week AS week_offset,
+                   COUNT(*) AS n_users
+            FROM w JOIN c USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY cohort_week, week_offset
+        """,
+        "lineitem_corr_qty_price": """
+            WITH f AS (
+                SELECT l_returnflag,
+                       CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM f GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   ROUND(
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))),
+                       9) AS corr_qty_price
+            FROM s ORDER BY l_returnflag
+        """,
+        "doc_zipf_spectrum": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS word
+                FROM documents WHERE trim(text) != ''
+            ), c AS (
+                SELECT word, COUNT(*) AS n FROM w GROUP BY word
+            )
+            SELECT n AS n_occurrences, COUNT(*) AS n_words
+            FROM c GROUP BY n ORDER BY n_occurrences
         """,
         "events_type_runs": """
             WITH e AS (

@@ -3119,3 +3119,179 @@ def events_value_mad(sf_dir: str, hist_limit: int = _MAD_HIST_LIMIT) -> Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention and exact streaming correlation
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000  # epoch-week bucket, microseconds
+
+
+def events_retention(sf_dir: str) -> Dataset:
+    """Cohort retention matrix: users bucketed by their FIRST active
+    epoch-week (the cohort), then distinct active users counted per
+    (cohort_week, week_offset) cell — the standard product-analytics
+    retention triangle.
+
+    Scale shape: one groupby-min over (user, week) pairs for the
+    cohort map (its input is per-batch deduped first, so the shuffle
+    carries at most |users|x|weeks| rows, not |events|), the cohort
+    attach is the size-adaptive ``broadcast_lookup_join`` (broadcast
+    under ~4M users, hash join past it), and the distinct-user count
+    is a (cohort, offset, user) groupby whose input is per-batch
+    deduped too — nothing event-sized crosses a second exchange.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        # normalize to us first: a ns-sourced table (pandas default)
+        # would otherwise bucket 1000x too fine
+        ts_us = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        w = pc.divide(pc.cast(ts_us, pa.int64()), _WEEK_US)
+        t = pa.table({"user_id": batch.column("user_id"), "week": w})
+        # per-batch dedup (the combiner): shuffles downstream see
+        # distinct (user, week) pairs only
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    uw = ds.map_batches(weeks, batch_format="pyarrow")
+    # distinct (user, week) pairs globally — both downstream reductions
+    # (cohort min and the offset-cell distinct count) read this once
+    uw = uw.groupby(["user_id", "week"]).aggregate(Count(alias_name="_n"))
+    uw = uw.drop_columns(["_n"]).materialize()
+
+    cohort = uw.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    joined = broadcast_lookup_join(
+        uw, cohort, on="user_id", right_on="user_id", payload=["cohort_week"]
+    )
+
+    def offset(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": pc.subtract(
+                    batch.column("week"), batch.column("cohort_week")
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(offset, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+        .sort(["cohort_week", "week_offset"])
+    )
+
+
+_LIMB_SHIFT = 31
+_LIMB_MASK = (1 << _LIMB_SHIFT) - 1
+
+
+def _limb_sums(vals: "np.ndarray") -> tuple[int, int]:
+    """Exact sum of an int64 array as normalized (hi, lo) base-2^31
+    limbs.  Per-row values must fit int64 (callers square <= ~1e7
+    magnitudes); the row-wise shift/mask never overflows and the two
+    partial sums stay far below int64 even for billion-row batches,
+    so the full reduction is exact at any corpus size where a plain
+    int64 ``Sum`` of squares would silently wrap."""
+    hi = int((vals >> _LIMB_SHIFT).sum(dtype=np.int64))
+    lo = int((vals & _LIMB_MASK).sum(dtype=np.int64))
+    hi += lo >> _LIMB_SHIFT  # re-normalize: keep lo inside one limb
+    lo &= _LIMB_MASK
+    return hi, lo
+
+
+def lineitem_corr_qty_price(sf_dir: str) -> Dataset:
+    """Exact Pearson correlation between quantity and extended price
+    (cents) per returnflag, from EXACT integer moment sums — the
+    single-pass mergeable-moments shape (n, Sx, Sy, Sxy, Sxx, Syy).
+
+    Sums whose per-row terms reach ~1e14 (price-cents squared) would
+    wrap an int64 ``groupby().sum()`` near 1e12 rows, so Sy, Sxy and
+    Syy travel as normalized base-2^31 limb pairs (``_limb_sums``)
+    and are recombined into Python bignums on the 3-row final table.
+    The correlation itself is then one deterministic float expression
+    — num / (sqrt(A) * sqrt(B)) — mirrored verbatim by the DuckDB
+    oracle over HUGEINT sums, so the 9-dp result value-hashes exactly.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = pc.cast(pc.round(batch.column("l_quantity")), pa.int64()).to_numpy()
+        y = _cents(batch.column("l_extendedprice").combine_chunks()).to_numpy()
+        order = np.argsort(flags, kind="stable")
+        fs, xs, ys = flags[order], x[order], y[order]
+        uniq, starts = np.unique(fs, return_index=True)
+        ends = np.r_[starts[1:], len(fs)]
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "l_returnflag n sx sxx sy_hi sy_lo sxy_hi sxy_lo syy_hi syy_lo"
+            ).split()
+        }
+        for f, s, e in zip(uniq, starts, ends):
+            gx, gy = xs[s:e], ys[s:e]
+            cols["l_returnflag"].append(str(f))
+            cols["n"].append(int(e - s))
+            cols["sx"].append(int(gx.sum(dtype=np.int64)))
+            cols["sxx"].append(int((gx * gx).sum(dtype=np.int64)))
+            for name, vals in (("sy", gy), ("sxy", gx * gy), ("syy", gy * gy)):
+                hi, lo = _limb_sums(vals)
+                cols[f"{name}_hi"].append(hi)
+                cols[f"{name}_lo"].append(lo)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(cols["l_returnflag"], pa.string()),
+                **{
+                    k: pa.array(cols[k], pa.int64())
+                    for k in cols
+                    if k != "l_returnflag"
+                },
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in (
+                    "n sx sxx sy_hi sy_lo sxy_hi sxy_lo syy_hi syy_lo".split()
+                )
+            ]
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import math
+
+        rows = batch.to_pylist()
+        out = {"l_returnflag": [], "n_rows": [], "corr_qty_price": []}
+        for r in rows:
+            n = int(r["n"])
+            sx, sxx = int(r["sx"]), int(r["sxx"])
+            sy = (int(r["sy_hi"]) << _LIMB_SHIFT) + int(r["sy_lo"])
+            sxy = (int(r["sxy_hi"]) << _LIMB_SHIFT) + int(r["sxy_lo"])
+            syy = (int(r["syy_hi"]) << _LIMB_SHIFT) + int(r["syy_lo"])
+            num = n * sxy - sx * sy
+            a = n * sxx - sx * sx
+            b = n * syy - sy * sy
+            corr = (
+                float("nan")
+                if a == 0 or b == 0
+                else float(num) / (math.sqrt(float(a)) * math.sqrt(float(b)))
+            )
+            out["l_returnflag"].append(r["l_returnflag"])
+            out["n_rows"].append(n)
+            out["corr_qty_price"].append(round(corr, 9))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "corr_qty_price": pa.array(out["corr_qty_price"], pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort("l_returnflag")

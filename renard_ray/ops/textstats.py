@@ -969,3 +969,73 @@ def domain_cap(sf_dir: str, cap: int = 10) -> Dataset:
     return marked.map_batches(
         finish, batch_format="pyarrow", batch_size=None
     ).sort(["source", "rk"])
+
+
+def zipf_spectrum(sf_dir: str) -> Dataset:
+    """Corpus frequency-of-frequencies (the Zipf/Good-Turing spectrum):
+    for every occurrence count, how many distinct words have it.  The
+    classic corpus-health readout — a boilerplate-heavy crawl shows a
+    bulge at high counts, an OCR-noisy one a bloated hapax (n=1) bin.
+
+    Shape: the word_topk combiner (per-batch Counter partials) -> one
+    vocabulary groupby-sum -> a per-batch count-of-counts re-combine ->
+    one TINY groupby over distinct occurrence counts (O(sqrt(corpus))
+    rows by Heaps'/Zipf's law).  The second exchange carries count
+    values, never words."""
+    ds = _read_documents(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t and t.strip():
+                c.update(_WS_RE.split(t.strip()))
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+
+    def count_of_counts(batch: pa.Table) -> pa.Table:
+        vals, ns = np.unique(
+            batch.column("n_occurrences").to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "n_occurrences": pa.array(vals, pa.int64()),
+                "n_words": pa.array(ns, pa.int64()),
+            }
+        )
+
+    from renard_ray.ops.relational import drop_empty_blocks
+
+    spectrum = (
+        counts.map_batches(count_of_counts, batch_format="pyarrow")
+        .groupby("n_occurrences")
+        .aggregate(Sum("n_words", alias_name="n_words"))
+    )
+    # the spectrum has O(sqrt(corpus)) distinct keys — far fewer than
+    # the aggregate's partition count, so it emits SCHEMA-LESS empty
+    # partitions; scrub them before the final sort unions schemas
+    spectrum = drop_empty_blocks(spectrum)
+    if spectrum is None:  # empty corpus
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return spectrum.sort("n_occurrences")

@@ -4931,3 +4931,164 @@ def test_doc_domain_cap_multiblock(ray_session, monkeypatch):
     assert got.groupby("source").size().to_dict() == {
         "big": 5, "mid": 5, "sm": 5, "tiny": 2,
     }
+
+
+def test_events_retention_multiblock(ray_session, monkeypatch):
+    """Cohort retention == a pandas replica on a multi-block frame with
+    multi-week users, within-week duplicate events (must not double
+    count a user in a cell) and a gap week."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    week = 7 * 86_400
+    rng = np.random.RandomState(11)
+    rows = []
+    for uid in range(40):
+        start = int(rng.randint(0, 4))
+        for off in sorted(set(rng.choice(8, rng.randint(1, 6), replace=True))):
+            # several events inside the same (user, week) cell
+            for rep in range(rng.randint(1, 4)):
+                sec = (start + off) * week + int(rng.randint(0, week))
+                rows.append((uid, pd.Timestamp(sec * 10**6 * 1000)))
+    raw = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(9),
+    )
+    got = relational.events_retention("x").to_pandas()
+
+    rep = raw.copy()
+    rep["week"] = rep["ts"].values.astype("datetime64[us]").astype(
+        "int64"
+    ) // (week * 10**6)
+    uw = rep[["user_id", "week"]].drop_duplicates()
+    cohort = uw.groupby("user_id")["week"].min().rename("cohort_week")
+    j = uw.join(cohort, on="user_id")
+    j["week_offset"] = j["week"] - j["cohort_week"]
+    want = (
+        j.groupby(["cohort_week", "week_offset"])["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_like=True
+    )
+
+
+def test_lineitem_corr_exact_limbs(ray_session, monkeypatch):
+    """Exact-moments correlation == the same closed form computed with
+    Python bignums on the raw rows (limb recombination exact), and ==
+    np.corrcoef to 1e-12; a constant-x group yields NaN."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for flag, n in (("A", 333), ("N", 200), ("R", 77)):
+        qty = rng.randint(1, 51, n).astype(float)
+        # huge prices: cents ~ 1e7 so y*y ~ 1e14 — the limb path is load-bearing
+        price = rng.uniform(90_000, 99_999.99, n).round(2)
+        frames.append(
+            pd.DataFrame(
+                {"l_returnflag": flag, "l_quantity": qty, "l_extendedprice": price}
+            )
+        )
+    frames.append(
+        pd.DataFrame(
+            {"l_returnflag": "C", "l_quantity": 5.0,
+             "l_extendedprice": [100.0, 200.0, 300.0]}
+        )
+    )
+    raw = pd.concat(frames, ignore_index=True)
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(11),
+    )
+    got = (
+        relational.lineitem_corr_qty_price("x")
+        .to_pandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+
+    for flag, grp in raw.groupby("l_returnflag"):
+        x = [int(round(v)) for v in grp["l_quantity"]]
+        y = [int(round(v * 100)) for v in grp["l_extendedprice"]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        num = n * sxy - sx * sy
+        a, b = n * sxx - sx * sx, n * syy - sy * sy
+        assert int(got.loc[flag, "n_rows"]) == n
+        if a == 0 or b == 0:
+            assert math.isnan(got.loc[flag, "corr_qty_price"])
+            continue
+        want = round(float(num) / (math.sqrt(float(a)) * math.sqrt(float(b))), 9)
+        assert got.loc[flag, "corr_qty_price"] == want
+        assert abs(want - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def test_doc_zipf_spectrum(ray_session, monkeypatch):
+    """Frequency-of-frequencies == a Counter replica across blocks
+    (words split across blocks must merge before the spectrum count);
+    empty/whitespace docs drop."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import textstats
+
+    docs = [
+        "a a a b b c",
+        "a b   c\td",
+        "  ",
+        "",
+        "e e e e",
+        "d c b a",
+    ]
+    raw = pd.DataFrame({"text": docs})
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(6),
+    )
+    got = textstats.zipf_spectrum("x").to_pandas()
+
+    c: Counter = Counter()
+    for t in docs:
+        if t.strip():
+            c.update(textstats._WS_RE.split(t.strip()))
+    spec = Counter(c.values())
+    want = pd.DataFrame(
+        sorted(spec.items()), columns=["n_occurrences", "n_words"]
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64")
+    )
