@@ -1331,6 +1331,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zipf_spectrum": lambda sf: __import__(
             "renard_ray.ops.textstats", fromlist=["zipf_spectrum"]
         ).zipf_spectrum(sf),
+        # JSONL.gz interchange boundary (the format webtext corpora
+        # actually ship in): export the documents table as gzipped
+        # JSONL shards (one per block, written by the owning task) and
+        # read them back file-parallel — the oracle is the original
+        # table, so the hash pins losslessness of every column
+        "doc_jsonl_roundtrip": lambda sf: __import__(
+            "renard_ray.sources.jsonl", fromlist=["documents_jsonl_roundtrip"]
+        ).documents_jsonl_roundtrip(sf),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -2399,6 +2407,9 @@ def oracle_sql() -> dict[str, str]:
                           * SQRT(CAST(n * syy - sy * sy AS DOUBLE))),
                        9) AS corr_qty_price
             FROM s ORDER BY l_returnflag
+        """,
+        "doc_jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "doc_zipf_spectrum": """
             WITH w AS (

@@ -5092,3 +5092,63 @@ def test_doc_zipf_spectrum(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"), want.astype("int64")
     )
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL.gz write -> read is lossless on hostile content: embedded
+    newlines, tabs, quotes, backslashes, CJK/emoji, empty strings and
+    nulls all survive; shards carry the .jsonl.gz extension and gzip
+    magic; plain (uncompressed) mode round-trips too."""
+    import gzip
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    raw = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                'line one\nline "two"\t\\slash',
+                "汉字 und ümlaut émoji 🎉",
+                "",
+                "plain",
+                None,
+            ],
+            "lang": ["en", "de", None, "en", "fr"],
+            "n_chars": [27, 23, 0, 5, None],
+        }
+    )
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(raw)).repartition(3)
+
+    out = str(tmp_path / "jl")
+    write_documents_jsonl(ds, out)
+    files = sorted(glob.glob(f"{out}/*"))
+    assert files and all(f.endswith(".jsonl.gz") for f in files)
+    with open(files[0], "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"  # gzip magic
+    with gzip.open(files[0], "rt") as fh:  # framing: one JSON object per line
+        import json
+
+        for line in fh:
+            assert isinstance(json.loads(line), dict)
+
+    back = read_documents_jsonl(out).to_pandas()
+    a = raw.sort_values("doc_id").reset_index(drop=True)
+    b = back[raw.columns].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    out2 = str(tmp_path / "plain")
+    write_documents_jsonl(ds, out2, compression=None)
+    files2 = sorted(glob.glob(f"{out2}/*"))
+    assert files2 and all(f.endswith(".jsonl") for f in files2)
+    back2 = read_documents_jsonl(out2, compression=None).to_pandas()
+    b2 = back2[raw.columns].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b2, check_dtype=False)
