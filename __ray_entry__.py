@@ -1130,6 +1130,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_distinct_words_hll": sketches.hll_distinct_words,
         "lineitem_price_quantiles": lambda sf: sketches.quantile_sketch(sf),
         "kg_top_degree": kg_top_degree,
+        # Newman degree assortativity over the KG edge list: one
+        # degree reduce + two size-adaptive degree-attach joins +
+        # exact limb-pair moment sums (degree squares ~1e18/row would
+        # wrap any plain int64 reduction); rows-only (one-row result,
+        # pytest-pinned vs a numpy replica incl. the exact r = -1
+        # star case)
+        "kg_assortativity": lambda sf: __import__(
+            "renard_ray.ops.graphstats", fromlist=["assortativity_dataset"]
+        ).assortativity_dataset(kg_triples(sf)),
+        # the same operator over the user<->event-type bipartite
+        # incidence graph, where degrees actually vary — exact SQL
+        # oracle (HUGEINT mirror of the closed form)
+        "events_bipartite_assortativity": lambda sf: __import__(
+            "renard_ray.ops.graphstats",
+            fromlist=["events_bipartite_assortativity"],
+        ).events_bipartite_assortativity(sf),
         "kg_entity_link": kg_entity_link,
         "knn_lsh": knn_lsh,
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -1313,6 +1329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # first-order Markov transition matrix over event types
+        # (sorted-run + O(#blocks) boundary stitch; |types|^2 output,
+        # exact integer ppm row normalization); exact SQL oracle
+        "events_markov_transitions": relational.events_markov_transitions,
         # cohort retention triangle: first-active-week cohorts x
         # distinct active users per week offset — per-batch (user,
         # week) dedup combiner, one groupby-min cohort map attached
@@ -2369,6 +2389,49 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_bipartite_assortativity": """
+            WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+            d1 AS (SELECT user_id, COUNT(*) AS dx FROM e GROUP BY user_id),
+            d2 AS (SELECT event_type, COUNT(*) AS dy
+                   FROM e GROUP BY event_type),
+            j AS (
+                SELECT CAST(d1.dx AS HUGEINT) AS x,
+                       CAST(d2.dy AS HUGEINT) AS y
+                FROM e JOIN d1 USING (user_id) JOIN d2 USING (event_type)
+            ),
+            s AS (
+                SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m,
+                       SUM(x + y) AS s,
+                       SUM(x * x + y * y) AS q,
+                       SUM(2 * x * y) AS p
+                FROM j
+            )
+            SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+                   ROUND(CAST(m * p - s * s AS DOUBLE)
+                         / CAST(m * q - s * s AS DOUBLE), 9) AS assortativity
+            FROM s
+        """,
+        "events_markov_transitions": """
+            WITH e AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ), t AS (
+                SELECT prev AS prev_type, event_type AS next_type,
+                       COUNT(*) AS n_transitions
+                FROM e WHERE prev IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n_transitions,
+                   CAST(
+                       (2000000 * n_transitions
+                        + SUM(n_transitions) OVER (PARTITION BY prev_type))
+                       // (2 * SUM(n_transitions) OVER (PARTITION BY prev_type))
+                       AS BIGINT) AS p_ppm
+            FROM t ORDER BY prev_type, next_type
         """,
         "events_retention": """
             WITH w AS (

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -2621,3 +2622,154 @@ def weighted_distances_dataset(
         )
 
     return dist.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
+def assortativity_dataset(triples: Dataset) -> Dataset:
+    """Newman degree assortativity (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    r < 0 is the hub-to-leaf wiring real web/entity graphs show,
+    r > 0 the core-periphery social shape; a one-row corpus-health
+    readout for the KG.
+
+    Shape: one ``degree_dataset`` reduce, TWO size-adaptive lookup
+    joins attaching the endpoint degrees to the edge stream (broadcast
+    under the row budget, hash join past it), then exact mergeable
+    moment sums per batch.  Degrees reach graph order (~1e9) so their
+    squares are ~1e18 per row and any plain int64 sum would wrap
+    almost immediately — all three quadratic sums ride as normalized
+    base-2^31 limb pairs (``_limb_sums``), recombined into Python
+    bignums for the closed form.  For the symmetrized pair set
+    Sx == Sy and Sxx == Syy, so r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2)
+    exactly, with one float division at the end (9 dp).
+    """
+    from renard_ray.ops.relational import (
+        _limb_sums,
+        broadcast_lookup_join,
+    )
+
+    deg = degree_dataset(triples)
+
+    def as_deg(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    col: pc.cast(batch.column("n_edges"), pa.int64()),
+                }
+            )
+
+        return fn
+
+    edges = triples.select_columns(["subj", "obj"])
+    e1 = broadcast_lookup_join(
+        edges,
+        deg.map_batches(as_deg("deg_x"), batch_format="pyarrow"),
+        on="subj",
+        right_on="node",
+        payload=["deg_x"],
+    )
+    e2 = broadcast_lookup_join(
+        e1,
+        deg.map_batches(as_deg("deg_y"), batch_format="pyarrow"),
+        on="obj",
+        right_on="node",
+        payload=["deg_y"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        dx = batch.column("deg_x").to_numpy().astype(np.int64)
+        dy = batch.column("deg_y").to_numpy().astype(np.int64)
+        m = 2 * len(dx)
+        s_hi, s_lo = _limb_sums(dx + dy)  # Sx == Sy over the symmetrized set
+        q_hi, q_lo = _limb_sums(dx * dx + dy * dy)
+        p_hi, p_lo = _limb_sums(2 * dx * dy)
+        return pa.table(
+            {
+                "m": pa.array([m], pa.int64()),
+                "s_hi": pa.array([s_hi], pa.int64()),
+                "s_lo": pa.array([s_lo], pa.int64()),
+                "q_hi": pa.array([q_hi], pa.int64()),
+                "q_lo": pa.array([q_lo], pa.int64()),
+                "p_hi": pa.array([p_hi], pa.int64()),
+                "p_lo": pa.array([p_lo], pa.int64()),
+            }
+        )
+
+    agg = e2.map_batches(moments, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("m s_hi s_lo q_hi q_lo p_hi p_lo".split())]
+    )
+
+    shift = 31
+    m = int(agg["m"] or 0)
+    if m == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([0], pa.int64()),
+                    "assortativity": pa.array([float("nan")], pa.float64()),
+                }
+            )
+        )
+    s = (int(agg["s_hi"]) << shift) + int(agg["s_lo"])
+    q = (int(agg["q_hi"]) << shift) + int(agg["q_lo"])
+    p = (int(agg["p_hi"]) << shift) + int(agg["p_lo"])
+    num = m * p - s * s
+    den = m * q - s * s
+    r = float("nan") if den == 0 else round(float(num) / float(den), 9)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([m // 2], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+    )
+
+
+def events_bipartite_assortativity(sf_dir: str) -> Dataset:
+    """Degree assortativity of the user <-> event-type bipartite graph
+    (distinct incidence edges, node ids namespaced so the two sides
+    can't collide) — the oracle-checkable instantiation of
+    :func:`assortativity_dataset`: unlike the KG fixture (a complete
+    closed-cast clique, degree-regular, honest NaN), the bipartite
+    incidence graph has real degree variance, so the exact limb-sum
+    moment path is value-hashed against a DuckDB HUGEINT mirror of
+    the same closed form."""
+    from renard_ray.ops.relational import _read
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "subj": pc.binary_join_element_wise(
+                    "u:", pc.cast(batch.column("user_id"), pa.string()), ""
+                ),
+                "obj": pc.binary_join_element_wise(
+                    "t:", batch.column("event_type"), ""
+                ),
+            }
+        )
+        # per-batch dedup combiner ahead of the global distinct
+        return t.group_by(["subj", "obj"]).aggregate([])
+
+    distinct = (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": pa.array(["uses"] * n, pa.string()),
+                "obj": batch.column("obj"),
+                "weight": pa.array([1.0] * n, pa.float64()),
+            }
+        )
+
+    return assortativity_dataset(
+        distinct.map_batches(shape, batch_format="pyarrow")
+    )

@@ -3295,3 +3295,139 @@ def lineitem_corr_qty_price(sf_dir: str) -> Dataset:
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow").sort("l_returnflag")
+
+
+def events_markov_transitions(sf_dir: str) -> Dataset:
+    """First-order Markov transition matrix of event types: for every
+    (prev_type, next_type) pair of CONSECUTIVE events of the same user
+    (ordered by ts, event_id), the transition count and the row-
+    normalized probability in exact integer ppm — the sequence-mining
+    readout behind next-action prediction and bot detection.
+
+    Plan (sorted-run + boundary stitch, the sessionize/type-runs
+    family): ONE global sort on (user_id, ts, event_id); per block a
+    vectorized pandas shift pass counts every within-block transition
+    and emits the block's FIRST and LAST (user, type, ts, eid) edge
+    records; the driver orders the O(#blocks) edge records by the
+    global sort key and adds the one straddling transition per block
+    boundary where the user continues.  The transition matrix itself
+    is |types|^2 rows — small by definition — so the final ppm
+    normalization runs in one block.  p_ppm uses the half-away-from-
+    zero integer recipe ``(2_000_000 n + s) // (2 s)`` mirrored
+    verbatim by the SQL oracle, so the result value-hashes exactly.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"])
+
+    part_schema = pa.schema(
+        [
+            ("kind", pa.string()),  # "c" count row | "b" block-edge row
+            ("prev_type", pa.string()),
+            ("next_type", pa.string()),
+            ("n", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("eid", pa.int64()),
+        ]
+    )
+
+    def block_pairs(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        same = df["user_id"].eq(df["user_id"].shift())
+        prev = df["event_type"].shift()
+        pairs = (
+            pd.DataFrame(
+                {"prev_type": prev[same], "next_type": df["event_type"][same]}
+            )
+            .groupby(["prev_type", "next_type"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        edge = pd.DataFrame(
+            {
+                "kind": "b",
+                "prev_type": "",
+                "next_type": df["event_type"].iloc[[0, -1]].to_numpy(),
+                "n": [0, 1],  # 0 = block head, 1 = block tail
+                "user_id": df["user_id"].iloc[[0, -1]].to_numpy(),
+                "ts_us": ts_us[[0, -1]],
+                "eid": df["event_id"].iloc[[0, -1]].to_numpy(),
+            }
+        )
+        pairs.insert(0, "kind", "c")
+        pairs["user_id"] = 0
+        pairs["ts_us"] = 0
+        pairs["eid"] = 0
+        out = pd.concat([pairs, edge], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=part_schema, preserve_index=False)
+
+    parts = sorted_ds.map_batches(
+        block_pairs, batch_format="pandas", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    # driver stitch: O(#blocks) edge records; blocks partition the
+    # global sort order, so ordering by the sort key orders the blocks
+    edges = parts.filter(expr="kind == 'b'").to_pandas()
+    edges = edges.sort_values(["user_id", "ts_us", "eid", "n"]).reset_index(drop=True)
+    extra: dict[tuple[str, str], int] = {}
+    for i in range(len(edges) - 1):
+        a, b = edges.iloc[i], edges.iloc[i + 1]
+        # a block tail followed by the NEXT block's head of the same
+        # user is the one straddling transition at that boundary
+        if int(a["n"]) == 1 and int(b["n"]) == 0 and a["user_id"] == b["user_id"]:
+            k = (str(a["next_type"]), str(b["next_type"]))
+            extra[k] = extra.get(k, 0) + 1
+
+    counts = parts.filter(expr="kind == 'c'").select_columns(
+        ["prev_type", "next_type", "n"]
+    )
+    if extra:
+        extra_tab = pa.table(
+            {
+                "prev_type": pa.array([k[0] for k in extra], pa.string()),
+                "next_type": pa.array([k[1] for k in extra], pa.string()),
+                "n": pa.array(list(extra.values()), pa.int64()),
+            }
+        )
+        counts = counts.union(ray.data.from_arrow(extra_tab))
+
+    merged = (
+        counts.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+    )
+    merged = _scrub_schemaless(merged)
+    if merged is None:  # < 2 events: no transitions at all
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("prev_type", pa.string()),
+                    ("next_type", pa.string()),
+                    ("n_transitions", pa.int64()),
+                    ("p_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = batch.to_pandas()
+        tot = df.groupby("prev_type")["n_transitions"].transform("sum")
+        df["p_ppm"] = (2_000_000 * df["n_transitions"] + tot) // (2 * tot)
+        df = df.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(df["prev_type"], pa.string()),
+                "next_type": pa.array(df["next_type"], pa.string()),
+                "n_transitions": pa.array(df["n_transitions"], pa.int64()),
+                "p_ppm": pa.array(df["p_ppm"], pa.int64()),
+            }
+        )
+
+    # the matrix is |types|^2 rows — one block is the right plan
+    return merged.repartition(1).map_batches(normalize, batch_format="pyarrow")

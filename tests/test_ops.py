@@ -5152,3 +5152,106 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     back2 = read_documents_jsonl(out2, compression=None).to_pandas()
     b2 = back2[raw.columns].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b2, check_dtype=False)
+
+
+def test_events_markov_transitions_multiblock(ray_session, monkeypatch):
+    """Transition matrix == a pandas shift replica when the sort is
+    forced into many tiny blocks (single-user stream straddling most
+    boundaries, plus single-event users and ts ties broken by
+    event_id) — the O(#blocks) boundary stitch is load-bearing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(3)
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    # one long user (straddles many blocks), several short, one single
+    for uid, n in ((1, 120), (2, 7), (3, 1), (4, 13)):
+        for i in range(n):
+            # coarse ts grid => plenty of ties; eid is the tiebreak
+            rows.append((eid, pd.Timestamp((i // 3) * 10**9), uid,
+                         types[rng.randint(3)]))
+            eid += 1
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    raw = raw.sample(frac=1.0, random_state=9).reset_index(drop=True)
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(25),
+    )
+    got = relational.events_markov_transitions("x").to_pandas()
+
+    rep = raw.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    same = rep["user_id"].eq(rep["user_id"].shift())
+    want = (
+        pd.DataFrame(
+            {
+                "prev_type": rep["event_type"].shift()[same],
+                "next_type": rep["event_type"][same],
+            }
+        )
+        .groupby(["prev_type", "next_type"])
+        .size()
+        .rename("n_transitions")
+        .reset_index()
+    )
+    tot = want.groupby("prev_type")["n_transitions"].transform("sum")
+    want["p_ppm"] = (2_000_000 * want["n_transitions"] + tot) // (2 * tot)
+    want = want.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert int(got["n_transitions"].sum()) == (120 - 1) + (7 - 1) + 0 + (13 - 1)
+
+
+def test_kg_assortativity(ray_session):
+    """Assortativity == numpy corrcoef over the symmetrized endpoint-
+    degree pairs on a random multigraph (9 dp), and exactly -1 on a
+    star (every edge joins the hub to a degree-1 leaf)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import assortativity_dataset
+
+    def run(edges):
+        df = pd.DataFrame(edges, columns=["subj", "obj"])
+        df["pred"] = "r"
+        df["weight"] = 1.0
+        ds = _ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        return assortativity_dataset(ds).to_pandas().iloc[0]
+
+    # star: hub h to 12 leaves
+    star = [("h", f"l{i}") for i in range(12)]
+    row = run(star)
+    assert int(row["n_edges"]) == 12
+    assert row["assortativity"] == -1.0
+
+    # random multigraph incl. a parallel edge and a triangle
+    rng = np.random.RandomState(4)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = [tuple(rng.choice(nodes, 2, replace=False)) for _ in range(60)]
+    edges += [("n0", "n1"), ("n0", "n1"), ("n2", "n3"), ("n3", "n4"), ("n4", "n2")]
+    row = run(edges)
+
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    dx = np.array([deg[u] for u, v in edges] + [deg[v] for u, v in edges], float)
+    dy = np.array([deg[v] for u, v in edges] + [deg[u] for u, v in edges], float)
+    want = np.corrcoef(dx, dy)[0, 1]
+    assert int(row["n_edges"]) == len(edges)
+    assert abs(row["assortativity"] - want) < 1e-9
