@@ -164,6 +164,13 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_mis",
         "events_value_mad",
         "knn_graph",
+        # round-3 closing-session operators
+        "events_retention",
+        "lineitem_corr_qty_price",
+        "doc_zipf_spectrum",
+        "doc_jsonl_roundtrip",
+        "events_markov_transitions",
+        "events_bipartite_assortativity",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
