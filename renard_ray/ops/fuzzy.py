@@ -247,10 +247,23 @@ def ed1_pairs_dataset(
             max_bucket,
             n_big_rows,
         )
-    pairable = coll.filter(expr=f"n <= {max_bucket}")
-    sigs = broadcast_semi_join(
-        sigs, pairable, on="vh", limit=_BUCKET_KEY_LIMIT
-    )
+    pairable = coll.filter(expr=f"n <= {max_bucket}").materialize()
+    if pairable.count() <= _BUCKET_KEY_LIMIT:
+        sigs = broadcast_semi_join(
+            sigs, pairable, on="vh", limit=_BUCKET_KEY_LIMIT
+        )
+    else:
+        # pairable key set too large to broadcast: drop only the
+        # (rare, by definition few) OVERSIZED keys via an anti mask —
+        # singleton buckets stay (they emit no pairs in the self-join)
+        # and the TB-scale signature table never crosses an exchange
+        # just to be filtered.  fallback_parts sized from sigs, not the
+        # small key side, if even the oversized set outgrows a
+        # broadcast.
+        sigs = broadcast_semi_join(
+            sigs, big_ds, on="vh", anti=True, limit=_BUCKET_KEY_LIMIT,
+            fallback_parts=_join_parts_bytes(sigs),
+        )
 
     nparts = _join_parts_bytes(sigs)
     rhs = sigs.map_batches(

@@ -2700,7 +2700,9 @@ def assortativity_dataset(triples: Dataset) -> Dataset:
     )
 
     shift = 31
-    m = int(agg["m"] or 0)
+    # Ray's whole-dataset aggregate returns None (not a dict) when the
+    # input has no rows at all
+    m = int(agg["m"] or 0) if agg else 0
     if m == 0:
         return ray.data.from_arrow(
             pa.table(

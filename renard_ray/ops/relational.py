@@ -112,6 +112,16 @@ def _int(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.round(col, ndigits=0, round_mode=_HALF_AWAY), pa.int64())
 
 
+def _ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Epoch microseconds (int64) from any-resolution timestamp.
+    Arrow's safe cast REFUSES ns -> us when sub-us digits are nonzero;
+    time-bucketing ops truncate by definition, so allow it."""
+    opts = pc.CastOptions(
+        target_type=pa.timestamp("us"), allow_time_truncate=True
+    )
+    return pc.cast(pc.cast(col, options=opts), pa.int64())
+
+
 def _ratio_round(num: pa.ChunkedArray, den: pa.ChunkedArray) -> pa.ChunkedArray:
     """round(num / den) with the same single-division fp sequence the
     oracle uses: CAST(ROUND(num * 1.0 / den, 0) AS BIGINT)."""
@@ -177,9 +187,13 @@ def _collect_small(ds: Dataset, limit: int) -> pa.Table | None:
     nonempty = [t for t in tabs if t.num_rows]
     if nonempty:
         return pa.concat_tables(nonempty).combine_chunks()
-    if tabs:
-        return tabs[0]  # 0 rows, schema intact
-    return None  # no blocks at all (schema unknown) — shuffle path
+    for t in tabs:
+        # prefer a block WITH columns: Ray's hash aggregate emits
+        # SCHEMA-LESS (0-column) blocks for empty partitions, and a
+        # 0-column table here would crash key lookups downstream
+        if t.num_columns:
+            return t  # 0 rows, schema intact
+    return None  # no schema anywhere — shuffle path
 
 
 def _scrub_schemaless(ds: Dataset) -> Dataset | None:
@@ -331,8 +345,13 @@ def broadcast_lookup_join(
     scrubbed = _scrub_schemaless(left)
     if scrubbed is None:  # only schema-less empty blocks: inner join is empty
         return left.limit(0)
+    # scrub the right BEFORE select_columns: a fully-empty aggregate
+    # side is all schema-less blocks and Project would crash on them
+    right_clean = _scrub_schemaless(right)
+    if right_clean is None:  # no keyed right rows at all: inner join is empty
+        return left.limit(0)
     return scrubbed.join(
-        right.select_columns([right_on] + payload),
+        right_clean.select_columns([right_on] + payload),
         join_type="inner",
         num_partitions=nparts,
         on=(on,),
@@ -3147,8 +3166,7 @@ def events_retention(sf_dir: str) -> Dataset:
     def weeks(batch: pa.Table) -> pa.Table:
         # normalize to us first: a ns-sourced table (pandas default)
         # would otherwise bucket 1000x too fine
-        ts_us = pc.cast(batch.column("ts"), pa.timestamp("us"))
-        w = pc.divide(pc.cast(ts_us, pa.int64()), _WEEK_US)
+        w = pc.divide(_ts_us(batch.column("ts")), _WEEK_US)
         t = pa.table({"user_id": batch.column("user_id"), "week": w})
         # per-batch dedup (the combiner): shuffles downstream see
         # distinct (user, week) pairs only
@@ -3218,7 +3236,9 @@ def lineitem_corr_qty_price(sf_dir: str) -> Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         flags = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
-        x = pc.cast(pc.round(batch.column("l_quantity")), pa.int64()).to_numpy()
+        # half-AWAY like the oracle's ROUND (pc.round defaults to
+        # half-to-even, which diverges on *.5 quantities)
+        x = _int(batch.column("l_quantity").combine_chunks()).to_numpy()
         y = _cents(batch.column("l_extendedprice").combine_chunks()).to_numpy()
         order = np.argsort(flags, kind="stable")
         fs, xs, ys = flags[order], x[order], y[order]
@@ -3319,7 +3339,24 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    sorted_ds = ds.sort(["user_id", "ts", "event_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        # normalize to us BEFORE the sort: the stitch re-orders block
+        # edge records by integer ts_us, so the global sort must use
+        # the SAME precision or a ns-resolution source could order
+        # sub-us ties differently on the two sides
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": _ts_us(batch.column("ts")),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    sorted_ds = ds.map_batches(to_us, batch_format="pyarrow").sort(
+        ["user_id", "ts_us", "event_id"]
+    )
 
     part_schema = pa.schema(
         [
@@ -3347,7 +3384,6 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
             .rename("n")
             .reset_index()
         )
-        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
         edge = pd.DataFrame(
             {
                 "kind": "b",
@@ -3355,7 +3391,7 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
                 "next_type": df["event_type"].iloc[[0, -1]].to_numpy(),
                 "n": [0, 1],  # 0 = block head, 1 = block tail
                 "user_id": df["user_id"].iloc[[0, -1]].to_numpy(),
-                "ts_us": ts_us[[0, -1]],
+                "ts_us": df["ts_us"].iloc[[0, -1]].to_numpy(),
                 "eid": df["event_id"].iloc[[0, -1]].to_numpy(),
             }
         )

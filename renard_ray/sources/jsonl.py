@@ -87,6 +87,9 @@ def documents_jsonl_roundtrip(sf_dir: str, out_dir: str | None = None) -> Datase
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         out_dir = f"/tmp/renard_jsonl_{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    write_documents_jsonl(ds, out_dir)
+    # the house documents read (strips the pandas schema-metadata blob
+    # at the READ operator — relational.clean_schema rationale)
+    from renard_ray.ops.textstats import _read_documents
+
+    write_documents_jsonl(_read_documents(sf_dir), out_dir)
     return read_documents_jsonl(out_dir)

@@ -5255,3 +5255,85 @@ def test_kg_assortativity(ray_session):
     want = np.corrcoef(dx, dy)[0, 1]
     assert int(row["n_edges"]) == len(edges)
     assert abs(row["assortativity"] - want) < 1e-9
+
+
+def test_events_markov_transitions_ns_ties(ray_session, monkeypatch):
+    """ns-resolution source whose event_id order DISAGREES with the
+    sub-us ns order: the sort and the boundary stitch must bucket at
+    the same (us) precision or straddling transitions mispair — the
+    review-repro regression."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(8)
+    types = ["x", "y", "z"]
+    rows = []
+    eid = 1000
+    for g in range(40):  # 40 us-groups x 3 rows spaced at ns
+        for k in range(3):
+            # descending eid inside the group, ns-ascending ts
+            rows.append(
+                (eid - k, pd.Timestamp(g * 10**6 * 1000 + k),  # ns units
+                 7, types[rng.randint(3)])
+            )
+        eid += 100
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(25),
+    )
+    got = relational.events_markov_transitions("x").to_pandas()
+
+    rep = raw.copy()
+    rep["ts_us"] = rep["ts"].values.astype("datetime64[us]").astype("int64")
+    rep = rep.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+    same = rep["user_id"].eq(rep["user_id"].shift())
+    want = (
+        pd.DataFrame(
+            {
+                "prev_type": rep["event_type"].shift()[same],
+                "next_type": rep["event_type"][same],
+            }
+        )
+        .groupby(["prev_type", "next_type"])
+        .size()
+        .rename("n_transitions")
+        .reset_index()
+    )
+    assert int(got["n_transitions"].sum()) == int(want["n_transitions"].sum()) == 119
+    m = want.merge(got, on=["prev_type", "next_type"], how="outer")
+    assert (m["n_transitions_x"] == m["n_transitions_y"]).all()
+
+
+def test_assortativity_empty_graph(ray_session):
+    """Empty edge list returns the coded (0, NaN) row instead of
+    crashing inside the degree-attach join (review-repro regression)."""
+    import math
+
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import assortativity_dataset
+
+    empty = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    )
+    row = assortativity_dataset(empty).to_pandas().iloc[0]
+    assert int(row["n_edges"]) == 0
+    assert math.isnan(row["assortativity"])
