@@ -1146,6 +1146,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "renard_ray.ops.graphstats",
             fromlist=["events_bipartite_assortativity"],
         ).events_bipartite_assortativity(sf),
+        # directed-graph reciprocity over the typed relation layer
+        # (distinct packed edge keys semi-joined against their own
+        # reversed copy; exact integer ppm); rows-only — KG not
+        # SQL-derivable; pytest pins a hand-built directed fixture
+        "kg_reciprocity": lambda sf: __import__(
+            "renard_ray.ops.graphstats", fromlist=["reciprocity_dataset"]
+        ).reciprocity_dataset(kg_triples_full(sf)),
+        # Gopher-family redundancy signal: per-doc zlib compression
+        # ratio in exact ppm (deterministic for fixed level); rows-only
+        # — no zlib in DuckDB; pytest pins hand-checked values
+        "doc_compression_ratio": lambda sf: __import__(
+            "renard_ray.ops.textstats", fromlist=["compression_ratio"]
+        ).compression_ratio(sf),
         "kg_entity_link": kg_entity_link,
         "knn_lsh": knn_lsh,
         "q1_pricing_summary": relational.q1_pricing_summary,

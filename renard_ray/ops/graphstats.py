@@ -2775,3 +2775,67 @@ def events_bipartite_assortativity(sf_dir: str) -> Dataset:
     return assortativity_dataset(
         distinct.map_batches(shape, batch_format="pyarrow")
     )
+
+
+def reciprocity_dataset(triples: Dataset) -> Dataset:
+    """Directed-graph reciprocity: the fraction of distinct (subj, obj)
+    edges whose reverse (obj, subj) is also present — near 1 on mutual
+    graphs (conversation networks), near 0 on hierarchy/citation
+    shapes; a one-row directionality readout for the relation layer.
+
+    Shape: ONE distinct groupby over packed edge keys (per-batch dedup
+    combiner first), then the size-adaptive semi join of the key set
+    against its own reversed copy (broadcast under the row budget,
+    hash join past it) and two O(1)-row counts.  Self-loops count as
+    reciprocal by construction (their reverse is themselves), matching
+    the common definition.  Output ppm is the exact half-away integer
+    recipe, so the row is reproducible bit-for-bit."""
+    from renard_ray.ops.relational import broadcast_semi_join
+
+    SEP = "\x1f"
+
+    def keys(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch.column("subj"), batch.column("obj"), SEP
+        )
+        rk = pc.binary_join_element_wise(
+            batch.column("obj"), batch.column("subj"), SEP
+        )
+        t = pa.table({"k": k, "rk": rk})
+        return t.group_by(["k", "rk"]).aggregate([])  # per-batch dedup
+
+    distinct = (
+        triples.map_batches(keys, batch_format="pyarrow")
+        .groupby(["k", "rk"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    n_edges = distinct.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([0], pa.int64()),
+                    "n_reciprocal": pa.array([0], pa.int64()),
+                    "reciprocity_ppm": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    mutual = broadcast_semi_join(
+        distinct.select_columns(["k"]),
+        distinct.select_columns(["rk"]),
+        on="k",
+        right_on="rk",
+    )
+    n_rec = mutual.count()
+    ppm = (2_000_000 * n_rec + n_edges) // (2 * n_edges)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_reciprocal": pa.array([n_rec], pa.int64()),
+                "reciprocity_ppm": pa.array([ppm], pa.int64()),
+            }
+        )
+    )

@@ -1039,3 +1039,41 @@ def zipf_spectrum(sf_dir: str) -> Dataset:
             )
         )
     return spectrum.sort("n_occurrences")
+
+
+def compression_ratio(sf_dir: str, level: int = 6) -> Dataset:
+    """Per-document zlib compression ratio in exact ppm — the
+    Gopher/MassiveText-family redundancy signal: highly repetitive
+    boilerplate compresses far below natural prose (low ratio), while
+    random/encrypted junk refuses to compress (ratio near or above
+    1e6).  Complements :func:`repetition_stats` (which counts explicit
+    dup lines/trigrams) with a model-free whole-document measure.
+
+    zlib output is deterministic for a fixed level/strategy, so the
+    result is a pure function of the input.  Stateless one-pass
+    map_batches; no shuffle."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        raw_len, comp_len, ratio = [], [], []
+        for t in batch.column("text").to_pylist():
+            b = (t or "").encode("utf-8")
+            c = zlib.compress(b, level)
+            raw_len.append(len(b))
+            comp_len.append(len(c))
+            # half-away integer ppm; empty docs get the sentinel -1
+            ratio.append(
+                -1
+                if not b
+                else (2_000_000 * len(c) + len(b)) // (2 * len(b))
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "raw_bytes": pa.array(raw_len, pa.int64()),
+                "compressed_bytes": pa.array(comp_len, pa.int64()),
+                "compression_ppm": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

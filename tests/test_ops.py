@@ -5337,3 +5337,99 @@ def test_assortativity_empty_graph(ray_session):
     row = assortativity_dataset(empty).to_pandas().iloc[0]
     assert int(row["n_edges"]) == 0
     assert math.isnan(row["assortativity"])
+
+
+def test_kg_reciprocity(ray_session):
+    """Reciprocity == a set replica on a hand-built directed fixture:
+    3 mutual pairs (6 edges), 2 one-way edges, 1 self-loop (counts as
+    reciprocal), duplicate rows collapse before counting."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import reciprocity_dataset
+
+    edges = (
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("e", "f"), ("f", "e")]
+        + [("g", "h"), ("i", "j")]          # one-way
+        + [("k", "k")]                        # self-loop: reciprocal
+        + [("a", "b"), ("g", "h")]           # duplicates: collapse
+    )
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    df["pred"] = "r"
+    df["weight"] = 1.0
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    row = reciprocity_dataset(ds).to_pandas().iloc[0]
+    assert int(row["n_edges"]) == 9
+    assert int(row["n_reciprocal"]) == 7
+    assert int(row["reciprocity_ppm"]) == (2_000_000 * 7 + 9) // 18
+
+    empty = _ray.data.from_arrow(
+        pa.table({"subj": pa.array([], pa.string()),
+                  "obj": pa.array([], pa.string())})
+    )
+    row = reciprocity_dataset(empty).to_pandas().iloc[0]
+    assert int(row["n_edges"]) == 0 and int(row["reciprocity_ppm"]) == 0
+
+
+def test_doc_compression_ratio(ray_session, monkeypatch):
+    """Compression ppm == a zlib replica; repetitive text scores far
+    below prose; empty doc gets the -1 sentinel; unicode measured in
+    utf-8 bytes."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import textstats
+
+    docs = ["abc " * 500, "The quick brown fox jumps over the lazy dog.",
+            "", "汉字" * 100]
+    raw = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": docs})
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(2),
+    )
+    got = textstats.compression_ratio("x").to_pandas().set_index("doc_id")
+    for i, t in enumerate(docs, start=1):
+        b = t.encode("utf-8")
+        c = zlib.compress(b, 6)
+        assert got.loc[i, "raw_bytes"] == len(b)
+        assert got.loc[i, "compressed_bytes"] == len(c)
+        want = -1 if not b else (2_000_000 * len(c) + len(b)) // (2 * len(b))
+        assert got.loc[i, "compression_ppm"] == want
+    # repetitive << prose
+    assert got.loc[1, "compression_ppm"] < got.loc[2, "compression_ppm"]
+
+
+def test_limb_sums_property():
+    """_limb_sums == exact Python bignum sum for arbitrary int64 arrays
+    (including negatives and extremes) — the helper is load-bearing for
+    corr/assortativity at any corpus size."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from renard_ray.ops.relational import _LIMB_SHIFT, _limb_sums
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62 - 1),
+            min_size=0,
+            max_size=300,
+        )
+    )
+    def check(vals):
+        a = np.array(vals, dtype=np.int64)
+        hi, lo = _limb_sums(a) if len(a) else (0, 0)
+        assert (hi << _LIMB_SHIFT) + lo == sum(int(v) for v in vals)
+        if len(a):
+            assert 0 <= lo < (1 << _LIMB_SHIFT)
+
+    check()
