@@ -1342,6 +1342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # TPC-H Q7-style bilateral volume: fact joined through two
+        # independent dimension chains with nation filters pushed
+        # BEFORE the fact joins; exact SQL oracle
+        "q7_nation_volume": relational.q7_nation_volume,
         # first-order Markov transition matrix over event types
         # (sorted-run + O(#blocks) boundary stitch; |types|^2 output,
         # exact integer ppm row normalization); exact SQL oracle
@@ -2402,6 +2406,26 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE YEAR(l.l_shipdate) BETWEEN 1996 AND 1997
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "events_bipartite_assortativity": """
             WITH e AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -3438,16 +3438,16 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
     )
     merged = _scrub_schemaless(merged)
     if merged is None:  # < 2 events: no transitions at all
-        return ray.data.from_arrow(
-            pa.schema(
-                [
-                    ("prev_type", pa.string()),
-                    ("next_type", pa.string()),
-                    ("n_transitions", pa.int64()),
-                    ("p_ppm", pa.int64()),
-                ]
-            ).empty_table()
-        )
+        # pa.Table, not an empty Dataset: Dataset.to_pandas drops the
+        # schema of all-empty datasets (0-column frame)
+        return pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("next_type", pa.string()),
+                ("n_transitions", pa.int64()),
+                ("p_ppm", pa.int64()),
+            ]
+        ).empty_table()
 
     def normalize(batch: pa.Table) -> pa.Table:
         import pandas as pd  # noqa: F811
@@ -3467,3 +3467,137 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
 
     # the matrix is |types|^2 rows — one block is the right plan
     return merged.repartition(1).map_batches(normalize, batch_format="pyarrow")
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    y0: int = 1996,
+    y1: int = 1997,
+) -> "Dataset | pa.Table":
+    """TPC-H Q7-style bilateral shipping volume: revenue shipped
+    between two nations per (supplier nation, customer nation, year)
+    — the canonical multi-dimension STAR join (fact ⋈ two independent
+    dimension chains) the suite didn't yet exercise.
+
+    Plan: the 25-row nation map rides as a driver-filtered key set; the
+    supplier chain is a size-adaptive lookup join (suppkey ->
+    s_nationkey), the customer chain the q5 orders->customer lookup
+    composition; both nation filters are APPLIED BEFORE the fact joins
+    (semi-filter on the qualifying supp/cust keys) so only qualifying
+    fact rows ride any exchange.  Revenue uses the house exact-cents
+    recipe (price_cents x (100 - disc_pct), c4 units)."""
+    nt = _collect_small(_read(sf_dir, "nation", ["n_nationkey", "n_name"]), 1000)
+    name_of = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
+    )
+    keys_ab = [k for k, v in name_of.items() if v in (nation_a, nation_b)]
+    if len(keys_ab) < 2:
+        raise ValueError(f"q7: nations {nation_a!r}/{nation_b!r} not found")
+
+    keys_arr = pa.array(sorted(keys_ab), pa.int64())
+
+    def keep_ab(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_valid(pc.index_in(batch.column(col), value_set=keys_arr))
+            )
+
+        return fn
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        keep_ab("s_nationkey"), batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        keep_ab("c_nationkey"), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nparts = _join_parts(sf_dir)
+    oc = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        payload=["c_nationkey"], fallback_parts=max(2, nparts // 4),
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("l_shipdate"))
+        keep = pc.and_(
+            pc.greater_equal(yr, pa.scalar(y0, pa.int64())),
+            pc.less_equal(yr, pa.scalar(y1, pa.int64())),
+        )
+        batch = batch.filter(keep)
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc_pct = _cents(batch.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_year": pc.cast(
+                    pc.year(batch.column("l_shipdate")), pa.int64()
+                ),
+                "revenue_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)
+                ),
+            }
+        )
+
+    fact = li.map_batches(rev, batch_format="pyarrow")
+    fact = broadcast_lookup_join(
+        fact, supp, on="l_suppkey", right_on="s_suppkey",
+        payload=["s_nationkey"], fallback_parts=max(2, nparts // 4),
+    )
+    fact = broadcast_lookup_join(
+        fact, oc.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey", right_on="o_orderkey",
+        payload=["c_nationkey"], fallback_parts=nparts,
+    )
+
+    a_key = [k for k in keys_ab if name_of[k] == nation_a][0]
+    b_key = [k for k in keys_ab if name_of[k] == nation_b][0]
+
+    def pair_label(batch: pa.Table) -> pa.Table:
+        s, c = batch.column("s_nationkey"), batch.column("c_nationkey")
+        ab = pc.and_(pc.equal(s, a_key), pc.equal(c, b_key))
+        ba = pc.and_(pc.equal(s, b_key), pc.equal(c, a_key))
+        batch = batch.filter(pc.or_(ab, ba))
+        s = batch.column("s_nationkey")
+        supp_nation = pc.if_else(
+            pc.equal(s, a_key), pa.scalar(nation_a), pa.scalar(nation_b)
+        )
+        cust_nation = pc.if_else(
+            pc.equal(s, a_key), pa.scalar(nation_b), pa.scalar(nation_a)
+        )
+        return pa.table(
+            {
+                "supp_nation": supp_nation,
+                "cust_nation": cust_nation,
+                "l_year": batch.column("l_year"),
+                "revenue_c4": batch.column("revenue_c4"),
+            }
+        )
+
+    out = (
+        fact.map_batches(pair_label, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+    out = _scrub_schemaless(out)
+    if out is None or out.count() == 0:
+        # Dataset.to_pandas silently DROPS the schema of an all-empty
+        # dataset (0-column frame) — return the schema-ful empty Arrow
+        # table itself, which the driver contract explicitly allows
+        return pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue_c4", pa.int64()),
+            ]
+        ).empty_table()
+    return out.sort(["supp_nation", "cust_nation", "l_year"])

@@ -5433,3 +5433,86 @@ def test_limb_sums_property():
             assert 0 <= lo < (1 << _LIMB_SHIFT)
 
     check()
+
+
+def test_q7_nation_volume(ray_session, monkeypatch):
+    """Bilateral volume == a pandas replica on hand-built tables
+    (both directions present, same-nation pairs excluded, year window
+    enforced); the no-qualifying-rows branch returns the schema-ful
+    empty Arrow table (Dataset.to_pandas would drop the schema)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    nation = pd.DataFrame(
+        {"n_nationkey": [1, 2, 3], "n_name": ["NATION_1", "NATION_2", "NATION_3"]}
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [10, 11, 12], "s_nationkey": [1, 2, 3]}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [20, 21, 22], "c_nationkey": [2, 1, 3]}
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [30, 31, 32], "o_custkey": [20, 21, 22]}
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [30, 30, 31, 32, 30],
+            "l_suppkey": [10, 11, 11, 10, 10],
+            "l_extendedprice": [100.0, 200.0, 300.0, 400.0, 500.0],
+            "l_discount": [0.05, 0.10, 0.0, 0.07, 0.02],
+            "l_shipdate": pd.to_datetime(
+                ["1996-03-01", "1996-06-01", "1997-01-15", "1996-09-09",
+                 "1995-12-31"]  # last row: outside the year window
+            ),
+        }
+    )
+    tables = {
+        "nation": nation, "supplier": supplier, "customer": customer,
+        "orders": orders, "lineitem": lineitem,
+    }
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(tables[table][cols] if cols else tables[table])
+        ).repartition(3),
+    )
+    got = relational.q7_nation_volume("x").to_pandas()
+
+    # replica: supp 10 (N1) -> cust 20 (N2): rows 0 (1996); supp 11
+    # (N2) -> cust 21 (N1): row 2 (1997); supp 11 -> cust 20 is
+    # (N2, N2)? no: cust 20 is N2, supp 11 is N2 — same-nation, excluded
+    def c4(price, disc):
+        return int(round(price * 100)) * (100 - int(round(disc * 100)))
+
+    want = pd.DataFrame(
+        {
+            "supp_nation": ["NATION_1"],
+            "cust_nation": ["NATION_2"],
+            "l_year": [1996],
+            "revenue_c4": [c4(100.0, 0.05)],
+        }
+    )
+    want2 = pd.DataFrame(
+        {
+            "supp_nation": ["NATION_2"],
+            "cust_nation": ["NATION_1"],
+            "l_year": [1997],
+            "revenue_c4": [c4(300.0, 0.0)],
+        }
+    )
+    want = pd.concat([want, want2], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+    # empty branch: nations with no suppliers -> schema-ful pa.Table
+    out = relational.q7_nation_volume("x", nation_a="NATION_3", nation_b="NATION_1",
+                                      y0=2050, y1=2051)
+    assert isinstance(out, pa.Table)
+    assert out.num_rows == 0
+    assert out.column_names == ["supp_nation", "cust_nation", "l_year", "revenue_c4"]
