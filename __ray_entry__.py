@@ -1342,6 +1342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # DAU/WAU rollup: exact distinct-over-sliding-window via the
+        # bounded x w fan-out over the distinct (user, day) pair set,
+        # end days semi-filtered to active days; exact SQL oracle
+        "events_active_users": relational.events_active_users,
         # TPC-H Q7-style bilateral volume: fact joined through two
         # independent dimension chains with nation filters pushed
         # BEFORE the fact joins; exact SQL oracle
@@ -2406,6 +2410,23 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), dau AS (
+                SELECT day, COUNT(*) AS n_dau FROM ud GROUP BY day
+            ), wau AS (
+                SELECT w.day, COUNT(DISTINCT u.user_id) AS n_wau
+                FROM (SELECT DISTINCT day FROM ud) w
+                JOIN ud u ON u.day BETWEEN w.day - 6 AND w.day
+                GROUP BY w.day
+            )
+            SELECT CAST(dau.day AS BIGINT) AS day, dau.n_dau, wau.n_wau
+            FROM dau JOIN wau USING (day)
+            ORDER BY day
         """,
         "q7_nation_volume": """
             SELECT sn.n_name AS supp_nation,

@@ -3601,3 +3601,87 @@ def q7_nation_volume(
             ]
         ).empty_table()
     return out.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
+    """DAU / WAU per active day: distinct daily active users, plus the
+    trailing ``window_days`` distinct count (users active in
+    [day - w + 1, day]) for every day that has events — the standard
+    product-analytics activity rollup and the canonical EXACT
+    distinct-count-over-sliding-window shape.
+
+    Plan: per-batch (user, day) dedup combiner -> ONE global distinct
+    groupby (the pair set is |users| x |active days|, far below event
+    count); DAU is a groupby-count over it.  WAU fans each pair out to
+    the w window-END days it participates in (bounded x w, the price
+    of exactness — the approximate path is the per-day HLL in
+    ops/sketches.py), semi-filters window ends to ACTIVE days via the
+    broadcast day set (days are calendar-bounded: decades fit in KBs),
+    dedups (end, user) per batch, and counts per end day.  The final
+    DAU⋈WAU attach is a lookup join on the tiny per-day table."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.divide(_ts_us(batch.column("ts")), _DAY_US)
+        t = pa.table({"user_id": batch.column("user_id"), "day": d})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    ud = (
+        ds.map_batches(days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    dau = ud.groupby("day").aggregate(Count(alias_name="n_dau"))
+
+    active_days = pa.array(
+        sorted(
+            set(
+                ud.select_columns(["day"])
+                .groupby("day")
+                .aggregate(Count(alias_name="_c"))
+                .to_pandas()["day"]
+            )
+        ),
+        pa.int64(),
+    )
+    days_ref = ray.put(active_days)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        import numpy as np  # noqa: F811
+
+        u = batch.column("user_id").to_numpy()
+        d = batch.column("day").to_numpy()
+        w = window_days
+        end = (d[:, None] + np.arange(w)[None, :]).ravel()
+        uu = np.repeat(u, w)
+        keep = np.isin(end, ray.get(days_ref).to_numpy())
+        t = pa.table(
+            {
+                "end_day": pa.array(end[keep], pa.int64()),
+                "user_id": pa.array(uu[keep], pa.int64()),
+            }
+        )
+        return t.group_by(["end_day", "user_id"]).aggregate([])
+
+    wau = (
+        ud.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["end_day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: pa.table({"end_day": b.column("end_day")}),
+            batch_format="pyarrow",
+        )
+        .groupby("end_day")
+        .aggregate(Count(alias_name="n_wau"))
+    )
+
+    out = broadcast_lookup_join(
+        dau, wau, on="day", right_on="end_day", payload=["n_wau"]
+    )
+    return out.sort("day")

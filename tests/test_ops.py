@@ -5516,3 +5516,54 @@ def test_q7_nation_volume(ray_session, monkeypatch):
     assert isinstance(out, pa.Table)
     assert out.num_rows == 0
     assert out.column_names == ["supp_nation", "cust_nation", "l_year", "revenue_c4"]
+
+
+def test_events_active_users(ray_session, monkeypatch):
+    """DAU/WAU == a pandas replica on a multi-block frame with gap
+    days (windows must only end on ACTIVE days), multi-day users and
+    within-day duplicates."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    day = 86_400
+    rng = np.random.RandomState(13)
+    rows = []
+    for uid in range(25):
+        for d in sorted(set(rng.choice([0, 1, 2, 5, 6, 9, 20], rng.randint(1, 5),
+                                       replace=False))):
+            for _ in range(rng.randint(1, 3)):  # dup events same day
+                rows.append((uid, pd.Timestamp((d * day + int(rng.randint(day)))
+                                               * 10**9)))
+    raw = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(7),
+    )
+    got = relational.events_active_users("x").to_pandas()
+
+    rep = raw.copy()
+    rep["day"] = rep["ts"].values.astype("datetime64[us]").astype("int64") // (
+        day * 10**6
+    )
+    ud = rep[["user_id", "day"]].drop_duplicates()
+    dau = ud.groupby("day")["user_id"].nunique().rename("n_dau")
+    active = sorted(ud["day"].unique())
+    wau = {
+        d: ud[(ud["day"] >= d - 6) & (ud["day"] <= d)]["user_id"].nunique()
+        for d in active
+    }
+    want = pd.DataFrame(
+        {"day": active, "n_dau": [dau[d] for d in active],
+         "n_wau": [wau[d] for d in active]}
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64")
+    )
