@@ -1342,6 +1342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # weekly churn: ONE anti semi join of (user, week+1) probe keys
+        # against the distinct pair-key set — pure key algebra after
+        # the first distinct; zero-churn weeks 0-filled; exact oracle
+        "events_weekly_churn": relational.events_weekly_churn,
         # DAU/WAU rollup: exact distinct-over-sliding-window via the
         # bounded x w fan-out over the distinct (user, day) pair set,
         # end days semi-filtered to active days; exact SQL oracle
@@ -2410,6 +2414,29 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_weekly_churn": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ), a AS (
+                SELECT week, COUNT(*) AS n_active FROM uw GROUP BY week
+            ), c AS (
+                SELECT uw.week, COUNT(*) AS n_churned
+                FROM uw
+                LEFT JOIN uw nx
+                  ON nx.user_id = uw.user_id AND nx.week = uw.week + 1
+                WHERE nx.user_id IS NULL
+                GROUP BY uw.week
+            )
+            SELECT CAST(a.week AS BIGINT) AS week,
+                   a.n_active,
+                   COALESCE(c.n_churned, 0) AS n_churned,
+                   CAST((2000000 * COALESCE(c.n_churned, 0) + a.n_active)
+                        // (2 * a.n_active) AS BIGINT) AS churn_ppm
+            FROM a LEFT JOIN c USING (week)
+            ORDER BY week
         """,
         "events_active_users": """
             WITH ud AS (

@@ -3685,3 +3685,88 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
         dau, wau, on="day", right_on="end_day", payload=["n_wau"]
     )
     return out.sort("day")
+
+
+def events_weekly_churn(sf_dir: str) -> Dataset:
+    """Weekly churn: per active week, how many active users do NOT
+    return the following week (mechanical definition — the final week
+    churns everyone, matching the SQL LEFT-anti oracle), with the
+    exact half-away ppm rate.
+
+    Shape: the distinct (user, week) pair set (per-batch combiner +
+    one groupby, same as retention), then ONE size-adaptive ANTI semi
+    join of each pair's (user, week+1) probe key against the pair-key
+    set itself — churn is pure key algebra, nothing event-sized moves
+    after the first distinct."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    SEP = "\x1f"
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        w = pc.divide(_ts_us(batch.column("ts")), _WEEK_US)
+        t = pa.table({"user_id": batch.column("user_id"), "week": w})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    uw = (
+        ds.map_batches(weeks, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch.column("user_id"), pa.string())
+        w = pc.cast(batch.column("week"), pa.string())
+        wn = pc.cast(
+            pc.add(batch.column("week"), pa.scalar(1, pa.int64())), pa.string()
+        )
+        return pa.table(
+            {
+                "week": batch.column("week"),
+                "k": pc.binary_join_element_wise(u, w, SEP),
+                "next_k": pc.binary_join_element_wise(u, wn, SEP),
+            }
+        )
+
+    pairs = uw.map_batches(keyed, batch_format="pyarrow").materialize()
+    churned = broadcast_semi_join(
+        pairs.select_columns(["week", "next_k"]),
+        pairs.select_columns(["k"]),
+        on="next_k",
+        right_on="k",
+        anti=True,
+    )
+
+    active = uw.groupby("week").aggregate(Count(alias_name="n_active"))
+    churn = churned.groupby("week").aggregate(Count(alias_name="n_churned"))
+    # weeks are calendar-bounded (decades fit in KBs): broadcast the
+    # churn counts and 0-fill weeks where everyone returned — an inner
+    # lookup would silently DROP zero-churn weeks
+    churn_tab = _collect_small(_scrub_schemaless(churn) or churn.limit(0), 10_000_000)
+    churn_ref = ray.put(churn_tab.combine_chunks() if churn_tab is not None else None)
+
+    def rate(batch: pa.Table) -> pa.Table:
+        ct = ray.get(churn_ref)
+        a = batch.column("n_active").to_numpy()
+        if ct is not None and ct.num_rows:
+            idx = pc.index_in(batch.column("week"), value_set=ct.column("week"))
+            c = np.where(
+                pc.is_valid(idx).to_numpy(zero_copy_only=False),
+                pc.take(
+                    ct.column("n_churned"), pc.fill_null(pc.cast(idx, pa.int64()), 0)
+                ).to_numpy(zero_copy_only=False),
+                0,
+            ).astype(np.int64)
+        else:
+            c = np.zeros(len(a), np.int64)
+        ppm = (2_000_000 * c + a) // (2 * a)
+        return pa.table(
+            {
+                "week": batch.column("week"),
+                "n_active": batch.column("n_active"),
+                "n_churned": pa.array(c, pa.int64()),
+                "churn_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return active.map_batches(rate, batch_format="pyarrow").sort("week")

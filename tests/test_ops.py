@@ -5567,3 +5567,47 @@ def test_events_active_users(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"), want.astype("int64")
     )
+
+
+def test_events_weekly_churn(ray_session, monkeypatch):
+    """Churn == a pandas anti-join replica including a ZERO-churn week
+    (everyone returns — the inner-lookup drop hazard) and the final
+    week churning everyone by the mechanical definition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    week = 7 * 86_400
+    rows = []
+    # users 0..9: active weeks 0 and 1 (week 0 churn = 0); users 0..4
+    # also week 2; everyone gone after
+    for uid in range(10):
+        weeks_active = [0, 1] + ([2] if uid < 5 else [])
+        for w in weeks_active:
+            rows.append((uid, pd.Timestamp((w * week + uid * 100) * 10**9)))
+    raw = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(5),
+    )
+    got = relational.events_weekly_churn("x").to_pandas()
+    want = pd.DataFrame(
+        {
+            "week": [0, 1, 2],
+            "n_active": [10, 10, 5],
+            "n_churned": [0, 5, 5],
+        }
+    )
+    want["churn_ppm"] = (
+        2_000_000 * want["n_churned"] + want["n_active"]
+    ) // (2 * want["n_active"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64")
+    )
