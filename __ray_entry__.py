@@ -1342,6 +1342,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # per-source quality league table (RefinedWeb per-domain
+        # triage): one quality-kernel pass + one |sources|-row groupby;
+        # exact SQL oracle (shared CTE + single-division means)
+        "source_quality_rollup": lambda sf: __import__(
+            "renard_ray.ops.textstats", fromlist=["source_quality_rollup"]
+        ).source_quality_rollup(sf),
         # weekly churn: ONE anti semi join of (user, week+1) probe keys
         # against the distinct pair-key set — pure key algebra after
         # the first distinct; zero-churn weeks 0-filled; exact oracle
@@ -2414,6 +2420,49 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "source_quality_rollup": f"""
+            WITH d AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(
+                                regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_words,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                           AS n_punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           AS n_upper,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE (
+                           SELECT COUNT(*)
+                           FROM unnest(regexp_split_to_array(trim(text),
+                                                             '\\s+')) AS u(w)
+                           WHERE lower(w) IN ({_EN_STOP_SQL})
+                       ) END AS n_stop
+                FROM documents
+            ), s AS (
+                SELECT source,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE CAST(ROUND(1e6 * n_stop * 1.0 / n_words, 0)
+                                      AS BIGINT) END AS stopword_ppm,
+                       CASE WHEN n_chars = 0 THEN 0
+                            ELSE CAST(ROUND(1e6 * n_punct * 1.0 / n_chars, 0)
+                                      AS BIGINT) END AS punct_ppm,
+                       CASE WHEN n_chars = 0 THEN 0
+                            ELSE CAST(ROUND(1e6 * n_upper * 1.0 / n_chars, 0)
+                                      AS BIGINT) END AS upper_ppm,
+                       n_words
+                FROM d
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST(ROUND(SUM(stopword_ppm) * 1.0 / COUNT(*), 0)
+                        AS BIGINT) AS avg_stopword_ppm,
+                   CAST(ROUND(SUM(punct_ppm) * 1.0 / COUNT(*), 0)
+                        AS BIGINT) AS avg_punct_ppm,
+                   CAST(ROUND(SUM(upper_ppm) * 1.0 / COUNT(*), 0)
+                        AS BIGINT) AS avg_upper_ppm
+            FROM s GROUP BY source ORDER BY source
         """,
         "events_weekly_churn": """
             WITH uw AS (

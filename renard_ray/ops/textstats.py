@@ -1077,3 +1077,47 @@ def compression_ratio(sf_dir: str, level: int = 6) -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def source_quality_rollup(sf_dir: str) -> Dataset:
+    """Per-source quality league table (the RefinedWeb per-domain
+    triage view): document/word totals plus mean quality signals per
+    source, all exact integers — sums of the per-doc integer ppm
+    signals, means via the single-division half-away recipe the SQL
+    oracle mirrors.
+
+    One streaming pass of the shared quality kernel (source rides as a
+    passthrough column) -> ONE small groupby(source); the league table
+    is |sources| rows."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "source"])
+    sig = ds.map_batches(
+        lambda b: _quality_batch(b, passthrough=("source",)),
+        batch_format="pyarrow",
+    )
+    agg = sig.groupby("source").aggregate(
+        _Count(alias_name="n_docs"),
+        _Sum("n_words", alias_name="n_words"),
+        _Sum("stopword_ppm", alias_name="_sw"),
+        _Sum("punct_ppm", alias_name="_pu"),
+        _Sum("upper_ppm", alias_name="_up"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from renard_ray.ops.relational import _ratio_round
+
+        n = batch.column("n_docs")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": n,
+                "n_words": batch.column("n_words"),
+                "avg_stopword_ppm": _ratio_round(batch.column("_sw"), n),
+                "avg_punct_ppm": _ratio_round(batch.column("_pu"), n),
+                "avg_upper_ppm": _ratio_round(batch.column("_up"), n),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("source")

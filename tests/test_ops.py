@@ -5611,3 +5611,41 @@ def test_events_weekly_churn(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"), want.astype("int64")
     )
+
+
+def test_source_quality_rollup(ray_session, monkeypatch):
+    """League table == a per-source replica built from the shared
+    quality kernel's own per-doc outputs (sums exact, means via the
+    single-division half-away recipe); empty docs contribute zeros."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import textstats
+
+    raw = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["The cat sat on the mat.", "SHOUTY TEXT!!!", "", "a of to in"],
+            "source": ["s1", "s1", "s2", "s2"],
+        }
+    )
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(3),
+    )
+    got = textstats.source_quality_rollup("x").to_pandas().set_index("source")
+
+    per_doc = textstats.quality_scores("x").to_pandas().set_index("doc_id")
+    for src, ids in (("s1", [1, 2]), ("s2", [3, 4])):
+        sub = per_doc.loc[ids]
+        assert got.loc[src, "n_docs"] == len(ids)
+        assert got.loc[src, "n_words"] == sub["n_words"].sum()
+        for sig, col in (("stopword_ppm", "avg_stopword_ppm"),
+                         ("punct_ppm", "avg_punct_ppm"),
+                         ("upper_ppm", "avg_upper_ppm")):
+            want = int((sub[sig].sum() * 1.0 / len(ids)) + 0.5)
+            assert got.loc[src, col] == want
