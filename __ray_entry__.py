@@ -1342,6 +1342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # top-k second-order paths (event-type trigrams): markov
+        # sorted-run extended to the 3-block worst case (block-key
+        # tagged edge rows + gap-marked adjacency walk); exact oracle
+        "events_top_paths": relational.events_top_paths,
         # per-source quality league table (RefinedWeb per-domain
         # triage): one quality-kernel pass + one |sources|-row groupby;
         # exact SQL oracle (shared CTE + single-division means)
@@ -2420,6 +2424,20 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_top_paths": """
+            WITH e AS (
+                SELECT user_id, event_type AS t2,
+                       LAG(event_type, 1) OVER w AS t1,
+                       LAG(event_type, 2) OVER w AS t0
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t0, t1, t2, COUNT(*) AS n_paths
+            FROM e WHERE t0 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n_paths DESC, t0, t1, t2
+            LIMIT 25
         """,
         "source_quality_rollup": f"""
             WITH d AS (

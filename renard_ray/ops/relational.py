@@ -3770,3 +3770,172 @@ def events_weekly_churn(sf_dir: str) -> Dataset:
         )
 
     return active.map_batches(rate, batch_format="pyarrow").sort("week")
+
+
+def events_top_paths(sf_dir: str, k: int = 25) -> Dataset:
+    """Top-k second-order paths: the most frequent (t0, t1, t2)
+    CONSECUTIVE event-type trigrams per user stream (ordered by ts_us,
+    event_id) — the order-2 extension of the Markov matrix, the
+    sequence-mining readout behind funnel discovery.
+
+    Plan: the markov sorted-run shape extended for a trio's 3-block
+    worst case.  Per block a vectorized double-shift pass counts every
+    trigram fully INSIDE the block; blocks emit their first 2 and last
+    2 rows (ALL rows when the block has <= 4, so tiny blocks stay
+    seamless), each tagged with the block's packed first-row key (so
+    block membership is explicit) and an interior-gap flag.  The
+    O(#blocks) driver walk orders blocks by that key, rebuilds the
+    gap-marked edge sequence, and counts exactly the trios that are
+    pairwise-ADJACENT in global order (consecutive emitted positions
+    with no gap between them, or a block tail meeting the next head),
+    same-user, and NOT fully inside one block (those were counted
+    distributedly).  The matrix is <= |types|^3 rows; top-k by
+    (n desc, path asc) with the SQL tie order."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": _ts_us(batch.column("ts")),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    sorted_ds = ds.map_batches(to_us, batch_format="pyarrow").sort(
+        ["user_id", "ts_us", "event_id"]
+    )
+
+    part_schema = pa.schema(
+        [
+            ("kind", pa.string()),  # "c" count | "b" edge row
+            ("t0", pa.string()),
+            ("t1", pa.string()),
+            ("t2", pa.string()),
+            ("n", pa.int64()),
+            ("user_id", pa.int64()),
+            ("bk", pa.string()),  # packed block head key
+            ("pos", pa.int64()),  # emitted position within the block
+            ("gap", pa.bool_()),  # interior rows exist between pos 1/2
+        ]
+    )
+
+    def block_paths(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        same1 = df["user_id"].eq(df["user_id"].shift())
+        ok = same1 & df["user_id"].eq(df["user_id"].shift(2))
+        pairs = (
+            pd.DataFrame(
+                {
+                    "t0": df["event_type"].shift(2)[ok],
+                    "t1": df["event_type"].shift(1)[ok],
+                    "t2": df["event_type"][ok],
+                }
+            )
+            .groupby(["t0", "t1", "t2"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        pairs.insert(0, "kind", "c")
+        pairs["user_id"] = 0
+        pairs["bk"] = ""
+        pairs["pos"] = 0
+        pairs["gap"] = False
+        n = len(df)
+        u0, t0_us, e0 = (
+            int(df["user_id"].iloc[0]),
+            int(df["ts_us"].iloc[0]),
+            int(df["event_id"].iloc[0]),
+        )
+        assert 0 <= u0 < 10**18 and 0 <= t0_us < 10**18 and 0 <= e0 < 10**18
+        bk = "%019d:%019d:%019d" % (u0, t0_us, e0)
+        idx = list(range(n)) if n <= 4 else [0, 1, n - 2, n - 1]
+        edge = pd.DataFrame(
+            {
+                "kind": "b",
+                "t0": "",
+                "t1": "",
+                "t2": df["event_type"].iloc[idx].to_numpy(),
+                "n": [0] * len(idx),
+                "user_id": df["user_id"].iloc[idx].to_numpy(),
+                "bk": bk,
+                "pos": list(range(len(idx))),
+                "gap": n > 4,
+            }
+        )
+        out = pd.concat([pairs, edge], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=part_schema, preserve_index=False)
+
+    parts = sorted_ds.map_batches(
+        block_paths, batch_format="pandas", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    edges = parts.filter(expr="kind == 'b'").to_pandas()
+    extra: dict[tuple[str, str, str], int] = {}
+    if len(edges):
+        edges = edges.sort_values(["bk", "pos"]).reset_index(drop=True)
+        # rebuild the gap-marked global edge sequence: entries are
+        # (user, type, block_key); adjacency[i] = True iff row i+1 is
+        # the IMMEDIATE global successor of row i
+        users = edges["user_id"].to_numpy()
+        types = edges["t2"].to_numpy()
+        bks = edges["bk"].to_numpy()
+        poss = edges["pos"].to_numpy()
+        gaps = edges["gap"].to_numpy()
+        m = len(edges)
+        adj = np.zeros(max(0, m - 1), dtype=bool)
+        for i in range(m - 1):
+            if bks[i + 1] == bks[i]:
+                # same block: consecutive emitted positions are global
+                # neighbors unless the interior gap sits between 1 and 2
+                adj[i] = not (gaps[i] and poss[i] == 1 and poss[i + 1] == 2)
+            else:
+                adj[i] = True  # block tail meets the next block's head
+        for i in range(m - 2):
+            if not (adj[i] and adj[i + 1]):
+                continue
+            if bks[i] == bks[i + 1] == bks[i + 2]:
+                continue  # fully in-block: already counted distributedly
+            if users[i] == users[i + 1] == users[i + 2]:
+                key = (str(types[i]), str(types[i + 1]), str(types[i + 2]))
+                extra[key] = extra.get(key, 0) + 1
+
+    counts = parts.filter(expr="kind == 'c'").select_columns(
+        ["t0", "t1", "t2", "n"]
+    )
+    if extra:
+        counts = counts.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "t0": pa.array([x[0] for x in extra], pa.string()),
+                        "t1": pa.array([x[1] for x in extra], pa.string()),
+                        "t2": pa.array([x[2] for x in extra], pa.string()),
+                        "n": pa.array(list(extra.values()), pa.int64()),
+                    }
+                )
+            )
+        )
+
+    merged = (
+        counts.groupby(["t0", "t1", "t2"])
+        .aggregate(Sum("n", alias_name="n_paths"))
+    )
+    merged = _scrub_schemaless(merged)
+    if merged is None:
+        return pa.schema(
+            [
+                ("t0", pa.string()),
+                ("t1", pa.string()),
+                ("t2", pa.string()),
+                ("n_paths", pa.int64()),
+            ]
+        ).empty_table()
+    return merged.sort(
+        ["n_paths", "t0", "t1", "t2"], descending=[True, False, False, False]
+    ).limit(k)

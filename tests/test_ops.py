@@ -5649,3 +5649,64 @@ def test_source_quality_rollup(ray_session, monkeypatch):
                          ("upper_ppm", "avg_upper_ppm")):
             want = int((sub[sig].sum() * 1.0 / len(ids)) + 0.5)
             assert got.loc[src, col] == want
+
+
+def test_events_top_paths_multiblock(ray_session, monkeypatch):
+    """Trigram paths == a pandas double-shift replica when the sort is
+    forced into MANY 1-2 row blocks (trios spanning three blocks, the
+    worst case of the edge-row walk), plus gap blocks (>4 rows) and a
+    user switch mid-boundary."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(21)
+    types = ["p", "q", "r"]
+    rows = []
+    eid = 0
+    for uid, n in ((1, 90), (2, 2), (3, 1), (4, 40)):
+        for i in range(n):
+            rows.append((eid, pd.Timestamp(i * 10**9), uid, types[rng.randint(3)]))
+            eid += 1
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    raw = raw.sample(frac=1.0, random_state=2).reset_index(drop=True)
+
+    def run(nblocks):
+        monkeypatch.setattr(
+            relational, "_read",
+            lambda sfd, table, cols=None: _ray.data.from_arrow(
+                pa.Table.from_pandas(raw[cols] if cols else raw)
+            ).repartition(nblocks),
+        )
+        return relational.events_top_paths("x", k=1000).to_pandas()
+
+    rep = raw.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ok = rep["user_id"].eq(rep["user_id"].shift()) & rep["user_id"].eq(
+        rep["user_id"].shift(2)
+    )
+    want = (
+        pd.DataFrame(
+            {
+                "t0": rep["event_type"].shift(2)[ok],
+                "t1": rep["event_type"].shift(1)[ok],
+                "t2": rep["event_type"][ok],
+            }
+        )
+        .groupby(["t0", "t1", "t2"])
+        .size()
+        .rename("n_paths")
+        .reset_index()
+        .sort_values(["n_paths", "t0", "t1", "t2"],
+                     ascending=[False, True, True, True])
+        .reset_index(drop=True)
+    )
+    # 70 blocks ~= 1.9 rows/block: most trios straddle 2-3 blocks
+    for nblocks in (70, 9):
+        got = run(nblocks)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
