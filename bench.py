@@ -171,6 +171,13 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "doc_jsonl_roundtrip",
         "events_markov_transitions",
         "events_bipartite_assortativity",
+        "events_active_users",
+        "events_weekly_churn",
+        "events_top_paths",
+        "q7_nation_volume",
+        "source_quality_rollup",
+        "doc_compression_ratio",
+        "kg_reciprocity",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
