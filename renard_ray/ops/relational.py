@@ -3147,7 +3147,7 @@ def events_value_mad(sf_dir: str, hist_limit: int = _MAD_HIST_LIMIT) -> Dataset:
 _WEEK_US = 7 * 86_400 * 1_000_000  # epoch-week bucket, microseconds
 
 
-def events_retention(sf_dir: str) -> Dataset:
+def events_retention(sf_dir: str) -> "Dataset | pa.Table":
     """Cohort retention matrix: users bucketed by their FIRST active
     epoch-week (the cohort), then distinct active users counted per
     (cohort_week, week_offset) cell — the standard product-analytics
@@ -3162,6 +3162,14 @@ def events_retention(sf_dir: str) -> Dataset:
     deduped too — nothing event-sized crosses a second exchange.
     """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    if ds.count() == 0:  # map_batches skips empty blocks: guard early
+        return pa.schema(
+            [
+                ("cohort_week", pa.int64()),
+                ("week_offset", pa.int64()),
+                ("n_users", pa.int64()),
+            ]
+        ).empty_table()
 
     def weeks(batch: pa.Table) -> pa.Table:
         # normalize to us first: a ns-sourced table (pandas default)
@@ -3317,7 +3325,17 @@ def lineitem_corr_qty_price(sf_dir: str) -> Dataset:
     return merged.map_batches(finalize, batch_format="pyarrow").sort("l_returnflag")
 
 
-def events_markov_transitions(sf_dir: str) -> Dataset:
+_MARKOV_EMPTY = pa.schema(
+    [
+        ("prev_type", pa.string()),
+        ("next_type", pa.string()),
+        ("n_transitions", pa.int64()),
+        ("p_ppm", pa.int64()),
+    ]
+)
+
+
+def events_markov_transitions(sf_dir: str) -> "Dataset | pa.Table":
     """First-order Markov transition matrix of event types: for every
     (prev_type, next_type) pair of CONSECUTIVE events of the same user
     (ordered by ts, event_id), the transition count and the row-
@@ -3339,6 +3357,8 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    if ds.count() == 0:  # map_batches skips empty blocks: guard early
+        return _MARKOV_EMPTY.empty_table()
 
     def to_us(batch: pa.Table) -> pa.Table:
         # normalize to us BEFORE the sort: the stitch re-orders block
@@ -3440,14 +3460,7 @@ def events_markov_transitions(sf_dir: str) -> Dataset:
     if merged is None:  # < 2 events: no transitions at all
         # pa.Table, not an empty Dataset: Dataset.to_pandas drops the
         # schema of all-empty datasets (0-column frame)
-        return pa.schema(
-            [
-                ("prev_type", pa.string()),
-                ("next_type", pa.string()),
-                ("n_transitions", pa.int64()),
-                ("p_ppm", pa.int64()),
-            ]
-        ).empty_table()
+        return _MARKOV_EMPTY.empty_table()
 
     def normalize(batch: pa.Table) -> pa.Table:
         import pandas as pd  # noqa: F811
@@ -3531,6 +3544,7 @@ def q7_nation_volume(
             pc.greater_equal(yr, pa.scalar(y0, pa.int64())),
             pc.less_equal(yr, pa.scalar(y1, pa.int64())),
         )
+        l_year = pc.cast(yr.filter(keep), pa.int64())
         batch = batch.filter(keep)
         price_c = _cents(batch.column("l_extendedprice"))
         disc_pct = _cents(batch.column("l_discount"))
@@ -3538,9 +3552,7 @@ def q7_nation_volume(
             {
                 "l_orderkey": batch.column("l_orderkey"),
                 "l_suppkey": batch.column("l_suppkey"),
-                "l_year": pc.cast(
-                    pc.year(batch.column("l_shipdate")), pa.int64()
-                ),
+                "l_year": l_year,
                 "revenue_c4": pc.multiply(
                     price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)
                 ),
@@ -3606,7 +3618,7 @@ def q7_nation_volume(
 _DAY_US = 86_400 * 1_000_000
 
 
-def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
+def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Table":
     """DAU / WAU per active day: distinct daily active users, plus the
     trailing ``window_days`` distinct count (users active in
     [day - w + 1, day]) for every day that has events — the standard
@@ -3623,6 +3635,10 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
     dedups (end, user) per batch, and counts per end day.  The final
     DAU⋈WAU attach is a lookup join on the tiny per-day table."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    if ds.count() == 0:  # map_batches skips empty blocks: guard early
+        return pa.schema(
+            [("day", pa.int64()), ("n_dau", pa.int64()), ("n_wau", pa.int64())]
+        ).empty_table()
 
     def days(batch: pa.Table) -> pa.Table:
         d = pc.divide(_ts_us(batch.column("ts")), _DAY_US)
@@ -3637,20 +3653,29 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
         .materialize()
     )
 
-    dau = ud.groupby("day").aggregate(Count(alias_name="n_dau"))
-
-    active_days = pa.array(
-        sorted(
-            set(
-                ud.select_columns(["day"])
-                .groupby("day")
-                .aggregate(Count(alias_name="_c"))
-                .to_pandas()["day"]
-            )
-        ),
-        pa.int64(),
-    )
-    days_ref = ray.put(active_days)
+    # ONE per-day aggregate feeds both DAU and the active-day set (a
+    # second groupby over the corpus-pair-sized ud would be a wasted
+    # full exchange); the per-day table is calendar-bounded (KBs)
+    dau = ud.groupby("day").aggregate(Count(alias_name="n_dau")).materialize()
+    n_days = dau.count()
+    if n_days == 0:
+        # empty events: Dataset.to_pandas drops all-empty schemas, so
+        # return the schema-ful Arrow table (driver contract allows it)
+        return pa.schema(
+            [
+                ("day", pa.int64()),
+                ("n_dau", pa.int64()),
+                ("n_wau", pa.int64()),
+            ]
+        ).empty_table()
+    if n_days > 10_000_000:  # > ~27k years of days: corrupt timestamps
+        raise ValueError(
+            f"events_active_users: {n_days} distinct days exceeds the "
+            "calendar-bounded broadcast budget — timestamps look corrupt"
+        )
+    dau_tab = _collect_small(_scrub_schemaless(dau), 10_000_000)
+    active_days = pc.unique(dau_tab.column("day").combine_chunks())
+    days_ref = ray.put(pc.cast(active_days, pa.int64()))
 
     def fan_out(batch: pa.Table) -> pa.Table:
         import numpy as np  # noqa: F811
@@ -3673,10 +3698,7 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
         ud.map_batches(fan_out, batch_format="pyarrow")
         .groupby(["end_day", "user_id"])
         .aggregate(Count(alias_name="_n"))
-        .map_batches(
-            lambda b: pa.table({"end_day": b.column("end_day")}),
-            batch_format="pyarrow",
-        )
+        .select_columns(["end_day"])
         .groupby("end_day")
         .aggregate(Count(alias_name="n_wau"))
     )
@@ -3687,7 +3709,7 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> Dataset:
     return out.sort("day")
 
 
-def events_weekly_churn(sf_dir: str) -> Dataset:
+def events_weekly_churn(sf_dir: str) -> "Dataset | pa.Table":
     """Weekly churn: per active week, how many active users do NOT
     return the following week (mechanical definition — the final week
     churns everyone, matching the SQL LEFT-anti oracle), with the
@@ -3699,6 +3721,15 @@ def events_weekly_churn(sf_dir: str) -> Dataset:
     set itself — churn is pure key algebra, nothing event-sized moves
     after the first distinct."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    if ds.count() == 0:  # map_batches skips empty blocks: guard early
+        return pa.schema(
+            [
+                ("week", pa.int64()),
+                ("n_active", pa.int64()),
+                ("n_churned", pa.int64()),
+                ("churn_ppm", pa.int64()),
+            ]
+        ).empty_table()
     SEP = "\x1f"
 
     def weeks(batch: pa.Table) -> pa.Table:
@@ -3741,9 +3772,22 @@ def events_weekly_churn(sf_dir: str) -> Dataset:
     churn = churned.groupby("week").aggregate(Count(alias_name="n_churned"))
     # weeks are calendar-bounded (decades fit in KBs): broadcast the
     # churn counts and 0-fill weeks where everyone returned — an inner
-    # lookup would silently DROP zero-churn weeks
-    churn_tab = _collect_small(_scrub_schemaless(churn) or churn.limit(0), 10_000_000)
-    churn_ref = ray.put(churn_tab.combine_chunks() if churn_tab is not None else None)
+    # lookup would silently DROP zero-churn weeks.  Distinguish the
+    # genuinely-empty churn set from an over-budget collect: the
+    # latter must FAIL LOUDLY, not report zero churn everywhere.
+    churn_clean = _scrub_schemaless(churn.materialize())
+    if churn_clean is None or churn_clean.count() == 0:
+        churn_tab = None  # nobody churned anywhere (all users return)
+    else:
+        churn_tab = _collect_small(churn_clean, 10_000_000)
+        if churn_tab is None:
+            raise ValueError(
+                "events_weekly_churn: distinct weeks exceed the "
+                "calendar-bounded broadcast budget — timestamps look corrupt"
+            )
+    churn_ref = ray.put(
+        churn_tab.combine_chunks() if churn_tab is not None else None
+    )
 
     def rate(batch: pa.Table) -> pa.Table:
         ct = ray.get(churn_ref)
@@ -3772,7 +3816,17 @@ def events_weekly_churn(sf_dir: str) -> Dataset:
     return active.map_batches(rate, batch_format="pyarrow").sort("week")
 
 
-def events_top_paths(sf_dir: str, k: int = 25) -> Dataset:
+_PATHS_EMPTY = pa.schema(
+    [
+        ("t0", pa.string()),
+        ("t1", pa.string()),
+        ("t2", pa.string()),
+        ("n_paths", pa.int64()),
+    ]
+)
+
+
+def events_top_paths(sf_dir: str, k: int = 25) -> "Dataset | pa.Table":
     """Top-k second-order paths: the most frequent (t0, t1, t2)
     CONSECUTIVE event-type trigrams per user stream (ordered by ts_us,
     event_id) — the order-2 extension of the Markov matrix, the
@@ -3794,6 +3848,8 @@ def events_top_paths(sf_dir: str, k: int = 25) -> Dataset:
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    if ds.count() == 0:  # map_batches skips empty blocks: guard early
+        return _PATHS_EMPTY.empty_table()
 
     def to_us(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -3928,14 +3984,7 @@ def events_top_paths(sf_dir: str, k: int = 25) -> Dataset:
     )
     merged = _scrub_schemaless(merged)
     if merged is None:
-        return pa.schema(
-            [
-                ("t0", pa.string()),
-                ("t1", pa.string()),
-                ("t2", pa.string()),
-                ("n_paths", pa.int64()),
-            ]
-        ).empty_table()
+        return _PATHS_EMPTY.empty_table()
     return merged.sort(
         ["n_paths", "t0", "t1", "t2"], descending=[True, False, False, False]
     ).limit(k)

@@ -5710,3 +5710,39 @@ def test_events_top_paths_multiblock(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False
         )
+
+
+def test_events_empty_table_branches(ray_session, monkeypatch):
+    """Every events operator with a coded empty branch returns a
+    schema-ful result on an EMPTY events table (the Dataset.to_pandas
+    all-empty schema-drop hazard) — review regression."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    raw = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="string"),
+        }
+    )
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ),
+    )
+    au = relational.events_active_users("x")
+    assert isinstance(au, pa.Table)
+    assert au.column_names == ["day", "n_dau", "n_wau"] and au.num_rows == 0
+
+    mk = relational.events_markov_transitions("x")
+    assert isinstance(mk, pa.Table) and mk.num_rows == 0
+
+    tp = relational.events_top_paths("x")
+    assert isinstance(tp, pa.Table) and tp.num_rows == 0
