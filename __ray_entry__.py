@@ -1342,6 +1342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # RANK() <= k WITH TIES: threshold = k-th largest value
+        # (k-row driver pull), one streaming filter; exact SQL oracle
+        "top_customers_with_ties": relational.top_customers_with_ties,
         # top-k second-order paths (event-type trigrams): markov
         # sorted-run extended to the 3-block worst case (block-key
         # tagged edge rows + gap-marked adjacency walk); exact oracle
@@ -1394,6 +1397,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jsonl_roundtrip": lambda sf: __import__(
             "renard_ray.sources.jsonl", fromlist=["documents_jsonl_roundtrip"]
         ).documents_jsonl_roundtrip(sf),
+        # CSV.gz interchange boundary (third source format): same
+        # roundtrip contract, Arrow RFC-4180 quoting carries embedded
+        # newlines/commas/quotes; types re-inferred on read
+        "doc_csv_roundtrip": lambda sf: __import__(
+            "renard_ray.sources.csvio", fromlist=["documents_csv_roundtrip"]
+        ).documents_csv_roundtrip(sf),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -2425,6 +2434,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
         """,
+        "top_customers_with_ties": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM (
+                SELECT c_custkey, c_name, c_acctbal,
+                       RANK() OVER (ORDER BY c_acctbal DESC) AS rk
+                FROM customer
+            )
+            WHERE rk <= 20
+            ORDER BY c_acctbal DESC, c_custkey
+        """,
         "events_top_paths": """
             WITH e AS (
                 SELECT user_id, event_type AS t2,
@@ -2624,6 +2643,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY l_returnflag
         """,
         "doc_jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "doc_csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "doc_zipf_spectrum": """

@@ -3988,3 +3988,44 @@ def events_top_paths(sf_dir: str, k: int = 25) -> "Dataset | pa.Table":
     return merged.sort(
         ["n_paths", "t0", "t1", "t2"], descending=[True, False, False, False]
     ).limit(k)
+
+
+def top_customers_with_ties(sf_dir: str, k: int = 20) -> Dataset:
+    """Top-k by balance WITH TIES (``RANK() <= k``) — the rank-window
+    semantic the plain limit-k queries don't cover: every row tying
+    the k-th value survives.
+
+    Distributed form: keep rows with ``value >= v_k`` where ``v_k`` is
+    the k-th largest value INCLUDING duplicates — provably the same
+    set as RANK() <= k (a row ties or beats the k-th row iff fewer
+    than k rows are strictly greater).  One sort-limit pass finds the
+    k-row threshold (k rows to the driver), one vectorized filter
+    streams the survivors — no full-table rank materialization."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bal_c", _cents(batch.column("c_acctbal")))
+
+    with_c = ds.map_batches(cents, batch_format="pyarrow")
+    topk = with_c.select_columns(["bal_c"]).sort("bal_c", descending=True).limit(k)
+    vals = topk.to_pandas()["bal_c"]
+    if len(vals) == 0:
+        return pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_acctbal", pa.float64()),
+            ]
+        ).empty_table()
+    v_k = int(vals.iloc[-1])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.greater_equal(batch.column("bal_c"), pa.scalar(v_k, pa.int64()))
+        )
+        return b.select(["c_custkey", "c_name", "c_acctbal"])
+
+    return (
+        with_c.map_batches(keep, batch_format="pyarrow")
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+    )

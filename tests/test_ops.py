@@ -5746,3 +5746,79 @@ def test_events_empty_table_branches(ray_session, monkeypatch):
 
     tp = relational.events_top_paths("x")
     assert isinstance(tp, pa.Table) and tp.num_rows == 0
+
+
+def test_top_customers_with_ties(ray_session, monkeypatch):
+    """WITH TIES semantics: rows tying the k-th value ALL survive
+    (result > k rows), strictly-below rows drop; matches a pandas
+    RANK replica on a planted-tie frame."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    raw = pd.DataFrame(
+        {
+            "c_custkey": list(range(1, 11)),
+            "c_name": [f"c{i}" for i in range(1, 11)],
+            # k=3: values 90, 80, 70, 70, 70, 60...  -> 5 rows survive
+            "c_acctbal": [90.0, 80.0, 70.0, 70.0, 70.0, 60.0, 50.0, 40.0,
+                          30.0, 20.0],
+        }
+    )
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(4),
+    )
+    got = relational.top_customers_with_ties("x", k=3).to_pandas()
+
+    rk = raw["c_acctbal"].rank(method="min", ascending=False)
+    want = (
+        raw[rk <= 3]
+        .sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_csv_roundtrip(ray_session, tmp_path):
+    """CSV.gz write -> read is lossless on hostile content (embedded
+    newlines, commas, quotes, CJK/emoji, empty strings) via Arrow's
+    RFC-4180 quoting; shards carry .csv.gz + gzip magic."""
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.sources.csvio import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+
+    raw = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ['line one\nline, "two"', "汉字 und émoji 🎉", "", "plain"],
+            "lang": ["en", "de", "fr", "en"],
+            "n_chars": [20, 17, 0, 5],
+        }
+    )
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(raw)).repartition(2)
+    out = str(tmp_path / "csv")
+    write_documents_csv(ds, out)
+    files = sorted(glob.glob(f"{out}/*"))
+    assert files and all(f.endswith(".csv.gz") for f in files)
+    with open(files[0], "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"
+    back = read_documents_csv(out).to_pandas()
+    a = raw.sort_values("doc_id").reset_index(drop=True)
+    b = back[raw.columns].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
