@@ -94,6 +94,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir: str):
         return _kg_triples(sf_dir, full=False)
 
+    def kg_url_canonical(sf_dir: str):
+        """Crawl URL canonicalization + latest-crawl dedup: the pages
+        corpus plus deterministically synthesized NON-canonical
+        recrawl variants of every 5th page (uppercase host, explicit
+        :443, fragment, reversed query order — all RFC-equivalent,
+        with OLDER warc_ts), collapsed back by canonical_url_dedup so
+        exactly the original page count survives and every kept row is
+        the newest crawl.  rows-only (pages are synthesized, not a SQL
+        view); pytest pins the kernel cases + the collapse."""
+        import datetime as _dt
+
+        import pyarrow as _pa
+
+        import ray
+
+        from renard_ray.pipelines.kg import canonical_url_dedup
+
+        tab = _kg_pages_table(sf_dir)
+        idx = list(range(0, tab.num_rows, 5))
+        sub = tab.take(_pa.array(idx, _pa.int64()))
+        variant_urls = [
+            u.replace("https://fixture.test", "HTTPS://FIXTURE.TEST:443")
+            + "?b=2&a=1#frag"
+            for u in sub.column("url").to_pylist()
+        ]
+        # canonical twin of each variant exists iff the ORIGINAL url's
+        # canonical form matches — it does once we add the same sorted
+        # query to the original row?  No: variants must canonicalize
+        # to a DIFFERENT key than the clean originals (they carry a
+        # query), so give the matching originals the sorted query too.
+        canon_urls = [u + "?a=1&b=2" for u in sub.column("url").to_pylist()]
+        older = _pa.array(
+            [
+                _dt.datetime(2020, 1, 1) for _ in idx
+            ],
+            _pa.timestamp("us"),
+        )
+        variants = _pa.table(
+            {
+                "url": _pa.array(variant_urls, _pa.string()),
+                "warc_ts": older,
+                "html": sub.column("html"),
+                "text": sub.column("text"),
+                "lang": sub.column("lang"),
+            }
+        )
+        twins = _pa.table(
+            {
+                "url": _pa.array(canon_urls, _pa.string()),
+                "warc_ts": sub.column("warc_ts"),
+                "html": sub.column("html"),
+                "text": sub.column("text"),
+                "lang": sub.column("lang"),
+            }
+        )
+        keep = _pa.array(
+            [i for i in range(tab.num_rows) if i % 5 != 0], _pa.int64()
+        )
+        base = tab.take(keep)
+        ds = ray.data.from_arrow(_pa.concat_tables([base, twins, variants]))
+        out = canonical_url_dedup(ds)
+        return out.select_columns(["url", "orig_url", "lang"]).sort("url")
+
     def kg_triples_full(sf_dir: str):
         return _kg_triples(sf_dir, full=True)
 
@@ -1130,6 +1193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_distinct_words_hll": sketches.hll_distinct_words,
         "lineitem_price_quantiles": lambda sf: sketches.quantile_sketch(sf),
         "kg_top_degree": kg_top_degree,
+        # crawl URL canonicalization + latest-crawl dedup over
+        # synthesized non-canonical recrawl variants; rows-only
+        "kg_url_canonical": kg_url_canonical,
         # Newman degree assortativity over the KG edge list: one
         # degree reduce + two size-adaptive degree-attach joins +
         # exact limb-pair moment sums (degree squares ~1e18/row would

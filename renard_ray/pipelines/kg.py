@@ -1063,3 +1063,65 @@ def snapshot_diff(old: Dataset, new: Dataset) -> Dataset:
     return joined.map_batches(
         lambda b: finalize(b, True, True), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup normalization)
+# ---------------------------------------------------------------------------
+
+def normalize_url(url: str) -> str:
+    """Crawl-grade URL canonicalization (the normalization every
+    real URL-dedup runs BEFORE exact matching — RFC 3986 §6 syntax-
+    based normalization plus the common crawl-pipeline conventions):
+
+    - scheme and host lowercased;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - fragment dropped (never sent to the server);
+    - query parameters SORTED by (key, value) — order is almost never
+      semantic — with blank-valued params kept;
+    - empty path normalized to ``/``; trailing slash preserved
+      otherwise (``/a/`` vs ``/a`` CAN differ server-side).
+
+    Pure function, no network; anything unparseable returns unchanged
+    (never corrupt what we cannot read).
+    """
+    from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode
+
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    if not parts.scheme or not parts.netloc:
+        return url
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    default = {"http": 80, "https": 443}.get(scheme)
+    netloc = host if (port is None or port == default) else f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = parts.path or "/"
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonical_url_dedup(pages: Dataset, **kwargs) -> Dataset:
+    """URL dedup under canonicalization: normalize every URL with
+    :func:`normalize_url` (one batch pass over the url column), then
+    keep the latest crawl per CANONICAL url via the existing
+    :func:`dedup_pages_by_url` machinery — the canonical form becomes
+    the ``url`` key column (the original rides along as ``orig_url``),
+    so port/fragment/param-order variants of one resource collapse to
+    a single kept page with zero changes to the dedup plan."""
+
+    def canon(batch: "pa.Table") -> "pa.Table":
+        urls = batch.column("url").to_pylist()
+        i = batch.schema.get_field_index("url")
+        batch = batch.append_column("orig_url", batch.column("url"))
+        return batch.set_column(
+            i, "url", pa.array([normalize_url(u) for u in urls], pa.string())
+        )
+
+    with_c = pages.map_batches(canon, batch_format="pyarrow")
+    return dedup_pages_by_url(with_c, **kwargs)

@@ -5822,3 +5822,48 @@ def test_csv_roundtrip(ray_session, tmp_path):
     a = raw.sort_values("doc_id").reset_index(drop=True)
     b = back[raw.columns].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_url_canonicalization(ray_session):
+    """normalize_url kernel cases (RFC 3986 syntax normalization +
+    crawl conventions) and the canonical dedup collapse keeping the
+    NEWEST crawl per canonical key."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.pipelines.kg import canonical_url_dedup, normalize_url
+
+    cases = {
+        "HTTPS://Example.COM:443/a?b=2&a=1#frag": "https://example.com/a?a=1&b=2",
+        "http://example.com:80/": "http://example.com/",
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        "https://example.com": "https://example.com/",
+        "https://example.com/a/": "https://example.com/a/",  # trailing kept
+        "https://u:p@Example.com/q": "https://u:p@example.com/q",
+        "not a url": "not a url",  # unparseable -> unchanged
+        "/relative/only": "/relative/only",
+    }
+    for raw, want in cases.items():
+        assert normalize_url(raw) == want, raw
+
+    pages = pd.DataFrame(
+        {
+            "url": [
+                "https://a.test/x?k=1&j=2",          # canonical, newer
+                "HTTPS://A.TEST:443/x?j=2&k=1#f",     # same resource, older
+                "https://b.test/y",                    # unique
+            ],
+            "warc_ts": pd.to_datetime(["2024-06-01", "2023-01-01", "2024-01-01"]),
+            "html": [b"h1", b"h2", b"h3"],
+            "text": ["t1", "t2", "t3"],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(pages)).repartition(3)
+    out = canonical_url_dedup(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 2
+    row = out[out["url"] == "https://a.test/x?j=2&k=1"].iloc[0]
+    assert row["orig_url"] == "https://a.test/x?k=1&j=2"  # the NEWER crawl won
+    assert row["text"] == "t1"
