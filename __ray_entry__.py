@@ -94,6 +94,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir: str):
         return _kg_triples(sf_dir, full=False)
 
+    def kg_strip_boilerplate(sf_dir: str):
+        """Domain-level boilerplate strip over the pages corpus with
+        deterministically planted chrome: every page gets its domain's
+        cookie banner (on 100% of pages -> stripped), 60% get a footer
+        (above the 50% threshold -> stripped), 10% carry a rare notice
+        (below threshold -> KEPT).  Returns (url, n_lines_removed,
+        n_chars_after) per page; rows-only (pages are synthesized)."""
+        import pyarrow as _pa
+
+        import ray
+
+        from renard_ray.ops.lineclean import strip_domain_boilerplate
+
+        tab = _kg_pages_table(sf_dir)
+        urls = tab.column("url").to_pylist()
+        texts = tab.column("text").to_pylist()
+        planted = []
+        seen: dict = {}
+        for u, t in zip(urls, texts):
+            dom = u.split("/")[3]  # srcN segment
+            j = seen.get(dom, 0)  # per-DOMAIN ordinal: decorrelated
+            seen[dom] = j + 1
+            lines = [f"COOKIE NOTICE: {dom} uses cookies", t]
+            if j % 5 < 3:  # 60% of each domain's pages
+                lines.append(f"(c) {dom} - all rights reserved")
+            if j % 10 == 0:  # 10%: below threshold, must SURVIVE
+                lines.append(f"rare notice {dom}")
+            planted.append("\n".join(lines))
+        tab = tab.set_column(
+            tab.schema.get_field_index("text"),
+            "text",
+            _pa.array(planted, _pa.large_string()),
+        )
+        pages = ray.data.from_arrow(tab)
+        out = strip_domain_boilerplate(pages, min_frac=0.5, min_pages=5)
+
+        def shape(batch: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+
+            return _pa.table(
+                {
+                    "url": batch.column("url"),
+                    "n_lines_removed": batch.column("n_lines_removed"),
+                    "n_chars_after": _pc.cast(
+                        _pc.utf8_length(
+                            _pc.cast(batch.column("text"), _pa.string())
+                        ),
+                        _pa.int64(),
+                    ),
+                }
+            )
+
+        return out.map_batches(shape, batch_format="pyarrow").sort("url")
+
     def kg_url_canonical(sf_dir: str):
         """Crawl URL canonicalization + latest-crawl dedup: the pages
         corpus plus deterministically synthesized NON-canonical
@@ -1196,6 +1250,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl URL canonicalization + latest-crawl dedup over
         # synthesized non-canonical recrawl variants; rows-only
         "kg_url_canonical": kg_url_canonical,
+        # CCNet-style domain boilerplate removal: lines on >= f of a
+        # domain's pages are chrome — per-page distinct-line combiner,
+        # ONE (domain, line) groupby, broadcast-bounded boilerplate
+        # set applied in one streaming rewrite; rows-only
+        "kg_strip_boilerplate": kg_strip_boilerplate,
         # Newman degree assortativity over the KG edge list: one
         # degree reduce + two size-adaptive degree-attach joins +
         # exact limb-pair moment sums (degree squares ~1e18/row would

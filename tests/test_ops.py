@@ -5867,3 +5867,61 @@ def test_url_canonicalization(ray_session):
     row = out[out["url"] == "https://a.test/x?j=2&k=1"].iloc[0]
     assert row["orig_url"] == "https://a.test/x?k=1&j=2"  # the NEWER crawl won
     assert row["text"] == "t1"
+
+
+def test_domain_boilerplate(ray_session):
+    """Domain-frequency boilerplate removal: a banner on 100% and a
+    footer on 60% of a domain's pages strip; a 10% notice and all
+    unique content survive; a SECOND domain's identical-text banner
+    does not leak across domains below its own threshold; stats table
+    matches."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.lineclean import (
+        domain_boilerplate_lines,
+        strip_domain_boilerplate,
+    )
+
+    rows = []
+    for i in range(20):  # domain A: banner always, footer 60%, rare 10%
+        lines = ["BANNER A", f"unique content {i}"]
+        if i % 5 < 3:
+            lines.append("FOOTER A")
+        if i % 10 == 0:
+            lines.append("rare A")
+        rows.append((f"https://a.test/siteA/{i}", "\n".join(lines)))
+    for i in range(20):  # domain B: carries the SAME 'FOOTER A' text on 20%
+        lines = [f"b content {i}"]
+        if i % 5 == 0:
+            lines.append("FOOTER A")
+        rows.append((f"https://b.test/siteB/{i}", "\n".join(lines)))
+    pages = pd.DataFrame(rows, columns=["url", "text"])
+    pages["warc_ts"] = pd.Timestamp("2024-01-01")
+    pages["html"] = b"x"
+    pages["lang"] = "en"
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(pages)).repartition(6)
+
+    lines_tab, totals = domain_boilerplate_lines(ds, min_frac=0.5, min_pages=5)
+    flagged = {
+        (d, l)
+        for d, l in zip(
+            lines_tab.column("domain").to_pylist(),
+            lines_tab.column("line").to_pylist(),
+        )
+    }
+    assert ("a.test/siteA", "BANNER A") in flagged
+    assert ("a.test/siteA", "FOOTER A") in flagged
+    assert ("a.test/siteA", "rare A") not in flagged
+    assert not any(d == "b.test/siteB" for d, _ in flagged)  # 20% < 50%
+    assert totals == {"a.test/siteA": 20, "b.test/siteB": 20}
+
+    out = strip_domain_boilerplate(ds, min_frac=0.5, min_pages=5).to_pandas()
+    a0 = out[out["url"] == "https://a.test/siteA/0"].iloc[0]
+    assert a0["text"] == "unique content 0\nrare A"
+    assert a0["n_lines_removed"] == 2  # banner + footer
+    b0 = out[out["url"] == "https://b.test/siteB/0"].iloc[0]
+    assert b0["text"] == "b content 0\nFOOTER A"  # no cross-domain leak
+    assert b0["n_lines_removed"] == 0
