@@ -1467,6 +1467,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # market-basket pair support (A-priori level 2) over
+        # (user, day) baskets: basket-keyed self-join bounded by
+        # |types| per basket; exact SQL oracle
+        "events_basket_pairs": relational.events_basket_pairs,
         # RANK() <= k WITH TIES: threshold = k-th largest value
         # (k-row driver pull), one streaming filter; exact SQL oracle
         "top_customers_with_ties": relational.top_customers_with_ties,
@@ -2558,6 +2562,22 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_basket_pairs": """
+            WITH it AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
+                       event_type
+                FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_baskets
+            FROM it a
+            JOIN it b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+            ORDER BY n_baskets DESC, type_a, type_b
         """,
         "top_customers_with_ties": """
             SELECT c_custkey, c_name, c_acctbal

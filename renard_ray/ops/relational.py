@@ -4029,3 +4029,89 @@ def top_customers_with_ties(sf_dir: str, k: int = 20) -> Dataset:
         with_c.map_batches(keep, batch_format="pyarrow")
         .sort(["c_acctbal", "c_custkey"], descending=[True, False])
     )
+
+
+def events_basket_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
+    """Market-basket co-occurrence (A-priori level 2): support counts
+    of event-type PAIRS across (user, day) baskets — how many baskets
+    contain BOTH types, the association-rule-mining primitive.
+
+    Shape: distinct (user, day, type) items (per-batch combiner, one
+    groupby), then ONE self equi-join on the packed basket key — the
+    fan-out is bounded by |types| per basket (small by schema), so the
+    join is linear in items, not quadratic in events — an a < b filter
+    keeps each unordered pair once, and a tiny |types|^2 groupby
+    counts support.  ``min_support`` prunes the tail exactly like the
+    SQL HAVING."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    if ds.count() == 0:
+        return pa.schema(
+            [
+                ("type_a", pa.string()),
+                ("type_b", pa.string()),
+                ("n_baskets", pa.int64()),
+            ]
+        ).empty_table()
+    SEP = "\x1f"
+
+    def items(batch: pa.Table) -> pa.Table:
+        d = pc.divide(_ts_us(batch.column("ts")), _DAY_US)
+        bk = pc.binary_join_element_wise(
+            pc.cast(batch.column("user_id"), pa.string()),
+            pc.cast(d, pa.string()),
+            SEP,
+        )
+        t = pa.table({"basket": bk, "etype": batch.column("event_type")})
+        return t.group_by(["basket", "etype"]).aggregate([])
+
+    distinct = (
+        ds.map_batches(items, batch_format="pyarrow")
+        .groupby(["basket", "etype"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    rhs = distinct.map_batches(
+        lambda b: pa.table(
+            {"basket": b.column("basket"), "etype_b": b.column("etype")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = distinct.join(
+        rhs,
+        join_type="inner",
+        num_partitions=max(2, _join_parts_bytes(distinct)),
+        on=("basket",),
+    )
+
+    def keep_pairs(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.less(batch.column("etype"), batch.column("etype_b"))
+        )
+        t = pa.table({"type_a": b.column("etype"), "type_b": b.column("etype_b")})
+        # per-batch combine ahead of the tiny pair groupby
+        return t.group_by(["type_a", "type_b"]).aggregate([("type_a", "count")])
+
+    pairs = (
+        joined.map_batches(keep_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.rename_columns(["type_a", "type_b", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_baskets"))
+        .filter(expr=f"n_baskets >= {min_support}")
+    )
+    pairs = _scrub_schemaless(pairs)
+    if pairs is None:
+        return pa.schema(
+            [
+                ("type_a", pa.string()),
+                ("type_b", pa.string()),
+                ("n_baskets", pa.int64()),
+            ]
+        ).empty_table()
+    return pairs.sort(
+        ["n_baskets", "type_a", "type_b"], descending=[True, False, False]
+    )

@@ -5925,3 +5925,62 @@ def test_domain_boilerplate(ray_session):
     b0 = out[out["url"] == "https://b.test/siteB/0"].iloc[0]
     assert b0["text"] == "b content 0\nFOOTER A"  # no cross-domain leak
     assert b0["n_lines_removed"] == 0
+
+
+def test_events_basket_pairs(ray_session, monkeypatch):
+    """Pair support == a pandas combinations replica: within-basket
+    duplicate events count once, pairs are unordered (a < b), baskets
+    are (user, day), min_support prunes."""
+    from itertools import combinations
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    day = 86_400
+    rows = []
+    baskets = [
+        (1, 0, ["view", "click", "view", "purchase"]),   # dup view: once
+        (1, 1, ["view", "click"]),
+        (2, 0, ["click", "purchase"]),
+        (2, 1, ["view"]),                                  # singleton: no pairs
+        (3, 0, ["view", "click", "purchase"]),
+    ]
+    eid = 0
+    for uid, d, types in baskets:
+        for t in types:
+            rows.append((eid, pd.Timestamp((d * day + eid) * 10**9), uid, t))
+            eid += 1
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(4),
+    )
+    got = relational.events_basket_pairs("x", min_support=1).to_pandas()
+
+    support: dict = {}
+    for _, _, types in baskets:
+        for a, b in combinations(sorted(set(types)), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in support.items()],
+            columns=["type_a", "type_b", "n_baskets"],
+        )
+        .sort_values(["n_baskets", "type_a", "type_b"],
+                     ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    # min_support prunes exactly
+    got2 = relational.events_basket_pairs("x", min_support=3).to_pandas()
+    assert set(map(tuple, got2[["type_a", "type_b"]].values)) == {
+        (a, b) for (a, b), n in support.items() if n >= 3
+    }
