@@ -1467,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # directed association rules (confidence ppm + lift milli,
+        # all exact integers); exact SQL oracle
+        "events_association_rules": relational.events_association_rules,
         # market-basket pair support (A-priori level 2) over
         # (user, day) baskets: basket-keyed self-join bounded by
         # |types| per basket; exact SQL oracle
@@ -2562,6 +2565,38 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_association_rules": """
+            WITH it AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
+                       event_type
+                FROM events
+            ), tot AS (
+                SELECT COUNT(*) AS total
+                FROM (SELECT DISTINCT user_id, day FROM it)
+            ), s AS (
+                SELECT event_type, COUNT(*) AS n FROM it GROUP BY 1
+            ), p AS (
+                SELECT a.event_type AS antecedent,
+                       b.event_type AS consequent,
+                       COUNT(*) AS n_baskets
+                FROM it a
+                JOIN it b ON a.user_id = b.user_id AND a.day = b.day
+                          AND a.event_type <> b.event_type
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            )
+            SELECT p.antecedent, p.consequent, p.n_baskets,
+                   CAST((2000000 * p.n_baskets + sa.n) // (2 * sa.n)
+                        AS BIGINT) AS confidence_ppm,
+                   CAST((2000 * p.n_baskets * t.total + sa.n * sc.n)
+                        // (2 * sa.n * sc.n) AS BIGINT) AS lift_milli
+            FROM p
+            JOIN s sa ON sa.event_type = p.antecedent
+            JOIN s sc ON sc.event_type = p.consequent
+            CROSS JOIN tot t
+            ORDER BY n_baskets DESC, antecedent, consequent
         """,
         "events_basket_pairs": """
             WITH it AS (

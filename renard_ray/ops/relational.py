@@ -4115,3 +4115,94 @@ def events_basket_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
     return pairs.sort(
         ["n_baskets", "type_a", "type_b"], descending=[True, False, False]
     )
+
+
+def events_association_rules(sf_dir: str, min_support: int = 2) -> Dataset:
+    """Association rules over the basket pairs: for every DIRECTED
+    rule a -> b, support (baskets with both), confidence ppm
+    (n_ab / n_a) and lift in ppm-of-ratio (confidence / P(b)) — the
+    A-priori readout with every ratio an exact half-away integer so
+    the row value-hashes against the SQL oracle.
+
+    Shape: the basket_pairs machinery for n_ab plus ONE tiny
+    per-type basket-count groupby (|types| rows, broadcast); both
+    directions are emitted from the unordered pair table by a
+    vectorized flip — no second join."""
+    pairs = events_basket_pairs(sf_dir, min_support=min_support)
+    if isinstance(pairs, pa.Table):  # empty events
+        return pa.schema(
+            [
+                ("antecedent", pa.string()),
+                ("consequent", pa.string()),
+                ("n_baskets", pa.int64()),
+                ("confidence_ppm", pa.int64()),
+                ("lift_milli", pa.int64()),
+            ]
+        ).empty_table()
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    SEP = "\x1f"
+
+    def items(batch: pa.Table) -> pa.Table:
+        d = pc.divide(_ts_us(batch.column("ts")), _DAY_US)
+        bk = pc.binary_join_element_wise(
+            pc.cast(batch.column("user_id"), pa.string()),
+            pc.cast(d, pa.string()),
+            SEP,
+        )
+        t = pa.table({"basket": bk, "etype": batch.column("event_type")})
+        return t.group_by(["basket", "etype"]).aggregate([])
+
+    distinct = (
+        ds.map_batches(items, batch_format="pyarrow")
+        .groupby(["basket", "etype"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    singles = (
+        distinct.groupby("etype").aggregate(Count(alias_name="n"))
+    ).to_pandas()
+    n_of = dict(zip(singles["etype"], singles["n"]))
+    n_baskets_total = int(
+        distinct.map_batches(
+            lambda b: b.group_by(["basket"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("basket")
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    n_ref = ray.put((n_of, n_baskets_total))
+
+    def rules(batch: pa.Table) -> pa.Table:
+        # the rule table is <= |types|^2 rows — Python bignums here so
+        # the lift numerator (2000 * n * total, ~1e21 at 1e9-basket
+        # scale) can never wrap the way an int64 numpy product would
+        n_of, total = ray.get(n_ref)
+        a = batch.column("type_a").to_pylist()
+        b = batch.column("type_b").to_pylist()
+        n = batch.column("n_baskets").to_pylist()
+        ant = a + b
+        con = b + a
+        nn = [int(x) for x in n] * 2
+        conf, lift = [], []
+        for x, aa, cc in zip(nn, ant, con):
+            na, nc = int(n_of[aa]), int(n_of[cc])
+            conf.append((2_000_000 * x + na) // (2 * na))
+            # lift = confidence / (n_con / total) in exact milli units
+            lift.append((2_000 * x * total + na * nc) // (2 * na * nc))
+        return pa.table(
+            {
+                "antecedent": pa.array(ant, pa.string()),
+                "consequent": pa.array(con, pa.string()),
+                "n_baskets": pa.array(nn, pa.int64()),
+                "confidence_ppm": pa.array(conf, pa.int64()),
+                "lift_milli": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(rules, batch_format="pyarrow")
+        .sort(["n_baskets", "antecedent", "consequent"],
+              descending=[True, False, False])
+    )

@@ -5984,3 +5984,53 @@ def test_events_basket_pairs(ray_session, monkeypatch):
     assert set(map(tuple, got2[["type_a", "type_b"]].values)) == {
         (a, b) for (a, b), n in support.items() if n >= 3
     }
+
+
+def test_events_association_rules(ray_session, monkeypatch):
+    """Rules == an exact integer replica: both directions of each
+    pair, confidence = n_ab/n_a (ppm), lift = conf/(n_b/total) in
+    milli; a high-lift planted pair beats independence."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    day = 86_400
+    # 10 baskets: (x, y) together in 4, x alone in 2, y alone in 1,
+    # z in 6 baskets mixed in
+    baskets = (
+        [["x", "y", "z"]] * 4 + [["x"]] * 2 + [["y"]] + [["z"]] * 2 + [["z", "x"]]
+    )
+    rows, eid = [], 0
+    for i, types in enumerate(baskets):
+        for t in types:
+            rows.append((eid, pd.Timestamp((i * day + eid) * 10**9), i, t))
+            eid += 1
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(4),
+    )
+    got = relational.events_association_rules("x", min_support=2).to_pandas()
+    got = got.set_index(["antecedent", "consequent"])
+
+    total = len(baskets)
+    n = {"x": 7, "y": 5, "z": 7}
+    n_xy = 4
+    row = got.loc[("x", "y")]
+    assert row["n_baskets"] == n_xy
+    assert row["confidence_ppm"] == (2_000_000 * n_xy + n["x"]) // (2 * n["x"])
+    assert row["lift_milli"] == (
+        2_000 * n_xy * total + n["x"] * n["y"]
+    ) // (2 * n["x"] * n["y"])
+    # reverse direction has its own confidence
+    assert got.loc[("y", "x")]["confidence_ppm"] == (
+        2_000_000 * n_xy + n["y"]
+    ) // (2 * n["y"])
+    # lift > 1000 milli (positively associated)
+    assert row["lift_milli"] > 1000
