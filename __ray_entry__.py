@@ -1467,6 +1467,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # per-group winsorization: exact PERCENTILE_DISC bounds from
+        # the bounded value histogram, one streaming clip; exact SQL
+        # oracle (integer ceil-ranks — float CEIL(p*n) would wobble)
+        "events_value_winsorized": relational.events_value_winsorized,
         # directed association rules (confidence ppm + lift milli,
         # all exact integers); exact SQL oracle
         "events_association_rules": relational.events_association_rules,
@@ -2564,6 +2568,37 @@ def oracle_sql() -> dict[str, str]:
                        AS mad4_cents
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
+            ORDER BY f.event_type
+        """,
+        "events_value_winsorized": """
+            WITH f AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                FROM events
+            ), r AS (
+                SELECT event_type, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY c
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM f
+            ), b AS (
+                SELECT event_type,
+                       MIN(CASE WHEN rn >= (n + 19) // 20 THEN c END) AS lo,
+                       MIN(CASE WHEN rn >= (19 * n + 19) // 20 THEN c END)
+                           AS hi
+                FROM r GROUP BY event_type
+            )
+            SELECT f.event_type, COUNT(*) AS n_rows,
+                   b.lo AS lo_cents, b.hi AS hi_cents,
+                   CAST(SUM(CASE WHEN f.c < b.lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_lo,
+                   CAST(SUM(CASE WHEN f.c > b.hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_hi,
+                   CAST(SUM(LEAST(GREATEST(f.c, b.lo), b.hi)) AS BIGINT)
+                       AS winsorized_sum_cents
+            FROM f JOIN b USING (event_type)
+            GROUP BY f.event_type, b.lo, b.hi
             ORDER BY f.event_type
         """,
         "events_association_rules": """

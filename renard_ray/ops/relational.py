@@ -4206,3 +4206,119 @@ def events_association_rules(sf_dir: str, min_support: int = 2) -> Dataset:
         .sort(["n_baskets", "antecedent", "consequent"],
               descending=[True, False, False])
     )
+
+
+def events_value_winsorized(
+    sf_dir: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    hist_limit: int = _MAD_HIST_LIMIT,
+) -> Dataset:
+    """Per-group winsorization: clip event values to their group's
+    exact [p_lo, p_hi] PERCENTILE_DISC bounds — the outlier-taming
+    transform that precedes any mean-based statistic on heavy-tailed
+    spend data.
+
+    Plan: the value-histogram path (one bounded
+    ``groupby(event_type, cents)`` exchange with per-batch combine —
+    same machinery and loud ``hist_limit`` guard as
+    ``events_value_mad``); the per-group bounds are derived from the
+    histogram alone (PERCENTILE_DISC(p) = the smallest value whose
+    running count reaches ``ceil(p * n)``, computed in exact integer
+    arithmetic with the fraction held as a rational), then broadcast,
+    and ONE streaming pass clips.  Output per group: n_rows,
+    n_clipped_lo/hi, lo/hi cents bounds, and the clipped-sum cents —
+    every column an exact integer."""
+    from fractions import Fraction
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"g": batch.column("event_type"), "c": _cents(batch.column("value"))}
+        )
+        out = t.group_by(["g", "c"]).aggregate([("c", "count")])
+        return out.rename_columns(["g", "c", "n"])
+
+    hist = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["g", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hist_tab = _collect_small(_scrub_schemaless(hist) or hist.limit(0), hist_limit)
+    if hist_tab is None:
+        raise ValueError(
+            f"events_value_winsorized: histogram exceeds {hist_limit} rows — "
+            "use the sort-based percentile plan for unbounded domains"
+        )
+    if hist_tab.num_rows == 0:
+        return pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_rows", pa.int64()),
+                ("lo_cents", pa.int64()),
+                ("hi_cents", pa.int64()),
+                ("n_clipped_lo", pa.int64()),
+                ("n_clipped_hi", pa.int64()),
+                ("winsorized_sum_cents", pa.int64()),
+            ]
+        ).empty_table()
+
+    from collections import defaultdict
+
+    by_g: dict[str, list] = defaultdict(list)
+    for g, c, n in zip(
+        hist_tab.column("g").to_pylist(),
+        hist_tab.column("c").to_pylist(),
+        hist_tab.column("n").to_pylist(),
+    ):
+        by_g[str(g)].append((int(c), int(n)))
+
+    flo, fhi = Fraction(p_lo).limit_denominator(10**6), Fraction(
+        p_hi
+    ).limit_denominator(10**6)
+    out = {
+        "event_type": [], "n_rows": [], "lo_cents": [], "hi_cents": [],
+        "n_clipped_lo": [], "n_clipped_hi": [], "winsorized_sum_cents": [],
+    }
+    for g in sorted(by_g):
+        pairs = sorted(by_g[g])
+        total = sum(n for _, n in pairs)
+        # PERCENTILE_DISC(p): smallest value whose cumulative count
+        # reaches ceil(p * total) — exact rational arithmetic
+        k_lo = max(1, -((-flo.numerator * total) // flo.denominator))
+        k_hi = max(1, -((-fhi.numerator * total) // fhi.denominator))
+        lo = hi = None
+        cum = 0
+        for v, n in pairs:
+            cum += n
+            if lo is None and cum >= k_lo:
+                lo = v
+            if cum >= k_hi:
+                hi = v
+                break
+        n_lo = sum(n for v, n in pairs if v < lo)
+        n_hi = sum(n for v, n in pairs if v > hi)
+        wsum = sum(n * min(max(v, lo), hi) for v, n in pairs)
+        out["event_type"].append(g)
+        out["n_rows"].append(total)
+        out["lo_cents"].append(lo)
+        out["hi_cents"].append(hi)
+        out["n_clipped_lo"].append(n_lo)
+        out["n_clipped_hi"].append(n_hi)
+        out["winsorized_sum_cents"].append(wsum)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "lo_cents": pa.array(out["lo_cents"], pa.int64()),
+                "hi_cents": pa.array(out["hi_cents"], pa.int64()),
+                "n_clipped_lo": pa.array(out["n_clipped_lo"], pa.int64()),
+                "n_clipped_hi": pa.array(out["n_clipped_hi"], pa.int64()),
+                "winsorized_sum_cents": pa.array(
+                    out["winsorized_sum_cents"], pa.int64()
+                ),
+            }
+        )
+    )

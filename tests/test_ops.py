@@ -6034,3 +6034,56 @@ def test_events_association_rules(ray_session, monkeypatch):
     ) // (2 * n["y"])
     # lift > 1000 milli (positively associated)
     assert row["lift_milli"] > 1000
+
+
+def test_events_value_winsorized(ray_session, monkeypatch):
+    """Winsorization == a numpy replica with the explicit ceil-rank
+    PERCENTILE_DISC definition on a heavy-tailed group (clipping
+    does change the sum) and a tiny group (n=1: lo == hi == the only
+    value, nothing clipped); n=20 exercises the exact p*n integer
+    boundary float CEIL would wobble on."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rng = np.random.RandomState(17)
+    frames = []
+    vals = np.concatenate([rng.uniform(1, 10, 95), [1000.0] * 5])  # fat tail
+    frames.append(pd.DataFrame({"event_type": "spend", "value": vals}))
+    frames.append(pd.DataFrame({"event_type": "tiny", "value": [7.0]}))
+    frames.append(
+        pd.DataFrame({"event_type": "exact20", "value": np.arange(1.0, 21.0)})
+    )
+    raw = pd.concat(frames, ignore_index=True)
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(6),
+    )
+    got = (
+        relational.events_value_winsorized("x")
+        .to_pandas()
+        .set_index("event_type")
+    )
+
+    for g, grp in raw.groupby("event_type"):
+        c = np.sort(np.round(grp["value"] * 100).astype(np.int64))
+        n = len(c)
+        k_lo, k_hi = max(1, -((-n) // 20)), max(1, -((-19 * n) // 20))
+        lo, hi = int(c[k_lo - 1]), int(c[k_hi - 1])
+        assert got.loc[g, "lo_cents"] == lo
+        assert got.loc[g, "hi_cents"] == hi
+        assert got.loc[g, "n_clipped_lo"] == int((c < lo).sum())
+        assert got.loc[g, "n_clipped_hi"] == int((c > hi).sum())
+        assert got.loc[g, "winsorized_sum_cents"] == int(
+            np.clip(c, lo, hi).sum()
+        )
+    assert got.loc["tiny", "n_clipped_lo"] == 0
+    assert got.loc["tiny", "n_clipped_hi"] == 0
+    assert got.loc["spend", "n_clipped_hi"] >= 5  # the fat tail clipped
