@@ -178,6 +178,13 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "source_quality_rollup",
         "doc_compression_ratio",
         "kg_reciprocity",
+        "top_customers_with_ties",
+        "doc_csv_roundtrip",
+        "kg_url_canonical",
+        "kg_strip_boilerplate",
+        "events_basket_pairs",
+        "events_association_rules",
+        "events_value_winsorized",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
