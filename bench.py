@@ -206,6 +206,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
 
 
 def _init_ray(num_cpus: int) -> None:
+    import logging
     import ray
 
     if not ray.is_initialized():
@@ -218,6 +219,20 @@ def _init_ray(num_cpus: int) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    class _DropEmptySchemaWarn(logging.Filter):
+        """Ray's streaming executor warns once per small-key aggregate
+        when an empty partition emits a schema-less bundle — a known-
+        benign artifact (the ops scrub such blocks before joins/sorts;
+        see relational._scrub_schemaless).  Filter ONLY that exact
+        message so real schema warnings still surface in bench logs."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "different schema than the previous one" not in record.getMessage()
+
+    logging.getLogger("ray.data._internal.execution.streaming_executor_state").addFilter(
+        _DropEmptySchemaWarn()
+    )
 
 
 def main() -> None:
