@@ -1271,6 +1271,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "renard_ray.ops.graphstats",
             fromlist=["events_bipartite_assortativity"],
         ).events_bipartite_assortativity(sf),
+        # one-row graph health summary (nodes/edges/density/self-loops/
+        # parallel edges/max degree, all off bounded aggregates);
+        # rows-only — pytest pins a hand-built multigraph
+        "kg_summary": lambda sf: __import__(
+            "renard_ray.ops.graphstats", fromlist=["graph_summary_dataset"]
+        ).graph_summary_dataset(kg_triples_full(sf)),
         # directed-graph reciprocity over the typed relation layer
         # (distinct packed edge keys semi-joined against their own
         # reversed copy; exact integer ppm); rows-only — KG not
@@ -1467,6 +1473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # funnel latency: first-view -> first-purchase seconds per
+        # converting user (conditional-min combiner + ONE groupby);
+        # exact SQL oracle
+        "events_conversion_latency": relational.events_conversion_latency,
         # per-group winsorization: exact PERCENTILE_DISC bounds from
         # the bounded value histogram, one streaming clip; exact SQL
         # oracle (integer ceil-ranks — float CEIL(p*n) would wobble)
@@ -2569,6 +2579,24 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_conversion_latency": """
+            WITH m AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS first_view_us,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS first_purchase_us
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, first_view_us, first_purchase_us,
+                   (first_purchase_us - first_view_us) // 1000000
+                       AS latency_s
+            FROM m
+            WHERE first_view_us IS NOT NULL
+              AND first_purchase_us IS NOT NULL
+              AND first_purchase_us > first_view_us
+            ORDER BY user_id
         """,
         "events_value_winsorized": """
             WITH f AS (

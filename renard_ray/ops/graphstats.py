@@ -2839,3 +2839,85 @@ def reciprocity_dataset(triples: Dataset) -> Dataset:
             }
         )
     )
+
+
+def graph_summary_dataset(triples: Dataset) -> Dataset:
+    """One-row graph health summary: nodes, edges, density ppm, max /
+    total degree, self-loop and parallel-edge counts — the first
+    dashboard readout any KG build publishes.
+
+    Shape: ONE distinct groupby over packed edge keys (counts parallel
+    edges en route) + the existing degree reduce; every scalar comes
+    off a bounded aggregate, nothing graph-sized reaches the driver.
+    Density is the exact half-away ppm of m / (n*(n-1)/2) over
+    DISTINCT undirected pairs."""
+    SEP = "\x1f"
+
+    def keys(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj")
+        o = batch.column("obj")
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        t = pa.table(
+            {
+                "k": pc.binary_join_element_wise(lo, hi, SEP),
+                "self": pc.cast(pc.equal(s, o), pa.int64()),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["k", "self"]).aggregate([("n", "sum")])
+        ).rename_columns(["k", "self", "n"])
+
+    per_key = (
+        triples.map_batches(keys, batch_format="pyarrow")
+        .groupby(["k", "self"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    n_rows_total = int(per_key.sum("n") or 0)
+    if n_rows_total == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_nodes": pa.array([0], pa.int64()),
+                    "n_edges": pa.array([0], pa.int64()),
+                    "n_distinct_pairs": pa.array([0], pa.int64()),
+                    "n_self_loops": pa.array([0], pa.int64()),
+                    "n_parallel_extra": pa.array([0], pa.int64()),
+                    "max_degree": pa.array([0], pa.int64()),
+                    "density_ppm": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    n_pairs = per_key.count()
+    loops = per_key.filter(expr="self == 1").materialize()
+    n_loop_rows = int(loops.sum("n") or 0)
+    n_loop_pairs = loops.count()
+
+    deg = degree_dataset(triples)
+    max_deg = int(deg.max("n_edges") or 0)
+    n_nodes = deg.count()
+
+    possible = n_nodes * (n_nodes - 1) // 2
+    simple_pairs = n_pairs - n_loop_pairs  # distinct non-loop pairs
+    density = (
+        0
+        if possible == 0
+        else (2_000_000 * simple_pairs + possible) // (2 * possible)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "n_edges": pa.array([n_rows_total], pa.int64()),
+                "n_distinct_pairs": pa.array([n_pairs], pa.int64()),
+                "n_self_loops": pa.array([n_loop_rows], pa.int64()),
+                "n_parallel_extra": pa.array(
+                    [n_rows_total - n_pairs], pa.int64()
+                ),
+                "max_degree": pa.array([max_deg], pa.int64()),
+                "density_ppm": pa.array([density], pa.int64()),
+            }
+        )
+    )

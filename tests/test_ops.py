@@ -6087,3 +6087,80 @@ def test_events_value_winsorized(ray_session, monkeypatch):
     assert got.loc["tiny", "n_clipped_lo"] == 0
     assert got.loc["tiny", "n_clipped_hi"] == 0
     assert got.loc["spend", "n_clipped_hi"] >= 5  # the fat tail clipped
+
+
+def test_events_conversion_latency(ray_session, monkeypatch):
+    """Latency == a pandas replica: purchase-before-view and
+    equal-timestamp users are excluded (strict p > v), view-only and
+    purchase-only users drop, repeated events use the FIRST of each."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rows = [
+        # uid 1: converts (view@10, purchase@70) -> 60s
+        (1, 10, "view"), (1, 40, "view"), (1, 70, "purchase"), (1, 90, "purchase"),
+        # uid 2: purchase BEFORE view -> excluded
+        (2, 10, "purchase"), (2, 20, "view"),
+        # uid 3: equal ts -> excluded (strict >)
+        (3, 50, "view"), (3, 50, "purchase"),
+        # uid 4: view only
+        (4, 5, "view"),
+        # uid 5: purchase only
+        (5, 6, "purchase"),
+    ]
+    raw = pd.DataFrame(
+        [
+            (i, pd.Timestamp(s * 10**9), u, t)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(4),
+    )
+    got = relational.events_conversion_latency("x").to_pandas()
+    assert got["user_id"].tolist() == [1]
+    assert got["latency_s"].tolist() == [60]
+
+
+def test_graph_summary(ray_session):
+    """Summary == hand-counted values on a multigraph with a self-loop,
+    a parallel edge (both orientations of one pair count as parallel
+    under the undirected key) and an isolated-free node set."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import graph_summary_dataset
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "d")]
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    df["pred"] = "r"
+    df["weight"] = 1.0
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    row = graph_summary_dataset(ds).to_pandas().iloc[0]
+    assert int(row["n_nodes"]) == 4
+    assert int(row["n_edges"]) == 5
+    assert int(row["n_distinct_pairs"]) == 4  # ab, ac, cd, dd
+    assert int(row["n_self_loops"]) == 1
+    assert int(row["n_parallel_extra"]) == 1  # the reversed ab
+    # degrees: a=3, b=2, c=2, d=3 (self-loop counts twice)
+    assert int(row["max_degree"]) == 3
+    # density over simple pairs: 3 / C(4,2)=6 -> 500000 ppm
+    assert int(row["density_ppm"]) == 500000
+
+    empty = _ray.data.from_arrow(
+        pa.table({"subj": pa.array([], pa.string()),
+                  "obj": pa.array([], pa.string()),
+                  "weight": pa.array([], pa.float64())})
+    )
+    row = graph_summary_dataset(empty).to_pandas().iloc[0]
+    assert int(row["n_nodes"]) == 0 and int(row["density_ppm"]) == 0
