@@ -1473,6 +1473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # TPC-H Q14 promo revenue share: conditional aggregation over
+        # a dimension lookup join, exact ppm via limb sums; exact SQL
+        # oracle
+        "q14_promo_revenue": relational.q14_promo_revenue,
         # funnel latency: first-view -> first-purchase seconds per
         # converting user (conditional-min combiner + ONE groupby);
         # exact SQL oracle
@@ -2579,6 +2583,23 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "q14_promo_revenue": """
+            WITH f AS (
+                SELECT CAST(ROUND(l.l_extendedprice * 100, 0) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0) AS HUGEINT))
+                           AS rev,
+                       CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS promo
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE YEAR(l.l_shipdate) = 1996 AND MONTH(l.l_shipdate) = 5
+            )
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(rev) AS BIGINT) AS total_rev_c4,
+                   CAST(SUM(rev * promo) AS BIGINT) AS promo_rev_c4,
+                   CAST((2000000 * SUM(rev * promo) + SUM(rev))
+                        // (2 * SUM(rev)) AS BIGINT) AS promo_ppm
+            FROM f
         """,
         "events_conversion_latency": """
             WITH m AS (

@@ -4388,3 +4388,100 @@ def events_conversion_latency(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def q14_promo_revenue(sf_dir: str, year: int = 1996, month: int = 5) -> Dataset:
+    """TPC-H Q14-style promo revenue share: the fraction (exact ppm)
+    of one month's discounted revenue coming from PROMO-type parts —
+    the conditional-aggregation-over-a-dimension-join classic.
+
+    Shape: month filter + revenue derive in the fact pass, ONE
+    size-adaptive lookup join attaching p_type, then mergeable limb
+    sums (revenue c4 per row reaches ~1e9, so a plain int64 Sum wraps
+    near 1e10 rows) recombined on the driver for the exact half-away
+    ppm.  Sums are asserted back into int64 for the output row —
+    loudly, not by silent wrap."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def is_promo(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "promo": pc.cast(
+                    pc.equal(batch.column("p_type"), "PROMO"), pa.int64()
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("l_shipdate"))
+        mo = pc.month(batch.column("l_shipdate"))
+        keep = pc.and_(pc.equal(yr, year), pc.equal(mo, month))
+        batch = batch.filter(keep)
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "rev_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    fact = broadcast_lookup_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        part.map_batches(is_promo, batch_format="pyarrow"),
+        on="l_partkey",
+        right_on="p_partkey",
+        payload=["promo"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("rev_c4").to_numpy()
+        p = batch.column("promo").to_numpy()
+        t_hi, t_lo = _limb_sums(r)
+        p_hi, p_lo = _limb_sums(r * p)
+        return pa.table(
+            {
+                "n": pa.array([len(r)], pa.int64()),
+                "t_hi": pa.array([t_hi], pa.int64()),
+                "t_lo": pa.array([t_lo], pa.int64()),
+                "p_hi": pa.array([p_hi], pa.int64()),
+                "p_lo": pa.array([p_lo], pa.int64()),
+            }
+        )
+
+    agg = fact.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n t_hi t_lo p_hi p_lo".split())]
+    )
+    if not agg or not agg.get("n"):
+        return pa.schema(
+            [
+                ("n_rows", pa.int64()),
+                ("total_rev_c4", pa.int64()),
+                ("promo_rev_c4", pa.int64()),
+                ("promo_ppm", pa.int64()),
+            ]
+        ).empty_table()
+    shift = 31
+    total = (int(agg["t_hi"]) << shift) + int(agg["t_lo"])
+    promo = (int(agg["p_hi"]) << shift) + int(agg["p_lo"])
+    assert total < 2**63 and promo < 2**63, "q14: sums exceed int64 output"
+    ppm = 0 if total == 0 else (2_000_000 * promo + total) // (2 * total)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([int(agg["n"])], pa.int64()),
+                "total_rev_c4": pa.array([total], pa.int64()),
+                "promo_rev_c4": pa.array([promo], pa.int64()),
+                "promo_ppm": pa.array([ppm], pa.int64()),
+            }
+        )
+    )

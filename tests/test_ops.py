@@ -6164,3 +6164,50 @@ def test_graph_summary(ray_session):
     )
     row = graph_summary_dataset(empty).to_pandas().iloc[0]
     assert int(row["n_nodes"]) == 0 and int(row["density_ppm"]) == 0
+
+
+def test_q14_promo_revenue(ray_session, monkeypatch):
+    """Promo share == an exact integer replica on hand-built tables
+    (month-window exclusion, non-promo part, zero-promo month gives
+    ppm 0; empty month returns the schema-ful empty table)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    part = pd.DataFrame(
+        {"p_partkey": [1, 2], "p_type": ["PROMO", "STANDARD"]}
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 1, 2],
+            "l_extendedprice": [100.0, 200.0, 300.0, 400.0],
+            "l_discount": [0.10, 0.0, 0.05, 0.25],
+            "l_shipdate": pd.to_datetime(
+                ["1996-05-02", "1996-05-20", "1996-06-01", "1996-05-31"]
+            ),
+        }
+    )
+    tables = {"part": part, "lineitem": lineitem}
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(tables[table][cols] if cols else tables[table])
+        ).repartition(2),
+    )
+    row = relational.q14_promo_revenue("x").to_pandas().iloc[0]
+
+    def c4(p, d):
+        return int(round(p * 100)) * (100 - int(round(d * 100)))
+
+    promo = c4(100.0, 0.10)            # partkey 1 in May
+    total = promo + c4(200.0, 0.0) + c4(400.0, 0.25)
+    assert int(row["n_rows"]) == 3
+    assert int(row["total_rev_c4"]) == total
+    assert int(row["promo_rev_c4"]) == promo
+    assert int(row["promo_ppm"]) == (2_000_000 * promo + total) // (2 * total)
+
+    out = relational.q14_promo_revenue("x", year=2050)
+    assert isinstance(out, pa.Table) and out.num_rows == 0
