@@ -1473,6 +1473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # collaborative-filtering user-user top-k by event-type
+        # profile (exact int dots/norms, cast-each-then-multiply float
+        # recipe mirrored in SQL); exact oracle
+        "events_similar_users": relational.events_similar_users,
         # TPC-H Q14 promo revenue share: conditional aggregation over
         # a dimension lookup join, exact ppm via limb sums; exact SQL
         # oracle
@@ -2583,6 +2587,40 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_similar_users": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), d AS (
+                SELECT a.user_id AS src, b.user_id AS dst,
+                       SUM(CAST(a.n AS HUGEINT) * b.n) AS dot
+                FROM c a
+                JOIN c b ON a.event_type = b.event_type
+                        AND a.user_id <> b.user_id
+                GROUP BY 1, 2
+            ), nrm AS (
+                SELECT user_id, SUM(CAST(n AS HUGEINT) * n) AS nn
+                FROM c GROUP BY 1
+            ), s AS (
+                SELECT d.src, d.dst,
+                       CAST(d.dot AS DOUBLE)
+                       / SQRT(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                           AS sim
+                FROM d
+                JOIN nrm na ON na.user_id = d.src
+                JOIN nrm nb ON nb.user_id = d.dst
+            ), r AS (
+                SELECT src, dst, sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY src ORDER BY sim DESC, dst
+                       ) AS rk
+                FROM s
+            )
+            SELECT src, dst, CAST(rk - 1 AS BIGINT) AS rank,
+                   ROUND(sim, 6) AS cosine_sim
+            FROM r WHERE rk <= 3
+            ORDER BY src, rank
         """,
         "q14_promo_revenue": """
             WITH f AS (

@@ -4485,3 +4485,101 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996, month: int = 5) -> Dataset:
             }
         )
     )
+
+
+def events_similar_users(
+    sf_dir: str, k: int = 3, profile_budget: int = 4_000_000
+) -> Dataset:
+    """Collaborative-filtering user similarity: each user's top-k
+    cosine-nearest users by event-type PROFILE (integer count
+    vectors) — the user-user neighborhood primitive behind
+    recommend-people-like-you.
+
+    Shape: ONE (user, type) count groupby (per-batch combine) builds
+    the profile matrix; it is broadcast once (|users| x |types| ints —
+    a loud guard trips past ``profile_budget`` users, where the
+    LSH/IVF paths in ops/similarity.py are the right tool) and each
+    batch scores its users against the matrix with one numpy matmul.
+    Dots and norms are EXACT int64 (counts), so ranking is bit-stable;
+    the reported cosine uses the cast-each-then-multiply float recipe
+    ``dot / sqrt(float(na) * float(nb))`` mirrored VERBATIM by the SQL
+    oracle (casting the na*nb PRODUCT would round differently).
+    Zero-overlap pairs are excluded (they are not neighbors, matching
+    the SQL inner dot join)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": batch.column("user_id"), "etype": batch.column("event_type")}
+        )
+        out = t.group_by(["user_id", "etype"]).aggregate([("etype", "count")])
+        return out.rename_columns(["user_id", "etype", "n"])
+
+    prof = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["user_id", "etype"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    n_users_types = prof.count()
+    if n_users_types == 0:
+        return pa.schema(
+            [
+                ("src", pa.int64()),
+                ("dst", pa.int64()),
+                ("rank", pa.int64()),
+                ("cosine_sim", pa.float64()),
+            ]
+        ).empty_table()
+    if n_users_types > profile_budget:
+        raise ValueError(
+            f"events_similar_users: {n_users_types} profile rows exceed the "
+            "broadcast budget — use the LSH/IVF ANN paths for this scale"
+        )
+    pdf = prof.to_pandas()
+    types = sorted(pdf["etype"].unique())
+    t_ix = {t: i for i, t in enumerate(types)}
+    users = np.sort(pdf["user_id"].unique())
+    u_ix = {u: i for i, u in enumerate(users)}
+    M = np.zeros((len(users), len(types)), np.int64)
+    for u, t, n in zip(pdf["user_id"], pdf["etype"], pdf["n"]):
+        M[u_ix[u], t_ix[t]] = n
+    nn = (M * M).sum(axis=1)  # exact squared norms
+    mat_ref = ray.put((users, M, nn))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        users_, M_, nn_ = ray.get(mat_ref)
+        out = {"src": [], "dst": [], "rank": [], "cosine_sim": []}
+        src_ids = batch.column("user_id").to_numpy()
+        rows = np.searchsorted(users_, src_ids)
+        dots = M_[rows] @ M_.T  # exact int64 (counts are small vs 2^63)
+        for r, src in enumerate(src_ids):
+            d = dots[r]
+            mask = (d > 0) & (users_ != src)
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            sim = d[cand] / np.sqrt(
+                nn_[rows[r]].astype(np.float64) * nn_[cand].astype(np.float64)
+            )
+            order = np.lexsort((users_[cand], -sim))[:k]
+            for j, o in enumerate(order):
+                out["src"].append(int(src))
+                out["dst"].append(int(users_[cand[o]]))
+                out["rank"].append(j)
+                out["cosine_sim"].append(round(float(sim[o]), 6))
+        return pa.table(
+            {
+                "src": pa.array(out["src"], pa.int64()),
+                "dst": pa.array(out["dst"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+                "cosine_sim": pa.array(out["cosine_sim"], pa.float64()),
+            }
+        )
+
+    srcs = prof.select_columns(["user_id"]).groupby("user_id").count()
+    return (
+        srcs.select_columns(["user_id"])
+        .map_batches(topk, batch_format="pyarrow")
+        .sort(["src", "rank"])
+    )

@@ -6211,3 +6211,55 @@ def test_q14_promo_revenue(ray_session, monkeypatch):
 
     out = relational.q14_promo_revenue("x", year=2050)
     assert isinstance(out, pa.Table) and out.num_rows == 0
+
+
+def test_events_similar_users(ray_session, monkeypatch):
+    """User-user top-k == a numpy replica with the same float recipe:
+    identical-profile users tie at sim 1.0 (dst asc break), a
+    zero-overlap user is NOT a neighbor and gets no neighbors of its
+    own, ranks dense from 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rows = []
+    profiles = {
+        1: {"view": 4, "click": 2},
+        2: {"view": 4, "click": 2},      # identical to 1 -> sim 1.0
+        3: {"view": 1, "purchase": 5},
+        4: {"signup": 7},                  # zero overlap with everyone
+    }
+    eid = 0
+    for u, prof in profiles.items():
+        for t, n in prof.items():
+            for _ in range(n):
+                rows.append((eid, pd.Timestamp(eid * 10**9), u, t))
+                eid += 1
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(3),
+    )
+    got = relational.events_similar_users("x", k=3).to_pandas()
+
+    assert 4 not in set(got["src"]) and 4 not in set(got["dst"])
+    g1 = got[got["src"] == 1].sort_values("rank")
+    assert g1["dst"].tolist()[0] == 2 and g1["cosine_sim"].iloc[0] == 1.0
+    # replica check for user 3's best neighbor
+    types = ["click", "purchase", "signup", "view"]
+    M = {u: np.array([p.get(t, 0) for t in types], float)
+         for u, p in profiles.items()}
+    def sim(a, b):
+        num = float((M[a] * M[b]).sum())
+        return num / np.sqrt(float((M[a]**2).sum()) * float((M[b]**2).sum()))
+    g3 = got[got["src"] == 3].sort_values("rank")
+    best = max((u for u in (1, 2)), key=lambda u: (sim(3, u), -u))
+    assert g3["dst"].iloc[0] == best
+    assert abs(g3["cosine_sim"].iloc[0] - round(sim(3, best), 6)) < 1e-9
