@@ -185,6 +185,10 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_basket_pairs",
         "events_association_rules",
         "events_value_winsorized",
+        "events_conversion_latency",
+        "events_similar_users",
+        "q14_promo_revenue",
+        "kg_summary",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
