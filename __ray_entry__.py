@@ -1271,6 +1271,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "renard_ray.ops.graphstats",
             fromlist=["events_bipartite_assortativity"],
         ).events_bipartite_assortativity(sf),
+        # rich-club coefficient phi(k): do hubs wire to each other?
+        # (degree reduce + distinct pairs + per-k broadcast hub mask);
+        # rows-only — pytest pins a star+clique fixture
+        "kg_rich_club": lambda sf: __import__(
+            "renard_ray.ops.graphstats", fromlist=["rich_club_dataset"]
+        ).rich_club_dataset(kg_triples_full(sf)),
         # one-row graph health summary (nodes/edges/density/self-loops/
         # parallel edges/max degree, all off bounded aggregates);
         # rows-only — pytest pins a hand-built multigraph

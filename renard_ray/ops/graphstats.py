@@ -2921,3 +2921,83 @@ def graph_summary_dataset(triples: Dataset) -> Dataset:
             }
         )
     )
+
+
+def rich_club_dataset(
+    triples: Dataset,
+    ks: "tuple[int, ...]" = (1, 2, 4, 8, 16, 32),
+    hub_budget: int = 4_000_000,
+) -> Dataset:
+    """Rich-club coefficient phi(k) (Colizza et al. 2006): among nodes
+    with degree > k, the realized fraction of possible edges — rising
+    phi(k) means hubs preferentially wire to each other (the oligarchy
+    shape of web graphs), flat means hub links are incidental.
+
+    Shape: ONE degree reduce + ONE distinct-pair groupby over packed
+    edge keys, then per k a broadcast hub membership mask over the
+    pair table (hubs shrink as k grows, so the mask is the SMALL side
+    by construction; a loud budget guards the k=min case).  Exact
+    half-away ppm; self-loops excluded from both edges and pairs."""
+    deg = degree_dataset(triples).materialize()
+    SEP = "\x1f"
+
+    def keys(batch: pa.Table) -> pa.Table:
+        s, o = batch.column("subj"), batch.column("obj")
+        keep = pc.invert(pc.equal(s, o))
+        s, o = s.filter(keep), o.filter(keep)
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        t = pa.table({"a": lo, "b": hi})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    pairs = (
+        triples.map_batches(keys, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    out = {"k": [], "n_hubs": [], "n_edges": [], "phi_ppm": []}
+    for k in sorted(ks):
+        hubs = deg.filter(expr=f"n_edges > {k}").materialize()
+        n_hubs = hubs.count()
+        if n_hubs > hub_budget:
+            raise ValueError(
+                f"rich_club: {n_hubs} hubs at k={k} exceed the broadcast "
+                "budget — raise the smallest k for this graph"
+            )
+        if n_hubs < 2:
+            out["k"].append(k)
+            out["n_hubs"].append(n_hubs)
+            out["n_edges"].append(0)
+            out["phi_ppm"].append(0)
+            continue
+        hub_arr = pa.array(
+            sorted(r["node"] for r in hubs.select_columns(["node"]).take_all()),
+            pa.string(),
+        )
+        ref = ray.put(hub_arr)
+
+        def both_hubs(batch: pa.Table) -> pa.Table:
+            hs = ray.get(ref)
+            ina = pc.is_valid(pc.index_in(batch.column("a"), value_set=hs))
+            inb = pc.is_valid(pc.index_in(batch.column("b"), value_set=hs))
+            return batch.filter(pc.and_(ina, inb))
+
+        e_k = pairs.map_batches(both_hubs, batch_format="pyarrow").count()
+        possible = n_hubs * (n_hubs - 1) // 2
+        out["k"].append(k)
+        out["n_hubs"].append(n_hubs)
+        out["n_edges"].append(e_k)
+        out["phi_ppm"].append((2_000_000 * e_k + possible) // (2 * possible))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(out["k"], pa.int64()),
+                "n_hubs": pa.array(out["n_hubs"], pa.int64()),
+                "n_edges": pa.array(out["n_edges"], pa.int64()),
+                "phi_ppm": pa.array(out["phi_ppm"], pa.int64()),
+            }
+        )
+    )

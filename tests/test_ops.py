@@ -6263,3 +6263,37 @@ def test_events_similar_users(ray_session, monkeypatch):
     best = max((u for u in (1, 2)), key=lambda u: (sim(3, u), -u))
     assert g3["dst"].iloc[0] == best
     assert abs(g3["cosine_sim"].iloc[0] - round(sim(3, best), 6)) < 1e-9
+
+
+def test_rich_club(ray_session):
+    """phi(k) == hand-counted values on a 4-clique wired to leaf
+    spokes: at k above leaf degree only the clique remains (phi = 1);
+    at k=1 the leaves dilute phi; <2 hubs yields the (0, 0) row."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import rich_club_dataset
+
+    clique = ["h1", "h2", "h3", "h4"]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    for i, h in enumerate(clique):  # 2 leaves per hub -> hub degree 5
+        edges += [(h, f"l{i}a"), (h, f"l{i}b")]
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    df["pred"] = "r"
+    df["weight"] = 1.0
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    got = (
+        rich_club_dataset(ds, ks=(1, 2, 10))
+        .to_pandas()
+        .set_index("k")
+    )
+    # k=2: hubs = the 4 clique nodes (degree 5 > 2), leaves (1) drop
+    assert got.loc[2, "n_hubs"] == 4
+    assert got.loc[2, "n_edges"] == 6
+    assert got.loc[2, "phi_ppm"] == 1_000_000
+    # k=1: every clique node still a hub, leaves (degree 1) excluded
+    assert got.loc[1, "n_hubs"] == 4 and got.loc[1, "phi_ppm"] == 1_000_000
+    # k=10: no node has degree > 10 -> degenerate row
+    assert got.loc[10, "n_hubs"] == 0 and got.loc[10, "phi_ppm"] == 0
