@@ -189,6 +189,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_similar_users",
         "q14_promo_revenue",
         "kg_summary",
+        "kg_rich_club",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
