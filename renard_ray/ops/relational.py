@@ -4031,27 +4031,13 @@ def top_customers_with_ties(sf_dir: str, k: int = 20) -> Dataset:
     )
 
 
-def events_basket_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
-    """Market-basket co-occurrence (A-priori level 2): support counts
-    of event-type PAIRS across (user, day) baskets — how many baskets
-    contain BOTH types, the association-rule-mining primitive.
-
-    Shape: distinct (user, day, type) items (per-batch combiner, one
-    groupby), then ONE self equi-join on the packed basket key — the
-    fan-out is bounded by |types| per basket (small by schema), so the
-    join is linear in items, not quadratic in events — an a < b filter
-    keeps each unordered pair once, and a tiny |types|^2 groupby
-    counts support.  ``min_support`` prunes the tail exactly like the
-    SQL HAVING."""
+def _basket_items(sf_dir: str) -> "Dataset | None":
+    """Distinct (basket, etype) items over (user, day) baskets —
+    shared by the basket-pair and association-rule ops so the
+    corpus-scale distinct exchange runs ONCE (materialized)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     if ds.count() == 0:
-        return pa.schema(
-            [
-                ("type_a", pa.string()),
-                ("type_b", pa.string()),
-                ("n_baskets", pa.int64()),
-            ]
-        ).empty_table()
+        return None
     SEP = "\x1f"
 
     def items(batch: pa.Table) -> pa.Table:
@@ -4064,13 +4050,38 @@ def events_basket_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
         t = pa.table({"basket": bk, "etype": batch.column("event_type")})
         return t.group_by(["basket", "etype"]).aggregate([])
 
-    distinct = (
+    return (
         ds.map_batches(items, batch_format="pyarrow")
         .groupby(["basket", "etype"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
         .materialize()
     )
+
+
+def events_basket_pairs(
+    sf_dir: str, min_support: int = 2, items_ds: "Dataset | None" = None
+) -> "Dataset | pa.Table":
+    """Market-basket co-occurrence (A-priori level 2): support counts
+    of event-type PAIRS across (user, day) baskets — how many baskets
+    contain BOTH types, the association-rule-mining primitive.
+
+    Shape: distinct (user, day, type) items (per-batch combiner, one
+    groupby), then ONE self equi-join on the packed basket key — the
+    fan-out is bounded by |types| per basket (small by schema), so the
+    join is linear in items, not quadratic in events — an a < b filter
+    keeps each unordered pair once, and a tiny |types|^2 groupby
+    counts support.  ``min_support`` prunes the tail exactly like the
+    SQL HAVING."""
+    distinct = _basket_items(sf_dir) if items_ds is None else items_ds
+    if distinct is None:
+        return pa.schema(
+            [
+                ("type_a", pa.string()),
+                ("type_b", pa.string()),
+                ("n_baskets", pa.int64()),
+            ]
+        ).empty_table()
 
     rhs = distinct.map_batches(
         lambda b: pa.table(
@@ -4128,8 +4139,8 @@ def events_association_rules(sf_dir: str, min_support: int = 2) -> Dataset:
     per-type basket-count groupby (|types| rows, broadcast); both
     directions are emitted from the unordered pair table by a
     vectorized flip — no second join."""
-    pairs = events_basket_pairs(sf_dir, min_support=min_support)
-    if isinstance(pairs, pa.Table):  # empty events
+    distinct = _basket_items(sf_dir)
+    if distinct is None:  # empty events
         return pa.schema(
             [
                 ("antecedent", pa.string()),
@@ -4139,26 +4150,9 @@ def events_association_rules(sf_dir: str, min_support: int = 2) -> Dataset:
                 ("lift_milli", pa.int64()),
             ]
         ).empty_table()
-
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-    SEP = "\x1f"
-
-    def items(batch: pa.Table) -> pa.Table:
-        d = pc.divide(_ts_us(batch.column("ts")), _DAY_US)
-        bk = pc.binary_join_element_wise(
-            pc.cast(batch.column("user_id"), pa.string()),
-            pc.cast(d, pa.string()),
-            SEP,
-        )
-        t = pa.table({"basket": bk, "etype": batch.column("event_type")})
-        return t.group_by(["basket", "etype"]).aggregate([])
-
-    distinct = (
-        ds.map_batches(items, batch_format="pyarrow")
-        .groupby(["basket", "etype"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # ONE distinct-items build feeds the pair join, the singleton
+    # supports and the basket total — no duplicated corpus exchange
+    pairs = events_basket_pairs(sf_dir, min_support=min_support, items_ds=distinct)
     singles = (
         distinct.groupby("etype").aggregate(Count(alias_name="n"))
     ).to_pandas()
