@@ -2895,7 +2895,9 @@ def graph_summary_dataset(triples: Dataset) -> Dataset:
     n_loop_rows = int(loops.sum("n") or 0)
     n_loop_pairs = loops.count()
 
-    deg = degree_dataset(triples)
+    # materialize: max() and count() would otherwise each re-run the
+    # whole degree reduce AND the upstream triples build
+    deg = degree_dataset(triples).materialize()
     max_deg = int(deg.max("n_edges") or 0)
     n_nodes = deg.count()
 
@@ -2933,12 +2935,13 @@ def rich_club_dataset(
     phi(k) means hubs preferentially wire to each other (the oligarchy
     shape of web graphs), flat means hub links are incidental.
 
-    Shape: ONE degree reduce + ONE distinct-pair groupby over packed
-    edge keys, then per k a broadcast hub membership mask over the
-    pair table (hubs shrink as k grows, so the mask is the SMALL side
-    by construction; a loud budget guards the k=min case).  Exact
-    half-away ppm; self-loops excluded from both edges and pairs."""
-    deg = degree_dataset(triples).materialize()
+    Shape: ONE distinct-pair groupby over packed edge keys (self-loops
+    and parallel edges collapse first), a SIMPLE-degree reduce over
+    that same pair table (so hub selection and phi's numerator share
+    one definition), then per k a broadcast hub membership mask over
+    the pair table (hubs shrink as k grows, so the mask is the SMALL
+    side by construction; a loud budget guards the k=min case).
+    Exact half-away ppm."""
     SEP = "\x1f"
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -2955,6 +2958,32 @@ def rich_club_dataset(
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
+        .materialize()
+    )
+
+    # SIMPLE degree (distinct non-loop neighbors) from the SAME pair
+    # table phi's numerator counts — degree_dataset would inflate hub
+    # selection with self-loops (+2) and parallel edges, contradicting
+    # the Colizza definition
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks(),
+                        batch.column("b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+        return (
+            both.group_by(["node"]).aggregate([("node", "count")])
+        ).rename_columns(["node", "n"])
+
+    deg = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="n_edges"))
         .materialize()
     )
 

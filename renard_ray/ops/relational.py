@@ -4128,7 +4128,9 @@ def events_basket_pairs(
     )
 
 
-def events_association_rules(sf_dir: str, min_support: int = 2) -> Dataset:
+def events_association_rules(
+    sf_dir: str, min_support: int = 2
+) -> "Dataset | pa.Table":
     """Association rules over the basket pairs: for every DIRECTED
     rule a -> b, support (baskets with both), confidence ppm
     (n_ab / n_a) and lift in ppm-of-ratio (confidence / P(b)) — the
@@ -4153,6 +4155,24 @@ def events_association_rules(sf_dir: str, min_support: int = 2) -> Dataset:
     # ONE distinct-items build feeds the pair join, the singleton
     # supports and the basket total — no duplicated corpus exchange
     pairs = events_basket_pairs(sf_dir, min_support=min_support, items_ds=distinct)
+    _RULES_EMPTY = pa.schema(
+        [
+            ("antecedent", pa.string()),
+            ("consequent", pa.string()),
+            ("n_baskets", pa.int64()),
+            ("confidence_ppm", pa.int64()),
+            ("lift_milli", pa.int64()),
+        ]
+    )
+    # no pair met min_support: basket_pairs returns a pa.Table (its
+    # scrub-None branch) or an all-empty Dataset whose blocks
+    # map_batches would pass through schema-less
+    if isinstance(pairs, pa.Table):
+        if pairs.num_rows == 0:
+            return _RULES_EMPTY.empty_table()
+        pairs = ray.data.from_arrow(pairs)
+    elif pairs.count() == 0:
+        return _RULES_EMPTY.empty_table()
     singles = (
         distinct.groupby("etype").aggregate(Count(alias_name="n"))
     ).to_pandas()
@@ -4207,7 +4227,7 @@ def events_value_winsorized(
     p_lo: float = 0.05,
     p_hi: float = 0.95,
     hist_limit: int = _MAD_HIST_LIMIT,
-) -> Dataset:
+) -> "Dataset | pa.Table":
     """Per-group winsorization: clip event values to their group's
     exact [p_lo, p_hi] PERCENTILE_DISC bounds — the outlier-taming
     transform that precedes any mean-based statistic on heavy-tailed
@@ -4238,14 +4258,22 @@ def events_value_winsorized(
         ds.map_batches(derive, batch_format="pyarrow")
         .groupby(["g", "c"])
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()
     )
-    hist_tab = _collect_small(_scrub_schemaless(hist) or hist.limit(0), hist_limit)
-    if hist_tab is None:
+    # count FIRST so an empty input reaches the empty branch instead
+    # of masquerading as an over-budget collect (the value_mad guard
+    # discipline)
+    n_hist = hist.count()
+    if n_hist > hist_limit:
         raise ValueError(
-            f"events_value_winsorized: histogram exceeds {hist_limit} rows — "
-            "use the sort-based percentile plan for unbounded domains"
+            f"events_value_winsorized: histogram has {n_hist} rows "
+            f"(> {hist_limit}) — use the sort-based percentile plan for "
+            "unbounded domains"
         )
-    if hist_tab.num_rows == 0:
+    hist_tab = (
+        None if n_hist == 0 else _collect_small(_scrub_schemaless(hist), hist_limit)
+    )
+    if hist_tab is None or hist_tab.num_rows == 0:
         return pa.schema(
             [
                 ("event_type", pa.string()),
@@ -4318,7 +4346,7 @@ def events_value_winsorized(
     )
 
 
-def events_conversion_latency(sf_dir: str) -> Dataset:
+def events_conversion_latency(sf_dir: str) -> "Dataset | pa.Table":
     """Per-user conversion latency: seconds from a user's FIRST view
     to their FIRST purchase (users whose first purchase follows a
     first view) — the funnel-latency readout behind activation
@@ -4384,7 +4412,9 @@ def events_conversion_latency(sf_dir: str) -> Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
 
 
-def q14_promo_revenue(sf_dir: str, year: int = 1996, month: int = 5) -> Dataset:
+def q14_promo_revenue(
+    sf_dir: str, year: int = 1996, month: int = 5
+) -> "Dataset | pa.Table":
     """TPC-H Q14-style promo revenue share: the fraction (exact ppm)
     of one month's discounted revenue coming from PROMO-type parts —
     the conditional-aggregation-over-a-dimension-join classic.
@@ -4483,7 +4513,7 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996, month: int = 5) -> Dataset:
 
 def events_similar_users(
     sf_dir: str, k: int = 3, profile_budget: int = 4_000_000
-) -> Dataset:
+) -> "Dataset | pa.Table":
     """Collaborative-filtering user similarity: each user's top-k
     cosine-nearest users by event-type PROFILE (integer count
     vectors) — the user-user neighborhood primitive behind
@@ -4571,9 +4601,7 @@ def events_similar_users(
             }
         )
 
-    srcs = prof.select_columns(["user_id"]).groupby("user_id").count()
-    return (
-        srcs.select_columns(["user_id"])
-        .map_batches(topk, batch_format="pyarrow")
-        .sort(["src", "rank"])
-    )
+    # the sorted user array is ALREADY on the driver — feed it back as
+    # the query set instead of launching another distinct exchange
+    srcs = ray.data.from_arrow(pa.table({"user_id": pa.array(users, pa.int64())}))
+    return srcs.map_batches(topk, batch_format="pyarrow").sort(["src", "rank"])

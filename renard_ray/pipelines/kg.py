@@ -1089,13 +1089,15 @@ def normalize_url(url: str) -> str:
 
     try:
         parts = urlsplit(url)
+        if not parts.scheme or not parts.netloc:
+            return url
+        host = parts.hostname.lower() if parts.hostname else ""
+        port = parts.port  # raises ValueError on malformed/out-of-range
     except ValueError:
         return url
-    if not parts.scheme or not parts.netloc:
-        return url
     scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
+    if ":" in host:  # IPv6 literal: hostname unwraps the brackets
+        host = f"[{host}]"
     default = {"http": 80, "https": 443}.get(scheme)
     netloc = host if (port is None or port == default) else f"{host}:{port}"
     if parts.username:

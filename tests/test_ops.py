@@ -6297,3 +6297,86 @@ def test_rich_club(ray_session):
     assert got.loc[1, "n_hubs"] == 4 and got.loc[1, "phi_ppm"] == 1_000_000
     # k=10: no node has degree > 10 -> degenerate row
     assert got.loc[10, "n_hubs"] == 0 and got.loc[10, "phi_ppm"] == 0
+
+
+def test_review_regressions_batch3(ray_session, monkeypatch):
+    """Review-pass regressions: normalize_url malformed-port
+    passthrough + IPv6 bracket preservation; association rules on a
+    corpus where NO pair meets min_support returns the schema-ful
+    empty table; winsorization on an EMPTY events table reaches its
+    empty branch (not the over-budget error); rich-club hub selection
+    ignores self-loops and parallel edges."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.pipelines.kg import normalize_url
+
+    # malformed / out-of-range ports: unchanged, no crash
+    assert normalize_url("http://example.com:notaport/x") == \
+        "http://example.com:notaport/x"
+    assert normalize_url("http://example.com:99999/x") == \
+        "http://example.com:99999/x"
+    # IPv6 literals keep their brackets (host/port stay unambiguous)
+    assert normalize_url("http://[2001:DB8::1]/x") == "http://[2001:db8::1]/x"
+    assert normalize_url("http://[2001:db8::1]:8080/x") == \
+        "http://[2001:db8::1]:8080/x"
+    assert normalize_url("https://[2001:db8::1]:443/x") == \
+        "https://[2001:db8::1]/x"
+
+    from renard_ray.ops import relational
+
+    # every basket is a singleton: no pairs at any support
+    raw = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "user_id": [1, 2, 3],
+            "event_type": ["a", "b", "c"],
+        }
+    )
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(2),
+    )
+    out = relational.events_association_rules("x")
+    df = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    assert list(df.columns) == [
+        "antecedent", "consequent", "n_baskets", "confidence_ppm", "lift_milli"
+    ]
+    assert len(df) == 0
+
+    # empty events: winsorization returns the schema-ful empty table
+    empty = raw.iloc[0:0]
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(
+                (empty.assign(value=pd.Series(dtype=float)))[cols]
+                if cols else empty
+            )
+        ),
+    )
+    w = relational.events_value_winsorized("x")
+    assert isinstance(w, pa.Table) and w.num_rows == 0
+    assert "winsorized_sum_cents" in w.column_names
+
+    # rich club: self-loop + parallel edges must not inflate hubs
+    from renard_ray.ops.graphstats import rich_club_dataset
+
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("c", "c"),
+             ("a", "c"), ("b", "c")]
+    gdf = pd.DataFrame(edges, columns=["subj", "obj"])
+    gdf["pred"] = "r"
+    gdf["weight"] = 1.0
+    ds = _ray.data.from_arrow(pa.Table.from_pandas(gdf)).repartition(2)
+    got = rich_club_dataset(ds, ks=(1, 2)).to_pandas().set_index("k")
+    # simple degrees: a=2 (b, c), b=2 (a, c), c=2 (a, b) — the c
+    # self-loop and the a-b parallels add nothing
+    assert got.loc[1, "n_hubs"] == 3
+    assert got.loc[1, "n_edges"] == 3
+    assert got.loc[1, "phi_ppm"] == 1_000_000
+    assert got.loc[2, "n_hubs"] == 0  # nobody has simple degree > 2
