@@ -1479,6 +1479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # exact Gini of per-user activity (sorted-run rank-weighted
+        # sum + O(#blocks) carry; limb pairs for the rank*count sum);
+        # exact SQL oracle (ROW_NUMBER closed form)
+        "events_user_gini": relational.events_user_gini,
         # collaborative-filtering user-user top-k by event-type
         # profile (exact int dots/norms, cast-each-then-multiply float
         # recipe mirrored in SQL); exact oracle
@@ -2593,6 +2597,24 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_user_gini": """
+            WITH c AS (
+                SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+            ), r AS (
+                SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+                FROM c
+            ), s AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(i AS HUGEINT) * x) AS six
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(sx AS BIGINT) AS n_events,
+                   CAST((2000000 * (2 * six - (n + 1) * sx) + n * sx)
+                        // (2 * n * sx) AS BIGINT) AS gini_ppm
+            FROM s
         """,
         "events_similar_users": """
             WITH c AS (

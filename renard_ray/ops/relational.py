@@ -4605,3 +4605,104 @@ def events_similar_users(
     # the query set instead of launching another distinct exchange
     srcs = ray.data.from_arrow(pa.table({"user_id": pa.array(users, pa.int64())}))
     return srcs.map_batches(topk, batch_format="pyarrow").sort(["src", "rank"])
+
+
+def events_user_gini(sf_dir: str) -> "Dataset | pa.Table":
+    """Exact Gini coefficient of per-user activity (how unequal is the
+    event distribution across users — the 80/20 readout behind
+    whale-user analysis), in exact half-away ppm.
+
+    G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)) over the
+    ascending-sorted per-user counts (rank-weighted sum form; ties can
+    take any order among equal x without changing the sum, so the
+    result is partition-independent).
+
+    Shape: ONE per-user count groupby, ONE global sort on the count,
+    then per block a single vectorized pass emits (rows, sum_x,
+    sum_local_rank_x, packed block-head key) — the O(#blocks) driver
+    carry scan converts local ranks to global via offset * sum_x per
+    block, and the closed form is evaluated in Python bignums.  This
+    is the sorted-run prefix shape of doc_pack_blocks applied to a
+    scalar reduction: nothing user-sized reaches the driver."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    if ds.count() == 0:
+        return pa.schema(
+            [
+                ("n_users", pa.int64()),
+                ("n_events", pa.int64()),
+                ("gini_ppm", pa.int64()),
+            ]
+        ).empty_table()
+
+    counts = (
+        ds.map_batches(
+            lambda b: (
+                b.group_by(["user_id"]).aggregate([("user_id", "count")])
+            ).rename_columns(["user_id", "x"]),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+    sorted_ds = counts.sort(["x", "user_id"])
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "bk": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "sum_x": pa.array([], pa.int64()),
+                    "sum_jx_hi": pa.array([], pa.int64()),
+                    "sum_jx_lo": pa.array([], pa.int64()),
+                }
+            )
+        x = batch.column("x").to_numpy()
+        u0 = int(batch.column("user_id").to_numpy()[0])
+        x0 = int(x[0])
+        assert 0 <= x0 < 10**18 and 0 <= u0 < 10**18
+        bk = "%019d:%019d" % (x0, u0)
+        # local ranks are 1-based within the block; j * x stays well
+        # below int64 per row but the SUM rides as limb pairs (rank ~
+        # 1e9 x count ~ 1e9 = 1e18/row at whale scale)
+        j = np.arange(1, n + 1, dtype=np.int64)
+        hi, lo = _limb_sums(j * x)
+        return pa.table(
+            {
+                "bk": pa.array([bk], pa.string()),
+                "rows": pa.array([n], pa.int64()),
+                "sum_x": pa.array([int(x.sum(dtype=np.int64))], pa.int64()),
+                "sum_jx_hi": pa.array([hi], pa.int64()),
+                "sum_jx_lo": pa.array([lo], pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(
+            block_partial, batch_format="pyarrow", batch_size=None
+        )
+        .to_pandas()
+        .sort_values("bk")
+        .reset_index(drop=True)
+    )
+    n_total = int(parts["rows"].sum())
+    sx = int(parts["sum_x"].sum())
+    six = 0
+    offset = 0
+    for _, row in parts.iterrows():
+        local = (int(row["sum_jx_hi"]) << _LIMB_SHIFT) + int(row["sum_jx_lo"])
+        six += local + offset * int(row["sum_x"])
+        offset += int(row["rows"])
+    num = 2 * six - (n_total + 1) * sx
+    den = n_total * sx
+    ppm = 0 if den == 0 else (2_000_000 * num + den) // (2 * den)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n_total], pa.int64()),
+                "n_events": pa.array([sx], pa.int64()),
+                "gini_ppm": pa.array([ppm], pa.int64()),
+            }
+        )
+    )

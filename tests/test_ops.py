@@ -6380,3 +6380,54 @@ def test_review_regressions_batch3(ray_session, monkeypatch):
     assert got.loc[1, "n_edges"] == 3
     assert got.loc[1, "phi_ppm"] == 1_000_000
     assert got.loc[2, "n_hubs"] == 0  # nobody has simple degree > 2
+
+
+def test_events_user_gini(ray_session, monkeypatch):
+    """Gini == the closed-form replica across many tiny blocks
+    (the carry scan is load-bearing): uniform counts give G=0, a
+    single whale pushes G toward (n-1)/n, and the multi-block result
+    equals the single-block one exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def run(user_counts, nblocks):
+        rows = []
+        eid = 0
+        for u, n in enumerate(user_counts):
+            for _ in range(n):
+                rows.append((eid, u))
+                eid += 1
+        raw = pd.DataFrame(rows, columns=["event_id", "user_id"])
+        monkeypatch.setattr(
+            relational, "_read",
+            lambda sfd, table, cols=None: _ray.data.from_arrow(
+                pa.Table.from_pandas(raw[cols] if cols else raw)
+            ).repartition(nblocks),
+        )
+        return relational.events_user_gini("x").to_pandas().iloc[0]
+
+    def replica(counts):
+        x = np.sort(np.array(counts, dtype=np.int64))
+        n, sx = len(x), int(x.sum())
+        six = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+        num = 2 * six - (n + 1) * sx
+        return (2_000_000 * num + n * sx) // (2 * n * sx)
+
+    uniform = [5] * 12
+    row = run(uniform, 9)
+    assert int(row["gini_ppm"]) == 0 and int(row["n_users"]) == 12
+
+    whale = [1] * 19 + [1000]
+    row = run(whale, 13)
+    assert int(row["gini_ppm"]) == replica(whale)
+    assert row["gini_ppm"] > 900_000  # one whale dominates
+
+    rng = np.random.RandomState(3)
+    mixed = list(rng.randint(1, 50, 37))
+    assert int(run(mixed, 17)["gini_ppm"]) == replica(mixed)
+    assert int(run(mixed, 1)["gini_ppm"]) == replica(mixed)  # block-invariant
