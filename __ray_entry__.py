@@ -1271,6 +1271,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "renard_ray.ops.graphstats",
             fromlist=["events_bipartite_assortativity"],
         ).events_bipartite_assortativity(sf),
+        # exact Newman modularity of the LPA communities (split-square
+        # limb encoding for d_c^2 past int64); rows-only — pytest pins
+        # a planted two-community replica
+        "kg_modularity": lambda sf: __import__(
+            "renard_ray.ops.communities", fromlist=["modularity_dataset"]
+        ).modularity_dataset(
+            kg_triples(sf),
+            __import__(
+                "renard_ray.ops.communities", fromlist=["label_propagation"]
+            ).label_propagation(kg_triples(sf), n_iter=6),
+        ),
         # rich-club coefficient phi(k): do hubs wire to each other?
         # (degree reduce + distinct pairs + per-k broadcast hub mask);
         # rows-only — pytest pins a star+clique fixture

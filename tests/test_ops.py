@@ -6431,3 +6431,66 @@ def test_events_user_gini(ray_session, monkeypatch):
     mixed = list(rng.randint(1, 50, 37))
     assert int(run(mixed, 17)["gini_ppm"]) == replica(mixed)
     assert int(run(mixed, 1)["gini_ppm"]) == replica(mixed)  # block-invariant
+
+
+def test_modularity(ray_session):
+    """Q == the closed-form replica on a planted two-clique graph with
+    one bridge (high Q for the true partition, ~0 for the all-in-one
+    partition, negative for an adversarial split); self-loops drop."""
+    from fractions import Fraction
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.communities import modularity_dataset
+
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges += [("a0", "b0"), ("a1", "a1")]  # bridge + self-loop (dropped)
+    df = pd.DataFrame(edges, columns=["subj", "obj"])
+    df["pred"] = "r"
+    df["weight"] = 1.0
+    tri = _ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+
+    def labels(mapping):
+        lf = pd.DataFrame(
+            {"node": list(mapping), "community": [mapping[n] for n in mapping]}
+        )
+        return _ray.data.from_arrow(pa.Table.from_pandas(lf))
+
+    def replica(mapping):
+        es = [e for e in edges if e[0] != e[1]]
+        m = len(es)
+        l_in = sum(mapping[u] == mapping[v] for u, v in es)
+        from collections import Counter
+
+        deg = Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        dc = Counter()
+        for n, d in deg.items():
+            dc[mapping[n]] += d
+        num = 4 * m * l_in - sum(d * d for d in dc.values())
+        f = Fraction(1_000_000 * num, 4 * m * m)
+        return (
+            (f.numerator * 2 + f.denominator) // (2 * f.denominator)
+            if f >= 0
+            else -((-f.numerator * 2 + f.denominator) // (2 * f.denominator))
+        )
+
+    true_part = {**{n: "A" for n in a}, **{n: "B" for n in b}}
+    one_part = {n: "X" for n in a + b}
+    bad_part = {n: ("O" if i % 2 else "E") for i, n in enumerate(a + b)}
+
+    for mapping in (true_part, one_part, bad_part):
+        row = modularity_dataset(tri, labels(mapping)).to_pandas().iloc[0]
+        assert int(row["n_edges"]) == 13
+        assert int(row["modularity_ppm"]) == replica(mapping)
+    assert replica(true_part) > 300_000
+    assert replica(one_part) == 0
+    assert replica(bad_part) < 0
