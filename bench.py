@@ -190,6 +190,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q14_promo_revenue",
         "kg_summary",
         "kg_rich_club",
+        "events_user_gini",
+        "kg_modularity",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
