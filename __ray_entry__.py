@@ -1490,6 +1490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_index": lambda sf: __import__(
             "renard_ray.ops.invindex", fromlist=["doc_search_index"]
         ).doc_search_index(sf),
+        # inter-event burstiness per user (Goh-Barabasi B from exact
+        # gap moments; sorted-run + boundary stitch); exact SQL oracle
+        "events_burstiness": relational.events_burstiness,
         # exact Gini of per-user activity (sorted-run rank-weighted
         # sum + O(#blocks) carry; limb pairs for the rank*count sum);
         # exact SQL oracle (ROW_NUMBER closed form)
@@ -2608,6 +2611,33 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN m USING (event_type)
             GROUP BY f.event_type, m.n_rows, m.med2
             ORDER BY f.event_type
+        """,
+        "events_burstiness": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            ), m AS (
+                SELECT user_id, COUNT(*) AS n,
+                       SUM(CAST(gap AS HUGEINT)) AS s,
+                       SUM(CAST(gap AS HUGEINT) * gap) AS q
+                FROM g WHERE gap IS NOT NULL
+                GROUP BY user_id
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                   ROUND(
+                       (SQRT(CAST(n * q - s * s AS DOUBLE)) / n
+                        - CAST(s AS DOUBLE) / n)
+                       / (SQRT(CAST(n * q - s * s AS DOUBLE)) / n
+                          + CAST(s AS DOUBLE) / n),
+                       9) AS burstiness
+            FROM m
+            WHERE n >= 5
+              AND SQRT(CAST(n * q - s * s AS DOUBLE)) / n
+                  + CAST(s AS DOUBLE) / n <> 0
+            ORDER BY user_id
         """,
         "events_user_gini": """
             WITH c AS (

@@ -192,6 +192,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_rich_club",
         "events_user_gini",
         "kg_modularity",
+        "events_burstiness",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

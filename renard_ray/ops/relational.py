@@ -4706,3 +4706,186 @@ def events_user_gini(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
     )
+
+
+def events_burstiness(sf_dir: str, min_gaps: int = 5) -> "Dataset | pa.Table":
+    """Per-user burstiness B = (sigma - mu) / (sigma + mu) of the
+    inter-event gaps (Goh & Barabasi 2008): B -> -1 for metronome
+    users, ~0 for Poisson arrivals, -> +1 for extreme burst-and-
+    silence — the temporal-dynamics readout behind bot detection.
+
+    Shape: the sessionize/markov sorted-run family — ONE global
+    (user, ts_us, event_id) sort, per-block vectorized gap moments
+    (n, sum, sum-of-squares as limb pairs: gap^2 in us^2 reaches
+    ~1e22 only past 40-day gaps, but limbs make the reduction exact
+    regardless) plus block-edge records, O(#blocks) driver stitch adds
+    the one straddling gap per boundary; the per-user moment table is
+    user-sized, so the final reduce is ONE groupby.  sigma uses the
+    population variance from exact integer sums; B is ONE float
+    expression mirrored verbatim by the SQL oracle (9 dp)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    if ds.count() == 0:
+        return pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_gaps", pa.int64()),
+                ("burstiness", pa.float64()),
+            ]
+        ).empty_table()
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": _ts_us(batch.column("ts")),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    sorted_ds = ds.map_batches(to_us, batch_format="pyarrow").sort(
+        ["user_id", "ts_us", "event_id"]
+    )
+
+    _Q = "qa_hi qa_lo qb_hi qb_lo qc_hi qc_lo".split()
+    part_schema = pa.schema(
+        [
+            ("kind", pa.string()),  # "m" moments | "b" block edge
+            ("user_id", pa.int64()),
+            ("n", pa.int64()),
+            ("s", pa.int64()),
+            *[(c, pa.int64()) for c in _Q],
+            ("ts_us", pa.int64()),
+            ("eid", pa.int64()),
+            ("pos", pa.int64()),  # edge rows: 0 head, 1 tail
+        ]
+    )
+
+    def block_moments(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        u = df["user_id"].to_numpy()
+        t = df["ts_us"].to_numpy()
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1])[same]
+        gu = u[1:][same]
+        order = np.argsort(gu, kind="stable")
+        gu_s, g_s = gu[order], gaps[order]
+        uniq, starts = np.unique(gu_s, return_index=True)
+        ends = np.r_[starts[1:], len(gu_s)]
+        from renard_ray.ops.communities import _sq_limbs
+
+        rows = {k: [] for k in ("user_id", "n", "s", *_Q)}
+        for uu, st, en in zip(uniq, starts, ends):
+            g = g_s[st:en]
+            # gap^2 in us^2 wraps int64 past ~50-minute gaps — the
+            # split-square encoding keeps every per-row component in
+            # range for any gap < 2^62 us (146k years)
+            sq = _sq_limbs(g)
+            rows["user_id"].append(int(uu))
+            rows["n"].append(int(en - st))
+            rows["s"].append(int(g.sum(dtype=np.int64)))
+            for c, v in zip(_Q, sq):
+                rows[c].append(v)
+        mom = pd.DataFrame(rows)
+        mom.insert(0, "kind", "m")
+        mom["ts_us"] = 0
+        mom["eid"] = 0
+        mom["pos"] = 0
+        edge = pd.DataFrame(
+            {
+                "kind": "b",
+                "user_id": df["user_id"].iloc[[0, -1]].to_numpy(),
+                "n": [0, 0],
+                "s": [0, 0],
+                **{c: [0, 0] for c in _Q},
+                "ts_us": df["ts_us"].iloc[[0, -1]].to_numpy(),
+                "eid": df["event_id"].iloc[[0, -1]].to_numpy(),
+                "pos": [0, 1],
+            }
+        )
+        out = pd.concat([mom, edge], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=part_schema, preserve_index=False)
+
+    parts = sorted_ds.map_batches(
+        block_moments, batch_format="pandas", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    from renard_ray.ops.communities import _sq_limbs as _sq
+
+    edges = parts.filter(expr="kind == 'b'").to_pandas()
+    extra_rows = {k: [] for k in ("user_id", "n", "s", *_Q)}
+    if len(edges):
+        edges = edges.sort_values(["user_id", "ts_us", "eid", "pos"]).reset_index(
+            drop=True
+        )
+        for i in range(len(edges) - 1):
+            a, b = edges.iloc[i], edges.iloc[i + 1]
+            if int(a["pos"]) == 1 and int(b["pos"]) == 0 and \
+                    a["user_id"] == b["user_id"]:
+                gap = int(b["ts_us"]) - int(a["ts_us"])
+                extra_rows["user_id"].append(int(a["user_id"]))
+                extra_rows["n"].append(1)
+                extra_rows["s"].append(gap)
+                for c, v in zip(_Q, _sq(np.array([gap], np.int64))):
+                    extra_rows[c].append(v)
+
+    moments = parts.filter(expr="kind == 'm'").select_columns(
+        ["user_id", "n", "s", *_Q]
+    )
+    if extra_rows["user_id"]:
+        moments = moments.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {k: pa.array(v, pa.int64()) for k, v in extra_rows.items()}
+                )
+            )
+        )
+
+    agg = moments.groupby("user_id").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "s", *_Q)]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import math
+
+        out = {"user_id": [], "n_gaps": [], "burstiness": []}
+        for r in batch.to_pylist():
+            n = int(r["n"])
+            if n < min_gaps:
+                continue
+            s = int(r["s"])
+            sh = _LIMB_SHIFT
+            q = (
+                ((((int(r["qa_hi"]) << sh) + int(r["qa_lo"]))) << (2 * sh))
+                + ((((int(r["qb_hi"]) << sh) + int(r["qb_lo"]))) << sh)
+                + ((int(r["qc_hi"]) << sh) + int(r["qc_lo"]))
+            )
+            # population variance * n^2 = n*q - s^2 (exact int)
+            var_n2 = n * q - s * s
+            sigma = math.sqrt(float(var_n2)) / n
+            mu = s / n
+            if sigma + mu == 0:
+                continue
+            out["user_id"].append(int(r["user_id"]))
+            out["n_gaps"].append(n)
+            out["burstiness"].append(round((sigma - mu) / (sigma + mu), 9))
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                "burstiness": pa.array(out["burstiness"], pa.float64()),
+            }
+        )
+
+    res = _scrub_schemaless(agg.map_batches(finish, batch_format="pyarrow"))
+    if res is None:
+        return pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_gaps", pa.int64()),
+                ("burstiness", pa.float64()),
+            ]
+        ).empty_table()
+    return res.sort("user_id")

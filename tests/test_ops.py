@@ -6494,3 +6494,55 @@ def test_modularity(ray_session):
     assert replica(true_part) > 300_000
     assert replica(one_part) == 0
     assert replica(bad_part) < 0
+
+
+def test_events_burstiness(ray_session, monkeypatch):
+    """Burstiness == a numpy replica across many tiny blocks: a
+    metronome user lands near -1, a bursty user positive, and a user
+    with MULTI-DAY gaps (gap^2 far past int64 — the split-square limb
+    regression) stays exact; below-min_gaps users drop."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    rows, eid = [], 0
+    def add(uid, times):
+        nonlocal eid
+        for t in times:
+            rows.append((eid, pd.Timestamp(int(t * 10**6) * 1000), uid))
+            eid += 1
+
+    add(1, np.arange(10) * 60.0)               # metronome: B -> -1
+    add(2, [0, 1, 2, 3, 4, 3600, 3601, 3602])   # bursts + silence
+    add(3, np.cumsum([0] + [86_400.0 * 3] * 7)) # multi-day gaps (overflow regr.)
+    add(4, [0, 10, 20])                          # only 2 gaps: dropped
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(raw[cols] if cols else raw)
+        ).repartition(15),
+    )
+    got = relational.events_burstiness("x").to_pandas().set_index("user_id")
+    assert 4 not in got.index
+
+    import math
+
+    for uid, times in ((1, np.arange(10) * 60.0),
+                       (2, np.array([0, 1, 2, 3, 4, 3600, 3601, 3602.0])),
+                       (3, np.cumsum([0] + [86_400.0 * 3] * 7))):
+        g = np.diff((times * 10**6).astype(np.int64)).astype(object)
+        n = len(g)
+        s, q = int(sum(g)), int(sum(x * x for x in g))
+        sigma = math.sqrt(float(n * q - s * s)) / n
+        mu = s / n
+        want = round((sigma - mu) / (sigma + mu), 9)
+        assert got.loc[uid, "n_gaps"] == n
+        assert got.loc[uid, "burstiness"] == want
+    assert got.loc[1, "burstiness"] < -0.9
+    assert got.loc[2, "burstiness"] > 0.3
