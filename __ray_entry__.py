@@ -1505,6 +1505,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a dimension lookup join, exact ppm via limb sums; exact SQL
         # oracle
         "q14_promo_revenue": relational.q14_promo_revenue,
+        # TPC-H Q10 returned-item report: quarter-pruned lookup join,
+        # one per-customer groupby, top-k sort-limit, k-row detail
+        # attach; exact SQL oracle
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        # TPC-H Q13 custdist: LEFT JOIN decomposed into one orders
+        # groupby + semi filter + arithmetic N=0 bucket; exact oracle
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        # TPC-H Q18 large-volume customers: HAVING subquery + double
+        # size-adaptive join-back; exact SQL oracle
+        "q18_large_volume": relational.q18_large_volume_customers,
+        # TPC-H Q19 disjunctive predicates collapsed into per-part
+        # quantity-window payload columns; limb-exact revenue; exact
+        # SQL oracle
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         # funnel latency: first-view -> first-purchase seconds per
         # converting user (conditional-min combiner + ONE groupby);
         # exact SQL oracle
@@ -2706,6 +2720,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rev * promo) AS BIGINT) AS promo_rev_c4,
                    CAST((2000000 * SUM(rev * promo) + SUM(rev))
                         // (2 * SUM(rev)) AS BIGINT) AS promo_ppm
+            FROM f
+        """,
+        "q10_returned_revenue": """
+            WITH r AS (
+                SELECT o.o_custkey AS c_custkey,
+                       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                     AS HUGEINT)
+                                * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                              AS BIGINT))) AS BIGINT)
+                           AS revenue_c4
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate <  DATE '1996-04-01'
+                GROUP BY 1
+                ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+            )
+            SELECT r.c_custkey, c.c_name, r.revenue_c4,
+                   CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_c,
+                   n.n_name
+            FROM r
+            JOIN customer c ON c.c_custkey = r.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "q18_large_volume": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) > 250
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                       AS totalprice_c,
+                   big.sum_qty
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "q19_disjunctive_revenue": """
+            WITH f AS (
+                SELECT CAST(ROUND(l.l_extendedprice * 100, 0) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+                           AS rev
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                       AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                           BETWEEN 1 AND 20)
+                   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                       AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                           BETWEEN 10 AND 30)
+                   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                       AND CAST(ROUND(l.l_quantity, 0) AS BIGINT)
+                           BETWEEN 20 AND 40)
+            )
+            SELECT COUNT(*) AS n_rows,
+                   CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_c4
             FROM f
         """,
         "events_conversion_latency": """

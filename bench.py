@@ -188,6 +188,10 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_conversion_latency",
         "events_similar_users",
         "q14_promo_revenue",
+        "q10_returned_revenue",
+        "q13_customer_distribution",
+        "q18_large_volume",
+        "q19_disjunctive_revenue",
         "kg_summary",
         "kg_rich_club",
         "events_user_gini",

@@ -4889,3 +4889,390 @@ def events_burstiness(sf_dir: str, min_gaps: int = 5) -> "Dataset | pa.Table":
             ]
         ).empty_table()
     return res.sort("user_id")
+
+
+def q10_returned_revenue(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> "Dataset | pa.Table":
+    """TPC-H Q10-style returned-item report: the top-``k`` customers by
+    exact revenue from RETURNED lineitems of one quarter's orders, with
+    customer and nation detail attached AFTER the top-k.
+
+    Shape notes (100 TB-safe): the quarter filter prunes orders in the
+    scan pass before anything rides a join; returned lineitems attach
+    ``o_custkey`` via the size-adaptive lookup join (orders keyed UNIQUE
+    on o_orderkey — broadcast under the row budget, hash join past it);
+    ONE per-customer groupby-sum; top-k = sort-limit with the
+    (revenue desc, custkey asc) tie-break mirrored in the oracle; and
+    the customer/nation detail attach is a streaming semi-filter over
+    customer against the k driver-held keys — the corpus-scale customer
+    table never crosses a shuffle for a k-row answer."""
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "o_custkey": t.column("o_custkey")}
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned_rev(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    fact = broadcast_lookup_join(
+        li.map_batches(returned_rev, batch_format="pyarrow"),
+        orders.map_batches(in_window, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        payload=["o_custkey"],
+        fallback_parts=_join_parts(sf_dir),
+    )
+    per_cust = _scrub_schemaless(
+        fact.groupby("o_custkey").aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+    )
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("revenue_c4", pa.int64()),
+            ("acctbal_c", pa.int64()),
+            ("n_name", pa.string()),
+        ]
+    )
+    if per_cust is None:
+        return out_schema.empty_table()
+    top = _collect_small(
+        per_cust.sort(
+            ["revenue_c4", "o_custkey"], descending=[True, False]
+        ).limit(k),
+        k,
+    )
+    if top is None or top.num_rows == 0:
+        return out_schema.empty_table()
+
+    # detail attach: k keys broadcast into ONE streaming pass over
+    # customer (semi filter), then a driver-side k-row assembly — the
+    # only rows ever held on the driver are the k winners
+    key_ref = ray.put(top.column("o_custkey").combine_chunks())
+
+    def pick_customers(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return batch.filter(pc.is_valid(pc.index_in(batch.column("c_custkey"), value_set=ks)))
+
+    cust = _collect_small(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(pick_customers, batch_format="pyarrow"),
+        max(k, 64),
+    )
+    if cust is None:
+        raise ValueError("q10: detail attach exceeded the k-row budget")
+    nat = _collect_small(_read(sf_dir, "nation", ["n_nationkey", "n_name"]), 1_000_000)
+    if nat is None:
+        raise ValueError("q10: nation table exceeded the broadcast budget")
+    # k-row assembly (driver): revenue order from `top`, detail by key
+    ci = pc.index_in(top.column("o_custkey"), value_set=cust.column("c_custkey"))
+    # FK holds in TPC-H data; a missing customer would surface as null
+    ni = pc.index_in(
+        pc.take(cust.column("c_nationkey"), ci), value_set=nat.column("n_nationkey")
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pc.cast(top.column("o_custkey"), pa.int64()),
+                "c_name": pc.take(cust.column("c_name"), ci),
+                "revenue_c4": pc.cast(top.column("revenue_c4"), pa.int64()),
+                "acctbal_c": _cents(pc.take(cust.column("c_acctbal"), ci)),
+                "n_name": pc.take(nat.column("n_name"), ni),
+            }
+        )
+    )
+
+
+def q13_customer_distribution(sf_dir: str) -> "Dataset | pa.Table":
+    """TPC-H Q13-style customer order-count distribution ("custdist"):
+    how many customers placed exactly N orders, INCLUDING the N=0 row
+    that the textbook LEFT JOIN produces.
+
+    Shape notes: per-customer counts come from ONE groupby over the
+    pruned (o_custkey) scan; the LEFT JOIN is decomposed scale-safely —
+    counts are semi-filtered against customer keys (size-adaptive:
+    broadcast under the budget, hash join past it) instead of dragging
+    the corpus-scale customer table through an outer join, and the N=0
+    bucket is recovered arithmetically as count(customer) minus the
+    matched-customer total from the (tiny, #distinct-counts-sized)
+    count-of-counts table.  Second exchange is O(distinct counts), the
+    zipf-spectrum re-combine shape."""
+    counts = _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count()
+    counts = _scrub_schemaless(counts)
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    out_schema = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+    if counts is None:
+        if n_customers == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "custdist": pa.array([n_customers], pa.int64())},
+        )
+    matched = broadcast_semi_join(
+        counts,
+        _read(sf_dir, "customer", ["c_custkey"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        fallback_parts=_join_parts(sf_dir, "customer"),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.cast(batch.column("count()"), pa.int64())})
+
+    dist = _scrub_schemaless(
+        matched.map_batches(rename, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+    )
+    # distinct order-counts per customer is a tiny domain at any corpus
+    # size (bounded by the max orders one customer ever placed)
+    tab = _collect_small(dist, 1_000_000) if dist is not None else None
+    if dist is not None and tab is None:
+        raise ValueError("q13: count-of-counts exceeded the driver budget")
+    if tab is None:
+        tab = out_schema.empty_table()
+    tab = pa.table(
+        {
+            "c_count": pc.cast(tab.column("c_count"), pa.int64()),
+            "custdist": pc.cast(tab.column("custdist"), pa.int64()),
+        }
+    )
+    n_matched = int(pc.sum(tab.column("custdist")).as_py() or 0)
+    n_zero = n_customers - n_matched
+    if n_zero > 0:
+        tab = pa.concat_tables(
+            [
+                pa.table(
+                    {"c_count": pa.array([0], pa.int64()),
+                     "custdist": pa.array([n_zero], pa.int64())}
+                ),
+                tab,
+            ]
+        )
+    if tab.num_rows == 0:
+        return out_schema.empty_table()
+    return ray.data.from_arrow(tab)
+
+
+def q18_large_volume_customers(
+    sf_dir: str, min_qty: int = 250
+) -> "Dataset | pa.Table":
+    """TPC-H Q18-style large-volume-customer report: every order whose
+    total lineitem quantity exceeds ``min_qty``, with order and customer
+    detail attached — the HAVING-subquery + double join-back shape.
+
+    Shape notes: ONE groupby-sum over the pruned (l_orderkey, qty)
+    scan, a streaming HAVING filter (the qualifying-order table is a
+    tiny fraction of orders by construction — the threshold selects the
+    tail), then orders rows survive a size-adaptive SEMI join against
+    the qualifying keys and pick up ``sum_qty`` via the size-adaptive
+    lookup join; customer names attach the same way.  Neither the
+    corpus-scale orders nor customer table is ever collected."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "qty_i": _int(batch.column("l_quantity")),
+            }
+        )
+
+    per_order = _scrub_schemaless(
+        li.map_batches(derive, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_i", alias_name="sum_qty"))
+    )
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("totalprice_c", pa.int64()),
+            ("sum_qty", pa.int64()),
+        ]
+    )
+    if per_order is None:
+        return out_schema.empty_table()
+    big = per_order.filter(expr=f"sum_qty > {int(min_qty)}")
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    qualified = broadcast_lookup_join(
+        orders,
+        big,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        payload=["sum_qty"],
+        fallback_parts=_join_parts(sf_dir, "orders"),
+    )
+    named = broadcast_lookup_join(
+        qualified,
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        payload=["c_name"],
+        fallback_parts=_join_parts(sf_dir, "customer"),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "c_name": batch.column("c_name"),
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "o_orderdate": batch.column("o_orderdate"),
+                "totalprice_c": _cents(batch.column("o_totalprice")),
+                "sum_qty": pc.cast(batch.column("sum_qty"), pa.int64()),
+            }
+        )
+
+    res = _scrub_schemaless(named.map_batches(project, batch_format="pyarrow"))
+    if res is None:
+        return out_schema.empty_table()
+    return res
+
+
+# Q19's disjunctive branches, adapted to the synthetic part domain:
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — brands are disjoint, so a
+# part qualifies for at most ONE branch and the per-part quantity
+# window can ride the lookup join as two payload columns.
+_Q19_BRANCHES: tuple = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 1, 25, 10, 30),
+    ("Brand#3", 1, 35, 20, 40),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> "Dataset | pa.Table":
+    """TPC-H Q19-style disjunctive-predicate revenue: exact revenue
+    from lineitems matching any of three (brand, size-range,
+    quantity-range) OR-branches — the multi-branch pushdown shape.
+
+    Shape notes: the part-side predicate of EVERY branch is evaluated
+    in one vectorized pass over the (tiny-by-selectivity) part table,
+    which collapses the disjunction into per-part (qty_lo, qty_hi)
+    payload columns; non-qualifying parts never enter the join, so the
+    lineitem side sees a plain size-adaptive lookup join plus ONE
+    vectorized range filter.  Revenue rides as base-2^31 limb pairs
+    (rev_c4 is ~1e9/row; a plain int64 Sum wraps near 1e10 rows) and
+    is recombined exactly on the driver."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        brand = batch.column("p_brand")
+        size = pc.cast(batch.column("p_size"), pa.int64())
+        keep = pa.array([False] * batch.num_rows, pa.bool_())
+        qlo = np.zeros(batch.num_rows, np.int64)
+        qhi = np.zeros(batch.num_rows, np.int64)
+        for b, slo, shi, lo, hi in _Q19_BRANCHES:
+            m = pc.and_(
+                pc.equal(brand, b),
+                pc.and_(
+                    pc.greater_equal(size, pa.scalar(slo, pa.int64())),
+                    pc.less_equal(size, pa.scalar(shi, pa.int64())),
+                ),
+            )
+            mnp = m.to_numpy(zero_copy_only=False)
+            qlo[mnp] = lo
+            qhi[mnp] = hi
+            keep = pc.or_(keep, m)
+        t = pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "qty_lo": pa.array(qlo, pa.int64()),
+                "qty_hi": pa.array(qhi, pa.int64()),
+            }
+        )
+        return t.filter(keep)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty_i": _int(batch.column("l_quantity")),
+                "rev_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    fact = broadcast_lookup_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        part.map_batches(qualify, batch_format="pyarrow"),
+        on="l_partkey",
+        right_on="p_partkey",
+        payload=["qty_lo", "qty_hi"],
+        fallback_parts=_join_parts(sf_dir),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("qty_i")
+        keep = pc.and_(
+            pc.greater_equal(q, batch.column("qty_lo")),
+            pc.less_equal(q, batch.column("qty_hi")),
+        )
+        r = batch.filter(keep).column("rev_c4").to_numpy()
+        hi, lo = _limb_sums(r)
+        return pa.table(
+            {
+                "n": pa.array([len(r)], pa.int64()),
+                "r_hi": pa.array([hi], pa.int64()),
+                "r_lo": pa.array([lo], pa.int64()),
+            }
+        )
+
+    agg = fact.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("r_hi", alias_name="r_hi"),
+        Sum("r_lo", alias_name="r_lo"),
+    ) or {}
+    n = int(agg.get("n") or 0)
+    total = ((int(agg.get("r_hi") or 0)) << _LIMB_SHIFT) + int(agg.get("r_lo") or 0)
+    assert total < 2**63, "q19: revenue exceeds int64 output"
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "revenue_c4": pa.array([total], pa.int64()),
+            }
+        )
+    )

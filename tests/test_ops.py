@@ -6546,3 +6546,202 @@ def test_events_burstiness(ray_session, monkeypatch):
         assert got.loc[uid, "burstiness"] == want
     assert got.loc[1, "burstiness"] < -0.9
     assert got.loc[2, "burstiness"] > 0.3
+
+
+def _patch_tables(monkeypatch, tables):
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(
+                tables[table][cols] if cols else tables[table],
+                preserve_index=False,
+            )
+        ).repartition(3),
+    )
+
+
+def test_q10_returned_revenue(ray_session, monkeypatch):
+    """Top-k returned-revenue: window + returnflag exclusions apply,
+    the (revenue desc, custkey asc) tie-break picks the LOWER custkey
+    at the k boundary, and customer/nation detail attaches exactly."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [10, 11, 12, 10],
+            "o_orderdate": pd.to_datetime(
+                ["1996-02-01", "1996-03-15", "1995-12-31", "1996-01-01"]
+            ),
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 4, 1],
+            "l_returnflag": ["R", "R", "R", "R", "N"],
+            "l_extendedprice": [100.0, 100.0, 500.0, 50.0, 999.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [10, 11, 12],
+            "c_name": ["cust10", "cust11", "cust12"],
+            "c_acctbal": [1.23, -4.56, 7.0],
+            "c_nationkey": [0, 1, 0],
+        }
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"]}
+    )
+    _patch_tables(
+        monkeypatch,
+        {"orders": orders, "lineitem": lineitem, "customer": customer,
+         "nation": nation},
+    )
+    # order 3 is out of window; the N-flag line on order 1 is excluded.
+    # cust10: order1 100.00 + order4 50.00 = 150.00; cust11: 100.00.
+    out = relational.q10_returned_revenue("x", k=2).to_pandas()
+    assert out["c_custkey"].tolist() == [10, 11]
+    assert out["revenue_c4"].tolist() == [150_00 * 100, 100_00 * 100]
+    assert out["c_name"].tolist() == ["cust10", "cust11"]
+    assert out["acctbal_c"].tolist() == [123, -456]
+    assert out["n_name"].tolist() == ["ALPHA", "BETA"]
+
+    # k-boundary tie: raise cust11 to 150.00 too -> lower custkey first
+    lineitem2 = lineitem.copy()
+    lineitem2.loc[1, "l_extendedprice"] = 150.0
+    _patch_tables(
+        monkeypatch,
+        {"orders": orders, "lineitem": lineitem2, "customer": customer,
+         "nation": nation},
+    )
+    out2 = relational.q10_returned_revenue("x", k=1).to_pandas()
+    assert out2["c_custkey"].tolist() == [10]
+
+    # empty window -> schema-ful empty table
+    import pyarrow as pa
+
+    empty = relational.q10_returned_revenue(
+        "x", date_lo="2050-01-01", date_hi="2050-02-01"
+    )
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
+    assert "revenue_c4" in empty.schema.names
+
+
+def test_q13_customer_distribution(ray_session, monkeypatch):
+    """Custdist: the N=0 bucket counts order-less customers, orders
+    with custkeys ABSENT from customer (FK violation) are excluded
+    exactly as the LEFT JOIN excludes them."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    customer = pd.DataFrame({"c_custkey": [1, 2, 3, 4, 5]})
+    orders = pd.DataFrame(
+        # cust1: 3 orders, cust2: 1, cust3: 1; custkey 99 not a customer
+        {"o_custkey": [1, 1, 1, 2, 3, 99]}
+    )
+    _patch_tables(monkeypatch, {"customer": customer, "orders": orders})
+    out = (
+        relational.q13_customer_distribution("x")
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[0, 2], [1, 2], [3, 1]]
+
+    # no orders at all: everyone in the 0 bucket
+    _patch_tables(
+        monkeypatch,
+        {"customer": customer, "orders": orders.iloc[0:0]},
+    )
+    out2 = relational.q13_customer_distribution("x").to_pandas()
+    assert out2.values.tolist() == [[0, 5]]
+
+
+def test_q18_large_volume_customers(ray_session, monkeypatch):
+    """HAVING boundary: sum == threshold is excluded, > passes; the
+    double join-back attaches order and customer detail exactly."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 3],
+            "l_quantity": [30.0, 20.0, 30.0, 21.0, 5.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [7, 8, 7],
+            "o_orderdate": pd.to_datetime(["1996-01-01", "1997-06-15", "1998-01-01"]),
+            "o_totalprice": [123.45, 67.89, 1.0],
+        }
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [7, 8], "c_name": ["c7", "c8"]}
+    )
+    _patch_tables(
+        monkeypatch, {"lineitem": lineitem, "orders": orders, "customer": customer}
+    )
+    out = (
+        relational.q18_large_volume_customers("x", min_qty=50)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    # order 1 sums to exactly 50 -> excluded; order 2 sums to 51
+    assert out["o_orderkey"].tolist() == [2]
+    assert out["c_custkey"].tolist() == [8]
+    assert out["c_name"].tolist() == ["c8"]
+    assert out["totalprice_c"].tolist() == [6789]
+    assert out["sum_qty"].tolist() == [51]
+
+
+def test_q19_disjunctive_revenue(ray_session, monkeypatch):
+    """Every branch boundary: size/qty window edges qualify inclusively,
+    a part outside all brands contributes nothing, and the all-excluded
+    corpus returns the zero row (COALESCE parity with the oracle)."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_brand": ["Brand#1", "Brand#2", "Brand#3", "Brand#9"],
+            "p_size": [15, 26, 35, 1],  # 2 fails its size window (>25)
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 2, 3, 3, 4],
+            "l_quantity": [20.0, 21.0, 10.0, 40.0, 41.0, 1.0],
+            "l_extendedprice": [10.0, 10.0, 10.0, 10.0, 10.0, 10.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.5, 0.0, 0.0],
+        }
+    )
+    _patch_tables(monkeypatch, {"part": part, "lineitem": lineitem})
+    out = relational.q19_disjunctive_revenue("x").to_pandas().iloc[0]
+    # qualifying: part1 qty20 (edge in), part3 qty40 (edge in, 50% disc)
+    # excluded: part1 qty21, part2 (size), part3 qty41, part4 (brand)
+    assert int(out["n_rows"]) == 2
+    assert int(out["revenue_c4"]) == 1000 * 100 + 1000 * 50
+
+    # nothing qualifies -> the zero row, not an empty frame
+    _patch_tables(
+        monkeypatch,
+        {"part": part[part.p_partkey == 4], "lineitem": lineitem},
+    )
+    out2 = relational.q19_disjunctive_revenue("x").to_pandas().iloc[0]
+    assert int(out2["n_rows"]) == 0 and int(out2["revenue_c4"]) == 0
