@@ -1519,6 +1519,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantity-window payload columns; limb-exact revenue; exact
         # SQL oracle
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        # TPC-H Q15 top supplier: max-over-aggregate WITH ties, k-row
+        # detail attach; exact SQL oracle
+        "q15_top_supplier": relational.q15_top_supplier,
+        # TPC-H Q22 (adapted): exact rational above-average-balance
+        # threshold + LEFT-style dormancy count attach; exact oracle
+        "q22_dormant_high_balance": relational.q22_dormant_high_balance,
+        # TPC-H Q8 market share: deepest star join, every dimension
+        # filter pushed before the fact joins, per-year limb sums +
+        # exact half-away ppm; exact SQL oracle
+        "q8_market_share": relational.q8_market_share,
         # funnel latency: first-view -> first-purchase seconds per
         # converting user (conditional-min combiner + ONE groupby);
         # exact SQL oracle
@@ -2721,6 +2731,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2000000 * SUM(rev * promo) + SUM(rev))
                         // (2 * SUM(rev)) AS BIGINT) AS promo_ppm
             FROM f
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                                     AS HUGEINT)
+                                * (100 - CAST(ROUND(l_discount * 100, 0)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_revenue_c4
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_c4
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM r)
+        """,
+        "q22_dormant_high_balance": """
+            WITH g AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS s
+                FROM customer
+                WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) > 0
+            ),
+            oc AS (
+                SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+            ),
+            q AS (
+                SELECT c.c_nationkey,
+                       CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c
+                FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey, g
+                WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * g.n > g.s
+                  AND COALESCE(oc.cnt, 0) < 8
+            )
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+            FROM q JOIN nation n ON n.n_nationkey = q.c_nationkey
+            GROUP BY 1
+        """,
+        "q8_market_share": """
+            WITH f AS (
+                SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(ROUND(l.l_extendedprice * 100, 0) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+                           AS rev,
+                       CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                           AS is_nat
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'STANDARD'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                             AND r.r_name = 'ASIA'
+                WHERE o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate <  DATE '1998-01-01'
+            )
+            SELECT o_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(rev) AS BIGINT) AS total_rev_c4,
+                   CAST(SUM(rev * is_nat) AS BIGINT) AS nation_rev_c4,
+                   CAST((2000000 * SUM(rev * is_nat) + SUM(rev))
+                        // (2 * SUM(rev)) AS BIGINT) AS share_ppm
+            FROM f GROUP BY 1
         """,
         "q10_returned_revenue": """
             WITH r AS (

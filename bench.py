@@ -192,6 +192,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q13_customer_distribution",
         "q18_large_volume",
         "q19_disjunctive_revenue",
+        "q15_top_supplier",
+        "q22_dormant_high_balance",
+        "q8_market_share",
         "kg_summary",
         "kg_rich_club",
         "events_user_gini",

@@ -5276,3 +5276,431 @@ def q19_disjunctive_revenue(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
     )
+
+
+def q15_top_supplier(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"
+) -> "Dataset | pa.Table":
+    """TPC-H Q15-style top supplier: the supplier(s) whose 3-month
+    revenue equals the MAXIMUM over all suppliers — the
+    max-over-aggregate (view + scalar subquery) shape, WITH ties.
+
+    Shape notes: one window-pruned scan + ONE per-supplier groupby-sum;
+    the global max is a driver scalar from a Max aggregate; winners
+    come out of a streaming equality filter (ties all survive, as in
+    the spec) and their detail attaches via a k-row semi-filter over
+    supplier — nothing supplier-scale is ever collected beyond the
+    (provably tiny) winner set."""
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        t = batch.filter(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        )
+        price_c = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    per_supp = _scrub_schemaless(
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_c4", alias_name="total_revenue_c4"))
+    )
+    out_schema = pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("total_revenue_c4", pa.int64()),
+        ]
+    )
+    if per_supp is None:
+        return out_schema.empty_table()
+    best = (per_supp.aggregate(Max("total_revenue_c4")) or {}).get(
+        "max(total_revenue_c4)"
+    )
+    if best is None:
+        return out_schema.empty_table()
+    winners = _collect_small(
+        per_supp.filter(expr=f"total_revenue_c4 == {int(best)}"), 100_000
+    )
+    if winners is None:
+        raise ValueError("q15: winner set exceeded the driver budget")
+    key_ref = ray.put(winners.column("l_suppkey").combine_chunks())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return batch.filter(
+            pc.is_valid(pc.index_in(batch.column("s_suppkey"), value_set=ks))
+        )
+
+    supp = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            pick, batch_format="pyarrow"
+        ),
+        max(winners.num_rows, 64),
+    )
+    if supp is None:
+        raise ValueError("q15: supplier detail attach exceeded the winner budget")
+    si = pc.index_in(winners.column("l_suppkey"), value_set=supp.column("s_suppkey"))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pc.cast(winners.column("l_suppkey"), pa.int64()),
+                "s_name": pc.take(supp.column("s_name"), si),
+                "total_revenue_c4": pc.cast(
+                    winners.column("total_revenue_c4"), pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def q22_dormant_high_balance(
+    sf_dir: str, max_orders: int = 8
+) -> "Dataset | pa.Table":
+    """TPC-H Q22-style sales-opportunity report, adapted to the
+    synthetic schema (no phone country codes; "dormant" = fewer than
+    ``max_orders`` orders instead of none, since the dense synthetic
+    orders table leaves no order-less above-average customer): per
+    nation, how many above-average-balance dormant customers exist and
+    their total balance.
+
+    Exactness: the average-balance threshold is the EXACT rational test
+    ``bal_c * n_pos > sum_pos_c`` (never a float division); the global
+    (n, sum) pair reduces via limb pairs.  Shape notes: ONE customer
+    scan feeds the global aggregate, a second streaming pass applies
+    the threshold; per-customer order counts are ONE orders groupby
+    attached LEFT-style size-adaptively (broadcast count-map under the
+    row budget, left_outer hash join past it) so no-order customers
+    keep count 0; the nation attach is a 25-row broadcast."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch.column("c_acctbal"))
+        pos = bal.filter(pc.greater(bal, pa.scalar(0, pa.int64()))).to_numpy()
+        hi, lo = _limb_sums(pos)
+        return pa.table(
+            {
+                "n": pa.array([len(pos)], pa.int64()),
+                "s_hi": pa.array([hi], pa.int64()),
+                "s_lo": pa.array([lo], pa.int64()),
+            }
+        )
+
+    g = cust.map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s_hi", alias_name="s_hi"),
+        Sum("s_lo", alias_name="s_lo"),
+    ) or {}
+    n_pos = int(g.get("n") or 0)
+    sum_pos = ((int(g.get("s_hi") or 0)) << _LIMB_SHIFT) + int(g.get("s_lo") or 0)
+    out_schema = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("numcust", pa.int64()),
+            ("totacctbal_c", pa.int64()),
+        ]
+    )
+    if n_pos == 0:
+        return out_schema.empty_table()
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch.column("c_acctbal"))
+        # exact rational threshold: bal > sum/n  <=>  bal * n > sum.
+        # bal*n stays far inside int64 for any plausible n (bal_c ~1e7
+        # cents x n up to ~9e11) — assert rather than silently wrap.
+        assert n_pos < 9e11, "q22: customer count overflows the exact threshold test"
+        keep = pc.greater(
+            pc.multiply(bal, pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_pos, pa.int64()),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "bal_c": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    counts = _scrub_schemaless(
+        _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count()
+    )
+    if counts is not None:
+        cnt_tab = _collect_small(counts, _BCAST_ROW_LIMIT)
+        if cnt_tab is not None:
+            ref = ray.put(cnt_tab.combine_chunks())
+
+            def attach(batch: pa.Table) -> pa.Table:
+                ct = ray.get(ref)
+                idx = pc.index_in(batch.column("c_custkey"), value_set=ct.column("o_custkey"))
+                n_ord = pc.fill_null(
+                    pc.take(pc.cast(ct.column("count()"), pa.int64()), idx), 0
+                )
+                return batch.filter(
+                    pc.less(n_ord, pa.scalar(int(max_orders), pa.int64()))
+                )
+
+            dormant = rich.map_batches(attach, batch_format="pyarrow")
+        else:
+            rich_clean = _scrub_schemaless(rich)
+            if rich_clean is None:
+                return out_schema.empty_table()
+            joined = rich_clean.join(
+                counts, join_type="left_outer",
+                num_partitions=_join_parts(sf_dir, "orders"),
+                on=("c_custkey",), right_on=("o_custkey",),
+            )
+
+            def keep_dormant(batch: pa.Table) -> pa.Table:
+                n_ord = pc.fill_null(pc.cast(batch.column("count()"), pa.int64()), 0)
+                t = batch.filter(
+                    pc.less(n_ord, pa.scalar(int(max_orders), pa.int64()))
+                )
+                return t.select(["c_custkey", "c_nationkey", "bal_c"])
+
+            dormant = joined.map_batches(keep_dormant, batch_format="pyarrow")
+    else:
+        dormant = rich  # no orders at all: every rich customer is dormant
+
+    agg = _scrub_schemaless(
+        dormant.groupby("c_nationkey").aggregate(
+            Count(alias_name="numcust"), Sum("bal_c", alias_name="totacctbal_c")
+        )
+    )
+    if agg is None:
+        return out_schema.empty_table()
+    nat = _collect_small(_read(sf_dir, "nation", ["n_nationkey", "n_name"]), 1_000_000)
+    if nat is None:
+        raise ValueError("q22: nation table exceeded the broadcast budget")
+    nat_ref = ray.put(nat.combine_chunks())
+
+    def name(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nat_ref)
+        ni = pc.index_in(
+            batch.column("c_nationkey"),
+            value_set=pc.cast(nt.column("n_nationkey"), pa.int64()),
+        )
+        return pa.table(
+            {
+                "n_name": pc.take(nt.column("n_name"), ni),
+                "numcust": pc.cast(batch.column("numcust"), pa.int64()),
+                "totacctbal_c": pc.cast(batch.column("totacctbal_c"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
+def q8_market_share(
+    sf_dir: str,
+    target_nation: str = "NATION_3",
+    region: str = "ASIA",
+    p_type: str = "STANDARD",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> "Dataset | pa.Table":
+    """TPC-H Q8-style national market share: per order-year, the exact
+    ppm share of ``region``'s ``p_type`` import revenue supplied by
+    ``target_nation`` — the deepest star join in the suite (lineitem
+    against part, orders->customer->nation->region on one arm and
+    supplier->nation on the other) finished by a two-level conditional
+    aggregate.
+
+    Shape notes (100 TB-safe): every dimension filter is applied BEFORE
+    the fact table sees a join — part keys carrying ``p_type`` arrive
+    as a size-adaptive SEMI join, window+region-filtered orders attach
+    o_year via the size-adaptive lookup join (customer membership in
+    the region is itself a semi join against a nation->region broadcast
+    pass), and the supplier nation flag rides a supplier-sized lookup
+    join.  Per-year revenue reduces as base-2^31 limb pairs keyed by
+    the handful of distinct years; the final share is the exact
+    half-away ppm recipe in Python bignums."""
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+
+    nat = _collect_small(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]), 1_000_000
+    )
+    reg = _collect_small(_read(sf_dir, "region", ["r_regionkey", "r_name"]), 1_000_000)
+    if nat is None or reg is None:
+        raise ValueError("q8: nation/region tables exceeded the broadcast budget")
+    region_keys = reg.filter(pc.equal(reg.column("r_name"), region)).column(
+        "r_regionkey"
+    )
+    region_nations = nat.filter(
+        pc.is_valid(pc.index_in(nat.column("n_regionkey"), value_set=region_keys))
+    ).column("n_nationkey")
+    target_keys = nat.filter(pc.equal(nat.column("n_name"), target_nation)).column(
+        "n_nationkey"
+    )
+    rn_ref = ray.put(region_nations.combine_chunks())
+    tk_ref = ray.put(target_keys.combine_chunks())
+
+    # region-side custkeys: ONE streaming pass over customer
+    def in_region(batch: pa.Table) -> pa.Table:
+        ks = ray.get(rn_ref)
+        keep = pc.is_valid(pc.index_in(batch.column("c_nationkey"), value_set=ks))
+        return pa.table({"c_custkey": batch.filter(keep).column("c_custkey")})
+
+    region_custs = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        in_region, batch_format="pyarrow"
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        t = batch.filter(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    orders_f = broadcast_semi_join(
+        orders.map_batches(in_window, batch_format="pyarrow"),
+        region_custs,
+        on="o_custkey",
+        right_on="c_custkey",
+        fallback_parts=_join_parts(sf_dir, "orders"),
+    )
+
+    # part-side semi filter: only p_type parts enter the fact join
+    part_keys = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table(
+            {"p_partkey": b.filter(pc.equal(b.column("p_type"), p_type)).column("p_partkey")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    fact = broadcast_semi_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        part_keys,
+        on="l_partkey",
+        right_on="p_partkey",
+        fallback_parts=_join_parts(sf_dir),
+    )
+    fact = broadcast_lookup_join(
+        fact,
+        orders_f,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        payload=["o_year"],
+        fallback_parts=_join_parts(sf_dir),
+    )
+
+    def supp_flag(batch: pa.Table) -> pa.Table:
+        ks = ray.get(tk_ref)
+        return pa.table(
+            {
+                "s_suppkey": batch.column("s_suppkey"),
+                "is_nat": pc.cast(
+                    pc.is_valid(pc.index_in(batch.column("s_nationkey"), value_set=ks)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    fact = broadcast_lookup_join(
+        fact,
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            supp_flag, batch_format="pyarrow"
+        ),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        payload=["is_nat"],
+        fallback_parts=_join_parts(sf_dir, "supplier"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = batch.column("o_year").to_numpy()
+        r = batch.column("rev_c4").to_numpy()
+        flag = batch.column("is_nat").to_numpy()
+        out = {"o_year": [], "n": [], "t_hi": [], "t_lo": [], "s_hi": [], "s_lo": []}
+        for y in np.unique(yr):
+            m = yr == y
+            t_hi, t_lo = _limb_sums(r[m])
+            s_hi, s_lo = _limb_sums(r[m] * flag[m])
+            out["o_year"].append(int(y))
+            out["n"].append(int(m.sum()))
+            out["t_hi"].append(t_hi)
+            out["t_lo"].append(t_lo)
+            out["s_hi"].append(s_hi)
+            out["s_lo"].append(s_lo)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    agg = _scrub_schemaless(
+        fact.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "t_hi", "t_lo", "s_hi", "s_lo")])
+    )
+    out_schema = pa.schema(
+        [
+            ("o_year", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("total_rev_c4", pa.int64()),
+            ("nation_rev_c4", pa.int64()),
+            ("share_ppm", pa.int64()),
+        ]
+    )
+    if agg is None:
+        return out_schema.empty_table()
+    tab = _collect_small(agg, 100_000)  # one row per distinct year
+    if tab is None:
+        raise ValueError("q8: per-year table exceeded the driver budget")
+    rows = {k: [] for k in ("o_year", "n_rows", "total_rev_c4", "nation_rev_c4", "share_ppm")}
+    for i in range(tab.num_rows):
+        total = (int(tab.column("t_hi")[i].as_py()) << _LIMB_SHIFT) + int(
+            tab.column("t_lo")[i].as_py()
+        )
+        natv = (int(tab.column("s_hi")[i].as_py()) << _LIMB_SHIFT) + int(
+            tab.column("s_lo")[i].as_py()
+        )
+        assert total < 2**63 and natv < 2**63, "q8: revenue exceeds int64 output"
+        rows["o_year"].append(int(tab.column("o_year")[i].as_py()))
+        rows["n_rows"].append(int(tab.column("n")[i].as_py()))
+        rows["total_rev_c4"].append(total)
+        rows["nation_rev_c4"].append(natv)
+        rows["share_ppm"].append(
+            0 if total == 0 else (2_000_000 * natv + total) // (2 * total)
+        )
+    return ray.data.from_arrow(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    )

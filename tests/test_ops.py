@@ -6745,3 +6745,138 @@ def test_q19_disjunctive_revenue(ray_session, monkeypatch):
     )
     out2 = relational.q19_disjunctive_revenue("x").to_pandas().iloc[0]
     assert int(out2["n_rows"]) == 0 and int(out2["revenue_c4"]) == 0
+
+
+def test_q15_top_supplier(ray_session, monkeypatch):
+    """Max-over-aggregate WITH ties: both tied winners return, the
+    window excludes out-of-range lines, empty window -> empty table."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from renard_ray.ops import relational
+
+    lineitem = pd.DataFrame(
+        {
+            "l_suppkey": [1, 1, 2, 3, 3],
+            "l_extendedprice": [100.0, 50.0, 150.0, 150.0, 999.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+            "l_shipdate": pd.to_datetime(
+                ["1996-01-05", "1996-02-05", "1996-03-05", "1996-01-20", "1996-06-01"]
+            ),
+        }
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["s1", "s2", "s3"]}
+    )
+    _patch_tables(monkeypatch, {"lineitem": lineitem, "supplier": supplier})
+    out = (
+        relational.q15_top_supplier("x")
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    # supp1: 150.00, supp2: 150.00, supp3: 150.00 in-window — 3-way tie
+    assert out["s_suppkey"].tolist() == [1, 2, 3]
+    assert set(out["total_revenue_c4"]) == {150_00 * 100}
+    assert out["s_name"].tolist() == ["s1", "s2", "s3"]
+
+    empty = relational.q15_top_supplier("x", date_lo="2050-01-01", date_hi="2050-02-01")
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
+
+
+def test_q22_dormant_high_balance(ray_session, monkeypatch):
+    """Exact rational threshold (bal*n == sum is NOT above average),
+    dormancy boundary (== max_orders excluded, no orders counts as 0),
+    and the forced left_outer fallback path agrees with broadcast."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    # positive balances: 10.00, 20.00, 30.00 -> avg 20.00 exactly.
+    # cust2 sits exactly ON the average -> excluded by the strict >.
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_nationkey": [0, 0, 1, 1],
+            "c_acctbal": [10.0, 20.0, 30.0, -5.0],
+        }
+    )
+    orders = pd.DataFrame({"o_custkey": [3, 3]})  # cust3: 2 orders
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["A", "B"]}
+    )
+    tables = {"customer": customer, "orders": orders, "nation": nation}
+    _patch_tables(monkeypatch, tables)
+    out = relational.q22_dormant_high_balance("x", max_orders=2).to_pandas()
+    # only cust3 is above average (30 > 20) but has exactly 2 orders
+    # -> excluded at max_orders=2; nobody qualifies
+    assert len(out) == 0
+
+    out2 = relational.q22_dormant_high_balance("x", max_orders=3).to_pandas()
+    assert out2.values.tolist() == [["B", 1, 3000]]
+
+    # forced hash fallback (broadcast budget 0) must agree
+    monkeypatch.setattr(relational, "_BCAST_ROW_LIMIT", 0)
+    out3 = relational.q22_dormant_high_balance("x", max_orders=3).to_pandas()
+    assert out3.values.tolist() == [["B", 1, 3000]]
+
+
+def test_q8_market_share(ray_session, monkeypatch):
+    """Star-join filters each bite: off-region customer, off-type part
+    and out-of-window order all drop; the share is the exact ppm of
+    target-nation supplier revenue per year."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    region = pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [0, 1, 2],
+            "n_name": ["NATION_3", "NATION_5", "NATION_9"],
+            "n_regionkey": [0, 0, 1],
+        }
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [10, 11], "c_nationkey": [1, 2]}  # 10 in-region, 11 not
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [5, 6], "s_nationkey": [0, 1]}  # 5 is target nation
+    )
+    part = pd.DataFrame(
+        {"p_partkey": [100, 101], "p_type": ["STANDARD", "PROMO"]}
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10, 10, 11],
+            "o_orderdate": pd.to_datetime(["1996-05-01", "1999-01-01", "1996-05-01"]),
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 3],
+            "l_partkey": [100, 100, 101, 100, 100],
+            "l_suppkey": [5, 6, 5, 5, 5],
+            "l_extendedprice": [100.0, 300.0, 999.0, 999.0, 999.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    _patch_tables(
+        monkeypatch,
+        {"region": region, "nation": nation, "customer": customer,
+         "supplier": supplier, "part": part, "orders": orders,
+         "lineitem": lineitem},
+    )
+    out = relational.q8_market_share(
+        "x", target_nation="NATION_3", region="ASIA", p_type="STANDARD"
+    ).to_pandas()
+    # surviving: order1 lines (part 100) — 100.00 from target supp5,
+    # 300.00 from supp6.  order2 out of window, order3 off-region,
+    # part 101 off-type.
+    assert out["o_year"].tolist() == [1996]
+    assert out["n_rows"].tolist() == [2]
+    total, natv = 400_00 * 100, 100_00 * 100
+    assert out["total_rev_c4"].tolist() == [total]
+    assert out["nation_rev_c4"].tolist() == [natv]
+    assert out["share_ppm"].tolist() == [(2_000_000 * natv + total) // (2 * total)]
