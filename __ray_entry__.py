@@ -1591,6 +1591,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zipf_spectrum": lambda sf: __import__(
             "renard_ray.ops.textstats", fromlist=["zipf_spectrum"]
         ).zipf_spectrum(sf),
+        # Heaps-law vocabulary growth (cumulative distinct words per
+        # doc_id decile; first-occurrence = ONE groupby-min, the
+        # inverted-index exchange); exact SQL oracle
+        "doc_heaps_law": lambda sf: __import__(
+            "renard_ray.ops.textstats", fromlist=["heaps_law_curve"]
+        ).heaps_law_curve(sf),
+        # spike-day detection: exact integer z-test per (type, day)
+        # over limb-exact per-type moments; exact SQL oracle
+        "events_daily_anomaly": relational.events_daily_anomaly,
         # JSONL.gz interchange boundary (the format webtext corpora
         # actually ship in): export the documents table as gzipped
         # JSONL shards (one per block, written by the owning task) and
@@ -3180,6 +3189,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "doc_heaps_law": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS word,
+                       doc_id
+                FROM documents WHERE trim(text) != ''
+            ),
+            f AS (SELECT word, MIN(doc_id) AS fd FROM w GROUP BY 1),
+            m AS (SELECT MAX(doc_id) AS mx FROM documents),
+            b AS (
+                SELECT CAST(fd * 10 // (mx + 1) AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS new_words
+                FROM f, m GROUP BY 1
+            )
+            SELECT bucket, new_words,
+                   CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
+                       AS cum_vocab
+            FROM b
+        """,
+        "events_daily_anomaly": """
+            WITH dc AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            mo AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       SUM(n_events) AS s,
+                       SUM(CAST(n_events AS HUGEINT) * n_events) AS ss
+                FROM dc GROUP BY 1
+            )
+            SELECT dc.event_type, CAST(dc.day AS BIGINT) AS day,
+                   CAST(dc.n_events AS BIGINT) AS n_events
+            FROM dc JOIN mo ON mo.event_type = dc.event_type
+            WHERE mo.n >= 5
+              AND mo.n * dc.n_events > mo.s
+              AND CAST(mo.n * dc.n_events - mo.s AS HUGEINT)
+                  * CAST(mo.n * dc.n_events - mo.s AS HUGEINT)
+                  > 4 * (mo.n * mo.ss - CAST(mo.s AS HUGEINT) * mo.s)
+            ORDER BY 1, 2
         """,
         "doc_zipf_spectrum": """
             WITH w AS (

@@ -195,6 +195,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q15_top_supplier",
         "q22_dormant_high_balance",
         "q8_market_share",
+        "doc_heaps_law",
+        "events_daily_anomaly",
         "kg_summary",
         "kg_rich_club",
         "events_user_gini",

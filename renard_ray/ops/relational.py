@@ -5704,3 +5704,130 @@ def q8_market_share(
     return ray.data.from_arrow(
         pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
     )
+
+
+def events_daily_anomaly(
+    sf_dir: str, z: int = 2, min_days: int = 5
+) -> "Dataset | pa.Table":
+    """Spike-day detection: per event type, the calendar days whose
+    event count exceeds the type's mean by more than ``z`` population
+    standard deviations — the volume-anomaly readout behind incident
+    and bot-wave triage.
+
+    Exactness: the z-test is the EXACT integer inequality
+    ``n*c > s  AND  (n*c - s)^2 > z^2 * (n*ss - s^2)`` (both sides in
+    Python bignums — (n*c-s)^2 reaches ~1e30 at web scale, past any
+    machine int), so no float sqrt can flip a boundary day.  Shape
+    notes: ONE (type, day) groupby over the pruned scan builds the
+    bounded day table (one row per type-day — calendar-bounded, NOT
+    corpus-sized); per-type moments reduce from per-batch partials
+    with ``ss`` as base-2^31 limb pairs (day counts square past int64
+    at ~3e9 events/day); the per-type (n, s, ss) map broadcasts into
+    one vectorized-prefilter + exact-boundary pass over the day table.
+    Types below ``min_days`` observed days are skipped (no meaningful
+    variance)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            }
+        )
+
+    day_counts = _scrub_schemaless(
+        ev.map_batches(to_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+    if day_counts is None:
+        return out_schema.empty_table()
+    day_counts = day_counts.materialize()  # feeds moments AND the filter pass
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        c = batch.column("n_events").to_numpy()
+        out = {"event_type": [], "n": [], "s": [], "ss_hi": [], "ss_lo": []}
+        order: dict = {}
+        for i, t in enumerate(types):
+            order.setdefault(t, []).append(i)
+        for t in sorted(order):
+            idx = np.array(order[t], np.int64)
+            cv = c[idx]
+            hi, lo = _limb_sums(cv * cv)
+            out["event_type"].append(t)
+            out["n"].append(len(cv))
+            out["s"].append(int(cv.sum(dtype=np.int64)))
+            out["ss_hi"].append(hi)
+            out["ss_lo"].append(lo)
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                **{
+                    k: pa.array(out[k], pa.int64())
+                    for k in ("n", "s", "ss_hi", "ss_lo")
+                },
+            }
+        )
+
+    moments = _scrub_schemaless(
+        day_counts.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(k, alias_name=k) for k in ("n", "s", "ss_hi", "ss_lo")])
+    )
+    if moments is None:
+        return out_schema.empty_table()
+    # one row per event type: a bounded metric domain, broadcastable
+    mom_tab = _collect_small(moments, 1_000_000)
+    if mom_tab is None:
+        raise ValueError("events_daily_anomaly: type-moment table over budget")
+    mom = {
+        mom_tab.column("event_type")[i].as_py(): (
+            int(mom_tab.column("n")[i].as_py()),
+            int(mom_tab.column("s")[i].as_py()),
+            (int(mom_tab.column("ss_hi")[i].as_py()) << _LIMB_SHIFT)
+            + int(mom_tab.column("ss_lo")[i].as_py()),
+        )
+        for i in range(mom_tab.num_rows)
+    }
+    mom_ref = ray.put(mom)
+    z2 = int(z) * int(z)
+    floor = int(min_days)
+
+    def spikes(batch: pa.Table) -> pa.Table:
+        m = ray.get(mom_ref)
+        types = batch.column("event_type").to_pylist()
+        days = batch.column("day").to_numpy()
+        c = batch.column("n_events").to_numpy()
+        keep = []
+        for i, t in enumerate(types):
+            n, s, ss = m[t]
+            if n < floor:
+                continue
+            lhs = n * int(c[i]) - s  # exact python ints: no wrap at any scale
+            if lhs <= 0:
+                continue
+            if lhs * lhs > z2 * (n * ss - s * s):
+                keep.append(i)
+        idx = pa.array(keep, pa.int32())
+        return pa.table(
+            {
+                "event_type": pc.take(batch.column("event_type"), idx),
+                "day": pc.take(batch.column("day"), idx),
+                "n_events": pc.take(pc.cast(batch.column("n_events"), pa.int64()), idx),
+            }
+        )
+
+    res = _scrub_schemaless(day_counts.map_batches(spikes, batch_format="pyarrow"))
+    if res is None:
+        return out_schema.empty_table()
+    return res.sort(["event_type", "day"])

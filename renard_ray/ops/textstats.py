@@ -1121,3 +1121,87 @@ def source_quality_rollup(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("source")
+
+
+def heaps_law_curve(sf_dir: str, n_buckets: int = 10) -> "Dataset | pa.Table":
+    """Heaps-law vocabulary-growth curve: cumulative distinct-word
+    count after each of ``n_buckets`` equal doc_id ranges of the corpus
+    — the sublinearity (V ~ N^beta, beta < 1) is the corpus-health
+    readout: a LINEAR tail means unbounded novel tokens (OCR noise,
+    serial numbers), a flat early curve means boilerplate.
+
+    Shape notes (100 TB-safe): a word's bucket is the bucket of its
+    FIRST occurrence, so the heavy exchange is ONE ``groupby(word).min
+    (doc_id)`` over per-batch (word, min doc_id) combiner rows — the
+    inverted-index shuffle, inherent to an exact first-occurrence
+    answer; the bucket mapping is exact integer arithmetic
+    ``first_doc * B // (max_doc + 1)`` (uneven only if doc_ids are
+    sparse — documented), the per-bucket count-of-first-occurrences is
+    a second exchange of O(vocabulary) rows, and the cumulative sum
+    runs over <= ``n_buckets`` driver rows."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    mx = (ds.aggregate(Max("doc_id")) or {}).get("max(doc_id)")
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("new_words", pa.int64()),
+            ("cum_vocab", pa.int64()),
+        ]
+    )
+    if mx is None:
+        return out_schema.empty_table()
+    denom = int(mx) + 1
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        seen: dict = {}
+        ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            if not t or not t.strip():
+                continue
+            for w in _WS_RE.split(t.strip()):
+                prev = seen.get(w)
+                if prev is None or did < prev:
+                    seen[w] = did
+        words = sorted(seen)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "fd": pa.array([seen[w] for w in words], pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(first_seen, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("fd", alias_name="fd"))
+    )
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").to_numpy()
+        return pa.table(
+            {"bucket": pa.array(fd * n_buckets // denom, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count
+
+    per_bucket = firsts.map_batches(to_bucket, batch_format="pyarrow").groupby(
+        "bucket"
+    ).aggregate(Count(alias_name="new_words"))
+    # <= n_buckets rows by construction
+    tab = None
+    rows = per_bucket.take_all()
+    if rows:
+        rows.sort(key=lambda r: r["bucket"])
+        cum = 0
+        out = {"bucket": [], "new_words": [], "cum_vocab": []}
+        for r in rows:
+            cum += int(r["new_words"])
+            out["bucket"].append(int(r["bucket"]))
+            out["new_words"].append(int(r["new_words"]))
+            out["cum_vocab"].append(cum)
+        tab = pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    if tab is None:
+        return out_schema.empty_table()
+    return ray.data.from_arrow(tab)

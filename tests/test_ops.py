@@ -6880,3 +6880,97 @@ def test_q8_market_share(ray_session, monkeypatch):
     assert out["total_rev_c4"].tolist() == [total]
     assert out["nation_rev_c4"].tolist() == [natv]
     assert out["share_ppm"].tolist() == [(2_000_000 * natv + total) // (2 * total)]
+
+
+def test_heaps_law_curve(ray_session, monkeypatch):
+    """Multi-bucket vocabulary growth: words bucket at their FIRST
+    occurrence (re-use later never re-counts), the cumulative column
+    is a running sum, empty/whitespace docs are skipped but still
+    extend the doc_id range."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import textstats
+
+    # 10 docs (ids 0..9, so bucket = doc_id with n_buckets=10):
+    # doc0 introduces a b; doc3 reuses a and adds c; doc7 adds d e;
+    # doc9 is whitespace-only (no words, but max_doc stays 9)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 3, 7, 9],
+            "text": ["a b", "a c", "d e a", "   "],
+        }
+    )
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(docs[cols] if cols else docs, preserve_index=False)
+        ).repartition(3),
+    )
+    out = textstats.heaps_law_curve("x").to_pandas()
+    assert out.values.tolist() == [[0, 2, 2], [3, 1, 3], [7, 2, 5]]
+
+    # first-occurrence is the MIN doc_id even across blocks: word 'd'
+    # also in doc 1 -> moves to bucket 1
+    docs2 = pd.DataFrame(
+        {"doc_id": [0, 1, 3, 7], "text": ["a b", "d x", "a c", "d e a"]}
+    )
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(docs2[cols] if cols else docs2, preserve_index=False)
+        ).repartition(4),
+    )
+    out2 = textstats.heaps_law_curve("x").to_pandas()
+    # denom = 8, buckets: doc0 -> 0, doc1 -> 1, doc3 -> 3, doc7 -> 8
+    assert out2.values.tolist() == [[0, 2, 2], [1, 2, 4], [3, 1, 5], [8, 1, 6]]
+
+    # empty corpus
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(docs.iloc[0:0][cols] if cols else docs.iloc[0:0],
+                                 preserve_index=False)
+        ),
+    )
+    empty = textstats.heaps_law_curve("x")
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
+
+
+def test_events_daily_anomaly(ray_session, monkeypatch):
+    """Planted spike: a metronome type with one huge day flags exactly
+    that day; the z-boundary day (lhs^2 == z^2*var-term) does NOT
+    flag; a type with fewer than min_days days is skipped."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    US_DAY = 86_400_000_000
+
+    def mk(day, n, typ):
+        return [
+            {"event_type": typ, "ts": pd.Timestamp(day * US_DAY * 1000, unit="ns")}
+        ] * n
+
+    rows = []
+    # type 'a': 9 days of 10 events + day 9 with 100 events (clear spike)
+    for d in range(9):
+        rows += mk(d, 10, "a")
+    rows += mk(9, 100, "a")
+    # type 'b': only 3 distinct days (< min_days=5) with a wild value
+    rows += mk(0, 1, "b") + mk(1, 1, "b") + mk(2, 500, "b")
+    ev = pd.DataFrame(rows)
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_daily_anomaly("x", z=2, min_days=5).to_pandas()
+    assert out.values.tolist() == [["a", 9, 100]]
+
+    # exact boundary: counts [1,1,1,1,9] -> n=5, s=13, ss=85,
+    # lhs = 5*9-13 = 32, lhs^2 = 1024; z^2*(n*ss - s^2) = 4*256 = 1024
+    # -> equality, strict > must NOT flag
+    rows3 = []
+    for d, n in enumerate([1, 1, 1, 1, 9]):
+        rows3 += mk(d, n, "c")
+    _patch_tables(monkeypatch, {"events": pd.DataFrame(rows3)})
+    out3 = relational.events_daily_anomaly("x", z=2, min_days=5).to_pandas()
+    assert len(out3) == 0
