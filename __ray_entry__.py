@@ -1600,6 +1600,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spike-day detection: exact integer z-test per (type, day)
         # over limb-exact per-type moments; exact SQL oracle
         "events_daily_anomaly": relational.events_daily_anomaly,
+        # cohort lifetime-value triangle (exact cents; |users|x|weeks|
+        # combiner bound, mirrors the retention shape); exact oracle
+        "events_cohort_ltv": relational.events_cohort_ltv,
+        # distributed zipWithIndex: stable 1-based global row numbers
+        # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
+        # carry, two passes over the SAME materialized blocks; exact
+        # ROW_NUMBER oracle
+        "doc_global_row_number": lambda sf: __import__(
+            "renard_ray.ops.textstats", fromlist=["global_row_number"]
+        ).global_row_number(sf),
         # JSONL.gz interchange boundary (the format webtext corpora
         # actually ship in): export the documents table as gzipped
         # JSONL shards (one per block, written by the owning task) and
@@ -3208,6 +3218,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
             FROM b
+        """,
+        "events_cohort_ltv": """
+            WITH uw AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000 AS week,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS spend_c
+                FROM events GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+            )
+            SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+                   CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+                   CAST(SUM(uw.spend_c) AS BIGINT) AS spend_c
+            FROM uw JOIN c ON c.user_id = uw.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_global_row_number": """
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS rn
+            FROM documents
         """,
         "events_daily_anomaly": """
             WITH dc AS (

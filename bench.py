@@ -197,6 +197,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q8_market_share",
         "doc_heaps_law",
         "events_daily_anomaly",
+        "events_cohort_ltv",
+        "doc_global_row_number",
         "kg_summary",
         "kg_rich_club",
         "events_user_gini",

@@ -5831,3 +5831,77 @@ def events_daily_anomaly(
     if res is None:
         return out_schema.empty_table()
     return res.sort(["event_type", "day"])
+
+
+def events_cohort_ltv(sf_dir: str) -> "Dataset | pa.Table":
+    """Cohort lifetime-value triangle: total spend (exact cents) per
+    (cohort week, week offset) cell, where a user's cohort is their
+    FIRST active epoch-week — the revenue companion to the retention
+    matrix (cell [c][k] = what cohort c spent in its k-th week).
+
+    Scale shape (mirrors :func:`events_retention`): the per-batch
+    combiner pre-sums spend per (user, week), so the ONE heavy groupby
+    carries at most |users|x|weeks| rows — never |events|; the cohort
+    map is a groupby-min over that same materialized table; the attach
+    is the size-adaptive lookup join; the final (cohort, offset) sum
+    is an O(cells) exchange."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("week_offset", pa.int64()),
+            ("spend_c", pa.int64()),
+        ]
+    )
+    if ds.count() == 0:  # map_batches skips empty blocks: guard early
+        return out_schema.empty_table()
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        w = pc.divide(_ts_us(batch.column("ts")), _WEEK_US)
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": w,
+                "spend_c": _cents(batch.column("value")),
+            }
+        )
+        # combiner: pre-sum per (user, week) inside the batch
+        return (
+            t.group_by(["user_id", "week"])
+            .aggregate([("spend_c", "sum")])
+            .rename_columns(["user_id", "week", "spend_c"])
+        )
+
+    uw = _scrub_schemaless(
+        ds.map_batches(weeks, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Sum("spend_c", alias_name="spend_c"))
+    )
+    if uw is None:
+        return out_schema.empty_table()
+    uw = uw.materialize()  # feeds the cohort min AND the cell sum
+    cohort = uw.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    joined = broadcast_lookup_join(
+        uw, cohort, on="user_id", right_on="user_id", payload=["cohort_week"]
+    )
+
+    def cell(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": pc.cast(batch.column("cohort_week"), pa.int64()),
+                "week_offset": pc.cast(
+                    pc.subtract(batch.column("week"), batch.column("cohort_week")),
+                    pa.int64(),
+                ),
+                "spend_c": pc.cast(batch.column("spend_c"), pa.int64()),
+            }
+        )
+
+    res = _scrub_schemaless(
+        joined.map_batches(cell, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("spend_c", alias_name="spend_c"))
+    )
+    if res is None:
+        return out_schema.empty_table()
+    return res.sort(["cohort_week", "week_offset"])

@@ -1205,3 +1205,79 @@ def heaps_law_curve(sf_dir: str, n_buckets: int = 10) -> "Dataset | pa.Table":
     if tab is None:
         return out_schema.empty_table()
     return ray.data.from_arrow(tab)
+
+
+def global_row_number(sf_dir: str) -> "Dataset | pa.Table":
+    """Stable global row numbers (1-based) for the corpus ordered by
+    (n_chars DESC, doc_id) — the distributed zipWithIndex primitive
+    behind stable shard assignment, curriculum ordering (longest-first
+    packing) and reproducible id minting.
+
+    Shape (the house sorted-run + O(#blocks) carry): ONE global sort,
+    materialized so both passes see identical blocks; pass 1 reduces
+    each block to (head-key, rows); the driver scans the #blocks
+    summaries in head-key order to hand each block its global offset;
+    pass 2 re-reads the SAME blocks and adds offset + local index —
+    nothing corpus-sized ever reaches the driver.  Head keys are
+    unique because doc_id is unique within the sort key."""
+    ds = _read_documents(sf_dir, ["doc_id", "n_chars"])
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("rn", pa.int64()),
+        ]
+    )
+    if ds.count() == 0:
+        return out_schema.empty_table()
+    sorted_ds = ds.sort(["n_chars", "doc_id"], descending=[True, False]).materialize()
+
+    def head_key(batch: pa.Table) -> str:
+        nc = int(batch.column("n_chars")[0].as_py())
+        did = int(batch.column("doc_id")[0].as_py())
+        assert 0 <= nc < 10**18 and 0 <= did < 10**18
+        # n_chars sorts DESC: invert it so lexicographic asc == global order
+        return "%019d:%019d" % (10**18 - nc, did)
+
+    def summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bk": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "bk": pa.array([head_key(batch)], pa.string()),
+                "rows": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("bk")
+        .reset_index(drop=True)
+    )
+    offsets: dict = {}
+    off = 0
+    for _, row in parts.iterrows():
+        bk = str(row["bk"])
+        assert bk not in offsets, "global_row_number: duplicate block head key"
+        offsets[bk] = off
+        off += int(row["rows"])
+    off_ref = ray.put(offsets)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        start = ray.get(off_ref)[head_key(batch)]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "rn": pa.array(
+                    np.arange(start + 1, start + 1 + batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)

@@ -6974,3 +6974,94 @@ def test_events_daily_anomaly(ray_session, monkeypatch):
     _patch_tables(monkeypatch, {"events": pd.DataFrame(rows3)})
     out3 = relational.events_daily_anomaly("x", z=2, min_days=5).to_pandas()
     assert len(out3) == 0
+
+
+def test_events_cohort_ltv(ray_session, monkeypatch):
+    """Cohort = first active week; cells sum exact cents at the right
+    (cohort, offset); empty events -> schema-ful empty table."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from renard_ray.ops import relational
+
+    WEEK_NS = 7 * 86_400 * 10**9
+
+    def ts(week, frac=0.5):
+        return pd.Timestamp(int((week + frac) * WEEK_NS), unit="ns")
+
+    ev = pd.DataFrame(
+        [
+            # user 1: cohort w0, spends 1.00 + 2.00 in w0, 5.00 in w2
+            {"user_id": 1, "ts": ts(0), "value": 1.0},
+            {"user_id": 1, "ts": ts(0, 0.9), "value": 2.0},
+            {"user_id": 1, "ts": ts(2), "value": 5.0},
+            # user 2: cohort w2, spends 10.00 in w2, 0.50 in w3
+            {"user_id": 2, "ts": ts(2), "value": 10.0},
+            {"user_id": 2, "ts": ts(3), "value": 0.5},
+        ]
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_cohort_ltv("x").to_pandas()
+    assert out.values.tolist() == [
+        [0, 0, 300],   # user1 w0
+        [0, 2, 500],   # user1 w2
+        [2, 0, 1000],  # user2 w2
+        [2, 1, 50],    # user2 w3
+    ]
+
+    _patch_tables(monkeypatch, {"events": ev.iloc[0:0]})
+    empty = relational.events_cohort_ltv("x")
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
+
+
+def test_global_row_number(ray_session, monkeypatch):
+    """zipWithIndex: numbers are a permutation of 1..n, ordered by
+    (n_chars desc, doc_id asc) with the doc_id tie-break, and identical
+    across different partitionings (the offset carry is exact)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import textstats
+
+    rng = np.random.RandomState(7)
+    n = 200
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # heavy ties: only 5 distinct lengths
+            "n_chars": rng.randint(10, 15, size=n).astype(np.int64),
+        }
+    )
+    expect = docs.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    expect["rn"] = np.arange(1, n + 1, dtype=np.int64)
+
+    for parts in (1, 7, 23):
+        monkeypatch.setattr(
+            textstats, "_read_documents",
+            lambda sfd, cols=None, _p=parts: _ray.data.from_arrow(
+                pa.Table.from_pandas(docs[cols] if cols else docs,
+                                     preserve_index=False)
+            ).repartition(_p),
+        )
+        out = (
+            textstats.global_row_number("x")
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == expect["doc_id"].tolist(), parts
+        assert out["rn"].tolist() == expect["rn"].tolist(), parts
+
+    monkeypatch.setattr(
+        textstats, "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(docs.iloc[0:0][cols] if cols else docs.iloc[0:0],
+                                 preserve_index=False)
+        ),
+    )
+    empty = textstats.global_row_number("x")
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
