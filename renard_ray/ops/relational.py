@@ -4977,8 +4977,10 @@ def q10_returned_revenue(
 
     # detail attach: k keys broadcast into ONE streaming pass over
     # customer (semi filter), then a driver-side k-row assembly — the
-    # only rows ever held on the driver are the k winners
-    key_ref = ray.put(top.column("o_custkey").combine_chunks())
+    # only rows ever held on the driver are the k winners.  drop_null:
+    # a null key in the value set would match null-keyed customer rows
+    # via index_in, where SQL inner-join semantics drop them
+    key_ref = ray.put(pc.drop_null(top.column("o_custkey")).combine_chunks())
 
     def pick_customers(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
@@ -5338,7 +5340,8 @@ def q15_top_supplier(
     )
     if winners is None:
         raise ValueError("q15: winner set exceeded the driver budget")
-    key_ref = ray.put(winners.column("l_suppkey").combine_chunks())
+    # drop_null for the same index_in null-matching hazard as q10
+    key_ref = ray.put(pc.drop_null(winners.column("l_suppkey")).combine_chunks())
 
     def pick(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
@@ -5431,7 +5434,7 @@ def q22_dormant_high_balance(
             {
                 "c_custkey": t.column("c_custkey"),
                 "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
-                "bal_c": _cents(t.column("c_acctbal")),
+                "bal_c": bal.filter(keep),
             }
         )
 
@@ -5442,6 +5445,11 @@ def q22_dormant_high_balance(
     if counts is not None:
         cnt_tab = _collect_small(counts, _BCAST_ROW_LIMIT)
         if cnt_tab is not None:
+            # a null o_custkey count group would otherwise MATCH a
+            # null c_custkey probe via index_in — the opposite of the
+            # left_outer fallback's (and the oracle's) null-never-
+            # equals-null semantics
+            cnt_tab = cnt_tab.filter(pc.is_valid(cnt_tab.column("o_custkey")))
             ref = ray.put(cnt_tab.combine_chunks())
 
             def attach(batch: pa.Table) -> pa.Table:
@@ -5753,28 +5761,37 @@ def events_daily_anomaly(
         return out_schema.empty_table()
     day_counts = day_counts.materialize()  # feeds moments AND the filter pass
 
+    _SS = ("ss_a_hi", "ss_a_lo", "ss_b_hi", "ss_b_lo", "ss_c_hi", "ss_c_lo")
+
     def moment_partial(batch: pa.Table) -> pa.Table:
+        # split-square limbs: a plain cv*cv wraps int64 past ~3e9
+        # events on one (type, day) — the overflow class the
+        # burstiness fix established _sq_limbs for
+        from renard_ray.ops.communities import _sq_limbs
+
         types = batch.column("event_type").to_pylist()
         c = batch.column("n_events").to_numpy()
-        out = {"event_type": [], "n": [], "s": [], "ss_hi": [], "ss_lo": []}
+        out: dict = {"event_type": [], "n": [], "s": []}
+        for k in _SS:
+            out[k] = []
         order: dict = {}
         for i, t in enumerate(types):
             order.setdefault(t, []).append(i)
         for t in sorted(order):
             idx = np.array(order[t], np.int64)
             cv = c[idx]
-            hi, lo = _limb_sums(cv * cv)
+            sq = _sq_limbs(cv)
             out["event_type"].append(t)
             out["n"].append(len(cv))
             out["s"].append(int(cv.sum(dtype=np.int64)))
-            out["ss_hi"].append(hi)
-            out["ss_lo"].append(lo)
+            for k, v in zip(_SS, sq):
+                out[k].append(v)
         return pa.table(
             {
                 "event_type": pa.array(out["event_type"], pa.string()),
                 **{
                     k: pa.array(out[k], pa.int64())
-                    for k in ("n", "s", "ss_hi", "ss_lo")
+                    for k in ("n", "s", *_SS)
                 },
             }
         )
@@ -5782,7 +5799,7 @@ def events_daily_anomaly(
     moments = _scrub_schemaless(
         day_counts.map_batches(moment_partial, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(*[Sum(k, alias_name=k) for k in ("n", "s", "ss_hi", "ss_lo")])
+        .aggregate(*[Sum(k, alias_name=k) for k in ("n", "s", *_SS)])
     )
     if moments is None:
         return out_schema.empty_table()
@@ -5790,12 +5807,19 @@ def events_daily_anomaly(
     mom_tab = _collect_small(moments, 1_000_000)
     if mom_tab is None:
         raise ValueError("events_daily_anomaly: type-moment table over budget")
+    def _pair(name: str, i: int) -> int:
+        return (int(mom_tab.column(name + "_hi")[i].as_py()) << _LIMB_SHIFT) + int(
+            mom_tab.column(name + "_lo")[i].as_py()
+        )
+
     mom = {
         mom_tab.column("event_type")[i].as_py(): (
             int(mom_tab.column("n")[i].as_py()),
             int(mom_tab.column("s")[i].as_py()),
-            (int(mom_tab.column("ss_hi")[i].as_py()) << _LIMB_SHIFT)
-            + int(mom_tab.column("ss_lo")[i].as_py()),
+            # sum(c^2) = A*2^62 + B*2^31 + C (split-square recombine)
+            (_pair("ss_a", i) << (2 * _LIMB_SHIFT))
+            + (_pair("ss_b", i) << _LIMB_SHIFT)
+            + _pair("ss_c", i),
         )
         for i in range(mom_tab.num_rows)
     }
