@@ -1603,6 +1603,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort lifetime-value triangle (exact cents; |users|x|weeks|
         # combiner bound, mirrors the retention shape); exact oracle
         "events_cohort_ltv": relational.events_cohort_ltv,
+        # date-arithmetic predicate join (late = shipped > 90 days
+        # after order date), O(|priorities|) final exchange; exact
+        # SQL oracle
+        "q12_late_shipments": relational.q12_late_shipments,
+        # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
+        # min shape); exact SQL oracle
+        "part_cheapest_per_brand": relational.part_cheapest_per_brand,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3218,6 +3225,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
             FROM b
+        """,
+        "q12_late_shipments": """
+            SELECT o.o_orderpriority,
+                   CAST(SUM(CASE WHEN l.l_shipdate >
+                                      o.o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "part_cheapest_per_brand": """
+            WITH m AS (
+                SELECT p_brand,
+                       MIN(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                           AS min_c
+                FROM part GROUP BY 1
+            )
+            SELECT p.p_brand, p.p_partkey,
+                   CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)
+                       AS retailprice_c
+            FROM part p JOIN m ON m.p_brand = p.p_brand
+            WHERE CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT) = m.min_c
+            ORDER BY 1, 2
         """,
         "events_cohort_ltv": """
             WITH uw AS (

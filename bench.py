@@ -198,6 +198,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "doc_heaps_law",
         "events_daily_anomaly",
         "events_cohort_ltv",
+        "q12_late_shipments",
+        "part_cheapest_per_brand",
         "doc_global_row_number",
         "kg_summary",
         "kg_rich_club",

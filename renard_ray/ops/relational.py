@@ -5929,3 +5929,126 @@ def events_cohort_ltv(sf_dir: str) -> "Dataset | pa.Table":
     if res is None:
         return out_schema.empty_table()
     return res.sort(["cohort_week", "week_offset"])
+
+
+def q12_late_shipments(sf_dir: str, grace_days: int = 90) -> "Dataset | pa.Table":
+    """TPC-H Q12-style shipping-delay audit (adapted: the synthetic
+    lineitem has no commit/receipt dates or ship modes, so "late" =
+    shipped more than ``grace_days`` after the order date, reported
+    per order priority): the date-arithmetic predicate JOIN shape —
+    the predicate spans columns of BOTH join sides, so it can only be
+    evaluated after the attach.
+
+    Shape notes: lineitem attaches (o_orderdate, o_orderpriority) via
+    the size-adaptive lookup join (orders keyed UNIQUE); the lateness
+    test is one vectorized integer comparison in epoch-us; per-batch
+    combiner rows (priority, n_late, n_lines) keep the final exchange
+    O(|priorities|)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    fact = broadcast_lookup_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        payload=["o_orderdate", "o_orderpriority"],
+        fallback_parts=_join_parts(sf_dir),
+    )
+    grace_us = int(grace_days) * 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(_ts_us(batch.column("l_shipdate")), pa.int64())
+        ordd = pc.cast(_ts_us(batch.column("o_orderdate")), pa.int64())
+        late = pc.cast(
+            pc.greater(ship, pc.add(ordd, pa.scalar(grace_us, pa.int64()))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "late": late,
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("late", "sum"), ("one", "sum")])
+            .rename_columns(["o_orderpriority", "n_late", "n_lines"])
+        )
+
+    res = _scrub_schemaless(
+        fact.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_late", alias_name="n_late"), Sum("n_lines", alias_name="n_lines")
+        )
+    )
+    if res is None:
+        return pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("n_late", pa.int64()),
+                ("n_lines", pa.int64()),
+            ]
+        ).empty_table()
+    return res.sort("o_orderpriority")
+
+
+def part_cheapest_per_brand(sf_dir: str) -> "Dataset | pa.Table":
+    """Argmin-per-group WITH ties (TPC-H Q2's inner correlated-min
+    shape on the available columns): every part whose retail price
+    equals its brand's minimum.
+
+    Shape notes: ONE groupby-min over exact cents builds the
+    |brands|-sized minimum map; the join-back is the size-adaptive
+    lookup join and the equality filter is vectorized — ties all
+    survive, exactly as the correlated ``= (SELECT MIN ...)`` does."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "p_brand": batch.column("p_brand"),
+                "retailprice_c": _cents(batch.column("p_retailprice")),
+            }
+        )
+
+    rows = part.map_batches(derive, batch_format="pyarrow").materialize()
+    mins = _scrub_schemaless(
+        rows.groupby("p_brand").aggregate(Min("retailprice_c", alias_name="min_c"))
+    )
+    out_schema = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("p_partkey", pa.int64()),
+            ("retailprice_c", pa.int64()),
+        ]
+    )
+    if mins is None:
+        return out_schema.empty_table()
+    joined = broadcast_lookup_join(
+        rows,
+        mins,
+        on="p_brand",
+        right_on="p_brand",
+        payload=["min_c"],
+        fallback_parts=_join_parts(sf_dir, "part"),
+    )
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.equal(batch.column("retailprice_c"), batch.column("min_c"))
+        )
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "retailprice_c": pc.cast(t.column("retailprice_c"), pa.int64()),
+            }
+        )
+
+    res = _scrub_schemaless(joined.map_batches(keep_min, batch_format="pyarrow"))
+    if res is None:
+        return out_schema.empty_table()
+    return res.sort(["p_brand", "p_partkey"])

@@ -7065,3 +7065,49 @@ def test_global_row_number(ray_session, monkeypatch):
     )
     empty = textstats.global_row_number("x")
     assert isinstance(empty, pa.Table) and empty.num_rows == 0
+
+
+def test_q12_late_shipments(ray_session, monkeypatch):
+    """The cross-side date predicate: exactly-90-days is NOT late
+    (strict >), 91 days is; counts land in the right priority."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": pd.to_datetime(["1996-01-01", "1996-01-01"]),
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_shipdate": pd.to_datetime(
+                ["1996-03-31", "1996-04-01", "1996-01-02"]  # +90, +91, +1 days
+            ),
+        }
+    )
+    _patch_tables(monkeypatch, {"orders": orders, "lineitem": lineitem})
+    out = relational.q12_late_shipments("x").to_pandas()
+    assert out.values.tolist() == [["1-URGENT", 1, 2], ["2-HIGH", 0, 1]]
+
+
+def test_part_cheapest_per_brand(ray_session, monkeypatch):
+    """Argmin with ties: BOTH parts at the brand minimum survive; a
+    lone-part brand returns itself."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_brand": ["A", "A", "A", "B"],
+            "p_retailprice": [5.00, 5.00, 9.99, 7.50],
+        }
+    )
+    _patch_tables(monkeypatch, {"part": part})
+    out = relational.part_cheapest_per_brand("x").to_pandas()
+    assert out.values.tolist() == [["A", 1, 500], ["A", 2, 500], ["B", 4, 750]]
