@@ -1607,6 +1607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # after order date), O(|priorities|) final exchange; exact
         # SQL oracle
         "q12_late_shipments": relational.q12_late_shipments,
+        # RFM segmentation: three generic two-pass global-rank attaches
+        # (sorted-run + O(#blocks) carry) + SQL-exact NTILE tile
+        # formula; O(k^3) final groupby; exact SQL oracle
+        "events_rfm_segments": relational.events_rfm_segments,
         # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
         # min shape); exact SQL oracle
         "part_cheapest_per_brand": relational.part_cheapest_per_brand,
@@ -3225,6 +3229,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
             FROM b
+        """,
+        "events_rfm_segments": """
+            WITH prof AS (
+                SELECT user_id,
+                       MAX(epoch_us(ts)) AS last_us,
+                       COUNT(*) AS n_events,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS spend_c
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT user_id, spend_c,
+                       NTILE(4) OVER (ORDER BY last_us DESC, user_id)
+                           AS r_quartile,
+                       NTILE(4) OVER (ORDER BY n_events DESC, user_id)
+                           AS f_quartile,
+                       NTILE(4) OVER (ORDER BY spend_c DESC, user_id)
+                           AS m_quartile
+                FROM prof
+            )
+            SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+                   CAST(f_quartile AS BIGINT) AS f_quartile,
+                   CAST(m_quartile AS BIGINT) AS m_quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(spend_c) AS BIGINT) AS spend_c
+            FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "q12_late_shipments": """
             SELECT o.o_orderpriority,

@@ -7111,3 +7111,62 @@ def test_part_cheapest_per_brand(ray_session, monkeypatch):
     _patch_tables(monkeypatch, {"part": part})
     out = relational.part_cheapest_per_brand("x").to_pandas()
     assert out.values.tolist() == [["A", 1, 500], ["A", 2, 500], ["B", 4, 750]]
+
+
+def test_events_rfm_segments(ray_session, monkeypatch):
+    """NTILE parity against a pandas replica (first n%k tiles take the
+    extra row — the even-spread formula diverges at n=6, k=4), best
+    user lands in (1,1,1), multi-block stable."""
+    import numpy as np
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    # 6 users, k=4 -> tile sizes 2,2,1,1 (NTILE), NOT 2,1,2,1
+    rng = np.random.RandomState(3)
+    rows = []
+    for u in range(1, 7):
+        n_ev = u  # user u has u events -> frequency rank deterministic
+        for j in range(n_ev):
+            rows.append(
+                {
+                    "user_id": u,
+                    "ts": pd.Timestamp(2020, 1, u, j),  # later day = more recent
+                    "value": float(u),  # spend u*u total... varies
+                }
+            )
+    ev = pd.DataFrame(rows)
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_rfm_segments("x").to_pandas()
+
+    # pandas replica with SQL NTILE semantics
+    prof = (
+        ev.assign(us=ev.ts.astype("int64") // 1000, cents=(ev.value * 100).round().astype(int))
+        .groupby("user_id")
+        .agg(last_us=("us", "max"), n_events=("us", "count"), spend_c=("cents", "sum"))
+        .reset_index()
+    )
+
+    def ntile(df, col, k=4):
+        o = df.sort_values([col, "user_id"], ascending=[False, True]).reset_index()
+        n = len(o)
+        q, rem = divmod(n, k)
+        cut = rem * (q + 1)
+        b = {}
+        for i, uid in enumerate(o["user_id"], start=1):
+            b[uid] = (i - 1) // (q + 1) + 1 if i <= cut else rem + (i - 1 - cut) // q + 1
+        return df["user_id"].map(b)
+
+    prof["r"] = ntile(prof, "last_us")
+    prof["f"] = ntile(prof, "n_events")
+    prof["m"] = ntile(prof, "spend_c")
+    want = (
+        prof.groupby(["r", "f", "m"])
+        .agg(n_users=("user_id", "count"), spend_c=("spend_c", "sum"))
+        .reset_index()
+        .sort_values(["r", "f", "m"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == want.values.tolist()
+    # user 6 (most recent, most frequent, biggest spender) is a 1-1-1
+    assert [1, 1, 1] in out[["r_quartile", "f_quartile", "m_quartile"]].values.tolist()
