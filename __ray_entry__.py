@@ -1611,6 +1611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (sorted-run + O(#blocks) carry) + SQL-exact NTILE tile
         # formula; O(k^3) final groupby; exact SQL oracle
         "events_rfm_segments": relational.events_rfm_segments,
+        # first-touch attribution: encoded-key Min argmin (no window,
+        # no sort), user-bounded join, O(|types|) final; exact oracle
+        "events_first_touch": relational.events_first_touch_attribution,
         # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
         # min shape); exact SQL oracle
         "part_cheapest_per_brand": relational.part_cheapest_per_brand,
@@ -3229,6 +3232,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
             FROM b
+        """,
+        "events_first_touch": """
+            WITH f AS (
+                SELECT user_id, event_type AS first_touch,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            p AS (
+                SELECT user_id, COUNT(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT f.first_touch,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(p.n_purchases) AS BIGINT) AS n_purchases
+            FROM p JOIN f ON f.user_id = p.user_id AND f.rn = 1
+            GROUP BY 1 ORDER BY 1
         """,
         "events_rfm_segments": """
             WITH prof AS (

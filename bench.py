@@ -200,6 +200,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_cohort_ltv",
         "q12_late_shipments",
         "events_rfm_segments",
+        "events_first_touch",
         "part_cheapest_per_brand",
         "doc_global_row_number",
         "kg_summary",

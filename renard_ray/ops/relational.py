@@ -6224,3 +6224,95 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
     if res is None:
         return out_schema.empty_table()
     return res.sort(["r_quartile", "f_quartile", "m_quartile"])
+
+
+def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
+    """First-touch attribution: every purchase credits the user's
+    FIRST-ever event type (the marketing-attribution counterpart of
+    the as-of last-touch join) — per first-touch channel, how many
+    purchasing users and purchases it "acquired".
+
+    Shape notes: the per-user first event is ONE argmin groupby — the
+    encoded-key Min pattern (zero-padded (ts_us, event_id) prefix +
+    the type, so the Min aggregate IS the (ts, event_id) tie-broken
+    argmin, no sort, no window); purchases reduce per user in the same
+    scan family; a size-adaptive lookup join glues the two
+    user-bounded tables; final groupby is O(|types|)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out_schema = pa.schema(
+        [
+            ("first_touch", pa.string()),
+            ("n_users", pa.int64()),
+            ("n_purchases", pa.int64()),
+        ]
+    )
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    def enc(batch: pa.Table) -> pa.Table:
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        assert pc.min(us).as_py() is None or pc.min(us).as_py() >= 0, (
+            "first_touch: pre-epoch ts breaks the zero-padded argmin key"
+        )
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(us, pa.string()), 19, padding="0"),
+            pc.utf8_lpad(pc.cast(batch.column("event_id"), pa.string()), 19, padding="0"),
+            batch.column("event_type"),
+            "",
+        )
+        return pa.table({"user_id": batch.column("user_id"), "k": key})
+
+    first = (
+        ds.map_batches(enc, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("k", alias_name="k"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "first_touch": pc.utf8_slice_codeunits(batch.column("k"), 38),
+            }
+        )
+
+    first = first.map_batches(decode, batch_format="pyarrow")
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        g = t.select(["user_id"]).group_by(["user_id"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "n"])
+
+    per_user = _scrub_schemaless(
+        ds.map_batches(purchases, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_purchases"))
+    )
+    if per_user is None:
+        return out_schema.empty_table()
+    joined = broadcast_lookup_join(
+        per_user, first, on="user_id", right_on="user_id", payload=["first_touch"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "first_touch": batch.column("first_touch"),
+                "u": pa.array(np.ones(batch.num_rows, np.int64)),
+                "p": pc.cast(batch.column("n_purchases"), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["first_touch"])
+            .aggregate([("u", "sum"), ("p", "sum")])
+            .rename_columns(["first_touch", "u", "p"])
+        )
+
+    res = _scrub_schemaless(
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("first_touch")
+        .aggregate(Sum("u", alias_name="n_users"), Sum("p", alias_name="n_purchases"))
+    )
+    if res is None:
+        return out_schema.empty_table()
+    return res.sort("first_touch")

@@ -7170,3 +7170,38 @@ def test_events_rfm_segments(ray_session, monkeypatch):
     assert out.values.tolist() == want.values.tolist()
     # user 6 (most recent, most frequent, biggest spender) is a 1-1-1
     assert [1, 1, 1] in out[["r_quartile", "f_quartile", "m_quartile"]].values.tolist()
+
+
+def test_events_first_touch(ray_session, monkeypatch):
+    """Argmin tie-break (same ts -> lower event_id wins), purchases
+    credit the FIRST event's type, non-purchasers don't appear."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from renard_ray.ops import relational
+
+    t0 = pd.Timestamp("2020-01-01")
+    ev = pd.DataFrame(
+        [
+            # user 1: first touch 'ad' (ts tie with 'view', lower id)
+            {"user_id": 1, "ts": t0, "event_id": 5, "event_type": "ad"},
+            {"user_id": 1, "ts": t0, "event_id": 9, "event_type": "view"},
+            {"user_id": 1, "ts": t0 + pd.Timedelta("1h"), "event_id": 11,
+             "event_type": "purchase"},
+            {"user_id": 1, "ts": t0 + pd.Timedelta("2h"), "event_id": 12,
+             "event_type": "purchase"},
+            # user 2: first touch 'view', one purchase
+            {"user_id": 2, "ts": t0, "event_id": 20, "event_type": "view"},
+            {"user_id": 2, "ts": t0 + pd.Timedelta("1h"), "event_id": 21,
+             "event_type": "purchase"},
+            # user 3: never purchases
+            {"user_id": 3, "ts": t0, "event_id": 30, "event_type": "view"},
+        ]
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_first_touch_attribution("x").to_pandas()
+    assert out.values.tolist() == [["ad", 1, 2], ["view", 1, 1]]
+
+    _patch_tables(monkeypatch, {"events": ev.iloc[0:0]})
+    empty = relational.events_first_touch_attribution("x")
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
