@@ -7205,3 +7205,39 @@ def test_events_first_touch(ray_session, monkeypatch):
     _patch_tables(monkeypatch, {"events": ev.iloc[0:0]})
     empty = relational.events_first_touch_attribution("x")
     assert isinstance(empty, pa.Table) and empty.num_rows == 0
+
+
+def test_attach_global_rank_signed_hypothesis(ray_session):
+    """Property: _attach_global_rank equals numpy lexsort rank for
+    random SIGNED values (the OFF-shifted packing must order negatives
+    correctly in both directions) across partitionings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops.relational import _attach_global_rank
+
+    rng = np.random.RandomState(11)
+    for trial, parts in ((0, 5), (1, 13)):
+        n = 120
+        vals = rng.randint(-10**6, 10**6, size=n).astype(np.int64)
+        vals[: n // 3] = rng.randint(-3, 3, size=n // 3)  # heavy ties near 0
+        ids = rng.permutation(n).astype(np.int64)
+        df = pd.DataFrame({"v": vals, "i": ids})
+        ds = _ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(parts)
+        for desc in (False, True):
+            out = (
+                _attach_global_rank(ds, "v", "i", descending=desc)
+                .to_pandas()
+                .sort_values("i")
+                .reset_index(drop=True)
+            )
+            o = df.sort_values(["v", "i"], ascending=[not desc, True]).reset_index(
+                drop=True
+            )
+            o["rn"] = np.arange(1, n + 1)
+            want = o.sort_values("i").reset_index(drop=True)
+            assert out["rn"].tolist() == want["rn"].tolist(), (trial, parts, desc)
