@@ -1614,6 +1614,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-touch attribution: encoded-key Min argmin (no window,
         # no sort), user-bounded join, O(|types|) final; exact oracle
         "events_first_touch": relational.events_first_touch_attribution,
+        # sweep-line peak concurrent sessions: session bounds WITHOUT
+        # session-id materialization (deferred block-edge open/close),
+        # prefix-MAX sorted-run carry; exact SQL oracle
+        "events_peak_concurrency": relational.events_peak_concurrency,
         # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
         # min shape); exact SQL oracle
         "part_cheapest_per_brand": relational.part_cheapest_per_brand,
@@ -3232,6 +3236,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
             FROM b
+        """,
+        "events_peak_concurrency": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ),
+            b AS (
+                SELECT user_id, sid,
+                       MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) AS en
+                FROM s GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT st AS t, 1 AS d FROM b
+                UNION ALL SELECT en, -1 FROM b
+            ),
+            r AS (
+                SELECT t, SUM(d) OVER (ORDER BY t, d DESC
+                                       ROWS UNBOUNDED PRECEDING) AS c
+                FROM d
+            )
+            SELECT CAST(MAX(c) AS BIGINT) AS peak,
+                   CAST(MIN(CASE WHEN c = (SELECT MAX(c) FROM r)
+                                 THEN t END) AS BIGINT) AS at_us
+            FROM r
         """,
         "events_first_touch": """
             WITH f AS (

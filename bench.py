@@ -201,6 +201,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q12_late_shipments",
         "events_rfm_segments",
         "events_first_touch",
+        "events_peak_concurrency",
         "part_cheapest_per_brand",
         "doc_global_row_number",
         "kg_summary",

@@ -6316,3 +6316,227 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
     if res is None:
         return out_schema.empty_table()
     return res.sort("first_touch")
+
+
+def events_peak_concurrency(
+    sf_dir: str, gap_minutes: int = 30
+) -> "Dataset | pa.Table":
+    """Peak concurrent sessions (sweep line): the maximum number of
+    30-minute-gap sessions active at one instant, plus the earliest
+    microsecond that peak is reached — the capacity-planning readout.
+
+    Shape notes (two sorted-run passes, nothing corpus-sized on the
+    driver):
+
+    1. Session BOUNDS without materializing session ids: after ONE
+       (user, ts, event_id) sort, a row opens a session iff its
+       previous same-user gap exceeds the threshold and closes one iff
+       its next same-user gap does.  Interior rows decide locally; each
+       block defers only its FIRST row's open-decision and LAST row's
+       close-decision to an O(#blocks) driver stitch over block-edge
+       records.
+    2. The sweep itself: (+1 at session start, -1 at session end)
+       delta rows, globally sorted by (t, +1-before--1) so touching
+       sessions count as concurrent (inclusive intervals); each block
+       reduces to (total_delta, best_prefix, earliest t at best) and
+       the O(#blocks) driver carry adds running offsets — the
+       sorted-run carry applied to a prefix-MAX instead of a prefix
+       sum.  Within a block the prefix is vectorized cumsum/argmax."""
+    gap_us = int(gap_minutes) * 60_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out_schema = pa.schema([("peak", pa.int64()), ("at_us", pa.int64())])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(_ts_us(batch.column("ts")), pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .sort(["user_id", "us", "event_id"])
+        .materialize()
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "t": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+                "eid": pa.array([], pa.int64()),
+                "user": pa.array([], pa.int64()),
+                "bk": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy()
+        t = batch.column("us").to_numpy()
+        eids = batch.column("event_id").to_numpy()
+        n = len(u)
+        same_prev = np.zeros(n, bool)
+        same_prev[1:] = u[1:] == u[:-1]
+        gap_prev = np.zeros(n, np.int64)
+        gap_prev[1:] = t[1:] - t[:-1]
+        opens = ~same_prev | (gap_prev > gap_us)  # valid except row 0
+        same_next = np.zeros(n, bool)
+        same_next[:-1] = same_prev[1:]
+        gap_next = np.zeros(n, np.int64)
+        gap_next[:-1] = gap_prev[1:]
+        closes = ~same_next | (gap_next > gap_us)  # valid except row n-1
+        # interior decisions (row 0's open and row n-1's close defer)
+        oi = np.nonzero(opens)[0]
+        oi = oi[oi > 0]
+        ci = np.nonzero(closes)[0]
+        ci = ci[ci < n - 1]
+        eid0 = int(batch.column("event_id")[0].as_py())
+        assert 0 <= int(u[0]) < 10**18 and 0 <= int(t[0]) < 10**18
+        bk = "%019d:%019d:%019d" % (int(u[0]), int(t[0]), eid0)
+        rows = pa.table(
+            {
+                "kind": pa.array(["d"] * (len(oi) + len(ci)), pa.string()),
+                "t": pa.array(np.concatenate([t[oi], t[ci]]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(oi), np.int64), -np.ones(len(ci), np.int64)]
+                    )
+                ),
+                "eid": pa.array(np.concatenate([eids[oi], eids[ci]]), pa.int64()),
+                "user": pa.array(np.zeros(len(oi) + len(ci), np.int64)),
+                "bk": pa.array([""] * (len(oi) + len(ci)), pa.string()),
+            }
+        )
+        edges = pa.table(
+            {
+                "kind": pa.array(["first", "last"], pa.string()),
+                "t": pa.array([int(t[0]), int(t[-1])], pa.int64()),
+                "d": pa.array([0, 0], pa.int64()),
+                "eid": pa.array([int(eids[0]), int(eids[-1])], pa.int64()),
+                "user": pa.array([int(u[0]), int(u[-1])], pa.int64()),
+                "bk": pa.array([bk, bk], pa.string()),
+            }
+        )
+        return pa.concat_tables([rows, edges])
+
+    marked = sorted_ds.map_batches(
+        deltas, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # O(#blocks) stitch: decide each block's first-row open and
+    # last-row close using the neighbouring block's edge record
+    edges_df = (
+        marked.filter(expr="kind != 'd'").to_pandas().sort_values(["bk", "kind"])
+    )
+    firsts = edges_df[edges_df["kind"] == "first"].reset_index(drop=True)
+    lasts = edges_df[edges_df["kind"] == "last"].reset_index(drop=True)
+    extra_t: list = []
+    extra_d: list = []
+    extra_e: list = []
+    nb = len(firsts)
+    for i in range(nb):
+        # first row of block i: previous row is last row of block i-1
+        fu, ft = int(firsts["user"][i]), int(firsts["t"][i])
+        if i == 0 or int(lasts["user"][i - 1]) != fu or (
+            ft - int(lasts["t"][i - 1]) > gap_us
+        ):
+            extra_t.append(ft)
+            extra_d.append(1)
+            extra_e.append(int(firsts["eid"][i]))
+        # last row of block i: next row is first row of block i+1
+        lu, lt = int(lasts["user"][i]), int(lasts["t"][i])
+        if i == nb - 1 or int(firsts["user"][i + 1]) != lu or (
+            int(firsts["t"][i + 1]) - lt > gap_us
+        ):
+            extra_t.append(lt)
+            extra_d.append(-1)
+            extra_e.append(int(lasts["eid"][i]))
+    extra = ray.data.from_arrow(
+        pa.table(
+            {
+                "t": pa.array(extra_t, pa.int64()),
+                "d": pa.array(extra_d, pa.int64()),
+                "eid": pa.array(extra_e, pa.int64()),
+            }
+        )
+    )
+    interior = marked.filter(expr="kind == 'd'").select_columns(["t", "d", "eid"])
+    sweep = interior.union(extra)
+
+    def order_key(batch: pa.Table) -> pa.Table:
+        # +1 sorts before -1 at equal t: inclusive intervals — a
+        # session ending at t overlaps one starting at t.  eid makes
+        # the sort key UNIQUE ((event, d) is unique), so block head
+        # keys cannot collide and the driver carry recovers the exact
+        # global block order.
+        return pa.table(
+            {
+                "t": batch.column("t"),
+                "nd": pc.subtract(pa.scalar(0, pa.int64()), batch.column("d")),
+                "eid": batch.column("eid"),
+                "d": batch.column("d"),
+            }
+        )
+
+    swept = (
+        sweep.map_batches(order_key, batch_format="pyarrow")
+        .sort(["t", "nd", "eid"])
+        .materialize()
+    )
+
+    def prefix_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bk": pa.array([], pa.string()),
+                    "total": pa.array([], pa.int64()),
+                    "best": pa.array([], pa.int64()),
+                    "best_t": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.column("t").to_numpy()
+        d = batch.column("d").to_numpy()
+        c = np.cumsum(d)
+        j = int(np.argmax(c))  # earliest index at the block max
+        assert 0 <= int(t[0]) < 10**18
+        bk = "%019d:%02d:%019d" % (
+            int(t[0]),
+            int(batch.column("nd")[0].as_py()) + 1,
+            int(batch.column("eid")[0].as_py()),
+        )
+        return pa.table(
+            {
+                "bk": pa.array([bk], pa.string()),
+                "total": pa.array([int(c[-1])], pa.int64()),
+                "best": pa.array([int(c[j])], pa.int64()),
+                "best_t": pa.array([int(t[j])], pa.int64()),
+            }
+        )
+
+    parts = (
+        swept.map_batches(prefix_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("bk")
+        .reset_index(drop=True)
+    )
+    peak = None
+    at = None
+    offset = 0
+    for _, row in parts.iterrows():
+        cand = offset + int(row["best"])
+        if peak is None or cand > peak:
+            peak = cand
+            at = int(row["best_t"])
+        offset += int(row["total"])
+    if peak is None:
+        return out_schema.empty_table()
+    return ray.data.from_arrow(
+        pa.table(
+            {"peak": pa.array([peak], pa.int64()), "at_us": pa.array([at], pa.int64())}
+        )
+    )

@@ -7241,3 +7241,99 @@ def test_attach_global_rank_signed_hypothesis(ray_session):
             o["rn"] = np.arange(1, n + 1)
             want = o.sort_values("i").reset_index(drop=True)
             assert out["rn"].tolist() == want["rn"].tolist(), (trial, parts, desc)
+
+
+def test_events_peak_concurrency(ray_session, monkeypatch):
+    """Sweep-line: hand case with a known peak (touching sessions DO
+    overlap — inclusive intervals), plus a randomized pandas-replica
+    parity sweep across 25 tiny blocks so block-edge open/close
+    deferrals and the prefix-MAX carry all exercise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    MIN = 60_000_000  # one minute in us
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1] * 1000, unit="ns") for r in rows],
+                "event_id": [r[2] for r in rows],
+            }
+        )
+
+    # user1: session [0, 10min]; user2: session [10min, 20min] —
+    # touching at 10min -> concurrent (peak 2 at exactly 10min);
+    # user3: isolated session [100min] (after both)
+    ev = mk(
+        [
+            (1, 0 * MIN, 1),
+            (1, 10 * MIN, 2),
+            (2, 10 * MIN, 3),
+            (2, 20 * MIN, 4),
+            (3, 100 * MIN, 5),
+        ]
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_peak_concurrency("x").to_pandas()
+    assert out.values.tolist() == [[2, 10 * MIN]]
+
+    # user1's two events 31min apart are TWO sessions (strict > 30min)
+    ev2 = mk([(1, 0, 1), (1, 31 * MIN, 2)])
+    _patch_tables(monkeypatch, {"events": ev2})
+    out2 = relational.events_peak_concurrency("x").to_pandas()
+    assert out2["peak"].tolist() == [1]
+
+    # randomized parity vs a pandas replica
+    rng = np.random.RandomState(23)
+    rows = []
+    eid = 0
+    for u in range(1, 31):
+        t = int(rng.randint(0, 50)) * MIN
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append((u, t, eid))
+            t += int(rng.randint(1, 45)) * MIN  # gaps straddle 30min
+    ev3 = mk(rows)
+
+    def replica(df):
+        gap = 30 * MIN
+        deltas = []
+        for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+            us = (g.ts.astype("int64") // 1000).tolist()
+            start = us[0]
+            prev = us[0]
+            for x in us[1:]:
+                if x - prev > gap:
+                    deltas.append((start, 1))
+                    deltas.append((prev, -1))
+                    start = x
+                prev = x
+            deltas.append((start, 1))
+            deltas.append((prev, -1))
+        deltas.sort(key=lambda p: (p[0], -p[1]))
+        c = best = 0
+        at = None
+        for t, d in deltas:
+            c += d
+            if c > best:
+                best, at = c, t
+        return best, at
+
+    want_peak, want_at = replica(ev3)
+    import ray as _ray2
+
+    from renard_ray.ops import relational as R
+
+    monkeypatch.setattr(
+        R, "_read",
+        lambda sfd, table, cols=None: _ray2.data.from_arrow(
+            pa.Table.from_pandas(ev3[cols] if cols else ev3, preserve_index=False)
+        ).repartition(25),
+    )
+    out3 = R.events_peak_concurrency("x").to_pandas()
+    assert out3.values.tolist() == [[want_peak, want_at]]
