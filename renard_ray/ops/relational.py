@@ -5944,7 +5944,18 @@ def q12_late_shipments(sf_dir: str, grace_days: int = 90) -> "Dataset | pa.Table
     test is one vectorized integer comparison in epoch-us; per-batch
     combiner rows (priority, n_late, n_lines) keep the final exchange
     O(|priorities|)."""
+    out_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("n_late", pa.int64()),
+            ("n_lines", pa.int64()),
+        ]
+    )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    # map_batches SKIPS empty blocks: an empty lineitem would feed the
+    # raw pre-join schema into groupby (the round-3 empty-data hazard)
+    if li.count() == 0:
+        return out_schema.empty_table()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
     fact = broadcast_lookup_join(
         li,
@@ -5957,8 +5968,8 @@ def q12_late_shipments(sf_dir: str, grace_days: int = 90) -> "Dataset | pa.Table
     grace_us = int(grace_days) * 86_400_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        ship = pc.cast(_ts_us(batch.column("l_shipdate")), pa.int64())
-        ordd = pc.cast(_ts_us(batch.column("o_orderdate")), pa.int64())
+        ship = _ts_us(batch.column("l_shipdate"))
+        ordd = _ts_us(batch.column("o_orderdate"))
         late = pc.cast(
             pc.greater(ship, pc.add(ordd, pa.scalar(grace_us, pa.int64()))),
             pa.int64(),
@@ -5984,13 +5995,7 @@ def q12_late_shipments(sf_dir: str, grace_days: int = 90) -> "Dataset | pa.Table
         )
     )
     if res is None:
-        return pa.schema(
-            [
-                ("o_orderpriority", pa.string()),
-                ("n_late", pa.int64()),
-                ("n_lines", pa.int64()),
-            ]
-        ).empty_table()
+        return out_schema.empty_table()
     return res.sort("o_orderpriority")
 
 
@@ -6003,7 +6008,18 @@ def part_cheapest_per_brand(sf_dir: str) -> "Dataset | pa.Table":
     |brands|-sized minimum map; the join-back is the size-adaptive
     lookup join and the equality filter is vectorized — ties all
     survive, exactly as the correlated ``= (SELECT MIN ...)`` does."""
+    out_schema = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("p_partkey", pa.int64()),
+            ("retailprice_c", pa.int64()),
+        ]
+    )
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    # entry guard: with 0 rows, derive is skipped on the empty blocks
+    # and the groupby would see the raw parquet schema
+    if part.count() == 0:
+        return out_schema.empty_table()
 
     def derive(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -6017,13 +6033,6 @@ def part_cheapest_per_brand(sf_dir: str) -> "Dataset | pa.Table":
     rows = part.map_batches(derive, batch_format="pyarrow").materialize()
     mins = _scrub_schemaless(
         rows.groupby("p_brand").aggregate(Min("retailprice_c", alias_name="min_c"))
-    )
-    out_schema = pa.schema(
-        [
-            ("p_brand", pa.string()),
-            ("p_partkey", pa.int64()),
-            ("retailprice_c", pa.int64()),
-        ]
     )
     if mins is None:
         return out_schema.empty_table()
@@ -6062,9 +6071,9 @@ def _attach_global_rank(
     ascending) — the two-pass sorted-run + O(#blocks) offset-carry
     shape of ``textstats.global_row_number``, generalized.
 
-    Returns a Dataset of (id_col, rn).  Values and ids must be int64
-    in [-4.5e17, 4.5e17] (asserted): they pack into fixed-width head
-    keys whose lexicographic order equals the sort order."""
+    Returns the input columns plus ``rn``.  Values and ids must be
+    int64 in [-4.5e17, 4.5e17] (asserted): they pack into fixed-width
+    head keys whose lexicographic order equals the sort order."""
     OFF = 5 * 10**17  # signed values pack as v + OFF, still 18 digits
 
     sorted_ds = ds.sort([value_col, id_col], descending=[descending, False]).materialize()
@@ -6103,19 +6112,20 @@ def _attach_global_rank(
         off += int(row["rows"])
     off_ref = ray.put(offsets)
 
+    _sch = ds.schema()
+    out_schema = pa.schema(
+        list(zip(_sch.names, _sch.types)) + [("rn", pa.int64())]
+    )
+
     def attach(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "rn": pa.array([], pa.int64())}
-            )
+            return out_schema.empty_table()
         start = ray.get(off_ref)[head_key(batch)]
-        return pa.table(
-            {
-                id_col: pc.cast(batch.column(id_col), pa.int64()),
-                "rn": pa.array(
-                    np.arange(start + 1, start + 1 + batch.num_rows, dtype=np.int64)
-                ),
-            }
+        return batch.append_column(
+            "rn",
+            pa.array(
+                np.arange(start + 1, start + 1 + batch.num_rows, dtype=np.int64)
+            ),
         )
 
     return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
@@ -6154,7 +6164,7 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "us": pc.cast(_ts_us(batch.column("ts")), pa.int64()),
+                "us": _ts_us(batch.column("ts")),
                 "spend_c": _cents(batch.column("value")),
             }
         )
@@ -6250,9 +6260,14 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
         return out_schema.empty_table()
 
     def enc(batch: pa.Table) -> pa.Table:
-        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        us = _ts_us(batch.column("ts"))
         assert pc.min(us).as_py() is None or pc.min(us).as_py() >= 0, (
             "first_touch: pre-epoch ts breaks the zero-padded argmin key"
+        )
+        eid_min = pc.min(batch.column("event_id")).as_py()
+        assert eid_min is None or eid_min >= 0, (
+            "first_touch: negative event_id breaks the zero-padded key "
+            "(the '-' exceeds the 19-char field and shifts the decode)"
         )
         key = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(us, pa.string()), 19, padding="0"),
@@ -6352,7 +6367,7 @@ def events_peak_concurrency(
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "us": pc.cast(_ts_us(batch.column("ts")), pa.int64()),
+                "us": _ts_us(batch.column("ts")),
                 "event_id": batch.column("event_id"),
             }
         )
@@ -6397,6 +6412,7 @@ def events_peak_concurrency(
         ci = ci[ci < n - 1]
         eid0 = int(batch.column("event_id")[0].as_py())
         assert 0 <= int(u[0]) < 10**18 and 0 <= int(t[0]) < 10**18
+        assert 0 <= eid0 < 10**18, "peak_concurrency: event_id pack range"
         bk = "%019d:%019d:%019d" % (int(u[0]), int(t[0]), eid0)
         rows = pa.table(
             {
@@ -6503,11 +6519,13 @@ def events_peak_concurrency(
         d = batch.column("d").to_numpy()
         c = np.cumsum(d)
         j = int(np.argmax(c))  # earliest index at the block max
+        eid0 = int(batch.column("eid")[0].as_py())
         assert 0 <= int(t[0]) < 10**18
+        assert 0 <= eid0 < 10**18, "peak_concurrency: event_id pack range"
         bk = "%019d:%02d:%019d" % (
             int(t[0]),
             int(batch.column("nd")[0].as_py()) + 1,
-            int(batch.column("eid")[0].as_py()),
+            eid0,
         )
         return pa.table(
             {

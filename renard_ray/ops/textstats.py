@@ -1230,54 +1230,9 @@ def global_row_number(sf_dir: str) -> "Dataset | pa.Table":
     )
     if ds.count() == 0:
         return out_schema.empty_table()
-    sorted_ds = ds.sort(["n_chars", "doc_id"], descending=[True, False]).materialize()
+    from renard_ray.ops.relational import _attach_global_rank
 
-    def head_key(batch: pa.Table) -> str:
-        nc = int(batch.column("n_chars")[0].as_py())
-        did = int(batch.column("doc_id")[0].as_py())
-        assert 0 <= nc < 10**18 and 0 <= did < 10**18
-        # n_chars sorts DESC: invert it so lexicographic asc == global order
-        return "%019d:%019d" % (10**18 - nc, did)
-
-    def summary(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {"bk": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "bk": pa.array([head_key(batch)], pa.string()),
-                "rows": pa.array([batch.num_rows], pa.int64()),
-            }
-        )
-
-    parts = (
-        sorted_ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-        .sort_values("bk")
-        .reset_index(drop=True)
-    )
-    offsets: dict = {}
-    off = 0
-    for _, row in parts.iterrows():
-        bk = str(row["bk"])
-        assert bk not in offsets, "global_row_number: duplicate block head key"
-        offsets[bk] = off
-        off += int(row["rows"])
-    off_ref = ray.put(offsets)
-
-    def attach(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        start = ray.get(off_ref)[head_key(batch)]
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
-                "rn": pa.array(
-                    np.arange(start + 1, start + 1 + batch.num_rows, dtype=np.int64)
-                ),
-            }
-        )
-
-    return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    # delegate to the generic two-pass rank primitive (relational.py):
+    # value = n_chars DESC, id = doc_id — it returns the input columns
+    # plus rn, which is exactly this op's output shape
+    return _attach_global_rank(ds, "n_chars", "doc_id", descending=True)
