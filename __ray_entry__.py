@@ -1618,6 +1618,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-id materialization (deferred block-edge open/close),
         # prefix-MAX sorted-run carry; exact SQL oracle
         "events_peak_concurrency": relational.events_peak_concurrency,
+        # Deequ-style per-column profile (nulls, exact distinct, mode
+        # with min-value tie) via per-column value-count groupbys +
+        # encoded-key Min argmax; exact SQL oracle
+        "orders_profile": relational.orders_profile,
         # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
         # min shape); exact SQL oracle
         "part_cheapest_per_brand": relational.part_cheapest_per_brand,
@@ -3236,6 +3240,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
             FROM b
+        """,
+        "orders_profile": """
+            WITH s_o_orderstatus AS (SELECT CAST(o_orderstatus AS VARCHAR) AS v FROM orders),
+            g_o_orderstatus AS (SELECT v, COUNT(*) AS n FROM s_o_orderstatus WHERE v IS NOT NULL GROUP BY 1),
+            s_o_orderpriority AS (SELECT CAST(o_orderpriority AS VARCHAR) AS v FROM orders),
+            g_o_orderpriority AS (SELECT v, COUNT(*) AS n FROM s_o_orderpriority WHERE v IS NOT NULL GROUP BY 1),
+            s_o_custkey AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+            g_o_custkey AS (SELECT v, COUNT(*) AS n FROM s_o_custkey WHERE v IS NOT NULL GROUP BY 1)
+            SELECT 'o_orderstatus' AS "column",
+                   CAST((SELECT COUNT(*) FROM s_o_orderstatus WHERE v IS NULL)
+                        AS BIGINT) AS n_nulls,
+                   CAST((SELECT COUNT(*) FROM g_o_orderstatus) AS BIGINT)
+                       AS n_distinct,
+                   (SELECT v FROM g_o_orderstatus ORDER BY n DESC, v LIMIT 1)
+                       AS top_value,
+                   CAST(COALESCE((SELECT n FROM g_o_orderstatus
+                                  ORDER BY n DESC, v LIMIT 1), 0)
+                        AS BIGINT) AS top_freq
+            UNION ALL
+            SELECT 'o_orderpriority' AS "column",
+                   CAST((SELECT COUNT(*) FROM s_o_orderpriority WHERE v IS NULL)
+                        AS BIGINT) AS n_nulls,
+                   CAST((SELECT COUNT(*) FROM g_o_orderpriority) AS BIGINT)
+                       AS n_distinct,
+                   (SELECT v FROM g_o_orderpriority ORDER BY n DESC, v LIMIT 1)
+                       AS top_value,
+                   CAST(COALESCE((SELECT n FROM g_o_orderpriority
+                                  ORDER BY n DESC, v LIMIT 1), 0)
+                        AS BIGINT) AS top_freq
+            UNION ALL
+            SELECT 'o_custkey' AS "column",
+                   CAST((SELECT COUNT(*) FROM s_o_custkey WHERE v IS NULL)
+                        AS BIGINT) AS n_nulls,
+                   CAST((SELECT COUNT(*) FROM g_o_custkey) AS BIGINT)
+                       AS n_distinct,
+                   (SELECT v FROM g_o_custkey ORDER BY n DESC, v LIMIT 1)
+                       AS top_value,
+                   CAST(COALESCE((SELECT n FROM g_o_custkey
+                                  ORDER BY n DESC, v LIMIT 1), 0)
+                        AS BIGINT) AS top_freq
         """,
         "events_peak_concurrency": """
             WITH g AS (

@@ -6558,3 +6558,148 @@ def events_peak_concurrency(
             {"peak": pa.array([peak], pa.int64()), "at_us": pa.array([at], pa.int64())}
         )
     )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
+    """Per-column data profile of the orders table (the Deequ-style
+    quality report): null count, exact distinct count, and the modal
+    value with its frequency (ties -> smallest value, so the row is a
+    pure function of the data) for each profiled column.
+
+    Shape notes: each column gets ONE value-count groupby fed by
+    per-batch combiners (the exchange carries distinct values per
+    batch, not rows); the distinct count and the argmax reduce from
+    that same table — the mode is an encoded-key Min aggregate
+    ((inverted count, value) packed fixed-width, the house argmax
+    pattern), so nothing value-domain-sized reaches the driver beyond
+    one row per column.  Values profile as their VARCHAR rendering
+    (exactly DuckDB's CAST(x AS VARCHAR) for ints/strings — the
+    profiled columns are chosen to be exactly renderable; floats
+    would not be)."""
+    ds = _read(sf_dir, "orders", list(_PROFILE_COLS))
+    out_schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n_nulls", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("top_value", pa.string()),
+            ("top_freq", pa.int64()),
+        ]
+    )
+    if ds.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "column": pa.array(list(_PROFILE_COLS), pa.string()),
+                    "n_nulls": pa.array([0] * len(_PROFILE_COLS), pa.int64()),
+                    "n_distinct": pa.array([0] * len(_PROFILE_COLS), pa.int64()),
+                    "top_value": pa.array([None] * len(_PROFILE_COLS), pa.string()),
+                    "top_freq": pa.array([0] * len(_PROFILE_COLS), pa.int64()),
+                }
+            )
+        )
+
+    def combiner(batch: pa.Table, col: str) -> pa.Table:
+        s = pc.cast(batch.column(col), pa.string())
+        nulls = batch.num_rows - int(pc.count(s).as_py())
+        t = pa.table({"v": s}).filter(pc.is_valid(s))
+        g = t.group_by(["v"]).aggregate([("v", "count")]).rename_columns(["v", "n"])
+        # the batch's null total rides one marker row: Ray's hash
+        # groupby cannot sort None among string keys, so ALL keys are
+        # prefix-encoded ("v:" + value / "n:" for the marker — no
+        # collision possible, decoded after the argmax)
+        vals = pa.table(
+            {
+                "v": pc.binary_join_element_wise("v:", g.column("v"), ""),
+                "n": pc.cast(g.column("n"), pa.int64()),
+                "nulls": pa.array([0] * g.num_rows, pa.int64()),
+            }
+        )
+        null_row = pa.table(
+            {
+                "v": pa.array(["n:"], pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "nulls": pa.array([nulls], pa.int64()),
+            }
+        )
+        return pa.concat_tables([vals, null_row])
+
+    rows = []
+    for col in _PROFILE_COLS:
+        counts = _scrub_schemaless(
+            ds.map_batches(
+                lambda b, c=col: combiner(b, c), batch_format="pyarrow"
+            )
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"))
+        )
+        if counts is None:
+            rows.append((col, 0, 0, None, 0))
+            continue
+
+        def enc(batch: pa.Table) -> pa.Table:
+            # argmax with ties -> min value: Min over the packed
+            # (inverted count, value) key; count < 1e18 asserted.
+            # The batch's null total rides a dedicated null-key row
+            # (Min skips nulls), so it survives even when the batch
+            # holds no real values.
+            valid = batch.filter(pc.greater(batch.column("n"), 0))
+            nv = valid.column("n").to_numpy()
+            assert (nv < 10**18).all(), "orders_profile: count pack range"
+            inv_v = pa.array(
+                ["%019d" % (10**18 - int(x)) for x in nv], pa.string()
+            )
+            # strip the "v:" prefix the combiner added
+            key = pc.binary_join_element_wise(
+                inv_v, pc.utf8_slice_codeunits(valid.column("v"), 2), "\x1f"
+            )
+            batch_nulls = int(pc.sum(batch.column("nulls")).as_py() or 0)
+            vals = pa.table(
+                {
+                    "key": key,
+                    "one": pa.array(np.ones(valid.num_rows, np.int64)),
+                    "nulls": pa.array(np.zeros(valid.num_rows, np.int64)),
+                }
+            )
+            null_row = pa.table(
+                {
+                    "key": pa.array([None], pa.string()),
+                    "one": pa.array([0], pa.int64()),
+                    "nulls": pa.array([batch_nulls], pa.int64()),
+                }
+            )
+            return pa.concat_tables([vals, null_row])
+
+        agg = counts.map_batches(enc, batch_format="pyarrow").aggregate(
+            Min("key", alias_name="best"),
+            Sum("one", alias_name="n_distinct"),
+            Sum("nulls", alias_name="n_nulls"),
+        ) or {}
+        best = agg.get("best")
+        if best is None:
+            rows.append((col, int(agg.get("n_nulls") or 0), 0, None, 0))
+            continue
+        inv_s, _, val = best.partition("\x1f")
+        rows.append(
+            (
+                col,
+                int(agg.get("n_nulls") or 0),
+                int(agg.get("n_distinct") or 0),
+                val,
+                10**18 - int(inv_s),
+            )
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.string()),
+                "n_nulls": pa.array([r[1] for r in rows], pa.int64()),
+                "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+                "top_value": pa.array([r[3] for r in rows], pa.string()),
+                "top_freq": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )

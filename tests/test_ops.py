@@ -7337,3 +7337,27 @@ def test_events_peak_concurrency(ray_session, monkeypatch):
     )
     out3 = R.events_peak_concurrency("x").to_pandas()
     assert out3.values.tolist() == [[want_peak, want_at]]
+
+
+def test_orders_profile(ray_session, monkeypatch):
+    """Profile exactness: null counts survive any batching (the marker
+    row), modal tie picks the SMALLEST value string, ints render as
+    VARCHAR, distinct excludes nulls."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    orders = pd.DataFrame(
+        {
+            "o_orderstatus": ["F", "O", "F", "O", None, None],
+            "o_orderpriority": ["1-URGENT"] * 6,
+            "o_custkey": pd.array([10, 9, 10, 9, 9, None], dtype="Int64"),
+        }
+    )
+    _patch_tables(monkeypatch, {"orders": orders})
+    out = relational.orders_profile("x").to_pandas().set_index("column")
+    # status: F x2, O x2 -> tie, 'F' < 'O'
+    assert out.loc["o_orderstatus"].tolist() == [2, 2, "F", 2]
+    assert out.loc["o_orderpriority"].tolist() == [0, 1, "1-URGENT", 6]
+    # custkey: 9 x3 beats 10 x2; VARCHAR rendering
+    assert out.loc["o_custkey"].tolist() == [1, 2, "9", 3]
