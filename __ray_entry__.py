@@ -1622,6 +1622,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with min-value tie) via per-column value-count groupbys +
         # encoded-key Min argmax; exact SQL oracle
         "orders_profile": relational.orders_profile,
+        # session-duration summary: sum(ends) - sum(starts) over the
+        # shared boundary deltas — no pairing, limb-exact; exact
+        # SQL oracle
+        "events_session_stats": relational.events_session_stats,
         # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
         # min shape); exact SQL oracle
         "part_cheapest_per_brand": relational.part_cheapest_per_brand,
@@ -3239,6 +3243,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, new_words,
                    CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
                        AS cum_vocab
+            FROM b
+        """,
+        "events_session_stats": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ),
+            b AS (
+                SELECT user_id, sid,
+                       MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) AS en
+                FROM s GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CAST(en - st AS HUGEINT)) // 1000000 AS BIGINT)
+                       AS total_duration_s,
+                   CAST((2 * SUM(CAST(en - st AS HUGEINT)) + COUNT(*) * 1000)
+                        // (2 * COUNT(*) * 1000) AS BIGINT)
+                       AS avg_duration_ms
             FROM b
         """,
         "orders_profile": """

@@ -202,6 +202,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_rfm_segments",
         "events_first_touch",
         "events_peak_concurrency",
+        "events_session_stats",
         "orders_profile",
         "part_cheapest_per_brand",
         "doc_global_row_number",

@@ -6333,35 +6333,19 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
     return res.sort("first_touch")
 
 
-def events_peak_concurrency(
-    sf_dir: str, gap_minutes: int = 30
-) -> "Dataset | pa.Table":
-    """Peak concurrent sessions (sweep line): the maximum number of
-    30-minute-gap sessions active at one instant, plus the earliest
-    microsecond that peak is reached — the capacity-planning readout.
-
-    Shape notes (two sorted-run passes, nothing corpus-sized on the
-    driver):
-
-    1. Session BOUNDS without materializing session ids: after ONE
-       (user, ts, event_id) sort, a row opens a session iff its
-       previous same-user gap exceeds the threshold and closes one iff
-       its next same-user gap does.  Interior rows decide locally; each
-       block defers only its FIRST row's open-decision and LAST row's
-       close-decision to an O(#blocks) driver stitch over block-edge
-       records.
-    2. The sweep itself: (+1 at session start, -1 at session end)
-       delta rows, globally sorted by (t, +1-before--1) so touching
-       sessions count as concurrent (inclusive intervals); each block
-       reduces to (total_delta, best_prefix, earliest t at best) and
-       the O(#blocks) driver carry adds running offsets — the
-       sorted-run carry applied to a prefix-MAX instead of a prefix
-       sum.  Within a block the prefix is vectorized cumsum/argmax."""
-    gap_us = int(gap_minutes) * 60_000_000
+def _session_boundary_deltas(sf_dir: str, gap_us: int) -> "Dataset | None":
+    """(t, d=+1/-1, eid) sweep rows — one +1 at each session's first
+    event and one -1 at its last — WITHOUT materializing session ids:
+    after ONE (user, ts, event_id) sort, a row opens a session iff its
+    previous same-user gap exceeds the threshold and closes one iff
+    its next same-user gap does.  Interior rows decide locally; each
+    block defers only its FIRST row's open-decision and LAST row's
+    close-decision to an O(#blocks) driver stitch over block-edge
+    records.  Returns None on an empty events table.  Shared by the
+    sweep-line peak and the session-duration statistics."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-    out_schema = pa.schema([("peak", pa.int64()), ("at_us", pa.int64())])
     if ds.count() == 0:
-        return out_schema.empty_table()
+        return None
 
     def norm(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -6412,7 +6396,7 @@ def events_peak_concurrency(
         ci = ci[ci < n - 1]
         eid0 = int(batch.column("event_id")[0].as_py())
         assert 0 <= int(u[0]) < 10**18 and 0 <= int(t[0]) < 10**18
-        assert 0 <= eid0 < 10**18, "peak_concurrency: event_id pack range"
+        assert 0 <= eid0 < 10**18, "session_deltas: event_id pack range"
         bk = "%019d:%019d:%019d" % (int(u[0]), int(t[0]), eid0)
         rows = pa.table(
             {
@@ -6482,7 +6466,28 @@ def events_peak_concurrency(
         )
     )
     interior = marked.filter(expr="kind == 'd'").select_columns(["t", "d", "eid"])
-    sweep = interior.union(extra)
+    return interior.union(extra)
+
+
+def events_peak_concurrency(
+    sf_dir: str, gap_minutes: int = 30
+) -> "Dataset | pa.Table":
+    """Peak concurrent sessions (sweep line): the maximum number of
+    30-minute-gap sessions active at one instant, plus the earliest
+    microsecond that peak is reached — the capacity-planning readout.
+
+    Shape notes: session-boundary (+1/-1) rows come from the shared
+    two-pass machinery (``_session_boundary_deltas``); the sweep sorts
+    them by (t, +1-before--1) so touching sessions count as concurrent
+    (inclusive intervals), each block reduces to (total_delta,
+    best_prefix, earliest t at best) and the O(#blocks) driver carry
+    adds running offsets — the sorted-run carry applied to a
+    prefix-MAX instead of a prefix sum.  Within a block the prefix is
+    vectorized cumsum/argmax."""
+    out_schema = pa.schema([("peak", pa.int64()), ("at_us", pa.int64())])
+    sweep = _session_boundary_deltas(sf_dir, int(gap_minutes) * 60_000_000)
+    if sweep is None:
+        return out_schema.empty_table()
 
     def order_key(batch: pa.Table) -> pa.Table:
         # +1 sorts before -1 at equal t: inclusive intervals — a
@@ -6700,6 +6705,71 @@ def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
                 "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
                 "top_value": pa.array([r[3] for r in rows], pa.string()),
                 "top_freq": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def events_session_stats(
+    sf_dir: str, gap_minutes: int = 30
+) -> "Dataset | pa.Table":
+    """Session-duration summary: session count, total duration and
+    exact average duration of the 30-minute-gap sessions — the
+    engagement-depth readout next to the sessionize counts.
+
+    The trick: durations need NO start/end pairing — over the shared
+    boundary deltas (``_session_boundary_deltas``), sum(t at ends) -
+    sum(t at starts) IS the total duration because every session
+    contributes exactly one of each (sessions never overlap within a
+    user).  Both sums ride as base-2^31 limb pairs (epoch-us ~1.7e15
+    per row wraps a plain int64 sum past ~5e3 sessions) and the count
+    is the +1 total; the average is the exact half-away recipe in
+    Python bignums.  No sort, no pairing, ONE aggregate over the
+    delta rows."""
+    out_schema = pa.schema(
+        [
+            ("n_sessions", pa.int64()),
+            ("total_duration_s", pa.int64()),
+            ("avg_duration_ms", pa.int64()),
+        ]
+    )
+    sweep = _session_boundary_deltas(sf_dir, int(gap_minutes) * 60_000_000)
+    if sweep is None:
+        return out_schema.empty_table()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy()
+        d = batch.column("d").to_numpy()
+        st_hi, st_lo = _limb_sums(t[d == 1])
+        en_hi, en_lo = _limb_sums(t[d == -1])
+        return pa.table(
+            {
+                "n": pa.array([int((d == 1).sum())], pa.int64()),
+                "st_hi": pa.array([st_hi], pa.int64()),
+                "st_lo": pa.array([st_lo], pa.int64()),
+                "en_hi": pa.array([en_hi], pa.int64()),
+                "en_lo": pa.array([en_lo], pa.int64()),
+            }
+        )
+
+    agg = sweep.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "st_hi", "st_lo", "en_hi", "en_lo")]
+    ) or {}
+    n = int(agg.get("n") or 0)
+    if n == 0:
+        return out_schema.empty_table()
+    start_sum = ((int(agg.get("st_hi") or 0)) << _LIMB_SHIFT) + int(agg.get("st_lo") or 0)
+    end_sum = ((int(agg.get("en_hi") or 0)) << _LIMB_SHIFT) + int(agg.get("en_lo") or 0)
+    dur_us = end_sum - start_sum
+    total_s = dur_us // 1_000_000
+    avg_ms = (2 * dur_us + n * 1000) // (2 * n * 1000)
+    assert total_s < 2**63 and avg_ms < 2**63
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_sessions": pa.array([n], pa.int64()),
+                "total_duration_s": pa.array([total_s], pa.int64()),
+                "avg_duration_ms": pa.array([avg_ms], pa.int64()),
             }
         )
     )

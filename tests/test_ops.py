@@ -7339,6 +7339,80 @@ def test_events_peak_concurrency(ray_session, monkeypatch):
     assert out3.values.tolist() == [[want_peak, want_at]]
 
 
+def test_events_session_stats(ray_session, monkeypatch):
+    """Duration by sum(ends)-sum(starts): hand case (two 10-min
+    sessions + a single-event zero-duration one), the strict-31-min
+    split, and a randomized pandas-sessionize replica across 25 tiny
+    blocks so the block-edge open/close deferrals exercise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    MIN = 60_000_000  # one minute in us
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1] * 1000, unit="ns") for r in rows],
+                "event_id": [r[2] for r in rows],
+            }
+        )
+
+    # user1 [0,10min], user2 [10,20min], user3 single event (0s)
+    ev = mk([(1, 0, 1), (1, 10 * MIN, 2), (2, 10 * MIN, 3), (2, 20 * MIN, 4), (3, 100 * MIN, 5)])
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_session_stats("x").to_pandas()
+    # total 1200s; avg = 1.2e9us / 3 sessions = 400000ms exactly
+    assert out.values.tolist() == [[3, 1200, 400000]]
+
+    # 31-min gap splits (strict > 30min): two zero-duration sessions
+    ev2 = mk([(1, 0, 1), (1, 31 * MIN, 2)])
+    _patch_tables(monkeypatch, {"events": ev2})
+    out2 = relational.events_session_stats("x").to_pandas()
+    assert out2.values.tolist() == [[2, 0, 0]]
+
+    # randomized parity vs a pandas sessionize replica, 25 tiny blocks
+    rng = np.random.RandomState(41)
+    rows = []
+    eid = 0
+    for u in range(1, 31):
+        t = int(rng.randint(0, 50)) * MIN
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append((u, t, eid))
+            t += int(rng.randint(1, 45)) * MIN  # gaps straddle 30min
+    ev3 = mk(rows)
+
+    def replica(df):
+        gap = 30 * MIN
+        durs = []
+        for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+            us = (g.ts.astype("int64") // 1000).tolist()
+            start = prev = us[0]
+            for x in us[1:]:
+                if x - prev > gap:
+                    durs.append(prev - start)
+                    start = x
+                prev = x
+            durs.append(prev - start)
+        n = len(durs)
+        tot = sum(durs)
+        return [n, tot // 1_000_000, (2 * tot + n * 1000) // (2 * n * 1000)]
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(ev3[cols] if cols else ev3, preserve_index=False)
+        ).repartition(25),
+    )
+    out3 = relational.events_session_stats("x").to_pandas()
+    assert out3.values.tolist() == [replica(ev3)]
+
+
 def test_orders_profile(ray_session, monkeypatch):
     """Profile exactness: null counts survive any batching (the marker
     row), modal tie picks the SMALLEST value string, ints render as
