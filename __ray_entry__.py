@@ -1629,6 +1629,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmin-per-group WITH ties join-back (TPC-H Q2's correlated
         # min shape); exact SQL oracle
         "part_cheapest_per_brand": relational.part_cheapest_per_brand,
+        # Q21 shape: EXISTS + NOT-EXISTS via one (order, supplier)
+        # distinct reduce + per-order counts join-back; exact SQL oracle
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        # Q9 shape: part-name semi-join + nation x order-year rollup
+        # (minus the partsupp cost term the corpus lacks); exact SQL
+        "q9_widget_revenue": relational.q9_widget_revenue,
+        # Q11 shape: HAVING against a global scalar (6/5 of the mean
+        # per-part revenue), limb-exact total; exact SQL oracle
+        "q11_important_parts": relational.q11_important_parts,
+        # Q16 shape: COUNT DISTINCT suppliers per part group + NOT IN
+        # exclusion; exact SQL oracle
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        # Q20 shape: nested semi-joins, share-of-part-quantity filter
+        # (4q > total); exact SQL oracle
+        "q20_heavy_suppliers": relational.q20_heavy_suppliers,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3413,6 +3428,77 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN m ON m.p_brand = p.p_brand
             WHERE CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT) = m.min_c
             ORDER BY 1, 2
+        """,
+        "q21_sole_late_supplier": """
+            WITH ls AS (
+                SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       MAX(CASE WHEN l_shipdate > o_orderdate
+                                     + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ),
+            oc AS (
+                SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late
+                FROM ls GROUP BY 1
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM ls JOIN oc USING (ok) JOIN supplier ON sk = s_suppkey
+            WHERE late = 1 AND n_supp > 1 AND n_late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "q9_widget_revenue": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%widget%')
+            GROUP BY 1, 2
+        """,
+        "q11_important_parts": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100, 0)
+                                         AS BIGINT))) AS v
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey, CAST(v AS BIGINT) AS value_c4 FROM pv
+            WHERE v * (SELECT COUNT(*) FROM pv) * 5
+                  > 6 * (SELECT SUM(v) FROM pv)
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_size IN (1, 9, 16, 24, 29, 35, 42, 47)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_nationkey = 3)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_heavy_suppliers": """
+            WITH sq AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS q
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%widget%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                GROUP BY 1, 2
+            ),
+            pt AS (SELECT pk, SUM(q) AS tq FROM sq GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM sq JOIN pt USING (pk) JOIN supplier ON sk = s_suppkey
+            WHERE 4 * q > tq
         """,
         "events_cohort_ltv": """
             WITH uw AS (

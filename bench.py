@@ -203,6 +203,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_first_touch",
         "events_peak_concurrency",
         "events_session_stats",
+        "q21_sole_late_supplier",
+        "q16_supplier_part_counts",
         "orders_profile",
         "part_cheapest_per_brand",
         "doc_global_row_number",

@@ -6773,3 +6773,476 @@ def events_session_stats(
             }
         )
     )
+
+
+def q21_sole_late_supplier(
+    sf_dir: str, late_days: int = 60, k: int = 100
+) -> "Dataset | pa.Table":
+    """TPC-H Q21 shape (the EXISTS + NOT-EXISTS lineitem
+    self-correlation) re-expressed with this corpus's columns:
+    suppliers who were the SOLE late shipper (l_shipdate more than
+    ``late_days`` past o_orderdate) on a multi-supplier finalized
+    ('F') order, ranked by how many orders they alone kept waiting.
+
+    Shape notes: the correlated EXISTS pair needs NO self-join —
+    after ONE (order, supplier) distinct-with-late-flag reduce
+    (per-batch group_by combiner feeds the groupby, so the exchange
+    carries one row per (order, supplier) per batch), the per-order
+    supplier count and late-supplier count come from a second groupby
+    over that ALREADY-reduced table, join back by order key
+    (size-adaptive: broadcast under the row budget, hash join past
+    it), and the EXISTS ("another supplier") / NOT-EXISTS ("no other
+    late supplier") pair becomes the vectorized filter
+    ``late == 1 AND n_supp > 1 AND n_late == 1``.  The final
+    per-supplier count is O(|suppliers|)."""
+    out_schema = pa.schema([("s_name", pa.string()), ("numwait", pa.int64())])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def f_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        return batch.select(["o_orderkey", "o_orderdate"])
+
+    of = orders.map_batches(f_orders, batch_format="pyarrow")
+    if li.count() == 0 or of.count() == 0:
+        return out_schema.empty_table()
+    nparts = _join_parts(sf_dir)
+    joined = broadcast_lookup_join(
+        li, of, on="l_orderkey", right_on="o_orderkey",
+        payload=["o_orderdate"], fallback_parts=nparts,
+    )
+    late_us = int(late_days) * 86_400_000_000
+
+    def combine(batch: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                pc.subtract(
+                    _ts_us(batch.column("l_shipdate")),
+                    _ts_us(batch.column("o_orderdate")),
+                ),
+                pa.scalar(late_us, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "ok": batch.column("l_orderkey"),
+                "sk": batch.column("l_suppkey"),
+                "late": late,
+            }
+        )
+        return t.group_by(["ok", "sk"]).aggregate([("late", "max")]).rename_columns(
+            ["ok", "sk", "late"]
+        )
+
+    # one row per (order, supplier): bounded by the lineitem row count,
+    # materialized once because BOTH the per-order counts and the
+    # join-back consume it
+    ls = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby(["ok", "sk"])
+        .aggregate(Max("late", alias_name="late"))
+        .materialize()
+    )
+    oc = ls.groupby("ok").aggregate(
+        Count(alias_name="n_supp"), Sum("late", alias_name="n_late")
+    )
+    back = broadcast_lookup_join(
+        ls, oc, on="ok", right_on="ok",
+        payload=["n_supp", "n_late"], fallback_parts=nparts,
+    )
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(batch.column("late"), 1),
+                pc.greater(batch.column("n_supp"), 1),
+            ),
+            pc.equal(batch.column("n_late"), 1),
+        )
+        return batch.filter(keep).select(["sk"])
+
+    waits = (
+        back.map_batches(qualify, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Count(alias_name="numwait"))
+    )
+    named = broadcast_lookup_join(
+        waits,
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="sk", right_on="s_suppkey", payload=["s_name"],
+    ).select_columns(["s_name", "numwait"])
+    scrubbed = _scrub_schemaless(named)
+    if scrubbed is None or scrubbed.count() == 0:
+        return out_schema.empty_table()
+    return scrubbed.sort(["numwait", "s_name"], descending=[True, False]).limit(k)
+
+
+def q9_widget_revenue(sf_dir: str, name_part: str = "widget") -> "Dataset | pa.Table":
+    """TPC-H Q9 shape (product-line profit by supplier nation and
+    order year) minus the partsupp cost term this corpus lacks:
+    discounted revenue of lineitems whose PART NAME contains
+    ``name_part``, grouped by the supplier's nation and the order
+    year.
+
+    Shape notes: the part-name predicate reduces to a key SET that
+    semi-joins lineitem (broadcast under the row budget, hash join
+    past it — parts are vocabulary-bounded relative to lineitem), a
+    per-batch (orderkey, suppkey) revenue combiner shrinks the only
+    fact-scale exchange, the order year attaches via ONE
+    size-adaptive lookup join, and nation labels ride two tiny
+    broadcast lookups; the final groupby is O(|nations| x |years|)."""
+    out_schema = pa.schema(
+        [
+            ("nation", pa.string()),
+            ("o_year", pa.int64()),
+            ("revenue_c4", pa.int64()),
+        ]
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    if li.count() == 0 or part.count() == 0:
+        return out_schema.empty_table()
+
+    def f_parts(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("p_name"), name_part)
+        return batch.filter(keep).select(["p_partkey"])
+
+    wparts = part.map_batches(f_parts, batch_format="pyarrow")
+    nparts = _join_parts(sf_dir)
+    li_w = broadcast_semi_join(
+        li, wparts, on="l_partkey", right_on="p_partkey", fallback_parts=nparts
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc_pct = _cents(batch.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.table(
+            {
+                "ok": batch.column("l_orderkey"),
+                "sk": batch.column("l_suppkey"),
+                "revenue_c4": rev,
+            }
+        )
+        return t.group_by(["ok", "sk"]).aggregate([("revenue_c4", "sum")]).rename_columns(
+            ["ok", "sk", "revenue_c4"]
+        )
+
+    osk = (
+        li_w.map_batches(combine, batch_format="pyarrow")
+        .groupby(["ok", "sk"])
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+    osk = _scrub_schemaless(osk)  # materializes: count below is free
+    if osk is None or osk.count() == 0:
+        return out_schema.empty_table()
+    dated = broadcast_lookup_join(
+        osk,
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        on="ok", right_on="o_orderkey",
+        payload=["o_orderdate"], fallback_parts=nparts,
+    )
+    supp_tab = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), 10_000_000
+    )
+    nation_tab = _collect_small(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]), 1000
+    )
+    if supp_tab is None or nation_tab is None:
+        raise ValueError("q9: supplier/nation exceeded the broadcast budget")
+    supp_ref = ray.put(supp_tab.combine_chunks())
+    nation_ref = ray.put(nation_tab.combine_chunks())
+
+    def label(batch: pa.Table) -> pa.Table:
+        st = ray.get(supp_ref)
+        nt = ray.get(nation_ref)
+        nk = pc.take(
+            st.column("s_nationkey"),
+            pc.index_in(batch.column("sk"), value_set=st.column("s_suppkey")),
+        )
+        t = pa.table(
+            {
+                "nation": pc.take(
+                    nt.column("n_name"),
+                    pc.index_in(nk, value_set=nt.column("n_nationkey")),
+                ),
+                "o_year": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+                "revenue_c4": batch.column("revenue_c4"),
+            }
+        )
+        return t.group_by(["nation", "o_year"]).aggregate(
+            [("revenue_c4", "sum")]
+        ).rename_columns(["nation", "o_year", "revenue_c4"])
+
+    return (
+        dated.map_batches(label, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+
+
+def q11_important_parts(sf_dir: str) -> "Dataset | pa.Table":
+    """TPC-H Q11 shape (HAVING against a GLOBAL scalar subquery):
+    parts whose discounted revenue exceeds 6/5 of the mean per-part
+    revenue — the "important stock" readout without the partsupp
+    table this corpus lacks.
+
+    Shape notes: per-part revenue is one combiner-fed groupby
+    (bounded by |parts|, materialized once because the global total
+    and the filter both consume it); the global total and part count
+    reduce from THAT table via base-2^31 limb partials (a 100 TB
+    revenue total wraps int64), and the HAVING comparison
+    ``5 * n * v > 6 * total`` folds to an exact int64 threshold
+    ``v > (6 * total) // (5 * n)`` computed once in Python bignums —
+    nothing part-scale ever reaches the driver."""
+    out_schema = pa.schema([("l_partkey", pa.int64()), ("value_c4", pa.int64())])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    if li.count() == 0:
+        return out_schema.empty_table()
+
+    def combine(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc_pct = _cents(batch.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.table({"l_partkey": batch.column("l_partkey"), "value_c4": rev})
+        return t.group_by(["l_partkey"]).aggregate([("value_c4", "sum")]).rename_columns(
+            ["l_partkey", "value_c4"]
+        )
+
+    pv = (
+        li.map_batches(combine, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c4", alias_name="value_c4"))
+        .materialize()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hi, lo = _limb_sums(batch.column("value_c4").to_numpy())
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "hi": pa.array([hi], pa.int64()),
+                "lo": pa.array([lo], pa.int64()),
+            }
+        )
+
+    agg = pv.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo")
+    ) or {}
+    n = int(agg.get("n") or 0)
+    if n == 0:
+        return out_schema.empty_table()
+    total = ((int(agg.get("hi") or 0)) << _LIMB_SHIFT) + int(agg.get("lo") or 0)
+    # 5*n*v > 6*total  <=>  v > (6*total) // (5*n)   (exact: see the
+    # integer-division argument in the module's ratio helpers)
+    thr = (6 * total) // (5 * n)
+    assert thr < 2**63, "q11: per-part threshold exceeds int64"
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("value_c4"), pa.scalar(thr, pa.int64()))
+        )
+
+    return pv.map_batches(keep, batch_format="pyarrow")
+
+
+def q16_supplier_part_counts(
+    sf_dir: str,
+    excl_brand: str = "Brand#13",
+    sizes: tuple = (1, 9, 16, 24, 29, 35, 42, 47),
+    excl_nationkey: int = 3,
+) -> "Dataset | pa.Table":
+    """TPC-H Q16 shape (COUNT DISTINCT + NOT IN): distinct suppliers
+    that SHIPPED each qualifying (brand, type, size) part group,
+    excluding suppliers from one nation (the complaints NOT-IN
+    analog over the columns this corpus has).
+
+    Shape notes: the exclusion set broadcasts as an anti semi-join
+    mask, the fact-scale exchange carries only DISTINCT
+    (partkey, suppkey) pairs (per-batch group_by combiner keeps the
+    in-flight rows distinct too), part attributes attach to that
+    already-reduced table via a size-adaptive lookup join that also
+    applies the brand/size predicate (inner join against the
+    FILTERED part set), and the two remaining distinct/count
+    groupbys are O(|groups| x |suppliers|)."""
+    out_schema = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("p_type", pa.string()),
+            ("p_size", pa.int64()),
+            ("supplier_cnt", pa.int64()),
+        ]
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    if li.count() == 0 or part.count() == 0:
+        return out_schema.empty_table()
+
+    def f_parts(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(batch.column("p_brand"), excl_brand)),
+            pc.is_in(
+                batch.column("p_size"),
+                value_set=pa.array(list(sizes), batch.column("p_size").type),
+            ),
+        )
+        return batch.filter(keep)
+
+    parts_f = part.map_batches(f_parts, batch_format="pyarrow")
+    excl = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("s_nationkey"), excl_nationkey)
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+    li_ok = broadcast_semi_join(li, excl, on="l_suppkey", right_on="s_suppkey", anti=True)
+
+    def distinct_pair(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_partkey", "l_suppkey"]).group_by(
+            ["l_partkey", "l_suppkey"]
+        ).aggregate([])
+
+    ps = (
+        li_ok.map_batches(distinct_pair, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+    )
+    ps = _scrub_schemaless(ps)  # materializes: count below is free
+    if ps is None or ps.count() == 0:
+        return out_schema.empty_table()
+    attached = broadcast_lookup_join(
+        ps.select_columns(["l_partkey", "l_suppkey"]),
+        parts_f,
+        on="l_partkey", right_on="p_partkey",
+        payload=["p_brand", "p_type", "p_size"],
+        fallback_parts=_join_parts(sf_dir),
+    )
+    dist2 = attached.groupby(
+        ["p_brand", "p_type", "p_size", "l_suppkey"]
+    ).count()
+    dist2 = _scrub_schemaless(dist2)  # materializes: count below is free
+    if dist2 is None or dist2.count() == 0:
+        return out_schema.empty_table()
+    out = (
+        dist2.select_columns(["p_brand", "p_type", "p_size"])
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "p_type": batch.column("p_type"),
+                "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+                "supplier_cnt": batch.column("supplier_cnt"),
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def q20_heavy_suppliers(
+    sf_dir: str,
+    name_part: str = "widget",
+    since: "_dt.datetime" = _dt.datetime(1996, 1, 1),
+) -> "Dataset | pa.Table":
+    """TPC-H Q20 shape (nested semi-join chain): suppliers that
+    shipped MORE THAN A QUARTER of the recent total shipped quantity
+    of some ``name_part`` part — the excess-stock holder readout over
+    the columns this corpus has (share-of-shipments for the missing
+    partsupp availqty term).
+
+    Shape notes: part-name predicate -> key-set semi-join (broadcast
+    under the budget), per-batch (partkey, suppkey) quantity combiner
+    feeds the ONE fact-scale groupby (materialized once: the
+    per-part totals and the share filter both consume it), per-part
+    totals are a second groupby over that bounded table, totals join
+    back size-adaptively, and the share test ``4 * q > total`` is a
+    vectorized int64 filter; the distinct-supplier reduce and the
+    name attach are O(|suppliers|)."""
+    out_schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    if li.count() == 0 or part.count() == 0:
+        return out_schema.empty_table()
+
+    def f_parts(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("p_name"), name_part)
+        return batch.filter(keep).select(["p_partkey"])
+
+    wparts = part.map_batches(f_parts, batch_format="pyarrow")
+    nparts = _join_parts(sf_dir)
+    li_w = broadcast_semi_join(
+        li, wparts, on="l_partkey", right_on="p_partkey", fallback_parts=nparts
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch.column("l_shipdate"), pa.scalar(since))
+        )
+        t = pa.table(
+            {
+                "pk": batch.column("l_partkey"),
+                "sk": batch.column("l_suppkey"),
+                "q": _int(batch.column("l_quantity")),
+            }
+        )
+        return t.group_by(["pk", "sk"]).aggregate([("q", "sum")]).rename_columns(
+            ["pk", "sk", "q"]
+        )
+
+    sq = (
+        li_w.map_batches(combine, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(Sum("q", alias_name="q"))
+        .materialize()
+    )
+    sq_clean = _scrub_schemaless(sq)
+    if sq_clean is None or sq_clean.count() == 0:
+        return out_schema.empty_table()
+    sq = sq_clean
+    pt = sq.groupby("pk").aggregate(Sum("q", alias_name="tq"))
+    back = broadcast_lookup_join(
+        sq, pt, on="pk", right_on="pk", payload=["tq"], fallback_parts=nparts
+    )
+
+    def share(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch.column("q"), pa.scalar(4, pa.int64())),
+            batch.column("tq"),
+        )
+        return batch.filter(keep).select(["sk"])
+
+    heavy = (
+        back.map_batches(share, batch_format="pyarrow").groupby("sk").count()
+    )
+    heavy = _scrub_schemaless(heavy)
+    if heavy is None:
+        return out_schema.empty_table()
+    named = broadcast_lookup_join(
+        heavy.select_columns(["sk"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="sk", right_on="s_suppkey", payload=["s_name"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(batch.column("sk"), pa.int64()),
+                "s_name": batch.column("s_name"),
+            }
+        )
+
+    res = named.map_batches(finalize, batch_format="pyarrow")
+    scrubbed = _scrub_schemaless(res)
+    if scrubbed is None or scrubbed.count() == 0:
+        return out_schema.empty_table()
+    return scrubbed

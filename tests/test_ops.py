@@ -7435,3 +7435,146 @@ def test_orders_profile(ray_session, monkeypatch):
     assert out.loc["o_orderpriority"].tolist() == [0, 1, "1-URGENT", 6]
     # custkey: 9 x3 beats 10 x2; VARCHAR rendering
     assert out.loc["o_custkey"].tolist() == [1, 2, "9", 3]
+
+
+def test_q21_sole_late_supplier(ray_session, monkeypatch):
+    """EXISTS/NOT-EXISTS semantics: only the SOLE late supplier on a
+    multi-supplier F order counts — both-late, single-supplier and
+    non-F orders are all excluded."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    D = pd.Timestamp
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderdate": [D("1995-01-01")] * 4,
+            # order 4 is open -> excluded even though supplier 1 is late
+            "o_orderstatus": ["F", "F", "F", "O"],
+        }
+    )
+    late = D("1995-06-01")  # 151 days > 60
+    ontime = D("1995-02-01")  # 31 days <= 60
+    lineitem = pd.DataFrame(
+        {
+            # order 1: supp 1 late, supp 2 on time -> supp 1 qualifies
+            # order 2: both supps late -> neither qualifies (n_late=2)
+            # order 3: only supp 1 (late) -> excluded (n_supp=1)
+            # order 4: non-F
+            "l_orderkey": [1, 1, 2, 2, 3, 4],
+            "l_suppkey": [1, 2, 1, 2, 1, 1],
+            "l_shipdate": [late, ontime, late, late, late, late],
+        }
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": [1, 2], "s_name": ["Supp#1", "Supp#2"]}
+    )
+    _patch_tables(
+        monkeypatch,
+        {"orders": orders, "lineitem": lineitem, "supplier": supplier},
+    )
+    out = relational.q21_sole_late_supplier("x").to_pandas()
+    assert out.values.tolist() == [["Supp#1", 1]]
+
+    # empty F set -> schema-ful empty table
+    _patch_tables(
+        monkeypatch,
+        {
+            "orders": orders[orders.o_orderstatus == "O"],
+            "lineitem": lineitem,
+            "supplier": supplier,
+        },
+    )
+    out2 = relational.q21_sole_late_supplier("x")
+    tab = out2 if hasattr(out2, "num_rows") else out2.to_pandas()
+    assert len(tab) == 0 and list(
+        tab.column_names if hasattr(tab, "column_names") else tab.columns
+    ) == ["s_name", "numwait"]
+
+
+def test_q11_important_parts(ray_session, monkeypatch):
+    """Global-scalar HAVING edge: a part sitting EXACTLY at 6/5 of the
+    mean is excluded (strict >), one microcent above is kept."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    # revenue_c4 per row = round(price*100) * (100 - round(disc*100));
+    # disc=0 -> price_c * 100.  Five parts: values 120, 120, 80, 80, 100
+    # -> total 500, mean 100, 6/5 mean = 120: the two 120s are NOT
+    # above the threshold (strict); bump part 9 to 121 -> only it kept.
+    li = pd.DataFrame(
+        {
+            "l_partkey": [9, 8, 7, 6, 5],
+            "l_extendedprice": [1.21, 1.20, 0.80, 0.80, 1.00],
+            "l_discount": [0.0] * 5,
+        }
+    )
+    _patch_tables(monkeypatch, {"lineitem": li})
+    out = relational.q11_important_parts("x").to_pandas()
+    # total 50100, n=5, thr = 6*50100 // 25 = 12024; only 12100 > thr
+    assert out.values.tolist() == [[9, 12100]]
+
+
+def test_q16_q20_shapes(ray_session, monkeypatch):
+    """q16: distinct suppliers COLLAPSE across parts in a group and the
+    nation exclusion drops suppliers; q20: exactly-25% share is
+    excluded (strict 4q > total), the date filter drops early rows."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    D = pd.Timestamp
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3],
+            "p_name": ["red widget", "blue widget", "green bolt"],
+            "p_brand": ["Brand#1", "Brand#1", "Brand#13"],
+            "p_type": ["T", "T", "T"],
+            "p_size": [9, 9, 9],
+        }
+    )
+    # parts 1 and 2 share group (Brand#1, T, 9): supplier 1 ships both
+    # (counts once), supplier 2 ships part 1 only, supplier 3 excluded
+    # by nation; part 3 is Brand#13 (excluded)
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 1, 1, 3],
+            "l_suppkey": [1, 1, 2, 3, 1],
+            "l_quantity": [10.0, 30.0, 10.0, 10.0, 99.0],
+            "l_shipdate": [D("1996-06-01")] * 4 + [D("1995-06-01")],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["S1", "S2", "S3"],
+            "s_nationkey": [0, 1, 3],
+        }
+    )
+    _patch_tables(
+        monkeypatch, {"part": part, "lineitem": li, "supplier": supplier}
+    )
+    out = relational.q16_supplier_part_counts("x").to_pandas()
+    assert out.values.tolist() == [["Brand#1", "T", 9, 2]]
+
+    # q20 on the same tables: widget quantities since 1996 -> part 1:
+    # supp1 10, supp2 10, supp3 10 (total 30, each 33% > 25%: all
+    # qualify); part 2: supp1 30 (100%).  Now make supp2 exactly 25%:
+    li2 = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 2],
+            "l_suppkey": [1, 2, 3, 1],
+            # supp2 ships 10 of part 1's total 40 = exactly 25% -> OUT
+            "l_quantity": [20.0, 10.0, 10.0, 5.0],
+            "l_shipdate": [D("1996-06-01")] * 3 + [D("1995-06-01")],
+        }
+    )
+    _patch_tables(
+        monkeypatch, {"part": part, "lineitem": li2, "supplier": supplier}
+    )
+    out2 = relational.q20_heavy_suppliers("x").to_pandas()
+    # part 2's only row is pre-1996 -> dropped; part 1: supp1 20/40 and
+    # supp3 10/40 -> only supp1 passes 4q > tq (80 > 40; supp3 40 == 40)
+    assert sorted(map(tuple, out2.values.tolist())) == [(1, "S1")]
