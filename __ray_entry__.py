@@ -1644,6 +1644,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q20 shape: nested semi-joins, share-of-part-quantity filter
         # (4q > total); exact SQL oracle
         "q20_heavy_suppliers": relational.q20_heavy_suppliers,
+        # calendar-spine gap fill: per-hour count/total with missing
+        # hours as explicit zero rows — calendar-bounded (never
+        # data-bounded) driver spine; exact generate_series oracle
+        "events_hourly_gapfill": relational.events_hourly_gapfill,
+        # PERCENT_RANK + CUME_DIST in exact ppm over the DISTINCT
+        # (customer, price) count table — sorted-run weighted prefix
+        # sums + O(#blocks) stitch, join-back; exact SQL oracle
+        "orders_percent_rank": relational.orders_percent_rank,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3499,6 +3507,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT s_suppkey, s_name
             FROM sq JOIN pt USING (pk) JOIN supplier ON sk = s_suppkey
             WHERE 4 * q > tq
+        """,
+        "events_hourly_gapfill": """
+            WITH h AS (
+                SELECT epoch_us(ts) // 3600000000 AS hour,
+                       COUNT(*) AS n,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+                FROM events GROUP BY 1
+            ),
+            b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h),
+            spine AS (
+                SELECT UNNEST(generate_series(lo, hi)) AS hour FROM b
+            )
+            SELECT CAST(spine.hour AS BIGINT) AS hour,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(h.v, 0) AS BIGINT) AS value_c
+            FROM spine LEFT JOIN h ON h.hour = spine.hour
+            ORDER BY 1
+        """,
+        "orders_percent_rank": """
+            WITH r AS (
+                SELECT o_custkey, o_orderkey,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+                       RANK() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(ROUND(o_totalprice * 100, 0)
+                                         AS BIGINT)) - 1 AS below,
+                       COUNT(*) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(ROUND(o_totalprice * 100, 0)
+                                         AS BIGINT)) AS upto
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   CAST(CASE WHEN n = 1 THEN 0
+                             ELSE (2000000 * below + (n - 1))
+                                  // (2 * (n - 1)) END AS BIGINT) AS pr_ppm,
+                   CAST((2000000 * upto + n) // (2 * n) AS BIGINT) AS cd_ppm
+            FROM r
         """,
         "events_cohort_ltv": """
             WITH uw AS (

@@ -7246,3 +7246,266 @@ def q20_heavy_suppliers(
     if scrubbed is None or scrubbed.count() == 0:
         return out_schema.empty_table()
     return scrubbed
+
+
+def events_hourly_gapfill(sf_dir: str) -> "Dataset | pa.Table":
+    """Calendar-spine gap fill: per-hour event count and value total
+    with every MISSING hour between the corpus's first and last hour
+    materialized as an explicit zero row — the dense time series a
+    downstream forecaster/anomaly scorer expects (the LEFT JOIN +
+    COALESCE against a generated calendar, as one operator).
+
+    Shape notes: ONE combiner-fed groupby by absolute epoch-hour
+    whose output is bounded by the CALENDAR, not the data (a decade
+    is 87.6k rows no matter how many events), so the dense spine fill
+    is a legitimate O(#hours) driver numpy pass over that
+    calendar-bounded table; the bound is asserted loudly."""
+    out_schema = pa.schema(
+        [
+            ("hour", pa.int64()),
+            ("n_events", pa.int64()),
+            ("value_c", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    _comb_schema = pa.schema(
+        [("hour", pa.int64()), ("n", pa.int64()), ("value_c", pa.int64())]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _comb_schema.empty_table()
+        us = _ts_us(batch.column("ts"))
+        assert pc.min(us).as_py() >= 0, (
+            "hourly_gapfill: pre-epoch timestamp (integer division "
+            "would floor toward zero, not -inf)"
+        )
+        t = pa.table(
+            {
+                "hour": pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "value_c": pc.fill_null(_cents(batch.column("value")), 0),
+            }
+        )
+        return t.group_by("hour").aggregate(
+            [("n", "sum"), ("value_c", "sum")]
+        ).rename_columns(["hour", "n", "value_c"])
+
+    hourly = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    tab = _collect_small(hourly, 2_000_000)
+    if tab is None:
+        raise ValueError(
+            "hourly_gapfill: hour spine exceeded 2M rows — the input "
+            "spans >228 years of calendar; widen the bucket instead"
+        )
+    if tab.num_rows == 0:
+        return out_schema.empty_table()
+    hours = tab.column("hour").to_numpy()
+    lo, hi = int(hours.min()), int(hours.max())
+    span = hi - lo + 1
+    assert span <= 2_000_000, "hourly_gapfill: calendar span bound"
+    n_full = np.zeros(span, np.int64)
+    v_full = np.zeros(span, np.int64)
+    n_full[hours - lo] = tab.column("n").to_numpy()
+    v_full[hours - lo] = tab.column("value_c").to_numpy()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(lo + np.arange(span, dtype=np.int64)),
+                "n_events": pa.array(n_full),
+                "value_c": pa.array(v_full),
+            }
+        )
+    )
+
+
+def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
+    """PERCENT_RANK + CUME_DIST per order within its customer (price
+    ascending), in exact parts-per-million — the remaining two
+    members of the ranking-window family (next to the DENSE_RANK,
+    NTILE, ROW_NUMBER, LAG, cumulative and bounded-frame ops).
+
+    Shape notes (nothing order-scale on the driver, ONE sort over a
+    REDUCED table): both functions are pure functions of (rows
+    strictly below mine, rows at-or-below mine, partition size), so
+    the window collapses to the DISTINCT (customer, price) count
+    table — a combiner-fed groupby.  That reduced table is sorted
+    once; each block computes in-block weighted prefix sums and the
+    O(#blocks) driver stitch carries per-customer running totals
+    across block edges (same sorted-run machinery as the dense-rank /
+    moving-sum ops, applied to counts instead of rows).  Ranks join
+    back to orders by the (customer, price) MULTI-COLUMN hash join
+    and the partition size attaches via a size-adaptive single-key
+    lookup; the ppm fields use the house exact half-away recipe in
+    int64 (bounds asserted)."""
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("pr_ppm", pa.int64()),
+            ("cd_ppm", pa.int64()),
+        ]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    if orders.count() == 0:
+        return out_schema.empty_table()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": batch.column("o_custkey"),
+                "okey": batch.column("o_orderkey"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    od = orders.map_batches(derive, batch_format="pyarrow")
+
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cust": batch.column("cust"),
+                "price_c": batch.column("price_c"),
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["cust", "price_c"]).aggregate(
+            [("cnt", "sum")]
+        ).rename_columns(["cust", "price_c", "cnt"])
+
+    reduced = (
+        od.map_batches(pair_combine, batch_format="pyarrow")
+        .groupby(["cust", "price_c"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cust", "price_c"])
+        .materialize()
+    )
+    ncust = reduced.groupby("cust").aggregate(Sum("cnt", alias_name="n"))
+
+    _sum_schema = pa.schema(
+        [
+            ("bk", pa.string()),
+            ("fc", pa.int64()),
+            ("lc", pa.int64()),
+            ("s_last", pa.int64()),
+        ]
+    )
+
+    def scan_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _sum_schema.empty_table()
+        cust = np.asarray(batch.column("cust"), dtype=np.int64)
+        price = np.asarray(batch.column("price_c"), dtype=np.int64)
+        cnt = np.asarray(batch.column("cnt"), dtype=np.int64)
+        assert cust[0] >= 0 and price[0] >= 0, "percent_rank: key pack range"
+        bk = "%019d:%019d" % (cust[0], price[0])
+        last_run = cust == cust[-1]
+        return pa.table(
+            {
+                "bk": pa.array([bk]),
+                "fc": pa.array([int(cust[0])], pa.int64()),
+                "lc": pa.array([int(cust[-1])], pa.int64()),
+                "s_last": pa.array([int(cnt[last_run].sum())], pa.int64()),
+            }
+        )
+
+    summaries = (
+        reduced.map_batches(scan_summary, batch_format="pyarrow", batch_size=None)
+        .sort("bk")
+        .to_pandas()
+    )
+    # O(#blocks) stitch: offset for a block's FIRST customer run =
+    # that customer's total count in all earlier blocks
+    offsets: dict[str, int] = {}
+    carry = 0
+    prev_lc = None
+    for bk, fc, lc, s_last in summaries[["bk", "fc", "lc", "s_last"]].itertuples(
+        index=False
+    ):
+        off = carry if fc == prev_lc else 0
+        offsets[bk] = off
+        carry = int(s_last) + (off if fc == lc else 0)
+        prev_lc = lc
+    off_ref = ray.put(offsets)
+
+    _rank_schema = pa.schema(
+        [
+            ("cust", pa.int64()),
+            ("price_c", pa.int64()),
+            ("below", pa.int64()),
+            ("upto", pa.int64()),
+        ]
+    )
+
+    def scan_ranks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _rank_schema.empty_table()
+        cust = np.asarray(batch.column("cust"), dtype=np.int64)
+        cnt = np.asarray(batch.column("cnt"), dtype=np.int64)
+        price = np.asarray(batch.column("price_c"), dtype=np.int64)
+        n = batch.num_rows
+        cum = np.cumsum(cnt)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = cust[1:] != cust[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n, dtype=np.int64), -1)
+        )
+        # rows strictly below mine within my customer, block-local
+        below = (cum - cnt) - (cum[gs] - cnt[gs])
+        off = ray.get(off_ref)["%019d:%019d" % (cust[0], price[0])]
+        below = below + np.where(cust == cust[0], off, 0)
+        return pa.table(
+            {
+                "cust": batch.column("cust"),
+                "price_c": batch.column("price_c"),
+                "below": pa.array(below),
+                "upto": pa.array(below + cnt),
+            }
+        )
+
+    ranks = reduced.map_batches(scan_ranks, batch_format="pyarrow", batch_size=None)
+    nparts = max(2, _join_parts(sf_dir, table="orders"))
+    od_s = _scrub_schemaless(od)
+    ranks_s = _scrub_schemaless(ranks)
+    if od_s is None or ranks_s is None:
+        return out_schema.empty_table()
+    joined = od_s.join(
+        ranks_s,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("cust", "price_c"),
+        right_on=("cust", "price_c"),
+    )
+    withn = broadcast_lookup_join(
+        joined, ncust, on="cust", right_on="cust",
+        payload=["n"], fallback_parts=nparts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        below = np.asarray(batch.column("below"), dtype=np.int64)
+        upto = np.asarray(batch.column("upto"), dtype=np.int64)
+        nn = np.asarray(batch.column("n"), dtype=np.int64)
+        assert nn.size == 0 or int(nn.max()) < 4 * 10**12, (
+            "percent_rank: ppm numerator would overflow int64"
+        )
+        den = 2 * np.maximum(nn - 1, 1)
+        pr = (2_000_000 * below + (nn - 1)) // den
+        pr[nn == 1] = 0
+        cd = (2_000_000 * upto + nn) // (2 * nn)
+        return pa.table(
+            {
+                "o_custkey": batch.column("cust"),
+                "o_orderkey": batch.column("okey"),
+                "pr_ppm": pa.array(pr),
+                "cd_ppm": pa.array(cd),
+            }
+        )
+
+    return withn.map_batches(finalize, batch_format="pyarrow")

@@ -7578,3 +7578,121 @@ def test_q16_q20_shapes(ray_session, monkeypatch):
     # part 2's only row is pre-1996 -> dropped; part 1: supp1 20/40 and
     # supp3 10/40 -> only supp1 passes 4q > tq (80 > 40; supp3 40 == 40)
     assert sorted(map(tuple, out2.values.tolist())) == [(1, "S1")]
+
+
+def test_events_hourly_gapfill(ray_session, monkeypatch):
+    """Calendar-spine fill: interior hours with NO events appear as
+    explicit zero rows, null values count toward n_events but add 0
+    cents, and the spine is bounded by the data's first/last hour."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    HOUR = 3_600_000_000  # us
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t * 1000, unit="ns") for t, _ in rows],
+                "value": [v for _, v in rows],
+            }
+        )
+
+    # hour 0: two events (1.25 + null), hours 1-2 empty, hour 3: 2.00
+    ev = mk(
+        [
+            (0, 1.25),
+            (30 * 60_000_000, None),
+            (3 * HOUR + 5, 2.00),
+        ]
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_hourly_gapfill("x").to_pandas()
+    assert out.sort_values("hour").values.tolist() == [
+        [0, 2, 125],
+        [1, 0, 0],
+        [2, 0, 0],
+        [3, 1, 200],
+    ]
+
+    # single event -> single-row spine, no padding beyond the data
+    ev2 = mk([(7 * HOUR, 0.10)])
+    _patch_tables(monkeypatch, {"events": ev2})
+    out2 = relational.events_hourly_gapfill("x").to_pandas()
+    assert out2.values.tolist() == [[7, 1, 10]]
+
+
+def test_orders_percent_rank(ray_session, monkeypatch):
+    """PERCENT_RANK/CUME_DIST ppm: tied prices share rank (below =
+    strictly-cheaper count, upto includes peers), a singleton
+    partition pins pr=0 / cd=1e6, and a 25-block randomized run
+    matches a pandas replica so the cross-block per-customer offset
+    carry exercises (customer runs straddling block edges)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "o_custkey": [r[0] for r in rows],
+                "o_orderkey": [r[1] for r in rows],
+                "o_totalprice": [r[2] for r in rows],
+            }
+        )
+
+    # cust 1: prices 10, 20, 20, 30 (n=4); cust 2: singleton
+    od = mk([(1, 1, 10.0), (1, 2, 20.0), (1, 3, 20.0), (1, 4, 30.0), (2, 5, 99.0)])
+    _patch_tables(monkeypatch, {"orders": od})
+    out = (
+        relational.orders_percent_rank("x")
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    # pr = round(1e6 * below / 3), cd = round(1e6 * upto / 4)
+    assert out.values.tolist() == [
+        [1, 1, 0, 250000],
+        [1, 2, 333333, 750000],
+        [1, 3, 333333, 750000],
+        [1, 4, 1000000, 1000000],
+        [2, 5, 0, 1000000],
+    ]
+
+    # randomized parity vs an exact-integer pandas replica, 25 blocks
+    rng = np.random.RandomState(43)
+    rows = []
+    okey = 0
+    for u in range(1, 41):
+        for _ in range(rng.randint(1, 9)):
+            okey += 1
+            # few distinct cent values per customer -> many ties
+            rows.append((u, okey, float(rng.randint(1, 6)) + 0.25))
+    od3 = mk(rows)
+
+    def replica(df):
+        got = {}
+        for _, g in df.groupby("o_custkey"):
+            cents = (g.o_totalprice * 100).round().astype(int)
+            n = len(g)
+            for ok, c in zip(g.o_orderkey, cents):
+                below = int((cents < c).sum())
+                upto = int((cents <= c).sum())
+                pr = 0 if n == 1 else (2_000_000 * below + (n - 1)) // (2 * (n - 1))
+                cd = (2_000_000 * upto + n) // (2 * n)
+                got[ok] = (pr, cd)
+        return got
+
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(od3[cols] if cols else od3, preserve_index=False)
+        ).repartition(25),
+    )
+    out3 = relational.orders_percent_rank("x").to_pandas()
+    exp = replica(od3)
+    assert len(out3) == len(od3)
+    for _, r in out3.iterrows():
+        assert (r.pr_ppm, r.cd_ppm) == exp[r.o_orderkey], r.o_orderkey
