@@ -213,6 +213,11 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_user_gini",
         "kg_modularity",
         "events_burstiness",
+        "q9_widget_revenue",
+        "q11_important_parts",
+        "q20_heavy_suppliers",
+        "events_hourly_gapfill",
+        "orders_percent_rank",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}
