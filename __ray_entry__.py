@@ -1652,6 +1652,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (customer, price) count table — sorted-run weighted prefix
         # sums + O(#blocks) stitch, join-back; exact SQL oracle
         "orders_percent_rank": relational.orders_percent_rank,
+        # Q2 shape: min-cost supplier per part within a region —
+        # encoded-key Min argmin over the (part, supplier) combiner
+        # reduce, dimension broadcasts, size-adaptive attribute joins;
+        # exact SQL oracle
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        # grouped exact median (doubled cents) via the shared
+        # distinct-value prefix-count plan — covering-position filter
+        # + one |customers|-bounded groupby; exact SQL oracle
+        "orders_median_by_customer": relational.orders_median_by_customer,
+        # Deequ-style constraint suite: uniqueness / FK / null /
+        # domain / range checks, one row per check from one pruned
+        # pass + a distinct count + an anti semi-join; exact SQL oracle
+        "orders_constraints": relational.orders_constraints,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3545,6 +3558,96 @@ def oracle_sql() -> dict[str, str]:
                                   // (2 * (n - 1)) END AS BIGINT) AS pr_ppm,
                    CAST((2000000 * upto + n) // (2 * n) AS BIGINT) AS cd_ppm
             FROM r
+        """,
+        "q2_min_cost_supplier": """
+            WITH euro_supp AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            parts AS (
+                SELECT p_partkey, p_name FROM part
+                WHERE p_type = 'STANDARD' AND p_size <= 25
+            ),
+            cost AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                           AS cost_c
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM parts)
+                  AND l_suppkey IN (SELECT s_suppkey FROM euro_supp)
+                GROUP BY 1, 2
+            ),
+            best AS (SELECT pk, MIN(cost_c) AS mc FROM cost GROUP BY 1),
+            pick AS (
+                SELECT c.pk, MIN(c.sk) AS sk, b.mc
+                FROM cost c JOIN best b ON c.pk = b.pk AND c.cost_c = b.mc
+                GROUP BY c.pk, b.mc
+            )
+            SELECT pick.pk AS p_partkey, parts.p_name,
+                   pick.sk AS s_suppkey, es.s_name, es.n_name,
+                   CAST(pick.mc AS BIGINT) AS cost_c
+            FROM pick
+            JOIN parts ON pick.pk = parts.p_partkey
+            JOIN euro_supp es ON pick.sk = es.s_suppkey
+        """,
+        "orders_median_by_customer": """
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(ROUND(o_totalprice * 100, 0)
+                                         AS BIGINT)) - 1 AS rn,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders
+            )
+            SELECT o_custkey,
+                   CAST(SUM(CASE WHEN rn = (n - 1) // 2 THEN pc ELSE 0 END)
+                      + SUM(CASE WHEN rn = n // 2 THEN pc ELSE 0 END)
+                        AS BIGINT) AS median_c2
+            FROM r GROUP BY 1
+        """,
+        "orders_constraints": """
+            WITH v AS (
+                SELECT 'orderkey_unique' AS check_name,
+                       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+                FROM orders
+                UNION ALL
+                SELECT 'custkey_not_null',
+                       COUNT(*) FILTER (WHERE o_custkey IS NULL)
+                FROM orders
+                UNION ALL
+                SELECT 'custkey_in_customer',
+                       COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                           AND o_custkey NOT IN
+                               (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL))
+                FROM orders
+                UNION ALL
+                SELECT 'totalprice_positive',
+                       COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                                           OR o_totalprice <= 0)
+                FROM orders
+                UNION ALL
+                SELECT 'status_in_domain',
+                       COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                           OR o_orderstatus NOT IN ('O', 'F', 'P'))
+                FROM orders
+                UNION ALL
+                SELECT 'orderdate_in_range',
+                       COUNT(*) FILTER (WHERE o_orderdate IS NULL
+                           OR o_orderdate < TIMESTAMP '1995-01-01'
+                           OR o_orderdate >= TIMESTAMP '2000-01-01')
+                FROM orders
+            )
+            SELECT check_name,
+                   CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   CAST(n_violations = 0 AS BIGINT) AS passed
+            FROM v
         """,
         "events_cohort_ltv": """
             WITH uw AS (

@@ -218,6 +218,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q20_heavy_suppliers",
         "events_hourly_gapfill",
         "orders_percent_rank",
+        "q2_min_cost_supplier",
+        "orders_median_by_customer",
+        "orders_constraints",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

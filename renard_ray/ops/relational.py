@@ -7326,47 +7326,22 @@ def events_hourly_gapfill(sf_dir: str) -> "Dataset | pa.Table":
     )
 
 
-def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
-    """PERCENT_RANK + CUME_DIST per order within its customer (price
-    ascending), in exact parts-per-million — the remaining two
-    members of the ranking-window family (next to the DENSE_RANK,
-    NTILE, ROW_NUMBER, LAG, cumulative and bounded-frame ops).
+def _grouped_prefix_counts(od: Dataset) -> tuple[Dataset, Dataset]:
+    """Distinct-value prefix counts within each group: from (cust,
+    price_c, ...) rows, the DISTINCT (cust, price_c) count table with
+    per-row (below = rows strictly cheaper within my cust, upto =
+    below + my multiplicity) plus the per-cust totals (cust, n).
 
-    Shape notes (nothing order-scale on the driver, ONE sort over a
-    REDUCED table): both functions are pure functions of (rows
-    strictly below mine, rows at-or-below mine, partition size), so
-    the window collapses to the DISTINCT (customer, price) count
-    table — a combiner-fed groupby.  That reduced table is sorted
-    once; each block computes in-block weighted prefix sums and the
-    O(#blocks) driver stitch carries per-customer running totals
-    across block edges (same sorted-run machinery as the dense-rank /
-    moving-sum ops, applied to counts instead of rows).  Ranks join
-    back to orders by the (customer, price) MULTI-COLUMN hash join
-    and the partition size attaches via a size-adaptive single-key
-    lookup; the ppm fields use the house exact half-away recipe in
-    int64 (bounds asserted)."""
-    out_schema = pa.schema(
-        [
-            ("o_custkey", pa.int64()),
-            ("o_orderkey", pa.int64()),
-            ("pr_ppm", pa.int64()),
-            ("cd_ppm", pa.int64()),
-        ]
-    )
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    if orders.count() == 0:
-        return out_schema.empty_table()
-
-    def derive(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "cust": batch.column("o_custkey"),
-                "okey": batch.column("o_orderkey"),
-                "price_c": _cents(batch.column("o_totalprice")),
-            }
-        )
-
-    od = orders.map_batches(derive, batch_format="pyarrow")
+    Any order-statistic window over (PARTITION BY cust ORDER BY
+    price_c) is a pure function of these three integers, so
+    PERCENT_RANK / CUME_DIST / median / arbitrary exact quantile
+    selection all ride this one plan: combiner-fed distinct groupby,
+    ONE sort of the reduced table, in-block weighted prefix sums and
+    an O(#blocks) driver stitch carrying per-cust running totals
+    across block edges (both scans run batch_size=None over the SAME
+    materialized blocks so the stitch's block-head keys line up).
+    Requires non-negative cust and price_c (asserted: the zero-padded
+    block-head pack would reorder on a '-')."""
 
     def pair_combine(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -7404,7 +7379,7 @@ def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
         cust = np.asarray(batch.column("cust"), dtype=np.int64)
         price = np.asarray(batch.column("price_c"), dtype=np.int64)
         cnt = np.asarray(batch.column("cnt"), dtype=np.int64)
-        assert cust[0] >= 0 and price[0] >= 0, "percent_rank: key pack range"
+        assert cust[0] >= 0 and price[0] >= 0, "prefix_counts: key pack range"
         bk = "%019d:%019d" % (cust[0], price[0])
         last_run = cust == cust[-1]
         return pa.table(
@@ -7471,6 +7446,51 @@ def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     ranks = reduced.map_batches(scan_ranks, batch_format="pyarrow", batch_size=None)
+    return ranks, ncust
+
+
+def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
+    """PERCENT_RANK + CUME_DIST per order within its customer (price
+    ascending), in exact parts-per-million — the remaining two
+    members of the ranking-window family (next to the DENSE_RANK,
+    NTILE, ROW_NUMBER, LAG, cumulative and bounded-frame ops).
+
+    Shape notes (nothing order-scale on the driver, ONE sort over a
+    REDUCED table): both functions are pure functions of (rows
+    strictly below mine, rows at-or-below mine, partition size), so
+    the window collapses to the DISTINCT (customer, price) count
+    table — a combiner-fed groupby.  That reduced table is sorted
+    once; each block computes in-block weighted prefix sums and the
+    O(#blocks) driver stitch carries per-customer running totals
+    across block edges (same sorted-run machinery as the dense-rank /
+    moving-sum ops, applied to counts instead of rows).  Ranks join
+    back to orders by the (customer, price) MULTI-COLUMN hash join
+    and the partition size attaches via a size-adaptive single-key
+    lookup; the ppm fields use the house exact half-away recipe in
+    int64 (bounds asserted)."""
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("pr_ppm", pa.int64()),
+            ("cd_ppm", pa.int64()),
+        ]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    if orders.count() == 0:
+        return out_schema.empty_table()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": batch.column("o_custkey"),
+                "okey": batch.column("o_orderkey"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    od = orders.map_batches(derive, batch_format="pyarrow")
+    ranks, ncust = _grouped_prefix_counts(od)
     nparts = max(2, _join_parts(sf_dir, table="orders"))
     od_s = _scrub_schemaless(od)
     ranks_s = _scrub_schemaless(ranks)
@@ -7509,3 +7529,362 @@ def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     return withn.map_batches(finalize, batch_format="pyarrow")
+
+
+def q2_min_cost_supplier(sf_dir: str) -> "Dataset | pa.Table":
+    """TPC-H Q2 shape — the min-cost supplier per part within a
+    region — adapted to this corpus (no partsupp table: a supplier's
+    cost for a part is its MINIMUM extended-price cents across that
+    pair's lineitems).  For every STANDARD-type part of size <= 25,
+    pick the EUROPE supplier with the lowest cost (ties to the
+    smallest supplier key) and attach part/supplier/nation names.
+    Completes the TPC-H query-shape family (Q1..Q22) next to the
+    correlated-minimum Q17 and per-brand argmin.
+
+    Shape notes: region/nation are fixed 5/25-row dimensions
+    (asserted) — their EUROPE key set broadcasts as a mask; the
+    supplier side narrows to that mask and rides the size-adaptive
+    semi-join against lineitem (hash fallback past the broadcast
+    limit), as does the filtered part key set, so the only fact-scale
+    table is filtered by both key sets at the scan edge; a per-batch
+    (part, supplier) group_by-min combiner reduces the exchange to
+    one row per pair per batch before the ONE fact-scale groupby; the
+    per-part winner is the house encoded-key Min argmin ((cost,
+    suppkey) zero-padded pack — the Min aggregate IS the tie-broken
+    argmin, no sort); names attach to the #parts-bounded result via
+    size-adaptive lookup joins."""
+    out_schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("n_name", pa.string()),
+            ("cost_c", pa.int64()),
+        ]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_size"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    if part.count() == 0 or li.count() == 0:
+        return out_schema.empty_table()
+
+    def f_part(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("p_type"), pa.scalar("STANDARD")),
+            pc.less_equal(batch.column("p_size"), pa.scalar(25, pa.int32())),
+        )
+        return batch.filter(keep).select(["p_partkey", "p_name"])
+
+    parts = part.map_batches(f_part, batch_format="pyarrow").materialize()
+
+    nation = _collect_small(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]), 10_000
+    )
+    region = _collect_small(_read(sf_dir, "region", ["r_regionkey", "r_name"]), 10_000)
+    if nation is None or region is None:
+        raise ValueError("q2: nation/region exceeded the 10k dimension bound")
+    rkeys = region.filter(
+        pc.equal(region.column("r_name"), pa.scalar("EUROPE"))
+    ).column("r_regionkey").combine_chunks()
+    nat_eu = nation.filter(
+        pc.is_valid(pc.index_in(nation.column("n_regionkey"), value_set=rkeys))
+    )
+    nkey_ref = ray.put(nat_eu.column("n_nationkey").combine_chunks())
+
+    def f_supp(batch: pa.Table) -> pa.Table:
+        m = pc.is_valid(
+            pc.index_in(batch.column("s_nationkey"), value_set=ray.get(nkey_ref))
+        )
+        return batch.filter(m).select(["s_suppkey", "s_name"])
+
+    supp_eu = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        .map_batches(f_supp, batch_format="pyarrow")
+        .materialize()
+    )
+
+    li = broadcast_semi_join(
+        li, parts, on="l_partkey", right_on="p_partkey",
+        fallback_parts=_join_parts(sf_dir),
+    )
+    li = broadcast_semi_join(
+        li, supp_eu, on="l_suppkey", right_on="s_suppkey",
+        fallback_parts=_join_parts(sf_dir),
+    )
+
+    _pair_schema = pa.schema(
+        [("pk", pa.int64()), ("sk", pa.int64()), ("cost_c", pa.int64())]
+    )
+
+    def pair_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pair_schema.empty_table()
+        t = pa.table(
+            {
+                "pk": batch.column("l_partkey"),
+                "sk": batch.column("l_suppkey"),
+                "cost_c": _cents(batch.column("l_extendedprice")),
+            }
+        )
+        return t.group_by(["pk", "sk"]).aggregate([("cost_c", "min")]).rename_columns(
+            ["pk", "sk", "cost_c"]
+        )
+
+    pair = _scrub_schemaless(
+        li.map_batches(pair_min, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(Min("cost_c", alias_name="cost_c"))
+    )
+    if pair is None:
+        return out_schema.empty_table()
+
+    def enc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()), "k": pa.array([], pa.string())}
+            )
+        cmin = pc.min(batch.column("cost_c")).as_py()
+        smin = pc.min(batch.column("sk")).as_py()
+        assert cmin is not None and cmin >= 0, (
+            "q2: negative cost breaks the zero-padded argmin key"
+        )
+        assert smin is not None and smin >= 0, (
+            "q2: negative suppkey breaks the zero-padded argmin key"
+        )
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(batch.column("cost_c"), pa.string()), 19, padding="0"),
+            pc.utf8_lpad(pc.cast(batch.column("sk"), pa.string()), 19, padding="0"),
+            "",
+        )
+        return pa.table({"pk": batch.column("pk"), "k": key})
+
+    best = (
+        pair.map_batches(enc, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Min("k", alias_name="k"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        cost = pc.cast(pc.utf8_slice_codeunits(batch.column("k"), 0, 19), pa.int64())
+        sk = pc.cast(pc.utf8_slice_codeunits(batch.column("k"), 19, 38), pa.int64())
+        return pa.table(
+            {"p_partkey": batch.column("pk"), "s_suppkey": sk, "cost_c": cost}
+        )
+
+    won = best.map_batches(decode, batch_format="pyarrow")
+    won = broadcast_lookup_join(
+        won, parts, on="p_partkey", right_on="p_partkey", payload=["p_name"]
+    )
+    won = broadcast_lookup_join(
+        won, supp_eu, on="s_suppkey", right_on="s_suppkey", payload=["s_name"]
+    )
+    # nation name: the supplier -> nation hop needs s_nationkey, which
+    # the semi-narrowed supplier table dropped — re-read just the two
+    # key columns (dimension-bounded) and chain two lookups
+    supp_nat = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    won = broadcast_lookup_join(
+        won, supp_nat, on="s_suppkey", right_on="s_suppkey", payload=["s_nationkey"]
+    )
+    nat_ref = ray.put(nat_eu.combine_chunks())
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nat_ref)
+        idx = pc.cast(
+            pc.index_in(batch.column("s_nationkey"), value_set=nt.column("n_nationkey")),
+            pa.int64(),
+        )
+        batch = batch.append_column("n_name", pc.take(nt.column("n_name"), idx))
+        return batch.select(
+            ["p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "cost_c"]
+        )
+
+    return won.map_batches(add_nation, batch_format="pyarrow")
+
+
+def orders_median_by_customer(sf_dir: str) -> "Dataset | pa.Table":
+    """Exact per-customer median order price, in DOUBLED cents
+    (``median_c2 = lo_mid_cents + hi_mid_cents``, so the even-count
+    average stays an exact integer) — grouped exact selection at
+    many-partitions scale, the grouped counterpart of the global
+    exact-percentile ops.
+
+    Shape notes: rides the shared ``_grouped_prefix_counts`` plan
+    (combiner-fed distinct (customer, price) reduce, ONE sort of the
+    reduced table, O(#blocks) offset stitch); a distinct-value row
+    covering positions [below, upto) contains the k-th order statistic
+    iff below <= k < upto, so each middle position selects exactly one
+    row per customer — the median is a vectorized covering filter plus
+    one |customers|-bounded groupby-sum, no per-group work anywhere."""
+    out_schema = pa.schema([("o_custkey", pa.int64()), ("median_c2", pa.int64())])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    if orders.count() == 0:
+        return out_schema.empty_table()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust": batch.column("o_custkey"),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    od = orders.map_batches(derive, batch_format="pyarrow")
+    ranks, ncust = _grouped_prefix_counts(od)
+    withn = broadcast_lookup_join(ranks, ncust, on="cust", right_on="cust", payload=["n"])
+
+    _mid_schema = pa.schema([("cust", pa.int64()), ("part", pa.int64())])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _mid_schema.empty_table()
+        below = np.asarray(batch.column("below"), dtype=np.int64)
+        upto = np.asarray(batch.column("upto"), dtype=np.int64)
+        nn = np.asarray(batch.column("n"), dtype=np.int64)
+        price = np.asarray(batch.column("price_c"), dtype=np.int64)
+        m1 = (nn - 1) // 2
+        m2 = nn // 2
+        c1 = (below <= m1) & (m1 < upto)
+        c2 = (below <= m2) & (m2 < upto)
+        keep = c1 | c2
+        part = price * (c1.astype(np.int64) + c2.astype(np.int64))
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "cust": batch.column("cust").filter(mask),
+                "part": pa.array(part[keep]),
+            }
+        )
+
+    mids = _scrub_schemaless(
+        withn.map_batches(pick, batch_format="pyarrow")
+        .groupby("cust")
+        .aggregate(Sum("part", alias_name="median_c2"))
+    )
+    if mids is None:
+        return out_schema.empty_table()
+    return mids.map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b.column("cust"), "median_c2": b.column("median_c2")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_constraints(sf_dir: str) -> "Dataset | pa.Table":
+    """Deequ-style constraint validation over the orders table — one
+    result row per declared check: key uniqueness, FK containment in
+    customer, null/domain/range/positivity — (check_name, n_rows,
+    n_violations, passed).  The per-COLUMN profile is
+    ``orders_profile``; this is the assertion suite a production
+    ingest would gate a 100 TB load on.
+
+    Shape notes: all scalar checks ride ONE column-pruned pass as a
+    per-batch one-row partial (map_batches skips empty blocks, so the
+    partial schema is fixed up front) reduced by a single tiny
+    aggregate; key uniqueness is a distinct groupby whose COUNT is the
+    only thing collected; the FK check is the size-adaptive ANTI
+    semi-join (broadcast customer keys under the limit, hash join past
+    it) reduced to a count — nothing row-scale reaches the driver."""
+    out_schema = pa.schema(
+        [
+            ("check_name", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_violations", pa.int64()),
+            ("passed", pa.int64()),
+        ]
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
+    ds = _read(sf_dir, "orders", cols)
+    n_rows = ds.count()
+    if n_rows == 0:
+        return out_schema.empty_table()
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(2000, 1, 1)
+
+    _part_schema = pa.schema(
+        [
+            ("ck_null", pa.int64()),
+            ("tp_bad", pa.int64()),
+            ("dom_bad", pa.int64()),
+            ("rng_bad", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _part_schema.empty_table()
+
+        def nviol(ok: pa.ChunkedArray) -> int:
+            # a null predicate value is a violation (SQL CHECK passes
+            # only on TRUE; these gates want definite validity)
+            bad = pc.sum(pc.invert(pc.fill_null(ok, False))).as_py()
+            return int(bad or 0)
+
+        dom = pc.is_in(
+            batch.column("o_orderstatus"),
+            value_set=pa.array(["O", "F", "P"], pa.string()),
+        )
+        rng = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi)),
+        )
+        pos = pc.greater(batch.column("o_totalprice"), pa.scalar(0.0))
+        nulls = pc.sum(pc.is_null(batch.column("o_custkey"))).as_py()
+        return pa.table(
+            {
+                "ck_null": pa.array([int(nulls or 0)], pa.int64()),
+                "tp_bad": pa.array([nviol(pos)], pa.int64()),
+                "dom_bad": pa.array([nviol(dom)], pa.int64()),
+                "rng_bad": pa.array([nviol(rng)], pa.int64()),
+            }
+        )
+
+    # Dataset.aggregate on the per-batch one-row partials returns the
+    # single global row as a dict
+    sums = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("ck_null", alias_name="ck_null"),
+        Sum("tp_bad", alias_name="tp_bad"),
+        Sum("dom_bad", alias_name="dom_bad"),
+        Sum("rng_bad", alias_name="rng_bad"),
+    )
+    # key uniqueness: distinct non-null count vs row count
+    keyed = ds.select_columns(["o_orderkey"])
+    n_valid_keys = keyed.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("o_orderkey"))),
+        batch_format="pyarrow",
+    )
+    n_distinct = n_valid_keys.groupby("o_orderkey").count().count()
+    # FK containment: non-null custkeys absent from customer
+    cust_rows = ds.select_columns(["o_custkey"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("o_custkey"))),
+        batch_format="pyarrow",
+    )
+    fk_bad = broadcast_semi_join(
+        cust_rows,
+        _read(sf_dir, "customer", ["c_custkey"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        anti=True,
+        fallback_parts=_join_parts(sf_dir, table="orders"),
+    ).count()
+
+    checks = [
+        ("orderkey_unique", n_rows - n_distinct),
+        ("custkey_not_null", int(sums["ck_null"])),
+        ("custkey_in_customer", fk_bad),
+        ("totalprice_positive", int(sums["tp_bad"])),
+        ("status_in_domain", int(sums["dom_bad"])),
+        ("orderdate_in_range", int(sums["rng_bad"])),
+    ]
+    names = [c[0] for c in checks]
+    viols = [int(c[1]) for c in checks]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "n_rows": pa.array([n_rows] * len(names), pa.int64()),
+                "n_violations": pa.array(viols, pa.int64()),
+                "passed": pa.array([int(v == 0) for v in viols], pa.int64()),
+            }
+        )
+    )

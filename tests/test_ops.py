@@ -7696,3 +7696,155 @@ def test_orders_percent_rank(ray_session, monkeypatch):
     assert len(out3) == len(od3)
     for _, r in out3.iterrows():
         assert (r.pr_ppm, r.cd_ppm) == exp[r.o_orderkey], r.o_orderkey
+
+
+def test_q2_min_cost_supplier(ray_session, monkeypatch):
+    """Q2 argmin: only STANDARD parts <= size 25 and EUROPE suppliers
+    participate; cost = MIN extendedprice cents per (part, supplier);
+    a cost tie picks the SMALLER suppkey; parts with no European
+    lineitems drop out."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    region = pd.DataFrame(
+        {"r_regionkey": [0, 1], "r_name": ["EUROPE", "ASIA"]}
+    ).astype({"r_regionkey": "int32"})
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [10, 11, 20],
+            "n_name": ["FRANCE", "GERMANY", "CHINA"],
+            "n_regionkey": [0, 0, 1],
+        }
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"})
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["s1", "s2", "s3"],
+            "s_nationkey": [10, 11, 20],  # s3 is non-EU
+        }
+    ).astype({"s_nationkey": "int32"})
+    part = pd.DataFrame(
+        {
+            "p_partkey": [100, 101, 102, 103],
+            "p_name": ["pa", "pb", "pc", "pd"],
+            # 101: wrong type; 102: too big; 103: no EU lineitems
+            "p_type": ["STANDARD", "PROMO", "STANDARD", "STANDARD"],
+            "p_size": [5, 5, 30, 5],
+        }
+    ).astype({"p_size": "int32"})
+    lineitem = pd.DataFrame(
+        {
+            "l_partkey": [100, 100, 100, 100, 101, 102, 103],
+            "l_suppkey": [1, 2, 2, 3, 1, 1, 3],
+            # s1 min 5.00, s2 min 5.00 (tie -> s1), s3 cheaper but non-EU
+            "l_extendedprice": [5.00, 9.00, 5.00, 1.00, 2.00, 2.00, 2.00],
+        }
+    )
+    _patch_tables(
+        monkeypatch,
+        {
+            "region": region,
+            "nation": nation,
+            "supplier": supplier,
+            "part": part,
+            "lineitem": lineitem,
+        },
+    )
+    out = relational.q2_min_cost_supplier("x").to_pandas()
+    assert out.values.tolist() == [[100, "pa", 1, "s1", "FRANCE", 500]]
+
+
+def test_orders_median_by_customer(ray_session, monkeypatch):
+    """Grouped exact median (doubled cents): odd counts double the
+    middle value, even counts sum the two middles (including across a
+    tie run), singletons double themselves; a randomized 25-block run
+    matches a pandas replica so the prefix-count stitch is exercised."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "o_custkey": [r[0] for r in rows],
+                "o_totalprice": [r[1] for r in rows],
+            }
+        )
+
+    # cust 1 odd: 10, 20, 30 -> 2*20; cust 2 even: 10, 20, 30, 40 ->
+    # 20+30; cust 3 even all-tied: 7, 7 -> 7+7; cust 4 singleton
+    od = mk(
+        [(1, 10.0), (1, 20.0), (1, 30.0),
+         (2, 10.0), (2, 20.0), (2, 30.0), (2, 40.0),
+         (3, 7.0), (3, 7.0), (4, 99.5)]
+    )
+    _patch_tables(monkeypatch, {"orders": od})
+    out = (
+        relational.orders_median_by_customer("x")
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    assert out.values.tolist() == [
+        [1, 4000], [2, 5000], [3, 1400], [4, 19900]
+    ]
+
+    rng = np.random.RandomState(47)
+    rows = []
+    for u in range(1, 41):
+        for _ in range(rng.randint(1, 9)):
+            rows.append((u, float(rng.randint(1, 6)) + 0.25))
+    od3 = mk(rows)
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(od3[cols] if cols else od3, preserve_index=False)
+        ).repartition(25),
+    )
+    out3 = relational.orders_median_by_customer("x").to_pandas()
+    exp = {}
+    for u, g in od3.groupby("o_custkey"):
+        cents = sorted((g.o_totalprice * 100).round().astype(int))
+        n = len(cents)
+        exp[u] = cents[(n - 1) // 2] + cents[n // 2]
+    assert len(out3) == len(exp)
+    for _, r in out3.iterrows():
+        assert r.median_c2 == exp[r.o_custkey], r.o_custkey
+
+
+def test_orders_constraints(ray_session, monkeypatch):
+    """Constraint suite: each planted defect lands in exactly its own
+    check (duplicate key, null custkey, FK miss, non-positive / null
+    price, bad status, out-of-range date) and passed flags follow."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, 2, 3, 4, 5],  # dup key -> 1 violation
+            "o_custkey": [10.0, 10.0, None, 99.0, 10.0, 11.0],  # null + FK miss
+            "o_totalprice": [5.0, -1.0, None, 5.0, 5.0, 5.0],  # <=0 and null
+            "o_orderstatus": ["O", "F", "P", "X", "O", "O"],  # one bad
+            "o_orderdate": pd.to_datetime(
+                ["1995-06-01", "1994-12-31", "1995-06-01", "1995-06-01",
+                 "2000-01-01", "1996-01-01"]
+            ),  # one before range, one at exclusive upper bound
+        }
+    )
+    customer = pd.DataFrame({"c_custkey": [10, 11]})
+    _patch_tables(monkeypatch, {"orders": orders, "customer": customer})
+    out = (
+        relational.orders_constraints("x")
+        .to_pandas()
+        .set_index("check_name")
+    )
+    assert out.loc["orderkey_unique"].tolist() == [6, 1, 0]
+    assert out.loc["custkey_not_null"].tolist() == [6, 1, 0]
+    assert out.loc["custkey_in_customer"].tolist() == [6, 1, 0]
+    assert out.loc["totalprice_positive"].tolist() == [6, 2, 0]
+    assert out.loc["status_in_domain"].tolist() == [6, 1, 0]
+    assert out.loc["orderdate_in_range"].tolist() == [6, 2, 0]
