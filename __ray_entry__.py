@@ -1665,6 +1665,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain / range checks, one row per check from one pruned
         # pass + a distinct count + an anti semi-join; exact SQL oracle
         "orders_constraints": relational.orders_constraints,
+        # skyline / Pareto frontier on (price low, size high): per-price
+        # MAX combiner reduce -> sorted-run prefix-MAX carry -> multi-
+        # column join-back; exact SQL oracle
+        "part_skyline": relational.part_skyline,
+        # exact time-weighted average value per user: sorted-run
+        # consecutive-pair products, per-row limb split (cents x us
+        # wraps int64), calendar-bounded exchange sums, bignum
+        # finalize; exact HUGEINT SQL oracle
+        "events_time_weighted_value": relational.events_time_weighted_value,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3609,6 +3618,49 @@ def oracle_sql() -> dict[str, str]:
                       + SUM(CASE WHEN rn = n // 2 THEN pc ELSE 0 END)
                         AS BIGINT) AS median_c2
             FROM r GROUP BY 1
+        """,
+        "part_skyline": """
+            WITH d AS (
+                SELECT p_partkey,
+                       CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)
+                           AS price_c,
+                       CAST(p_size AS BIGINT) AS p_size
+                FROM part
+            ),
+            g AS (SELECT price_c, MAX(p_size) AS ms FROM d GROUP BY 1),
+            f AS (
+                SELECT price_c, ms FROM (
+                    SELECT price_c, ms,
+                           MAX(ms) OVER (ORDER BY price_c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prevmax
+                    FROM g)
+                WHERE prevmax IS NULL OR ms > prevmax
+            )
+            SELECT d.p_partkey, d.price_c, d.p_size
+            FROM d JOIN f ON d.price_c = f.price_c AND d.p_size = f.ms
+        """,
+        "events_time_weighted_value": """
+            WITH s AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       COALESCE(CAST(ROUND(value * 100, 0) AS BIGINT), 0)
+                           AS v,
+                       LEAD(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS tn
+                FROM events
+            ),
+            agg AS (
+                SELECT user_id,
+                       COALESCE(SUM(CAST(v AS HUGEINT) * (tn - t))
+                                FILTER (WHERE tn IS NOT NULL), 0) AS num,
+                       MAX(t) - MIN(t) AS den
+                FROM s GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST((2000000 * num + den) // (2 * den) AS BIGINT)
+                       AS twa_c_ppm
+            FROM agg WHERE den > 0
         """,
         "orders_constraints": """
             WITH v AS (

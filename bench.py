@@ -221,6 +221,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "q2_min_cost_supplier",
         "orders_median_by_customer",
         "orders_constraints",
+        "part_skyline",
+        "events_time_weighted_value",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -7888,3 +7888,328 @@ def orders_constraints(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
     )
+
+
+def part_skyline(sf_dir: str) -> "Dataset | pa.Table":
+    """Skyline (Pareto frontier) over parts: every part not dominated
+    on (retail price LOW, size HIGH) — A dominates B iff A is no more
+    expensive AND no smaller, strictly better on at least one.  The
+    multi-objective shortlist query (cheapest-per-capability), a shape
+    none of the classic aggregates cover.
+
+    Shape notes: the frontier depends only on (price, size) pairs and
+    within one price only the max size can survive, so the candidate
+    set collapses to the per-price MAX table — a combiner-fed groupby
+    bounded by |distinct prices|, never row count.  Frontier
+    membership over that reduced table is "size strictly above every
+    cheaper price's max" — a sorted-run prefix-MAX with the O(#blocks)
+    carry (block summaries collect block max; the stitch hands each
+    block the running max of all earlier blocks).  Surviving (price,
+    max-size) pairs join back to part by the multi-column hash join,
+    recovering ALL parts on frontier points (ties share the
+    frontier)."""
+    out_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("price_c", pa.int64()), ("p_size", pa.int64())]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    if part.count() == 0:
+        return out_schema.empty_table()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "price_c": _cents(batch.column("p_retailprice")),
+                "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+            }
+        )
+
+    d = part.map_batches(derive, batch_format="pyarrow")
+
+    _g_schema = pa.schema([("price_c", pa.int64()), ("ms", pa.int64())])
+
+    def per_price_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _g_schema.empty_table()
+        t = pa.table(
+            {"price_c": batch.column("price_c"), "ms": batch.column("p_size")}
+        )
+        return t.group_by("price_c").aggregate([("ms", "max")]).rename_columns(
+            ["price_c", "ms"]
+        )
+
+    g = (
+        d.map_batches(per_price_max, batch_format="pyarrow")
+        .groupby("price_c")
+        .aggregate(Max("ms", alias_name="ms"))
+        .sort("price_c")
+        .materialize()
+    )
+
+    _sum_schema = pa.schema([("bk", pa.string()), ("bmax", pa.int64())])
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _sum_schema.empty_table()
+        price = np.asarray(batch.column("price_c"), dtype=np.int64)
+        ms = np.asarray(batch.column("ms"), dtype=np.int64)
+        assert price[0] >= 0, "skyline: price pack range"
+        return pa.table(
+            {
+                "bk": pa.array(["%019d" % price[0]]),
+                "bmax": pa.array([int(ms.max())], pa.int64()),
+            }
+        )
+
+    summaries = (
+        g.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .sort("bk")
+        .to_pandas()
+    )
+    carries: dict[str, int] = {}
+    run = -(10**18)
+    for bk, bmax in summaries[["bk", "bmax"]].itertuples(index=False):
+        carries[bk] = run
+        run = max(run, int(bmax))
+    carry_ref = ray.put(carries)
+
+    def frontier(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _g_schema.empty_table()
+        price = np.asarray(batch.column("price_c"), dtype=np.int64)
+        ms = np.asarray(batch.column("ms"), dtype=np.int64)
+        carry = ray.get(carry_ref)["%019d" % price[0]]
+        # prefix max of all STRICTLY cheaper prices: within the sorted
+        # per-price table that is the running max shifted by one row
+        prev = np.empty(len(ms), np.int64)
+        prev[0] = carry
+        np.maximum.accumulate(ms[:-1], out=prev[1:])
+        prev[1:] = np.maximum(prev[1:], carry)
+        keep = ms > prev
+        return pa.table(
+            {
+                "price_c": batch.column("price_c").filter(pa.array(keep)),
+                "ms": batch.column("ms").filter(pa.array(keep)),
+            }
+        )
+
+    f = g.map_batches(frontier, batch_format="pyarrow", batch_size=None)
+    d_s = _scrub_schemaless(d)
+    f_s = _scrub_schemaless(f)
+    if d_s is None or f_s is None:
+        return out_schema.empty_table()
+    joined = d_s.join(
+        f_s,
+        join_type="inner",
+        num_partitions=max(2, _join_parts(sf_dir, table="part")),
+        on=("price_c", "p_size"),
+        right_on=("price_c", "ms"),
+    )
+    return joined.select_columns(["p_partkey", "price_c", "p_size"])
+
+
+def events_time_weighted_value(sf_dir: str) -> "Dataset | pa.Table":
+    """Exact time-weighted average event value per user, in cents-ppm
+    (``twa_c_ppm = round_half_away(1e6 * sum(v_i * dt_i) / span)``
+    where ``dt_i`` is the gap to the user's NEXT event and ``span`` is
+    last-minus-first) — the telemetry/pricing integral a plain AVG
+    misrepresents whenever sampling is irregular.  Users with zero
+    span (single event, or all events at one instant) drop, as a
+    zero-length integral is undefined.
+
+    Shape notes: consecutive-pair products ride the house sorted-run —
+    ONE (user, ts, event_id) sort, each block multiplies its interior
+    pairs vectorized and defers only its edge rows to the O(#blocks)
+    driver stitch (the cross-block pair is last-row-of-i ×
+    first-row-of-i+1).  A cents × microseconds product reaches ~1e19
+    and wraps int64, so every product is limb-split per ROW (hi = v *
+    dt_hi + carry, lo in [0, 2^31)) and per-user partials renormalize
+    per batch; the cross-batch groupby sums stay exact because
+    sum(v * dt_hi) is bounded by v_max * total-span / 2^31 — a
+    CALENDAR bound, not a row-count bound (asserted).  The finalize
+    recombines Python bignums on the |users|-bounded table, exactly
+    mirroring the oracle's HUGEINT arithmetic."""
+    out_schema = pa.schema([("user_id", pa.int64()), ("twa_c_ppm", pa.int64())])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = pc.fill_null(_cents(batch.column("value")), 0)
+        vmin = pc.min(v).as_py()
+        vmax = pc.max(v).as_py()
+        assert vmin is None or vmin >= 0, (
+            "time_weighted_value: negative value cents — the floor-division "
+            "ppm recipe and the oracle's // disagree below zero"
+        )
+        assert vmax is None or vmax < 10**9, (
+            "time_weighted_value: value cents >= 1e9 break the limb bound"
+        )
+        us = _ts_us(batch.column("ts"))
+        assert pc.min(us).as_py() is None or pc.min(us).as_py() >= 0, (
+            "time_weighted_value: pre-epoch ts breaks the zero-padded pack"
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": us,
+                "event_id": batch.column("event_id"),
+                "v": v,
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .sort(["user_id", "us", "event_id"])
+        .materialize()
+    )
+
+    _part_schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("user", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("t", pa.int64()),
+            ("v", pa.int64()),
+            ("bk", pa.string()),
+        ]
+    )
+    _MASK = (1 << 31) - 1
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _part_schema.empty_table()
+        u = batch.column("user_id").to_numpy()
+        t = batch.column("us").to_numpy()
+        v = batch.column("v").to_numpy()
+        n = len(u)
+        eid0 = int(batch.column("event_id")[0].as_py())
+        assert 0 <= int(u[0]) < 10**18 and 0 <= eid0 < 10**18, (
+            "time_weighted_value: block-head pack range"
+        )
+        bk = "%019d:%019d:%019d" % (int(u[0]), int(t[0]), eid0)
+        rows: dict[str, list] = {k: [] for k in ("user", "a", "b")}
+        if n > 1:
+            same = u[:-1] == u[1:]
+            dt = t[1:] - t[:-1]
+            dt_hi = dt >> 31
+            q = v[:-1] * (dt & _MASK)
+            hi = v[:-1] * dt_hi + (q >> 31)
+            lo = q & _MASK
+            hi = np.where(same, hi, 0)
+            lo = np.where(same, lo, 0)
+            # per-user segment sums within the (already user-sorted)
+            # block, renormalized so lo stays inside one limb
+            uu, starts = np.unique(u[:-1], return_index=True)
+            ends = np.r_[starts[1:], n - 1]
+            for uk, s, e in zip(uu, starts, ends):
+                a = int(hi[s:e].sum())
+                b = int(lo[s:e].sum())
+                a += b >> 31
+                b &= _MASK
+                # zero sums still emit: a user whose integral is 0 but
+                # whose span is positive must reach the output with
+                # twa = 0, not vanish from the inner join
+                rows["user"].append(int(uk))
+                rows["a"].append(a)
+                rows["b"].append(b)
+        m = len(rows["user"])
+        interior = pa.table(
+            {
+                "kind": pa.array(["d"] * m, pa.string()),
+                "user": pa.array(rows["user"], pa.int64()),
+                "a": pa.array(rows["a"], pa.int64()),
+                "b": pa.array(rows["b"], pa.int64()),
+                "t": pa.array([0] * m, pa.int64()),
+                "v": pa.array([0] * m, pa.int64()),
+                "bk": pa.array([""] * m, pa.string()),
+            }
+        )
+        edges = pa.table(
+            {
+                "kind": pa.array(["first", "last"], pa.string()),
+                "user": pa.array([int(u[0]), int(u[-1])], pa.int64()),
+                "a": pa.array([0, 0], pa.int64()),
+                "b": pa.array([0, 0], pa.int64()),
+                "t": pa.array([int(t[0]), int(t[-1])], pa.int64()),
+                "v": pa.array([int(v[0]), int(v[-1])], pa.int64()),
+                "bk": pa.array([bk, bk], pa.string()),
+            }
+        )
+        return pa.concat_tables([interior, edges])
+
+    marked = sorted_ds.map_batches(
+        pair_partials, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    edges_df = (
+        marked.filter(expr="kind != 'd'").to_pandas().sort_values(["bk", "kind"])
+    )
+    firsts = edges_df[edges_df["kind"] == "first"].reset_index(drop=True)
+    lasts = edges_df[edges_df["kind"] == "last"].reset_index(drop=True)
+    xu: list[int] = []
+    xa: list[int] = []
+    xb: list[int] = []
+    for i in range(len(firsts) - 1):
+        # cross-block pair: last row of block i x first row of block i+1
+        lu, lt, lv = int(lasts["user"][i]), int(lasts["t"][i]), int(lasts["v"][i])
+        fu, ft = int(firsts["user"][i + 1]), int(firsts["t"][i + 1])
+        if lu != fu:
+            continue
+        p = lv * (ft - lt)  # exact Python int
+        xu.append(lu)
+        xa.append(p >> 31)
+        xb.append(p & _MASK)
+    extra = ray.data.from_arrow(
+        pa.table(
+            {
+                "user": pa.array(xu, pa.int64()),
+                "a": pa.array(xa, pa.int64()),
+                "b": pa.array(xb, pa.int64()),
+            }
+        )
+    )
+    num = (
+        marked.filter(expr="kind == 'd'")
+        .select_columns(["user", "a", "b"])
+        .union(extra)
+        .groupby("user")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+    )
+    span = sorted_ds.groupby("user_id").aggregate(
+        Min("us", alias_name="t0"), Max("us", alias_name="t1")
+    )
+    num_s = _scrub_schemaless(num)
+    if num_s is None:
+        return out_schema.empty_table()
+    withspan = broadcast_lookup_join(
+        num_s, span, on="user", right_on="user_id", payload=["t0", "t1"]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        users: list[int] = []
+        ppm: list[int] = []
+        for user, a, b, t0, t1 in zip(
+            batch.column("user").to_pylist(),
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("t0").to_pylist(),
+            batch.column("t1").to_pylist(),
+        ):
+            den = t1 - t0
+            if den <= 0:
+                continue
+            total = (a << 31) + b  # Python bignum: exact past int64
+            users.append(user)
+            ppm.append((2_000_000 * total + den) // (2 * den))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "twa_c_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return withspan.map_batches(finalize, batch_format="pyarrow")

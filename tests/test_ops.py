@@ -7848,3 +7848,140 @@ def test_orders_constraints(ray_session, monkeypatch):
     assert out.loc["totalprice_positive"].tolist() == [6, 2, 0]
     assert out.loc["status_in_domain"].tolist() == [6, 1, 0]
     assert out.loc["orderdate_in_range"].tolist() == [6, 2, 0]
+
+
+def test_part_skyline(ray_session, monkeypatch):
+    """Skyline: strictly-dominated parts drop, equal (price, size)
+    duplicates BOTH stay (no strict edge), a same-price smaller part
+    is dominated by its price-group max, and a 25-block randomized run
+    matches the O(n^2) dominance definition exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "p_partkey": [r[0] for r in rows],
+                "p_retailprice": [r[1] for r in rows],
+                "p_size": [r[2] for r in rows],
+            }
+        ).astype({"p_size": "int32"})
+
+    # 1: (10, 5) frontier; 2: (10, 3) same price smaller -> dominated;
+    # 3: (20, 5) same size pricier -> dominated; 4: (20, 8) frontier;
+    # 5+6: equal pair (30, 9) -> both frontier; 7: (5, 1) cheapest ->
+    # frontier even with tiny size
+    part = mk(
+        [(1, 10.0, 5), (2, 10.0, 3), (3, 20.0, 5), (4, 20.0, 8),
+         (5, 30.0, 9), (6, 30.0, 9), (7, 5.0, 1)]
+    )
+    _patch_tables(monkeypatch, {"part": part})
+    out = relational.part_skyline("x").to_pandas().sort_values("p_partkey")
+    assert out.p_partkey.tolist() == [1, 4, 5, 6, 7]
+
+    rng = np.random.RandomState(53)
+    rows = [
+        (k, float(rng.randint(1, 30)), int(rng.randint(1, 12)))
+        for k in range(1, 301)
+    ]
+    big = mk(rows)
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(big[cols] if cols else big, preserve_index=False)
+        ).repartition(25),
+    )
+    out2 = set(relational.part_skyline("x").to_pandas().p_partkey)
+    pts = {k: (int(round(p * 100)), s) for k, p, s in rows}
+    exp = set()
+    for k, (pr, sz) in pts.items():
+        dominated = any(
+            (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+            for k2, (pr2, sz2) in pts.items() if k2 != k
+        )
+        if not dominated:
+            exp.add(k)
+    assert out2 == exp
+
+
+def test_events_time_weighted_value(ray_session, monkeypatch):
+    """TWA: exact integral over irregular gaps (weights = gap to the
+    NEXT event), zero-span users drop, an all-zero-value user still
+    appears with twa 0, same-timestamp ties order by event_id, and a
+    many-block randomized run matches the Python-bignum replica."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1] * 1000, unit="ns") for r in rows],
+                "event_id": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        )
+
+    # user 1: v=1.00 for 10us then v=3.00 for 30us over span 40
+    #   num = 100*10 + 300*30 = 10000, den = 40 -> 250 c -> 250e6/1e3?
+    #   twa_c_ppm = round(1e6 * 10000 / 40) = 250_000_000
+    # user 2: single event -> dropped
+    # user 3: all values zero, span 10 -> twa 0
+    # user 4: two events at SAME ts (span 0) -> dropped
+    # user 5: tie at t=0 (eids 50, 51 with v 9.00/1.00): eid order
+    #   gives v=1.00 the 10us gap -> num = 100*10, den 10 -> 10^8
+    ev = mk(
+        [(1, 0, 10, 1.00), (1, 10, 11, 3.00), (1, 40, 12, 7.77),
+         (2, 0, 20, 5.00),
+         (3, 0, 30, 0.0), (3, 10, 31, 0.0),
+         (4, 5, 40, 1.0), (4, 5, 41, 2.0),
+         (5, 0, 51, 1.00), (5, 0, 50, 9.00), (5, 10, 52, 4.0)]
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_time_weighted_value("x")
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert out.values.tolist() == [
+        [1, 250_000_000], [3, 0], [5, 100_000_000]
+    ]
+
+    rng = np.random.RandomState(59)
+    rows = []
+    eid = 0
+    for u in range(1, 31):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append((u, t, eid, float(rng.randint(0, 500)) + 0.25))
+            t += int(rng.randint(0, 50))  # zero gaps included
+    big = mk(rows)
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(big[cols] if cols else big, preserve_index=False)
+        ).repartition(25),
+    )
+    out2 = relational.events_time_weighted_value("x").to_pandas()
+    exp = {}
+    for u, g in big.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = (g.ts.astype("int64") // 1000).tolist()
+        v = (g.value * 100).round().astype(int).tolist()
+        den = t[-1] - t[0]
+        if den <= 0:
+            continue
+        num = sum(v[i] * (t[i + 1] - t[i]) for i in range(len(t) - 1))
+        exp[u] = (2_000_000 * num + den) // (2 * den)
+    assert len(out2) == len(exp)
+    for _, r in out2.iterrows():
+        assert r.twa_c_ppm == exp[r.user_id], r.user_id
