@@ -1674,6 +1674,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wraps int64), calendar-bounded exchange sums, bignum
         # finalize; exact HUGEINT SQL oracle
         "events_time_weighted_value": relational.events_time_weighted_value,
+        # ABC / Pareto classification by cumulative revenue share:
+        # combiner reduce -> ONE sort of the |parts| table -> prefix
+        # carry -> exact integer class predicates; exact SQL oracle
+        "lineitem_abc_classes": relational.lineitem_abc_classes,
+        # grouped mode (most frequent type per user, ties to smallest
+        # type): encoded-key Min argmax over the (user, type) count
+        # reduce; exact SQL oracle
+        "events_modal_type_per_user": relational.events_modal_type_per_user,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3661,6 +3669,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2000000 * num + den) // (2 * den) AS BIGINT)
                        AS twa_c_ppm
             FROM agg WHERE den > 0
+        """,
+        "lineitem_abc_classes": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                           AS rev_c
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT SUM(rev_c) AS total FROM pr),
+            c AS (
+                SELECT l_partkey, rev_c,
+                       SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                           - rev_c AS before
+                FROM pr
+            )
+            SELECT l_partkey, CAST(rev_c AS BIGINT) AS rev_c,
+                   CASE WHEN 5 * before < 4 * (SELECT total FROM t)
+                        THEN 'A'
+                        WHEN 20 * before < 19 * (SELECT total FROM t)
+                        THEN 'B' ELSE 'C' END AS abc_class
+            FROM c
+        """,
+        "events_modal_type_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT user_id, event_type, cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY cnt DESC, event_type) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type AS modal_type,
+                   CAST(cnt AS BIGINT) AS n
+            FROM r WHERE rn = 1
         """,
         "orders_constraints": """
             WITH v AS (

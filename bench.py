@@ -223,6 +223,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "orders_constraints",
         "part_skyline",
         "events_time_weighted_value",
+        "lineitem_abc_classes",
+        "events_modal_type_per_user",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

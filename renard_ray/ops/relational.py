@@ -8213,3 +8213,210 @@ def events_time_weighted_value(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     return withspan.map_batches(finalize, batch_format="pyarrow")
+
+
+def lineitem_abc_classes(sf_dir: str) -> "Dataset | pa.Table":
+    """ABC / Pareto classification of parts by revenue: sort parts by
+    revenue descending and classify by CUMULATIVE share — 'A' while
+    the share before a part is under 80%, 'B' under 95%, 'C' past it
+    (the inventory-analysis cut of the Lorenz curve; the part that
+    CROSSES a boundary belongs to the richer class).
+
+    Shape notes: per-part revenue is a combiner-fed groupby (the only
+    fact-scale exchange); the cumulative sum rides the house
+    sorted-run — ONE sort of the |parts|-bounded revenue table by
+    (rev desc, partkey), per-block cumsum, O(#blocks) driver carry of
+    block totals.  Class predicates are exact integer inequalities
+    (5*(cum-rev) < 4*total etc.), no ppm rounding anywhere; the
+    cumulative total is asserted < 4e17 cents so the 20x products
+    stay inside int64 (a corpus past that needs the q11-style limb
+    widening, loudly)."""
+    out_schema = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("rev_c", pa.int64()),
+            ("abc_class", pa.string()),
+        ]
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    if li.count() == 0:
+        return out_schema.empty_table()
+
+    _pr_schema = pa.schema([("pk", pa.int64()), ("rev_c", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pr_schema.empty_table()
+        t = pa.table(
+            {
+                "pk": batch.column("l_partkey"),
+                "rev_c": _cents(batch.column("l_extendedprice")),
+            }
+        )
+        return t.group_by("pk").aggregate([("rev_c", "sum")]).rename_columns(
+            ["pk", "rev_c"]
+        )
+
+    pr = (
+        li.map_batches(combine, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    def order_key(batch: pa.Table) -> pa.Table:
+        rmax = pc.max(batch.column("rev_c")).as_py()
+        assert rmax is None or rmax < 4 * 10**17, (
+            "abc: per-part revenue exceeds the int64 predicate bound — "
+            "widen to limb arithmetic"
+        )
+        return pa.table(
+            {
+                "pk": batch.column("pk"),
+                "rev_c": batch.column("rev_c"),
+                "neg_rev": pc.subtract(pa.scalar(0, pa.int64()), batch.column("rev_c")),
+            }
+        )
+
+    srt = (
+        pr.map_batches(order_key, batch_format="pyarrow")
+        .sort(["neg_rev", "pk"])
+        .materialize()
+    )
+
+    _sum_schema = pa.schema([("bk", pa.string()), ("btotal", pa.int64())])
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _sum_schema.empty_table()
+        rev = np.asarray(batch.column("rev_c"), dtype=np.int64)
+        pk0 = int(batch.column("pk")[0].as_py())
+        assert rev[0] >= 0 and pk0 >= 0, "abc: block-head pack range"
+        bk = "%019d:%019d" % (10**18 - int(rev[0]), pk0)
+        return pa.table(
+            {
+                "bk": pa.array([bk]),
+                "btotal": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    summaries = (
+        srt.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .sort("bk")
+        .to_pandas()
+    )
+    offsets: dict[str, int] = {}
+    run = 0
+    for bk, btotal in summaries[["bk", "btotal"]].itertuples(index=False):
+        offsets[bk] = run
+        run += int(btotal)
+    total = run
+    assert total < 4 * 10**17, (
+        "abc: corpus revenue exceeds the int64 predicate bound — widen "
+        "to limb arithmetic"
+    )
+    off_ref = ray.put(offsets)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        rev = np.asarray(batch.column("rev_c"), dtype=np.int64)
+        pk0 = int(batch.column("pk")[0].as_py())
+        off = ray.get(off_ref)["%019d:%019d" % (10**18 - int(rev[0]), pk0)]
+        before = off + np.cumsum(rev) - rev  # cumulative share BEFORE me
+        cls = np.where(
+            5 * before < 4 * total, "A", np.where(20 * before < 19 * total, "B", "C")
+        )
+        return pa.table(
+            {
+                "l_partkey": batch.column("pk"),
+                "rev_c": batch.column("rev_c"),
+                "abc_class": pa.array(cls.tolist(), pa.string()),
+            }
+        )
+
+    return srt.map_batches(classify, batch_format="pyarrow", batch_size=None)
+
+
+def events_modal_type_per_user(sf_dir: str) -> "Dataset | pa.Table":
+    """Grouped mode: each user's most frequent event type with its
+    count, ties to the LEXICOGRAPHICALLY SMALLEST type so the answer
+    is a pure function of the data — the per-group counterpart of the
+    per-column modal value in ``orders_profile``.
+
+    Shape notes: (user, type) counts reduce through a per-batch
+    combiner groupby; the per-user winner is ONE encoded-key Min
+    aggregate ((10^18 - count) zero-padded + the type string — the
+    Min IS the (count desc, type asc) argmax, no sort, no window);
+    the decode pass is |users|-bounded."""
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("modal_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    _cnt_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _cnt_schema.empty_table()
+        assert batch.column("event_type").null_count == 0, (
+            "modal_type: null event_type — Ray 2.49's hash groupby "
+            "crashes sorting None among string keys; prefix-encode "
+            "like orders_profile if this corpus gains null types"
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("cnt", "sum")]
+        ).rename_columns(["user_id", "event_type", "cnt"])
+
+    counts = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "k": pa.array([], pa.string())}
+            )
+        cmax = pc.max(batch.column("cnt")).as_py()
+        assert cmax is None or cmax < 10**18, "modal_type: count pack range"
+        inv = pc.subtract(pa.scalar(10**18, pa.int64()), batch.column("cnt"))
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(inv, pa.string()), 19, padding="0"),
+            batch.column("event_type"),
+            "",
+        )
+        return pa.table({"user_id": batch.column("user_id"), "k": key})
+
+    best = (
+        counts.map_batches(enc, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("k", alias_name="k"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        inv = pc.cast(pc.utf8_slice_codeunits(batch.column("k"), 0, 19), pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "modal_type": pc.utf8_slice_codeunits(batch.column("k"), 19),
+                "n": pc.subtract(pa.scalar(10**18, pa.int64()), inv),
+            }
+        )
+
+    return best.map_batches(decode, batch_format="pyarrow")

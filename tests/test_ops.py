@@ -7985,3 +7985,86 @@ def test_events_time_weighted_value(ray_session, monkeypatch):
     assert len(out2) == len(exp)
     for _, r in out2.iterrows():
         assert r.twa_c_ppm == exp[r.user_id], r.user_id
+
+
+def test_lineitem_abc_classes(ray_session, monkeypatch):
+    """ABC: the part whose BEFORE-share sits exactly at a boundary
+    falls to the next class (strict <), revenue ties order by partkey,
+    and a 25-block randomized run matches a pandas replica."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from renard_ray.ops import relational
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "l_partkey": [r[0] for r in rows],
+                "l_extendedprice": [r[1] for r in rows],
+            }
+        )
+
+    # total 100c: before-shares 0 / 80 / 95 -> A (0<80), B (5*80 = 4*100
+    # NOT <, but 20*80 < 19*100), C (20*95 = 19*100 NOT <)
+    li = mk([(1, 0.40), (1, 0.40), (2, 0.15), (3, 0.05)])
+    _patch_tables(monkeypatch, {"lineitem": li})
+    out = (
+        relational.lineitem_abc_classes("x").to_pandas().sort_values("l_partkey")
+    )
+    assert out.values.tolist() == [[1, 80, "A"], [2, 15, "B"], [3, 5, "C"]]
+
+    rng = np.random.RandomState(61)
+    rows = [
+        (int(rng.randint(1, 80)), float(rng.randint(1, 400)) / 100.0)
+        for _ in range(600)
+    ]
+    big = mk(rows)
+    monkeypatch.setattr(
+        relational, "_read",
+        lambda sfd, table, cols=None: _ray.data.from_arrow(
+            pa.Table.from_pandas(big[cols] if cols else big, preserve_index=False)
+        ).repartition(25),
+    )
+    out2 = relational.lineitem_abc_classes("x").to_pandas()
+    pr = (
+        (big.assign(c=(big.l_extendedprice * 100).round().astype(int)))
+        .groupby("l_partkey").c.sum().reset_index()
+        .sort_values(["c", "l_partkey"], ascending=[False, True])
+    )
+    total = int(pr.c.sum())
+    before = pr.c.cumsum() - pr.c
+    cls = np.where(
+        5 * before < 4 * total, "A", np.where(20 * before < 19 * total, "B", "C")
+    )
+    exp = dict(zip(pr.l_partkey, zip(pr.c, cls)))
+    assert len(out2) == len(exp)
+    for _, r in out2.iterrows():
+        assert (r.rev_c, r.abc_class) == exp[r.l_partkey], r.l_partkey
+
+
+def test_events_modal_type_per_user(ray_session, monkeypatch):
+    """Grouped mode: counts merge across blocks, a count tie picks the
+    lexicographically smaller type, singleton users keep their only
+    type."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["view", "buy", "view", "zed", "add", "buy"],
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_modal_type_per_user("x")
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    # user 2: zed/add tie -> "add" (lexicographic)
+    assert out.values.tolist() == [
+        [1, "view", 2], [2, "add", 1], [3, "buy", 1]
+    ]
