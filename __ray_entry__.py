@@ -1682,6 +1682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # type): encoded-key Min argmax over the (user, type) count
         # reduce; exact SQL oracle
         "events_modal_type_per_user": relational.events_modal_type_per_user,
+        "events_type_diversity": relational.events_type_diversity,
+        "events_trend_slope": relational.events_trend_slope,
+        "supplier_hhi": relational.supplier_hhi,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3706,6 +3709,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type AS modal_type,
                    CAST(cnt AS BIGINT) AS n
             FROM r WHERE rn = 1
+        """,
+        "events_type_diversity": """
+            WITH ct AS (
+                SELECT user_id, event_type, CAST(COUNT(*) AS HUGEINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            u AS (
+                SELECT user_id, SUM(c) AS n, SUM(c * c) AS s2
+                FROM ct GROUP BY 1
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CAST((2000000 * (n * n - s2) + n * n) // (2 * n * n)
+                        AS BIGINT) AS diversity_ppm
+            FROM u
+        """,
+        "events_trend_slope": """
+            WITH dc AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS HUGEINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS m,
+                       CAST(SUM(day) AS HUGEINT) AS sx,
+                       SUM(CAST(day AS HUGEINT) * day) AS sxx,
+                       SUM(c) AS sy, SUM(day * c) AS sxy
+                FROM dc GROUP BY 1 HAVING COUNT(*) >= 2
+            ),
+            f AS (
+                SELECT event_type, CAST(m AS BIGINT) AS n_days,
+                       m * sxy - sx * sy AS num,
+                       m * sxx - sx * sx AS den
+                FROM m
+            )
+            SELECT event_type, n_days,
+                   CAST(CASE WHEN num >= 0
+                             THEN (2000000 * num + den) // (2 * den)
+                             ELSE -((2000000 * (-num) + den) // (2 * den))
+                        END AS BIGINT) AS slope_ppm
+            FROM f WHERE den > 0
+        """,
+        "supplier_hhi": """
+            WITH sr AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                           AS r
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT s.s_nationkey AS nk, CAST(sr.r AS HUGEINT) AS r
+                FROM sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+            ),
+            n AS (
+                SELECT nk, COUNT(*) AS n_suppliers,
+                       SUM(r) AS s, SUM(r * r) AS s2
+                FROM j GROUP BY 1
+            )
+            SELECT nk AS s_nationkey,
+                   CAST(n_suppliers AS BIGINT) AS n_suppliers,
+                   CAST((2000000 * s2 + s * s) // (2 * s * s) AS BIGINT)
+                       AS hhi_ppm
+            FROM n WHERE s > 0
         """,
         "orders_constraints": """
             WITH v AS (

@@ -225,6 +225,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_time_weighted_value",
         "lineitem_abc_classes",
         "events_modal_type_per_user",
+        "events_type_diversity",
+        "events_trend_slope",
+        "supplier_hhi",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -413,7 +413,7 @@ def minhash_candidate_pairs(
             t = t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
         return t
 
-    cand = joined.map_batches(ordered, batch_format="pyarrow")
+    cand = joined.map_batches(ordered, batch_format="pyarrow", batch_size=None)
     return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -536,7 +536,7 @@ def _verify_pairs_broadcast(
             }
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_dedup_pairs(
@@ -624,7 +624,7 @@ def minhash_dedup_pairs(
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------- exact n-gram Jaccard
@@ -791,7 +791,7 @@ def ngram_jaccard_pairs(
         )
 
     agg = (
-        joined.map_batches(pair_partials, batch_format="pyarrow")
+        joined.map_batches(pair_partials, batch_format="pyarrow", batch_size=None)
         .groupby(["a", "b"])
         .aggregate(
             Sum("ic", alias_name="ic"),
@@ -958,7 +958,7 @@ def simhash_near_dup_pairs(
             )
         return t
 
-    cand = joined.map_batches(verify, batch_format="pyarrow")
+    cand = joined.map_batches(verify, batch_format="pyarrow", batch_size=None)
     return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -1171,7 +1171,7 @@ def _embedding_near_dup_srp(
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_dedup_clusters(

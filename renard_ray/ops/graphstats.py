@@ -61,7 +61,7 @@ def degree_dataset(triples: Dataset) -> Dataset:
         )
 
     return (
-        triples.map_batches(endpoints, batch_format="pyarrow")
+        triples.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
         .groupby("node")
         .aggregate(
             Sum("weight", alias_name="weighted_degree"),
@@ -394,7 +394,7 @@ def _pagerank_join(
                 on=("src",),
                 right_on=("node",),
             )
-            .map_batches(edge_contrib, batch_format="pyarrow")
+            .map_batches(edge_contrib, batch_format="pyarrow", batch_size=None)
             .groupby("dst")
             .sum("ci")
             .map_batches(finish_rank, batch_format="pyarrow")
@@ -645,7 +645,7 @@ def _hits_join(
                 on=("src",),
                 right_on=("node",),
             )
-            .map_batches(edge_contrib, batch_format="pyarrow")
+            .map_batches(edge_contrib, batch_format="pyarrow", batch_size=None)
             .groupby("dst")
             .sum("ci")
             .materialize()
@@ -852,7 +852,7 @@ def kcore_dataset(
 
     edges = (
         triples.select_columns(["subj", "obj"])
-        .map_batches(norm, batch_format="pyarrow")
+        .map_batches(norm, batch_format="pyarrow", batch_size=None)
         .groupby(["u", "v"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["u", "v"])
@@ -875,7 +875,7 @@ def kcore_dataset(
             return g.rename_columns(["node", "n"])
 
         return (
-            eds.map_batches(endpoints, batch_format="pyarrow")
+            eds.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
             .groupby("node")
             .aggregate(Sum("n", alias_name="n_neighbors"))
         )
@@ -943,7 +943,7 @@ def _distinct_adjacency(triples: Dataset, directed: bool = False) -> Dataset | N
 
     return drop_empty_blocks(
         triples.select_columns(["subj", "obj"])
-        .map_batches(adjacency, batch_format="pyarrow")
+        .map_batches(adjacency, batch_format="pyarrow", batch_size=None)
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["src", "dst"])
@@ -1403,7 +1403,7 @@ def scc_dataset(
 
     edges = drop_empty_blocks(
         triples.select_columns(["subj", "obj"])
-        .map_batches(directed, batch_format="pyarrow")
+        .map_batches(directed, batch_format="pyarrow", batch_size=None)
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["src", "dst"])
@@ -2756,7 +2756,7 @@ def events_bipartite_assortativity(sf_dir: str) -> Dataset:
         return t.group_by(["subj", "obj"]).aggregate([])
 
     distinct = (
-        ds.map_batches(edges, batch_format="pyarrow")
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None)
         .groupby(["subj", "obj"])
         .aggregate(Count(alias_name="_n"))
     )
@@ -2805,7 +2805,7 @@ def reciprocity_dataset(triples: Dataset) -> Dataset:
         return t.group_by(["k", "rk"]).aggregate([])  # per-batch dedup
 
     distinct = (
-        triples.map_batches(keys, batch_format="pyarrow")
+        triples.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["k", "rk"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
@@ -2870,7 +2870,7 @@ def graph_summary_dataset(triples: Dataset) -> Dataset:
         ).rename_columns(["k", "self", "n"])
 
     per_key = (
-        triples.map_batches(keys, batch_format="pyarrow")
+        triples.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["k", "self"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -2954,7 +2954,7 @@ def rich_club_dataset(
         return t.group_by(["a", "b"]).aggregate([])
 
     pairs = (
-        triples.map_batches(keys, batch_format="pyarrow")
+        triples.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
@@ -2981,7 +2981,7 @@ def rich_club_dataset(
         ).rename_columns(["node", "n"])
 
     deg = (
-        pairs.map_batches(endpoints, batch_format="pyarrow")
+        pairs.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
         .groupby("node")
         .aggregate(Sum("n", alias_name="n_edges"))
         .materialize()

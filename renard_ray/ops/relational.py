@@ -406,7 +406,7 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_i", alias_name="sum_qty"),
@@ -524,7 +524,7 @@ def q5_nation_revenue(sf_dir: str) -> Dataset:
         )
 
     return (
-        joined.map_batches(label, batch_format="pyarrow")
+        joined.map_batches(label, batch_format="pyarrow", batch_size=None)
         .groupby("n_name")
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
     )
@@ -550,7 +550,7 @@ def part_type_stats(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("p_brand")
         .aggregate(
             Count(alias_name="n_parts"), Sum("price_c", alias_name="_sum_price_c")
@@ -591,7 +591,7 @@ def events_type_stats(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n_events"),
@@ -627,7 +627,7 @@ def events_top_users(sf_dir: str, k: int = 25) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(
             Count(alias_name="n_events"),
@@ -679,7 +679,7 @@ def supplier_nation_join(sf_dir: str) -> Dataset:
         )
 
     return (
-        sup.map_batches(label, batch_format="pyarrow")
+        sup.map_batches(label, batch_format="pyarrow", batch_size=None)
         .groupby("r_name")
         .aggregate(
             Count(alias_name="n_suppliers"),
@@ -748,7 +748,7 @@ def orders_monthly_counts(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("month")
         .aggregate(
             Count(alias_name="n_orders"),
@@ -1037,7 +1037,7 @@ def q4_order_priority(sf_dir: str) -> Dataset:
         return t
 
     qual = (
-        li.map_batches(qualify, batch_format="pyarrow")
+        li.map_batches(qualify, batch_format="pyarrow", batch_size=None)
         .groupby("l_orderkey")
         .count()
         .select_columns(["l_orderkey"])
@@ -1265,7 +1265,7 @@ def events_running_total(sf_dir: str) -> Dataset:
         )
 
     sorted_ds = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .sort(["user_id", "ts", "event_id"])
         .materialize()
     )
@@ -1381,7 +1381,7 @@ def q17_small_quantity_revenue(sf_dir: str) -> Dataset:
 
     # materialize once: BOTH the per-part aggregate and the join probe
     # side consume this — without it the lineitem scan runs twice
-    rows = li.map_batches(derive, batch_format="pyarrow").materialize()
+    rows = li.map_batches(derive, batch_format="pyarrow", batch_size=None).materialize()
     per_part = rows.groupby("l_partkey").aggregate(
         Sum("qty_i", alias_name="sum_qty"),
         Count(alias_name="n_li"),
@@ -1439,7 +1439,7 @@ def lineitem_qty_percentiles(sf_dir: str, ps: tuple = (0.25, 0.5, 0.75, 0.95)) -
         return pa.table({"qty_i": _int(batch.column("l_quantity"))})
 
     counts = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("qty_i")
         .aggregate(Count(alias_name="n"))
         .take_all()
@@ -1489,7 +1489,7 @@ def orders_rollup(sf_dir: str) -> Dataset:
         )
 
     fine = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["y", "m"])
         .aggregate(
             Count(alias_name="n_orders"),
@@ -1562,7 +1562,7 @@ def events_funnel(
             }
         ).filter(pc.is_valid(batch.column("ts")))
 
-    ev = ev.map_batches(derive, batch_format="pyarrow").materialize()
+    ev = ev.map_batches(derive, batch_format="pyarrow", batch_size=None).materialize()
     nparts = _join_parts(sf_dir, "events")
 
     firsts = (
@@ -1618,7 +1618,7 @@ def orders_cube(sf_dir: str) -> Dataset:
         )
 
     fine = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["y", "priority"])
         .aggregate(
             Count(alias_name="n_orders"),
@@ -1838,7 +1838,7 @@ def orders_pivot(sf_dir: str) -> Dataset:
     aggs = [Sum(col, alias_name=col) for _, col in _PIVOT_PRIORITIES]
     aggs.append(Sum("n_total", alias_name="n_total"))
     return (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("y")
         .aggregate(*aggs)
     )
@@ -1873,7 +1873,7 @@ def customer_year_setops(
     from ray.data.aggregate import Max
 
     flags = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("o_custkey")
         .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
     )
@@ -1931,7 +1931,7 @@ def lineitem_qty_median_by_flag(
         return g.rename_columns(["flag", "qty", "n"])
 
     hist = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["flag", "qty"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -2010,7 +2010,7 @@ def orders_price_ntile(sf_dir: str, k: int = 10) -> Dataset:
         )
 
     sorted_ds = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .sort(["price_c", "o_orderkey"])
         .materialize()
     )
@@ -2147,7 +2147,7 @@ def orders_rank_in_customer(sf_dir: str) -> Dataset:
     # okey is a UNIQUE tie-break so every block's first-row key (the
     # block key below) is distinct; it cannot affect dense ranks
     sorted_ds = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .sort(["cust", "price_c", "okey"], descending=[False, True, False])
         .materialize()
     )
@@ -2421,7 +2421,7 @@ def orders_above_customer_avg(sf_dir: str) -> Dataset:
             }
         )
 
-    facts = ds.map_batches(derive, batch_format="pyarrow")
+    facts = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
     per_cust = facts.groupby("o_custkey").aggregate(
         Sum("price_c", alias_name="sum_c"),
         Count(alias_name="n"),
@@ -2490,7 +2490,7 @@ def lineitem_price_percentiles_exact(
     # (okey, ln) is a UNIQUE tie-break: block keys stay distinct and
     # block order is content-determined, same trick as the rank windows
     sorted_ds = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .sort(["price_c", "okey", "ln"])
         .materialize()
     )
@@ -2626,7 +2626,7 @@ def events_peak_moving_sum(sf_dir: str, w: int = 3) -> Dataset:
         )
 
     sorted_ds = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .sort(["u", "t", "e"])
         .materialize()
     )
@@ -2818,7 +2818,7 @@ def events_spend_outliers(sf_dir: str) -> Dataset:
             }
         )
 
-    facts = ds.map_batches(derive, batch_format="pyarrow")
+    facts = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
     per_user = facts.groupby("user_id").aggregate(
         Sum("value_cents", alias_name="s_c"),
         Sum("sq", alias_name="q_c"),
@@ -3074,7 +3074,7 @@ def events_value_mad(sf_dir: str, hist_limit: int = _MAD_HIST_LIMIT) -> Dataset:
         return out.rename_columns(["g", "c", "n"])
 
     hist = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["g", "c"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -3180,7 +3180,7 @@ def events_retention(sf_dir: str) -> "Dataset | pa.Table":
         # distinct (user, week) pairs only
         return t.group_by(["user_id", "week"]).aggregate([])
 
-    uw = ds.map_batches(weeks, batch_format="pyarrow")
+    uw = ds.map_batches(weeks, batch_format="pyarrow", batch_size=None)
     # distinct (user, week) pairs globally — both downstream reductions
     # (cohort min and the offset-cell distinct count) read this once
     uw = uw.groupby(["user_id", "week"]).aggregate(Count(alias_name="_n"))
@@ -3280,7 +3280,7 @@ def lineitem_corr_qty_price(sf_dir: str) -> Dataset:
         )
 
     merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("l_returnflag")
         .aggregate(
             *[
@@ -3646,7 +3646,7 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Tabl
         return t.group_by(["user_id", "day"]).aggregate([])
 
     ud = (
-        ds.map_batches(days, batch_format="pyarrow")
+        ds.map_batches(days, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "day"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
@@ -3695,7 +3695,7 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Tabl
         return t.group_by(["end_day", "user_id"]).aggregate([])
 
     wau = (
-        ud.map_batches(fan_out, batch_format="pyarrow")
+        ud.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
         .groupby(["end_day", "user_id"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["end_day"])
@@ -3738,7 +3738,7 @@ def events_weekly_churn(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by(["user_id", "week"]).aggregate([])
 
     uw = (
-        ds.map_batches(weeks, batch_format="pyarrow")
+        ds.map_batches(weeks, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "week"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
@@ -4051,7 +4051,7 @@ def _basket_items(sf_dir: str) -> "Dataset | None":
         return t.group_by(["basket", "etype"]).aggregate([])
 
     return (
-        ds.map_batches(items, batch_format="pyarrow")
+        ds.map_batches(items, batch_format="pyarrow", batch_size=None)
         .groupby(["basket", "etype"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
@@ -4105,7 +4105,7 @@ def events_basket_pairs(
         return t.group_by(["type_a", "type_b"]).aggregate([("type_a", "count")])
 
     pairs = (
-        joined.map_batches(keep_pairs, batch_format="pyarrow")
+        joined.map_batches(keep_pairs, batch_format="pyarrow", batch_size=None)
         .map_batches(
             lambda b: b.rename_columns(["type_a", "type_b", "n"]),
             batch_format="pyarrow",
@@ -4255,7 +4255,7 @@ def events_value_winsorized(
         return out.rename_columns(["g", "c", "n"])
 
     hist = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["g", "c"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -4482,7 +4482,7 @@ def q14_promo_revenue(
             }
         )
 
-    agg = fact.map_batches(partial, batch_format="pyarrow").aggregate(
+    agg = fact.map_batches(partial, batch_format="pyarrow", batch_size=None).aggregate(
         *[Sum(c, alias_name=c) for c in ("n t_hi t_lo p_hi p_lo".split())]
     )
     if not agg or not agg.get("n"):
@@ -4540,7 +4540,7 @@ def events_similar_users(
         return out.rename_columns(["user_id", "etype", "n"])
 
     prof = (
-        ds.map_batches(counts, batch_format="pyarrow")
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "etype"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -5094,7 +5094,10 @@ def q18_large_volume_customers(
     detail attached — the HAVING-subquery + double join-back shape.
 
     Shape notes: ONE groupby-sum over the pruned (l_orderkey, qty)
-    scan, a streaming HAVING filter (the qualifying-order table is a
+    scan, fed by a per-batch group_by combiner (lineitem is clustered
+    by orderkey, so the exchange carries roughly one row per order per
+    batch instead of one per line), a streaming HAVING filter (the
+    qualifying-order table is a
     tiny fraction of orders by construction — the threshold selects the
     tail), then orders rows survive a size-adaptive SEMI join against
     the qualifying keys and pick up ``sum_qty`` via the size-adaptive
@@ -5103,15 +5106,20 @@ def q18_large_volume_customers(
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
     def derive(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        t = pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey"),
                 "qty_i": _int(batch.column("l_quantity")),
             }
         )
+        return (
+            t.group_by(["l_orderkey"])
+            .aggregate([("qty_i", "sum")])
+            .rename_columns(["l_orderkey", "qty_i"])
+        )
 
     per_order = _scrub_schemaless(
-        li.map_batches(derive, batch_format="pyarrow")
+        li.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("l_orderkey")
         .aggregate(Sum("qty_i", alias_name="sum_qty"))
     )
@@ -5239,7 +5247,7 @@ def q19_disjunctive_revenue(sf_dir: str) -> "Dataset | pa.Table":
 
     fact = broadcast_lookup_join(
         li.map_batches(rev, batch_format="pyarrow"),
-        part.map_batches(qualify, batch_format="pyarrow"),
+        part.map_batches(qualify, batch_format="pyarrow", batch_size=None),
         on="l_partkey",
         right_on="p_partkey",
         payload=["qty_lo", "qty_hi"],
@@ -5262,7 +5270,7 @@ def q19_disjunctive_revenue(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
 
-    agg = fact.map_batches(partial, batch_format="pyarrow").aggregate(
+    agg = fact.map_batches(partial, batch_format="pyarrow", batch_size=None).aggregate(
         Sum("n", alias_name="n"),
         Sum("r_hi", alias_name="r_hi"),
         Sum("r_lo", alias_name="r_lo"),
@@ -5675,7 +5683,7 @@ def q8_market_share(
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
     agg = _scrub_schemaless(
-        fact.map_batches(partial, batch_format="pyarrow")
+        fact.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("o_year")
         .aggregate(*[Sum(c, alias_name=c) for c in ("n", "t_hi", "t_lo", "s_hi", "s_lo")])
     )
@@ -5897,7 +5905,7 @@ def events_cohort_ltv(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     uw = _scrub_schemaless(
-        ds.map_batches(weeks, batch_format="pyarrow")
+        ds.map_batches(weeks, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "week"])
         .aggregate(Sum("spend_c", alias_name="spend_c"))
     )
@@ -5988,7 +5996,7 @@ def q12_late_shipments(sf_dir: str, grace_days: int = 90) -> "Dataset | pa.Table
         )
 
     res = _scrub_schemaless(
-        fact.map_batches(partial, batch_format="pyarrow")
+        fact.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("o_orderpriority")
         .aggregate(
             Sum("n_late", alias_name="n_late"), Sum("n_lines", alias_name="n_lines")
@@ -6030,7 +6038,7 @@ def part_cheapest_per_brand(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
 
-    rows = part.map_batches(derive, batch_format="pyarrow").materialize()
+    rows = part.map_batches(derive, batch_format="pyarrow", batch_size=None).materialize()
     mins = _scrub_schemaless(
         rows.groupby("p_brand").aggregate(Min("retailprice_c", alias_name="min_c"))
     )
@@ -6170,7 +6178,7 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
         )
 
     prof = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(
             Max("us", alias_name="last_us"),
@@ -6299,7 +6307,7 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
         return g.rename_columns(["user_id", "n"])
 
     per_user = _scrub_schemaless(
-        ds.map_batches(purchases, batch_format="pyarrow")
+        ds.map_batches(purchases, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(Sum("n", alias_name="n_purchases"))
     )
@@ -6324,7 +6332,7 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     res = _scrub_schemaless(
-        joined.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("first_touch")
         .aggregate(Sum("u", alias_name="n_users"), Sum("p", alias_name="n_purchases"))
     )
@@ -6752,7 +6760,7 @@ def events_session_stats(
             }
         )
 
-    agg = sweep.map_batches(partial, batch_format="pyarrow").aggregate(
+    agg = sweep.map_batches(partial, batch_format="pyarrow", batch_size=None).aggregate(
         *[Sum(c, alias_name=c) for c in ("n", "st_hi", "st_lo", "en_hi", "en_lo")]
     ) or {}
     n = int(agg.get("n") or 0)
@@ -6839,7 +6847,7 @@ def q21_sole_late_supplier(
     # materialized once because BOTH the per-order counts and the
     # join-back consume it
     ls = (
-        joined.map_batches(combine, batch_format="pyarrow")
+        joined.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby(["ok", "sk"])
         .aggregate(Max("late", alias_name="late"))
         .materialize()
@@ -6863,7 +6871,7 @@ def q21_sole_late_supplier(
         return batch.filter(keep).select(["sk"])
 
     waits = (
-        back.map_batches(qualify, batch_format="pyarrow")
+        back.map_batches(qualify, batch_format="pyarrow", batch_size=None)
         .groupby("sk")
         .aggregate(Count(alias_name="numwait"))
     )
@@ -6934,7 +6942,7 @@ def q9_widget_revenue(sf_dir: str, name_part: str = "widget") -> "Dataset | pa.T
         )
 
     osk = (
-        li_w.map_batches(combine, batch_format="pyarrow")
+        li_w.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby(["ok", "sk"])
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
     )
@@ -6980,7 +6988,7 @@ def q9_widget_revenue(sf_dir: str, name_part: str = "widget") -> "Dataset | pa.T
         ).rename_columns(["nation", "o_year", "revenue_c4"])
 
     return (
-        dated.map_batches(label, batch_format="pyarrow")
+        dated.map_batches(label, batch_format="pyarrow", batch_size=None)
         .groupby(["nation", "o_year"])
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
     )
@@ -7015,7 +7023,7 @@ def q11_important_parts(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     pv = (
-        li.map_batches(combine, batch_format="pyarrow")
+        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby("l_partkey")
         .aggregate(Sum("value_c4", alias_name="value_c4"))
         .materialize()
@@ -7031,7 +7039,7 @@ def q11_important_parts(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
 
-    agg = pv.map_batches(partial, batch_format="pyarrow").aggregate(
+    agg = pv.map_batches(partial, batch_format="pyarrow", batch_size=None).aggregate(
         Sum("n", alias_name="n"), Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo")
     ) or {}
     n = int(agg.get("n") or 0)
@@ -7062,14 +7070,16 @@ def q16_supplier_part_counts(
     excluding suppliers from one nation (the complaints NOT-IN
     analog over the columns this corpus has).
 
-    Shape notes: the exclusion set broadcasts as an anti semi-join
-    mask, the fact-scale exchange carries only DISTINCT
+    Shape notes: the qualifying-part key set (brand/size predicate,
+    ~|sizes|/|size domain| of all parts) semi-filters lineitem AT THE
+    SCAN EDGE so the fact-scale exchange shrinks by the part
+    selectivity before any shuffle, the exclusion set broadcasts as
+    an anti semi-join mask, the exchange carries only DISTINCT
     (partkey, suppkey) pairs (per-batch group_by combiner keeps the
     in-flight rows distinct too), part attributes attach to that
-    already-reduced table via a size-adaptive lookup join that also
-    applies the brand/size predicate (inner join against the
-    FILTERED part set), and the two remaining distinct/count
-    groupbys are O(|groups| x |suppliers|)."""
+    already-reduced table via a size-adaptive lookup join, and the
+    two remaining distinct/count groupbys are
+    O(|groups| x |suppliers|)."""
     out_schema = pa.schema(
         [
             ("p_brand", pa.string()),
@@ -7100,6 +7110,15 @@ def q16_supplier_part_counts(
         ).select(["s_suppkey"]),
         batch_format="pyarrow",
     )
+    li = broadcast_semi_join(
+        li,
+        parts_f.map_batches(
+            lambda b: b.select(["p_partkey"]), batch_format="pyarrow"
+        ),
+        on="l_partkey",
+        right_on="p_partkey",
+        fallback_parts=_join_parts(sf_dir),
+    )
     li_ok = broadcast_semi_join(li, excl, on="l_suppkey", right_on="s_suppkey", anti=True)
 
     def distinct_pair(batch: pa.Table) -> pa.Table:
@@ -7108,7 +7127,7 @@ def q16_supplier_part_counts(
         ).aggregate([])
 
     ps = (
-        li_ok.map_batches(distinct_pair, batch_format="pyarrow")
+        li_ok.map_batches(distinct_pair, batch_format="pyarrow", batch_size=None)
         .groupby(["l_partkey", "l_suppkey"])
         .count()
     )
@@ -7200,7 +7219,7 @@ def q20_heavy_suppliers(
         )
 
     sq = (
-        li_w.map_batches(combine, batch_format="pyarrow")
+        li_w.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby(["pk", "sk"])
         .aggregate(Sum("q", alias_name="q"))
         .materialize()
@@ -7295,7 +7314,7 @@ def events_hourly_gapfill(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["hour", "n", "value_c"])
 
     hourly = (
-        ds.map_batches(combine, batch_format="pyarrow")
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby("hour")
         .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
     )
@@ -7356,7 +7375,7 @@ def _grouped_prefix_counts(od: Dataset) -> tuple[Dataset, Dataset]:
         ).rename_columns(["cust", "price_c", "cnt"])
 
     reduced = (
-        od.map_batches(pair_combine, batch_format="pyarrow")
+        od.map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
         .groupby(["cust", "price_c"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .sort(["cust", "price_c"])
@@ -7489,7 +7508,7 @@ def orders_percent_rank(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
 
-    od = orders.map_batches(derive, batch_format="pyarrow")
+    od = orders.map_batches(derive, batch_format="pyarrow", batch_size=None)
     ranks, ncust = _grouped_prefix_counts(od)
     nparts = max(2, _join_parts(sf_dir, table="orders"))
     od_s = _scrub_schemaless(od)
@@ -7631,7 +7650,7 @@ def q2_min_cost_supplier(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     pair = _scrub_schemaless(
-        li.map_batches(pair_min, batch_format="pyarrow")
+        li.map_batches(pair_min, batch_format="pyarrow", batch_size=None)
         .groupby(["pk", "sk"])
         .aggregate(Min("cost_c", alias_name="cost_c"))
     )
@@ -7728,7 +7747,7 @@ def orders_median_by_customer(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
 
-    od = orders.map_batches(derive, batch_format="pyarrow")
+    od = orders.map_batches(derive, batch_format="pyarrow", batch_size=None)
     ranks, ncust = _grouped_prefix_counts(od)
     withn = broadcast_lookup_join(ranks, ncust, on="cust", right_on="cust", payload=["n"])
 
@@ -7841,7 +7860,7 @@ def orders_constraints(sf_dir: str) -> "Dataset | pa.Table":
 
     # Dataset.aggregate on the per-batch one-row partials returns the
     # single global row as a dict
-    sums = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+    sums = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).aggregate(
         Sum("ck_null", alias_name="ck_null"),
         Sum("tp_bad", alias_name="tp_bad"),
         Sum("dom_bad", alias_name="dom_bad"),
@@ -7924,7 +7943,7 @@ def part_skyline(sf_dir: str) -> "Dataset | pa.Table":
             }
         )
 
-    d = part.map_batches(derive, batch_format="pyarrow")
+    d = part.map_batches(derive, batch_format="pyarrow", batch_size=None)
 
     _g_schema = pa.schema([("price_c", pa.int64()), ("ms", pa.int64())])
 
@@ -7939,7 +7958,7 @@ def part_skyline(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     g = (
-        d.map_batches(per_price_max, batch_format="pyarrow")
+        d.map_batches(per_price_max, batch_format="pyarrow", batch_size=None)
         .groupby("price_c")
         .aggregate(Max("ms", alias_name="ms"))
         .sort("price_c")
@@ -8258,7 +8277,7 @@ def lineitem_abc_classes(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     pr = (
-        li.map_batches(combine, batch_format="pyarrow")
+        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby("pk")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
@@ -8383,7 +8402,7 @@ def events_modal_type_per_user(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["user_id", "event_type", "cnt"])
 
     counts = (
-        ds.map_batches(combine, batch_format="pyarrow")
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "event_type"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
@@ -8420,3 +8439,379 @@ def events_modal_type_per_user(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     return best.map_batches(decode, batch_format="pyarrow")
+
+
+def events_type_diversity(sf_dir: str) -> "Dataset | pa.Table":
+    """Per-user Gini-Simpson diversity of event types — the exact
+    behavioral-diversity readout (1 - sum of squared type shares):
+    0 = every event the same type, -> 1 = spread over many types.
+    Unlike Shannon entropy this needs NO logarithm, so the answer is
+    an exact rational of integer counts and value-hashes against SQL
+    with no libm-parity risk.
+
+    Shape notes: (user, type) counts reduce through the combiner-fed
+    groupby (the one fact-scale exchange); n and sum(c^2) reduce from
+    that |users| x |types|-bounded table in a second groupby; the
+    ppm finalize runs DISTRIBUTED over the |users|-bounded result in
+    per-row Python bignums (2e6 * n^2 exceeds int64).  Per-user n is
+    asserted < 3.034e9 so every c^2 and sum(c^2) <= n^2 stays inside
+    int64 during the exchange — past that the split-square limb
+    widening (``_sq_limbs``) applies, loudly."""
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n", pa.int64()),
+            ("diversity_ppm", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    _cnt_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _cnt_schema.empty_table()
+        assert batch.column("event_type").null_count == 0, (
+            "type_diversity: null event_type — prefix-encode like "
+            "orders_profile if this corpus gains null types"
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("cnt", "sum")]
+        ).rename_columns(["user_id", "event_type", "cnt"])
+
+    counts = (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    _mo_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()), ("s2", pa.int64())]
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _mo_schema.empty_table()
+        c = batch.column("cnt").to_numpy()
+        assert int(c.max()) < 3_034_000_000, (
+            "type_diversity: per-(user,type) count squares past int64 "
+            "— widen s2 to the split-square limb encoding"
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n": batch.column("cnt"),
+                "s2": pa.array(c * c, pa.int64()),
+            }
+        )
+        return t.group_by("user_id").aggregate(
+            [("n", "sum"), ("s2", "sum")]
+        ).rename_columns(["user_id", "n", "s2"])
+
+    per_user = (
+        counts.map_batches(moments, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("s2", alias_name="s2"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_pylist()
+        ns = batch.column("n").to_pylist()
+        s2s = batch.column("s2").to_pylist()
+        ppm = []
+        for n, s2 in zip(ns, s2s):
+            # n < 3.034e9 asserted upstream => n*n < 9.21e18 fits the
+            # int64 column; 2e6 * (n*n - s2) does NOT — Python bignums
+            assert n < 3_034_000_000, "type_diversity: n^2 past int64"
+            nn = n * n
+            ppm.append((2_000_000 * (nn - s2) + nn) // (2 * nn))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "diversity_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_trend_slope(sf_dir: str) -> "Dataset | pa.Table":
+    """Per-type OLS trend of daily event volume: the least-squares
+    slope of (epoch-day, daily count) over each type's OBSERVED days
+    (no gap fill — a day with zero events contributes no point,
+    mirroring the SQL GROUP BY), in exact half-away ppm events/day.
+    Positive = growing volume, negative = decaying; the trend-triage
+    companion of the spike detector ``events_daily_anomaly``.
+
+    Exactness: slope = (m*Sxy - Sx*Sy) / (m*Sxx - Sx^2) evaluated in
+    Python bignums from exact integer sums — num/den reach ~1e30 at
+    web scale, past any float's integer range, and the sign-aware
+    half-away ppm rounding can't be flipped by a float division.
+    Shape notes: ONE (type, day) groupby over the pruned scan builds
+    the calendar-bounded day table; per-type moment partials reduce
+    per batch with Sxy as base-2^31 limb pairs (day*count reaches
+    ~5e17/row — the per-ROW product is asserted inside int64, the SUM
+    would wrap); the final moment table is |types|-sized and the
+    bignum finalize is a driver pass over it.  Types with fewer than
+    two observed days have no slope and drop (den would be 0)."""
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_days", pa.int64()),
+            ("slope_ppm", pa.int64()),
+        ]
+    )
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    if ev.count() == 0:
+        return out_schema.empty_table()
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        assert batch.num_rows == 0 or pc.min(us).as_py() >= 0, (
+            "trend_slope: pre-epoch timestamp — integer division "
+            "floors toward zero, not -inf"
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            }
+        )
+
+    day_counts = _scrub_schemaless(
+        ev.map_batches(to_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="c"))
+    )
+    if day_counts is None:
+        return out_schema.empty_table()
+
+    _MOM = ("m", "sx", "sxx", "sy", "sxy_hi", "sxy_lo")
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        d = batch.column("day").to_numpy()
+        c = pc.cast(batch.column("c"), pa.int64()).to_numpy()
+        if len(d):
+            assert int(d.max()) < 3_000_000 and int(c.max()) < 3 * 10**12, (
+                "trend_slope: day*count product leaves int64 — widen "
+                "sxy to the split-square limb encoding"
+            )
+        out: dict = {"event_type": []}
+        for k in _MOM:
+            out[k] = []
+        order: dict = {}
+        for i, t in enumerate(types):
+            order.setdefault(t, []).append(i)
+        for t in sorted(order):
+            idx = np.array(order[t], np.int64)
+            dv, cv = d[idx], c[idx]
+            hi, lo = _limb_sums(dv * cv)
+            out["event_type"].append(t)
+            out["m"].append(len(dv))
+            out["sx"].append(int(dv.sum(dtype=np.int64)))
+            out["sxx"].append(int((dv * dv).sum(dtype=np.int64)))
+            out["sy"].append(int(cv.sum(dtype=np.int64)))
+            out["sxy_hi"].append(hi)
+            out["sxy_lo"].append(lo)
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                **{k: pa.array(out[k], pa.int64()) for k in _MOM},
+            }
+        )
+
+    moments = _scrub_schemaless(
+        day_counts.map_batches(
+            moment_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("event_type")
+        .aggregate(*[Sum(k, alias_name=k) for k in _MOM])
+    )
+    if moments is None:
+        return out_schema.empty_table()
+    # one row per event type: a bounded metric domain
+    mom_tab = _collect_small(moments, 1_000_000)
+    if mom_tab is None:
+        raise ValueError("events_trend_slope: type-moment table over budget")
+
+    types_out, ndays_out, slope_out = [], [], []
+    rows = sorted(
+        (
+            mom_tab.column("event_type")[i].as_py(),
+            int(mom_tab.column("m")[i].as_py()),
+            int(mom_tab.column("sx")[i].as_py()),
+            int(mom_tab.column("sxx")[i].as_py()),
+            int(mom_tab.column("sy")[i].as_py()),
+            (int(mom_tab.column("sxy_hi")[i].as_py()) << _LIMB_SHIFT)
+            + int(mom_tab.column("sxy_lo")[i].as_py()),
+        )
+        for i in range(mom_tab.num_rows)
+    )
+    for t, m, sx, sxx, sy, sxy in rows:
+        if m < 2:
+            continue
+        num = m * sxy - sx * sy  # Python bignums: exact at any scale
+        den = m * sxx - sx * sx  # > 0 for >= 2 DISTINCT days
+        assert den > 0, "trend_slope: zero variance over distinct days"
+        if num >= 0:
+            s = (2_000_000 * num + den) // (2 * den)
+        else:
+            s = -((2_000_000 * (-num) + den) // (2 * den))
+        types_out.append(t)
+        ndays_out.append(m)
+        slope_out.append(s)
+    return pa.table(
+        {
+            "event_type": pa.array(types_out, pa.string()),
+            "n_days": pa.array(ndays_out, pa.int64()),
+            "slope_ppm": pa.array(slope_out, pa.int64()),
+        }
+    )
+
+
+def supplier_hhi(sf_dir: str) -> "Dataset | pa.Table":
+    """Per-nation Herfindahl-Hirschman concentration of supplier
+    revenue — the market-concentration readout (ppm of sum of squared
+    revenue shares): 1e6/n = perfectly even across n suppliers,
+    1e6 = one supplier owns the nation's whole revenue.
+
+    Exactness: HHI = sum(r_i^2) / (sum r_i)^2 in exact integer cents
+    — r^2 reaches ~1e28 at web scale, so the squared sums ride the
+    split-square limb encoding (``_sq_limbs``) and the finalize
+    recombines Python bignums; no float share can flip the half-away
+    ppm rounding.  Shape notes: per-supplier revenue is the ONE
+    fact-scale combiner-fed groupby; nation keys attach to that
+    |suppliers|-bounded table via the size-adaptive lookup join; the
+    per-nation moment reduce and the <= |nations|-row finalize are
+    exchange-bounded by dimension tables."""
+    out_schema = pa.schema(
+        [
+            ("s_nationkey", pa.int64()),
+            ("n_suppliers", pa.int64()),
+            ("hhi_ppm", pa.int64()),
+        ]
+    )
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if li.count() == 0 or supp.count() == 0:
+        return out_schema.empty_table()
+
+    _sr_schema = pa.schema([("sk", pa.int64()), ("r", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _sr_schema.empty_table()
+        t = pa.table(
+            {
+                "sk": batch.column("l_suppkey"),
+                "r": _cents(batch.column("l_extendedprice")),
+            }
+        )
+        return t.group_by("sk").aggregate([("r", "sum")]).rename_columns(
+            ["sk", "r"]
+        )
+
+    sr = (
+        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("sk")
+        .aggregate(Sum("r", alias_name="r"))
+    )
+    sr = _scrub_schemaless(sr)
+    if sr is None:
+        return out_schema.empty_table()
+    withnat = broadcast_lookup_join(
+        sr,
+        supp,
+        on="sk",
+        right_on="s_suppkey",
+        payload=["s_nationkey"],
+        fallback_parts=_join_parts(sf_dir, "supplier"),
+    )
+
+    _SQ = ("s2_a_hi", "s2_a_lo", "s2_b_hi", "s2_b_lo", "s2_c_hi", "s2_c_lo")
+    _NM = ("n", "s_hi", "s_lo", *_SQ)
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        from renard_ray.ops.communities import _sq_limbs
+
+        nk = batch.column("s_nationkey").to_pylist()
+        r = batch.column("r").to_numpy()
+        if len(r):
+            assert int(r.max()) < 2**62, (
+                "supplier_hhi: per-supplier revenue past the "
+                "split-square domain — widen the limb encoding"
+            )
+        out: dict = {"s_nationkey": []}
+        for k in _NM:
+            out[k] = []
+        order: dict = {}
+        for i, n in enumerate(nk):
+            order.setdefault(n, []).append(i)
+        for n in sorted(order):
+            idx = np.array(order[n], np.int64)
+            rv = r[idx]
+            s_hi, s_lo = _limb_sums(rv)
+            sq = _sq_limbs(rv)
+            out["s_nationkey"].append(n)
+            out["n"].append(len(rv))
+            out["s_hi"].append(s_hi)
+            out["s_lo"].append(s_lo)
+            for k, v in zip(_SQ, sq):
+                out[k].append(v)
+        return pa.table(
+            {
+                "s_nationkey": pa.array(out["s_nationkey"], pa.int64()),
+                **{k: pa.array(out[k], pa.int64()) for k in _NM},
+            }
+        )
+
+    nat = _scrub_schemaless(
+        withnat.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("s_nationkey")
+        .aggregate(*[Sum(k, alias_name=k) for k in _NM])
+    )
+    if nat is None:
+        return out_schema.empty_table()
+    nat_tab = _collect_small(nat, 1_000_000)
+    if nat_tab is None:
+        raise ValueError("supplier_hhi: nation-moment table over budget")
+
+    def _pair(name: str, i: int) -> int:
+        return (int(nat_tab.column(name + "_hi")[i].as_py()) << _LIMB_SHIFT) + int(
+            nat_tab.column(name + "_lo")[i].as_py()
+        )
+
+    nks, nsup, hhi = [], [], []
+    order = sorted(range(nat_tab.num_rows), key=lambda i: nat_tab.column("s_nationkey")[i].as_py())
+    for i in order:
+        s = _pair("s", i)
+        if s <= 0:
+            continue
+        s2 = (
+            (_pair("s2_a", i) << (2 * _LIMB_SHIFT))
+            + (_pair("s2_b", i) << _LIMB_SHIFT)
+            + _pair("s2_c", i)
+        )
+        nks.append(int(nat_tab.column("s_nationkey")[i].as_py()))
+        nsup.append(int(nat_tab.column("n")[i].as_py()))
+        hhi.append((2_000_000 * s2 + s * s) // (2 * s * s))
+    return pa.table(
+        {
+            "s_nationkey": pa.array(nks, pa.int64()),
+            "n_suppliers": pa.array(nsup, pa.int64()),
+            "hhi_ppm": pa.array(hhi, pa.int64()),
+        }
+    )

@@ -8068,3 +8068,173 @@ def test_events_modal_type_per_user(ray_session, monkeypatch):
     assert out.values.tolist() == [
         [1, "view", 2], [2, "add", 1], [3, "buy", 1]
     ]
+
+
+def test_events_type_diversity(ray_session, monkeypatch):
+    """Gini-Simpson: even 2-type split = 0.5, singleton user = 0,
+    counts merge across blocks, 2/3 rounds half-away to 666667."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 3, 3, 3],
+            "event_type": ["a", "a", "b", "b", "a", "a", "b", "c"],
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_type_diversity("x").to_pandas().sort_values("user_id")
+    )
+    assert out.values.tolist() == [
+        [1, 4, 500000],  # (16-8)/16
+        [2, 1, 0],
+        [3, 3, 666667],  # 2/3 half-away
+    ]
+
+
+def test_events_type_diversity_random_replica(ray_session, monkeypatch):
+    """Randomized multi-block parity vs an exact Fraction oracle."""
+    import pandas as pd
+    from fractions import Fraction
+
+    from renard_ray.ops import relational
+
+    rng = __import__("numpy").random.default_rng(7)
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, 25, n),
+            "event_type": rng.choice(list("abcdef"), n),
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_type_diversity("x")
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ref = {}
+    for u, g in ev.groupby("user_id"):
+        c = g["event_type"].value_counts()
+        nn = int(c.sum()) ** 2
+        s2 = int((c**2).sum())
+        f = Fraction(10**6 * (nn - s2), nn)
+        ref[u] = (int(c.sum()), (2 * f.numerator + f.denominator) // (2 * f.denominator))
+    assert {u: (r.n, r.diversity_ppm) for u, r in out.iterrows()} == ref
+
+
+def test_events_trend_slope(ray_session, monkeypatch):
+    """OLS slope: +1/day exact, a negative fractional slope rounds
+    sign-aware, single-day types drop."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+    rows = []
+    # "up": counts 1,2,3 on days 0,1,2 -> slope exactly +1
+    for d, c in [(0, 1), (1, 2), (2, 3)]:
+        rows += [("up", day(d))] * c
+    # "down": counts 3,2,2 -> slope -1/2
+    for d, c in [(0, 3), (1, 2), (2, 2)]:
+        rows += [("down", day(d))] * c
+    # "single": one observed day -> dropped
+    rows += [("single", day(5))] * 4
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_trend_slope("x").to_pandas().sort_values("event_type")
+    )
+    assert out.values.tolist() == [
+        ["down", 3, -500000],
+        ["up", 3, 1000000],
+    ]
+
+
+def test_events_trend_slope_random_replica(ray_session, monkeypatch):
+    """Randomized multi-block parity vs an exact Fraction oracle."""
+    import pandas as pd
+    from fractions import Fraction
+
+    from renard_ray.ops import relational
+
+    rng = __import__("numpy").random.default_rng(11)
+    n = 600
+    base = pd.Timestamp("2023-06-01")
+    ev = pd.DataFrame(
+        {
+            "event_type": rng.choice(["x", "y", "z"], n),
+            "ts": [
+                (base + pd.Timedelta(days=int(d), hours=int(h)))
+                for d, h in zip(
+                    rng.integers(0, 40, n), rng.integers(0, 24, n)
+                )
+            ],
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_trend_slope("x")
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    epoch = pd.Timestamp("1970-01-01")
+    dc = (
+        ev.assign(day=(ev["ts"] - epoch).dt.days)
+        .groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="c")
+    )
+    ref = {}
+    for t, g in dc.groupby("event_type"):
+        m = len(g)
+        if m < 2:
+            continue
+        sx, sy = int(g["day"].sum()), int(g["c"].sum())
+        sxx = int((g["day"] ** 2).sum())
+        sxy = int((g["day"] * g["c"]).sum())
+        num, den = m * sxy - sx * sy, m * sxx - sx * sx
+        f = Fraction(10**6 * num, den)
+        a, b = abs(f.numerator), f.denominator
+        r = (2 * a + b) // (2 * b)
+        ref[t] = (m, r if f >= 0 else -r)
+    assert {t: (r.n_days, r.slope_ppm) for t, r in out.iterrows()} == ref
+
+
+def test_supplier_hhi(ray_session, monkeypatch):
+    """HHI: even duopoly = 0.5, monopoly = 1.0, a supplier with no
+    lineitems is excluded, and squared revenues past int64 recombine
+    exactly through the split-square limbs."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    li = pd.DataFrame(
+        {
+            "l_suppkey": [1, 2, 3, 4, 4],
+            # suppliers 1,2: 5e13 dollars each -> r = 5e15 cents,
+            # r^2 = 2.5e31 (far past int64)
+            "l_extendedprice": [5e13, 5e13, 10.0, 4.0, 6.0],
+        }
+    )
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3, 4, 9],  # 9 has no lineitems
+            "s_nationkey": [1, 1, 2, 3, 3],
+        }
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "supplier": supp})
+    out = (
+        relational.supplier_hhi("x").to_pandas().sort_values("s_nationkey")
+    )
+    assert out.values.tolist() == [
+        [1, 2, 500000],
+        [2, 1, 1000000],
+        [3, 1, 1000000],
+    ]
