@@ -1685,6 +1685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_diversity": relational.events_type_diversity,
         "events_trend_slope": relational.events_trend_slope,
         "supplier_hhi": relational.supplier_hhi,
+        "orders_lineitem_reconcile": relational.orders_lineitem_reconcile,
+        "events_value_histogram": relational.events_value_histogram,
+        "events_gap_percentiles": relational.events_gap_percentiles,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3750,6 +3753,54 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -((2000000 * (-num) + den) // (2 * den))
                         END AS BIGINT) AS slope_ppm
             FROM f WHERE den > 0
+        """,
+        "orders_lineitem_reconcile": """
+            WITH ls AS (
+                SELECT l_orderkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                           AS s
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT o.o_orderstatus AS st,
+                       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS t,
+                       ls.s
+                FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey
+            )
+            SELECT st AS o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) FILTER (WHERE t <> s) AS BIGINT)
+                       AS n_mismatch,
+                   CAST(SUM(CAST(ABS(t - s) AS HUGEINT)) AS BIGINT)
+                       AS abs_diff_c
+            FROM j GROUP BY 1
+        """,
+        "events_value_histogram": """
+            WITH v AS (
+                SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL
+            ),
+            m AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM v)
+            SELECT CAST((v.c - m.mn) * 20 // (m.mx - m.mn + 1) AS BIGINT)
+                       AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(v.c) AS BIGINT) AS lo_c,
+                   CAST(MAX(v.c) AS BIGINT) AS hi_c
+            FROM v, m GROUP BY 1
+        """,
+        "events_gap_percentiles": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS gap
+                FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.50) AS BIGINT) AS p50_us,
+                   CAST(quantile_disc(gap, 0.90) AS BIGINT) AS p90_us,
+                   CAST(quantile_disc(gap, 0.99) AS BIGINT) AS p99_us
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
         """,
         "supplier_hhi": """
             WITH sr AS (

@@ -228,6 +228,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_type_diversity",
         "events_trend_slope",
         "supplier_hhi",
+        "orders_lineitem_reconcile",
+        "events_value_histogram",
+        "events_gap_percentiles",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -8815,3 +8815,414 @@ def supplier_hhi(sf_dir: str) -> "Dataset | pa.Table":
             "hhi_ppm": pa.array(hhi, pa.int64()),
         }
     )
+
+
+def orders_lineitem_reconcile(sf_dir: str) -> "Dataset | pa.Table":
+    """Cross-table reconciliation (the ingest-audit staple): per order
+    status, how many orders' header ``o_totalprice`` disagrees with
+    the SUM of their lineitem extended prices, and by how much in
+    exact absolute cents — the fact-vs-rollup consistency gate a
+    warehouse load runs after every batch.  (This corpus's headers
+    are synthesized independently of lineitems, so most orders
+    legitimately mismatch; the op reports, it does not assert.)
+
+    Shape notes: per-order lineitem cents reduce through the
+    combiner-fed groupby (the one fact-scale exchange); order status
+    + header price attach to that |orders|-bounded table via the
+    size-adaptive lookup join; the per-status reduce is per-batch
+    one-row partials with the abs-diff sum as base-2^31 limb pairs
+    (|diff| sums wrap int64 near 1e12 orders) into an O(|statuses|)
+    aggregate.  Orders with no lineitems never enter (INNER join,
+    mirroring the SQL); their count is ``orders_constraints``
+    territory."""
+    out_schema = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("n_orders", pa.int64()),
+            ("n_mismatch", pa.int64()),
+            ("abs_diff_c", pa.int64()),
+        ]
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    if li.count() == 0 or orders.count() == 0:
+        return out_schema.empty_table()
+
+    _os_schema = pa.schema([("ok", pa.int64()), ("s", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _os_schema.empty_table()
+        t = pa.table(
+            {
+                "ok": batch.column("l_orderkey"),
+                "s": _cents(batch.column("l_extendedprice")),
+            }
+        )
+        return t.group_by("ok").aggregate([("s", "sum")]).rename_columns(["ok", "s"])
+
+    per_order = _scrub_schemaless(
+        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("ok")
+        .aggregate(Sum("s", alias_name="s"))
+    )
+    if per_order is None:
+        return out_schema.empty_table()
+    withhdr = broadcast_lookup_join(
+        per_order,
+        orders,
+        on="ok",
+        right_on="o_orderkey",
+        payload=["o_orderstatus", "o_totalprice"],
+        fallback_parts=_join_parts(sf_dir, "orders"),
+    )
+
+    _P = ("n", "mm", "d_hi", "d_lo")
+    _pp_schema = pa.schema(
+        [("st", pa.string()), *[(k, pa.int64()) for k in _P]]
+    )
+
+    def status_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pp_schema.empty_table()
+        st = batch.column("o_orderstatus").to_pylist()
+        s = batch.column("s").to_numpy()
+        t = _cents(batch.column("o_totalprice").combine_chunks()).to_numpy()
+        d = np.abs(t - s)
+        out: dict = {"st": []}
+        for k in _P:
+            out[k] = []
+        order: dict = {}
+        for i, v in enumerate(st):
+            order.setdefault(v, []).append(i)
+        for v in sorted(order):
+            idx = np.array(order[v], np.int64)
+            dv = d[idx]
+            hi, lo = _limb_sums(dv)
+            out["st"].append(v)
+            out["n"].append(len(idx))
+            out["mm"].append(int((dv != 0).sum()))
+            out["d_hi"].append(hi)
+            out["d_lo"].append(lo)
+        return pa.table(
+            {
+                "st": pa.array(out["st"], pa.string()),
+                **{k: pa.array(out[k], pa.int64()) for k in _P},
+            }
+        )
+
+    red = _scrub_schemaless(
+        withhdr.map_batches(status_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("st")
+        .aggregate(*[Sum(k, alias_name=k) for k in _P])
+    )
+    if red is None:
+        return out_schema.empty_table()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sts = batch.column("st").to_pylist()
+        rows: dict = {k: [] for k in ("st", "n", "mm", "d")}
+        for i, v in enumerate(sts):
+            d = (int(batch.column("d_hi")[i].as_py()) << _LIMB_SHIFT) + int(
+                batch.column("d_lo")[i].as_py()
+            )
+            assert d < 2**63, (
+                "reconcile: abs-diff total past int64 — return limb "
+                "columns instead"
+            )
+            rows["st"].append(v)
+            rows["n"].append(int(batch.column("n")[i].as_py()))
+            rows["mm"].append(int(batch.column("mm")[i].as_py()))
+            rows["d"].append(d)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(rows["st"], pa.string()),
+                "n_orders": pa.array(rows["n"], pa.int64()),
+                "n_mismatch": pa.array(rows["mm"], pa.int64()),
+                "abs_diff_c": pa.array(rows["d"], pa.int64()),
+            }
+        )
+
+    return red.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_value_histogram(sf_dir: str, n_bins: int = 20) -> "Dataset | pa.Table":
+    """Equi-width histogram of event value cents over the observed
+    [min, max] — the distribution-profile readout behind dashboards
+    and drift monitors, with EXACT integer bin assignment
+    (``bin = (c - mn) * n_bins // (mx - mn + 1)``: every value lands
+    in [0, n_bins), no float edge can misplace a boundary cent).
+    Null values are excluded (they carry no magnitude).
+
+    Shape notes: one tiny min/max aggregate over the pruned scan,
+    then ONE combiner-fed groupby keyed on the bin — the exchange
+    carries at most ``n_bins`` rows per batch and the result is
+    O(n_bins); per-bin actual min/max ride the same reduce.  The
+    ``(c - mn) * n_bins`` product is asserted inside int64 (a value
+    RANGE past ~4.6e17 cents needs the limb widening, loudly)."""
+    out_schema = pa.schema(
+        [
+            ("bin", pa.int64()),
+            ("n_events", pa.int64()),
+            ("lo_c", pa.int64()),
+            ("hi_c", pa.int64()),
+        ]
+    )
+    ev = _read(sf_dir, "events", ["value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value"))
+        t = pa.table({"c": c})
+        return t.filter(pc.is_valid(t.column("c")))
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow").materialize()
+    if cents.count() == 0:
+        return out_schema.empty_table()
+    mm = cents.aggregate(Min("c"), Max("c"))
+    mn, mx = int(mm["min(c)"]), int(mm["max(c)"])
+    width = mx - mn + 1
+    assert width * int(n_bins) < 2**62, (
+        "value_histogram: value range * n_bins past int64 — widen"
+    )
+
+    _b_schema = pa.schema(
+        [("bin", pa.int64()), ("n", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]
+    )
+
+    def binit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _b_schema.empty_table()
+        c = batch.column("c")
+        b = pc.divide(
+            pc.multiply(
+                pc.subtract(c, pa.scalar(mn, pa.int64())),
+                pa.scalar(int(n_bins), pa.int64()),
+            ),
+            pa.scalar(width, pa.int64()),
+        )
+        t = pa.table({"bin": b, "n": pa.array(np.ones(batch.num_rows, np.int64)), "lo": c, "hi": c})
+        return t.group_by("bin").aggregate(
+            [("n", "sum"), ("lo", "min"), ("hi", "max")]
+        ).rename_columns(["bin", "n", "lo", "hi"])
+
+    red = _scrub_schemaless(
+        cents.map_batches(binit, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Min("lo", alias_name="lo_c"),
+            Max("hi", alias_name="hi_c"),
+        )
+    )
+    if red is None:
+        return out_schema.empty_table()
+    return red
+
+
+def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
+    """Exact p50/p90/p99 of inter-event gaps per event type — the
+    latency-SLO readout (each gap is ``ts - previous ts of the SAME
+    user``, attributed to the LATER event's type, exactly SQL's LAG
+    over (PARTITION BY user ORDER BY ts, event_id)).  Percentile
+    semantics are DISC (rank = ceil(p*n), the value actually present)
+    matching ``quantile_disc``.
+
+    Shape notes: gaps ride the house sorted-run — ONE (user, ts,
+    event_id) sort, interior consecutive pairs vectorized per block,
+    the cross-block pair recovered by the O(#blocks) edge stitch
+    (block i's last row x block i+1's first row, same-user only);
+    event types map to dense ints via the bounded type table so the
+    grouped selection rides the shared ``_grouped_prefix_counts``
+    plan (combiner-fed distinct (type, gap) reduce, ONE sort of the
+    reduced table, per-block weighted prefix sums + offset stitch);
+    each percentile is a vectorized covering filter (a distinct-gap
+    row spanning [below, upto) holds rank k iff below <= k < upto)
+    plus one O(|types|) groupby — no per-group work anywhere."""
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_gaps", pa.int64()),
+            ("p50_us", pa.int64()),
+            ("p90_us", pa.int64()),
+            ("p99_us", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+
+    # bounded type id map (lexicographic ids: pure function of data)
+    tset = _collect_small(
+        ds.map_batches(
+            lambda b: pa.table({"t": b.column("event_type")})
+            .group_by("t")
+            .aggregate([]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("t")
+        .count(),
+        1_000_000,
+    )
+    if tset is None:
+        raise ValueError("gap_percentiles: event-type table over budget")
+    types_sorted = sorted(t for t in tset.column("t").to_pylist())
+    tid = {t: i for i, t in enumerate(types_sorted)}
+    tid_ref = ray.put(tid)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch.column("ts"))
+        assert batch.num_rows == 0 or pc.min(us).as_py() >= 0, (
+            "gap_percentiles: pre-epoch ts breaks the zero-padded pack"
+        )
+        eid = batch.column("event_id")
+        assert batch.num_rows == 0 or pc.min(eid).as_py() >= 0, (
+            "gap_percentiles: negative event_id breaks the pack"
+        )
+        m = ray.get(tid_ref)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": us,
+                "event_id": eid,
+                "tid": pa.array(
+                    [m[t] for t in batch.column("event_type").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .sort(["user_id", "us", "event_id"])
+        .materialize()
+    )
+
+    _gp_schema = pa.schema(
+        [("kind", pa.string()), ("bk", pa.string()), ("cust", pa.int64()), ("price_c", pa.int64())]
+    )
+
+    def block_pass(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _gp_schema.empty_table()
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        us = np.asarray(batch.column("us"), dtype=np.int64)
+        t = np.asarray(batch.column("tid"), dtype=np.int64)
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        gaps = (us[1:] - us[:-1])[same]
+        gtid = t[1:][same]
+        bk = "%019d:%019d:%019d" % (u[0], us[0], eid[0])
+        kinds = ["g"] * len(gaps) + ["first", "last"]
+        custs = list(gtid) + [int(t[0]), int(u[-1])]
+        prices = list(gaps) + [int(u[0]), int(us[-1])]
+        bks = [""] * len(gaps) + [bk, bk]
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "bk": pa.array(bks, pa.string()),
+                "cust": pa.array(custs, pa.int64()),
+                "price_c": pa.array(prices, pa.int64()),
+            }
+        )
+
+    passed = sorted_ds.map_batches(
+        block_pass, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = passed.filter(expr="kind == 'g'").select_columns(["cust", "price_c"])
+    edges = passed.filter(expr="kind != 'g'").to_pandas()
+    # O(#blocks) stitch: pair block i's last row with block i+1's first
+    edge_rows: list[tuple[int, int]] = []
+    firsts = edges[edges["kind"] == "first"].sort_values("bk")
+    lasts = edges[edges["kind"] == "last"].sort_values("bk")
+    fl = list(
+        zip(
+            firsts["bk"],
+            firsts["cust"],  # first row's tid
+            firsts["price_c"],  # first row's user
+            lasts["cust"],  # last row's user
+            lasts["price_c"],  # last row's us
+        )
+    )
+    for i in range(1, len(fl)):
+        _, f_tid, f_user, _, _ = fl[i]
+        _, _, _, l_user_prev, l_us_prev = fl[i - 1]
+        f_us = int(fl[i][0].split(":")[1])
+        if int(f_user) == int(l_user_prev):
+            edge_rows.append((int(f_tid), int(f_us) - int(l_us_prev)))
+    gaps_ds = interior
+    if edge_rows:
+        et = pa.table(
+            {
+                "cust": pa.array([r[0] for r in edge_rows], pa.int64()),
+                "price_c": pa.array([r[1] for r in edge_rows], pa.int64()),
+            }
+        )
+        gaps_ds = interior.union(ray.data.from_arrow(et))
+    if gaps_ds.count() == 0:
+        return out_schema.empty_table()
+
+    ranks, ncust = _grouped_prefix_counts(gaps_ds)
+    withn = broadcast_lookup_join(ranks, ncust, on="cust", right_on="cust", payload=["n"])
+
+    _pk_schema = pa.schema(
+        [("cust", pa.int64()), ("n", pa.int64()), ("p50", pa.int64()), ("p90", pa.int64()), ("p99", pa.int64())]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pk_schema.empty_table()
+        below = np.asarray(batch.column("below"), dtype=np.int64)
+        upto = np.asarray(batch.column("upto"), dtype=np.int64)
+        nn = np.asarray(batch.column("n"), dtype=np.int64)
+        gap = np.asarray(batch.column("price_c"), dtype=np.int64)
+        cols = {"cust": None, "n": None}
+        keep = np.zeros(len(below), bool)
+        parts = {}
+        for name, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+            k = (p * nn + 99) // 100 - 1  # 0-based rank of ceil(p*n)
+            sel = (below <= k) & (k < upto)
+            parts[name] = gap * sel.astype(np.int64)
+            keep |= sel
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "cust": batch.column("cust").filter(mask),
+                "n": batch.column("n").filter(mask),
+                **{
+                    name: pa.array(parts[name][keep])
+                    for name in ("p50", "p90", "p99")
+                },
+            }
+        )
+
+    sel = _scrub_schemaless(
+        withn.map_batches(pick, batch_format="pyarrow")
+        .groupby("cust")
+        .aggregate(
+            Max("n", alias_name="n_gaps"),
+            Sum("p50", alias_name="p50_us"),
+            Sum("p90", alias_name="p90_us"),
+            Sum("p99", alias_name="p99_us"),
+        )
+    )
+    if sel is None:
+        return out_schema.empty_table()
+    rev = {i: t for t, i in tid.items()}
+    rev_ref = ray.put(rev)
+
+    def name_back(batch: pa.Table) -> pa.Table:
+        r = ray.get(rev_ref)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [r[c] for c in batch.column("cust").to_pylist()], pa.string()
+                ),
+                "n_gaps": batch.column("n_gaps"),
+                "p50_us": batch.column("p50_us"),
+                "p90_us": batch.column("p90_us"),
+                "p99_us": batch.column("p99_us"),
+            }
+        )
+
+    return sel.map_batches(name_back, batch_format="pyarrow")

@@ -8238,3 +8238,128 @@ def test_supplier_hhi(ray_session, monkeypatch):
         [2, 1, 1000000],
         [3, 1, 1000000],
     ]
+
+
+def test_orders_lineitem_reconcile(ray_session, monkeypatch):
+    """Reconciliation: exact-match orders don't count, mismatches sum
+    |diff| in exact cents per status, no-lineitem orders are excluded."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3],
+            "l_extendedprice": [10.00, 5.00, 7.00, 2.50],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],  # 4 has no lineitems
+            "o_orderstatus": ["O", "O", "F", "F"],
+            "o_totalprice": [15.00, 9.00, 2.00, 99.0],
+        }
+    )
+    _patch_tables(monkeypatch, {"lineitem": li, "orders": orders})
+    out = (
+        relational.orders_lineitem_reconcile("x")
+        .to_pandas()
+        .sort_values("o_orderstatus")
+    )
+    # O: order 1 exact, order 2 off by 200c; F: order 3 off by 50c
+    assert out.values.tolist() == [
+        ["F", 1, 1, 50],
+        ["O", 2, 1, 200],
+    ]
+
+
+def test_events_value_histogram(ray_session, monkeypatch):
+    """Exact integer binning: boundary cents land low, nulls drop,
+    per-bin lo/hi are actual values, min==max collapses to bin 0."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame({"value": [0.00, 0.99, 1.00, 19.99, None]})
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_value_histogram("x", n_bins=20)
+        .to_pandas()
+        .sort_values("bin")
+    )
+    # range 0..1999 cents, width 2000 -> bin = c*20//2000 = c//100
+    assert out.values.tolist() == [
+        [0, 2, 0, 99],
+        [1, 1, 100, 100],
+        [19, 1, 1999, 1999],
+    ]
+    ev2 = pd.DataFrame({"value": [5.0, 5.0]})
+    _patch_tables(monkeypatch, {"events": ev2})
+    out2 = relational.events_value_histogram("x").to_pandas()
+    assert out2.values.tolist() == [[0, 2, 500, 500]]
+
+
+def test_events_gap_percentiles(ray_session, monkeypatch):
+    """DISC percentiles over per-user gaps: gaps attribute to the
+    LATER event's type, cross-user pairs never pair, p50 of n=4 is
+    the 2nd smallest (ceil rank), single-event users contribute no
+    gap."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    base = pd.Timestamp("2024-01-01")
+    us = lambda s: base + pd.Timedelta(seconds=s)
+    ev = pd.DataFrame(
+        {
+            # user 1: events at 0, 10, 30, 60, 100 -> gaps 10,20,30,40s
+            "user_id": [1, 1, 1, 1, 1, 2],
+            "ts": [us(0), us(10), us(30), us(60), us(100), us(7)],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "event_type": ["a", "a", "a", "a", "a", "a"],
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_gap_percentiles("x").to_pandas()
+    # n=4 gaps [10,20,30,40]s: p50 -> ceil(2)=2nd=20s, p90 -> ceil(3.6)=4th=40s
+    assert out.values.tolist() == [["a", 4, 20_000_000, 40_000_000, 40_000_000]]
+
+
+def test_events_gap_percentiles_random_replica(ray_session, monkeypatch):
+    """Randomized multi-block parity vs a pandas ceil-rank oracle,
+    with same-timestamp ties ordered by event_id."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    rng = __import__("numpy").random.default_rng(23)
+    n = 500
+    base = pd.Timestamp("2024-03-01")
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, 12, n),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 400, n)],
+            "event_id": range(1, n + 1),
+            "event_type": rng.choice(["x", "y", "z"], n),
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_gap_percentiles("x")
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    s = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    gap = (s["ts"] - s["ts"].shift()).dt.total_seconds() * 1e6
+    gap[s["user_id"] != s["user_id"].shift()] = None
+    g = pd.DataFrame({"event_type": s["event_type"], "gap": gap}).dropna()
+    ref = {}
+    for t, grp in g.groupby("event_type"):
+        v = sorted(int(x) for x in grp["gap"])
+        m = len(v)
+        pick = lambda p: v[-((-p * m) // 100) - 1]
+        ref[t] = (m, pick(50), pick(90), pick(99))
+    assert {t: tuple(int(x) for x in r) for t, r in out.iterrows()} == ref
