@@ -6582,16 +6582,22 @@ def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
     value with its frequency (ties -> smallest value, so the row is a
     pure function of the data) for each profiled column.
 
-    Shape notes: each column gets ONE value-count groupby fed by
-    per-batch combiners (the exchange carries distinct values per
-    batch, not rows); the distinct count and the argmax reduce from
-    that same table — the mode is an encoded-key Min aggregate
+    Shape notes: ALL columns profile in ONE scan — the per-batch
+    combiner emits each column's distinct values under a
+    column-prefixed key ("col|v:" + value, plus a "col|n:" marker row
+    carrying the batch's null total losslessly even when the batch
+    holds no real values), so a single groupby exchange carries
+    distinct-values-per-batch rows for every column at once (the r2
+    shape ran one scan + one exchange PER column, serially).  The
+    distinct count, null total and modal argmax all reduce from that
+    one counts table — the mode is an encoded-key Min aggregate
     ((inverted count, value) packed fixed-width, the house argmax
-    pattern), so nothing value-domain-sized reaches the driver beyond
-    one row per column.  Values profile as their VARCHAR rendering
-    (exactly DuckDB's CAST(x AS VARCHAR) for ints/strings — the
-    profiled columns are chosen to be exactly renderable; floats
-    would not be)."""
+    pattern) grouped by column, so nothing value-domain-sized reaches
+    the driver beyond one row per column.  Values profile as their
+    VARCHAR rendering (exactly DuckDB's CAST(x AS VARCHAR) for
+    ints/strings — the profiled columns are chosen to be exactly
+    renderable; floats would not be).  Keys prefix-encode ("v:"/"n:")
+    because Ray's hash groupby cannot sort None among string keys."""
     ds = _read(sf_dir, "orders", list(_PROFILE_COLS))
     out_schema = pa.schema(
         [
@@ -6615,96 +6621,102 @@ def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
             )
         )
 
-    def combiner(batch: pa.Table, col: str) -> pa.Table:
-        s = pc.cast(batch.column(col), pa.string())
-        nulls = batch.num_rows - int(pc.count(s).as_py())
-        t = pa.table({"v": s}).filter(pc.is_valid(s))
-        g = t.group_by(["v"]).aggregate([("v", "count")]).rename_columns(["v", "n"])
-        # the batch's null total rides one marker row: Ray's hash
-        # groupby cannot sort None among string keys, so ALL keys are
-        # prefix-encoded ("v:" + value / "n:" for the marker — no
-        # collision possible, decoded after the argmax)
-        vals = pa.table(
+    def combiner(batch: pa.Table) -> pa.Table:
+        parts = []
+        for col in _PROFILE_COLS:
+            s = pc.cast(batch.column(col), pa.string())
+            nulls = batch.num_rows - int(pc.count(s).as_py())
+            t = pa.table({"v": s}).filter(pc.is_valid(s))
+            g = (
+                t.group_by(["v"])
+                .aggregate([("v", "count")])
+                .rename_columns(["v", "n"])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "k": pc.binary_join_element_wise(
+                            col + "|v:", g.column("v"), ""
+                        ),
+                        "n": pc.cast(g.column("n"), pa.int64()),
+                        "nulls": pa.array([0] * g.num_rows, pa.int64()),
+                    }
+                )
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "k": pa.array([col + "|n:"], pa.string()),
+                        "n": pa.array([0], pa.int64()),
+                        "nulls": pa.array([nulls], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    counts = _scrub_schemaless(
+        ds.map_batches(combiner, batch_format="pyarrow", batch_size=None)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"))
+    )
+    if counts is None:  # unreachable for non-empty input (markers)
+        return out_schema.empty_table()
+
+    def enc(batch: pa.Table) -> pa.Table:
+        # argmax with ties -> min value: Min over the packed
+        # (inverted count, value) key; count < 1e18 asserted.  Marker
+        # rows keep key NULL (Min skips nulls) but carry the column
+        # and null totals so all-null columns still emit a group row.
+        ks = batch.column("k").to_pylist()
+        ns = batch.column("n").to_numpy()
+        nulls = batch.column("nulls").to_numpy()
+        cols_out, keys, ones, nl = [], [], [], []
+        for i, k in enumerate(ks):
+            col, _, rest = k.partition("|")
+            cols_out.append(col)
+            if rest.startswith("v:") and ns[i] > 0:
+                assert ns[i] < 10**18, "orders_profile: count pack range"
+                keys.append("%019d" % (10**18 - int(ns[i])) + "\x1f" + rest[2:])
+                ones.append(1)
+            else:
+                keys.append(None)
+                ones.append(0)
+            nl.append(int(nulls[i]))
+        return pa.table(
             {
-                "v": pc.binary_join_element_wise("v:", g.column("v"), ""),
-                "n": pc.cast(g.column("n"), pa.int64()),
-                "nulls": pa.array([0] * g.num_rows, pa.int64()),
+                "column": pa.array(cols_out, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "one": pa.array(ones, pa.int64()),
+                "nulls": pa.array(nl, pa.int64()),
             }
         )
-        null_row = pa.table(
-            {
-                "v": pa.array(["n:"], pa.string()),
-                "n": pa.array([0], pa.int64()),
-                "nulls": pa.array([nulls], pa.int64()),
-            }
-        )
-        return pa.concat_tables([vals, null_row])
 
-    rows = []
-    for col in _PROFILE_COLS:
-        counts = _scrub_schemaless(
-            ds.map_batches(
-                lambda b, c=col: combiner(b, c), batch_format="pyarrow"
-            )
-            .groupby("v")
-            .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"))
-        )
-        if counts is None:
-            rows.append((col, 0, 0, None, 0))
-            continue
-
-        def enc(batch: pa.Table) -> pa.Table:
-            # argmax with ties -> min value: Min over the packed
-            # (inverted count, value) key; count < 1e18 asserted.
-            # The batch's null total rides a dedicated null-key row
-            # (Min skips nulls), so it survives even when the batch
-            # holds no real values.
-            valid = batch.filter(pc.greater(batch.column("n"), 0))
-            nv = valid.column("n").to_numpy()
-            assert (nv < 10**18).all(), "orders_profile: count pack range"
-            inv_v = pa.array(
-                ["%019d" % (10**18 - int(x)) for x in nv], pa.string()
-            )
-            # strip the "v:" prefix the combiner added
-            key = pc.binary_join_element_wise(
-                inv_v, pc.utf8_slice_codeunits(valid.column("v"), 2), "\x1f"
-            )
-            batch_nulls = int(pc.sum(batch.column("nulls")).as_py() or 0)
-            vals = pa.table(
-                {
-                    "key": key,
-                    "one": pa.array(np.ones(valid.num_rows, np.int64)),
-                    "nulls": pa.array(np.zeros(valid.num_rows, np.int64)),
-                }
-            )
-            null_row = pa.table(
-                {
-                    "key": pa.array([None], pa.string()),
-                    "one": pa.array([0], pa.int64()),
-                    "nulls": pa.array([batch_nulls], pa.int64()),
-                }
-            )
-            return pa.concat_tables([vals, null_row])
-
-        agg = counts.map_batches(enc, batch_format="pyarrow").aggregate(
+    agg = _scrub_schemaless(
+        counts.map_batches(enc, batch_format="pyarrow", batch_size=None)
+        .groupby("column")
+        .aggregate(
             Min("key", alias_name="best"),
             Sum("one", alias_name="n_distinct"),
             Sum("nulls", alias_name="n_nulls"),
-        ) or {}
-        best = agg.get("best")
-        if best is None:
-            rows.append((col, int(agg.get("n_nulls") or 0), 0, None, 0))
-            continue
-        inv_s, _, val = best.partition("\x1f")
-        rows.append(
-            (
-                col,
-                int(agg.get("n_nulls") or 0),
-                int(agg.get("n_distinct") or 0),
-                val,
-                10**18 - int(inv_s),
-            )
         )
+    )
+    if agg is None:
+        return out_schema.empty_table()
+    tab = _collect_small(agg, 1_000_000)
+    if tab is None:
+        raise ValueError("orders_profile: per-column table over budget")
+    got = {}
+    for i in range(tab.num_rows):
+        col = tab.column("column")[i].as_py()
+        best = tab.column("best")[i].as_py()
+        nn = int(tab.column("n_nulls")[i].as_py() or 0)
+        nd = int(tab.column("n_distinct")[i].as_py() or 0)
+        if best is None:
+            got[col] = (col, nn, 0, None, 0)
+        else:
+            inv_s, _, val = best.partition("\x1f")
+            got[col] = (col, nn, nd, val, 10**18 - int(inv_s))
+    rows = [got[c] for c in _PROFILE_COLS]
     return ray.data.from_arrow(
         pa.table(
             {
@@ -9079,6 +9091,10 @@ def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
         assert batch.num_rows == 0 or pc.min(eid).as_py() >= 0, (
             "gap_percentiles: negative event_id breaks the pack"
         )
+        assert (
+            batch.num_rows == 0
+            or pc.min(batch.column("user_id")).as_py() >= 0
+        ), "gap_percentiles: negative user_id breaks the pack"
         m = ray.get(tid_ref)
         return pa.table(
             {
