@@ -1688,6 +1688,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_reconcile": relational.orders_lineitem_reconcile,
         "events_value_histogram": relational.events_value_histogram,
         "events_gap_percentiles": relational.events_gap_percentiles,
+        "lineitem_weighted_percentiles": relational.lineitem_weighted_percentiles,
+        "events_type_audience_overlap": relational.events_type_audience_overlap,
+        "orders_yoy_growth": relational.orders_yoy_growth,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3753,6 +3756,63 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -((2000000 * (-num) + den) // (2 * den))
                         END AS BIGINT) AS slope_ppm
             FROM f WHERE den > 0
+        """,
+        "lineitem_weighted_percentiles": """
+            WITH d AS (
+                SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p,
+                       SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS w
+                FROM lineitem GROUP BY 1
+            ),
+            c AS (
+                SELECT p, SUM(w) OVER (ORDER BY p) AS cum,
+                       SUM(w) OVER () AS tot
+                FROM d
+            )
+            SELECT
+                (SELECT MIN(p) FROM c WHERE 4 * cum >= tot) AS wp25_c,
+                (SELECT MIN(p) FROM c WHERE 2 * cum >= tot) AS wp50_c,
+                (SELECT MIN(p) FROM c WHERE 4 * cum >= 3 * tot) AS wp75_c,
+                (SELECT CAST(MAX(tot) AS BIGINT) FROM c) AS total_w
+        """,
+        "events_type_audience_overlap": """
+            WITH dt AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ),
+            p AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       CAST(COUNT(*) AS HUGEINT) AS nab
+                FROM dt a JOIN dt b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n
+                FROM dt GROUP BY 1
+            )
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   CAST(p.nab AS BIGINT) AS n_both,
+                   CAST((2000000 * p.nab + (ca.n + cb.n - p.nab))
+                        // (2 * (ca.n + cb.n - p.nab)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM p
+            JOIN c ca ON ca.event_type = p.ta
+            JOIN c cb ON cb.event_type = p.tb
+        """,
+        "orders_yoy_growth": """
+            WITH r AS (
+                SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+                       CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+                       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT a.y AS o_year, a.m AS o_month,
+                   CAST(a.rev AS BIGINT) AS rev_c,
+                   CAST(b.rev AS BIGINT) AS prev_rev_c,
+                   CAST((2000000 * CAST(a.rev AS HUGEINT) + b.rev)
+                        // (2 * b.rev) AS BIGINT) AS yoy_ppm
+            FROM r a JOIN r b ON b.y = a.y - 1 AND b.m = a.m
+            WHERE b.rev > 0
         """,
         "orders_lineitem_reconcile": """
             WITH ls AS (

@@ -231,6 +231,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "orders_lineitem_reconcile",
         "events_value_histogram",
         "events_gap_percentiles",
+        "lineitem_weighted_percentiles",
+        "events_type_audience_overlap",
+        "orders_yoy_growth",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

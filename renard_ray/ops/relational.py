@@ -7424,8 +7424,9 @@ def _grouped_prefix_counts(od: Dataset) -> tuple[Dataset, Dataset]:
 
     summaries = (
         reduced.map_batches(scan_summary, batch_format="pyarrow", batch_size=None)
-        .sort("bk")
         .to_pandas()
+        # O(#blocks) rows: sorting driver-side saves a Ray all-to-all
+        .sort_values("bk", ignore_index=True)
     )
     # O(#blocks) stitch: offset for a block's FIRST customer run =
     # that customer's total count in all earlier blocks
@@ -7994,8 +7995,9 @@ def part_skyline(sf_dir: str) -> "Dataset | pa.Table":
 
     summaries = (
         g.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
-        .sort("bk")
         .to_pandas()
+        # O(#blocks) rows: sorting driver-side saves a Ray all-to-all
+        .sort_values("bk", ignore_index=True)
     )
     carries: dict[str, int] = {}
     run = -(10**18)
@@ -8332,8 +8334,9 @@ def lineitem_abc_classes(sf_dir: str) -> "Dataset | pa.Table":
 
     summaries = (
         srt.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
-        .sort("bk")
         .to_pandas()
+        # O(#blocks) rows: sorting driver-side saves a Ray all-to-all
+        .sort_values("bk", ignore_index=True)
     )
     offsets: dict[str, int] = {}
     run = 0
@@ -9242,3 +9245,336 @@ def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     return sel.map_batches(name_back, batch_format="pyarrow")
+
+
+def lineitem_weighted_percentiles(sf_dir: str) -> "Dataset | pa.Table":
+    """Quantity-weighted price percentiles (lower weighted p25/median/
+    p75 of extended price, each unit of quantity counting once) — the
+    volume-weighted distribution readout a plain row percentile
+    misstates whenever line sizes vary.  Lower weighted quantile
+    semantics: the smallest price p with ``k * cumweight(<= p) >=
+    p_num * W`` (k=4,2,4/3 thresholds as exact integer inequalities
+    — no float share).
+
+    Shape notes: distinct (price, weight-sum) reduce through the
+    combiner-fed groupby (the one fact-scale exchange, bounded by
+    |distinct prices|); ONE sort of the reduced table; pass 1 emits
+    per-block (head-key, block weight) summaries, the O(#blocks)
+    driver scan hands each block its exclusive weight offset, pass 2
+    (same materialized blocks) finds each threshold's crossing row
+    with a vectorized filter — each threshold selects EXACTLY one row
+    globally, so the final reduce is a 3-value Sum."""
+    out_schema = pa.schema(
+        [
+            ("wp25_c", pa.int64()),
+            ("wp50_c", pa.int64()),
+            ("wp75_c", pa.int64()),
+            ("total_w", pa.int64()),
+        ]
+    )
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    if li.count() == 0:
+        return out_schema.empty_table()
+
+    _pw_schema = pa.schema([("p", pa.int64()), ("w", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pw_schema.empty_table()
+        t = pa.table(
+            {
+                "p": _cents(batch.column("l_extendedprice")),
+                "w": _int(batch.column("l_quantity")),
+            }
+        )
+        return t.group_by("p").aggregate([("w", "sum")]).rename_columns(["p", "w"])
+
+    pw = _scrub_schemaless(
+        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("p")
+        .aggregate(Sum("w", alias_name="w"))
+    )
+    if pw is None:
+        return out_schema.empty_table()
+    srt = pw.sort("p").materialize()
+
+    _sm_schema = pa.schema([("bk", pa.string()), ("bw", pa.int64())])
+
+    def summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _sm_schema.empty_table()
+        p = np.asarray(batch.column("p"), dtype=np.int64)
+        w = np.asarray(batch.column("w"), dtype=np.int64)
+        assert p[0] >= 0, "weighted_percentiles: negative price pack"
+        return pa.table(
+            {
+                "bk": pa.array(["%019d" % p[0]], pa.string()),
+                "bw": pa.array([int(w.sum(dtype=np.int64))], pa.int64()),
+            }
+        )
+
+    sm = (
+        srt.map_batches(summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        # O(#blocks) rows: sorting driver-side saves a Ray all-to-all
+        .sort_values("bk", ignore_index=True)
+    )
+    total_w = int(sm["bw"].sum())
+    if total_w <= 0:
+        return out_schema.empty_table()
+    offsets = {
+        bk: int(off)
+        for bk, off in zip(sm["bk"], sm["bw"].cumsum().shift(fill_value=0))
+    }
+    off_ref = ray.put(offsets)
+    # threshold numerators: k*cum >= num  <=>  cum >= p*W (exact ints)
+    # p25: 4*cum >= W ; p50: 2*cum >= W ; p75: 4*cum >= 3*W
+    thresholds = (("wp25_c", 4, 1), ("wp50_c", 2, 1), ("wp75_c", 4, 3))
+
+    _pk_schema = pa.schema([(n, pa.int64()) for n, _, _ in thresholds])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pk_schema.empty_table()
+        p = np.asarray(batch.column("p"), dtype=np.int64)
+        w = np.asarray(batch.column("w"), dtype=np.int64)
+        off = ray.get(off_ref)["%019d" % p[0]]
+        cum = off + np.cumsum(w)
+        before = cum - w
+        cols = {}
+        for name, k, mult in thresholds:
+            hit = (k * cum >= mult * total_w) & (k * before < mult * total_w)
+            cols[name] = pa.array([int(p[hit].sum())], pa.int64())
+        return pa.table(cols)
+
+    agg = srt.map_batches(pick, batch_format="pyarrow", batch_size=None).aggregate(
+        *[Sum(n, alias_name=n) for n, _, _ in thresholds]
+    )
+    return pa.table(
+        {
+            "wp25_c": pa.array([int(agg["wp25_c"])], pa.int64()),
+            "wp50_c": pa.array([int(agg["wp50_c"])], pa.int64()),
+            "wp75_c": pa.array([int(agg["wp75_c"])], pa.int64()),
+            "total_w": pa.array([total_w], pa.int64()),
+        }
+    )
+
+
+def events_type_audience_overlap(sf_dir: str) -> "Dataset | pa.Table":
+    """Audience overlap between event types: for every co-occurring
+    type pair (a < b), how many users did BOTH, and the exact Jaccard
+    of the two audiences in ppm — the cross-sell / cannibalization
+    readout over the user-type incidence.
+
+    Shape notes: ONE distinct (user, type-id) reduce (combiner-fed),
+    then each user's type set folds to a BITMASK via a plain
+    groupby-sum (each (user, bit) row is distinct, so Sum(1 << tid)
+    IS the OR — no custom aggregate); pair counts reduce from
+    per-batch vectorized bit tests over the |users|-bounded mask
+    table (<= |types| choose 2 rows per batch), so nothing user-scale
+    crosses the second exchange.  Type count is asserted <= 62 (the
+    int64 bit budget); a wider domain needs multi-word masks."""
+    out_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("n_both", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+    tset = _collect_small(
+        ds.map_batches(
+            lambda b: pa.table({"t": b.column("event_type")})
+            .group_by("t")
+            .aggregate([]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("t")
+        .count(),
+        1_000_000,
+    )
+    if tset is None:
+        raise ValueError("audience_overlap: event-type table over budget")
+    types_sorted = sorted(t for t in tset.column("t").to_pylist())
+    assert len(types_sorted) <= 62, (
+        "audience_overlap: more than 62 event types — widen to "
+        "multi-word bitmasks"
+    )
+    tid = {t: i for i, t in enumerate(types_sorted)}
+    tid_ref = ray.put(tid)
+
+    _ub_schema = pa.schema([("user_id", pa.int64()), ("bit", pa.int64())])
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _ub_schema.empty_table()
+        m = ray.get(tid_ref)
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "bit": pa.array(
+                    [1 << m[t] for t in batch.column("event_type").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+        # per-batch distinct so the exchange carries (user, bit) once
+        return t.group_by(["user_id", "bit"]).aggregate([])
+
+    # distinct (user, bit) globally, then Sum(bit) == OR == type mask
+    dist = _scrub_schemaless(
+        ds.map_batches(to_bits, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "bit"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    if dist is None:
+        return out_schema.empty_table()
+    masks = dist.groupby("user_id").aggregate(Sum("bit", alias_name="mask"))
+
+    k = len(types_sorted)
+    pairs = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    _pp_schema = pa.schema(
+        [("pair", pa.int64()), ("n_both", pa.int64())]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pp_schema.empty_table()
+        mk = batch.column("mask").to_numpy()
+        pids, ns = [], []
+        for a, b in pairs:
+            want = (1 << a) | (1 << b)
+            n = int(((mk & want) == want).sum())
+            if n:
+                pids.append(a * 64 + b)
+                ns.append(n)
+        # singleton audience counts ride the same partial (pair = -1-tid)
+        for t in range(k):
+            n = int(((mk >> t) & 1).sum())
+            if n:
+                pids.append(-1 - t)
+                ns.append(n)
+        return pa.table(
+            {
+                "pair": pa.array(pids, pa.int64()),
+                "n_both": pa.array(ns, pa.int64()),
+            }
+        )
+
+    red = _scrub_schemaless(
+        masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .aggregate(Sum("n_both", alias_name="n_both"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    tab = _collect_small(red, 1_000_000)
+    if tab is None:
+        raise ValueError("audience_overlap: pair table over budget")
+    single = {}
+    both = {}
+    for i in range(tab.num_rows):
+        pid = int(tab.column("pair")[i].as_py())
+        n = int(tab.column("n_both")[i].as_py())
+        if pid < 0:
+            single[-1 - pid] = n
+        else:
+            both[(pid // 64, pid % 64)] = n
+    rows = {"type_a": [], "type_b": [], "n_both": [], "jaccard_ppm": []}
+    for (a, b), nab in sorted(both.items()):
+        union = single[a] + single[b] - nab
+        rows["type_a"].append(types_sorted[a])
+        rows["type_b"].append(types_sorted[b])
+        rows["n_both"].append(nab)
+        rows["jaccard_ppm"].append((2_000_000 * nab + union) // (2 * union))
+    return pa.table(
+        {
+            "type_a": pa.array(rows["type_a"], pa.string()),
+            "type_b": pa.array(rows["type_b"], pa.string()),
+            "n_both": pa.array(rows["n_both"], pa.int64()),
+            "jaccard_ppm": pa.array(rows["jaccard_ppm"], pa.int64()),
+        }
+    )
+
+
+def orders_yoy_growth(sf_dir: str) -> "Dataset | pa.Table":
+    """Year-over-year revenue growth per calendar month — the
+    seasonality-aware growth readout (this January vs last January),
+    in exact half-away ppm of the prior year's revenue.
+
+    Shape notes: ONE (year, month) combiner-fed groupby over the
+    pruned scan — the output is CALENDAR-bounded (12 rows/year no
+    matter how many orders), so the prior-year lookup is a legitimate
+    driver dict pass in Python bignums (2e6 * rev wraps int64 near
+    5e12 revenue cents)."""
+    out_schema = pa.schema(
+        [
+            ("o_year", pa.int64()),
+            ("o_month", pa.int64()),
+            ("rev_c", pa.int64()),
+            ("prev_rev_c", pa.int64()),
+            ("yoy_ppm", pa.int64()),
+        ]
+    )
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    if orders.count() == 0:
+        return out_schema.empty_table()
+
+    _ym_schema = pa.schema(
+        [("y", pa.int64()), ("m", pa.int64()), ("rev", pa.int64())]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _ym_schema.empty_table()
+        d = batch.column("o_orderdate")
+        t = pa.table(
+            {
+                "y": pc.cast(pc.year(d), pa.int64()),
+                "m": pc.cast(pc.month(d), pa.int64()),
+                "rev": _cents(batch.column("o_totalprice")),
+            }
+        )
+        return t.group_by(["y", "m"]).aggregate([("rev", "sum")]).rename_columns(
+            ["y", "m", "rev"]
+        )
+
+    red = _scrub_schemaless(
+        orders.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby(["y", "m"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    tab = _collect_small(red, 2_000_000)  # calendar-bounded
+    if tab is None:
+        raise ValueError("yoy_growth: (year, month) table over budget")
+    rev = {
+        (int(tab.column("y")[i].as_py()), int(tab.column("m")[i].as_py())): int(
+            tab.column("rev")[i].as_py()
+        )
+        for i in range(tab.num_rows)
+    }
+    rows = {k: [] for k in ("y", "m", "rev", "prev", "ppm")}
+    for (y, m), r in sorted(rev.items()):
+        p = rev.get((y - 1, m))
+        if p is None or p <= 0:
+            continue
+        rows["y"].append(y)
+        rows["m"].append(m)
+        rows["rev"].append(r)
+        rows["prev"].append(p)
+        rows["ppm"].append((2_000_000 * r + p) // (2 * p))
+    return pa.table(
+        {
+            "o_year": pa.array(rows["y"], pa.int64()),
+            "o_month": pa.array(rows["m"], pa.int64()),
+            "rev_c": pa.array(rows["rev"], pa.int64()),
+            "prev_rev_c": pa.array(rows["prev"], pa.int64()),
+            "yoy_ppm": pa.array(rows["ppm"], pa.int64()),
+        }
+    )

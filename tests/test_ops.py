@@ -8363,3 +8363,66 @@ def test_events_gap_percentiles_random_replica(ray_session, monkeypatch):
         pick = lambda p: v[-((-p * m) // 100) - 1]
         ref[t] = (m, pick(50), pick(90), pick(99))
     assert {t: tuple(int(x) for x in r) for t, r in out.iterrows()} == ref
+
+
+def test_lineitem_weighted_percentiles(ray_session, monkeypatch):
+    """Lower weighted quantiles: heavy rows pull the percentile, the
+    crossing row is picked exactly (k*cum >= m*W boundary inclusive),
+    and duplicate prices merge their weights."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    li = pd.DataFrame(
+        {
+            # prices 1.00(w5) 2.00(w1+2=3) 3.00(w2) -> W=10
+            # cum: 5, 8, 10.  p25: 4cum>=10 -> 100; p50: 2cum>=10 -> 100
+            # p75: 4cum>=30 -> 200
+            "l_extendedprice": [1.00, 2.00, 2.00, 3.00],
+            "l_quantity": [5, 1, 2, 2],
+        }
+    )
+    _patch_tables(monkeypatch, {"lineitem": li})
+    out = relational.lineitem_weighted_percentiles("x").to_pandas()
+    assert out.values.tolist() == [[100, 100, 200, 10]]
+
+
+def test_events_type_audience_overlap(ray_session, monkeypatch):
+    """Bitmask overlap: repeat events dedup, Jaccard is exact ppm,
+    non-co-occurring pairs are absent."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 4],
+            "event_type": ["a", "a", "b", "a", "b", "a", "c"],
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_type_audience_overlap("x").to_pandas()
+    # audiences: a={1,2,3}, b={1,2}, c={4}; only (a,b) co-occurs
+    # jaccard = 2/3 -> 666667 half-away
+    assert out.values.tolist() == [["a", "b", 2, 666667]]
+
+
+def test_orders_yoy_growth(ray_session, monkeypatch):
+    """YoY: month matches across years, first year has no row, exact
+    half-away ppm of the prior year's cents."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                ["1995-03-10", "1995-03-20", "1996-03-05", "1996-04-01"]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [10.00, 20.00, 45.00, 7.00],
+        }
+    )
+    _patch_tables(monkeypatch, {"orders": orders})
+    out = relational.orders_yoy_growth("x").to_pandas()
+    # 1996-03: 4500 vs 3000 -> 1.5e6 ppm; 1996-04 has no 1995-04
+    assert out.values.tolist() == [[1996, 3, 4500, 3000, 1500000]]
