@@ -1691,6 +1691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_percentiles": relational.lineitem_weighted_percentiles,
         "events_type_audience_overlap": relational.events_type_audience_overlap,
         "orders_yoy_growth": relational.orders_yoy_growth,
+        "doc_length_percentiles_by_lang": relational.doc_length_percentiles_by_lang,
+        "events_session_size_hist": relational.events_session_size_hist,
+        "doc_dup_cluster_sizes": dedup.dup_cluster_sizes,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3756,6 +3759,49 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -((2000000 * (-num) + den) // (2 * den))
                         END AS BIGINT) AS slope_ppm
             FROM f WHERE den > 0
+        """,
+        "doc_length_percentiles_by_lang": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50_chars,
+                   CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90_chars
+            FROM documents GROUP BY 1
+        """,
+        "events_session_size_hist": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            ),
+            z AS (
+                SELECT user_id, sid, COUNT(*) AS session_size
+                FROM s GROUP BY 1, 2
+            )
+            SELECT CAST(session_size AS BIGINT) AS session_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM z GROUP BY 1
+        """,
+        "doc_dup_cluster_sizes": """
+            WITH g AS (
+                SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                           AS text_md5,
+                       COUNT(*) AS n_copies
+                FROM documents GROUP BY 1
+            )
+            SELECT CAST(n_copies AS BIGINT) AS n_copies,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY 1
         """,
         "lineitem_weighted_percentiles": """
             WITH d AS (

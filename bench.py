@@ -234,6 +234,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "lineitem_weighted_percentiles",
         "events_type_audience_overlap",
         "orders_yoy_growth",
+        "doc_length_percentiles_by_lang",
+        "events_session_size_hist",
+        "doc_dup_cluster_sizes",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -1366,3 +1366,48 @@ def span_dedup(sf_dir: str, span_words: int = 10) -> Dataset:
         )
     )
     return per_doc.union(zero_rows)
+
+
+def dup_cluster_sizes(sf_dir: str) -> "Dataset | pa.Table":
+    """Distribution of exact-duplicate cluster sizes (how many text
+    hashes have exactly k copies) — the dedup-health histogram that
+    tells you whether duplication is a long boilerplate tail or a few
+    monster clusters; the count-of-counts shape over
+    :func:`exact_dedup_groups`.
+
+    Shape notes: one md5 groupby (the dedup exchange, text never
+    ships past the per-batch hash), then a combiner-fed groupby over
+    the |hashes|-bounded group table whose output is bounded by the
+    distinct cluster sizes."""
+    import numpy as np
+
+    out_schema = pa.schema(
+        [("n_copies", pa.int64()), ("n_clusters", pa.int64())]
+    )
+    g = exact_dedup_groups(sf_dir)
+
+    _h_schema = pa.schema([("n_copies", pa.int64()), ("n", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _h_schema.empty_table()
+        t = pa.table(
+            {
+                "n_copies": pc.cast(batch.column("n_copies"), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("n_copies").aggregate([("n", "sum")]).rename_columns(
+            ["n_copies", "n"]
+        )
+
+    from renard_ray.ops.relational import Sum, _scrub_schemaless
+
+    red = _scrub_schemaless(
+        g.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("n_copies")
+        .aggregate(Sum("n", alias_name="n_clusters"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    return red

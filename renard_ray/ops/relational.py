@@ -9578,3 +9578,163 @@ def orders_yoy_growth(sf_dir: str) -> "Dataset | pa.Table":
             "yoy_ppm": pa.array(rows["ppm"], pa.int64()),
         }
     )
+
+
+def doc_length_percentiles_by_lang(sf_dir: str) -> "Dataset | pa.Table":
+    """Exact p50/p90 document length (n_chars) per language — the
+    corpus-shape readout a length-filter threshold is tuned against,
+    with DISC semantics (rank = ceil(p*n), quantile_disc parity).
+
+    Shape notes: languages map to dense ints via the bounded lang
+    table, then the grouped selection rides the shared
+    ``_grouped_prefix_counts`` plan (combiner-fed distinct
+    (lang, n_chars) reduce, ONE sort of the reduced table, O(#blocks)
+    offset stitch) and each percentile is a vectorized covering
+    filter plus one O(|langs|) groupby."""
+    from renard_ray.ops.textstats import _read_documents
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("p50_chars", pa.int64()),
+            ("p90_chars", pa.int64()),
+        ]
+    )
+    ds = _read_documents(sf_dir, ["lang", "n_chars"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+    lset = _collect_small(
+        ds.map_batches(
+            lambda b: pa.table({"lang": b.column("lang")})
+            .group_by("lang")
+            .aggregate([]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("lang")
+        .count(),
+        1_000_000,
+    )
+    if lset is None:
+        raise ValueError("length_percentiles: lang table over budget")
+    langs_sorted = sorted(x for x in lset.column("lang").to_pylist())
+    lid = {x: i for i, x in enumerate(langs_sorted)}
+    lid_ref = ray.put(lid)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars")
+        assert batch.num_rows == 0 or pc.min(nc).as_py() >= 0, (
+            "length_percentiles: negative n_chars breaks the pack"
+        )
+        m = ray.get(lid_ref)
+        return pa.table(
+            {
+                "cust": pa.array(
+                    [m[x] for x in batch.column("lang").to_pylist()], pa.int64()
+                ),
+                "price_c": pc.cast(nc, pa.int64()),
+            }
+        )
+
+    od = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    ranks, ncust = _grouped_prefix_counts(od)
+    withn = broadcast_lookup_join(ranks, ncust, on="cust", right_on="cust", payload=["n"])
+
+    _pk_schema = pa.schema(
+        [("cust", pa.int64()), ("n", pa.int64()), ("p50", pa.int64()), ("p90", pa.int64())]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pk_schema.empty_table()
+        below = np.asarray(batch.column("below"), dtype=np.int64)
+        upto = np.asarray(batch.column("upto"), dtype=np.int64)
+        nn = np.asarray(batch.column("n"), dtype=np.int64)
+        val = np.asarray(batch.column("price_c"), dtype=np.int64)
+        keep = np.zeros(len(below), bool)
+        parts = {}
+        for name, p in (("p50", 50), ("p90", 90)):
+            k = (p * nn + 99) // 100 - 1
+            sel = (below <= k) & (k < upto)
+            parts[name] = val * sel.astype(np.int64)
+            keep |= sel
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "cust": batch.column("cust").filter(mask),
+                "n": batch.column("n").filter(mask),
+                **{name: pa.array(parts[name][keep]) for name in ("p50", "p90")},
+            }
+        )
+
+    sel = _scrub_schemaless(
+        withn.map_batches(pick, batch_format="pyarrow")
+        .groupby("cust")
+        .aggregate(
+            Max("n", alias_name="n_docs"),
+            Sum("p50", alias_name="p50_chars"),
+            Sum("p90", alias_name="p90_chars"),
+        )
+    )
+    if sel is None:
+        return out_schema.empty_table()
+    rev = {i: x for x, i in lid.items()}
+    rev_ref = ray.put(rev)
+
+    def name_back(batch: pa.Table) -> pa.Table:
+        r = ray.get(rev_ref)
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [r[c] for c in batch.column("cust").to_pylist()], pa.string()
+                ),
+                "n_docs": batch.column("n_docs"),
+                "p50_chars": batch.column("p50_chars"),
+                "p90_chars": batch.column("p90_chars"),
+            }
+        )
+
+    return sel.map_batches(name_back, batch_format="pyarrow")
+
+
+def events_session_size_hist(
+    sf_dir: str, gap_minutes: int = 30
+) -> "Dataset | pa.Table":
+    """Distribution of session sizes (how many sessions have exactly
+    k events) — the engagement-depth histogram over the 30-minute-gap
+    sessions; the count-of-counts shape applied to the sessionize
+    output.
+
+    Shape notes: rides ``events_sessionize`` (ONE sort + vectorized
+    block runs + O(#blocks) edge-user stitch), then a combiner-fed
+    groupby over the |sessions|-bounded run table whose output is
+    bounded by the distinct session sizes."""
+    out_schema = pa.schema(
+        [("session_size", pa.int64()), ("n_sessions", pa.int64())]
+    )
+    s = events_sessionize(sf_dir, gap_minutes)
+
+    _h_schema = pa.schema([("session_size", pa.int64()), ("n", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _h_schema.empty_table()
+        t = pa.table(
+            {
+                "session_size": pc.cast(batch.column("n_events"), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("session_size").aggregate([("n", "sum")]).rename_columns(
+            ["session_size", "n"]
+        )
+
+    red = _scrub_schemaless(
+        s.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("session_size")
+        .aggregate(Sum("n", alias_name="n_sessions"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    return red

@@ -8426,3 +8426,95 @@ def test_orders_yoy_growth(ray_session, monkeypatch):
     out = relational.orders_yoy_growth("x").to_pandas()
     # 1996-03: 4500 vs 3000 -> 1.5e6 ppm; 1996-04 has no 1995-04
     assert out.values.tolist() == [[1996, 3, 4500, 3000, 1500000]]
+
+
+def test_doc_length_percentiles_by_lang(ray_session, monkeypatch):
+    """Grouped DISC percentiles: ceil-rank picks actual values per
+    lang, singleton langs return their only length for both."""
+    import pandas as pd
+
+    from renard_ray.ops import relational, textstats
+
+    docs = pd.DataFrame(
+        {
+            "lang": ["en"] * 4 + ["fr"],
+            "n_chars": [10, 20, 30, 40, 7],
+        }
+    )
+    import pyarrow as _pa
+    import ray as _ray
+
+    monkeypatch.setattr(
+        textstats,
+        "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            _pa.Table.from_pandas(docs[cols] if cols else docs, preserve_index=False)
+        ).repartition(3),
+    )
+    out = (
+        relational.doc_length_percentiles_by_lang("x")
+        .to_pandas()
+        .sort_values("lang")
+    )
+    # en: n=4 -> p50 = 2nd = 20, p90 = ceil(3.6) = 4th = 40
+    assert out.values.tolist() == [["en", 4, 20, 40], ["fr", 1, 7, 7]]
+
+
+def test_events_session_size_hist(ray_session, monkeypatch):
+    """Count-of-counts over sessions: a 31-min gap splits, sizes
+    merge across users."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    base = pd.Timestamp("2024-01-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)
+    ev = pd.DataFrame(
+        {
+            # user 1: [0, 10] then 31-min gap -> [41]; user 2: [0]
+            "user_id": [1, 1, 1, 2],
+            "ts": [mins(0), mins(10), mins(41), mins(0)],
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_session_size_hist("x")
+        .to_pandas()
+        .sort_values("session_size")
+    )
+    assert out.values.tolist() == [[1, 2], [2, 1]]
+
+
+def test_doc_dup_cluster_sizes(ray_session, monkeypatch):
+    """Histogram over exact-dup clusters: whitespace-normalized
+    copies collapse, singletons count once."""
+    import pandas as pd
+
+    from renard_ray.ops import dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "hello  world",
+                "Hello world",  # same after normalize -> cluster of 3
+                " hello world ",
+                "unique a",
+                "unique b",
+                "pair",
+            ],
+        }
+    )
+    import pyarrow as _pa
+    import ray as _ray
+
+    monkeypatch.setattr(
+        dedup,
+        "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            _pa.Table.from_pandas(docs[cols] if cols else docs, preserve_index=False)
+        ).repartition(3),
+    )
+    out = dedup.dup_cluster_sizes("x").to_pandas().sort_values("n_copies")
+    assert out.values.tolist() == [[1, 3], [3, 1]]
