@@ -1694,6 +1694,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles_by_lang": relational.doc_length_percentiles_by_lang,
         "events_session_size_hist": relational.events_session_size_hist,
         "doc_dup_cluster_sizes": dedup.dup_cluster_sizes,
+        "events_dau_mau": relational.events_dau_mau,
+        "events_new_users_weekly": relational.events_new_users_weekly,
+        "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3759,6 +3762,55 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -((2000000 * (-num) + den) // (2 * den))
                         END AS BIGINT) AS slope_ppm
             FROM f WHERE den > 0
+        """,
+        "events_dau_mau": """
+            WITH du AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                       user_id
+                FROM events
+            ),
+            dau AS (
+                SELECT day, CAST(COUNT(*) AS HUGEINT) AS dau
+                FROM du GROUP BY 1
+            ),
+            dm AS (
+                SELECT strftime(make_timestamp(day * 86400000000),
+                                '%Y-%m') AS month,
+                       CAST(COUNT(*) AS HUGEINT) AS n_days,
+                       SUM(dau) AS dau_sum
+                FROM dau GROUP BY 1
+            ),
+            mau AS (
+                SELECT strftime(make_timestamp(day * 86400000000),
+                                '%Y-%m') AS month,
+                       CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS mau
+                FROM du GROUP BY 1
+            )
+            SELECT dm.month, CAST(dm.n_days AS BIGINT) AS n_days,
+                   CAST(mau.mau AS BIGINT) AS mau,
+                   CAST((2000000 * dm.dau_sum + dm.n_days)
+                        // (2 * dm.n_days) AS BIGINT) AS avg_dau_ppm,
+                   CAST((2000000 * dm.dau_sum + dm.n_days * mau.mau)
+                        // (2 * dm.n_days * mau.mau) AS BIGINT)
+                       AS stickiness_ppm
+            FROM dm JOIN mau ON mau.month = dm.month
+        """,
+        "events_new_users_weekly": """
+            WITH f AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS first_us
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(first_us // 604800000000 AS BIGINT) AS week,
+                   CAST(COUNT(*) AS BIGINT) AS n_new_users
+            FROM f GROUP BY 1
+        """,
+        "events_weekday_hour_heatmap": """
+            SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1
+                        AS BIGINT) AS iso_dow,
+                   CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT)
+                       AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "doc_length_percentiles_by_lang": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

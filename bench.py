@@ -237,6 +237,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "doc_length_percentiles_by_lang",
         "events_session_size_hist",
         "doc_dup_cluster_sizes",
+        "events_dau_mau",
+        "events_new_users_weekly",
+        "events_weekday_hour_heatmap",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -9738,3 +9738,229 @@ def events_session_size_hist(
     if red is None:
         return out_schema.empty_table()
     return red
+
+
+def events_dau_mau(sf_dir: str) -> "Dataset | pa.Table":
+    """DAU/MAU stickiness per calendar month — average daily active
+    users over the month's ACTIVE days divided by monthly active
+    users, in exact half-away ppm (the product-engagement headline
+    number).
+
+    Shape notes: ONE distinct (day, user) reduce (combiner-fed — the
+    only fact-scale exchange); DAU per day is a groupby over that
+    |days| x |users|-bounded table, MAU folds the same table through
+    a distinct (month, user) reduce; the per-month finalize joins two
+    CALENDAR-bounded tables on the driver in Python bignums
+    (sum-of-DAU * 1e6 wraps int64 near 9e12 user-days)."""
+    out_schema = pa.schema(
+        [
+            ("month", pa.string()),
+            ("n_days", pa.int64()),
+            ("mau", pa.int64()),
+            ("avg_dau_ppm", pa.int64()),
+            ("stickiness_ppm", pa.int64()),
+        ]
+    )
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    if ev.count() == 0:
+        return out_schema.empty_table()
+
+    _du_schema = pa.schema([("day", pa.int64()), ("user_id", pa.int64())])
+
+    def to_day_user(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _du_schema.empty_table()
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        assert pc.min(us).as_py() >= 0, (
+            "dau_mau: pre-epoch timestamp — integer division floors "
+            "toward zero, not -inf"
+        )
+        t = pa.table(
+            {
+                "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    du = (
+        ev.map_batches(to_day_user, batch_format="pyarrow", batch_size=None)
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    du = _scrub_schemaless(du)
+    if du is None:
+        return out_schema.empty_table()
+    du = du.materialize()  # feeds BOTH the DAU and the MAU reduce
+    dau = du.groupby("day").aggregate(Count(alias_name="dau"))
+
+    _mu_schema = pa.schema([("month", pa.string()), ("user_id", pa.int64())])
+
+    def to_month_user(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _mu_schema.empty_table()
+        d = batch.column("day").to_numpy()
+        # day -> (year, month) via the epoch-day calendar (numpy
+        # datetime arithmetic is exact integer days)
+        dt = d.astype("datetime64[D]")
+        months = np.datetime_as_string(dt, unit="M")
+        t = pa.table(
+            {
+                "month": pa.array(months.tolist(), pa.string()),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        return t.group_by(["month", "user_id"]).aggregate([])
+
+    mau = (
+        du.map_batches(to_month_user, batch_format="pyarrow", batch_size=None)
+        .groupby(["month", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("month")
+        .aggregate(Count(alias_name="mau"))
+    )
+    dau_tab = _collect_small(dau, 2_000_000)  # calendar-bounded
+    mau_tab = _collect_small(mau, 2_000_000)
+    if dau_tab is None or mau_tab is None:
+        raise ValueError("dau_mau: calendar table over budget")
+    per_month: dict = {}
+    for i in range(dau_tab.num_rows):
+        d = int(dau_tab.column("day")[i].as_py())
+        m = str(np.datetime64(d, "D").astype("datetime64[M]"))
+        n, s = per_month.get(m, (0, 0))
+        per_month[m] = (n + 1, s + int(dau_tab.column("dau")[i].as_py()))
+    maus = {
+        str(mau_tab.column("month")[i].as_py()): int(
+            mau_tab.column("mau")[i].as_py()
+        )
+        for i in range(mau_tab.num_rows)
+    }
+    rows = {k: [] for k in ("month", "n_days", "mau", "avg", "stick")}
+    for m in sorted(per_month):
+        n_days, dau_sum = per_month[m]
+        mau_n = maus[m]
+        rows["month"].append(m)
+        rows["n_days"].append(n_days)
+        rows["mau"].append(mau_n)
+        # exact ppm in Python bignums
+        rows["avg"].append((2_000_000 * dau_sum + n_days) // (2 * n_days))
+        den = n_days * mau_n
+        rows["stick"].append((2_000_000 * dau_sum + den) // (2 * den))
+    return pa.table(
+        {
+            "month": pa.array(rows["month"], pa.string()),
+            "n_days": pa.array(rows["n_days"], pa.int64()),
+            "mau": pa.array(rows["mau"], pa.int64()),
+            "avg_dau_ppm": pa.array(rows["avg"], pa.int64()),
+            "stickiness_ppm": pa.array(rows["stick"], pa.int64()),
+        }
+    )
+
+
+def events_new_users_weekly(sf_dir: str) -> "Dataset | pa.Table":
+    """Weekly new-user acquisition: how many users had their FIRST
+    EVER event in each epoch week — the growth-funnel top line next
+    to the retention matrix.
+
+    Shape notes: per-user first timestamp is ONE combiner-fed
+    groupby-Min (the only fact-scale exchange), the week histogram is
+    a second groupby over the |users|-bounded table whose output is
+    CALENDAR-bounded."""
+    out_schema = pa.schema([("week", pa.int64()), ("n_new_users", pa.int64())])
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    if ev.count() == 0:
+        return out_schema.empty_table()
+
+    _fu_schema = pa.schema([("user_id", pa.int64()), ("first_us", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _fu_schema.empty_table()
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        assert pc.min(us).as_py() >= 0, "new_users: pre-epoch timestamp"
+        t = pa.table({"user_id": batch.column("user_id"), "first_us": us})
+        return t.group_by("user_id").aggregate([("first_us", "min")]).rename_columns(
+            ["user_id", "first_us"]
+        )
+
+    firsts = (
+        ev.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Min("first_us", alias_name="first_us"))
+    )
+
+    _wk_schema = pa.schema([("week", pa.int64()), ("n", pa.int64())])
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _wk_schema.empty_table()
+        t = pa.table(
+            {
+                "week": pc.divide(
+                    batch.column("first_us"),
+                    pa.scalar(7 * 86_400_000_000, pa.int64()),
+                ),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("week").aggregate([("n", "sum")]).rename_columns(
+            ["week", "n"]
+        )
+
+    red = _scrub_schemaless(
+        firsts.map_batches(weeks, batch_format="pyarrow", batch_size=None)
+        .groupby("week")
+        .aggregate(Sum("n", alias_name="n_new_users"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    return red
+
+
+def events_weekday_hour_heatmap(sf_dir: str) -> "Dataset | pa.Table":
+    """Activity heatmap by (ISO weekday, hour-of-day) — the
+    capacity-planning / anomaly-context readout behind every ops
+    dashboard, as exact integer arithmetic on epoch microseconds
+    (1970-01-01 was a Thursday: ``dow = (epoch_day + 3) % 7 + 1``
+    gives ISO 1=Monday..7=Sunday with no timezone or locale library
+    in the path).
+
+    Shape notes: ONE combiner-fed groupby whose key domain is
+    CONSTANT (168 cells) — the exchange carries at most 168 rows per
+    batch at any corpus size."""
+    out_schema = pa.schema(
+        [("iso_dow", pa.int64()), ("hour", pa.int64()), ("n_events", pa.int64())]
+    )
+    ev = _read(sf_dir, "events", ["ts"])
+    if ev.count() == 0:
+        return out_schema.empty_table()
+
+    _hm_schema = pa.schema(
+        [("iso_dow", pa.int64()), ("hour", pa.int64()), ("n", pa.int64())]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _hm_schema.empty_table()
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64()).to_numpy()
+        assert us.min() >= 0, "heatmap: pre-epoch timestamp"
+        day = us // 86_400_000_000
+        t = pa.table(
+            {
+                "iso_dow": pa.array((day + 3) % 7 + 1, pa.int64()),
+                "hour": pa.array(us // 3_600_000_000 % 24, pa.int64()),
+                "n": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+        return t.group_by(["iso_dow", "hour"]).aggregate([("n", "sum")]).rename_columns(
+            ["iso_dow", "hour", "n"]
+        )
+
+    red = _scrub_schemaless(
+        ev.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby(["iso_dow", "hour"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    return red

@@ -8518,3 +8518,89 @@ def test_doc_dup_cluster_sizes(ray_session, monkeypatch):
     )
     out = dedup.dup_cluster_sizes("x").to_pandas().sort_values("n_copies")
     assert out.values.tolist() == [[1, 3], [3, 1]]
+
+
+def test_events_dau_mau(ray_session, monkeypatch):
+    """Stickiness: distinct users per day, month rollup over ACTIVE
+    days only, exact ppm; multi-month events split correctly."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            # Jan: day1 users {1,2}, day2 users {1} -> dau_sum=3,
+            # n_days=2, mau=2 -> avg=1.5e6, stick=3/(2*2)=750000
+            # Feb: day1 user {3} -> avg=1e6, stick=1e6
+            "user_id": [1, 2, 1, 1, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 05:00",
+                    "2024-01-01 06:00",
+                    "2024-01-01 07:00",  # same day dup
+                    "2024-01-02 05:00",
+                    "2024-02-10 05:00",
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = relational.events_dau_mau("x").to_pandas().sort_values("month")
+    assert out.values.tolist() == [
+        ["2024-01", 2, 2, 1500000, 750000],
+        ["2024-02", 1, 1, 1000000, 1000000],
+    ]
+
+
+def test_events_new_users_weekly(ray_session, monkeypatch):
+    """First-ever event decides the week; later activity never
+    re-counts a user."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "1970-01-02",  # week 0 (epoch weeks)
+                    "1970-01-20",  # later activity, ignored
+                    "1970-01-09",  # week 1
+                    "1970-01-10",  # week 1
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_new_users_weekly("x").to_pandas().sort_values("week")
+    )
+    assert out.values.tolist() == [[0, 1], [1, 2]]
+
+
+def test_events_weekday_hour_heatmap(ray_session, monkeypatch):
+    """Epoch-day 0 is a Thursday (iso 4); hours bucket in UTC; counts
+    merge across blocks."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "1970-01-01 00:30",  # Thu=4, hour 0
+                    "1970-01-01 00:45",
+                    "1970-01-05 23:10",  # Mon=1, hour 23
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_weekday_hour_heatmap("x")
+        .to_pandas()
+        .sort_values(["iso_dow", "hour"])
+    )
+    assert out.values.tolist() == [[1, 23, 1], [4, 0, 2]]
