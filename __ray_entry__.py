@@ -1697,6 +1697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_mau": relational.events_dau_mau,
         "events_new_users_weekly": relational.events_new_users_weekly,
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
+        "doc_bigram_topk": textstats.bigram_topk,
+        "doc_vocab_overlap": textstats.vocab_overlap_by_lang,
         # distributed zipWithIndex: stable 1-based global row numbers
         # by (n_chars DESC, doc_id) — sorted-run + O(#blocks) offset
         # carry, two passes over the SAME materialized blocks; exact
@@ -3762,6 +3764,47 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -((2000000 * (-num) + den) // (2 * den))
                         END AS BIGINT) AS slope_ppm
             FROM f WHERE den > 0
+        """,
+        "doc_bigram_topk": """
+            WITH d AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) != ''
+            ),
+            b AS (
+                SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+                FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+            )
+            SELECT bigram, COUNT(*) AS n_occurrences
+            FROM b GROUP BY 1
+            ORDER BY n_occurrences DESC, bigram
+            LIMIT 20
+        """,
+        "doc_vocab_overlap": """
+            WITH w AS (
+                SELECT DISTINCT lang,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                           AS word
+                FROM documents WHERE trim(text) != ''
+            ),
+            np AS (
+                SELECT a.lang AS la, b.lang AS lb,
+                       CAST(COUNT(*) AS HUGEINT) AS nab
+                FROM w a JOIN w b
+                  ON a.word = b.word AND a.lang < b.lang
+                GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n
+                FROM w GROUP BY 1
+            )
+            SELECT np.la AS lang_a, np.lb AS lang_b,
+                   CAST(np.nab AS BIGINT) AS n_shared,
+                   CAST((2000000 * np.nab + (ca.n + cb.n - np.nab))
+                        // (2 * (ca.n + cb.n - np.nab)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM np
+            JOIN c ca ON ca.lang = np.la
+            JOIN c cb ON cb.lang = np.lb
         """,
         "events_dau_mau": """
             WITH du AS (

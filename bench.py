@@ -240,6 +240,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_dau_mau",
         "events_new_users_weekly",
         "events_weekday_hour_heatmap",
+        "doc_bigram_topk",
+        "doc_vocab_overlap",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

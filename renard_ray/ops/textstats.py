@@ -1236,3 +1236,181 @@ def global_row_number(sf_dir: str) -> "Dataset | pa.Table":
     # value = n_chars DESC, id = doc_id — it returns the input columns
     # plus rn, which is exactly this op's output shape
     return _attach_global_rank(ds, "n_chars", "doc_id", descending=True)
+
+
+def bigram_topk(sf_dir: str, k: int = 20) -> Dataset:
+    """Corpus-wide top-k word bigrams (adjacent pairs WITHIN a
+    document, whitespace tokens, case preserved like ``word_topk``)
+    with the (count desc, bigram asc) tie-break — the collocation
+    readout one step up from the unigram top-k.
+
+    Shape: per-batch partial bigram counts (the combiner — the
+    exchange carries distinct bigrams per batch, never token
+    positions), one vocabulary-bounded groupby, top-k sort-limit."""
+    ds = _read_documents(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t and t.strip():
+                ws = _WS_RE.split(t.strip())
+                c.update(a + " " + b for a, b in zip(ws, ws[1:]))
+        grams = sorted(c)
+        return pa.table(
+            {
+                "bigram": pa.array(grams, pa.string()),
+                "n": pa.array([c[g] for g in grams], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return agg.sort(["n_occurrences", "bigram"], descending=[True, False]).limit(k)
+
+
+def vocab_overlap_by_lang(sf_dir: str) -> "Dataset | pa.Table":
+    """Vocabulary overlap between languages: for every co-occurring
+    language pair (a < b), how many distinct words appear in BOTH
+    languages' documents, and the exact Jaccard of the two
+    vocabularies in ppm — the contamination / code-switching readout
+    a language-ID filter is sanity-checked against.
+
+    Shape notes: ONE distinct (word, lang-bit) reduce (combiner-fed —
+    vocabulary-bounded by Heaps' law), per-word language BITMASK via
+    a plain groupby-Sum (distinct bits make Sum the OR), pair counts
+    from per-batch vectorized bit tests over the |vocab|-bounded mask
+    table; <= 62 languages asserted (int64 bit budget)."""
+    from renard_ray.ops.relational import (
+        Count,
+        Sum,
+        _collect_small,
+        _scrub_schemaless,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("lang_a", pa.string()),
+            ("lang_b", pa.string()),
+            ("n_shared", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+    ds = _read_documents(sf_dir, ["lang", "text"])
+    if ds.count() == 0:
+        return out_schema.empty_table()
+    lset = _collect_small(
+        ds.map_batches(
+            lambda b: pa.table({"lang": b.column("lang")})
+            .group_by("lang")
+            .aggregate([]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("lang")
+        .count(),
+        1_000_000,
+    )
+    if lset is None:
+        raise ValueError("vocab_overlap: lang table over budget")
+    langs_sorted = sorted(x for x in lset.column("lang").to_pylist())
+    assert len(langs_sorted) <= 62, (
+        "vocab_overlap: more than 62 languages — widen to multi-word "
+        "bitmasks"
+    )
+    lid = {x: i for i, x in enumerate(langs_sorted)}
+    lid_ref = ray.put(lid)
+
+    _wb_schema = pa.schema([("word", pa.string()), ("bit", pa.int64())])
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _wb_schema.empty_table()
+        m = ray.get(lid_ref)
+        words, bits = [], []
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if not (t and t.strip()):
+                continue
+            bit = 1 << m[lang]
+            for w in set(_WS_RE.split(t.strip())):
+                words.append(w)
+                bits.append(bit)
+        t2 = pa.table(
+            {"word": pa.array(words, pa.string()), "bit": pa.array(bits, pa.int64())}
+        )
+        return t2.group_by(["word", "bit"]).aggregate([])
+
+    dist = _scrub_schemaless(
+        ds.map_batches(to_bits, batch_format="pyarrow", batch_size=None)
+        .groupby(["word", "bit"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    if dist is None:
+        return out_schema.empty_table()
+    masks = dist.groupby("word").aggregate(Sum("bit", alias_name="mask"))
+
+    k = len(langs_sorted)
+    pairs = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    _pp_schema = pa.schema([("pair", pa.int64()), ("n", pa.int64())])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pp_schema.empty_table()
+        mk = batch.column("mask").to_numpy()
+        pids, ns = [], []
+        for a, b in pairs:
+            want = (1 << a) | (1 << b)
+            n = int(((mk & want) == want).sum())
+            if n:
+                pids.append(a * 64 + b)
+                ns.append(n)
+        for t in range(k):
+            n = int(((mk >> t) & 1).sum())
+            if n:
+                pids.append(-1 - t)
+                ns.append(n)
+        return pa.table(
+            {"pair": pa.array(pids, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    red = _scrub_schemaless(
+        masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if red is None:
+        return out_schema.empty_table()
+    tab = _collect_small(red, 1_000_000)
+    if tab is None:
+        raise ValueError("vocab_overlap: pair table over budget")
+    single, both = {}, {}
+    for i in range(tab.num_rows):
+        pid = int(tab.column("pair")[i].as_py())
+        n = int(tab.column("n")[i].as_py())
+        if pid < 0:
+            single[-1 - pid] = n
+        else:
+            both[(pid // 64, pid % 64)] = n
+    rows = {"a": [], "b": [], "n": [], "j": []}
+    for (a, b), nab in sorted(both.items()):
+        union = single[a] + single[b] - nab
+        rows["a"].append(langs_sorted[a])
+        rows["b"].append(langs_sorted[b])
+        rows["n"].append(nab)
+        rows["j"].append((2_000_000 * nab + union) // (2 * union))
+    return pa.table(
+        {
+            "lang_a": pa.array(rows["a"], pa.string()),
+            "lang_b": pa.array(rows["b"], pa.string()),
+            "n_shared": pa.array(rows["n"], pa.int64()),
+            "jaccard_ppm": pa.array(rows["j"], pa.int64()),
+        }
+    )

@@ -8604,3 +8604,67 @@ def test_events_weekday_hour_heatmap(ray_session, monkeypatch):
         .sort_values(["iso_dow", "hour"])
     )
     assert out.values.tolist() == [[1, 23, 1], [4, 0, 2]]
+
+
+def test_doc_bigram_topk(ray_session, monkeypatch):
+    """Bigrams stay within a document, counts merge across blocks,
+    ties order lexicographically."""
+    import pandas as pd
+
+    from renard_ray.ops import textstats
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "a b c",      # "a b", "b c"
+                "a b",        # "a b"
+                "c a",        # "c a" (no cross-doc "c a" from doc 1!)
+                "",
+            ],
+        }
+    )
+    import pyarrow as _pa
+    import ray as _ray
+
+    monkeypatch.setattr(
+        textstats,
+        "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            _pa.Table.from_pandas(docs[cols] if cols else docs, preserve_index=False)
+        ).repartition(3),
+    )
+    out = textstats.bigram_topk("x", k=3).to_pandas()
+    assert out.values.tolist() == [["a b", 2], ["b c", 1], ["c a", 1]]
+
+
+def test_doc_vocab_overlap(ray_session, monkeypatch):
+    """Per-doc word sets dedup, vocabularies union across docs of a
+    lang, exact Jaccard ppm."""
+    import pandas as pd
+
+    from renard_ray.ops import textstats
+
+    docs = pd.DataFrame(
+        {
+            "lang": ["en", "en", "fr", "de"],
+            "text": ["cat dog", "dog fish", "dog chien", "hund"],
+        }
+    )
+    import pyarrow as _pa
+    import ray as _ray
+
+    monkeypatch.setattr(
+        textstats,
+        "_read_documents",
+        lambda sfd, cols=None: _ray.data.from_arrow(
+            _pa.Table.from_pandas(docs[cols] if cols else docs, preserve_index=False)
+        ).repartition(3),
+    )
+    out = (
+        textstats.vocab_overlap_by_lang("x")
+        .to_pandas()
+        .sort_values(["lang_a", "lang_b"])
+    )
+    # en={cat,dog,fish}, fr={dog,chien}, de={hund}
+    # (en,fr): shared {dog}=1, union=4 -> 250000; de overlaps nobody
+    assert out.values.tolist() == [["en", "fr", 1, 250000]]
