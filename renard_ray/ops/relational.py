@@ -6659,8 +6659,21 @@ def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
         .groupby("k")
         .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"))
     )
-    if counts is None:  # unreachable for non-empty input (markers)
-        return out_schema.empty_table()
+    if counts is None:
+        # unreachable for non-empty input (every called batch emits
+        # marker rows) — but mirror the oracle's UNION-ALL semantics,
+        # which always yields one row per profiled column
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "column": pa.array(list(_PROFILE_COLS), pa.string()),
+                    "n_nulls": pa.array([0] * len(_PROFILE_COLS), pa.int64()),
+                    "n_distinct": pa.array([0] * len(_PROFILE_COLS), pa.int64()),
+                    "top_value": pa.array([None] * len(_PROFILE_COLS), pa.string()),
+                    "top_freq": pa.array([0] * len(_PROFILE_COLS), pa.int64()),
+                }
+            )
+        )
 
     def enc(batch: pa.Table) -> pa.Table:
         # argmax with ties -> min value: Min over the packed
@@ -8592,23 +8605,35 @@ def events_trend_slope(sf_dir: str) -> "Dataset | pa.Table":
     if ev.count() == 0:
         return out_schema.empty_table()
 
+    _td_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.int64()), ("c", pa.int64())]
+    )
+
     def to_day(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _td_schema.empty_table()
         us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
-        assert batch.num_rows == 0 or pc.min(us).as_py() >= 0, (
+        assert pc.min(us).as_py() >= 0, (
             "trend_slope: pre-epoch timestamp — integer division "
             "floors toward zero, not -inf"
         )
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                "c": pa.array(np.ones(batch.num_rows, np.int64)),
             }
         )
+        # per-batch combiner: the exchange carries (type, day) partials,
+        # never one row per event
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("c", "sum")]
+        ).rename_columns(["event_type", "day", "c"])
 
     day_counts = _scrub_schemaless(
-        ev.map_batches(to_day, batch_format="pyarrow")
+        ev.map_batches(to_day, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="c"))
+        .aggregate(Sum("c", alias_name="c"))
     )
     if day_counts is None:
         return out_schema.empty_table()
@@ -9034,6 +9059,156 @@ def events_value_histogram(sf_dir: str, n_bins: int = 20) -> "Dataset | pa.Table
     return red
 
 
+def _bitmask_pair_overlap(
+    masks: Dataset,
+    labels: "list[str]",
+    ctx: str,
+    label_a: str,
+    label_b: str,
+    n_name: str,
+) -> "pa.Table | None":
+    """Shared bitmask-Jaccard reduce: from a Dataset of ``mask``
+    columns (int64 OR of ``1 << dense-id`` over a <= 62-label domain),
+    count every co-occurring label pair and each label's singleton
+    total with per-batch vectorized bit tests (<= C(|labels|, 2) rows
+    per batch cross the exchange — never one row per entity), then
+    decode to exact half-away Jaccard ppm on the driver.  Pairs ride
+    id ``a*64 + b``; singletons ride ``-1 - id`` on the same partial.
+    Returns None when the mask table is empty (caller returns its
+    schema-ful empty table)."""
+    k = len(labels)
+    pairs = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    _pp_schema = pa.schema([("pair", pa.int64()), ("n", pa.int64())])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pp_schema.empty_table()
+        mk = batch.column("mask").to_numpy()
+        pids, ns = [], []
+        for a, b in pairs:
+            want = (1 << a) | (1 << b)
+            n = int(((mk & want) == want).sum())
+            if n:
+                pids.append(a * 64 + b)
+                ns.append(n)
+        for t in range(k):
+            n = int(((mk >> t) & 1).sum())
+            if n:
+                pids.append(-1 - t)
+                ns.append(n)
+        return pa.table(
+            {"pair": pa.array(pids, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    red = _scrub_schemaless(
+        masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if red is None:
+        return None
+    tab = _collect_small(red, 1_000_000)
+    if tab is None:
+        raise ValueError(f"{ctx}: pair table over budget")
+    single, both = {}, {}
+    for i in range(tab.num_rows):
+        pid = int(tab.column("pair")[i].as_py())
+        n = int(tab.column("n")[i].as_py())
+        if pid < 0:
+            single[-1 - pid] = n
+        else:
+            both[(pid // 64, pid % 64)] = n
+    rows: dict = {"a": [], "b": [], "n": [], "j": []}
+    for (a, b), nab in sorted(both.items()):
+        union = single[a] + single[b] - nab
+        rows["a"].append(labels[a])
+        rows["b"].append(labels[b])
+        rows["n"].append(nab)
+        rows["j"].append((2_000_000 * nab + union) // (2 * union))
+    return pa.table(
+        {
+            label_a: pa.array(rows["a"], pa.string()),
+            label_b: pa.array(rows["b"], pa.string()),
+            n_name: pa.array(rows["n"], pa.int64()),
+            "jaccard_ppm": pa.array(rows["j"], pa.int64()),
+        }
+    )
+
+
+def _grouped_disc_percentiles(
+    od: Dataset,
+    percentiles: "tuple[tuple[str, int], ...]",
+    n_alias: str,
+    label_col: str,
+    labels: "list[str]",
+) -> "Dataset | None":
+    """Shared grouped DISC-percentile selection (rank = ceil(p*n),
+    ``quantile_disc`` parity) over (cust, price_c) rows with dense-int
+    groups: rides ``_grouped_prefix_counts``, picks every requested
+    percentile with ONE vectorized covering-filter pass (a distinct-
+    value row spanning [below, upto) holds rank k iff below <= k <
+    upto — each percentile selects exactly one row per group), reduces
+    with one O(|groups|) groupby, and decodes group ids back to their
+    labels with a vectorized take.  Returns None when the selection is
+    empty (caller returns its schema-ful empty table)."""
+    ranks, ncust = _grouped_prefix_counts(od)
+    withn = broadcast_lookup_join(
+        ranks, ncust, on="cust", right_on="cust", payload=["n"]
+    )
+    names = [name for name, _ in percentiles]
+    _pk_schema = pa.schema(
+        [("cust", pa.int64()), ("n", pa.int64())]
+        + [(name, pa.int64()) for name in names]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pk_schema.empty_table()
+        below = np.asarray(batch.column("below"), dtype=np.int64)
+        upto = np.asarray(batch.column("upto"), dtype=np.int64)
+        nn = np.asarray(batch.column("n"), dtype=np.int64)
+        val = np.asarray(batch.column("price_c"), dtype=np.int64)
+        keep = np.zeros(len(below), bool)
+        parts = {}
+        for name, p in percentiles:
+            k = (p * nn + 99) // 100 - 1  # 0-based rank of ceil(p*n)
+            sel = (below <= k) & (k < upto)
+            parts[name] = val * sel.astype(np.int64)
+            keep |= sel
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "cust": batch.column("cust").filter(mask),
+                "n": batch.column("n").filter(mask),
+                **{name: pa.array(parts[name][keep]) for name in names},
+            }
+        )
+
+    sel = _scrub_schemaless(
+        withn.map_batches(pick, batch_format="pyarrow")
+        .groupby("cust")
+        .aggregate(
+            Max("n", alias_name=n_alias),
+            *[Sum(name, alias_name=name) for name in names],
+        )
+    )
+    if sel is None:
+        return None
+    labels_ref = ray.put(pa.array(labels, pa.string()))
+
+    def name_back(batch: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        return pa.table(
+            {
+                label_col: pc.take(lab, batch.column("cust")),
+                n_alias: batch.column(n_alias),
+                **{name: batch.column(name) for name in names},
+            }
+        )
+
+    return sel.map_batches(name_back, batch_format="pyarrow")
+
+
 def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
     """Exact p50/p90/p99 of inter-event gaps per event type — the
     latency-SLO readout (each gap is ``ts - previous ts of the SAME
@@ -9082,8 +9257,7 @@ def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
     if tset is None:
         raise ValueError("gap_percentiles: event-type table over budget")
     types_sorted = sorted(t for t in tset.column("t").to_pylist())
-    tid = {t: i for i, t in enumerate(types_sorted)}
-    tid_ref = ray.put(tid)
+    tid_ref = ray.put(pa.array(types_sorted, pa.string()))
 
     def norm(batch: pa.Table) -> pa.Table:
         us = _ts_us(batch.column("ts"))
@@ -9098,14 +9272,16 @@ def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
             batch.num_rows == 0
             or pc.min(batch.column("user_id")).as_py() >= 0
         ), "gap_percentiles: negative user_id breaks the pack"
-        m = ray.get(tid_ref)
+        tids = ray.get(tid_ref)
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
                 "us": us,
                 "event_id": eid,
-                "tid": pa.array(
-                    [m[t] for t in batch.column("event_type").to_pylist()],
+                # dense id = position in the sorted type list (Arrow-
+                # vectorized; the bounded list is broadcast once)
+                "tid": pc.cast(
+                    pc.index_in(batch.column("event_type"), value_set=tids),
                     pa.int64(),
                 ),
             }
@@ -9181,70 +9357,16 @@ def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
     if gaps_ds.count() == 0:
         return out_schema.empty_table()
 
-    ranks, ncust = _grouped_prefix_counts(gaps_ds)
-    withn = broadcast_lookup_join(ranks, ncust, on="cust", right_on="cust", payload=["n"])
-
-    _pk_schema = pa.schema(
-        [("cust", pa.int64()), ("n", pa.int64()), ("p50", pa.int64()), ("p90", pa.int64()), ("p99", pa.int64())]
+    out = _grouped_disc_percentiles(
+        gaps_ds,
+        (("p50_us", 50), ("p90_us", 90), ("p99_us", 99)),
+        n_alias="n_gaps",
+        label_col="event_type",
+        labels=types_sorted,
     )
-
-    def pick(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _pk_schema.empty_table()
-        below = np.asarray(batch.column("below"), dtype=np.int64)
-        upto = np.asarray(batch.column("upto"), dtype=np.int64)
-        nn = np.asarray(batch.column("n"), dtype=np.int64)
-        gap = np.asarray(batch.column("price_c"), dtype=np.int64)
-        cols = {"cust": None, "n": None}
-        keep = np.zeros(len(below), bool)
-        parts = {}
-        for name, p in (("p50", 50), ("p90", 90), ("p99", 99)):
-            k = (p * nn + 99) // 100 - 1  # 0-based rank of ceil(p*n)
-            sel = (below <= k) & (k < upto)
-            parts[name] = gap * sel.astype(np.int64)
-            keep |= sel
-        mask = pa.array(keep)
-        return pa.table(
-            {
-                "cust": batch.column("cust").filter(mask),
-                "n": batch.column("n").filter(mask),
-                **{
-                    name: pa.array(parts[name][keep])
-                    for name in ("p50", "p90", "p99")
-                },
-            }
-        )
-
-    sel = _scrub_schemaless(
-        withn.map_batches(pick, batch_format="pyarrow")
-        .groupby("cust")
-        .aggregate(
-            Max("n", alias_name="n_gaps"),
-            Sum("p50", alias_name="p50_us"),
-            Sum("p90", alias_name="p90_us"),
-            Sum("p99", alias_name="p99_us"),
-        )
-    )
-    if sel is None:
+    if out is None:
         return out_schema.empty_table()
-    rev = {i: t for t, i in tid.items()}
-    rev_ref = ray.put(rev)
-
-    def name_back(batch: pa.Table) -> pa.Table:
-        r = ray.get(rev_ref)
-        return pa.table(
-            {
-                "event_type": pa.array(
-                    [r[c] for c in batch.column("cust").to_pylist()], pa.string()
-                ),
-                "n_gaps": batch.column("n_gaps"),
-                "p50_us": batch.column("p50_us"),
-                "p90_us": batch.column("p90_us"),
-                "p99_us": batch.column("p99_us"),
-            }
-        )
-
-    return sel.map_batches(name_back, batch_format="pyarrow")
+    return out
 
 
 def lineitem_weighted_percentiles(sf_dir: str) -> "Dataset | pa.Table":
@@ -9322,6 +9444,10 @@ def lineitem_weighted_percentiles(sf_dir: str) -> "Dataset | pa.Table":
     total_w = int(sm["bw"].sum())
     if total_w <= 0:
         return out_schema.empty_table()
+    assert total_w < 2**61, (
+        "weighted_percentiles: 4*cum would wrap int64 — widen the "
+        "threshold arithmetic to limb pairs"
+    )
     offsets = {
         bk: int(off)
         for bk, off in zip(sm["bk"], sm["bw"].cumsum().shift(fill_value=0))
@@ -9405,20 +9531,24 @@ def events_type_audience_overlap(sf_dir: str) -> "Dataset | pa.Table":
         "multi-word bitmasks"
     )
     tid = {t: i for i, t in enumerate(types_sorted)}
-    tid_ref = ray.put(tid)
+    tid_ref = ray.put(pa.array(types_sorted, pa.string()))
 
     _ub_schema = pa.schema([("user_id", pa.int64()), ("bit", pa.int64())])
 
     def to_bits(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _ub_schema.empty_table()
-        m = ray.get(tid_ref)
+        tids = ray.get(tid_ref)
         t = pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "bit": pa.array(
-                    [1 << m[t] for t in batch.column("event_type").to_pylist()],
-                    pa.int64(),
+                # 1 << dense-id, Arrow-vectorized via index_in
+                "bit": pc.shift_left(
+                    pa.scalar(1, pa.int64()),
+                    pc.cast(
+                        pc.index_in(batch.column("event_type"), value_set=tids),
+                        pa.int64(),
+                    ),
                 ),
             }
         )
@@ -9434,71 +9564,17 @@ def events_type_audience_overlap(sf_dir: str) -> "Dataset | pa.Table":
     if dist is None:
         return out_schema.empty_table()
     masks = dist.groupby("user_id").aggregate(Sum("bit", alias_name="mask"))
-
-    k = len(types_sorted)
-    pairs = [(a, b) for a in range(k) for b in range(a + 1, k)]
-    _pp_schema = pa.schema(
-        [("pair", pa.int64()), ("n_both", pa.int64())]
+    out = _bitmask_pair_overlap(
+        masks,
+        types_sorted,
+        ctx="audience_overlap",
+        label_a="type_a",
+        label_b="type_b",
+        n_name="n_both",
     )
-
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _pp_schema.empty_table()
-        mk = batch.column("mask").to_numpy()
-        pids, ns = [], []
-        for a, b in pairs:
-            want = (1 << a) | (1 << b)
-            n = int(((mk & want) == want).sum())
-            if n:
-                pids.append(a * 64 + b)
-                ns.append(n)
-        # singleton audience counts ride the same partial (pair = -1-tid)
-        for t in range(k):
-            n = int(((mk >> t) & 1).sum())
-            if n:
-                pids.append(-1 - t)
-                ns.append(n)
-        return pa.table(
-            {
-                "pair": pa.array(pids, pa.int64()),
-                "n_both": pa.array(ns, pa.int64()),
-            }
-        )
-
-    red = _scrub_schemaless(
-        masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("pair")
-        .aggregate(Sum("n_both", alias_name="n_both"))
-    )
-    if red is None:
+    if out is None:
         return out_schema.empty_table()
-    tab = _collect_small(red, 1_000_000)
-    if tab is None:
-        raise ValueError("audience_overlap: pair table over budget")
-    single = {}
-    both = {}
-    for i in range(tab.num_rows):
-        pid = int(tab.column("pair")[i].as_py())
-        n = int(tab.column("n_both")[i].as_py())
-        if pid < 0:
-            single[-1 - pid] = n
-        else:
-            both[(pid // 64, pid % 64)] = n
-    rows = {"type_a": [], "type_b": [], "n_both": [], "jaccard_ppm": []}
-    for (a, b), nab in sorted(both.items()):
-        union = single[a] + single[b] - nab
-        rows["type_a"].append(types_sorted[a])
-        rows["type_b"].append(types_sorted[b])
-        rows["n_both"].append(nab)
-        rows["jaccard_ppm"].append((2_000_000 * nab + union) // (2 * union))
-    return pa.table(
-        {
-            "type_a": pa.array(rows["type_a"], pa.string()),
-            "type_b": pa.array(rows["type_b"], pa.string()),
-            "n_both": pa.array(rows["n_both"], pa.int64()),
-            "jaccard_ppm": pa.array(rows["jaccard_ppm"], pa.int64()),
-        }
-    )
+    return out
 
 
 def orders_yoy_growth(sf_dir: str) -> "Dataset | pa.Table":
@@ -9619,83 +9695,37 @@ def doc_length_percentiles_by_lang(sf_dir: str) -> "Dataset | pa.Table":
     if lset is None:
         raise ValueError("length_percentiles: lang table over budget")
     langs_sorted = sorted(x for x in lset.column("lang").to_pylist())
-    lid = {x: i for i, x in enumerate(langs_sorted)}
-    lid_ref = ray.put(lid)
+    lid_ref = ray.put(pa.array(langs_sorted, pa.string()))
 
     def derive(batch: pa.Table) -> pa.Table:
         nc = batch.column("n_chars")
         assert batch.num_rows == 0 or pc.min(nc).as_py() >= 0, (
             "length_percentiles: negative n_chars breaks the pack"
         )
-        m = ray.get(lid_ref)
+        langs = ray.get(lid_ref)
         return pa.table(
             {
-                "cust": pa.array(
-                    [m[x] for x in batch.column("lang").to_pylist()], pa.int64()
+                # dense id = position in the sorted lang list (Arrow-
+                # vectorized)
+                "cust": pc.cast(
+                    pc.index_in(batch.column("lang"), value_set=langs),
+                    pa.int64(),
                 ),
                 "price_c": pc.cast(nc, pa.int64()),
             }
         )
 
     od = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-    ranks, ncust = _grouped_prefix_counts(od)
-    withn = broadcast_lookup_join(ranks, ncust, on="cust", right_on="cust", payload=["n"])
-
-    _pk_schema = pa.schema(
-        [("cust", pa.int64()), ("n", pa.int64()), ("p50", pa.int64()), ("p90", pa.int64())]
+    out = _grouped_disc_percentiles(
+        od,
+        (("p50_chars", 50), ("p90_chars", 90)),
+        n_alias="n_docs",
+        label_col="lang",
+        labels=langs_sorted,
     )
-
-    def pick(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _pk_schema.empty_table()
-        below = np.asarray(batch.column("below"), dtype=np.int64)
-        upto = np.asarray(batch.column("upto"), dtype=np.int64)
-        nn = np.asarray(batch.column("n"), dtype=np.int64)
-        val = np.asarray(batch.column("price_c"), dtype=np.int64)
-        keep = np.zeros(len(below), bool)
-        parts = {}
-        for name, p in (("p50", 50), ("p90", 90)):
-            k = (p * nn + 99) // 100 - 1
-            sel = (below <= k) & (k < upto)
-            parts[name] = val * sel.astype(np.int64)
-            keep |= sel
-        mask = pa.array(keep)
-        return pa.table(
-            {
-                "cust": batch.column("cust").filter(mask),
-                "n": batch.column("n").filter(mask),
-                **{name: pa.array(parts[name][keep]) for name in ("p50", "p90")},
-            }
-        )
-
-    sel = _scrub_schemaless(
-        withn.map_batches(pick, batch_format="pyarrow")
-        .groupby("cust")
-        .aggregate(
-            Max("n", alias_name="n_docs"),
-            Sum("p50", alias_name="p50_chars"),
-            Sum("p90", alias_name="p90_chars"),
-        )
-    )
-    if sel is None:
+    if out is None:
         return out_schema.empty_table()
-    rev = {i: x for x, i in lid.items()}
-    rev_ref = ray.put(rev)
-
-    def name_back(batch: pa.Table) -> pa.Table:
-        r = ray.get(rev_ref)
-        return pa.table(
-            {
-                "lang": pa.array(
-                    [r[c] for c in batch.column("cust").to_pylist()], pa.string()
-                ),
-                "n_docs": batch.column("n_docs"),
-                "p50_chars": batch.column("p50_chars"),
-                "p90_chars": batch.column("p90_chars"),
-            }
-        )
-
-    return sel.map_batches(name_back, batch_format="pyarrow")
+    return out
 
 
 def events_session_size_hist(

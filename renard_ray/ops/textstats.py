@@ -304,7 +304,7 @@ def word_topk(sf_dir: str, k: int = 30) -> Dataset:
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("word")
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
@@ -1268,7 +1268,7 @@ def bigram_topk(sf_dir: str, k: int = 20) -> Dataset:
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n_occurrences"))
     )
@@ -1356,61 +1356,16 @@ def vocab_overlap_by_lang(sf_dir: str) -> "Dataset | pa.Table":
     if dist is None:
         return out_schema.empty_table()
     masks = dist.groupby("word").aggregate(Sum("bit", alias_name="mask"))
+    from renard_ray.ops.relational import _bitmask_pair_overlap
 
-    k = len(langs_sorted)
-    pairs = [(a, b) for a in range(k) for b in range(a + 1, k)]
-    _pp_schema = pa.schema([("pair", pa.int64()), ("n", pa.int64())])
-
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _pp_schema.empty_table()
-        mk = batch.column("mask").to_numpy()
-        pids, ns = [], []
-        for a, b in pairs:
-            want = (1 << a) | (1 << b)
-            n = int(((mk & want) == want).sum())
-            if n:
-                pids.append(a * 64 + b)
-                ns.append(n)
-        for t in range(k):
-            n = int(((mk >> t) & 1).sum())
-            if n:
-                pids.append(-1 - t)
-                ns.append(n)
-        return pa.table(
-            {"pair": pa.array(pids, pa.int64()), "n": pa.array(ns, pa.int64())}
-        )
-
-    red = _scrub_schemaless(
-        masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
+    out = _bitmask_pair_overlap(
+        masks,
+        langs_sorted,
+        ctx="vocab_overlap",
+        label_a="lang_a",
+        label_b="lang_b",
+        n_name="n_shared",
     )
-    if red is None:
+    if out is None:
         return out_schema.empty_table()
-    tab = _collect_small(red, 1_000_000)
-    if tab is None:
-        raise ValueError("vocab_overlap: pair table over budget")
-    single, both = {}, {}
-    for i in range(tab.num_rows):
-        pid = int(tab.column("pair")[i].as_py())
-        n = int(tab.column("n")[i].as_py())
-        if pid < 0:
-            single[-1 - pid] = n
-        else:
-            both[(pid // 64, pid % 64)] = n
-    rows = {"a": [], "b": [], "n": [], "j": []}
-    for (a, b), nab in sorted(both.items()):
-        union = single[a] + single[b] - nab
-        rows["a"].append(langs_sorted[a])
-        rows["b"].append(langs_sorted[b])
-        rows["n"].append(nab)
-        rows["j"].append((2_000_000 * nab + union) // (2 * union))
-    return pa.table(
-        {
-            "lang_a": pa.array(rows["a"], pa.string()),
-            "lang_b": pa.array(rows["b"], pa.string()),
-            "n_shared": pa.array(rows["n"], pa.int64()),
-            "jaccard_ppm": pa.array(rows["j"], pa.int64()),
-        }
-    )
+    return out
