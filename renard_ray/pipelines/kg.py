@@ -453,7 +453,7 @@ def _driver_alias_summary(
 
     pairs: set[tuple[str, str]] = set()
     counts: dict[str, float] = {}
-    summary = stage_rows.map_batches(summarize, batch_format="pyarrow")
+    summary = stage_rows.map_batches(summarize, batch_format="pyarrow", batch_size=None)
     for batch in summary.iter_batches(batch_format="pyarrow", batch_size=None):
         kinds = batch.column("kind").to_pylist()
         k1 = batch.column("k1").to_pylist()
@@ -565,7 +565,7 @@ def relabel_and_aggregate(
             ).filter(pc.not_equal(ns, no))
             return _partial_agg(t)
 
-        relabeled = edges.map_batches(relabel, batch_format="pyarrow")
+        relabeled = edges.map_batches(relabel, batch_format="pyarrow", batch_size=None)
     else:
         # distributed path: two hash joins against the (node, label) table
         # (scale path when distinct names exceed the broadcast limit)
@@ -876,7 +876,7 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
         return g.rename_columns(["subj", "pred", "obj", "month"])
 
     relabeled = edges.map_batches(
-        relabel_with_month, batch_format="pyarrow"
+        relabel_with_month, batch_format="pyarrow", batch_size=None
     ).materialize()
 
     first_edge = relabeled.groupby(["subj", "pred", "obj"]).aggregate(
