@@ -8668,3 +8668,153 @@ def test_doc_vocab_overlap(ray_session, monkeypatch):
     # en={cat,dog,fish}, fr={dog,chien}, de={hund}
     # (en,fr): shared {dog}=1, union=4 -> 250000; de overlaps nobody
     assert out.values.tolist() == [["en", "fr", 1, 250000]]
+
+
+# ---------------------------------------------------------------------------
+# hash_aggregate (ops/hashagg.py)
+
+
+def test_hash_aggregate_matches_builtin(ray_session):
+    """Parity vs Ray's groupby().aggregate() on a multi-block table with
+    int keys: sum / count / count_all / min / max, across partition
+    widths including 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    rng = np.random.default_rng(7)
+    tables = []
+    for _ in range(9):
+        k = rng.integers(0, 500, 4000)
+        v = rng.integers(-100, 100, 4000)
+        nulls = rng.random(4000) < 0.1
+        varr = pa.array(
+            [None if n else int(x) for x, n in zip(v, nulls)], pa.int64()
+        )
+        tables.append(pa.table({"k": pa.array(k, pa.int64()), "v": varr}))
+    ds = ray.data.from_arrow(tables)
+
+    ref = (
+        ds.groupby("k")
+        .aggregate(
+            Sum("v", alias_name="s"),
+            Min("v", alias_name="mn"),
+            Max("v", alias_name="mx"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for nparts in (1, 3, 16):
+        got = (
+            hash_aggregate(
+                ray.data.from_arrow(tables),
+                "k",
+                [
+                    ("v", "sum", "s"),
+                    ("v", "min", "mn"),
+                    ("v", "max", "mx"),
+                    ("", "count_all", "n"),
+                ],
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got[["k", "s", "mn", "mx", "n"]].equals(
+            ref[["k", "s", "mn", "mx", "n"]]
+        ), f"nparts={nparts}"
+
+
+def test_hash_aggregate_string_keys_nulls_multikey(ray_session):
+    """String + null keys across blocks merge into single groups (the
+    polars row-hash must agree across map tasks), multi-column keys,
+    and the non-null `count` variant."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    t1 = pa.table(
+        {
+            "a": ["x", "x", None, "y"],
+            "b": [1, 2, 1, 1],
+            "v": [10, None, 5, 7],
+        }
+    )
+    t2 = pa.table(
+        {
+            "a": ["x", None, "y", None],
+            "b": [1, 1, 1, 9],
+            "v": [1, None, 3, 2],
+        }
+    )
+    out = (
+        hash_aggregate(
+            ray.data.from_arrow([t1, t2]),
+            ["a", "b"],
+            [("v", "sum", "s"), ("v", "count", "nv"), ("", "count_all", "n")],
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # hand-built expectations (SQL GROUP BY semantics: null keys group,
+    # sum of an all-null group is NULL — pandas would say 0 here)
+    exp = [
+        ("x", 1, 11, 2, 2),
+        ("x", 2, None, 0, 1),
+        ("y", 1, 10, 2, 2),
+        (None, 1, 5, 1, 2),
+        (None, 9, 2, 1, 1),
+    ]
+    assert len(out) == len(exp)
+    for i, (a, b, s, nv, n) in enumerate(exp):
+        ga = out.loc[i, "a"]
+        assert (ga == a) or (pd.isna(ga) and a is None)
+        assert out.loc[i, "b"] == b
+        gs = out.loc[i, "s"]
+        assert (pd.isna(gs) and s is None) or gs == s
+        assert out.loc[i, "nv"] == nv
+        assert out.loc[i, "n"] == n
+
+
+def test_hash_aggregate_distinct_and_empty(ray_session):
+    """Empty spec = DISTINCT keys; a fully-filtered input returns the
+    schema-correct zero-row table instead of crashing."""
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    t = pa.table({"k": [3, 1, 3, 2, 1], "v": [1, 2, 3, 4, 5]})
+    ds = ray.data.from_arrow([t, t])
+    out = hash_aggregate(ds, "k", [], num_partitions=2).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+    # fully-filtered input: zero rows, no crash.  (Ray drops the schema
+    # of any all-empty Dataset — the house-documented empty-data hazard
+    # — so callers guard exactly as they do for the built-in aggregate;
+    # the reduce-side tables themselves carry the correct columns.)
+    empty = ray.data.from_arrow(t).filter(expr="k > 100")
+    eout = hash_aggregate(empty, "k", [("v", "sum", "s")], num_partitions=2)
+    assert eout.count() == 0
+
+    # a row-lambda filter erases the schema entirely (Ray emits blocks
+    # with no columns) — the helper must fail LOUDLY, not guess
+    import pytest as _pytest
+
+    lamb = ray.data.from_arrow(t).filter(lambda r: False).materialize()
+    if lamb.schema(fetch_if_missing=False) is None:
+        with _pytest.raises(ValueError, match="no resolvable schema"):
+            hash_aggregate(lamb, "k", [("v", "sum", "s")], num_partitions=2)
