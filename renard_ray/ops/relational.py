@@ -5118,10 +5118,14 @@ def q18_large_volume_customers(
             .rename_columns(["l_orderkey", "qty_i"])
         )
 
+    from renard_ray.ops.hashagg import hash_aggregate
+
     per_order = _scrub_schemaless(
-        li.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty_i", alias_name="sum_qty"))
+        hash_aggregate(
+            li.map_batches(derive, batch_format="pyarrow", batch_size=None),
+            "l_orderkey",
+            [("qty_i", "sum", "sum_qty")],
+        )
     )
     out_schema = pa.schema(
         [
@@ -6871,14 +6875,15 @@ def q21_sole_late_supplier(
     # one row per (order, supplier): bounded by the lineitem row count,
     # materialized once because BOTH the per-order counts and the
     # join-back consume it
-    ls = (
-        joined.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["ok", "sk"])
-        .aggregate(Max("late", alias_name="late"))
-        .materialize()
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    ls = hash_aggregate(
+        joined.map_batches(combine, batch_format="pyarrow", batch_size=None),
+        ["ok", "sk"],
+        [("late", "max", "late")],
     )
-    oc = ls.groupby("ok").aggregate(
-        Count(alias_name="n_supp"), Sum("late", alias_name="n_late")
+    oc = hash_aggregate(
+        ls, "ok", [("", "count_all", "n_supp"), ("late", "sum", "n_late")]
     )
     back = broadcast_lookup_join(
         ls, oc, on="ok", right_on="ok",
@@ -6895,10 +6900,13 @@ def q21_sole_late_supplier(
         )
         return batch.filter(keep).select(["sk"])
 
-    waits = (
-        back.map_batches(qualify, batch_format="pyarrow", batch_size=None)
-        .groupby("sk")
-        .aggregate(Count(alias_name="numwait"))
+    back_s = _scrub_schemaless(back)
+    if back_s is None:
+        return out_schema.empty_table()
+    waits = hash_aggregate(
+        back_s.map_batches(qualify, batch_format="pyarrow", batch_size=None),
+        "sk",
+        [("", "count_all", "numwait")],
     )
     named = broadcast_lookup_join(
         waits,
@@ -6966,12 +6974,18 @@ def q9_widget_revenue(sf_dir: str, name_part: str = "widget") -> "Dataset | pa.T
             ["ok", "sk", "revenue_c4"]
         )
 
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    li_w_s = _scrub_schemaless(li_w)
     osk = (
-        li_w.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["ok", "sk"])
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        hash_aggregate(
+            li_w_s.map_batches(combine, batch_format="pyarrow", batch_size=None),
+            ["ok", "sk"],
+            [("revenue_c4", "sum", "revenue_c4")],
+        )
+        if li_w_s is not None
+        else None
     )
-    osk = _scrub_schemaless(osk)  # materializes: count below is free
     if osk is None or osk.count() == 0:
         return out_schema.empty_table()
     dated = broadcast_lookup_join(
@@ -7012,10 +7026,10 @@ def q9_widget_revenue(sf_dir: str, name_part: str = "widget") -> "Dataset | pa.T
             [("revenue_c4", "sum")]
         ).rename_columns(["nation", "o_year", "revenue_c4"])
 
-    return (
-        dated.map_batches(label, batch_format="pyarrow", batch_size=None)
-        .groupby(["nation", "o_year"])
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    return hash_aggregate(
+        dated.map_batches(label, batch_format="pyarrow", batch_size=None),
+        ["nation", "o_year"],
+        [("revenue_c4", "sum", "revenue_c4")],
     )
 
 
@@ -7151,31 +7165,37 @@ def q16_supplier_part_counts(
             ["l_partkey", "l_suppkey"]
         ).aggregate([])
 
-    ps = (
-        li_ok.map_batches(distinct_pair, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_partkey", "l_suppkey"])
-        .count()
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    li_ok_s = _scrub_schemaless(li_ok)
+    if li_ok_s is None:
+        return out_schema.empty_table()
+    ps = hash_aggregate(
+        li_ok_s.map_batches(distinct_pair, batch_format="pyarrow", batch_size=None),
+        ["l_partkey", "l_suppkey"],
+        [],
     )
-    ps = _scrub_schemaless(ps)  # materializes: count below is free
-    if ps is None or ps.count() == 0:
+    if ps.count() == 0:
         return out_schema.empty_table()
     attached = broadcast_lookup_join(
-        ps.select_columns(["l_partkey", "l_suppkey"]),
+        ps,
         parts_f,
         on="l_partkey", right_on="p_partkey",
         payload=["p_brand", "p_type", "p_size"],
         fallback_parts=_join_parts(sf_dir),
     )
-    dist2 = attached.groupby(
-        ["p_brand", "p_type", "p_size", "l_suppkey"]
-    ).count()
-    dist2 = _scrub_schemaless(dist2)  # materializes: count below is free
-    if dist2 is None or dist2.count() == 0:
+    attached_s = _scrub_schemaless(attached)
+    if attached_s is None:
         return out_schema.empty_table()
-    out = (
-        dist2.select_columns(["p_brand", "p_type", "p_size"])
-        .groupby(["p_brand", "p_type", "p_size"])
-        .aggregate(Count(alias_name="supplier_cnt"))
+    dist2 = hash_aggregate(
+        attached_s, ["p_brand", "p_type", "p_size", "l_suppkey"], []
+    )
+    if dist2.count() == 0:
+        return out_schema.empty_table()
+    out = hash_aggregate(
+        dist2.select_columns(["p_brand", "p_type", "p_size"]),
+        ["p_brand", "p_type", "p_size"],
+        [("", "count_all", "supplier_cnt")],
     )
 
     def widen(batch: pa.Table) -> pa.Table:
@@ -7399,14 +7419,18 @@ def _grouped_prefix_counts(od: Dataset) -> tuple[Dataset, Dataset]:
             [("cnt", "sum")]
         ).rename_columns(["cust", "price_c", "cnt"])
 
+    from renard_ray.ops.hashagg import hash_aggregate
+
     reduced = (
-        od.map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["cust", "price_c"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        hash_aggregate(
+            od.map_batches(pair_combine, batch_format="pyarrow", batch_size=None),
+            ["cust", "price_c"],
+            [("cnt", "sum", "cnt")],
+        )
         .sort(["cust", "price_c"])
         .materialize()
     )
-    ncust = reduced.groupby("cust").aggregate(Sum("cnt", alias_name="n"))
+    ncust = hash_aggregate(reduced, "cust", [("cnt", "sum", "n")])
 
     _sum_schema = pa.schema(
         [
