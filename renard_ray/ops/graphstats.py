@@ -60,13 +60,12 @@ def degree_dataset(triples: Dataset) -> Dataset:
             ["node", "weight", "n"]
         )
 
-    return (
-        triples.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
-        .groupby("node")
-        .aggregate(
-            Sum("weight", alias_name="weighted_degree"),
-            Sum("n", alias_name="n_edges"),
-        )
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        triples.map_batches(endpoints, batch_format="pyarrow", batch_size=None),
+        "node",
+        [("weight", "sum", "weighted_degree"), ("n", "sum", "n_edges")],
     )
 
 
@@ -941,13 +940,15 @@ def _distinct_adjacency(triples: Dataset, directed: bool = False) -> Dataset | N
         t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
         return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
 
-    return drop_empty_blocks(
-        triples.select_columns(["subj", "obj"])
-        .map_batches(adjacency, batch_format="pyarrow", batch_size=None)
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    combined = triples.select_columns(["subj", "obj"]).map_batches(
+        adjacency, batch_format="pyarrow", batch_size=None
     )
+    scrubbed = drop_empty_blocks(combined)
+    if scrubbed is None:
+        return None
+    return drop_empty_blocks(hash_aggregate(scrubbed, ["src", "dst"], []))
 
 
 def bfs_hops_dataset(
@@ -1401,13 +1402,15 @@ def scc_dataset(
 
     from renard_ray.ops.relational import drop_empty_blocks
 
+    from renard_ray.ops.hashagg import hash_aggregate
+
     edges = drop_empty_blocks(
-        triples.select_columns(["subj", "obj"])
-        .map_batches(directed, batch_format="pyarrow", batch_size=None)
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
+        triples.select_columns(["subj", "obj"]).map_batches(
+            directed, batch_format="pyarrow", batch_size=None
+        )
     )
+    if edges is not None:
+        edges = drop_empty_blocks(hash_aggregate(edges, ["src", "dst"], []))
 
     done_parts: list[Dataset] = []  # (node, scc) fragments
 
@@ -1436,8 +1439,8 @@ def scc_dataset(
             break
         # ---- 1. TRIM singleton SCCs (in-degree 0 or out-degree 0)
         while True:
-            srcs = edges.groupby("src").count().select_columns(["src"])
-            dsts = edges.groupby("dst").count().select_columns(["dst"])
+            srcs = hash_aggregate(edges, "src", [])
+            dsts = hash_aggregate(edges, "dst", [])
             # nodes with no outgoing edge (appear as dst only)
             no_out = broadcast_semi_join(
                 dsts, srcs, on="dst", right_on="src", anti=True, limit=limit
@@ -1485,10 +1488,8 @@ def scc_dataset(
                 ),
                 batch_format="pyarrow",
             )
-            .groupby("node")
-            .count()
-            .select_columns(["node"])
         )
+        nodes = hash_aggregate(nodes, "node", [])
         color = nodes.map_batches(
             lambda b: pa.table(
                 {"node": b.column("node"), "color": b.column("node")}
@@ -1512,9 +1513,9 @@ def scc_dataset(
                     batch_format="pyarrow",
                 )
                 .union(color)
-                .groupby("node")
-                .aggregate(Max("color", alias_name="color"))
-                .materialize()
+            )
+            pushed = hash_aggregate(
+                pushed, "node", [("color", "max", "color")]
             )
             # fixpoint check: count rows whose color changed — join-free
             # via a packed (node, color) semi join
@@ -1611,10 +1612,8 @@ def scc_dataset(
                     rev, pk(frontier), on="k", right_on="k", limit=limit
                 )
                 .select_columns(["node", "color"])
-                .groupby(["node", "color"])
-                .count()
-                .select_columns(["node", "color"])
             )
+            hits = hash_aggregate(hits, ["node", "color"], [])
             new = broadcast_semi_join(
                 pk(hits), pk(member), on="k", right_on="k",
                 anti=True, limit=limit,
@@ -1657,13 +1656,8 @@ def scc_dataset(
     labels = done_parts[0]
     for p in done_parts[1:]:
         labels = labels.union(p)
-    labels = labels.groupby("node").aggregate(Max("scc", alias_name="scc"))
-    sizes = labels.groupby("scc").count().map_batches(
-        lambda b: pa.table(
-            {"scc": b.column("scc"), "scc_size": pc.cast(b.column("count()"), pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
+    labels = hash_aggregate(labels, "node", [("scc", "max", "scc")])
+    sizes = hash_aggregate(labels, "scc", [("", "count_all", "scc_size")])
     from renard_ray.ops.relational import broadcast_lookup_join
 
     return broadcast_lookup_join(

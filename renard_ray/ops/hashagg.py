@@ -172,10 +172,11 @@ def hash_aggregate(
     sch = ds.schema(fetch_if_missing=False)
     base = getattr(sch, "base_schema", None) if sch is not None else None
     if base is None:
-        raise ValueError(
-            "hash_aggregate: input has no resolvable schema — scrub "
-            "schema-less blocks upstream (see _scrub_schemaless)"
-        )
+        # schema-less input = zero rows through blocks with no columns
+        # (Ray's empty-data hazard).  The built-in aggregate yields a
+        # schema-less empty result here and callers scrub it — mirror
+        # that exactly so this stays a drop-in replacement.
+        return ray.data.from_arrow(pa.table({}))
     seed = base.empty_table().group_by(keys).aggregate(map_spec)
 
     refs = ds.to_arrow_refs()

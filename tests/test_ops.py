@@ -8811,10 +8811,9 @@ def test_hash_aggregate_distinct_and_empty(ray_session):
     assert eout.count() == 0
 
     # a row-lambda filter erases the schema entirely (Ray emits blocks
-    # with no columns) — the helper must fail LOUDLY, not guess
-    import pytest as _pytest
-
+    # with no columns) — mirror the built-in: a schema-less EMPTY
+    # result the caller's drop_empty_blocks/_scrub_schemaless handles
     lamb = ray.data.from_arrow(t).filter(lambda r: False).materialize()
     if lamb.schema(fetch_if_missing=False) is None:
-        with _pytest.raises(ValueError, match="no resolvable schema"):
-            hash_aggregate(lamb, "k", [("v", "sum", "s")], num_partitions=2)
+        lout = hash_aggregate(lamb, "k", [("v", "sum", "s")], num_partitions=2)
+        assert lout.count() == 0
