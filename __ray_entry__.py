@@ -2532,7 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b,
-                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                   ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
                        AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
@@ -2615,7 +2615,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
-                   ROUND(sim, 4) AS cosine_sim
+                   ROUND(CAST(sim AS DOUBLE), 4) AS cosine_sim
             FROM r WHERE rnk <= 5
         """,
         # knn_ivf runs with n_probe == n_lists (full probe), which is
@@ -2640,7 +2640,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
-                   ROUND(sim, 4) AS cosine_sim
+                   ROUND(CAST(sim AS DOUBLE), 4) AS cosine_sim
             FROM r WHERE rnk <= 5
         """,
         # PMI score stays in exact int64 arithmetic on both sides:

@@ -45,6 +45,8 @@ from ray.data.aggregate import Count, Max, Sum
 from renard_ray.ops.graphstats import _distinct_adjacency
 from renard_ray.ops.walks import _node_id_u64
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 __all__ = ["neighborhood_function_dataset"]
 
 
@@ -124,8 +126,7 @@ def neighborhood_function_dataset(
         )
 
     R = (
-        edges.groupby("src")
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(edges, "src", [('', 'count_all', '_n')])
         .map_batches(init_regs, batch_format="pyarrow")
         .materialize()
     )
@@ -196,13 +197,7 @@ def neighborhood_function_dataset(
             )
 
         per_node = (
-            rds.map_batches(pw, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(
-                Sum("pw", alias_name="pwsum"),
-                Count(alias_name="nreg"),
-                Sum("rank", alias_name="ranksum"),
-            )
+            _hagg_auto(rds.map_batches(pw, batch_format="pyarrow"), "node", [('pw', 'sum', 'pwsum'), ('', 'count_all', 'nreg'), ('rank', 'sum', 'ranksum')])
         )
 
         def node_est(batch: pa.Table) -> pa.Table:
@@ -246,10 +241,8 @@ def neighborhood_function_dataset(
     series.append(n0)
     for _t in range(1, max_hops + 1):
         merged = (
-            fan_out(R)
-            .union(R)
-            .groupby(["node", "reg"])
-            .aggregate(Max("rank", alias_name="rank"))
+            _hagg_auto(fan_out(R)
+            .union(R), ["node", "reg"], [('rank', 'max', 'rank')])
             .select_columns(["node", "reg", "rank"])
             .materialize()
         )

@@ -30,6 +30,8 @@ from ray.data.aggregate import Sum
 
 from renard_ray.ops.textstats import _read_documents
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 __all__ = ["train_bpe_merges", "bpe_apply_wordcounts", "bpe_encode_word", "doc_bpe_vocab"]
 
 _PRETOK_RE = re.compile(r"[a-z']+")
@@ -153,7 +155,7 @@ def bpe_apply_wordcounts(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return _hagg_auto(partials, "token", [('n', 'sum', 'n')])
 
 
 def doc_bpe_vocab(

@@ -80,10 +80,12 @@ def _weighted_edges(triples: Dataset, weight_col: str | None) -> Dataset:
             .rename_columns(["lo", "hi", "wi"])
         )
 
-    return (
-        triples.map_batches(norm, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Sum("wi", alias_name="wi"))
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        triples.map_batches(norm, batch_format="pyarrow"),
+        ["lo", "hi"],
+        [("wi", "sum", "wi")],
     )
 
 
@@ -111,12 +113,13 @@ def _pick_label(votes: Dataset) -> Dataset:
         )
         return pa.table({"node": batch.column("node"), "lab": lab})
 
-    return (
-        votes.map_batches(encode, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("key", alias_name="key"))
-        .map_batches(decode, batch_format="pyarrow")
-    )
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        votes.map_batches(encode, batch_format="pyarrow"),
+        "node",
+        [("key", "min", "key")],
+    ).map_batches(decode, batch_format="pyarrow")
 
 
 def label_propagation(
@@ -153,7 +156,9 @@ def label_propagation(
     ).materialize()  # scanned every round
 
     # round 0: label(v) = v
-    labels = directed.groupby("node").count().map_batches(
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    labels = hash_aggregate(directed, "node", []).map_batches(
         lambda b: pa.table(
             {"node": b.column("node"), "lab": b.column("node")}
         ),
@@ -202,9 +207,7 @@ def label_propagation(
                 batch_format="pyarrow",
             )
 
-        summed = votes.groupby(["node", "lab"]).aggregate(
-            Sum("n", alias_name="n")
-        )
+        summed = hash_aggregate(votes, ["node", "lab"], [("n", "sum", "n")])
         labels = _pick_label(summed).materialize()
 
     return labels.map_batches(
@@ -219,9 +222,10 @@ def community_sizes(
     """Query surface: one row per community — (community, n_members),
     sorted by size desc then community asc."""
     labels = label_propagation(triples, n_iter, **kwargs)
+    from renard_ray.ops.hashagg import hash_aggregate
+
     return (
-        labels.groupby("community")
-        .aggregate(Count(alias_name="n_members"))
+        hash_aggregate(labels, "community", [("", "count_all", "n_members")])
         .sort(["n_members", "community"], descending=[True, False])
     )
 
@@ -362,18 +366,18 @@ def modularity_dataset(
             t.group_by(["node"]).aggregate([("node", "count")])
         ).rename_columns(["node", "d"])
 
-    deg = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("d", alias_name="d"))
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    deg = hash_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        [("d", "sum", "d")],
     )
     degl = broadcast_lookup_join(
         deg, lab, on="node", right_on="node", payload=["community"],
         limit=label_limit,
     )
-    dc = (
-        degl.groupby("community").aggregate(Sum("d", alias_name="d_c"))
-    )
+    dc = hash_aggregate(degl, "community", [("d", "sum", "d_c")])
 
     def sq_partial(batch: pa.Table) -> pa.Table:
         d = batch.column("d_c").to_numpy().astype(np.int64)

@@ -34,6 +34,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _WS_RE = re.compile(r"\s+")
 
 
@@ -79,12 +81,7 @@ def exact_dedup_groups(sf_dir: str) -> Dataset:
         )
 
     return (
-        ds.map_batches(sig, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(
-            Min("doc_id", alias_name="keeper_doc_id"),
-            Count(alias_name="n_copies"),
-        )
+        _hagg_auto(ds.map_batches(sig, batch_format="pyarrow"), "text_md5", [('doc_id', 'min', 'keeper_doc_id'), ('', 'count_all', 'n_copies')])
     )
 
 
@@ -313,7 +310,7 @@ def minhash_candidate_pairs(
 
     from ray.data.aggregate import Count
 
-    sizes = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
+    sizes = _hagg_auto(sigs, ["band", "bucket"], [('', 'count_all', 'n')])
     # one pass over the size table serves both the oversized-bucket drop
     # and the collision-bucket planning below
     coll = sizes.filter(expr="n >= 2").materialize()
@@ -414,7 +411,7 @@ def minhash_candidate_pairs(
         return t
 
     cand = joined.map_batches(ordered, batch_format="pyarrow", batch_size=None)
-    return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    return _hagg_auto(cand, ["a", "b"], [('', 'count_all', 'count()')]).select_columns(["a", "b"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -693,8 +690,7 @@ def ngram_jaccard_pairs(
         from ray.data.aggregate import Count
 
         hot = (
-            sigs.groupby("sh")
-            .aggregate(Count(alias_name="df"))
+            _hagg_auto(sigs, "sh", [('', 'count_all', 'df')])
             .filter(expr=f"df > {max_df}")
             .select_columns(["sh"])
             .take_all()
@@ -721,7 +717,7 @@ def ngram_jaccard_pairs(
             # set sizes changed: recompute n over the capped space so
             # the emitted value is a true Jaccard there (one int-keyed
             # join; the sizes side is 1 row per doc)
-            sizes = kept.groupby("doc").aggregate(Count(alias_name="n_capped"))
+            sizes = _hagg_auto(kept, "doc", [('', 'count_all', 'n_capped')])
             sigs = (
                 kept.select_columns(["sh", "doc"])
                 .join(
@@ -791,13 +787,7 @@ def ngram_jaccard_pairs(
         )
 
     agg = (
-        joined.map_batches(pair_partials, batch_format="pyarrow", batch_size=None)
-        .groupby(["a", "b"])
-        .aggregate(
-            Sum("ic", alias_name="ic"),
-            Min("n_a", alias_name="n_a"),
-            Min("n_b", alias_name="n_b"),
-        )
+        _hagg_auto(joined.map_batches(pair_partials, batch_format="pyarrow", batch_size=None), ["a", "b"], [('ic', 'sum', 'ic'), ('n_a', 'min', 'n_a'), ('n_b', 'min', 'n_b')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -889,7 +879,7 @@ def simhash_near_dup_pairs(
 
     from ray.data.aggregate import Count
 
-    sizes = sigs.groupby(["chunk", "key"]).aggregate(Count(alias_name="n"))
+    sizes = _hagg_auto(sigs, ["chunk", "key"], [('', 'count_all', 'n')])
     big = sizes.filter(expr=f"n > {max_bucket}").take_all()
     if big:
         logging.getLogger(__name__).warning(
@@ -959,7 +949,7 @@ def simhash_near_dup_pairs(
         return t
 
     cand = joined.map_batches(verify, batch_format="pyarrow", batch_size=None)
-    return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _hagg_auto(cand, ["a", "b"], [('hamming', 'min', 'hamming')])
 
 
 # ---------------------------------------------------- embedding near-dup
@@ -1104,7 +1094,7 @@ def _embedding_near_dup_srp(
         batch_format="pyarrow",
     )
     cand = (
-        buckets.join(rhs, join_type="inner", num_partitions=nparts, on=("table", "bucket"))
+        _hagg_auto(buckets.join(rhs, join_type="inner", num_partitions=nparts, on=("table", "bucket"))
         .map_batches(
             lambda b: pa.table(
                 {
@@ -1113,9 +1103,7 @@ def _embedding_near_dup_srp(
                 }
             ).filter(pc.less(b.column("vec_id"), b.column("b_id"))),
             batch_format="pyarrow",
-        )
-        .groupby(["a", "b"])
-        .count()
+        ), ["a", "b"], [('', 'count_all', 'count()')])
         .select_columns(["a", "b"])
     )
     # attach vectors via two hash joins, verify cosine per batch.
@@ -1246,7 +1234,7 @@ def minhash_dedup_clusters(
             }
         )
 
-    keepers = lab.groupby("label").min("doc_id").map_batches(
+    keepers = _hagg_auto(lab, "label", [('doc_id', 'min', 'min(doc_id)')]).map_batches(
         rename_keeper, batch_format="pyarrow"
     )
     # label cardinality ~ clustered docs; size the join off the pair count
@@ -1343,7 +1331,7 @@ def span_dedup(sf_dir: str, span_words: int = 10) -> Dataset:
     if spans is None:
         return zero_rows
 
-    winners = spans.groupby("h").aggregate(Min("packed", alias_name="w"))
+    winners = _hagg_auto(spans, "h", [('packed', 'min', 'w')])
     # hash aggregates emit schema-less blocks for empty partitions,
     # which crash the hash-join fallback's key resolution (see
     # drop_empty_blocks); spans is nonempty here so winners has >= 1 row
@@ -1359,11 +1347,7 @@ def span_dedup(sf_dir: str, span_words: int = 10) -> Dataset:
         return pa.table({"doc_id": batch.column("doc_id"), "rem": rem})
 
     per_doc = (
-        flagged.map_batches(mark, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Count(alias_name="n_spans"), Sum("rem", alias_name="n_removed")
-        )
+        _hagg_auto(flagged.map_batches(mark, batch_format="pyarrow"), "doc_id", [('', 'count_all', 'n_spans'), ('rem', 'sum', 'n_removed')])
     )
     return per_doc.union(zero_rows)
 
@@ -1404,9 +1388,7 @@ def dup_cluster_sizes(sf_dir: str) -> "Dataset | pa.Table":
     from renard_ray.ops.relational import Sum, _scrub_schemaless
 
     red = _scrub_schemaless(
-        g.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("n_copies")
-        .aggregate(Sum("n", alias_name="n_clusters"))
+        _hagg_auto(g.map_batches(combine, batch_format="pyarrow", batch_size=None), "n_copies", [('n', 'sum', 'n_clusters')])
     )
     if red is None:
         return out_schema.empty_table()

@@ -38,6 +38,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 logger = logging.getLogger(__name__)
 
 
@@ -79,7 +81,7 @@ def densest_subgraph_dataset(
 
     for rnd in range(max_rounds):
         deg = (
-            edges.groupby("src").aggregate(Count(alias_name="deg")).materialize()
+            _hagg_auto(edges, "src", [('', 'count_all', 'deg')]).materialize()
         )
         n = deg.count()
         if n == 0:

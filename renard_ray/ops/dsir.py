@@ -47,6 +47,8 @@ from ray.data.aggregate import Sum
 
 from .textstats import _WS_RE, _is_train, _read_documents
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _SEP = "\x1f"
 
 
@@ -92,9 +94,7 @@ def dsir_log_ratio(
         )
 
     counts = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby(["bucket", "is_target"])
-        .aggregate(Sum("c", alias_name="c"))
+        _hagg_auto(docs.map_batches(partial, batch_format="pyarrow"), ["bucket", "is_target"], [('c', 'sum', 'c')])
     )
     raw = np.zeros(n_buckets, dtype=np.int64)
     tgt = np.zeros(n_buckets, dtype=np.int64)

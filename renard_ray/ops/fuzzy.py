@@ -42,6 +42,8 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 logger = logging.getLogger(__name__)
 
 # local fast-path budgets, mirroring ops/dedup.py's candidate-pair caps
@@ -203,9 +205,7 @@ def ed1_pairs_dataset(
         return ray.data.from_arrow(_EMPTY_PAIRS)
 
     distinct = (
-        values.select_columns([col])
-        .groupby(col)
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(values.select_columns([col]), col, [('', 'count_all', '_n')])
         .select_columns([col])
     )
     sigs = distinct.map_batches(
@@ -232,7 +232,7 @@ def ed1_pairs_dataset(
     # past it) — no bespoke index_in plumbing here.
     from renard_ray.ops.relational import _join_parts_bytes, broadcast_semi_join
 
-    sizes = sigs.groupby("vh").aggregate(Count(alias_name="n")).materialize()
+    sizes = _hagg_auto(sigs, "vh", [('', 'count_all', 'n')]).materialize()
     coll = sizes.filter(expr="n >= 2").materialize()
     big_ds = coll.filter(expr=f"n > {max_bucket}").materialize()
     n_big = big_ds.count()
@@ -282,9 +282,7 @@ def ed1_pairs_dataset(
         )
 
     pairs = (
-        joined.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["name_a", "name_b"])
-        .aggregate(Count(alias_name="_c"))
+        _hagg_auto(joined.map_batches(ordered, batch_format="pyarrow"), ["name_a", "name_b"], [('', 'count_all', '_c')])
         .select_columns(["name_a", "name_b"])
     )
     return pairs.map_batches(_verify_batch, batch_format="pyarrow")

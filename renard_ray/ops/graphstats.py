@@ -30,6 +30,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _EDGE_COLS = ["subj", "obj", "weight"]
 
 
@@ -220,10 +222,12 @@ def pagerank_dataset(
             # distributed merge: fixed-point int sums are associative +
             # commutative exactly, so the shuffle order can't change the
             # result; the driver pull is ≤ n_nodes (i, sum) rows.
-            merged = (
-                contrib.map_batches(to_fixed, batch_format="pyarrow")
-                .groupby("i")
-                .sum("ci")
+            from renard_ray.ops.hashagg import hash_aggregate
+
+            merged = hash_aggregate(
+                contrib.map_batches(to_fixed, batch_format="pyarrow"),
+                "i",
+                [("ci", "sum", "sum(ci)")],
             )
             for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
                 ii = b.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -394,8 +398,11 @@ def _pagerank_join(
                 right_on=("node",),
             )
             .map_batches(edge_contrib, batch_format="pyarrow", batch_size=None)
-            .groupby("dst")
-            .sum("ci")
+        )
+        from renard_ray.ops.hashagg import hash_aggregate
+
+        ranks = (
+            hash_aggregate(ranks, "dst", [("ci", "sum", "sum(ci)")])
             .map_batches(finish_rank, batch_format="pyarrow")
             .materialize()
         )
@@ -453,7 +460,13 @@ def _reduce_dense(
             }
         )
 
-    merged = contrib.map_batches(to_fixed, batch_format="pyarrow").groupby("i").sum("ci")
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    merged = hash_aggregate(
+        contrib.map_batches(to_fixed, batch_format="pyarrow"),
+        "i",
+        [("ci", "sum", "sum(ci)")],
+    )
     for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
         ii = b.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
         ss = b.column("sum(ci)").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -645,10 +658,12 @@ def _hits_join(
                 right_on=("node",),
             )
             .map_batches(edge_contrib, batch_format="pyarrow", batch_size=None)
-            .groupby("dst")
-            .sum("ci")
-            .materialize()
         )
+        from renard_ray.ops.hashagg import hash_aggregate
+
+        pushed = hash_aggregate(
+            pushed, "dst", [("ci", "sum", "sum(ci)")]
+        ).materialize()
         tot = pushed.aggregate(_Sum("sum(ci)", alias_name="t"))["t"]
         if not tot:
             return None
@@ -849,14 +864,15 @@ def kcore_dataset(
         # per-batch distinct before the pair shuffle
         return t.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
 
-    edges = (
-        triples.select_columns(["subj", "obj"])
-        .map_batches(norm, batch_format="pyarrow", batch_size=None)
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    edges = hash_aggregate(
+        triples.select_columns(["subj", "obj"]).map_batches(
+            norm, batch_format="pyarrow", batch_size=None
+        ),
+        ["u", "v"],
+        [],
+    ).materialize()
 
     def degrees(eds: Dataset) -> Dataset:
         def endpoints(batch: pa.Table) -> pa.Table:
@@ -873,10 +889,10 @@ def kcore_dataset(
             g = both.group_by(["node"]).aggregate([("node", "count")])
             return g.rename_columns(["node", "n"])
 
-        return (
-            eds.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
-            .groupby("node")
-            .aggregate(Sum("n", alias_name="n_neighbors"))
+        return hash_aggregate(
+            eds.map_batches(endpoints, batch_format="pyarrow", batch_size=None),
+            "node",
+            [("n", "sum", "n_neighbors")],
         )
 
     empty = ray.data.from_arrow(
@@ -1002,7 +1018,9 @@ def bfs_hops_dataset(
         # degree = distinct-(out-)neighbor count (edges already
         # distinct); top-k with (degree desc, name asc) tie-break —
         # tiny driver fetch of exactly n_seeds rows
-        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg
+
+        deg = _hagg(edges, "src", [("", "count_all", "deg")])
         top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
         seeds = [r["src"] for r in top.take_all()]
     if not seeds:
@@ -1027,14 +1045,11 @@ def bfs_hops_dataset(
         reached = broadcast_semi_join(
             edges, frontier, on="src", right_on="node", limit=limit
         )
-        cand = (
-            reached.select_columns(["dst"])
-            .groupby("dst")
-            .count()
-            .map_batches(
-                lambda b: pa.table({"node": b.column("dst")}),
-                batch_format="pyarrow",
-            )
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg2
+
+        cand = _hagg2(reached.select_columns(["dst"]), "dst", []).map_batches(
+            lambda b: pa.table({"node": b.column("dst")}),
+            batch_format="pyarrow",
         )
         new = broadcast_semi_join(
             cand, dist.select_columns(["node"]), on="node", right_on="node",
@@ -1121,15 +1136,18 @@ def seed_centrality_dataset(
                 }
             )
 
-        agg = (
-            dist.filter(expr="hops > 0")
-            .map_batches(per_seed, batch_format="pyarrow")
-            .groupby("seed")
-            .aggregate(
-                Sum("n", alias_name="n_reachable"),
-                Sum("s", alias_name="sum_hops"),
-                Sum("inv", alias_name="harmonic_raw"),
-            )
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg3
+
+        agg = _hagg3(
+            dist.filter(expr="hops > 0").map_batches(
+                per_seed, batch_format="pyarrow"
+            ),
+            "seed",
+            [
+                ("n", "sum", "n_reachable"),
+                ("s", "sum", "sum_hops"),
+                ("inv", "sum", "harmonic_raw"),
+            ],
         )
 
         def finalize(batch: pa.Table) -> pa.Table:
@@ -1191,7 +1209,9 @@ def seed_centrality_dataset(
     edges = edges.materialize()
 
     if seeds is None:
-        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg
+
+        deg = _hagg(edges, "src", [("", "count_all", "deg")])
         top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
         seeds = [r["src"] for r in top.take_all()]
     seeds = sorted(set(seeds))
@@ -1250,11 +1270,9 @@ def seed_centrality_dataset(
                 ),
                 batch_format="pyarrow",
             )
-        cand = (
-            expanded.groupby(["seed", "node"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["seed", "node"])
-        )
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg4
+
+        cand = _hagg4(expanded, ["seed", "node"], [])
         new = broadcast_semi_join(
             cand.map_batches(_packed, batch_format="pyarrow"),
             dist.map_batches(_packed, batch_format="pyarrow").select_columns(
@@ -1318,7 +1336,9 @@ def neighborhood_stats_dataset(
             )
         )
     edges = edges.materialize()
-    deg = edges.groupby("src").aggregate(Count(alias_name="deg")).map_batches(
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    deg = hash_aggregate(edges, "src", [("", "count_all", "deg")]).map_batches(
         lambda b: pa.table({"node": b.column("src"), "deg": b.column("deg")}),
         batch_format="pyarrow",
     )
@@ -1326,30 +1346,30 @@ def neighborhood_stats_dataset(
     attached = broadcast_lookup_join(
         edges, deg, on="dst", right_on="node", payload=["deg"], **kwargs
     )
-    return (
+    stats = hash_aggregate(
         attached.map_batches(
             lambda b: pa.table(
                 {"src": b.column("src"), "deg": b.column("deg")}
             ),
             batch_format="pyarrow",
-        )
-        .groupby("src")
-        .aggregate(
-            Count(alias_name="n_neighbors"),
-            Sum("deg", alias_name="sum_nbr_deg"),
-            Max("deg", alias_name="max_nbr_deg"),
-        )
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b.column("src"),
-                    "n_neighbors": pc.cast(b.column("n_neighbors"), pa.int64()),
-                    "sum_nbr_deg": pc.cast(b.column("sum_nbr_deg"), pa.int64()),
-                    "max_nbr_deg": pc.cast(b.column("max_nbr_deg"), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        ),
+        "src",
+        [
+            ("", "count_all", "n_neighbors"),
+            ("deg", "sum", "sum_nbr_deg"),
+            ("deg", "max", "max_nbr_deg"),
+        ],
+    )
+    return stats.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("src"),
+                "n_neighbors": pc.cast(b.column("n_neighbors"), pa.int64()),
+                "sum_nbr_deg": pc.cast(b.column("sum_nbr_deg"), pa.int64()),
+                "max_nbr_deg": pc.cast(b.column("max_nbr_deg"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -1727,7 +1747,9 @@ def betweenness_dataset(
     edges = edges.materialize()
 
     if seeds is None:
-        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg
+
+        deg = _hagg(edges, "src", [("", "count_all", "deg")])
         top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
         seeds = [r["src"] for r in top.take_all()]
     seeds = sorted(set(seeds))
@@ -1810,9 +1832,7 @@ def betweenness_dataset(
 
     for _h in range(1, max_hops + 1):
         cand = (
-            expand(levels[-1], "sigma")
-            .groupby(["seed", "node"])
-            .aggregate(Sum("sigma", alias_name="sigma"))
+            _hagg_auto(expand(levels[-1], "sigma"), ["seed", "node"], [('sigma', 'sum', 'sigma')])
         )
         new = broadcast_semi_join(
             cand.map_batches(_packed, batch_format="pyarrow"),
@@ -1883,9 +1903,7 @@ def betweenness_dataset(
             )
 
         sums = _scrub_schemaless(
-            expand(cur.map_batches(credit, batch_format="pyarrow"), "c")
-            .groupby(["seed", "node"])
-            .aggregate(Sum("c", alias_name="csum"))
+            _hagg_auto(expand(cur.map_batches(credit, batch_format="pyarrow"), "c"), ["seed", "node"], [('c', 'sum', 'csum')])
             .map_batches(_packed, batch_format="pyarrow")
             .select_columns(["sk", "csum"])
         )
@@ -1970,9 +1988,7 @@ def betweenness_dataset(
         )
 
     total = (
-        acc.map_batches(fixed, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("dfp", alias_name="dfp"))
+        _hagg_auto(acc.map_batches(fixed, batch_format="pyarrow"), "node", [('dfp', 'sum', 'dfp')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -2124,9 +2140,7 @@ def shortest_path_dataset(
                               "parent": pa.array([], pa.string())})
                 )
             )
-        picked = cand.groupby("node").aggregate(
-            Min("parent", alias_name="parent")
-        )
+        picked = _hagg_auto(cand, "node", [('parent', 'min', 'parent')])
         new = broadcast_semi_join(
             picked, visited.select_columns(["node"]),
             on="node", right_on="node", anti=True, limit=limit,
@@ -2232,10 +2246,8 @@ def label_spreading_dataset(
         return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
 
     edges = (
-        triples.select_columns(["subj", "obj", "weight"])
-        .map_batches(both, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Sum("w", alias_name="w"))
+        _hagg_auto(triples.select_columns(["subj", "obj", "weight"])
+        .map_batches(both, batch_format="pyarrow"), ["src", "dst"], [('w', 'sum', 'w')])
         .materialize()
     )
     if edges.count() == 0:
@@ -2327,11 +2339,9 @@ def label_spreading_dataset(
                 )
             )
         best = (
-            msgs.groupby(["dst", "label"])
+            _hagg_auto(msgs.groupby(["dst", "label"])
             .aggregate(Sum("w", alias_name="wsum"))
-            .map_batches(argmax_label, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("pk", alias_name="pk"))
+            .map_batches(argmax_label, batch_format="pyarrow"), "node", [('pk', 'min', 'pk')])
         )
 
         def decode(batch: pa.Table) -> pa.Table:
@@ -2449,10 +2459,8 @@ def weighted_distances_dataset(
         return t
 
     edges = (
-        triples.select_columns(["subj", "obj", "weight"])
-        .map_batches(both, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Min("w", alias_name="w"))  # parallel edges: shortest
+        _hagg_auto(triples.select_columns(["subj", "obj", "weight"])
+        .map_batches(both, batch_format="pyarrow"), ["src", "dst"], [('w', 'min', 'w')])  # parallel edges: shortest
         .materialize()
     )
     if edges.count() == 0:
@@ -2468,7 +2476,9 @@ def weighted_distances_dataset(
         )
 
     if seeds is None:
-        deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg
+
+        deg = _hagg(edges, "src", [("", "count_all", "deg")])
         top = deg.sort(["deg", "src"], descending=[True, False]).limit(n_seeds)
         seeds = [r["src"] for r in top.take_all()]
     seeds = sorted(set(seeds))
@@ -2532,7 +2542,7 @@ def weighted_distances_dataset(
                     )
                 )
             )
-        best = cands.groupby("node").aggregate(Min("cand", alias_name="cand"))
+        best = _hagg_auto(cands, "node", [('cand', 'min', 'cand')])
 
         # keep strict improvements: LEFT-attach the current distance
         cur_small = _collect_small(dist, limit)
@@ -2749,10 +2759,12 @@ def events_bipartite_assortativity(sf_dir: str) -> Dataset:
         # per-batch dedup combiner ahead of the global distinct
         return t.group_by(["subj", "obj"]).aggregate([])
 
-    distinct = (
-        ds.map_batches(edges, batch_format="pyarrow", batch_size=None)
-        .groupby(["subj", "obj"])
-        .aggregate(Count(alias_name="_n"))
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    distinct = hash_aggregate(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None),
+        ["subj", "obj"],
+        [],
     )
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -2798,13 +2810,13 @@ def reciprocity_dataset(triples: Dataset) -> Dataset:
         t = pa.table({"k": k, "rk": rk})
         return t.group_by(["k", "rk"]).aggregate([])  # per-batch dedup
 
-    distinct = (
-        triples.map_batches(keys, batch_format="pyarrow", batch_size=None)
-        .groupby(["k", "rk"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()
-    )
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    distinct = hash_aggregate(
+        triples.map_batches(keys, batch_format="pyarrow", batch_size=None),
+        ["k", "rk"],
+        [],
+    ).materialize()
     n_edges = distinct.count()
     if n_edges == 0:
         return ray.data.from_arrow(
@@ -2864,9 +2876,7 @@ def graph_summary_dataset(triples: Dataset) -> Dataset:
         ).rename_columns(["k", "self", "n"])
 
     per_key = (
-        triples.map_batches(keys, batch_format="pyarrow", batch_size=None)
-        .groupby(["k", "self"])
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(triples.map_batches(keys, batch_format="pyarrow", batch_size=None), ["k", "self"], [('n', 'sum', 'n')])
         .materialize()
     )
     n_rows_total = int(per_key.sum("n") or 0)
@@ -2948,9 +2958,7 @@ def rich_club_dataset(
         return t.group_by(["a", "b"]).aggregate([])
 
     pairs = (
-        triples.map_batches(keys, batch_format="pyarrow", batch_size=None)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(triples.map_batches(keys, batch_format="pyarrow", batch_size=None), ["a", "b"], [('', 'count_all', '_n')])
         .drop_columns(["_n"])
         .materialize()
     )
@@ -2975,9 +2983,7 @@ def rich_club_dataset(
         ).rename_columns(["node", "n"])
 
     deg = (
-        pairs.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
-        .groupby("node")
-        .aggregate(Sum("n", alias_name="n_edges"))
+        _hagg_auto(pairs.map_batches(endpoints, batch_format="pyarrow", batch_size=None), "node", [('n', 'sum', 'n_edges')])
         .materialize()
     )
 

@@ -177,7 +177,25 @@ def hash_aggregate(
         # schema-less empty result here and callers scrub it — mirror
         # that exactly so this stays a drop-in replacement.
         return ray.data.from_arrow(pa.table({}))
-    seed = base.empty_table().group_by(keys).aggregate(map_spec)
+    if isinstance(base, pa.Schema):
+        empty = base.empty_table()
+    else:
+        # pandas-backed blocks expose a PandasBlockSchema (names +
+        # pandas dtypes) — build the zero-row Arrow table through an
+        # empty DataFrame so dtype conversion matches what
+        # to_arrow_refs does to the real blocks
+        import pandas as pd
+
+        empty = pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    n: pd.Series(dtype=t)
+                    for n, t in zip(base.names, base.types)
+                }
+            ),
+            preserve_index=False,
+        )
+    seed = empty.group_by(keys).aggregate(map_spec)
 
     refs = ds.to_arrow_refs()
     if not refs:

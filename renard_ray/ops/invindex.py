@@ -30,6 +30,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 __all__ = ["build_inverted_index", "search_index", "doc_search_index"]
 
 _PRETOK_RE = re.compile(r"[a-z']+")
@@ -78,7 +80,7 @@ def build_inverted_index(
 
     if max_df is not None:
         rows = rows.materialize()
-        df = rows.groupby("term").aggregate(Count(alias_name="df"))
+        df = _hagg_auto(rows, "term", [('', 'count_all', 'df')])
         hot = df.filter(expr=f"df > {int(max_df)}")
         hot_terms = [r["term"] for r in hot.take_all()]
         if hot_terms:
@@ -145,9 +147,7 @@ def search_index(
         )
 
     counts = (
-        postings.map_batches(match, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(postings.map_batches(match, batch_format="pyarrow"), "doc_id", [('n', 'sum', 'n')])
     )
     want = len(tset)
     return (

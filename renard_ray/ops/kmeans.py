@@ -42,6 +42,8 @@ from ray.data import Dataset
 
 from .similarity import _matrix, _read_embeddings  # shared decode/read
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _COMBINE_PARTS = 16  # partial-sum tree fan-in before the driver merge
 
 
@@ -230,12 +232,7 @@ def kmeans_cluster_stats(
     from ray.data.aggregate import Sum
 
     return (
-        assigned.map_batches(stats, batch_format="pyarrow")
-        .groupby("cluster")
-        .aggregate(
-            Sum("n_vecs", alias_name="n_vecs"),
-            Sum("dist_sum", alias_name="dist_sum"),
-        )
+        _hagg_auto(assigned.map_batches(stats, batch_format="pyarrow"), "cluster", [('n_vecs', 'sum', 'n_vecs'), ('dist_sum', 'sum', 'dist_sum')])
         .map_batches(
             lambda b: pa.table(
                 {

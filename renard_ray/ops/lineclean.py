@@ -22,6 +22,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 __all__ = ["clean_lines"]
 
 _DEFAULT_BANNED = ("javascript", "lorem ipsum", "cookie", "{")
@@ -151,17 +153,13 @@ def domain_boilerplate_lines(
 
     key_cols = pages.select_columns(["url", "text"]).materialize()
     per_domain = (
-        key_cols.map_batches(page_domains, batch_format="pyarrow")
-        .groupby("domain")
-        .aggregate(Count(alias_name="n_pages"))
+        _hagg_auto(key_cols.map_batches(page_domains, batch_format="pyarrow"), "domain", [('', 'count_all', 'n_pages')])
         .to_pandas()
     )
     totals = dict(zip(per_domain["domain"], per_domain["n_pages"]))
 
     counts = (
-        key_cols.map_batches(page_lines, batch_format="pyarrow")
-        .groupby(["domain", "line"])
-        .aggregate(Count(alias_name="n_pages"))
+        _hagg_auto(key_cols.map_batches(page_lines, batch_format="pyarrow"), ["domain", "line"], [('', 'count_all', 'n_pages')])
     )
 
     thr_ref = ray.put(

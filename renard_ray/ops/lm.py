@@ -42,6 +42,8 @@ from ray.data.aggregate import Count, Sum
 from .relational import _collect_small, _join_parts_bytes
 from .textstats import _WS_RE, _read_documents
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _MODEL_LIMIT = 20_000_000  # bigram-table broadcast budget (rows)
 _SEP = "\x1f"
 
@@ -82,10 +84,8 @@ def train_bigram_model(docs: Dataset) -> tuple[Dataset, Dataset, int]:
 
     partials = docs.map_batches(partial, batch_format="pyarrow").materialize()
     bigrams = (
-        partials.filter(expr="kind == 'b'")
-        .select_columns(["key", "c_p"])
-        .groupby("key")
-        .aggregate(Sum("c_p", alias_name="c"))
+        _hagg_auto(partials.filter(expr="kind == 'b'")
+        .select_columns(["key", "c_p"]), "key", [('c_p', 'sum', 'c')])
         .materialize()
     )
 
@@ -98,17 +98,13 @@ def train_bigram_model(docs: Dataset) -> tuple[Dataset, Dataset, int]:
         return g.rename_columns(["w1", "c1_p"])
 
     contexts = (
-        bigrams.map_batches(ctx, batch_format="pyarrow")
-        .groupby("w1")
-        .aggregate(Sum("c1_p", alias_name="c1"))
+        _hagg_auto(bigrams.map_batches(ctx, batch_format="pyarrow"), "w1", [('c1_p', 'sum', 'c1')])
         .materialize()
     )
 
     V = (
-        partials.filter(expr="kind == 'u'")
-        .select_columns(["key"])
-        .groupby("key")
-        .count()
+        _hagg_auto(partials.filter(expr="kind == 'u'")
+        .select_columns(["key"]), "key", [('', 'count_all', 'count()')])
         .count()
     )
     return bigrams, contexts, V
@@ -249,9 +245,7 @@ def perplexity_scores(
         )
 
     scored = (
-        j2.map_batches(logp_rows, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("lp", alias_name="lp_sum"), Sum("m", alias_name="m"))
+        _hagg_auto(j2.map_batches(logp_rows, batch_format="pyarrow"), "doc_id", [('lp', 'sum', 'lp_sum'), ('m', 'sum', 'm')])
         .map_batches(
             lambda b: pa.table(
                 {

@@ -35,6 +35,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 logger = logging.getLogger(__name__)
 
 _SEP = "\x1f"
@@ -54,10 +56,8 @@ def _node_table(triples: Dataset) -> Dataset:
         )
 
     return (
-        triples.select_columns(["subj", "obj"])
-        .map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(triples.select_columns(["subj", "obj"])
+        .map_batches(endpoints, batch_format="pyarrow"), "node", [('', 'count_all', '_n')])
         .select_columns(["node"])
     )
 
@@ -122,11 +122,9 @@ def mis_dataset(
             batch_format="pyarrow",
         )
         mn = (
-            broadcast_lookup_join(
+            _hagg_auto(broadcast_lookup_join(
                 edges, kd, on="dst", right_on="nbr", payload=["kd"], limit=limit
-            )
-            .groupby("src")
-            .aggregate(Min("kd", alias_name="kd"))
+            ), "src", [('kd', 'min', 'kd')])
         )
         with_mn = broadcast_lookup_join(
             nodes_k, mn, on="node", right_on="src", payload=["kd"], limit=limit

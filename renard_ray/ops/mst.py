@@ -41,6 +41,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 logger = logging.getLogger(__name__)
 
 _SEP = "\x1f"
@@ -160,9 +162,7 @@ def mst_dataset(
         return pa.table({"node": n})
 
     labels = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(edges.map_batches(endpoints, batch_format="pyarrow"), "node", [('', 'count_all', '_n')])
         .map_batches(
             lambda b: pa.table({"node": b.column("node"), "comp": b.column("node")}),
             batch_format="pyarrow",
@@ -215,11 +215,9 @@ def mst_dataset(
             )
 
         chosen_keys = (
-            inter.map_batches(fan, batch_format="pyarrow")
+            _hagg_auto(inter.map_batches(fan, batch_format="pyarrow")
             .groupby("comp")
-            .aggregate(Min("key", alias_name="key"))
-            .groupby("key")  # an edge may win from BOTH sides: dedup
-            .aggregate(Count(alias_name="_n"))
+            .aggregate(Min("key", alias_name="key")), "key", [('', 'count_all', '_n')])
             .select_columns(["key"])
             .materialize()
         )

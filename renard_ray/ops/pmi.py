@@ -34,6 +34,8 @@ from ray.data.aggregate import Sum
 
 from renard_ray.ops.relational import broadcast_lookup_join
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _I64_MAX = (1 << 63) - 1
 
 
@@ -68,9 +70,7 @@ def pmi_dataset(
         return g.rename_columns(["u", "v", "n"])
 
     agg = (
-        pairs.map_batches(to_counts, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Sum("n", alias_name="pair_n"))
+        _hagg_auto(pairs.map_batches(to_counts, batch_format="pyarrow"), ["u", "v"], [('n', 'sum', 'pair_n')])
         .materialize()
     )
 
@@ -93,8 +93,8 @@ def pmi_dataset(
         return ray.data.from_arrow(empty.empty_table())
 
     # marginals from the aggregated pair table (node-bounded rows)
-    u_marg = agg.groupby("u").aggregate(Sum("pair_n", alias_name="u_n"))
-    v_marg = agg.groupby("v").aggregate(Sum("pair_n", alias_name="v_n"))
+    u_marg = _hagg_auto(agg, "u", [('pair_n', 'sum', 'u_n')])
+    v_marg = _hagg_auto(agg, "v", [('pair_n', 'sum', 'v_n')])
 
     out = agg
     if min_pair_n > 1:

@@ -50,6 +50,8 @@ from ray.data.aggregate import Count, Max, Sum
 
 from .relational import _cents, _collect_small, _join_parts_bytes, _read
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 logger = logging.getLogger(__name__)
 
 _BUCKET = "__rj_bucket"
@@ -270,7 +272,4 @@ def events_promo_window_stats(
         right_on="p_user_id",
         **rj_kwargs,
     )
-    return joined.groupby("promo_id").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_c", alias_name="total_value_cents"),
-    )
+    return _hagg_auto(joined, "promo_id", [('', 'count_all', 'n_events'), ('value_c', 'sum', 'total_value_cents')])

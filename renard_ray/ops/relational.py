@@ -30,6 +30,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _HALF_AWAY = "half_towards_infinity"  # = DuckDB ROUND(double) tie-break
 
 
@@ -267,7 +269,7 @@ def broadcast_semi_join(
         return left.limit(0)
     left = scrubbed
     dedup = _scrub_schemaless(
-        right.select_columns([right_on]).groupby(right_on).count()
+        _hagg_auto(right.select_columns([right_on]), right_on, [('', 'count_all', 'count()')])
     )
     if dedup is None or dedup.count() == 0:  # no keyed right rows
         return left.limit(0) if not anti else left
@@ -406,15 +408,7 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_i", alias_name="sum_qty"),
-            Sum("price_c", alias_name="sum_base_price_cents"),
-            Sum("disc_price_c4", alias_name="sum_disc_price_c4"),
-            Sum("disc_pct", alias_name="_sum_disc_pct"),
-            Count(alias_name="count_order"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), ["l_returnflag", "l_linestatus"], [('qty_i', 'sum', 'sum_qty'), ('price_c', 'sum', 'sum_base_price_cents'), ('disc_price_c4', 'sum', 'sum_disc_price_c4'), ('disc_pct', 'sum', '_sum_disc_pct'), ('', 'count_all', 'count_order')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -481,9 +475,7 @@ def q3_top_unshipped_orders(sf_dir: str) -> Dataset:
         on="l_orderkey", right_on="o_orderkey",
         fallback_parts=nparts,
     )
-    agg = joined.groupby("l_orderkey").aggregate(
-        Sum("revenue_c4", alias_name="revenue_c4")
-    )
+    agg = _hagg_auto(joined, "l_orderkey", [('revenue_c4', 'sum', 'revenue_c4')])
     return agg.sort(["revenue_c4", "l_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -524,9 +516,7 @@ def q5_nation_revenue(sf_dir: str) -> Dataset:
         )
 
     return (
-        joined.map_batches(label, batch_format="pyarrow", batch_size=None)
-        .groupby("n_name")
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        _hagg_auto(joined.map_batches(label, batch_format="pyarrow", batch_size=None), "n_name", [('revenue_c4', 'sum', 'revenue_c4')])
     )
 
 
@@ -550,11 +540,7 @@ def part_type_stats(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("p_brand")
-        .aggregate(
-            Count(alias_name="n_parts"), Sum("price_c", alias_name="_sum_price_c")
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "p_brand", [('', 'count_all', 'n_parts'), ('price_c', 'sum', '_sum_price_c')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -573,9 +559,7 @@ def part_type_stats(sf_dir: str) -> Dataset:
 
 def order_priority_counts(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
-    return ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
-        Count(alias_name="n_orders")
-    )
+    return _hagg_auto(ds, ["o_orderpriority", "o_orderstatus"], [('', 'count_all', 'n_orders')])
 
 
 def events_type_stats(sf_dir: str) -> Dataset:
@@ -591,12 +575,7 @@ def events_type_stats(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c", alias_name="total_value_cents"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "event_type", [('', 'count_all', 'n_events'), ('value_c', 'sum', 'total_value_cents')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -627,12 +606,7 @@ def events_top_users(sf_dir: str, k: int = 25) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c", alias_name="total_value_cents"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "user_id", [('', 'count_all', 'n_events'), ('value_c', 'sum', 'total_value_cents')])
     )
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
@@ -646,9 +620,7 @@ def events_hourly_activity(sf_dir: str) -> Dataset:
         return pa.table({"hour": hour, "event_type": batch.column("event_type")})
 
     return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"))
+        _hagg_auto(ds.map_batches(bucket, batch_format="pyarrow"), ["hour", "event_type"], [('', 'count_all', 'n_events')])
     )
 
 
@@ -679,12 +651,7 @@ def supplier_nation_join(sf_dir: str) -> Dataset:
         )
 
     return (
-        sup.map_batches(label, batch_format="pyarrow", batch_size=None)
-        .groupby("r_name")
-        .aggregate(
-            Count(alias_name="n_suppliers"),
-            Sum("acctbal_c", alias_name="total_acctbal_cents"),
-        )
+        _hagg_auto(sup.map_batches(label, batch_format="pyarrow", batch_size=None), "r_name", [('', 'count_all', 'n_suppliers'), ('acctbal_c', 'sum', 'total_acctbal_cents')])
     )
 
 
@@ -693,8 +660,7 @@ def lineitem_distinct_shipmodes(sf_dir: str) -> Dataset:
     driver-side set."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     return (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .count()
+        _hagg_auto(ds, ["l_returnflag", "l_linestatus"], [('', 'count_all', 'count()')])
         .select_columns(["l_returnflag", "l_linestatus"])
     )
 
@@ -748,12 +714,7 @@ def orders_monthly_counts(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("month")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="total_price_cents"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "month", [('', 'count_all', 'n_orders'), ('price_c', 'sum', 'total_price_cents')])
     )
     return agg
 
@@ -944,12 +905,7 @@ def events_props_stats(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(parse, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count("k", ignore_nulls=True, alias_name="n_with_k"),
-            Sum("k", alias_name="sum_k"),
-        )
+        _hagg_auto(ds.map_batches(parse, batch_format="pyarrow"), "event_type", [('k', 'count', 'n_with_k'), ('k', 'sum', 'sum_k')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -1000,12 +956,7 @@ def events_sliding_window(
         return pa.concat_tables(tables)
 
     agg = (
-        ds.map_batches(fanout, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c", alias_name="total_value_cents"),
-        )
+        _hagg_auto(ds.map_batches(fanout, batch_format="pyarrow"), ["window_start", "event_type"], [('', 'count_all', 'n_events'), ('value_c', 'sum', 'total_value_cents')])
     )
     return agg
 
@@ -1037,9 +988,7 @@ def q4_order_priority(sf_dir: str) -> Dataset:
         return t
 
     qual = (
-        li.map_batches(qualify, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .count()
+        _hagg_auto(li.map_batches(qualify, batch_format="pyarrow", batch_size=None), "l_orderkey", [('', 'count_all', 'count()')])
         .select_columns(["l_orderkey"])
     )
     # SEMI join (qual is already distinct orderkeys) — size-adaptive
@@ -1047,7 +996,7 @@ def q4_order_priority(sf_dir: str) -> Dataset:
         orders_f, qual, on="o_orderkey", right_on="l_orderkey",
         fallback_parts=_join_parts(sf_dir, "orders"),
     )
-    return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    return _hagg_auto(joined, "o_orderpriority", [('', 'count_all', 'n_orders')])
 
 
 def customers_without_orders(sf_dir: str, min_totalprice: float = 300000.0) -> Dataset:
@@ -1179,10 +1128,7 @@ def doc_embedding_join(sf_dir: str) -> Dataset:
         on=("doc_id",),
         right_on=("vec_id",),
     )
-    agg = joined.groupby("label").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="total_chars"),
-    )
+    agg = _hagg_auto(joined, "label", [('', 'count_all', 'n_docs'), ('n_chars', 'sum', 'total_chars')])
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1204,10 +1150,7 @@ def prolific_sources(sf_dir: str, min_docs: int = 20, min_avg_chars: int = 200) 
     docs = _ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
     )
-    agg = docs.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="_total_chars"),
-    )
+    agg = _hagg_auto(docs, "source", [('', 'count_all', 'n_docs'), ('n_chars', 'sum', '_total_chars')])
 
     def having(batch: pa.Table) -> pa.Table:
         avg_chars = _ratio_round(batch.column("_total_chars"), batch.column("n_docs"))
@@ -1235,8 +1178,7 @@ def priority_or_big_customers(sf_dir: str, min_balance: float = 9000.0) -> Datas
     b = cust.filter(expr=f"c_acctbal > {min_balance}")
     both = a.union(b).select_columns(["c_custkey", "c_name"])
     return (
-        both.groupby(["c_custkey", "c_name"])
-        .count()
+        _hagg_auto(both, ["c_custkey", "c_name"], [('', 'count_all', 'count()')])
         .select_columns(["c_custkey", "c_name"])
     )
 
@@ -1382,10 +1324,7 @@ def q17_small_quantity_revenue(sf_dir: str) -> Dataset:
     # materialize once: BOTH the per-part aggregate and the join probe
     # side consume this — without it the lineitem scan runs twice
     rows = li.map_batches(derive, batch_format="pyarrow", batch_size=None).materialize()
-    per_part = rows.groupby("l_partkey").aggregate(
-        Sum("qty_i", alias_name="sum_qty"),
-        Count(alias_name="n_li"),
-    )
+    per_part = _hagg_auto(rows, "l_partkey", [('qty_i', 'sum', 'sum_qty'), ('', 'count_all', 'n_li')])
     joined = rows.join(
         per_part,
         join_type="inner",
@@ -1439,9 +1378,7 @@ def lineitem_qty_percentiles(sf_dir: str, ps: tuple = (0.25, 0.5, 0.75, 0.95)) -
         return pa.table({"qty_i": _int(batch.column("l_quantity"))})
 
     counts = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("qty_i")
-        .aggregate(Count(alias_name="n"))
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "qty_i", [('', 'count_all', 'n')])
         .take_all()
     )
     hist = sorted((r["qty_i"], r["n"]) for r in counts)
@@ -1489,18 +1426,10 @@ def orders_rollup(sf_dir: str) -> Dataset:
         )
 
     fine = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby(["y", "m"])
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="total_cents"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), ["y", "m"], [('', 'count_all', 'n_orders'), ('price_c', 'sum', 'total_cents')])
         .materialize()  # the coarser levels re-aggregate THIS, not the scan
     )
-    by_year = fine.groupby("y").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"),
-    )
+    by_year = _hagg_auto(fine, "y", [('n_orders', 'sum', 'n_orders'), ('total_cents', 'sum', 'total_cents')])
     grand = fine.aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_cents", alias_name="total_cents"),
@@ -1566,9 +1495,7 @@ def events_funnel(
     nparts = _join_parts(sf_dir, "events")
 
     firsts = (
-        ev.filter(expr=f"event_type == '{first_type}'")
-        .groupby("user_id")
-        .aggregate(Min("ts_us", alias_name="ta"))
+        _hagg_auto(ev.filter(expr=f"event_type == '{first_type}'"), "user_id", [('ts_us', 'min', 'ta')])
     ).materialize()
 
     step2 = ev.filter(expr=f"event_type == '{then_type}'")
@@ -1577,14 +1504,12 @@ def events_funnel(
         fallback_parts=nparts,
     )
     conv = (
-        with_ta.map_batches(
+        _hagg_auto(with_ta.map_batches(
             lambda b: b.filter(
                 pc.greater(b.column("ts_us"), b.column("ta"))
             ),
             batch_format="pyarrow",
-        )
-        .groupby("user_id")
-        .aggregate(Min("ts_us", alias_name="tb"), Min("ta", alias_name="ta"))
+        ), "user_id", [('ts_us', 'min', 'tb'), ('ta', 'min', 'ta')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -1618,22 +1543,11 @@ def orders_cube(sf_dir: str) -> Dataset:
         )
 
     fine = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby(["y", "priority"])
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="total_cents"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), ["y", "priority"], [('', 'count_all', 'n_orders'), ('price_c', 'sum', 'total_cents')])
         .materialize()
     )
-    by_y = fine.groupby("y").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"),
-    )
-    by_p = fine.groupby("priority").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"),
-    )
+    by_y = _hagg_auto(fine, "y", [('n_orders', 'sum', 'n_orders'), ('total_cents', 'sum', 'total_cents')])
+    by_p = _hagg_auto(fine, "priority", [('n_orders', 'sum', 'n_orders'), ('total_cents', 'sum', 'total_cents')])
     grand = fine.aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_cents", alias_name="total_cents"),
@@ -1799,11 +1713,7 @@ def events_lag_delta(sf_dir: str) -> Dataset:
             )
         )
 
-    return gaps.groupby("user_id").aggregate(
-        Count(alias_name="n_gaps"),
-        Sum("gap_us", alias_name="sum_gap_us"),
-        Max("gap_us", alias_name="max_gap_us"),
-    )
+    return _hagg_auto(gaps, "user_id", [('', 'count_all', 'n_gaps'), ('gap_us', 'sum', 'sum_gap_us'), ('gap_us', 'max', 'max_gap_us')])
 
 
 _PIVOT_PRIORITIES = (
@@ -1873,9 +1783,7 @@ def customer_year_setops(
     from ray.data.aggregate import Max
 
     flags = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("o_custkey")
-        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "o_custkey", [('in_a', 'max', 'in_a'), ('in_b', 'max', 'in_b')])
     )
 
     out_schema = pa.schema([("o_custkey", pa.int64()), ("set_op", pa.string())])
@@ -1931,9 +1839,7 @@ def lineitem_qty_median_by_flag(
         return g.rename_columns(["flag", "qty", "n"])
 
     hist = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby(["flag", "qty"])
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), ["flag", "qty"], [('n', 'sum', 'n')])
         .materialize()
     )
     # bounded: |flags| x |qty domain| rows
@@ -2103,14 +2009,7 @@ def orders_price_ntile(sf_dir: str, k: int = 10) -> Dataset:
         )
 
     return (
-        marked.map_batches(finalize, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="sum_price_cents"),
-            Min("price_c", alias_name="min_price_cents"),
-            Max("price_c", alias_name="max_price_cents"),
-        )
+        _hagg_auto(marked.map_batches(finalize, batch_format="pyarrow"), "bucket", [('', 'count_all', 'n_orders'), ('price_c', 'sum', 'sum_price_cents'), ('price_c', 'min', 'min_price_cents'), ('price_c', 'max', 'max_price_cents')])
     )
 
 
@@ -2310,20 +2209,10 @@ def monthly_orders_vs_events(sf_dir: str) -> Dataset:
         )
 
     om = (
-        orders.map_batches(o_derive, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="order_price_cents"),
-        )
+        _hagg_auto(orders.map_batches(o_derive, batch_format="pyarrow"), "month", [('', 'count_all', 'n_orders'), ('price_c', 'sum', 'order_price_cents')])
     )
     em = (
-        events.map_batches(e_derive, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c", alias_name="event_value_cents"),
-        )
+        _hagg_auto(events.map_batches(e_derive, batch_format="pyarrow"), "month", [('', 'count_all', 'n_events'), ('value_c', 'sum', 'event_value_cents')])
     )
     # hash aggregates emit schema-less empty blocks for empty output
     # partitions; a full-outer join partition seeing only those on one
@@ -2422,10 +2311,7 @@ def orders_above_customer_avg(sf_dir: str) -> Dataset:
         )
 
     facts = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-    per_cust = facts.groupby("o_custkey").aggregate(
-        Sum("price_c", alias_name="sum_c"),
-        Count(alias_name="n"),
-    )
+    per_cust = _hagg_auto(facts, "o_custkey", [('price_c', 'sum', 'sum_c'), ('', 'count_all', 'n')])
     joined = broadcast_lookup_join(
         facts,
         per_cust.map_batches(
@@ -2447,9 +2333,7 @@ def orders_above_customer_avg(sf_dir: str) -> Dataset:
         return batch.filter(keep).select(["o_custkey"])
 
     return (
-        joined.map_batches(above, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_above"))
+        _hagg_auto(joined.map_batches(above, batch_format="pyarrow"), "o_custkey", [('', 'count_all', 'n_above')])
     )
 
 
@@ -2722,9 +2606,7 @@ def events_peak_moving_sum(sf_dir: str, w: int = 3) -> Dataset:
         )
 
     return (
-        sorted_ds.map_batches(moving, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(Max("ms", alias_name="peak_sum_cents"))
+        _hagg_auto(sorted_ds.map_batches(moving, batch_format="pyarrow", batch_size=None), "user_id", [('ms', 'max', 'peak_sum_cents')])
     )
 
 
@@ -2758,13 +2640,7 @@ def customer_first_last_order(sf_dir: str) -> Dataset:
         )
 
     agg = (
-        ds.map_batches(pack, batch_format="pyarrow")
-        .groupby("custkey")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Min("packed", alias_name="fk"),
-            Max("packed", alias_name="lk"),
-        )
+        _hagg_auto(ds.map_batches(pack, batch_format="pyarrow"), "custkey", [('', 'count_all', 'n_orders'), ('packed', 'min', 'fk'), ('packed', 'max', 'lk')])
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -2819,11 +2695,7 @@ def events_spend_outliers(sf_dir: str) -> Dataset:
         )
 
     facts = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-    per_user = facts.groupby("user_id").aggregate(
-        Sum("value_cents", alias_name="s_c"),
-        Sum("sq", alias_name="q_c"),
-        Count(alias_name="n"),
-    )
+    per_user = _hagg_auto(facts, "user_id", [('value_cents', 'sum', 's_c'), ('sq', 'sum', 'q_c'), ('', 'count_all', 'n')])
     joined = broadcast_lookup_join(
         facts.drop_columns(["sq"]),
         per_user.map_batches(
@@ -3074,9 +2946,7 @@ def events_value_mad(sf_dir: str, hist_limit: int = _MAD_HIST_LIMIT) -> Dataset:
         return out.rename_columns(["g", "c", "n"])
 
     hist = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby(["g", "c"])
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), ["g", "c"], [('n', 'sum', 'n')])
         .materialize()
     )
     n_hist = hist.count()
@@ -3183,10 +3053,10 @@ def events_retention(sf_dir: str) -> "Dataset | pa.Table":
     uw = ds.map_batches(weeks, batch_format="pyarrow", batch_size=None)
     # distinct (user, week) pairs globally — both downstream reductions
     # (cohort min and the offset-cell distinct count) read this once
-    uw = uw.groupby(["user_id", "week"]).aggregate(Count(alias_name="_n"))
+    uw = _hagg_auto(uw, ["user_id", "week"], [('', 'count_all', '_n')])
     uw = uw.drop_columns(["_n"]).materialize()
 
-    cohort = uw.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    cohort = _hagg_auto(uw, "user_id", [('week', 'min', 'cohort_week')])
     joined = broadcast_lookup_join(
         uw, cohort, on="user_id", right_on="user_id", payload=["cohort_week"]
     )
@@ -3202,9 +3072,7 @@ def events_retention(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     return (
-        joined.map_batches(offset, batch_format="pyarrow")
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(Count(alias_name="n_users"))
+        _hagg_auto(joined.map_batches(offset, batch_format="pyarrow"), ["cohort_week", "week_offset"], [('', 'count_all', 'n_users')])
         .sort(["cohort_week", "week_offset"])
     )
 
@@ -3453,8 +3321,7 @@ def events_markov_transitions(sf_dir: str) -> "Dataset | pa.Table":
         counts = counts.union(ray.data.from_arrow(extra_tab))
 
     merged = (
-        counts.groupby(["prev_type", "next_type"])
-        .aggregate(Sum("n", alias_name="n_transitions"))
+        _hagg_auto(counts, ["prev_type", "next_type"], [('n', 'sum', 'n_transitions')])
     )
     merged = _scrub_schemaless(merged)
     if merged is None:  # < 2 events: no transitions at all
@@ -3595,9 +3462,7 @@ def q7_nation_volume(
         )
 
     out = (
-        fact.map_batches(pair_label, batch_format="pyarrow")
-        .groupby(["supp_nation", "cust_nation", "l_year"])
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        _hagg_auto(fact.map_batches(pair_label, batch_format="pyarrow"), ["supp_nation", "cust_nation", "l_year"], [('revenue_c4', 'sum', 'revenue_c4')])
     )
     out = _scrub_schemaless(out)
     if out is None or out.count() == 0:
@@ -3646,9 +3511,7 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Tabl
         return t.group_by(["user_id", "day"]).aggregate([])
 
     ud = (
-        ds.map_batches(days, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(ds.map_batches(days, batch_format="pyarrow", batch_size=None), ["user_id", "day"], [('', 'count_all', '_n')])
         .drop_columns(["_n"])
         .materialize()
     )
@@ -3656,7 +3519,7 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Tabl
     # ONE per-day aggregate feeds both DAU and the active-day set (a
     # second groupby over the corpus-pair-sized ud would be a wasted
     # full exchange); the per-day table is calendar-bounded (KBs)
-    dau = ud.groupby("day").aggregate(Count(alias_name="n_dau")).materialize()
+    dau = _hagg_auto(ud, "day", [('', 'count_all', 'n_dau')]).materialize()
     n_days = dau.count()
     if n_days == 0:
         # empty events: Dataset.to_pandas drops all-empty schemas, so
@@ -3695,12 +3558,10 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Tabl
         return t.group_by(["end_day", "user_id"]).aggregate([])
 
     wau = (
-        ud.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
+        _hagg_auto(ud.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
         .groupby(["end_day", "user_id"])
         .aggregate(Count(alias_name="_n"))
-        .select_columns(["end_day"])
-        .groupby("end_day")
-        .aggregate(Count(alias_name="n_wau"))
+        .select_columns(["end_day"]), "end_day", [('', 'count_all', 'n_wau')])
     )
 
     out = broadcast_lookup_join(
@@ -3738,9 +3599,7 @@ def events_weekly_churn(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by(["user_id", "week"]).aggregate([])
 
     uw = (
-        ds.map_batches(weeks, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "week"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(ds.map_batches(weeks, batch_format="pyarrow", batch_size=None), ["user_id", "week"], [('', 'count_all', '_n')])
         .drop_columns(["_n"])
         .materialize()
     )
@@ -3768,8 +3627,8 @@ def events_weekly_churn(sf_dir: str) -> "Dataset | pa.Table":
         anti=True,
     )
 
-    active = uw.groupby("week").aggregate(Count(alias_name="n_active"))
-    churn = churned.groupby("week").aggregate(Count(alias_name="n_churned"))
+    active = _hagg_auto(uw, "week", [('', 'count_all', 'n_active')])
+    churn = _hagg_auto(churned, "week", [('', 'count_all', 'n_churned')])
     # weeks are calendar-bounded (decades fit in KBs): broadcast the
     # churn counts and 0-fill weeks where everyone returned — an inner
     # lookup would silently DROP zero-churn weeks.  Distinguish the
@@ -3979,8 +3838,7 @@ def events_top_paths(sf_dir: str, k: int = 25) -> "Dataset | pa.Table":
         )
 
     merged = (
-        counts.groupby(["t0", "t1", "t2"])
-        .aggregate(Sum("n", alias_name="n_paths"))
+        _hagg_auto(counts, ["t0", "t1", "t2"], [('n', 'sum', 'n_paths')])
     )
     merged = _scrub_schemaless(merged)
     if merged is None:
@@ -4051,9 +3909,7 @@ def _basket_items(sf_dir: str) -> "Dataset | None":
         return t.group_by(["basket", "etype"]).aggregate([])
 
     return (
-        ds.map_batches(items, batch_format="pyarrow", batch_size=None)
-        .groupby(["basket", "etype"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(ds.map_batches(items, batch_format="pyarrow", batch_size=None), ["basket", "etype"], [('', 'count_all', '_n')])
         .drop_columns(["_n"])
         .materialize()
     )
@@ -4105,13 +3961,11 @@ def events_basket_pairs(
         return t.group_by(["type_a", "type_b"]).aggregate([("type_a", "count")])
 
     pairs = (
-        joined.map_batches(keep_pairs, batch_format="pyarrow", batch_size=None)
+        _hagg_auto(joined.map_batches(keep_pairs, batch_format="pyarrow", batch_size=None)
         .map_batches(
             lambda b: b.rename_columns(["type_a", "type_b", "n"]),
             batch_format="pyarrow",
-        )
-        .groupby(["type_a", "type_b"])
-        .aggregate(Sum("n", alias_name="n_baskets"))
+        ), ["type_a", "type_b"], [('n', 'sum', 'n_baskets')])
         .filter(expr=f"n_baskets >= {min_support}")
     )
     pairs = _scrub_schemaless(pairs)
@@ -4174,16 +4028,14 @@ def events_association_rules(
     elif pairs.count() == 0:
         return _RULES_EMPTY.empty_table()
     singles = (
-        distinct.groupby("etype").aggregate(Count(alias_name="n"))
+        _hagg_auto(distinct, "etype", [('', 'count_all', 'n')])
     ).to_pandas()
     n_of = dict(zip(singles["etype"], singles["n"]))
     n_baskets_total = int(
-        distinct.map_batches(
+        _hagg_auto(distinct.map_batches(
             lambda b: b.group_by(["basket"]).aggregate([]),
             batch_format="pyarrow",
-        )
-        .groupby("basket")
-        .aggregate(Count(alias_name="_c"))
+        ), "basket", [('', 'count_all', '_c')])
         .count()
     )
     n_ref = ray.put((n_of, n_baskets_total))
@@ -4255,9 +4107,7 @@ def events_value_winsorized(
         return out.rename_columns(["g", "c", "n"])
 
     hist = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby(["g", "c"])
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), ["g", "c"], [('n', 'sum', 'n')])
         .materialize()
     )
     # count FIRST so an empty input reaches the empty branch instead
@@ -4380,12 +4230,10 @@ def events_conversion_latency(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by(["user_id"]).aggregate([("v", "min"), ("p", "min")])
 
     agg = (
-        ds.map_batches(
+        _hagg_auto(ds.map_batches(
             lambda b: masked(b).rename_columns(["user_id", "v", "p"]),
             batch_format="pyarrow",
-        )
-        .groupby("user_id")
-        .aggregate(Min("v", alias_name="v"), Min("p", alias_name="p"))
+        ), "user_id", [('v', 'min', 'v'), ('p', 'min', 'p')])
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -4540,9 +4388,7 @@ def events_similar_users(
         return out.rename_columns(["user_id", "etype", "n"])
 
     prof = (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "etype"])
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(ds.map_batches(counts, batch_format="pyarrow", batch_size=None), ["user_id", "etype"], [('n', 'sum', 'n')])
         .materialize()
     )
     n_users_types = prof.count()
@@ -4635,14 +4481,12 @@ def events_user_gini(sf_dir: str) -> "Dataset | pa.Table":
         ).empty_table()
 
     counts = (
-        ds.map_batches(
+        _hagg_auto(ds.map_batches(
             lambda b: (
                 b.group_by(["user_id"]).aggregate([("user_id", "count")])
             ).rename_columns(["user_id", "x"]),
             batch_format="pyarrow",
-        )
-        .groupby("user_id")
-        .aggregate(Sum("x", alias_name="x"))
+        ), "user_id", [('x', 'sum', 'x')])
     )
     sorted_ds = counts.sort(["x", "user_id"])
 
@@ -4953,7 +4797,7 @@ def q10_returned_revenue(
         fallback_parts=_join_parts(sf_dir),
     )
     per_cust = _scrub_schemaless(
-        fact.groupby("o_custkey").aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+        _hagg_auto(fact, "o_custkey", [('rev_c4', 'sum', 'revenue_c4')])
     )
     out_schema = pa.schema(
         [
@@ -5029,7 +4873,7 @@ def q13_customer_distribution(sf_dir: str) -> "Dataset | pa.Table":
     matched-customer total from the (tiny, #distinct-counts-sized)
     count-of-counts table.  Second exchange is O(distinct counts), the
     zipf-spectrum re-combine shape."""
-    counts = _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count()
+    counts = _hagg_auto(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey", [('', 'count_all', 'count()')])
     counts = _scrub_schemaless(counts)
     n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
     out_schema = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
@@ -5052,9 +4896,7 @@ def q13_customer_distribution(sf_dir: str) -> "Dataset | pa.Table":
         return pa.table({"c_count": pc.cast(batch.column("count()"), pa.int64())})
 
     dist = _scrub_schemaless(
-        matched.map_batches(rename, batch_format="pyarrow")
-        .groupby("c_count")
-        .aggregate(Count(alias_name="custdist"))
+        _hagg_auto(matched.map_batches(rename, batch_format="pyarrow"), "c_count", [('', 'count_all', 'custdist')])
     )
     # distinct order-counts per customer is a tiny domain at any corpus
     # size (bounded by the max orders one customer ever placed)
@@ -5329,9 +5171,7 @@ def q15_top_supplier(
         )
 
     per_supp = _scrub_schemaless(
-        li.map_batches(rev, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("rev_c4", alias_name="total_revenue_c4"))
+        _hagg_auto(li.map_batches(rev, batch_format="pyarrow"), "l_suppkey", [('rev_c4', 'sum', 'total_revenue_c4')])
     )
     out_schema = pa.schema(
         [
@@ -5452,7 +5292,7 @@ def q22_dormant_high_balance(
 
     rich = cust.map_batches(above_avg, batch_format="pyarrow")
     counts = _scrub_schemaless(
-        _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count()
+        _hagg_auto(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey", [('', 'count_all', 'count()')])
     )
     if counts is not None:
         cnt_tab = _collect_small(counts, _BCAST_ROW_LIMIT)
@@ -5497,9 +5337,7 @@ def q22_dormant_high_balance(
         dormant = rich  # no orders at all: every rich customer is dormant
 
     agg = _scrub_schemaless(
-        dormant.groupby("c_nationkey").aggregate(
-            Count(alias_name="numcust"), Sum("bal_c", alias_name="totacctbal_c")
-        )
+        _hagg_auto(dormant, "c_nationkey", [('', 'count_all', 'numcust'), ('bal_c', 'sum', 'totacctbal_c')])
     )
     if agg is None:
         return out_schema.empty_table()
@@ -5758,9 +5596,7 @@ def events_daily_anomaly(
         )
 
     day_counts = _scrub_schemaless(
-        ev.map_batches(to_day, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n_events"))
+        _hagg_auto(ev.map_batches(to_day, batch_format="pyarrow"), ["event_type", "day"], [('', 'count_all', 'n_events')])
     )
     out_schema = pa.schema(
         [
@@ -5909,14 +5745,12 @@ def events_cohort_ltv(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     uw = _scrub_schemaless(
-        ds.map_batches(weeks, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "week"])
-        .aggregate(Sum("spend_c", alias_name="spend_c"))
+        _hagg_auto(ds.map_batches(weeks, batch_format="pyarrow", batch_size=None), ["user_id", "week"], [('spend_c', 'sum', 'spend_c')])
     )
     if uw is None:
         return out_schema.empty_table()
     uw = uw.materialize()  # feeds the cohort min AND the cell sum
-    cohort = uw.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    cohort = _hagg_auto(uw, "user_id", [('week', 'min', 'cohort_week')])
     joined = broadcast_lookup_join(
         uw, cohort, on="user_id", right_on="user_id", payload=["cohort_week"]
     )
@@ -5934,9 +5768,7 @@ def events_cohort_ltv(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     res = _scrub_schemaless(
-        joined.map_batches(cell, batch_format="pyarrow")
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(Sum("spend_c", alias_name="spend_c"))
+        _hagg_auto(joined.map_batches(cell, batch_format="pyarrow"), ["cohort_week", "week_offset"], [('spend_c', 'sum', 'spend_c')])
     )
     if res is None:
         return out_schema.empty_table()
@@ -6000,11 +5832,7 @@ def q12_late_shipments(sf_dir: str, grace_days: int = 90) -> "Dataset | pa.Table
         )
 
     res = _scrub_schemaless(
-        fact.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("o_orderpriority")
-        .aggregate(
-            Sum("n_late", alias_name="n_late"), Sum("n_lines", alias_name="n_lines")
-        )
+        _hagg_auto(fact.map_batches(partial, batch_format="pyarrow", batch_size=None), "o_orderpriority", [('n_late', 'sum', 'n_late'), ('n_lines', 'sum', 'n_lines')])
     )
     if res is None:
         return out_schema.empty_table()
@@ -6044,7 +5872,7 @@ def part_cheapest_per_brand(sf_dir: str) -> "Dataset | pa.Table":
 
     rows = part.map_batches(derive, batch_format="pyarrow", batch_size=None).materialize()
     mins = _scrub_schemaless(
-        rows.groupby("p_brand").aggregate(Min("retailprice_c", alias_name="min_c"))
+        _hagg_auto(rows, "p_brand", [('retailprice_c', 'min', 'min_c')])
     )
     if mins is None:
         return out_schema.empty_table()
@@ -6182,13 +6010,7 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
         )
 
     prof = (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(
-            Max("us", alias_name="last_us"),
-            Count(alias_name="n_events"),
-            Sum("spend_c", alias_name="spend_c"),
-        )
+        _hagg_auto(ds.map_batches(derive, batch_format="pyarrow", batch_size=None), "user_id", [('us', 'max', 'last_us'), ('', 'count_all', 'n_events'), ('spend_c', 'sum', 'spend_c')])
         .materialize()
     )
     n_users = prof.count()
@@ -6239,9 +6061,7 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
         )
 
     res = _scrub_schemaless(
-        ranked.groupby(["r_quartile", "f_quartile", "m_quartile"]).aggregate(
-            Count(alias_name="n_users"), Sum("spend_c", alias_name="spend_c")
-        )
+        _hagg_auto(ranked, ["r_quartile", "f_quartile", "m_quartile"], [('', 'count_all', 'n_users'), ('spend_c', 'sum', 'spend_c')])
     )
     if res is None:
         return out_schema.empty_table()
@@ -6290,9 +6110,7 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
         return pa.table({"user_id": batch.column("user_id"), "k": key})
 
     first = (
-        ds.map_batches(enc, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("k", alias_name="k"))
+        _hagg_auto(ds.map_batches(enc, batch_format="pyarrow"), "user_id", [('k', 'min', 'k')])
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -6311,9 +6129,7 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
         return g.rename_columns(["user_id", "n"])
 
     per_user = _scrub_schemaless(
-        ds.map_batches(purchases, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n_purchases"))
+        _hagg_auto(ds.map_batches(purchases, batch_format="pyarrow", batch_size=None), "user_id", [('n', 'sum', 'n_purchases')])
     )
     if per_user is None:
         return out_schema.empty_table()
@@ -6336,9 +6152,7 @@ def events_first_touch_attribution(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     res = _scrub_schemaless(
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("first_touch")
-        .aggregate(Sum("u", alias_name="n_users"), Sum("p", alias_name="n_purchases"))
+        _hagg_auto(joined.map_batches(partial, batch_format="pyarrow", batch_size=None), "first_touch", [('u', 'sum', 'n_users'), ('p', 'sum', 'n_purchases')])
     )
     if res is None:
         return out_schema.empty_table()
@@ -6659,9 +6473,7 @@ def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
         return pa.concat_tables(parts)
 
     counts = _scrub_schemaless(
-        ds.map_batches(combiner, batch_format="pyarrow", batch_size=None)
-        .groupby("k")
-        .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"))
+        _hagg_auto(ds.map_batches(combiner, batch_format="pyarrow", batch_size=None), "k", [('n', 'sum', 'n'), ('nulls', 'sum', 'nulls')])
     )
     if counts is None:
         # unreachable for non-empty input (every called batch emits
@@ -6709,13 +6521,7 @@ def orders_profile(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     agg = _scrub_schemaless(
-        counts.map_batches(enc, batch_format="pyarrow", batch_size=None)
-        .groupby("column")
-        .aggregate(
-            Min("key", alias_name="best"),
-            Sum("one", alias_name="n_distinct"),
-            Sum("nulls", alias_name="n_nulls"),
-        )
+        _hagg_auto(counts.map_batches(enc, batch_format="pyarrow", batch_size=None), "column", [('key', 'min', 'best'), ('one', 'sum', 'n_distinct'), ('nulls', 'sum', 'n_nulls')])
     )
     if agg is None:
         return out_schema.empty_table()
@@ -7062,9 +6868,7 @@ def q11_important_parts(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     pv = (
-        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("l_partkey")
-        .aggregate(Sum("value_c4", alias_name="value_c4"))
+        _hagg_auto(li.map_batches(combine, batch_format="pyarrow", batch_size=None), "l_partkey", [('value_c4', 'sum', 'value_c4')])
         .materialize()
     )
 
@@ -7264,16 +7068,14 @@ def q20_heavy_suppliers(
         )
 
     sq = (
-        li_w.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["pk", "sk"])
-        .aggregate(Sum("q", alias_name="q"))
+        _hagg_auto(li_w.map_batches(combine, batch_format="pyarrow", batch_size=None), ["pk", "sk"], [('q', 'sum', 'q')])
         .materialize()
     )
     sq_clean = _scrub_schemaless(sq)
     if sq_clean is None or sq_clean.count() == 0:
         return out_schema.empty_table()
     sq = sq_clean
-    pt = sq.groupby("pk").aggregate(Sum("q", alias_name="tq"))
+    pt = _hagg_auto(sq, "pk", [('q', 'sum', 'tq')])
     back = broadcast_lookup_join(
         sq, pt, on="pk", right_on="pk", payload=["tq"], fallback_parts=nparts
     )
@@ -7286,7 +7088,7 @@ def q20_heavy_suppliers(
         return batch.filter(keep).select(["sk"])
 
     heavy = (
-        back.map_batches(share, batch_format="pyarrow").groupby("sk").count()
+        _hagg_auto(back.map_batches(share, batch_format="pyarrow"), "sk", [('', 'count_all', 'count()')])
     )
     heavy = _scrub_schemaless(heavy)
     if heavy is None:
@@ -7359,9 +7161,7 @@ def events_hourly_gapfill(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["hour", "n", "value_c"])
 
     hourly = (
-        ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("hour")
-        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+        _hagg_auto(ds.map_batches(combine, batch_format="pyarrow", batch_size=None), "hour", [('n', 'sum', 'n'), ('value_c', 'sum', 'value_c')])
     )
     tab = _collect_small(hourly, 2_000_000)
     if tab is None:
@@ -7700,9 +7500,7 @@ def q2_min_cost_supplier(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     pair = _scrub_schemaless(
-        li.map_batches(pair_min, batch_format="pyarrow", batch_size=None)
-        .groupby(["pk", "sk"])
-        .aggregate(Min("cost_c", alias_name="cost_c"))
+        _hagg_auto(li.map_batches(pair_min, batch_format="pyarrow", batch_size=None), ["pk", "sk"], [('cost_c', 'min', 'cost_c')])
     )
     if pair is None:
         return out_schema.empty_table()
@@ -7728,9 +7526,7 @@ def q2_min_cost_supplier(sf_dir: str) -> "Dataset | pa.Table":
         return pa.table({"pk": batch.column("pk"), "k": key})
 
     best = (
-        pair.map_batches(enc, batch_format="pyarrow")
-        .groupby("pk")
-        .aggregate(Min("k", alias_name="k"))
+        _hagg_auto(pair.map_batches(enc, batch_format="pyarrow"), "pk", [('k', 'min', 'k')])
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -7825,9 +7621,7 @@ def orders_median_by_customer(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     mids = _scrub_schemaless(
-        withn.map_batches(pick, batch_format="pyarrow")
-        .groupby("cust")
-        .aggregate(Sum("part", alias_name="median_c2"))
+        _hagg_auto(withn.map_batches(pick, batch_format="pyarrow"), "cust", [('part', 'sum', 'median_c2')])
     )
     if mids is None:
         return out_schema.empty_table()
@@ -7922,7 +7716,7 @@ def orders_constraints(sf_dir: str) -> "Dataset | pa.Table":
         lambda b: b.filter(pc.is_valid(b.column("o_orderkey"))),
         batch_format="pyarrow",
     )
-    n_distinct = n_valid_keys.groupby("o_orderkey").count().count()
+    n_distinct = _hagg_auto(n_valid_keys, "o_orderkey", [('', 'count_all', 'count()')]).count()
     # FK containment: non-null custkeys absent from customer
     cust_rows = ds.select_columns(["o_custkey"]).map_batches(
         lambda b: b.filter(pc.is_valid(b.column("o_custkey"))),
@@ -8008,9 +7802,7 @@ def part_skyline(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     g = (
-        d.map_batches(per_price_max, batch_format="pyarrow", batch_size=None)
-        .groupby("price_c")
-        .aggregate(Max("ms", alias_name="ms"))
+        _hagg_auto(d.map_batches(per_price_max, batch_format="pyarrow", batch_size=None), "price_c", [('ms', 'max', 'ms')])
         .sort("price_c")
         .materialize()
     )
@@ -8241,15 +8033,11 @@ def events_time_weighted_value(sf_dir: str) -> "Dataset | pa.Table":
         )
     )
     num = (
-        marked.filter(expr="kind == 'd'")
+        _hagg_auto(marked.filter(expr="kind == 'd'")
         .select_columns(["user", "a", "b"])
-        .union(extra)
-        .groupby("user")
-        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .union(extra), "user", [('a', 'sum', 'a'), ('b', 'sum', 'b')])
     )
-    span = sorted_ds.groupby("user_id").aggregate(
-        Min("us", alias_name="t0"), Max("us", alias_name="t1")
-    )
+    span = _hagg_auto(sorted_ds, "user_id", [('us', 'min', 't0'), ('us', 'max', 't1')])
     num_s = _scrub_schemaless(num)
     if num_s is None:
         return out_schema.empty_table()
@@ -8328,9 +8116,7 @@ def lineitem_abc_classes(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     pr = (
-        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("pk")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        _hagg_auto(li.map_batches(combine, batch_format="pyarrow", batch_size=None), "pk", [('rev_c', 'sum', 'rev_c')])
     )
 
     def order_key(batch: pa.Table) -> pa.Table:
@@ -8454,9 +8240,7 @@ def events_modal_type_per_user(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["user_id", "event_type", "cnt"])
 
     counts = (
-        ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        _hagg_auto(ds.map_batches(combine, batch_format="pyarrow", batch_size=None), ["user_id", "event_type"], [('cnt', 'sum', 'cnt')])
     )
 
     def enc(batch: pa.Table) -> pa.Table:
@@ -8475,9 +8259,7 @@ def events_modal_type_per_user(sf_dir: str) -> "Dataset | pa.Table":
         return pa.table({"user_id": batch.column("user_id"), "k": key})
 
     best = (
-        counts.map_batches(enc, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("k", alias_name="k"))
+        _hagg_auto(counts.map_batches(enc, batch_format="pyarrow"), "user_id", [('k', 'min', 'k')])
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -8543,9 +8325,7 @@ def events_type_diversity(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["user_id", "event_type", "cnt"])
 
     counts = (
-        ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        _hagg_auto(ds.map_batches(combine, batch_format="pyarrow", batch_size=None), ["user_id", "event_type"], [('cnt', 'sum', 'cnt')])
     )
 
     _mo_schema = pa.schema(
@@ -8572,9 +8352,7 @@ def events_type_diversity(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["user_id", "n", "s2"])
 
     per_user = (
-        counts.map_batches(moments, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"), Sum("s2", alias_name="s2"))
+        _hagg_auto(counts.map_batches(moments, batch_format="pyarrow", batch_size=None), "user_id", [('n', 'sum', 'n'), ('s2', 'sum', 's2')])
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -8655,9 +8433,7 @@ def events_trend_slope(sf_dir: str) -> "Dataset | pa.Table":
         ).rename_columns(["event_type", "day", "c"])
 
     day_counts = _scrub_schemaless(
-        ev.map_batches(to_day, batch_format="pyarrow", batch_size=None)
-        .groupby(["event_type", "day"])
-        .aggregate(Sum("c", alias_name="c"))
+        _hagg_auto(ev.map_batches(to_day, batch_format="pyarrow", batch_size=None), ["event_type", "day"], [('c', 'sum', 'c')])
     )
     if day_counts is None:
         return out_schema.empty_table()
@@ -8789,9 +8565,7 @@ def supplier_hhi(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     sr = (
-        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("sk")
-        .aggregate(Sum("r", alias_name="r"))
+        _hagg_auto(li.map_batches(combine, batch_format="pyarrow", batch_size=None), "sk", [('r', 'sum', 'r')])
     )
     sr = _scrub_schemaless(sr)
     if sr is None:
@@ -8926,9 +8700,7 @@ def orders_lineitem_reconcile(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by("ok").aggregate([("s", "sum")]).rename_columns(["ok", "s"])
 
     per_order = _scrub_schemaless(
-        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("ok")
-        .aggregate(Sum("s", alias_name="s"))
+        _hagg_auto(li.map_batches(combine, batch_format="pyarrow", batch_size=None), "ok", [('s', 'sum', 's')])
     )
     if per_order is None:
         return out_schema.empty_table()
@@ -9070,13 +8842,7 @@ def events_value_histogram(sf_dir: str, n_bins: int = 20) -> "Dataset | pa.Table
         ).rename_columns(["bin", "n", "lo", "hi"])
 
     red = _scrub_schemaless(
-        cents.map_batches(binit, batch_format="pyarrow", batch_size=None)
-        .groupby("bin")
-        .aggregate(
-            Sum("n", alias_name="n_events"),
-            Min("lo", alias_name="lo_c"),
-            Max("hi", alias_name="hi_c"),
-        )
+        _hagg_auto(cents.map_batches(binit, batch_format="pyarrow", batch_size=None), "bin", [('n', 'sum', 'n_events'), ('lo', 'min', 'lo_c'), ('hi', 'max', 'hi_c')])
     )
     if red is None:
         return out_schema.empty_table()
@@ -9125,9 +8891,7 @@ def _bitmask_pair_overlap(
         )
 
     red = _scrub_schemaless(
-        masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
+        _hagg_auto(masks.map_batches(pair_partial, batch_format="pyarrow", batch_size=None), "pair", [('n', 'sum', 'n')])
     )
     if red is None:
         return None
@@ -9267,15 +9031,13 @@ def events_gap_percentiles(sf_dir: str) -> "Dataset | pa.Table":
 
     # bounded type id map (lexicographic ids: pure function of data)
     tset = _collect_small(
-        ds.map_batches(
+        _hagg_auto(ds.map_batches(
             lambda b: pa.table({"t": b.column("event_type")})
             .group_by("t")
             .aggregate([]),
             batch_format="pyarrow",
             batch_size=None,
-        )
-        .groupby("t")
-        .count(),
+        ), "t", [('', 'count_all', 'count()')]),
         1_000_000,
     )
     if tset is None:
@@ -9436,9 +9198,7 @@ def lineitem_weighted_percentiles(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by("p").aggregate([("w", "sum")]).rename_columns(["p", "w"])
 
     pw = _scrub_schemaless(
-        li.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("p")
-        .aggregate(Sum("w", alias_name="w"))
+        _hagg_auto(li.map_batches(combine, batch_format="pyarrow", batch_size=None), "p", [('w', 'sum', 'w')])
     )
     if pw is None:
         return out_schema.empty_table()
@@ -9536,15 +9296,13 @@ def events_type_audience_overlap(sf_dir: str) -> "Dataset | pa.Table":
     if ds.count() == 0:
         return out_schema.empty_table()
     tset = _collect_small(
-        ds.map_batches(
+        _hagg_auto(ds.map_batches(
             lambda b: pa.table({"t": b.column("event_type")})
             .group_by("t")
             .aggregate([]),
             batch_format="pyarrow",
             batch_size=None,
-        )
-        .groupby("t")
-        .count(),
+        ), "t", [('', 'count_all', 'count()')]),
         1_000_000,
     )
     if tset is None:
@@ -9581,13 +9339,11 @@ def events_type_audience_overlap(sf_dir: str) -> "Dataset | pa.Table":
 
     # distinct (user, bit) globally, then Sum(bit) == OR == type mask
     dist = _scrub_schemaless(
-        ds.map_batches(to_bits, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "bit"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(ds.map_batches(to_bits, batch_format="pyarrow", batch_size=None), ["user_id", "bit"], [('', 'count_all', '_n')])
     )
     if dist is None:
         return out_schema.empty_table()
-    masks = dist.groupby("user_id").aggregate(Sum("bit", alias_name="mask"))
+    masks = _hagg_auto(dist, "user_id", [('bit', 'sum', 'mask')])
     out = _bitmask_pair_overlap(
         masks,
         types_sorted,
@@ -9644,9 +9400,7 @@ def orders_yoy_growth(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     red = _scrub_schemaless(
-        orders.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["y", "m"])
-        .aggregate(Sum("rev", alias_name="rev"))
+        _hagg_auto(orders.map_batches(combine, batch_format="pyarrow", batch_size=None), ["y", "m"], [('rev', 'sum', 'rev')])
     )
     if red is None:
         return out_schema.empty_table()
@@ -9705,15 +9459,13 @@ def doc_length_percentiles_by_lang(sf_dir: str) -> "Dataset | pa.Table":
     if ds.count() == 0:
         return out_schema.empty_table()
     lset = _collect_small(
-        ds.map_batches(
+        _hagg_auto(ds.map_batches(
             lambda b: pa.table({"lang": b.column("lang")})
             .group_by("lang")
             .aggregate([]),
             batch_format="pyarrow",
             batch_size=None,
-        )
-        .groupby("lang")
-        .count(),
+        ), "lang", [('', 'count_all', 'count()')]),
         1_000_000,
     )
     if lset is None:
@@ -9785,9 +9537,7 @@ def events_session_size_hist(
         )
 
     red = _scrub_schemaless(
-        s.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("session_size")
-        .aggregate(Sum("n", alias_name="n_sessions"))
+        _hagg_auto(s.map_batches(combine, batch_format="pyarrow", batch_size=None), "session_size", [('n', 'sum', 'n_sessions')])
     )
     if red is None:
         return out_schema.empty_table()
@@ -9838,15 +9588,13 @@ def events_dau_mau(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by(["day", "user_id"]).aggregate([])
 
     du = (
-        ev.map_batches(to_day_user, batch_format="pyarrow", batch_size=None)
-        .groupby(["day", "user_id"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(ev.map_batches(to_day_user, batch_format="pyarrow", batch_size=None), ["day", "user_id"], [('', 'count_all', '_n')])
     )
     du = _scrub_schemaless(du)
     if du is None:
         return out_schema.empty_table()
     du = du.materialize()  # feeds BOTH the DAU and the MAU reduce
-    dau = du.groupby("day").aggregate(Count(alias_name="dau"))
+    dau = _hagg_auto(du, "day", [('', 'count_all', 'dau')])
 
     _mu_schema = pa.schema([("month", pa.string()), ("user_id", pa.int64())])
 
@@ -9867,11 +9615,9 @@ def events_dau_mau(sf_dir: str) -> "Dataset | pa.Table":
         return t.group_by(["month", "user_id"]).aggregate([])
 
     mau = (
-        du.map_batches(to_month_user, batch_format="pyarrow", batch_size=None)
+        _hagg_auto(du.map_batches(to_month_user, batch_format="pyarrow", batch_size=None)
         .groupby(["month", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .groupby("month")
-        .aggregate(Count(alias_name="mau"))
+        .aggregate(Count(alias_name="_n")), "month", [('', 'count_all', 'mau')])
     )
     dau_tab = _collect_small(dau, 2_000_000)  # calendar-bounded
     mau_tab = _collect_small(mau, 2_000_000)
@@ -9938,9 +9684,7 @@ def events_new_users_weekly(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     firsts = (
-        ev.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(Min("first_us", alias_name="first_us"))
+        _hagg_auto(ev.map_batches(combine, batch_format="pyarrow", batch_size=None), "user_id", [('first_us', 'min', 'first_us')])
     )
 
     _wk_schema = pa.schema([("week", pa.int64()), ("n", pa.int64())])
@@ -9962,9 +9706,7 @@ def events_new_users_weekly(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     red = _scrub_schemaless(
-        firsts.map_batches(weeks, batch_format="pyarrow", batch_size=None)
-        .groupby("week")
-        .aggregate(Sum("n", alias_name="n_new_users"))
+        _hagg_auto(firsts.map_batches(weeks, batch_format="pyarrow", batch_size=None), "week", [('n', 'sum', 'n_new_users')])
     )
     if red is None:
         return out_schema.empty_table()
@@ -10011,9 +9753,7 @@ def events_weekday_hour_heatmap(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     red = _scrub_schemaless(
-        ev.map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .groupby(["iso_dow", "hour"])
-        .aggregate(Sum("n", alias_name="n_events"))
+        _hagg_auto(ev.map_batches(combine, batch_format="pyarrow", batch_size=None), ["iso_dow", "hour"], [('n', 'sum', 'n_events')])
     )
     if red is None:
         return out_schema.empty_table()

@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 
 def _read_embeddings(sf_dir: str) -> Dataset:
     from renard_ray.ops.relational import clean_schema
@@ -190,9 +192,7 @@ def knn_lsh(
         )
 
     cand = (
-        buckets.map_batches(match, batch_format="pyarrow")
-        .groupby(["query_id", "vec_id"])
-        .count()
+        _hagg_auto(buckets.map_batches(match, batch_format="pyarrow"), ["query_id", "vec_id"], [('', 'count_all', 'count()')])
         .select_columns(["query_id", "vec_id"])
     )
 

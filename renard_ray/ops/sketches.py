@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _WS_RE = re.compile(r"\s+")
 
 
@@ -116,9 +118,7 @@ def exact_distinct_words(sf_dir: str) -> int:
         return pa.table({"word": pa.array(ws, pa.string())})
 
     return (
-        ds.map_batches(words, batch_format="pyarrow")
-        .groupby("word")
-        .count()
+        _hagg_auto(ds.map_batches(words, batch_format="pyarrow"), "word", [('', 'count_all', 'count()')])
         .count()
     )
 
@@ -476,11 +476,9 @@ def source_distinct_words_exact(sf_dir: str) -> Dataset:
         )
 
     return (
-        ds.map_batches(pairs, batch_format="pyarrow")
+        _hagg_auto(ds.map_batches(pairs, batch_format="pyarrow")
         .groupby(["source", "word"])
-        .count()
-        .groupby("source")
-        .aggregate(Count(alias_name="distinct_words"))
+        .count(), "source", [('', 'count_all', 'distinct_words')])
         .sort("source")
     )
 

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 
 def salted_groupby_sum(
     ds: Dataset,
@@ -112,12 +114,10 @@ def skew_aware_join(
     # per-key counts, one key-column pass per side (distinct-key sized,
     # distributed); materialized because each is scanned twice below
     lcounts = (
-        left.select_columns([on]).groupby(on)
-        .aggregate(Count(alias_name="n")).materialize()
+        _hagg_auto(left.select_columns([on]), on, [('', 'count_all', 'n')]).materialize()
     )
     rcounts = (
-        right.select_columns([right_on]).groupby(right_on)
-        .aggregate(Count(alias_name="n")).materialize()
+        _hagg_auto(right.select_columns([right_on]), right_on, [('', 'count_all', 'n')]).materialize()
     )
     lhot = {r[on]: r["n"] for r in lcounts.filter(expr=f"n > {hot_threshold}").take_all()}
     rhot = {

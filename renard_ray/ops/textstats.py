@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _WS_RE = re.compile(r"\s+")
 _WORD_RE = re.compile(r"[a-zA-Z']+|[0-9]+|[^\sa-zA-Z0-9']")
 
@@ -87,9 +89,7 @@ def corpus_token_summary(sf_dir: str) -> Dataset:
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("tok", alias_name="n_tokens"), Sum("docs", alias_name="n_docs"))
+        _hagg_auto(ds.map_batches(partial, batch_format="pyarrow"), "source", [('tok', 'sum', 'n_tokens'), ('docs', 'sum', 'n_docs')])
     )
 
 
@@ -304,9 +304,7 @@ def word_topk(sf_dir: str, k: int = 30) -> Dataset:
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
+        _hagg_auto(ds.map_batches(partial, batch_format="pyarrow", batch_size=None), "word", [('n', 'sum', 'n_occurrences')])
     )
     return agg.sort(["n_occurrences", "word"], descending=[True, False]).limit(k)
 
@@ -505,8 +503,7 @@ def cross_doc_dup_ngrams(
     # document-frequency reduce on the ngram key; only the >=2-doc
     # subset leaves this stage
     dup_grams = (
-        pairs.groupby("ngram")
-        .aggregate(Count(alias_name="ndocs"))
+        _hagg_auto(pairs, "ngram", [('', 'count_all', 'ndocs')])
         .filter(expr="ndocs >= 2")
         .select_columns(["ngram"])
     )
@@ -570,8 +567,7 @@ def cross_doc_dup_ngrams(
             )
 
     stats = (
-        marked.groupby("doc_id")
-        .aggregate(Count(alias_name="n_ngrams"), Sum("is_dup", alias_name="n_dup"))
+        _hagg_auto(marked, "doc_id", [('', 'count_all', 'n_ngrams'), ('is_dup', 'sum', 'n_dup')])
         .map_batches(
             lambda b: pa.table(
                 {
@@ -702,10 +698,8 @@ def decontaminate(
         batch_format="pyarrow",
     )
     bench_grams = (
-        tagged.filter(expr="kind == 'v'")
-        .select_columns(["ngram"])
-        .groupby("ngram")
-        .count()
+        _hagg_auto(tagged.filter(expr="kind == 'v'")
+        .select_columns(["ngram"]), "ngram", [('', 'count_all', 'count()')])
         .select_columns(["ngram"])
     )
 
@@ -779,8 +773,7 @@ def decontaminate(
             )
 
     per_doc = (
-        marked.groupby("doc_id")
-        .aggregate(Count(alias_name="n_grams"), Sum("hit", alias_name="n_hits"))
+        _hagg_auto(marked, "doc_id", [('', 'count_all', 'n_grams'), ('hit', 'sum', 'n_hits')])
         .map_batches(
             lambda b: pa.table(
                 {
@@ -1002,9 +995,7 @@ def zipf_spectrum(sf_dir: str) -> Dataset:
     from ray.data.aggregate import Sum
 
     counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
+        _hagg_auto(ds.map_batches(partial, batch_format="pyarrow"), "word", [('n', 'sum', 'n_occurrences')])
     )
 
     def count_of_counts(batch: pa.Table) -> pa.Table:
@@ -1021,9 +1012,7 @@ def zipf_spectrum(sf_dir: str) -> Dataset:
     from renard_ray.ops.relational import drop_empty_blocks
 
     spectrum = (
-        counts.map_batches(count_of_counts, batch_format="pyarrow")
-        .groupby("n_occurrences")
-        .aggregate(Sum("n_words", alias_name="n_words"))
+        _hagg_auto(counts.map_batches(count_of_counts, batch_format="pyarrow"), "n_occurrences", [('n_words', 'sum', 'n_words')])
     )
     # the spectrum has O(sqrt(corpus)) distinct keys — far fewer than
     # the aggregate's partition count, so it emits SCHEMA-LESS empty
@@ -1173,9 +1162,7 @@ def heaps_law_curve(sf_dir: str, n_buckets: int = 10) -> "Dataset | pa.Table":
         )
 
     firsts = (
-        ds.map_batches(first_seen, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Min("fd", alias_name="fd"))
+        _hagg_auto(ds.map_batches(first_seen, batch_format="pyarrow"), "word", [('fd', 'min', 'fd')])
     )
 
     def to_bucket(batch: pa.Table) -> pa.Table:
@@ -1186,9 +1173,7 @@ def heaps_law_curve(sf_dir: str, n_buckets: int = 10) -> "Dataset | pa.Table":
 
     from ray.data.aggregate import Count
 
-    per_bucket = firsts.map_batches(to_bucket, batch_format="pyarrow").groupby(
-        "bucket"
-    ).aggregate(Count(alias_name="new_words"))
+    per_bucket = _hagg_auto(firsts.map_batches(to_bucket, batch_format="pyarrow"), "bucket", [('', 'count_all', 'new_words')])
     # <= n_buckets rows by construction
     tab = None
     rows = per_bucket.take_all()
@@ -1268,9 +1253,7 @@ def bigram_topk(sf_dir: str, k: int = 20) -> Dataset:
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
+        _hagg_auto(ds.map_batches(partial, batch_format="pyarrow", batch_size=None), "bigram", [('n', 'sum', 'n_occurrences')])
     )
     return agg.sort(["n_occurrences", "bigram"], descending=[True, False]).limit(k)
 
@@ -1306,15 +1289,13 @@ def vocab_overlap_by_lang(sf_dir: str) -> "Dataset | pa.Table":
     if ds.count() == 0:
         return out_schema.empty_table()
     lset = _collect_small(
-        ds.map_batches(
+        _hagg_auto(ds.map_batches(
             lambda b: pa.table({"lang": b.column("lang")})
             .group_by("lang")
             .aggregate([]),
             batch_format="pyarrow",
             batch_size=None,
-        )
-        .groupby("lang")
-        .count(),
+        ), "lang", [('', 'count_all', 'count()')]),
         1_000_000,
     )
     if lset is None:
@@ -1349,13 +1330,11 @@ def vocab_overlap_by_lang(sf_dir: str) -> "Dataset | pa.Table":
         return t2.group_by(["word", "bit"]).aggregate([])
 
     dist = _scrub_schemaless(
-        ds.map_batches(to_bits, batch_format="pyarrow", batch_size=None)
-        .groupby(["word", "bit"])
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(ds.map_batches(to_bits, batch_format="pyarrow", batch_size=None), ["word", "bit"], [('', 'count_all', '_n')])
     )
     if dist is None:
         return out_schema.empty_table()
-    masks = dist.groupby("word").aggregate(Sum("bit", alias_name="mask"))
+    masks = _hagg_auto(dist, "word", [('bit', 'sum', 'mask')])
     from renard_ray.ops.relational import _bitmask_pair_overlap
 
     out = _bitmask_pair_overlap(

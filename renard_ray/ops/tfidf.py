@@ -41,6 +41,8 @@ from ray.data.aggregate import Sum
 from .relational import _collect_small, _join_parts_bytes
 from .textstats import _WS_RE, _read_documents
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _DF_LIMIT = 20_000_000  # df-table broadcast budget (rows)
 
 
@@ -76,9 +78,7 @@ def document_frequencies(docs: Dataset) -> Dataset:
         )
 
     return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("df_p", alias_name="df"))
+        _hagg_auto(docs.map_batches(partial, batch_format="pyarrow"), "word", [('df_p', 'sum', 'df')])
     )
 
 

@@ -56,11 +56,10 @@ def _distinct_edges(triples: Dataset) -> Dataset:
         # per-batch distinct before the shuffle (hub pairs repeat a lot)
         return t.group_by(["lo", "hi"]).aggregate([]).select(["lo", "hi"])
 
-    return (
-        triples.map_batches(norm, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .count()
-        .select_columns(["lo", "hi"])
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        triples.map_batches(norm, batch_format="pyarrow"), ["lo", "hi"], []
     )
 
 
@@ -79,10 +78,12 @@ def _degrees(edges: Dataset) -> Dataset:
         g = both.group_by(["node"]).aggregate([("node", "count")])
         return g.select(["node", "node_count"]).rename_columns(["node", "n"])
 
-    return (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("n", alias_name="deg"))
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        [("n", "sum", "deg")],
     )
 
 
@@ -288,10 +289,12 @@ def clustering_coefficient(
         g = t.group_by(["node"]).aggregate([("node", "count")])
         return g.select(["node", "node_count"]).rename_columns(["node", "t"])
 
-    tri_per_node = (
-        closed.map_batches(corners, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("t", alias_name="n_triangles"))
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    tri_per_node = hash_aggregate(
+        closed.map_batches(corners, batch_format="pyarrow"),
+        "node",
+        [("t", "sum", "n_triangles")],
     )
 
     # LEFT-attach counts onto degrees so zero-triangle nodes survive:
@@ -520,12 +523,12 @@ def link_prediction(
 
         pair_partials = joined.map_batches(keep_pairs, batch_format="pyarrow")
 
-    counts = (
-        pair_partials.groupby(["a", "b"])
-        .aggregate(
-            Sum("n", alias_name="common_neighbors"),
-            Sum("aa", alias_name="aa_raw"),
-        )
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    counts = hash_aggregate(
+        pair_partials,
+        ["a", "b"],
+        [("n", "sum", "common_neighbors"), ("aa", "sum", "aa_raw")],
     )
 
     # neighborhood Jaccard |N(a)&N(b)| / |N(a)|N(b)| needs both endpoint
@@ -698,12 +701,13 @@ def ktruss_dataset(
         )
         if n_edges == 0:
             return ray.data.from_arrow(out_schema.empty_table())
-        supp = (
-            closed.map_batches(tri_edge_keys, batch_format="pyarrow")
-            .groupby("key")
-            .aggregate(Sum("n", alias_name="support"))
-            .materialize()
-        )
+        from renard_ray.ops.hashagg import hash_aggregate
+
+        supp = hash_aggregate(
+            closed.map_batches(tri_edge_keys, batch_format="pyarrow"),
+            "key",
+            [("n", "sum", "support")],
+        ).materialize()
         if supp.count() == 0:  # no triangles at all: nothing survives
             return ray.data.from_arrow(out_schema.empty_table())
         enough = supp.filter(expr=f"support >= {k - 2}").select_columns(

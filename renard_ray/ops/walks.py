@@ -41,6 +41,8 @@ from ray.data.aggregate import Count, Min
 
 from renard_ray.ops.graphstats import _distinct_adjacency
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 __all__ = ["random_walks_dataset", "random_walks_bruteforce"]
 
 _U64 = np.uint64
@@ -180,8 +182,7 @@ def random_walks_dataset(
         )
 
     ids = (
-        edges.groupby("src")
-        .aggregate(Count(alias_name="_n"))
+        _hagg_auto(edges, "src", [('', 'count_all', '_n')])
         .select_columns(["src"])
         .map_batches(to_ids, batch_format="pyarrow")
         .materialize()
@@ -374,8 +375,7 @@ def random_walks_dataset(
                 )
 
         winners = (
-            cands.groupby(["w_src", "walk", "salt", "cur"])
-            .aggregate(Min("pick", alias_name="pick"))
+            _hagg_auto(cands, ["w_src", "walk", "salt", "cur"], [('pick', 'min', 'pick')])
         )
 
         def unpack(batch: pa.Table, _step=step) -> pa.Table:

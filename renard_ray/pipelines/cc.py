@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 
 def _distinct_edges(edges: Dataset, u: str = "u", v: str = "v") -> Dataset:
     """Normalize (min,max) order, drop self loops, distinct."""
@@ -46,9 +48,7 @@ def _distinct_edges(edges: Dataset, u: str = "u", v: str = "v") -> Dataset:
         return t
 
     return (
-        edges.map_batches(norm, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .count()
+        _hagg_auto(edges.map_batches(norm, batch_format="pyarrow"), ["u", "v"], [('', 'count_all', 'count()')])
         .select_columns(["u", "v"])
     )
 
@@ -108,7 +108,7 @@ def _star_round(edges: Dataset, large: bool, nparts: int = 2) -> Dataset:
         )
         return pa.table({"node_": batch.column("node"), "m": m})
 
-    mins_m = both.groupby("node").min("nbr").map_batches(
+    mins_m = _hagg_auto(both, "node", [('nbr', 'min', 'min(nbr)')]).map_batches(
         with_m, batch_format="pyarrow"
     )
     joined = both.join(
@@ -195,9 +195,7 @@ def _distributed_cc(edges: Dataset, max_rounds: int = 25) -> Dataset:
 
     roots = cur.map_batches(root_rows, batch_format="pyarrow")
     return (
-        members.union(roots)
-        .groupby("node")
-        .min("label")
+        _hagg_auto(members.union(roots), "node", [('label', 'min', 'min(label)')])
         .map_batches(
             lambda b: pa.table({"node": b.column("node"), "label": b.column("min(label)")}),
             batch_format="pyarrow",

@@ -55,6 +55,8 @@ from ray.data import Dataset
 
 from renard_ray.pipelines.kg import KGConfig, build_kg
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 _LOG = "_ingest_log.jsonl"
 TRIPLE_KEYS = ["subj", "pred", "obj", "block_id"]
 TRIPLE_VALS = ["weight", "polarity"]
@@ -158,7 +160,7 @@ def ingest_snapshot(
         _log_append(graph_dir, row)
         return row
     touched = sorted(
-        r["bucket"] for r in delta.groupby("bucket").count().take_all()
+        r["bucket"] for r in _hagg_auto(delta, "bucket", [('', 'count_all', 'count()')]).take_all()
     )
 
     # prune at the listing: only touched bucket dirs are read

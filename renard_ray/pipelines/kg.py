@@ -29,6 +29,8 @@ from renard_ray.stages.doc_stages import DocKernel, extract_text_batch
 from renard_ray.textproc.document import ALIAS_OF, METRIC, NAME_COUNT, DocConfig
 from renard_ray.pipelines.cc import connected_components
 
+from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
+
 # predicates whose edges are undirected (normalize subj<=obj after relabel)
 UNDIRECTED_PREDS = ("co_occurs_with", "talks_with")
 
@@ -149,10 +151,8 @@ def _dedup_urls_by_join(pages: Dataset, pick_one) -> Dataset:
         return pa.table({"url": batch.column("url"), "w_max": batch.column("wk")})
 
     winners = (
-        tagged.select_columns(["url", "wk"])
-        .map_batches(combine_keys, batch_format="pyarrow")
-        .groupby("url")
-        .max("w_max")
+        _hagg_auto(tagged.select_columns(["url", "wk"])
+        .map_batches(combine_keys, batch_format="pyarrow"), "url", [('w_max', 'max', 'max(w_max)')])
         .map_batches(
             lambda b: pa.table(
                 {"url": b.column("url"), "w_max": b.column("max(w_max)")}
@@ -177,9 +177,7 @@ def _dedup_urls_by_join(pages: Dataset, pick_one) -> Dataset:
     # byte-identical residual ties: key-column count, tiny by nature
     ties = {
         r["url"]
-        for r in masked.select_columns(["url"])
-        .groupby("url")
-        .aggregate(Count(alias_name="n"))
+        for r in _hagg_auto(masked.select_columns(["url"]), "url", [('', 'count_all', 'n')])
         .filter(expr="n > 1")
         .take_all()
     }
@@ -236,9 +234,7 @@ def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Data
     from ray.data.aggregate import Count, Max
 
     stats = (
-        pages.select_columns(["url", "warc_ts"])
-        .groupby("url")
-        .aggregate(Max("warc_ts", alias_name="keep_ts"), Count(alias_name="n"))
+        _hagg_auto(pages.select_columns(["url", "warc_ts"]), "url", [('warc_ts', 'max', 'keep_ts'), ('', 'count_all', 'n')])
         .filter(expr="n > 1")
         .materialize()
     )
@@ -298,10 +294,8 @@ def dedup_pages_by_url(pages: Dataset, broadcast_limit: int = 2_000_000) -> Data
 
     ties = {
         r["url"]
-        for r in masked.select_columns(["url", "warc_ts"])
-        .map_batches(dup_url_col, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Count(alias_name="n"))
+        for r in _hagg_auto(masked.select_columns(["url", "warc_ts"])
+        .map_batches(dup_url_col, batch_format="pyarrow"), "url", [('', 'count_all', 'n')])
         .filter(expr="n > 1")
         .take_all()
     }
@@ -589,9 +583,7 @@ def relabel_and_aggregate(
         # happens when keys are scarcer than partitions
         nparts = 1 if n_rows < 10_000 else max(2, min(512, n_rows // 250_000 + 2))
         canon_counts = (
-            stage_rows.filter(expr=f"pred == {NAME_COUNT!r}")
-            .groupby("subj")
-            .sum("weight")
+            _hagg_auto(stage_rows.filter(expr=f"pred == {NAME_COUNT!r}"), "subj", [('weight', 'sum', 'sum(weight)')])
         )
         # display name per label: join counts with labels, argmax per label
         labeled_counts = canon_counts.join(
@@ -879,9 +871,7 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
         relabel_with_month, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    first_edge = relabeled.groupby(["subj", "pred", "obj"]).aggregate(
-        Min("month", alias_name="first_month")
-    )
+    first_edge = _hagg_auto(relabeled, ["subj", "pred", "obj"], [('month', 'min', 'first_month')])
 
     def node_months(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -904,9 +894,7 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
         return g.rename_columns(["node", "month"])
 
     first_node = (
-        relabeled.map_batches(node_months, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("month", alias_name="first_month"))
+        _hagg_auto(relabeled.map_batches(node_months, batch_format="pyarrow"), "node", [('month', 'min', 'first_month')])
     )
 
     def tag(ent: bool):
@@ -927,13 +915,8 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
         return f
 
     return (
-        first_node.map_batches(tag(True), batch_format="pyarrow")
-        .union(first_edge.map_batches(tag(False), batch_format="pyarrow"))
-        .groupby("month")
-        .aggregate(
-            Sum("n_new_entities", alias_name="n_new_entities"),
-            Sum("n_new_edges", alias_name="n_new_edges"),
-        )
+        _hagg_auto(first_node.map_batches(tag(True), batch_format="pyarrow")
+        .union(first_edge.map_batches(tag(False), batch_format="pyarrow")), "month", [('n_new_entities', 'sum', 'n_new_entities'), ('n_new_edges', 'sum', 'n_new_edges')])
         .sort("month")
     )
 
