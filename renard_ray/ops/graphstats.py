@@ -2338,10 +2338,11 @@ def label_spreading_dataset(
                     )
                 )
             )
-        best = (
-            _hagg_auto(msgs.groupby(["dst", "label"])
-            .aggregate(Sum("w", alias_name="wsum"))
-            .map_batches(argmax_label, batch_format="pyarrow"), "node", [('pk', 'min', 'pk')])
+        best = _hagg_auto(
+            _hagg_auto(msgs, ["dst", "label"], [("w", "sum", "wsum")])
+            .map_batches(argmax_label, batch_format="pyarrow"),
+            "node",
+            [("pk", "min", "pk")],
         )
 
         def decode(batch: pa.Table) -> pa.Table:

@@ -208,7 +208,13 @@ def hash_aggregate(
             size = ds.size_bytes() or 0
         except Exception:
             size = 0
-        num_partitions = max(2, min(1024, size // (64 << 20) + 2))
+        # bytes-scaled reduce width with a small CPU-aware floor: the
+        # output block count IS the downstream parallelism, and a
+        # 2-block result starves any compute-heavy map_batches that
+        # consumes it (extra tiny reduce tasks are near-free — measured
+        # 8 vs 4 partitions identical at 0.10 s on a 581k-row reduce)
+        cpu_floor = min(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = max(2, cpu_floor, min(1024, size // (64 << 20) + 2))
     nparts = int(num_partitions)
 
     splits = [

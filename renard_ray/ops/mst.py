@@ -84,18 +84,13 @@ def _edge_table(triples: Dataset, maximum: bool) -> Dataset:
                 )
         return t
 
-    agg = Min("w", alias_name="w") if not maximum else None
-    grouped = (
-        triples.select_columns(["subj", "obj", "weight"])
-        .map_batches(normalize, batch_format="pyarrow")
-        .groupby(["a", "b"])
+    edges = _hagg_auto(
+        triples.select_columns(["subj", "obj", "weight"]).map_batches(
+            normalize, batch_format="pyarrow"
+        ),
+        ["a", "b"],
+        [("w", "min" if not maximum else "max", "w")],
     )
-    if agg is not None:
-        edges = grouped.aggregate(agg)
-    else:
-        from ray.data.aggregate import Max
-
-        edges = grouped.aggregate(Max("w", alias_name="w"))
 
     def key(batch: pa.Table) -> pa.Table:
         w = batch.column("w")
@@ -215,10 +210,15 @@ def mst_dataset(
             )
 
         chosen_keys = (
-            _hagg_auto(inter.map_batches(fan, batch_format="pyarrow")
-            .groupby("comp")
-            .aggregate(Min("key", alias_name="key")), "key", [('', 'count_all', '_n')])
-            .select_columns(["key"])
+            _hagg_auto(
+                _hagg_auto(
+                    inter.map_batches(fan, batch_format="pyarrow"),
+                    "comp",
+                    [("key", "min", "key")],
+                ),
+                "key",
+                [],
+            )
             .materialize()
         )
         sel = broadcast_semi_join(

@@ -1745,12 +1745,12 @@ def orders_pivot(sf_dir: str) -> Dataset:
         cols["n_total"] = pa.array([1] * batch.num_rows, pa.int64())
         return pa.table(cols)
 
-    aggs = [Sum(col, alias_name=col) for _, col in _PIVOT_PRIORITIES]
-    aggs.append(Sum("n_total", alias_name="n_total"))
-    return (
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
-        .groupby("y")
-        .aggregate(*aggs)
+    spec = [(col, "sum", col) for _, col in _PIVOT_PRIORITIES]
+    spec.append(("n_total", "sum", "n_total"))
+    return _hagg_auto(
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
+        "y",
+        spec,
     )
 
 
@@ -3147,17 +3147,13 @@ def lineitem_corr_qty_price(sf_dir: str) -> Dataset:
             }
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("l_returnflag")
-        .aggregate(
-            *[
-                Sum(c, alias_name=c)
-                for c in (
-                    "n sx sxx sy_hi sy_lo sxy_hi sxy_lo syy_hi syy_lo".split()
-                )
-            ]
-        )
+    merged = _hagg_auto(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "l_returnflag",
+        [
+            (c, "sum", c)
+            for c in "n sx sxx sy_hi sy_lo sxy_hi sxy_lo syy_hi syy_lo".split()
+        ],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -3557,11 +3553,17 @@ def events_active_users(sf_dir: str, window_days: int = 7) -> "Dataset | pa.Tabl
         )
         return t.group_by(["end_day", "user_id"]).aggregate([])
 
-    wau = (
-        _hagg_auto(ud.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
-        .groupby(["end_day", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["end_day"]), "end_day", [('', 'count_all', 'n_wau')])
+    # fan_out is numpy-heavy (w-way outer product + isin): re-widen the
+    # few-block aggregate output to ~cluster width first so the compute
+    # parallelizes, then ONE distinct reduce and the per-day count
+    fan_width = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    fanned = ud.repartition(fan_width).map_batches(
+        fan_out, batch_format="pyarrow", batch_size=None
+    )
+    wau = _hagg_auto(
+        _hagg_auto(fanned, ["end_day", "user_id"], []),
+        "end_day",
+        [("", "count_all", "n_wau")],
     )
 
     out = broadcast_lookup_join(
@@ -4687,8 +4689,8 @@ def events_burstiness(sf_dir: str, min_gaps: int = 5) -> "Dataset | pa.Table":
             )
         )
 
-    agg = moments.groupby("user_id").aggregate(
-        *[Sum(c, alias_name=c) for c in ("n", "s", *_Q)]
+    agg = _hagg_auto(
+        moments, "user_id", [(c, "sum", c) for c in ("n", "s", *_Q)]
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -5525,9 +5527,11 @@ def q8_market_share(
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
     agg = _scrub_schemaless(
-        fact.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("o_year")
-        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "t_hi", "t_lo", "s_hi", "s_lo")])
+        _hagg_auto(
+            fact.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            "o_year",
+            [(c, "sum", c) for c in ("n", "t_hi", "t_lo", "s_hi", "s_lo")],
+        )
     )
     out_schema = pa.schema(
         [
@@ -5645,9 +5649,11 @@ def events_daily_anomaly(
         )
 
     moments = _scrub_schemaless(
-        day_counts.map_batches(moment_partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(*[Sum(k, alias_name=k) for k in ("n", "s", *_SS)])
+        _hagg_auto(
+            day_counts.map_batches(moment_partial, batch_format="pyarrow"),
+            "event_type",
+            [(k, "sum", k) for k in ("n", "s", *_SS)],
+        )
     )
     if moments is None:
         return out_schema.empty_table()
@@ -8474,11 +8480,13 @@ def events_trend_slope(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     moments = _scrub_schemaless(
-        day_counts.map_batches(
-            moment_partial, batch_format="pyarrow", batch_size=None
+        _hagg_auto(
+            day_counts.map_batches(
+                moment_partial, batch_format="pyarrow", batch_size=None
+            ),
+            "event_type",
+            [(k, "sum", k) for k in _MOM],
         )
-        .groupby("event_type")
-        .aggregate(*[Sum(k, alias_name=k) for k in _MOM])
     )
     if moments is None:
         return out_schema.empty_table()
@@ -8617,9 +8625,13 @@ def supplier_hhi(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     nat = _scrub_schemaless(
-        withnat.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("s_nationkey")
-        .aggregate(*[Sum(k, alias_name=k) for k in _NM])
+        _hagg_auto(
+            withnat.map_batches(
+                nation_partial, batch_format="pyarrow", batch_size=None
+            ),
+            "s_nationkey",
+            [(k, "sum", k) for k in _NM],
+        )
     )
     if nat is None:
         return out_schema.empty_table()
@@ -8748,9 +8760,13 @@ def orders_lineitem_reconcile(sf_dir: str) -> "Dataset | pa.Table":
         )
 
     red = _scrub_schemaless(
-        withhdr.map_batches(status_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("st")
-        .aggregate(*[Sum(k, alias_name=k) for k in _P])
+        _hagg_auto(
+            withhdr.map_batches(
+                status_partial, batch_format="pyarrow", batch_size=None
+            ),
+            "st",
+            [(k, "sum", k) for k in _P],
+        )
     )
     if red is None:
         return out_schema.empty_table()
@@ -8973,11 +8989,10 @@ def _grouped_disc_percentiles(
         )
 
     sel = _scrub_schemaless(
-        withn.map_batches(pick, batch_format="pyarrow")
-        .groupby("cust")
-        .aggregate(
-            Max("n", alias_name=n_alias),
-            *[Sum(name, alias_name=name) for name in names],
+        _hagg_auto(
+            withn.map_batches(pick, batch_format="pyarrow"),
+            "cust",
+            [("n", "max", n_alias)] + [(name, "sum", name) for name in names],
         )
     )
     if sel is None:
@@ -9614,10 +9629,16 @@ def events_dau_mau(sf_dir: str) -> "Dataset | pa.Table":
         )
         return t.group_by(["month", "user_id"]).aggregate([])
 
-    mau = (
-        _hagg_auto(du.map_batches(to_month_user, batch_format="pyarrow", batch_size=None)
-        .groupby(["month", "user_id"])
-        .aggregate(Count(alias_name="_n")), "month", [('', 'count_all', 'mau')])
+    mau = _hagg_auto(
+        _hagg_auto(
+            du.map_batches(
+                to_month_user, batch_format="pyarrow", batch_size=None
+            ),
+            ["month", "user_id"],
+            [],
+        ),
+        "month",
+        [("", "count_all", "mau")],
     )
     dau_tab = _collect_small(dau, 2_000_000)  # calendar-bounded
     mau_tab = _collect_small(mau, 2_000_000)

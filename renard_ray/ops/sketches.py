@@ -476,9 +476,15 @@ def source_distinct_words_exact(sf_dir: str) -> Dataset:
         )
 
     return (
-        _hagg_auto(ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["source", "word"])
-        .count(), "source", [('', 'count_all', 'distinct_words')])
+        _hagg_auto(
+            _hagg_auto(
+                ds.map_batches(pairs, batch_format="pyarrow"),
+                ["source", "word"],
+                [],
+            ),
+            "source",
+            [("", "count_all", "distinct_words")],
+        )
         .sort("source")
     )
 

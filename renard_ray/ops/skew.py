@@ -50,15 +50,13 @@ def salted_groupby_sum(
         )
         return batch.append_column("_salt", salt)
 
-    phase1 = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(key_cols + ["_salt"])
-        .aggregate(*[Sum(v, alias_name=v) for v in value_cols])
+    spec = [(v, "sum", v) for v in value_cols]
+    phase1 = _hagg_auto(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        list(key_cols) + ["_salt"],
+        spec,
     )
-    phase2 = phase1.groupby(key_cols).aggregate(
-        *[Sum(v, alias_name=v) for v in value_cols]
-    )
-    return phase2
+    return _hagg_auto(phase1, list(key_cols), spec)
 
 
 def skew_aware_join(

@@ -77,11 +77,13 @@ def _add_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
 
 
 def _merge(ds: Dataset) -> Dataset:
-    agg = ds.groupby(TRIPLE_KEYS).aggregate(
-        ray.data.aggregate.Sum("weight", alias_name="weight"),
-        ray.data.aggregate.Sum("polarity", alias_name="polarity"),
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        ds,
+        list(TRIPLE_KEYS),
+        [("weight", "sum", "weight"), ("polarity", "sum", "polarity")],
     )
-    return agg
 
 
 def _log_append(graph_dir: str, row: dict) -> None:

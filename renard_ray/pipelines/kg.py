@@ -623,10 +623,16 @@ def relabel_and_aggregate(
 
         from ray.data.aggregate import Min as _Min
 
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg_kg
+
         display = (
-            labeled_counts.map_batches(_encode_pick_key, batch_format="pyarrow")
-            .groupby("label")
-            .aggregate(_Min("enc", alias_name="enc_min"))
+            _hagg_kg(
+                labeled_counts.map_batches(
+                    _encode_pick_key, batch_format="pyarrow"
+                ),
+                "label",
+                [("enc", "min", "enc_min")],
+            )
             .map_batches(
                 lambda b: pa.table(
                     {
@@ -686,14 +692,13 @@ def relabel_and_aggregate(
 
         relabeled = step2.map_batches(_apply_obj, batch_format="pyarrow")
 
-    agg = (
-        relabeled.groupby(["subj", "pred", "obj", "block_id"])
-        .aggregate(
-            ray.data.aggregate.Sum("weight", alias_name="weight"),
-            ray.data.aggregate.Sum("polarity", alias_name="polarity"),
-        )
+    from renard_ray.ops.hashagg import hash_aggregate as _hagg_kg2
+
+    return _hagg_kg2(
+        relabeled,
+        ["subj", "pred", "obj", "block_id"],
+        [("weight", "sum", "weight"), ("polarity", "sum", "polarity")],
     )
-    return agg
 
 
 def build_kg(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
@@ -960,11 +965,14 @@ def snapshot_diff(old: Dataset, new: Dataset) -> Dataset:
                 }
             )
 
-        return (
-            ds.select_columns(["subj", "pred", "obj", "weight"])
-            .map_batches(derive, batch_format="pyarrow")
-            .groupby(["subj", "pred", "obj"])
-            .aggregate(Sum(out, alias_name=out))
+        from renard_ray.ops.hashagg import hash_aggregate as _hagg_kg3
+
+        return _hagg_kg3(
+            ds.select_columns(["subj", "pred", "obj", "weight"]).map_batches(
+                derive, batch_format="pyarrow"
+            ),
+            ["subj", "pred", "obj"],
+            [(out, "sum", out)],
         )
 
     empty = pa.table(
