@@ -324,11 +324,19 @@ def main() -> None:
             # as it does at the 100 TB design point; median of 3 fresh
             # processes per CPU count (BASELINE.md protocol) — the
             # sandbox host is noisy
+            # the scaling corpus must be large enough that per-job
+            # fixed cost is noise at BOTH cpu counts — after the
+            # round-3 aggregate rewrite the 4-cpu side got 47% faster,
+            # so the old 400k-page corpus under-weighted compute
+            # (Amdahl shrinks the measured ratio even though both
+            # configs sped up); 200 pages/doc = 1M pages at sf0.1
+            # restores a compute-dominated measurement
+            scale_ppd = max(200, args.pages_per_doc)
             tputs = []
             for _ in range(3):
                 proc = subprocess.run(
                     [sys.executable, __file__, "--sf-dir", args.sf_dir, "--cpus", str(cpus),
-                     "--kg-only", "--pages-per-doc", "80", "--repeats", "1"],
+                     "--kg-only", "--pages-per-doc", str(scale_ppd), "--repeats", "1"],
                     capture_output=True,
                     text=True,
                     cwd=REPO,

@@ -165,9 +165,32 @@ def label_propagation(
         batch_format="pyarrow",
     ).materialize()
 
+    prev_pairs = None
     for _ in range(n_iter):
         lab_tab = _collect_small(labels, limit)
         if lab_tab is not None:
+            # fixpoint early-exit, free on this path: the round's label
+            # table is ALREADY collected for the broadcast — once no
+            # label changed, every further synchronous round is a
+            # provable no-op (same votes -> same argmax), so the result
+            # equals the full n_iter run
+            cur_pairs = lab_tab.sort_by("node").combine_chunks()
+            if (
+                prev_pairs is not None
+                and cur_pairs.num_rows == prev_pairs.num_rows
+                and pc.all(
+                    pc.and_(
+                        pc.equal(
+                            cur_pairs.column("node"), prev_pairs.column("node")
+                        ),
+                        pc.equal(
+                            cur_pairs.column("lab"), prev_pairs.column("lab")
+                        ),
+                    )
+                ).as_py()
+            ):
+                break
+            prev_pairs = cur_pairs
             ref = ray.put(lab_tab.combine_chunks())
 
             def vote(batch: pa.Table) -> pa.Table:
