@@ -47,6 +47,19 @@ Determinism: all house aggregates are exact-integer (sums/counts/
 min/max over int64/string), so results are independent of partition
 and arrival order; output ROW order depends on the partitioning like
 any shuffle — callers sort downstream when order matters.
+
+Extreme block counts (100 TB honest): the exchange is N input blocks
+× P partitions objects, same as Ray's own pull-based shuffle.  At
+~10^5-10^6 input blocks (a raw 100 TB scan) N×P object metadata
+dominates ANY single-level exchange — Ray's builtin included (its
+N×N is strictly worse).  Callers at that scale feed this helper what
+the house already feeds it everywhere: a per-batch-combined table
+(bounded by distinct-keys × blocks) optionally pre-coalesced with a
+linear `repartition(target_num_rows_per_block=...)` so N stays in the
+thousands.  A raw fact-scale groupby with corpus-sized key cardinality
+(exact dedup's md5 pass) is an irreducible full shuffle in any engine
+and belongs to a push-based/tree exchange — out of scope here and
+called out at the call site.
 """
 
 from __future__ import annotations

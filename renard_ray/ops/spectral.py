@@ -226,11 +226,12 @@ def spectral_embedding_dataset(
                 cur, join_type="inner", num_partitions=nparts,
                 on=("src",), right_on=("node",),
             )
-        Ysum = (
-            joined
-            .map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(*[Sum(f"c{j}", alias_name=f"s{j}") for j in range(dim)])
+        from renard_ray.ops.hashagg import hash_aggregate
+
+        Ysum = hash_aggregate(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            "dst",
+            [(f"c{j}", "sum", f"s{j}") for j in range(dim)],
         )
 
         def to_float(batch: pa.Table) -> pa.Table:
