@@ -1378,6 +1378,7 @@ def scc_dataset(
     max_outer: int = 30,
     max_prop: int = 60,
     broadcast_limit: int | None = None,
+    driver_limit: int = 2_000_000,
 ) -> Dataset:
     """Strongly connected components of the DIRECTED KG (subj -> obj),
     by trim + forward coloring + backward collection (Orzan-style —
@@ -1431,6 +1432,92 @@ def scc_dataset(
     )
     if edges is not None:
         edges = drop_empty_blocks(hash_aggregate(edges, ["src", "dst"], []))
+
+    # size-adaptive fast path (house convention, cf. connected
+    # components' driver union-find): the distributed trim/color/
+    # collect loop costs ~60 bounded executions — correct at any
+    # scale but pure overhead when the DISTINCT edge list fits the
+    # driver budget.  Under ``driver_limit`` edges, collect and run
+    # iterative Tarjan; labels = the MAX member name, which is exactly
+    # what the distributed color fixpoint yields (within one SCC every
+    # node reaches every other, so the surviving color is the max
+    # name; trim singletons carry their own name = their max).  Tests
+    # force ``driver_limit=0`` to exercise the distributed path.
+    if edges is not None:
+        edges = edges.materialize()
+        n_edges = edges.count()
+        if n_edges == 0:
+            edges = None
+        elif n_edges <= driver_limit:
+            tab = pa.concat_tables(
+                [ray.get(r) for r in edges.to_arrow_refs()]
+            )
+            src = tab.column("src").to_pylist()
+            dst = tab.column("dst").to_pylist()
+            adj: dict = {}
+            for a, b in zip(src, dst):
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, [])
+            # iterative Tarjan
+            index: dict = {}
+            low: dict = {}
+            on_stack: set = set()
+            stack: list = []
+            comps: list = []
+            counter = [0]
+            for root in adj:
+                if root in index:
+                    continue
+                work = [(root, 0)]
+                while work:
+                    v, pi = work[-1]
+                    if pi == 0:
+                        index[v] = low[v] = counter[0]
+                        counter[0] += 1
+                        stack.append(v)
+                        on_stack.add(v)
+                    recurse = False
+                    nbrs = adj[v]
+                    for i in range(pi, len(nbrs)):
+                        w = nbrs[i]
+                        if w not in index:
+                            work[-1] = (v, i + 1)
+                            work.append((w, 0))
+                            recurse = True
+                            break
+                        if w in on_stack:
+                            low[v] = min(low[v], index[w])
+                    if recurse:
+                        continue
+                    if low[v] == index[v]:
+                        comp = []
+                        while True:
+                            w = stack.pop()
+                            on_stack.discard(w)
+                            comp.append(w)
+                            if w == v:
+                                break
+                        comps.append(comp)
+                    work.pop()
+                    if work:
+                        u, _ = work[-1]
+                        low[u] = min(low[u], low[v])
+            nodes_out, sccs_out, sizes_out = [], [], []
+            for comp in comps:
+                lab = max(comp)
+                for n in comp:
+                    nodes_out.append(n)
+                    sccs_out.append(lab)
+                    sizes_out.append(len(comp))
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nodes_out, pa.string()),
+                        "scc": pa.array(sccs_out, pa.string()),
+                        "scc_size": pa.array(sizes_out, pa.int64()),
+                    }
+                )
+            )
 
     done_parts: list[Dataset] = []  # (node, scc) fragments
 

@@ -2958,8 +2958,8 @@ def test_scc_matches_tarjan(ray_session):
             )
         )
 
-    def check(pairs):
-        df = scc_dataset(triples(pairs)).to_pandas()
+    def check(pairs, driver_limit=2_000_000):
+        df = scc_dataset(triples(pairs), driver_limit=driver_limit).to_pandas()
         got_groups = df.groupby("scc")["node"].apply(frozenset)
         got = {}
         for _, members in got_groups.items():
@@ -2981,6 +2981,12 @@ def test_scc_matches_tarjan(ray_session):
     nodes = [f"n{i}" for i in range(24)]
     pairs = [tuple(rng.sample(nodes, 2)) for _ in range(55)]
     check(pairs)
+    # force the DISTRIBUTED trim/color/collect path on the same
+    # graphs (driver_limit=0 disables the size-adaptive Tarjan)
+    check(pairs, driver_limit=0)
+    check([("a", "b"), ("b", "c"), ("c", "a"), ("c", "x"),
+           ("x", "y"), ("y", "x"), ("y", "z"), ("s", "s"), ("s", "a")],
+          driver_limit=0)
 
 
 def test_pmi_matches_pandas_oracle_both_paths(ray_session):
