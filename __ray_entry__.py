@@ -1274,13 +1274,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Newman modularity of the LPA communities (split-square
         # limb encoding for d_c^2 past int64); rows-only — pytest pins
         # a planted two-community replica
-        "kg_modularity": lambda sf: __import__(
-            "renard_ray.ops.communities", fromlist=["modularity_dataset"]
-        ).modularity_dataset(
-            kg_triples(sf),
+        # build the triple table ONCE and feed both consumers — the
+        # KG construction from pages is the dominant cost here
+        "kg_modularity": lambda sf: (
+            lambda _c, tri: _c.modularity_dataset(
+                tri, _c.label_propagation(tri, n_iter=6)
+            )
+        )(
             __import__(
-                "renard_ray.ops.communities", fromlist=["label_propagation"]
-            ).label_propagation(kg_triples(sf), n_iter=6),
+                "renard_ray.ops.communities",
+                fromlist=["modularity_dataset", "label_propagation"],
+            ),
+            kg_triples(sf).materialize(),
         ),
         # rich-club coefficient phi(k): do hubs wire to each other?
         # (degree reduce + distinct pairs + per-k broadcast hub mask);

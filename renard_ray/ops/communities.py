@@ -129,15 +129,60 @@ def label_propagation(
     weight_col: str | None = None,
     broadcast_limit: int | None = None,
     num_partitions: int | None = None,
+    driver_limit: int = 200_000,
 ) -> Dataset:
     """(node, community) after ``n_iter`` synchronous LPA rounds over
     the undirected graph of the triple table.  With ``weight_col``,
     votes are weighted by the summed edge weight (exact integer
     centi-weights), the standard weighted-LPA variant — co-occurrence
-    strength decides contested nodes instead of raw neighbor counts."""
+    strength decides contested nodes instead of raw neighbor counts.
+
+    Size-adaptive (house convention): when the REDUCED weighted edge
+    list fits ``driver_limit`` rows, the synchronous rounds run as a
+    plain driver loop over the collected pairs — the distributed loop
+    costs ~4 bounded executions per round, pure scheduling overhead on
+    a small graph.  Identical semantics (same reduced centi-weights,
+    ties -> min label, fixpoint early exit); tests force
+    ``driver_limit=0`` to exercise the distributed rounds."""
     limit = _LABEL_LIMIT if broadcast_limit is None else broadcast_limit
     nparts = num_partitions or max(2, _join_parts_bytes(triples))
     edges = _weighted_edges(triples, weight_col).materialize()
+
+    if edges.count() <= driver_limit:
+        lo: list = []
+        hi: list = []
+        wi: list = []
+        for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            lo.extend(b.column("lo").to_pylist())
+            hi.extend(b.column("hi").to_pylist())
+            wi.extend(b.column("wi").to_pylist())
+        adj: dict = {}
+        for u, v, w in zip(lo, hi, wi):
+            adj.setdefault(u, {})[v] = w
+            adj.setdefault(v, {})[u] = w
+        lab = {v: v for v in adj}
+        for _ in range(n_iter):
+            new_lab = {}
+            for v, nbrs in adj.items():
+                counts: dict = {}
+                for u, w in nbrs.items():
+                    counts[lab[u]] = counts.get(lab[u], 0) + w
+                top = max(counts.values())
+                new_lab[v] = min(l for l, c in counts.items() if c == top)
+            if new_lab == lab:  # fixpoint: further rounds are no-ops
+                break
+            lab = new_lab
+        nodes_sorted = sorted(lab)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes_sorted, pa.string()),
+                    "community": pa.array(
+                        [lab[v] for v in nodes_sorted], pa.string()
+                    ),
+                }
+            )
+        )
 
     def both(batch: pa.Table) -> pa.Table:
         lo = batch.column("lo").combine_chunks()
@@ -305,7 +350,10 @@ def _sq_limbs(vals: "np.ndarray") -> tuple[int, int, int, int, int, int]:
 
 
 def modularity_dataset(
-    triples: Dataset, labels: Dataset, label_limit: int = 4_000_000
+    triples: Dataset,
+    labels: Dataset,
+    label_limit: int = 4_000_000,
+    driver_limit: int = 2_000_000,
 ) -> Dataset:
     """Exact Newman modularity Q of a community assignment over the
     undirected multigraph (self-loops dropped, parallel edges counted)
@@ -346,6 +394,57 @@ def modularity_dataset(
         )
 
     lab = labels.materialize()
+
+    # size-adaptive fast path (house convention): Q is a pure function
+    # of the collected (src, dst) edge rows and the label map — under
+    # ``driver_limit`` edge rows both fit the driver comfortably and
+    # the 8-execution distributed plan is pure scheduling overhead.
+    # EXACT same integer arithmetic (counts + Fraction ppm); tests
+    # force ``driver_limit=0`` to exercise the distributed plan.
+    if m <= driver_limit and lab.count() <= driver_limit:
+        et = pa.concat_tables(
+            [ray.get(r) for r in edges.to_arrow_refs()]
+        )
+        lt = pa.concat_tables([ray.get(r) for r in lab.to_arrow_refs()])
+        lmap = dict(
+            zip(lt.column("node").to_pylist(), lt.column("community").to_pylist())
+        )
+        src = et.column("src").to_pylist()
+        dst = et.column("dst").to_pylist()
+        l_in = 0
+        deg: dict = {}
+        for u, v in zip(src, dst):
+            if lmap.get(u) == lmap.get(v) and u in lmap:
+                l_in += 1
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        # unlabeled endpoints drop from d_c exactly as the distributed
+        # plan's inner lookup join drops them
+        dc: dict = {}
+        for n, d in deg.items():
+            if n in lmap:
+                c = lmap[n]
+                dc[c] = dc.get(c, 0) + d
+        sum_d2 = sum(d * d for d in dc.values())
+        num = 4 * m * l_in - sum_d2
+        den = 4 * m * m
+        f = Fraction(1_000_000 * num, den)
+        ppm = (
+            (f.numerator * 2 + f.denominator) // (2 * f.denominator)
+            if f >= 0
+            else -((-f.numerator * 2 + f.denominator) // (2 * f.denominator))
+        )
+        ppm = int(ppm)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([m], pa.int64()),
+                    "n_communities": pa.array([len(dc)], pa.int64()),
+                    "modularity_ppm": pa.array([ppm], pa.int64()),
+                }
+            )
+        )
+
     e1 = broadcast_lookup_join(
         edges, lab, on="src", right_on="node", payload=["community"],
         limit=label_limit,

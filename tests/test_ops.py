@@ -1335,7 +1335,11 @@ def test_label_propagation_matches_oracle(ray_session):
     edges = sorted(edges)
     want = label_propagation_oracle(edges, n_iter=6)
 
-    for kwargs in ({}, {"broadcast_limit": 0}):
+    for kwargs in (
+        {},
+        {"driver_limit": 0},
+        {"broadcast_limit": 0, "driver_limit": 0},
+    ):
         got = label_propagation(triples(edges), n_iter=6, **kwargs).to_pandas()
         assert len(got) == len(want)
         got_map = dict(zip(got["node"], got["community"]))
@@ -1621,7 +1625,11 @@ def test_weighted_label_propagation_matches_oracle(ray_session):
             )
     want = label_propagation_oracle(edges, n_iter=5)
 
-    for kwargs in ({}, {"broadcast_limit": 0}):
+    for kwargs in (
+        {},
+        {"driver_limit": 0},
+        {"broadcast_limit": 0, "driver_limit": 0},
+    ):
         got = label_propagation(
             triples(edges), n_iter=5, weight_col="weight", **kwargs
         ).to_pandas()
@@ -6495,6 +6503,13 @@ def test_modularity(ray_session):
 
     for mapping in (true_part, one_part, bad_part):
         row = modularity_dataset(tri, labels(mapping)).to_pandas().iloc[0]
+        drow = (
+            modularity_dataset(tri, labels(mapping), driver_limit=0)
+            .to_pandas()
+            .iloc[0]
+        )
+        assert int(drow["modularity_ppm"]) == int(row["modularity_ppm"])
+        assert int(drow["n_communities"]) == int(row["n_communities"])
         assert int(row["n_edges"]) == 13
         assert int(row["modularity_ppm"]) == replica(mapping)
     assert replica(true_part) > 300_000
