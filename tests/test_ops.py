@@ -487,6 +487,16 @@ def test_graphstats_distributed_matches_pandas_oracle(ray_session):
     assert got_pr["node"].tolist() == want_pr["node"].tolist()
     assert np.allclose(got_pr["rank"], want_pr["rank"], atol=1e-6)
 
+    # force the per-iteration distributed contrib pass with the driver
+    # lexsort merge (driver_edge_limit=0 disables the local numpy loop)
+    got_bc = (
+        pagerank_dataset(ds, k=10, driver_edge_limit=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert got_bc["node"].tolist() == want_pr["node"].tolist()
+    assert np.allclose(got_bc["rank"], want_pr["rank"], atol=1e-6)
+
     # force the distributed fixed-point groupby merge (still broadcast)
     got_dm = (
         pagerank_dataset(ds, k=10, driver_merge_limit=1)
