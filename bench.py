@@ -374,22 +374,56 @@ def main() -> None:
         ({}, {}) if args.kg_only else run_query_suite(args.sf_dir, repeats=repeats)
     )
     total = kg["sec"] + sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "aggregation": f"median of {repeats} runs per query",
-                "repeats": repeats,
-                "queries": {"kg_flagship": round(kg["sec"], 3), **queries},
-                "query_runs": {"kg_flagship": kg["runs"], **query_runs},
-                "kg_flagship": {k: round(v, 3) if isinstance(v, float) else v for k, v in kg.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "num_cpus": args.cpus,
-            }
-        )
-    )
+    # Full per-query medians + raw run lists go to a sidecar file (and an
+    # earlier stdout line): the driver captures only the TAIL of stdout
+    # (~2000 chars), so the FINAL line must stay compact — round 3's
+    # BENCH_r03.json came back "parsed": null because the one-line JSON
+    # carried 132 query_runs lists and overflowed the capture window.
+    full_payload = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "aggregation": f"median of {repeats} runs per query",
+        "repeats": repeats,
+        "queries": {"kg_flagship": round(kg["sec"], 3), **queries},
+        "query_runs": {"kg_flagship": kg["runs"], **query_runs},
+        "kg_flagship": {k: round(v, 3) if isinstance(v, float) else v for k, v in kg.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": args.cpus,
+    }
+    if not args.kg_only:  # scaling subprocesses must not clobber the sidecar
+        with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
+            json.dump(full_payload, f, indent=1)
+    print(json.dumps(full_payload, separators=(",", ":")))
+    # Headline subset = the round-2 comparable suite; keeps the final
+    # line under the driver's capture window while the sidecar holds
+    # every median + run list.
+    headline = [
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "events_type_stats", "events_hourly_activity", "doc_token_stats",
+        "doc_exact_dedup", "doc_minhash_dedup", "knn_bruteforce", "knn_ivf",
+        "q6_forecast_revenue", "events_sessionize", "events_asof_last_purchase",
+    ]
+    compact = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "aggregation": f"median of {repeats} runs per query; sum over {1 + len(queries)} entries",
+        "repeats": repeats,
+        "n_queries": 1 + len(queries),
+        "queries": {
+            "kg_flagship": round(kg["sec"], 3),
+            **{k: queries[k] for k in headline if k in queries},
+        },
+        "kg_flagship": {
+            k: round(v, 3) if isinstance(v, float) else v
+            for k, v in kg.items() if k != "runs"
+        },
+        "all_medians_in": "BENCH_full.json",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": args.cpus,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     import ray
 
     ray.shutdown()
