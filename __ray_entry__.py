@@ -82,6 +82,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from renard_ray.ops import dedup, relational, similarity, sketches, textstats
+    from renard_ray.ops import tradegraph
     from renard_ray.ops import kmeans as kmeans_ops
     from renard_ray.ops import packing
     from renard_ray.ops import tfidf
@@ -1740,6 +1741,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_csv_roundtrip": lambda sf: __import__(
             "renard_ray.sources.csvio", fromlist=["documents_csv_roundtrip"]
         ).documents_csv_roundtrip(sf),
+        # ------------------------------------------------- trade graph
+        # The graph-analytics operators over an SQL-derivable edge
+        # table (ops/tradegraph.py): same engine code the kg_* entries
+        # exercise, but with driver-visible value-hash-exact DuckDB
+        # oracles (the events_bipartite_assortativity pattern applied
+        # to the whole graph family).
+        "trade_graph_degree": tradegraph.trade_graph_degree,
+        "trade_graph_top_degree": tradegraph.trade_graph_top_degree,
+        "trade_graph_pagerank": tradegraph.trade_graph_pagerank,
+        "trade_graph_reciprocity": tradegraph.trade_graph_reciprocity,
+        "trade_graph_summary": tradegraph.trade_graph_summary,
+        "trade_graph_triangles": tradegraph.trade_graph_triangles,
+        "trade_graph_clustering": tradegraph.trade_graph_clustering,
+        "trade_graph_neighborhood_stats": tradegraph.trade_graph_neighborhood_stats,
+        "trade_graph_rich_club": tradegraph.trade_graph_rich_club,
+        "trade_graph_bfs_hops": tradegraph.trade_graph_bfs_hops,
+        "trade_graph_components": tradegraph.trade_graph_components,
+        "trade_graph_scc": tradegraph.trade_graph_scc,
+        "trade_graph_kcore": tradegraph.trade_graph_kcore,
+        "trade_graph_link_prediction": tradegraph.trade_graph_link_prediction,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -1778,7 +1799,7 @@ _LANG_SQL = {
 def oracle_sql() -> dict[str, str]:
     # SQL string literal: embedded single quotes doubled
     word_token_re = r"[a-zA-Z'']+|[0-9]+|[^\sa-zA-Z0-9'']"
-    return {
+    base = {
         # money aggregates are exact integer cents on BOTH sides:
         # per-row CAST(ROUND(x*100)) then integer SUM — bit-identical
         # regardless of summation order (float SUMs would differ in the
@@ -4243,4 +4264,375 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id HAVING COUNT(*) = 2
             ORDER BY doc_id
         """,
+        # CMS heavy hitters vs the EXACT top-k: at the gate's corpus
+        # the sketch is collision-free (width 16384 >> distinct words;
+        # estimate == true count for every candidate, deterministic
+        # given the fixed md5 row hashes), and every true top-k word is
+        # a per-batch candidate (candidates_per_batch 64 >= vocabulary)
+        # — so the one-sided CMS bound collapses to equality and the
+        # sketch output IS the exact answer, hash-checkable.
+        "doc_word_topk_cms": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x <> '')) AS w
+                FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            )
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n_est
+            FROM toks GROUP BY w ORDER BY n_est DESC, word LIMIT 20
+        """,
+        # add-0.5-smoothed bigram perplexity, fully re-derived in SQL:
+        # same whitespace tokenize, same (c + 0.5) / (c1 + 0.5 V)
+        # transition model trained on the corpus itself, half-even
+        # round 4 (round_even = np.round) absorbs libm ln/exp ulp and
+        # summation-order differences
+        "doc_perplexity": r"""
+            WITH tok2 AS (
+                SELECT doc_id, COALESCE(list_filter(
+                    regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x <> ''), []) AS ws
+                FROM documents
+            ),
+            trans AS (
+                SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS w1,
+                       unnest(ws[2:len(ws)]) AS w2
+                FROM tok2 WHERE len(ws) >= 2
+            ),
+            big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM trans GROUP BY w1, w2),
+            ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1
+                    FROM big GROUP BY w1),
+            voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+                    FROM (SELECT unnest(ws) AS w FROM tok2)),
+            scored AS (
+                SELECT t.doc_id,
+                       AVG(ln(b.c + 0.5) - ln(cx.c1 + 0.5 * (SELECT v FROM voc)))
+                           AS mlp
+                FROM trans t
+                JOIN big b ON b.w1 = t.w1 AND b.w2 = t.w2
+                JOIN ctx cx ON cx.w1 = t.w1
+                GROUP BY t.doc_id
+            )
+            SELECT k.doc_id, CAST(len(k.ws) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(k.ws) >= 2
+                        THEN round_even(exp(-s.mlp), 4) END AS ppl
+            FROM tok2 k LEFT JOIN scored s ON s.doc_id = k.doc_id
+        """,
+        # exact kNN graph: similarities quantized to ppm ints BEFORE
+        # ranking on both sides (round_even = np.rint, embeddings cast
+        # to DOUBLE so DuckDB's float32 list kernel can't diverge);
+        # rank ties break on dst asc — deterministic total order
+        "knn_graph": """
+            WITH s AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       CAST(round_even(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1000000.0, 0)
+                           AS BIGINT) AS sim_ppm
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id <> b.vec_id
+            ),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY src ORDER BY sim_ppm DESC, dst) AS rn
+                  FROM s)
+            SELECT src, dst, CAST(rn - 1 AS BIGINT) AS rank, sim_ppm,
+                   sim_ppm / 1000000.0 AS cosine_sim
+            FROM r WHERE rn <= 5
+        """,
+        # histogram-sketch quantiles re-derived bin-exactly: same
+        # double binning expression (FLOOR = trunc on non-negatives),
+        # same searchsorted-left bin pick (min bin with cum >= q*total
+        # computed in DOUBLE like numpy), same half-even round 2
+        "lineitem_price_quantiles": """
+            WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+            mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+                          CAST(COUNT(*) AS BIGINT) AS total FROM v),
+            b AS (SELECT LEAST(4095, GREATEST(0,
+                      CAST(FLOOR((x - lo) / ((hi - lo) / 4096)) AS BIGINT)))
+                      AS bin
+                  FROM v, mm),
+            counts AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+            cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+                    FROM counts),
+            qs AS (SELECT CAST(quantile AS DOUBLE) AS quantile FROM
+                   (VALUES (0.25), (0.5), (0.75), (0.95)) t(quantile)),
+            sel AS (SELECT q.quantile, MIN(c.bin) AS bin_i
+                    FROM qs q JOIN cum c
+                    ON CAST(c.cum AS DOUBLE)
+                       >= q.quantile * (SELECT CAST(total AS DOUBLE) FROM mm)
+                    GROUP BY q.quantile)
+            SELECT quantile,
+                   round_even(lo + (CAST(bin_i AS DOUBLE) + 0.5)
+                              * ((hi - lo) / 4096), 2) AS estimate
+            FROM sel, mm
+        """,
+    }
+    base.update(_trade_graph_oracles())
+    return base
+
+
+# ------------------------------------------------ trade-graph oracle SQL
+#
+# The trade graph (ops/tradegraph.py) exists so the graph-analytics
+# operators — whose kg_* instantiations run over text-extracted triples
+# DuckDB cannot reproduce — get DRIVER-VISIBLE value-hash-exact
+# oracles: the input edge table is itself one SQL query over the
+# registered views, and every operator convention below (ppm
+# half-away integers, half-even float rounding via round_even,
+# deterministic tie-breaks) mirrors the op implementations exactly.
+
+_TRADE_EDGES_SQL = """base AS MATERIALIZED (
+        SELECT cn.n_name AS subj, sn.n_name AS obj
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE l.l_quantity >= 48.0 AND l.l_discount >= CAST(0.09 AS DOUBLE)
+    ),
+    edges AS MATERIALIZED (SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS w
+              FROM base GROUP BY subj, obj),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+        FROM edges WHERE subj <> obj),
+    pdeg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+             (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+             GROUP BY node)"""
+
+
+def _trade_pagerank_sql(iters: int = 30, damping: float = 0.85) -> str:
+    # unrolled power iteration mirroring pagerank_dataset's local loop:
+    # undirected double push (self-loops push to themselves twice),
+    # ow = weighted degree, pr = tele + damping * acc, half-even round 8
+    parts = [
+        _TRADE_EDGES_SQL,
+        """nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    wdeg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS DOUBLE) AS wd FROM
+             (SELECT subj AS node, w FROM edges
+              UNION ALL SELECT obj, w FROM edges) GROUP BY node),
+    push AS MATERIALIZED (
+             SELECT subj AS src, obj AS dst, CAST(w AS DOUBLE) AS w FROM edges
+             UNION ALL
+             SELECT obj, subj, CAST(w AS DOUBLE) FROM edges),
+    pr0 AS MATERIALIZED (
+        SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * COALESCE(s.acc, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT p.dst AS node, SUM(pr.rank * p.w / d.wd) AS acc
+            FROM push p
+            JOIN pr{i - 1} pr ON pr.node = p.src
+            JOIN wdeg d ON d.node = p.src
+            GROUP BY p.dst
+        ) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round_even(rank, 8) AS rank FROM pr{iters}"
+    )
+
+
+def _trade_kcore_sql(k: int = 3, rounds: int = 25) -> str:
+    # unrolled iterative peel: each round drops nodes with degree < k
+    # in the surviving pair set; idempotent past the fixpoint, and 25
+    # node-removing rounds bound any 25-node graph.  Every p{i}/d{i}
+    # is referenced 2-3 times, so WITHOUT the MATERIALIZED hint DuckDB
+    # inlines each reference and the plan doubles per round (2^25
+    # subplans — the optimizer never returns); MATERIALIZED pins each
+    # round to one evaluation.
+    parts = [_TRADE_EDGES_SQL, "p0 AS MATERIALIZED (SELECT a, b FROM pairs)"]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM
+        (SELECT a AS node FROM p{i} UNION ALL SELECT b FROM p{i})
+        GROUP BY node),
+    p{i + 1} AS MATERIALIZED (SELECT p.a, p.b FROM p{i} p
+        JOIN d{i} da ON da.node = p.a AND da.c >= {k}
+        JOIN d{i} db ON db.node = p.b AND db.c >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM
+    (SELECT a AS node FROM p{rounds} UNION ALL SELECT b FROM p{rounds})
+    GROUP BY node"""
+    )
+
+
+def _trade_rich_club_sql(ks: tuple = (1, 2, 4, 8, 16, 32)) -> str:
+    selects = []
+    for k in sorted(ks):
+        selects.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pdeg WHERE d > {k}) AS n_hubs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p
+                JOIN pdeg da ON da.node = p.a JOIN pdeg db ON db.node = p.b
+                WHERE da.d > {k} AND db.d > {k}) AS e_k"""
+        )
+    body = " UNION ALL ".join(f"({s})" for s in selects)
+    return f"""WITH {_TRADE_EDGES_SQL},
+    per_k AS ({body})
+    SELECT k, n_hubs,
+           CASE WHEN n_hubs < 2 THEN 0 ELSE e_k END AS n_edges,
+           CASE WHEN n_hubs < 2 THEN 0 ELSE
+               (2000000 * e_k + n_hubs * (n_hubs - 1) // 2)
+               // (2 * (n_hubs * (n_hubs - 1) // 2))
+           END AS phi_ppm
+    FROM per_k"""
+
+
+def _trade_graph_oracles() -> dict[str, str]:
+    E = _TRADE_EDGES_SQL
+    return {
+        # weighted degree: every edge ROW contributes to both endpoints
+        # (self-loops twice) — integer-valued float sums, exact
+        "trade_graph_degree": f"""WITH {E}
+            SELECT node, CAST(SUM(w) AS DOUBLE) AS weighted_degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM (SELECT subj AS node, w FROM edges
+                  UNION ALL SELECT obj, w FROM edges)
+            GROUP BY node""",
+        "trade_graph_top_degree": f"""WITH {E},
+            deg AS (SELECT node, CAST(SUM(w) AS DOUBLE) AS weighted_degree,
+                           CAST(COUNT(*) AS BIGINT) AS n_edges
+                    FROM (SELECT subj AS node, w FROM edges
+                          UNION ALL SELECT obj, w FROM edges)
+                    GROUP BY node)
+            SELECT * FROM deg ORDER BY weighted_degree DESC, node LIMIT 10""",
+        "trade_graph_pagerank": _trade_pagerank_sql(),
+        # reciprocity over distinct DIRECTED pairs (loops reciprocal by
+        # construction); exact half-away ppm integer recipe
+        "trade_graph_reciprocity": f"""WITH {E},
+            d AS (SELECT DISTINCT subj, obj FROM edges),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM d),
+            r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rec FROM d
+                  WHERE EXISTS (SELECT 1 FROM d d2
+                                WHERE d2.subj = d.obj AND d2.obj = d.subj))
+            SELECT n.n_edges, r.n_rec AS n_reciprocal,
+                   (2000000 * r.n_rec + n.n_edges) // (2 * n.n_edges)
+                       AS reciprocity_ppm
+            FROM n, r""",
+        "trade_graph_summary": f"""WITH {E},
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_edges FROM
+                    (SELECT subj AS node FROM edges
+                     UNION ALL SELECT obj FROM edges) GROUP BY node),
+            upair AS (SELECT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+                      FROM edges GROUP BY 1, 2),
+            sc AS (SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM upair) AS n_distinct_pairs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM edges WHERE subj = obj)
+                    AS n_self_loops,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM upair WHERE a = b)
+                    AS n_loop_pairs,
+                (SELECT CAST(MAX(n_edges) AS BIGINT) FROM deg) AS max_degree)
+            SELECT n_nodes, n_edges, n_distinct_pairs, n_self_loops,
+                   n_edges - n_distinct_pairs AS n_parallel_extra, max_degree,
+                   (2000000 * (n_distinct_pairs - n_loop_pairs)
+                    + n_nodes * (n_nodes - 1) // 2)
+                   // (2 * (n_nodes * (n_nodes - 1) // 2)) AS density_ppm
+            FROM sc""",
+        "trade_graph_triangles": f"""WITH {E}
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p1
+                    JOIN pairs p2 ON p2.a = p1.b
+                    JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b)
+                       AS n_triangles,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges""",
+        "trade_graph_clustering": f"""WITH {E},
+            tris AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z FROM pairs p1
+                     JOIN pairs p2 ON p2.a = p1.b
+                     JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+            tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM
+                     (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+                      UNION ALL SELECT z FROM tris) GROUP BY node)
+            SELECT d.node, d.d AS deg,
+                   COALESCE(t.t, 0) AS n_triangles,
+                   CASE WHEN d.d > 1 THEN round_even(
+                       CAST(COALESCE(t.t, 0) AS DOUBLE) * 2.0
+                       / (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0)), 6)
+                   ELSE 0.0 END AS cc
+            FROM pdeg d LEFT JOIN tcnt t ON t.node = d.node""",
+        "trade_graph_neighborhood_stats": f"""WITH {E},
+            und AS (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b, a FROM pairs)
+            SELECT u.src AS node, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                   CAST(SUM(d.d) AS BIGINT) AS sum_nbr_deg,
+                   CAST(MAX(d.d) AS BIGINT) AS max_nbr_deg
+            FROM und u JOIN pdeg d ON d.node = u.dst GROUP BY u.src""",
+        "trade_graph_rich_club": _trade_rich_club_sql(),
+        "trade_graph_bfs_hops": f"""WITH RECURSIVE {E},
+            adj AS (SELECT a AS u, b AS v FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            walk(node, hops) AS (
+                SELECT 'NATION_0', 0
+                UNION
+                SELECT adj.v, walk.hops + 1 FROM walk
+                JOIN adj ON adj.u = walk.node WHERE walk.hops < 25
+            )
+            SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM walk GROUP BY node""",
+        "trade_graph_components": f"""WITH RECURSIVE {E},
+            adj AS (SELECT a AS u, b AS v FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM adj
+                UNION
+                SELECT reach.a, adj.v FROM reach JOIN adj ON adj.u = reach.b
+            )
+            SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a""",
+        # SCC label = MAX member name (within an SCC every node reaches
+        # every other, so the max name wins — scc_dataset's convention)
+        "trade_graph_scc": f"""WITH RECURSIVE {E},
+            de AS (SELECT DISTINCT subj AS src, obj AS dst FROM edges
+                   WHERE subj <> obj),
+            nds AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+            reach(a, b) AS (
+                SELECT node, node FROM nds
+                UNION
+                SELECT reach.a, de.dst FROM reach JOIN de ON de.src = reach.b
+            ),
+            mutual AS (SELECT r1.a, r1.b FROM reach r1
+                       JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+            lab AS (SELECT a AS node, MAX(b) AS scc FROM mutual GROUP BY a),
+            siz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+                    FROM lab GROUP BY scc)
+            SELECT l.node, l.scc, s.scc_size
+            FROM lab l JOIN siz s ON s.scc = l.scc""",
+        "trade_graph_kcore": _trade_kcore_sql(),
+        "trade_graph_link_prediction": f"""WITH {E},
+            und AS (SELECT a AS node, b AS nbr FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            cand AS (
+                SELECT d1.nbr AS a, d2.nbr AS b,
+                       CAST(COUNT(*) AS BIGINT) AS cn,
+                       SUM(CASE WHEN dc.d > 1
+                           THEN 1.0 / ln(CAST(dc.d AS DOUBLE))
+                           ELSE 0.0 END) AS aa
+                FROM und d1
+                JOIN und d2 ON d2.node = d1.node AND d1.nbr < d2.nbr
+                JOIN pdeg dc ON dc.node = d1.node
+                GROUP BY d1.nbr, d2.nbr
+            ),
+            ne AS (SELECT c.* FROM cand c
+                   LEFT JOIN pairs p ON p.a = c.a AND p.b = c.b
+                   WHERE p.a IS NULL)
+            SELECT ne.a, ne.b, ne.cn AS common_neighbors,
+                   round_even(ne.aa, 6) AS aa_score,
+                   round_even(CAST(ne.cn AS DOUBLE)
+                       / (CAST(da.d AS DOUBLE) + CAST(db.d AS DOUBLE) - ne.cn),
+                       6) AS jaccard
+            FROM ne JOIN pdeg da ON da.node = ne.a
+            JOIN pdeg db ON db.node = ne.b
+            ORDER BY ne.cn DESC, ne.a, ne.b LIMIT 25""",
     }

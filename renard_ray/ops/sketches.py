@@ -588,22 +588,33 @@ def word_heavy_hitters_cms(
 
     rows = ds.map_batches(partial, batch_format="pyarrow").materialize()
 
-    def merge_sketches(group) -> pa.Table:
+    # halving-tree merge (CMS is linear, so partial sums are
+    # associative): each pass folds up to 64 per-block sketches into
+    # one, so no task ever holds more than 64 depth x width payloads —
+    # the previous single-group map_groups pulled ALL O(#blocks)
+    # sketches into ONE reducer, GBs in one task at 10^5 blocks
+    def fold_sketches(batch: pa.Table) -> pa.Table:
         merged = np.zeros((depth, width), dtype=np.int64)
-        for blob in group["payload"]:
+        for blob in batch.column("payload").to_pylist():
             merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
         return pa.table({"payload": pa.array([merged.tobytes()], pa.binary())})
 
-    merged_tab = (
-        rows.filter(expr="kind == 'sketch'")
-        .select_columns(["kind", "payload"])
-        .groupby("kind")
-        .map_groups(merge_sketches, batch_format="pandas")
-        .take_all()
-    )
-    table = np.frombuffer(merged_tab[0]["payload"], dtype=np.int64).reshape(
-        depth, width
-    )
+    sk = rows.filter(expr="kind == 'sketch'").select_columns(["payload"]).materialize()
+    n_sk = sk.count()
+    while n_sk > 1:
+        sk = sk.map_batches(
+            fold_sketches, batch_format="pyarrow", batch_size=64
+        ).materialize()
+        n_now = sk.count()
+        if n_now >= n_sk:  # coalescing stalled: finish in one fold
+            sk = sk.repartition(1).map_batches(
+                fold_sketches, batch_format="pyarrow", batch_size=None
+            ).materialize()
+            n_now = sk.count()
+        n_sk = n_now
+    table = np.frombuffer(
+        sk.take_all()[0]["payload"], dtype=np.int64
+    ).reshape(depth, width)
 
     cand_words = sorted(
         {

@@ -1,0 +1,211 @@
+"""Oracle-checkable trade graph: a deterministic, SQL-derivable edge
+table over the TPC-H-ish views (customer nation -> supplier nation per
+qualifying lineitem), feeding the SAME graph-analytics operators the
+KG pipeline uses (``ops/graphstats.py``, ``ops/triangles.py``,
+``pipelines/cc.py``).
+
+Why it exists: the kg_* analytics run over triples extracted from text
+(NER -> coref -> unification), which DuckDB cannot reproduce, so their
+driver gate is rows-only (their exactness lives in pytest fixtures vs
+independent single-process oracles).  This module is the
+``events_bipartite_assortativity`` pattern generalized: every operator
+below gets a DRIVER-VISIBLE value-hash-exact oracle because the input
+graph itself is one SQL query over the registered views — same engine
+code, SQL-checkable instantiation.
+
+Graph: 25 nation nodes; a directed edge (cust_nation -> supp_nation,
+weight = qualifying-lineitem count) for every lineitem with
+``l_quantity >= 48 AND l_discount >= 0.09`` (sparsifies the otherwise
+complete nation-pair matrix; at sf0.01: 349 edges, 12 self-loops,
+weights 1-5).  Self-loops are kept in the edge table — half the
+operators define explicit loop semantics worth gating.
+
+No counterpart in the reference (Renard has no graph analytics).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from .relational import (
+    _collect_small,
+    _join_parts,
+    _read,
+    broadcast_lookup_join,
+)
+from renard_ray.ops.hashagg import hash_aggregate
+
+MIN_QTY = 48.0
+MIN_DISC = 0.09
+
+
+def trade_edges(sf_dir: str) -> Dataset:
+    """(subj, pred, obj, weight) directed nation-trade edge table.
+
+    Plan (the q7 star shape): the qualifying-lineitem filter runs AT
+    THE SCAN (only 3 fact columns leave storage, ~1% of rows survive);
+    the orders->customer nation chain and the supplier nation chain
+    attach via size-adaptive broadcast lookup joins (both dimension
+    payloads are key->nationkey maps); nation names decode from the
+    25-row driver table; ONE bounded hash aggregate (625 keys max)
+    produces the weighted edge list."""
+    nt = _collect_small(_read(sf_dir, "nation", ["n_nationkey", "n_name"]), 1000)
+    nk = nt.column("n_nationkey").combine_chunks()
+    nv = nt.column("n_name").combine_chunks()
+    nparts = _join_parts(sf_dir)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity", "l_discount"])
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_quantity"), pa.scalar(MIN_QTY)),
+            pc.greater_equal(batch.column("l_discount"), pa.scalar(MIN_DISC)),
+        )
+        return batch.filter(keep).select(["l_orderkey", "l_suppkey"])
+
+    fact = li.map_batches(qualify, batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    fact = broadcast_lookup_join(
+        fact, supp, on="l_suppkey", right_on="s_suppkey",
+        payload=["s_nationkey"], fallback_parts=max(2, nparts // 4),
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    oc = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        payload=["c_nationkey"], fallback_parts=max(2, nparts // 4),
+    )
+    fact = broadcast_lookup_join(
+        fact, oc.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey", right_on="o_orderkey",
+        payload=["c_nationkey"], fallback_parts=nparts,
+    )
+
+    def name_pair(batch: pa.Table) -> pa.Table:
+        subj = pc.take(nv, pc.index_in(batch.column("c_nationkey"), value_set=nk))
+        obj = pc.take(nv, pc.index_in(batch.column("s_nationkey"), value_set=nk))
+        t = pa.table({"subj": subj, "obj": obj})
+        # per-batch combine before the (<=625-key) exchange
+        g = t.group_by(["subj", "obj"]).aggregate([("subj", "count")])
+        return g.select(["subj", "obj", "subj_count"]).rename_columns(
+            ["subj", "obj", "n"]
+        )
+
+    agg = hash_aggregate(
+        fact.map_batches(name_pair, batch_format="pyarrow", batch_size=None),
+        ["subj", "obj"],
+        [("n", "sum", "n")],
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": pa.array(["trades_with"] * n, pa.string()),
+                "obj": batch.column("obj"),
+                "weight": pc.cast(batch.column("n"), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+# ------------------------------------------------- query-surface wrappers
+#
+# Each wrapper pairs with a value-hash-exact DuckDB oracle in
+# ``__ray_entry__.oracle_sql`` (the whole point of the trade graph);
+# parameters pinned there must stay in sync here.
+
+
+def trade_graph_degree(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import degree_dataset
+
+    return degree_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_top_degree(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import top_degree_dataset
+
+    return top_degree_dataset(trade_edges(sf_dir), k=10)
+
+
+def trade_graph_pagerank(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import pagerank_dataset
+
+    return pagerank_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_reciprocity(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import reciprocity_dataset
+
+    return reciprocity_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_summary(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import graph_summary_dataset
+
+    return graph_summary_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_triangles(sf_dir: str) -> Dataset:
+    from renard_ray.ops.triangles import triangle_count
+
+    return triangle_count(trade_edges(sf_dir))
+
+
+def trade_graph_clustering(sf_dir: str) -> Dataset:
+    from renard_ray.ops.triangles import clustering_coefficient
+
+    return clustering_coefficient(trade_edges(sf_dir))
+
+
+def trade_graph_neighborhood_stats(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import neighborhood_stats_dataset
+
+    return neighborhood_stats_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_rich_club(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import rich_club_dataset
+
+    return rich_club_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_bfs_hops(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import bfs_hops_dataset
+
+    return bfs_hops_dataset(trade_edges(sf_dir), seeds=["NATION_0"])
+
+
+def trade_graph_components(sf_dir: str) -> Dataset:
+    from renard_ray.pipelines.cc import connected_components
+
+    edges = trade_edges(sf_dir).map_batches(
+        lambda b: b.select(["subj", "obj"]).rename_columns(["u", "v"]),
+        batch_format="pyarrow",
+    )
+    _m, lab = connected_components(edges, mode="distributed")
+    return lab
+
+
+def trade_graph_scc(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import scc_dataset
+
+    return scc_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_kcore(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import kcore_dataset
+
+    return kcore_dataset(trade_edges(sf_dir), k=3)
+
+
+def trade_graph_link_prediction(sf_dir: str) -> Dataset:
+    from renard_ray.ops.triangles import link_prediction
+
+    return link_prediction(trade_edges(sf_dir), k=25)
