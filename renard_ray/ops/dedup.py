@@ -65,7 +65,17 @@ def _normalize(t: str | None) -> str:
 
 def exact_dedup_groups(sf_dir: str) -> Dataset:
     """One row per distinct text hash: (text_md5, keeper_doc_id,
-    n_copies).  SQL-oracle-checkable."""
+    n_copies).  SQL-oracle-checkable.
+
+    Scale callout (the hashagg docstring's corpus-cardinality case):
+    the md5 key is ~unique per document, so the map-side combine
+    cannot shrink the exchange — this groupby ships ~every row and is
+    an irreducible full shuffle in ANY engine.  At raw-100 TB block
+    counts (~10^5-10^6 blocks) the N x P object metadata of a single-
+    level exchange dominates; pre-coalesce the (text_md5, doc_id) key
+    table first (``repartition(target_num_rows_per_block=...)`` — the
+    payload is 48 bytes/row, so millions of rows per block are cheap)
+    or route through a tree combine so N stays in the thousands."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:

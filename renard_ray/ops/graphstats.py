@@ -218,6 +218,15 @@ def pagerank_dataset(
         w = et.column("weight").to_numpy(zero_copy_only=False).astype(
             np.float64
         )
+        # canonicalize the accumulation order: np.add.at sums in edge-
+        # row order, so without this one lexsort the float result (at
+        # ~1e-16) — and at exact rounding boundaries the round(8)
+        # output — would depend on how blocks happened to concat
+        # (layout-independence is the house determinism convention;
+        # the driver-merge path below lexsorts per iteration for the
+        # same reason)
+        eo = np.lexsort((w, oi, si))
+        si, oi, w = si[eo], oi[eo], w[eo]
         for _ in range(iters):
             acc = np.zeros(n_nodes, dtype=np.float64)
             np.add.at(acc, oi, pr[si] * w / ow[si])
@@ -1494,72 +1503,91 @@ def scc_dataset(
         if n_edges == 0:
             edges = None
         elif n_edges <= driver_limit:
+            # index-encoded adjacency (not string dicts): np.unique
+            # maps every node to an int code ONCE (and, being
+            # lexicographic, max-code-in-comp == max-name-in-comp, so
+            # the label convention falls out for free); edges become
+            # two int arrays in CSR layout.  Near the 2M-edge budget
+            # this holds a handful of numpy arrays instead of millions
+            # of driver-side Python strings in dict-of-list adjacency.
             tab = pa.concat_tables(
                 [ray.get(r) for r in edges.to_arrow_refs()]
-            )
-            src = tab.column("src").to_pylist()
-            dst = tab.column("dst").to_pylist()
-            adj: dict = {}
-            for a, b in zip(src, dst):
-                adj.setdefault(a, []).append(b)
-                adj.setdefault(b, [])
-            # iterative Tarjan
-            index: dict = {}
-            low: dict = {}
-            on_stack: set = set()
+            ).combine_chunks()
+            s = tab.column("src").to_numpy(zero_copy_only=False)
+            d = tab.column("dst").to_numpy(zero_copy_only=False)
+            names, codes = np.unique(np.concatenate([s, d]), return_inverse=True)
+            n_nodes_l = len(names)
+            si = codes[: len(s)].astype(np.int64)
+            di = codes[len(s):].astype(np.int64)
+            eo = np.argsort(si, kind="stable")
+            di_s = di[eo]
+            starts = np.searchsorted(si[eo], np.arange(n_nodes_l + 1))
+            # iterative Tarjan over int codes
+            NIL = -1
+            index = np.full(n_nodes_l, NIL, dtype=np.int64)
+            low = np.zeros(n_nodes_l, dtype=np.int64)
+            on_stack = np.zeros(n_nodes_l, dtype=bool)
+            comp_of = np.full(n_nodes_l, NIL, dtype=np.int64)
+            comp_max = []  # per-comp max code
+            comp_size = []
             stack: list = []
-            comps: list = []
-            counter = [0]
-            for root in adj:
-                if root in index:
+            counter = 0
+            for root in range(n_nodes_l):
+                if index[root] != NIL:
                     continue
-                work = [(root, 0)]
+                work = [(root, starts[root])]
+                index[root] = low[root] = counter
+                counter += 1
+                stack.append(root)
+                on_stack[root] = True
                 while work:
                     v, pi = work[-1]
-                    if pi == 0:
-                        index[v] = low[v] = counter[0]
-                        counter[0] += 1
-                        stack.append(v)
-                        on_stack.add(v)
                     recurse = False
-                    nbrs = adj[v]
-                    for i in range(pi, len(nbrs)):
-                        w = nbrs[i]
-                        if w not in index:
-                            work[-1] = (v, i + 1)
-                            work.append((w, 0))
+                    end = starts[v + 1]
+                    while pi < end:
+                        w = di_s[pi]
+                        pi += 1
+                        if index[w] == NIL:
+                            work[-1] = (v, pi)
+                            index[w] = low[w] = counter
+                            counter += 1
+                            stack.append(w)
+                            on_stack[w] = True
+                            work.append((w, starts[w]))
                             recurse = True
                             break
-                        if w in on_stack:
-                            low[v] = min(low[v], index[w])
+                        if on_stack[w] and index[w] < low[v]:
+                            low[v] = index[w]
                     if recurse:
                         continue
                     if low[v] == index[v]:
-                        comp = []
+                        cid = len(comp_max)
+                        mx = -1
+                        size = 0
                         while True:
                             w = stack.pop()
-                            on_stack.discard(w)
-                            comp.append(w)
+                            on_stack[w] = False
+                            comp_of[w] = cid
+                            if w > mx:
+                                mx = w
+                            size += 1
                             if w == v:
                                 break
-                        comps.append(comp)
+                        comp_max.append(mx)
+                        comp_size.append(size)
                     work.pop()
                     if work:
                         u, _ = work[-1]
-                        low[u] = min(low[u], low[v])
-            nodes_out, sccs_out, sizes_out = [], [], []
-            for comp in comps:
-                lab = max(comp)
-                for n in comp:
-                    nodes_out.append(n)
-                    sccs_out.append(lab)
-                    sizes_out.append(len(comp))
+                        if low[v] < low[u]:
+                            low[u] = low[v]
+            comp_max_a = np.asarray(comp_max, dtype=np.int64)
+            comp_size_a = np.asarray(comp_size, dtype=np.int64)
             return ray.data.from_arrow(
                 pa.table(
                     {
-                        "node": pa.array(nodes_out, pa.string()),
-                        "scc": pa.array(sccs_out, pa.string()),
-                        "scc_size": pa.array(sizes_out, pa.int64()),
+                        "node": pa.array(names),
+                        "scc": pa.array(names[comp_max_a[comp_of]]),
+                        "scc_size": pa.array(comp_size_a[comp_of], pa.int64()),
                     }
                 )
             )

@@ -52,14 +52,16 @@ Extreme block counts (100 TB honest): the exchange is N input blocks
 × P partitions objects, same as Ray's own pull-based shuffle.  At
 ~10^5-10^6 input blocks (a raw 100 TB scan) N×P object metadata
 dominates ANY single-level exchange — Ray's builtin included (its
-N×N is strictly worse).  Callers at that scale feed this helper what
-the house already feeds it everywhere: a per-batch-combined table
-(bounded by distinct-keys × blocks) optionally pre-coalesced with a
-linear `repartition(target_num_rows_per_block=...)` so N stays in the
-thousands.  A raw fact-scale groupby with corpus-sized key cardinality
-(exact dedup's md5 pass) is an irreducible full shuffle in any engine
-and belongs to a push-based/tree exchange — out of scope here and
-called out at the call site.
+N×N is strictly worse).  This helper now guards that regime itself:
+past ``precombine_threshold`` input blocks a TREE LEVEL
+(``_ha_precombine``) folds every ``precombine_fanin`` raw blocks into
+one partial table before the all-to-all, so the exchange sees
+N/fanin inputs (10^6 → ~31k at fanin 32) while the fold stays linear.
+For corpus-cardinality keys (exact dedup's md5 pass — see the
+call-site note in ``dedup.exact_dedup_groups``) the fold cannot
+shrink ROWS, but it still collapses the object count, which is the
+part that breaks first; the shuffle bytes are irreducible in any
+engine.
 """
 
 from __future__ import annotations
@@ -103,24 +105,85 @@ def _combine_spec(
     return map_spec, merge_spec, aliases
 
 
+def _canon_keys(t: pa.Table, keys: list[str], key_types) -> pa.Table:
+    """Cast key columns to the seed schema's types before hashing.
+
+    Partition routing hashes keys AS-TYPED: if divergent map_batches
+    branches emit the same logical key as e.g. int32 in one block and
+    int64 in another, ``hash_rows`` routes equal keys to different
+    partitions and the group silently splits (the reduce-side concat
+    promotes types, so nothing fails loudly).  Pinning every block to
+    the driver-derived key types makes the route a function of the
+    VALUE only."""
+    if key_types is None:
+        return t
+    import pyarrow.compute as pc
+
+    for k, want in zip(keys, key_types):
+        i = t.schema.get_field_index(k)
+        if i >= 0 and t.schema.field(i).type != want:
+            t = t.set_column(i, k, pc.cast(t.column(k), want))
+    return t
+
+
+@ray.remote
+def _ha_precombine(
+    keys: list[str],
+    map_spec: list[tuple[str, str]],
+    merge_spec: list[tuple[str, str]],
+    partial_names: list[str],
+    key_types,
+    *blocks: pa.Table,
+):
+    """First tree level for extreme block counts: fold ``fanin`` raw
+    blocks into ONE partial table (combine each, concat, re-merge) so
+    the all-to-all exchange sees N/fanin inputs instead of N — the
+    N x P object-metadata blowup guard for corpus-cardinality keys."""
+    parts = []
+    for b in blocks:
+        if b is None or (
+            b.num_rows == 0 and not set(keys) <= set(b.column_names)
+        ):
+            continue  # schema-less empty (the documented hazard)
+        parts.append(
+            _canon_keys(b.group_by(keys).aggregate(map_spec), keys, key_types)
+        )
+    if not parts:
+        return None
+    t = pa.concat_tables(parts, promote_options="default")
+    m = t.group_by(keys).aggregate(merge_spec)
+    return m.rename_columns(list(keys) + list(partial_names))
+
+
 @ray.remote
 def _ha_map(
     block: pa.Table,
     keys: list[str],
     map_spec: list[tuple[str, str]],
     nparts: int,
+    key_types=None,
+    pre_combined: bool = False,
 ):
     """Partial combine + hash-split one block into ``nparts`` slices."""
     import polars as pl
 
-    if block.num_rows == 0 and not set(keys) <= set(block.column_names):
+    if block is None or (
+        block.num_rows == 0 and not set(keys) <= set(block.column_names)
+    ):
         # Ray's row-lambda filter / empty map outputs produce blocks
         # with NO columns at all (the documented schema-less hazard);
         # they carry nothing — signal "skip" and let the reduce fall
         # back on the driver-built schema seed
         out = tuple(None for _ in range(nparts))
         return out if nparts > 1 else out[0]
-    t = block.group_by(keys).aggregate(map_spec)
+    if pre_combined:
+        # block came from _ha_precombine: already a canonical-keyed
+        # partial table — split only, no re-aggregate
+        t = block
+    else:
+        t = _canon_keys(
+            block.group_by(keys).aggregate(map_spec), keys, key_types
+        )
     if t.num_rows == 0:
         empty = t.slice(0, 0)
         out = tuple(empty for _ in range(nparts))
@@ -156,6 +219,8 @@ def hash_aggregate(
     keys: str | list[str],
     spec: list[tuple[str, str, str]],
     num_partitions: int | None = None,
+    precombine_threshold: int = 256,
+    precombine_fanin: int = 32,
 ) -> Dataset:
     """``ds.groupby(keys).aggregate(...)`` without the per-group Python.
 
@@ -230,9 +295,36 @@ def hash_aggregate(
         num_partitions = max(2, cpu_floor, min(1024, size // (64 << 20) + 2))
     nparts = int(num_partitions)
 
+    key_types = [seed.schema.field(k).type for k in keys]
+
+    # tree level for extreme block counts: past the threshold, fold
+    # every ``precombine_fanin`` raw blocks into one partial table
+    # BEFORE the all-to-all, so the exchange is (N/fanin) x P objects
+    # instead of N x P — the metadata blowup the module docstring
+    # names for corpus-cardinality keys (exact dedup's md5 pass) at
+    # raw-100 TB block counts.  One level suffices to pull N from
+    # ~10^6 into the tens of thousands; the fold itself is linear.
+    pre = len(refs) > precombine_threshold
+    if pre:
+        partial_names = [
+            "count_all" if fn == "count_all" else f"{c}_{fn}"
+            for (c, fn) in map_spec
+        ]
+        refs = [
+            _ha_precombine.remote(
+                keys,
+                map_spec,
+                merge_spec,
+                partial_names,
+                key_types,
+                *refs[i : i + precombine_fanin],
+            )
+            for i in range(0, len(refs), precombine_fanin)
+        ]
+
     splits = [
         _ha_map.options(num_returns=nparts if nparts > 1 else 1).remote(
-            r, keys, map_spec, nparts
+            r, keys, map_spec, nparts, key_types, pre
         )
         for r in refs
     ]
@@ -242,6 +334,199 @@ def hash_aggregate(
     parts = [
         _ha_reduce.remote(
             keys, merge_spec, aliases, seed_ref, *[s[p] for s in splits]
+        )
+        for p in range(nparts)
+    ]
+    return ray.data.from_arrow_refs(parts)
+
+
+# --------------------------------------------------------- grouped top-k
+#
+# Same two-phase exchange as ``hash_aggregate`` but the combine is
+# "k smallest rows per key under a composite order" instead of an
+# Arrow group_by: map tasks prune each block to <= k rows per key it
+# contains (so only candidates ride the wire), the hash split
+# co-locates each key's candidates, and one reduce pass per partition
+# re-prunes and attaches the 1-based rank.  This replaces the
+# sort-shuffle ``groupby().map_groups`` per-group-Python pattern for
+# every "top-k per group / window row_number() <= k" query.
+
+
+def _topk_block(
+    t: pa.Table,
+    keys: list[str],
+    order: list[tuple[str, bool]],
+    k: int,
+    rank_col: str | None = None,
+) -> pa.Table:
+    """<= k rows per key group of one table, vectorized (no group loop).
+
+    ``order`` is ``[(col, ascending), ...]`` — must be a TOTAL order
+    within every group (tie-break on a unique column) so results are
+    a pure function of the data.  Descending needs a numeric column
+    (negation trick); null order values are rejected loudly.
+    """
+    if t.num_rows == 0:
+        if rank_col is not None:
+            t = t.append_column(rank_col, pa.array([], pa.int64()))
+        return t
+    t = t.combine_chunks()
+
+    if len(keys) == 1:
+        kc = t.column(keys[0])
+    else:
+        import pyarrow.compute as pc
+
+        kc = pc.binary_join_element_wise(
+            *[pc.cast(t.column(c), pa.string()) for c in keys], "\x1f"
+        )
+    if isinstance(kc, pa.ChunkedArray):
+        kc = (
+            kc.chunk(0)
+            if kc.num_chunks == 1
+            else pa.concat_arrays(kc.combine_chunks().chunks)
+        )
+    enc = kc.dictionary_encode() if not pa.types.is_dictionary(kc.type) else kc
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    sort_cols = []
+    for col, asc in reversed(order):
+        a = t.column(col)
+        if a.null_count:
+            raise ValueError(f"hash_topk: null values in order column {col!r}")
+        arr = a.to_numpy(zero_copy_only=False)
+        if not asc:
+            if arr.dtype.kind not in "if":
+                raise ValueError(
+                    f"hash_topk: descending needs a signed numeric column, "
+                    f"got {arr.dtype} for {col!r}"
+                )
+            arr = -arr
+        sort_cols.append(arr)
+    sort_cols.append(codes)  # group code = primary key (last in lexsort)
+
+    idx = np.lexsort(sort_cols)
+    cs = codes[idx]
+    new_grp = np.empty(len(cs), dtype=bool)
+    new_grp[0] = True
+    np.not_equal(cs[1:], cs[:-1], out=new_grp[1:])
+    starts = np.flatnonzero(new_grp)
+    gid = np.cumsum(new_grp) - 1
+    rank = np.arange(len(cs), dtype=np.int64) - starts[gid]
+    keep = rank < k
+    out = t.take(pa.array(idx[keep]))
+    if rank_col is not None:
+        out = out.append_column(rank_col, pa.array(rank[keep] + 1, pa.int64()))
+    return out
+
+
+@ray.remote
+def _tk_map(
+    block: pa.Table,
+    keys: list[str],
+    order: list[tuple[str, bool]],
+    k: int,
+    nparts: int,
+    key_types=None,
+):
+    import polars as pl
+
+    if block.num_rows == 0 and not set(keys) <= set(block.column_names):
+        out = tuple(None for _ in range(nparts))
+        return out if nparts > 1 else out[0]
+    t = _topk_block(_canon_keys(block, keys, key_types), keys, order, k)
+    if t.num_rows == 0:
+        empty = t.slice(0, 0)
+        out = tuple(empty for _ in range(nparts))
+        return out if nparts > 1 else out[0]
+    h = pl.from_arrow(t.select(keys)).hash_rows(seed=0).to_numpy() % nparts
+    o = np.argsort(h, kind="stable")
+    t = t.take(pa.array(o))
+    bounds = np.searchsorted(h[o], np.arange(nparts + 1))
+    out = tuple(
+        t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(nparts)
+    )
+    return out if nparts > 1 else out[0]
+
+
+@ray.remote
+def _tk_reduce(
+    keys: list[str],
+    order: list[tuple[str, bool]],
+    k: int,
+    rank_col: str,
+    seed: pa.Table,
+    *slices: pa.Table,
+) -> pa.Table:
+    t = pa.concat_tables(
+        [seed, *(s for s in slices if s is not None)],
+        promote_options="default",
+    )
+    return _topk_block(t, keys, order, k, rank_col=rank_col)
+
+
+def hash_topk(
+    ds: Dataset,
+    keys: str | list[str],
+    order: list[tuple[str, bool]],
+    k: int,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Top-k rows per key group under a total ``order``, with a 1-based
+    ``rank_col`` attached — the window ``row_number() <= k`` shape
+    without a sort-shuffle or per-group Python.
+
+    Exchange volume is <= k x (keys present in block) rows per map
+    task — the wire carries candidates only, never the fact table.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    ds = ds.materialize()
+
+    sch = ds.schema(fetch_if_missing=False)
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if base is None:
+        return ray.data.from_arrow(pa.table({}))
+    if isinstance(base, pa.Schema):
+        seed = base.empty_table()
+    else:
+        import pandas as pd
+
+        seed = pa.Table.from_pandas(
+            pd.DataFrame(
+                {n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)}
+            ),
+            preserve_index=False,
+        )
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            _topk_block(seed, keys, order, k, rank_col=rank_col)
+        )
+    if num_partitions is None:
+        try:
+            size = ds.size_bytes() or 0
+        except Exception:
+            size = 0
+        cpu_floor = min(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = max(2, cpu_floor, min(1024, size // (64 << 20) + 2))
+    nparts = int(num_partitions)
+
+    key_types = [seed.schema.field(k).type for k in keys]
+    splits = [
+        _tk_map.options(num_returns=nparts if nparts > 1 else 1).remote(
+            r, keys, order, k, nparts, key_types
+        )
+        for r in refs
+    ]
+    if nparts == 1:
+        splits = [[s] for s in splits]
+    seed_ref = ray.put(seed)
+    parts = [
+        _tk_reduce.remote(
+            keys, order, k, rank_col, seed_ref, *[s[p] for s in splits]
         )
         for p in range(nparts)
     ]

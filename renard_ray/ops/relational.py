@@ -856,30 +856,37 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
 
 
 def part_topk_per_brand(sf_dir: str, k: int = 3) -> Dataset:
-    """Top-k most expensive parts per brand (per-group top-k — window
-    row_number equivalent, computed inside each group)."""
+    """Top-k most expensive parts per brand (window ``row_number() <= k``
+    equivalent) via the candidates-only ``hash_topk`` exchange: each map
+    task prunes its block to <= k rows per brand it contains BEFORE the
+    shuffle, so the wire carries k x |brands| candidates per block
+    instead of the whole part table through a sort-shuffle map_groups;
+    (price_cents desc, p_partkey asc) is a total order, rank attached
+    reduce-side."""
+    from renard_ray.ops.hashagg import hash_topk
+
     ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
 
-    def topk(group):
-        import pandas as pd
-
-        g = group.sort_values(
-            by=["p_retailprice", "p_partkey"], ascending=[False, True]
-        ).head(k).reset_index(drop=True)
-        # Arrow (not pandas) output: mixed block schemas defeat Ray's
-        # schema-dedup hashing and spam reduce-side warnings
+    def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "p_brand": pa.array(g["p_brand"], pa.string()),
-                "p_partkey": pa.array(g["p_partkey"], pa.int64()),
-                "rank": pa.array(range(1, len(g) + 1), pa.int64()),
-                "price_cents": pa.array(
-                    (g["p_retailprice"] * 100).round().astype("int64"), pa.int64()
+                "p_brand": pc.cast(batch.column("p_brand"), pa.string()),
+                "p_partkey": pc.cast(batch.column("p_partkey"), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch.column("p_retailprice"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
                 ),
             }
         )
 
-    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+    return hash_topk(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys="p_brand",
+        order=[("price_cents", False), ("p_partkey", True)],
+        k=k,
+    )
 
 
 def events_props_stats(sf_dir: str) -> Dataset:

@@ -47,30 +47,34 @@ def _norm_rows(M: np.ndarray) -> np.ndarray:
 
 def _merge_topk(partials: Dataset, k: int) -> Dataset:
     """Global top-k reduce over tiny (query_id, neighbor_id, sim)
-    partials.  Coalesces the partial table (n_query * k rows per input
-    block) before the groupby — with one output partition per input
-    block most sort partitions are EMPTY no-schema bundles (warn spam
-    + per-task overhead for a handful of groups).  Arrow output keeps
-    every block schema identical (no pandas/arrow mix tripping Ray's
-    schema-dedup hashing)."""
+    partials via the candidates-only ``hash_topk`` exchange (per-block
+    prune to k per query, hash split, one vectorized reduce per
+    partition) — no sort-shuffle map_groups, no per-group Python.
+    (sim desc, neighbor_id asc) is a total order (neighbor unique per
+    query), so rank is a pure function of the data."""
+    from renard_ray.ops.hashagg import hash_topk
 
-    def final_topk(group):
-        g = group.sort_values(by=["sim", "neighbor_id"], ascending=[False, True])
-        g = g.head(k).reset_index(drop=True)
+    top = hash_topk(
+        partials,
+        keys="query_id",
+        order=[("sim", False), ("neighbor_id", True)],
+        k=k,
+        num_partitions=4,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                "query_id": pa.array(g["query_id"], pa.int64()),
-                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
-                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
-                "cosine_sim": pa.array(g["sim"].round(4), pa.float64()),
+                "query_id": pc.cast(batch.column("query_id"), pa.int64()),
+                "neighbor_id": pc.cast(batch.column("neighbor_id"), pa.int64()),
+                "rank": batch.column("rank"),
+                "cosine_sim": pc.round(batch.column("sim"), 4),
             }
         )
 
-    return (
-        partials.repartition(4)
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    return top.map_batches(finalize, batch_format="pyarrow")
 
 
 def knn_bruteforce(

@@ -62,6 +62,8 @@ def spectral_embedding_dataset(
     num_partitions: int | None = None,
     tol: float = 1e-7,
     broadcast_limit: int = 5_000_000,
+    driver_node_limit: int = 200_000,
+    driver_edge_limit: int = 2_000_000,
 ) -> Dataset:
     """Top-``dim`` eigenvector embedding of the undirected weighted
     co-occurrence adjacency.  Output: (node, x0..x{dim-1},
@@ -128,6 +130,87 @@ def spectral_embedding_dataset(
         return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
 
     ed = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # size-adaptive fast path (house convention, cf. pagerank/LPA/SCC):
+    # the iterate is vocabulary-bounded, so when BOTH the node vector
+    # and the directed edge list fit their driver budgets the whole
+    # subspace iteration runs as a local numpy loop — the distributed
+    # loop costs ~4 bounded executions (broadcast attach, k-column
+    # fixed-point hash aggregate, materialize, Gram reduce) x iters of
+    # pure scheduling for zero parallel benefit on a small graph.  The
+    # per-edge fixed-point contributions and int64 sums are IDENTICAL
+    # (order-independent by construction); only the k x k Gram's float
+    # summation order differs (global node order here vs per-batch
+    # partials there), which perturbs R⁻¹ at ~1e-15 — inside the
+    # round(8) output convention except exactly at rounding
+    # boundaries, same caveat as every regime pair in the repo.
+    # ``driver_edge_limit=0`` forces the distributed loop (tests do).
+    if n_nodes <= driver_node_limit and ed.count() <= driver_edge_limit:
+        et = pa.concat_tables(
+            [ray.get(r) for r in ed.to_arrow_refs()]
+        ).combine_chunks()
+        nt = pa.concat_tables(
+            [ray.get(r) for r in deg.to_arrow_refs()]
+        ).combine_chunks().column("node")
+        nt = nt.take(pc.sort_indices(nt)).combine_chunks()
+        names = nt.to_pylist()
+        si = pc.index_in(
+            et.column("src").combine_chunks(), value_set=nt
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        di = pc.index_in(
+            et.column("dst").combine_chunks(), value_set=nt
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = et.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+
+        y = _init_x(names, dim)
+        lam_l = np.zeros(dim)
+        rinv = np.eye(dim)
+        for it in range(iters):
+            x = y @ rinv
+            ysum = np.zeros((n_nodes, dim), dtype=np.int64)
+            for j in range(dim):
+                np.add.at(
+                    ysum[:, j], di, np.rint(w * x[si, j] * scale).astype(np.int64)
+                )
+            y = ysum.astype(np.float64) / scale
+            G = y.T @ y  # global node order (names sorted)
+            lam_new = np.sqrt(np.maximum(np.diag(G), 0.0))
+            try:
+                R = np.linalg.cholesky(
+                    G + np.eye(dim) * (1e-12 * max(1.0, G.max()))
+                ).T
+            except np.linalg.LinAlgError:
+                R = np.linalg.cholesky(G + np.eye(dim) * 1e-6).T
+            rinv = np.linalg.inv(R)
+            settled = (
+                tol > 0.0
+                and it > 0
+                and float(
+                    np.max(
+                        np.abs(lam_new - lam_l) / np.maximum(lam_new, 1e-300)
+                    )
+                ) < tol
+            )
+            lam_l = lam_new
+            if settled:
+                break
+
+        Xm = y @ rinv
+        out = {"node": nt}
+        lam_r = np.round(lam_l, 6)
+        for j in range(dim):
+            v = Xm[:, j]
+            near = np.flatnonzero(np.abs(v) >= np.max(np.abs(v)) - 1e-9)
+            # names are sorted, so the first near-max row has the
+            # smallest node name — same canonical-sign rule
+            if len(near) and v[near[0]] < 0:
+                v = -v
+            out[xcols[j]] = pa.array(np.round(v, 8), pa.float64())
+        for j in range(dim):
+            out[f"lam{j}"] = pa.array(
+                np.full(n_nodes, lam_r[j], dtype=np.float64)
+            )
+        return ray.data.from_arrow(pa.table(out))
 
     def init_rows(batch: pa.Table) -> pa.Table:
         names = batch.column("node").to_pylist()

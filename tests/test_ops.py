@@ -2088,17 +2088,22 @@ def test_spectral_embedding_matches_numpy_eigh(ray_session):
         ).repartition(parts)
 
     dfs = []
-    for parts in (3, 7):
+    # both regimes x both partitionings: the driver numpy loop
+    # (default budgets) and the forced distributed loop
+    # (driver_edge_limit=0) must agree with each other and the oracle
+    for parts, edge_lim in ((3, None), (7, None), (3, 0), (7, 0)):
+        kw = {} if edge_lim is None else {"driver_edge_limit": edge_lim}
         df = spectral_embedding_dataset(
-            triples(parts), dim=dim, iters=40, tol=0.0
+            triples(parts), dim=dim, iters=40, tol=0.0, **kw
         ).to_pandas()
         assert df.node.tolist() == nodes
         dfs.append(df)
-    # deterministic across partitionings
-    for c in dfs[0].columns:
-        if c == "node":
-            continue
-        assert np.allclose(dfs[0][c], dfs[1][c], atol=1e-9), c
+    # deterministic across partitionings AND regimes
+    for other in dfs[1:]:
+        for c in dfs[0].columns:
+            if c == "node":
+                continue
+            assert np.allclose(dfs[0][c], other[c], atol=1e-9), c
 
     df = dfs[0]
     X = df[[f"x{j}" for j in range(dim)]].to_numpy()
@@ -8848,3 +8853,152 @@ def test_hash_aggregate_distinct_and_empty(ray_session):
     if lamb.schema(fetch_if_missing=False) is None:
         lout = hash_aggregate(lamb, "k", [("v", "sum", "s")], num_partitions=2)
         assert lout.count() == 0
+
+
+def test_hash_topk_matches_pandas_window(ray_session):
+    """hash_topk == the pandas row_number()<=k window on a multi-block,
+    duplicate-heavy table; rank is 1-based within (order) per key; the
+    candidates-only exchange is exercised across several partitions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.hashagg import hash_topk
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 37, n),
+            "score": rng.integers(0, 50, n).astype(np.int64),
+            "uid": np.arange(n, dtype=np.int64),
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    blocks = [t.slice(i, 500) for i in range(0, n, 500)]
+    ds = ray.data.from_arrow(blocks)
+
+    out = hash_topk(
+        ds, "g", [("score", False), ("uid", True)], k=5, num_partitions=4
+    ).to_pandas()
+
+    exp = df.sort_values(["g", "score", "uid"], ascending=[True, False, True])
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    exp = exp[exp["rank"] <= 5]
+
+    got = out.sort_values(["g", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "score", "uid", "rank"]].astype("int64"),
+        exp[["g", "score", "uid", "rank"]].astype("int64"),
+    )
+
+
+def test_hash_topk_multikey_strings_and_empty(ray_session):
+    """Multi-column string keys route together; k larger than any group
+    returns whole groups ranked; empty input returns zero rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.hashagg import hash_topk
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "y", "x"],
+            "b": ["p", "q", "p", "p", "p"],
+            "v": [3.0, 1.0, 2.0, 5.0, 4.0],
+            "i": [0, 1, 2, 3, 4],
+        }
+    )
+    out = hash_topk(
+        ray.data.from_arrow([t.slice(0, 3), t.slice(3)]),
+        ["a", "b"],
+        [("v", False), ("i", True)],
+        k=10,
+        num_partitions=3,
+    ).to_pandas()
+    assert len(out) == 5
+    xp = out[(out["a"] == "x") & (out["b"] == "p")].sort_values("rank")
+    assert xp["v"].tolist() == [4.0, 3.0] and xp["rank"].tolist() == [1, 2]
+
+    empty = ray.data.from_arrow(t).filter(expr="v > 100")
+    eout = hash_topk(empty, ["a", "b"], [("v", False), ("i", True)], k=2)
+    assert eout.count() == 0
+
+
+def test_hash_aggregate_precombine_tree_level(ray_session):
+    """Past precombine_threshold blocks, the tree level folds raw
+    blocks before the exchange — results identical to the single-level
+    path and the builtin, including count/min/max semantics, nulls,
+    and the distinct (empty-spec) shape."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 97, n),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    df.loc[df.index % 13 == 0, "v"] = None
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    blocks = [t.slice(i, 25) for i in range(0, n, 25)]  # 120 blocks
+    ds = ray.data.from_arrow(blocks)
+    spec = [
+        ("v", "sum", "s"),
+        ("v", "count", "c"),
+        ("v", "min", "lo"),
+        ("v", "max", "hi"),
+        ("", "count_all", "rows"),
+    ]
+
+    one = (
+        hash_aggregate(ds, "k", spec, precombine_threshold=10**9)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    tree = (
+        hash_aggregate(
+            ds, "k", spec, precombine_threshold=8, precombine_fanin=7
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, tree)
+
+    exp = (
+        df.groupby("k")
+        .agg(
+            s=("v", "sum"),
+            c=("v", "count"),
+            lo=("v", "min"),
+            hi=("v", "max"),
+            rows=("v", "size"),
+        )
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = tree.astype({"s": "float64"})
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["s"].tolist() == exp["s"].astype("float64").tolist()
+    assert got["rows"].tolist() == exp["rows"].tolist()
+
+    # distinct through the tree level
+    d1 = hash_aggregate(ds, "k", [], precombine_threshold=8, precombine_fanin=7)
+    assert sorted(d1.to_pandas()["k"].tolist()) == sorted(
+        df["k"].unique().tolist()
+    )
