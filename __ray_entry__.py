@@ -879,9 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from renard_ray.ops.lineclean import clean_lines
 
-        docs = _ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
+        from renard_ray.ops.relational import _read
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return clean_lines(
             docs, min_words=20, require_terminal_punct=False
         ).sort("doc_id")
@@ -896,9 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from renard_ray.ops.chunking import chunk_documents
 
-        docs = _ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
+        from renard_ray.ops.relational import _read
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return chunk_documents(docs, chunk_tokens=32, overlap=8).sort(
             ["doc_id", "chunk_idx"]
         )
@@ -912,9 +912,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from renard_ray.ops.textrank import textrank_keywords
 
-        docs = _ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
+        from renard_ray.ops.relational import _read
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return textrank_keywords(docs, topk=3).sort(["doc_id", "rank"])
 
     def doc_quality_classifier(sf_dir: str):
@@ -934,9 +934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             train_quality_classifier,
         )
 
-        docs = _ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-        )
+        from renard_ray.ops.relational import _read
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
         def label(batch: _pa.Table) -> _pa.Table:
             return batch.append_column(

@@ -266,7 +266,18 @@ def semantic_dedup_pairs(
     is the kept (lowest-id) member the vector matched, sorted by
     vec_id.  Every returned pair is a true global near-dup (cosine is
     computed on the real vectors), so the answer is a subset of the
-    exact O(n^2) pair join restricted to co-clustered vectors."""
+    exact O(n^2) pair join restricted to co-clustered vectors.
+
+    Scale sizing (``k`` x ``cluster_cap``): the per-cluster greedy IS
+    the published SemDeDup algorithm (O(m^2) within a cluster), so a
+    cluster's rows must fit one task — ``cluster_cap`` bounds that
+    loudly (warn + keep lowest ids) rather than OOMing.  The k=8
+    default is fixture-sized; at corpus scale size ``k`` so the MEAN
+    cluster is well under the cap, i.e. k ≈ n / (cluster_cap / a few)
+    — e.g. 1e9 vectors at cap 100k wants k ≈ 20k-50k, matching the
+    paper's 'many small clusters' regime.  The map_groups here stays
+    deliberately: within-cluster order-dependent greedy is inherently
+    sequential per group; parallelism comes from #clusters."""
     embs = _read_embeddings(sf_dir).materialize()
     C = kmeans_fit(embs, k, n_iter)
     ref = ray.put(np.asarray(C, dtype=np.float64))

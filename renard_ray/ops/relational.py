@@ -1123,10 +1123,14 @@ def doc_embedding_join(sf_dir: str) -> Dataset:
     import ray as _ray
 
     docs = _ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        schema=clean_schema(f"{sf_dir}/documents.parquet", ["doc_id", "n_chars"]),
     )
     emb = _ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"],
+        schema=clean_schema(f"{sf_dir}/embeddings.parquet", ["vec_id", "label"]),
     )
     joined = docs.join(
         emb,
@@ -1155,7 +1159,9 @@ def prolific_sources(sf_dir: str, min_docs: int = 20, min_avg_chars: int = 200) 
     import ray as _ray
 
     docs = _ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "n_chars"],
+        schema=clean_schema(f"{sf_dir}/documents.parquet", ["source", "n_chars"]),
     )
     agg = _hagg_auto(docs, "source", [('', 'count_all', 'n_docs'), ('n_chars', 'sum', '_total_chars')])
 

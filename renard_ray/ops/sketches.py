@@ -28,6 +28,17 @@ from ray.data import Dataset
 
 from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
 
+def _read_tbl(sf_dir: str, table: str, columns: list[str]) -> Dataset:
+    """Scrubbed-schema scan (clean_schema strips the pandas metadata
+    blob that defeats Ray's block-schema dedup at the READ operator)."""
+    from renard_ray.ops.relational import clean_schema
+
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, schema=clean_schema(path, columns)
+    )
+
+
 _WS_RE = re.compile(r"\s+")
 
 
@@ -87,7 +98,7 @@ def hll_distinct_words(sf_dir: str, p: int = 12) -> Dataset:
     """Approximate distinct-word count over the documents corpus.
     Per-batch HLL registers merged by elementwise max (one tiny final
     reduce)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_tbl(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         reg = _hll_new(p)
@@ -108,7 +119,7 @@ def hll_distinct_words(sf_dir: str, p: int = 12) -> Dataset:
 
 def exact_distinct_words(sf_dir: str) -> int:
     """Exact baseline for the HLL error test (groupby distinct)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_tbl(sf_dir, "documents", ["text"])
 
     def words(batch: pa.Table) -> pa.Table:
         out = set()
@@ -230,7 +241,7 @@ def quantile_sketch(
     """Histogram-sketch quantiles of a numeric column: one pass for
     min/max (parquet stats would do at scale), one pass building
     mergeable fixed-bin counts, quantiles interpolated from the bins."""
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    ds = _read_tbl(sf_dir, table, [column])
     import pyarrow.compute as pc
 
     stats = ds.aggregate(
@@ -403,9 +414,7 @@ def source_distinct_words_hll(sf_dir: str, p: int = 12) -> Dataset:
     not the corpus) merges registers by elementwise max.  The
     mergeable-sketch-per-group pattern: at 100 TB the shuffle carries
     #blocks x #sources fixed-size register rows, never token rows."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source", "text"]
-    )
+    ds = _read_tbl(sf_dir, "documents", ["source", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         regs: dict[str, np.ndarray] = {}
@@ -453,9 +462,7 @@ def source_distinct_words_exact(sf_dir: str) -> Dataset:
     pairs, one dedup groupby, one count groupby."""
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source", "text"]
-    )
+    ds = _read_tbl(sf_dir, "documents", ["source", "text"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         seen: set[tuple[str, str]] = set()
@@ -559,7 +566,7 @@ def word_heavy_hitters_cms(
 
     Output: (word, n_est) — n_est >= the true count (one-sided CMS
     error <= 2N/width per row with prob 1 - 2^-depth)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_tbl(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
