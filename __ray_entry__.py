@@ -1777,6 +1777,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_graph_scc": tradegraph.trade_graph_scc,
         "trade_graph_kcore": tradegraph.trade_graph_kcore,
         "trade_graph_link_prediction": tradegraph.trade_graph_link_prediction,
+        "trade_graph_assortativity": tradegraph.trade_graph_assortativity,
+        "trade_graph_hits": tradegraph.trade_graph_hits,
+        "trade_graph_ppr": tradegraph.trade_graph_ppr,
+        "trade_graph_ktruss": tradegraph.trade_graph_ktruss,
+        "trade_graph_mis": tradegraph.trade_graph_mis,
+        "trade_graph_centrality": tradegraph.trade_graph_centrality,
+        "trade_graph_ego": tradegraph.trade_graph_ego,
+        "trade_graph_weighted_distances": (
+            tradegraph.trade_graph_weighted_distances
+        ),
+        "trade_graph_shortest_path": tradegraph.trade_graph_shortest_path,
+        "trade_graph_densest": tradegraph.trade_graph_densest,
+        "trade_graph_communities": tradegraph.trade_graph_communities,
+        "trade_graph_modularity": tradegraph.trade_graph_modularity,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -4384,6 +4398,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     base.update(_trade_graph_oracles())
+    base.update(_trade_graph_oracles_ext())
     return base
 
 
@@ -4651,4 +4666,424 @@ def _trade_graph_oracles() -> dict[str, str]:
             FROM ne JOIN pdeg da ON da.node = ne.a
             JOIN pdeg db ON db.node = ne.b
             ORDER BY ne.cn DESC, ne.a, ne.b LIMIT 25""",
+    }
+
+
+def _trade_hits_sql(iters: int = 20) -> str:
+    # unrolled HITS mirroring hits_dataset's driver-merge regime: per
+    # half-iteration a raw directed weighted push then L1 normalize;
+    # float sums differ from numpy only in the last ulps (round 8
+    # output convention absorbs it, same caveat as pagerank)
+    parts = [
+        _TRADE_EDGES_SQL,
+        """nds AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    nnh AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nds),
+    h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nnh) AS v FROM nds),
+    a0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nnh) AS v FROM nds)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+        SELECT e.obj AS node, SUM(h.v * e.w) AS raw
+        FROM edges e JOIN h{i - 1} h ON h.node = e.subj GROUP BY e.obj),
+    asum{i} AS MATERIALIZED (SELECT SUM(raw) AS s FROM ar{i}),
+    a{i} AS MATERIALIZED (
+        SELECT n.node, COALESCE(r.raw, 0.0) / (SELECT s FROM asum{i}) AS v
+        FROM nds n LEFT JOIN ar{i} r ON r.node = n.node),
+    hr{i} AS MATERIALIZED (
+        SELECT e.subj AS node, SUM(a.v * e.w) AS raw
+        FROM edges e JOIN a{i} a ON a.node = e.obj GROUP BY e.subj),
+    hsum{i} AS MATERIALIZED (SELECT SUM(raw) AS s FROM hr{i}),
+    h{i} AS MATERIALIZED (
+        SELECT n.node, COALESCE(r.raw, 0.0) / (SELECT s FROM hsum{i}) AS v
+        FROM nds n LEFT JOIN hr{i} r ON r.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT h.node, round_even(h.v, 8) AS hub, round_even(a.v, 8) AS authority
+    FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
+    )
+
+
+def _trade_pagerank_seeded_sql(
+    seeds: tuple, iters: int = 30, damping: float = 0.85
+) -> str:
+    # personalized variant of _trade_pagerank_sql: rank mass starts on
+    # the seed set and the (1 - d) teleport restarts there only
+    seed_vals = ", ".join(f"('{s}')" for s in seeds)
+    ns = len(seeds)
+    parts = [
+        _TRADE_EDGES_SQL,
+        f"""nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    sds(s) AS (VALUES {seed_vals}),
+    wdeg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS DOUBLE) AS wd FROM
+             (SELECT subj AS node, w FROM edges
+              UNION ALL SELECT obj, w FROM edges) GROUP BY node),
+    push AS MATERIALIZED (
+             SELECT subj AS src, obj AS dst, CAST(w AS DOUBLE) AS w FROM edges
+             UNION ALL
+             SELECT obj, subj, CAST(w AS DOUBLE) FROM edges),
+    pr0 AS MATERIALIZED (
+        SELECT node, CASE WHEN node IN (SELECT s FROM sds)
+                     THEN 1.0 / {ns}.0 ELSE 0.0 END AS rank FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN n.node IN (SELECT s FROM sds)
+                    THEN {1.0 - damping} / {ns}.0 ELSE 0.0 END
+               + {damping} * COALESCE(s.acc, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT p.dst AS node, SUM(pr.rank * p.w / d.wd) AS acc
+            FROM push p
+            JOIN pr{i - 1} pr ON pr.node = p.src
+            JOIN wdeg d ON d.node = p.src
+            GROUP BY p.dst
+        ) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round_even(rank, 8) AS rank FROM pr{iters}"
+    )
+
+
+def _trade_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+    # unrolled support-peel (Cohen 2008): per round, per-edge triangle
+    # support inside the surviving pair set, drop support < k-2;
+    # idempotent past the fixpoint.  Final support measured IN the
+    # final subgraph, matching ktruss_dataset
+    kk = k - 2
+    parts = [_TRADE_EDGES_SQL, "t0 AS MATERIALIZED (SELECT a, b FROM pairs)"]
+    for i in range(rounds):
+        parts.append(
+            f"""u{i} AS MATERIALIZED (SELECT a AS src, b AS dst FROM t{i}
+        UNION ALL SELECT b, a FROM t{i}),
+    s{i} AS MATERIALIZED (
+        SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS supp
+        FROM t{i} p
+        JOIN u{i} n1 ON n1.src = p.a
+        JOIN u{i} n2 ON n2.src = p.b AND n2.dst = n1.dst
+        GROUP BY p.a, p.b),
+    t{i + 1} AS MATERIALIZED (SELECT a, b FROM s{i} WHERE supp >= {kk})"""
+        )
+    last = rounds - 1
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a AS src, b AS dst, supp AS support
+    FROM s{last} WHERE supp >= {kk}"""
+    )
+
+
+def _trade_mis_sql(seed: int = 42, rounds: int = 8) -> str:
+    # unrolled deterministic-Luby rounds mirroring mis_dataset: per
+    # round every LIVE node draws key md5('{seed}|{round}|'+name) +
+    # chr(31) + name; winners = nodes whose key beats every live
+    # neighbor's (or with no live neighbor); winners + their
+    # neighbors leave the live set.  Extra rounds past exhaustion are
+    # no-ops (empty live set)
+    parts = [
+        _TRADE_EDGES_SQL,
+        """live0 AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    ad AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                        UNION ALL SELECT b, a FROM pairs)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+        SELECT node, md5('{seed}|{r}|' || node) || chr(31) || node AS k
+        FROM live{r}),
+    e{r}m AS MATERIALIZED (
+        SELECT a.src, a.dst FROM ad a
+        JOIN live{r} l1 ON l1.node = a.src
+        JOIN live{r} l2 ON l2.node = a.dst),
+    mn{r} AS MATERIALIZED (
+        SELECT e.src AS node, MIN(kd.k) AS mk
+        FROM e{r}m e JOIN k{r} kd ON kd.node = e.dst GROUP BY e.src),
+    win{r} AS MATERIALIZED (
+        SELECT kx.node FROM k{r} kx JOIN mn{r} m ON m.node = kx.node
+        WHERE kx.k < m.mk
+        UNION
+        SELECT l.node FROM live{r} l
+        WHERE l.node NOT IN (SELECT src FROM e{r}m)),
+    live{r + 1} AS MATERIALIZED (
+        SELECT node FROM live{r}
+        WHERE node NOT IN (SELECT node FROM win{r})
+          AND node NOT IN (
+            SELECT e.dst FROM e{r}m e
+            JOIN win{r} w ON w.node = e.src))"""
+        )
+    union = " UNION ".join(f"SELECT node FROM win{r}" for r in range(rounds))
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+
+
+def _trade_wdist_sql(seed_node: str = "NATION_0", rounds: int = 25) -> str:
+    # unrolled frontier Bellman-Ford on exact centi-integer weights
+    # (parallel directed rows collapse to the per-direction MINIMUM,
+    # matching weighted_distances_dataset's distinct-pair groupby)
+    parts = [
+        _TRADE_EDGES_SQL,
+        """wadj AS MATERIALIZED (
+        SELECT src, dst, MIN(wc) AS w FROM (
+            SELECT subj AS src, obj AS dst,
+                   CAST(round_even(w * 100.0, 0) AS BIGINT) AS wc
+            FROM edges WHERE subj <> obj
+            UNION ALL
+            SELECT obj, subj, CAST(round_even(w * 100.0, 0) AS BIGINT)
+            FROM edges WHERE subj <> obj)
+        GROUP BY src, dst)""",
+        f"d0 AS MATERIALIZED (SELECT '{seed_node}' AS node, CAST(0 AS BIGINT) AS dc)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+        SELECT node, MIN(dc) AS dc FROM (
+            SELECT node, dc FROM d{i}
+            UNION ALL
+            SELECT a.dst, d.dc + a.w FROM d{i} d JOIN wadj a ON a.src = d.node)
+        GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, dc AS dist_centi, dc / 100.0 AS dist FROM d{rounds}"""
+    )
+
+
+def _trade_densest_sql(rounds: int = 20) -> str:
+    # unrolled greedy 2(1+eps)-approx peel (eps = 1/10): per round the
+    # exact integer threshold floor(11 * m2 / (10 * n)) removes every
+    # node at or under it; the answer is the union of victims from the
+    # best-density round (exact fraction compare, earliest tie) onward
+    parts = [
+        _TRADE_EDGES_SQL,
+        """g0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs)""",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""dg{i} AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS dv
+        FROM g{i} GROUP BY src),
+    st{i} AS MATERIALIZED (
+        SELECT CAST((SELECT COUNT(*) FROM dg{i}) AS BIGINT) AS n,
+               CAST((SELECT COUNT(*) FROM g{i}) AS BIGINT) AS m2),
+    v{i} AS MATERIALIZED (
+        SELECT d.node FROM dg{i} d, st{i} s
+        WHERE d.dv <= CASE WHEN s.n = 0 THEN -1
+                           ELSE (11 * s.m2) // (10 * s.n) END),
+    g{i + 1} AS MATERIALIZED (
+        SELECT src, dst FROM g{i}
+        WHERE src NOT IN (SELECT node FROM v{i})
+          AND dst NOT IN (SELECT node FROM v{i}))"""
+        )
+    stats_union = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, n, m2 // 2 AS m FROM st{i}" for i in range(rounds)
+    )
+    vv_union = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, node FROM v{i}" for i in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    stats AS MATERIALIZED (SELECT * FROM ({stats_union}) st WHERE n > 0),
+    best AS MATERIALIZED (
+        SELECT rnd, n, m FROM stats
+        ORDER BY CAST(m AS DOUBLE) / CAST(n AS DOUBLE) DESC, rnd ASC LIMIT 1),
+    vv AS MATERIALIZED ({vv_union})
+    SELECT v.node, b.n AS n_nodes, b.m AS m_edges,
+           (1000000 * b.m) // b.n AS density_ppm
+    FROM vv v, best b WHERE v.rnd >= b.rnd"""
+    )
+
+
+def _trade_lpa_labels_sql(n_iter: int = 6) -> str:
+    # shared unrolled weighted synchronous LPA (centi-weight votes,
+    # ties -> min label) ending in lab{n_iter}(node, lab)
+    parts = [
+        _TRADE_EDGES_SQL,
+        """we AS MATERIALIZED (
+        SELECT lo, hi, CAST(SUM(wc) AS BIGINT) AS wi FROM (
+            SELECT LEAST(subj, obj) AS lo, GREATEST(subj, obj) AS hi,
+                   CAST(round_even(w * 100.0, 0) AS BIGINT) AS wc
+            FROM edges WHERE subj <> obj)
+        GROUP BY lo, hi),
+    ud AS MATERIALIZED (SELECT lo AS node, hi AS nbr, wi FROM we
+                        UNION ALL SELECT hi, lo, wi FROM we),
+    lab0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM ud)""",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""lab{i + 1} AS MATERIALIZED (
+        SELECT node, lab FROM (
+            SELECT u.node, l.lab, SUM(u.wi) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.node
+                       ORDER BY SUM(u.wi) DESC, l.lab ASC) AS rn
+            FROM ud u JOIN lab{i} l ON l.node = u.nbr
+            GROUP BY u.node, l.lab)
+        WHERE rn = 1)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _trade_graph_oracles_ext() -> dict[str, str]:
+    E = _TRADE_EDGES_SQL
+    lpa = _trade_lpa_labels_sql(6)
+    return {
+        # Newman degree assortativity: exact integer moments over edge
+        # ROWS (self-loops contribute to both endpoints), one float
+        # division, half-even round 9 — assortativity_dataset's exact
+        # closed form
+        "trade_graph_assortativity": f"""WITH {E},
+            dg AS MATERIALIZED (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+                (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)
+                GROUP BY node),
+            mom AS (
+                SELECT CAST(2 * COUNT(*) AS BIGINT) AS m,
+                       CAST(SUM(da.d + db.d) AS BIGINT) AS s,
+                       CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS q,
+                       CAST(SUM(2 * da.d * db.d) AS BIGINT) AS p
+                FROM edges e
+                JOIN dg da ON da.node = e.subj
+                JOIN dg db ON db.node = e.obj)
+            SELECT m // 2 AS n_edges,
+                   round_even(CAST(m * p - s * s AS DOUBLE)
+                              / CAST(m * q - s * s AS DOUBLE), 9)
+                       AS assortativity
+            FROM mom""",
+        "trade_graph_hits": _trade_hits_sql(),
+        "trade_graph_ppr": _trade_pagerank_seeded_sql(("NATION_0", "NATION_1")),
+        "trade_graph_ktruss": _trade_ktruss_sql(),
+        "trade_graph_mis": _trade_mis_sql(),
+        # closeness + harmonic of 3 fixed seeds from exact BFS hop
+        # distances (undirected simple graph; hops > 0 excludes the
+        # seed itself); round 6 matches seed_centrality_dataset
+        "trade_graph_centrality": f"""WITH RECURSIVE {E},
+            adj AS (SELECT a AS u, b AS v FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            sds(seed) AS (VALUES ('NATION_0'), ('NATION_5'), ('NATION_12')),
+            walk(seed, node, hops) AS (
+                SELECT seed, seed, 0 FROM sds
+                UNION
+                SELECT walk.seed, adj.v, walk.hops + 1 FROM walk
+                JOIN adj ON adj.u = walk.node WHERE walk.hops < 25
+            ),
+            d AS (SELECT seed, node, MIN(hops) AS h FROM walk
+                  GROUP BY seed, node),
+            agg AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reachable,
+                           CAST(SUM(h) AS BIGINT) AS sum_hops,
+                           SUM(1.0 / h) AS harm
+                    FROM d WHERE h > 0 GROUP BY seed)
+            SELECT s.seed,
+                   COALESCE(a.n_reachable, 0) AS n_reachable,
+                   COALESCE(a.sum_hops, 0) AS sum_hops,
+                   CASE WHEN COALESCE(a.sum_hops, 0) > 0
+                        THEN round_even(CAST(a.n_reachable AS DOUBLE)
+                                        / CAST(a.sum_hops AS DOUBLE), 6)
+                        ELSE 0.0 END AS closeness,
+                   round_even(COALESCE(a.harm, 0.0), 6) AS harmonic
+            FROM sds s LEFT JOIN agg a ON a.seed = s.seed""",
+        # 1-hop ego of NATION_3: induced aggregated triples whose BOTH
+        # endpoints are the seed or its undirected neighbors
+        "trade_graph_ego": f"""WITH {E},
+            mem AS (SELECT 'NATION_3' AS node
+                    UNION SELECT b FROM pairs WHERE a = 'NATION_3'
+                    UNION SELECT a FROM pairs WHERE b = 'NATION_3')
+            SELECT subj, 'trades_with' AS pred, obj,
+                   CAST(w AS DOUBLE) AS weight
+            FROM edges
+            WHERE subj IN (SELECT node FROM mem)
+              AND obj IN (SELECT node FROM mem)""",
+        "trade_graph_weighted_distances": _trade_wdist_sql(),
+        # BFS shortest path with min-parent tie-break, unrolled levels
+        # + recursive parent chase (chain is acyclic)
+        "trade_graph_shortest_path": f"""WITH RECURSIVE {E},
+            adj AS (SELECT a AS u, b AS v FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            l0 AS MATERIALIZED (
+                SELECT 'NATION_0' AS node, CAST(NULL AS VARCHAR) AS parent,
+                       CAST(0 AS BIGINT) AS lvl),
+            l1 AS MATERIALIZED (
+                SELECT adj.v AS node, MIN(l.node) AS parent,
+                       CAST(1 AS BIGINT) AS lvl
+                FROM l0 l JOIN adj ON adj.u = l.node
+                WHERE adj.v NOT IN (SELECT node FROM l0)
+                GROUP BY adj.v),
+            l2 AS MATERIALIZED (
+                SELECT adj.v AS node, MIN(l.node) AS parent,
+                       CAST(2 AS BIGINT) AS lvl
+                FROM l1 l JOIN adj ON adj.u = l.node
+                WHERE adj.v NOT IN (SELECT node FROM l0)
+                  AND adj.v NOT IN (SELECT node FROM l1)
+                GROUP BY adj.v),
+            l3 AS MATERIALIZED (
+                SELECT adj.v AS node, MIN(l.node) AS parent,
+                       CAST(3 AS BIGINT) AS lvl
+                FROM l2 l JOIN adj ON adj.u = l.node
+                WHERE adj.v NOT IN (SELECT node FROM l0)
+                  AND adj.v NOT IN (SELECT node FROM l1)
+                  AND adj.v NOT IN (SELECT node FROM l2)
+                GROUP BY adj.v),
+            lv AS MATERIALIZED (
+                SELECT * FROM l0 UNION ALL SELECT * FROM l1
+                UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+            chain(node, parent, lvl) AS (
+                SELECT node, parent, lvl FROM lv WHERE node = 'NATION_24'
+                UNION ALL
+                SELECT l.node, l.parent, l.lvl
+                FROM chain c JOIN lv l ON l.node = c.parent
+            )
+            SELECT lvl AS step, node FROM chain""",
+        "trade_graph_densest": _trade_densest_sql(),
+        # weighted synchronous LPA community sizes after 6 rounds
+        "trade_graph_communities": "WITH "
+        + lpa
+        + """
+            SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM lab6 GROUP BY lab""",
+        # exact half-away-ppm Newman Q of the fixed mod-3 partition
+        "trade_graph_modularity": f"""WITH {E},
+            eo AS MATERIALIZED (
+                SELECT subj AS src, obj AS dst FROM edges WHERE subj <> obj),
+            mct AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM eo),
+            lmap AS MATERIALIZED (
+                SELECT node,
+                       'G' || CAST(CAST(substr(node, 8) AS BIGINT) % 3
+                                   AS VARCHAR) AS c
+                FROM (SELECT DISTINCT node FROM
+                      (SELECT subj AS node FROM edges
+                       UNION ALL SELECT obj FROM edges))),
+            lin AS (SELECT CAST(COUNT(*) AS BIGINT) AS l FROM eo
+                    JOIN lmap la ON la.node = eo.src
+                    JOIN lmap lb ON lb.node = eo.dst
+                    WHERE la.c = lb.c),
+            dgm AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+                    (SELECT src AS node FROM eo UNION ALL SELECT dst FROM eo)
+                    GROUP BY node),
+            dc AS (SELECT la.c, CAST(SUM(d.d) AS BIGINT) AS dcv
+                   FROM dgm d JOIN lmap la ON la.node = d.node GROUP BY la.c),
+            fin AS (SELECT m.m,
+                           (SELECT COUNT(*) FROM dc) AS ncomm,
+                           4 * m.m * (SELECT l FROM lin)
+                               - (SELECT SUM(dcv * dcv) FROM dc) AS num,
+                           4 * m.m * m.m AS den
+                    FROM mct m)
+            SELECT m AS n_edges, CAST(ncomm AS BIGINT) AS n_communities,
+                   CAST(CASE WHEN num >= 0
+                        THEN (2000000 * num + den) // (2 * den)
+                        ELSE -((-2000000 * num + den) // (2 * den))
+                   END AS BIGINT) AS modularity_ppm
+            FROM fin""",
     }

@@ -209,3 +209,123 @@ def trade_graph_link_prediction(sf_dir: str) -> Dataset:
     from renard_ray.ops.triangles import link_prediction
 
     return link_prediction(trade_edges(sf_dir), k=25)
+
+
+def trade_graph_assortativity(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import assortativity_dataset
+
+    return assortativity_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_hits(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import hits_dataset
+
+    return hits_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_ppr(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import pagerank_dataset
+
+    return pagerank_dataset(
+        trade_edges(sf_dir), seeds=["NATION_0", "NATION_1"]
+    )
+
+
+def trade_graph_ktruss(sf_dir: str) -> Dataset:
+    from renard_ray.ops.triangles import ktruss_dataset
+
+    return ktruss_dataset(trade_edges(sf_dir), k=4)
+
+
+def trade_graph_mis(sf_dir: str) -> Dataset:
+    from renard_ray.ops.mis import mis_dataset
+
+    return mis_dataset(trade_edges(sf_dir), seed=42)
+
+
+def trade_graph_centrality(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import seed_centrality_dataset
+
+    return seed_centrality_dataset(
+        trade_edges(sf_dir), seeds=["NATION_0", "NATION_5", "NATION_12"]
+    )
+
+
+def trade_graph_ego(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import ego_subgraph_dataset
+
+    return ego_subgraph_dataset(trade_edges(sf_dir), seeds=["NATION_3"], hops=1)
+
+
+def trade_graph_weighted_distances(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import weighted_distances_dataset
+
+    return weighted_distances_dataset(trade_edges(sf_dir), seeds=["NATION_0"])
+
+
+def trade_graph_shortest_path(sf_dir: str) -> Dataset:
+    from renard_ray.ops.graphstats import shortest_path_dataset
+
+    return shortest_path_dataset(
+        trade_edges(sf_dir), src="NATION_0", dst="NATION_24"
+    )
+
+
+def trade_graph_densest(sf_dir: str) -> Dataset:
+    from renard_ray.ops.densest import densest_subgraph_dataset
+
+    return densest_subgraph_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_communities(sf_dir: str) -> Dataset:
+    from renard_ray.ops.communities import community_sizes
+
+    return community_sizes(trade_edges(sf_dir), n_iter=6, weight_col="weight")
+
+
+def trade_graph_modularity(sf_dir: str) -> Dataset:
+    """Q of a FIXED 3-way partition (numeric suffix mod 3) rather than
+    the LPA labels: the dense trade graph propagates to ONE community,
+    whose Q is identically 0 — a trivial oracle.  The synthetic
+    partition keeps every term of the exact half-away ppm arithmetic
+    (4m*L_in - sum d_c^2 over 4m^2) non-degenerate and SQL-pinnable."""
+    import ray
+
+    from renard_ray.ops.communities import modularity_dataset
+    from renard_ray.ops.hashagg import hash_aggregate
+
+    edges = trade_edges(sf_dir).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("subj").combine_chunks(),
+                        batch.column("obj").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    nodes = hash_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "node", []
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as _pc
+
+        suffix = _pc.cast(
+            _pc.utf8_slice_codeunits(batch.column("node"), 7), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        grp = ["G" + str(int(s) % 3) for s in suffix]
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "community": pa.array(grp, pa.string()),
+            }
+        )
+
+    labels = nodes.map_batches(label, batch_format="pyarrow")
+    return modularity_dataset(edges, labels)
