@@ -1791,6 +1791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_graph_densest": tradegraph.trade_graph_densest,
         "trade_graph_communities": tradegraph.trade_graph_communities,
         "trade_graph_modularity": tradegraph.trade_graph_modularity,
+        "trade_graph_pmi": tradegraph.trade_graph_pmi,
+        "trade_graph_betweenness": tradegraph.trade_graph_betweenness,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -4399,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
     }
     base.update(_trade_graph_oracles())
     base.update(_trade_graph_oracles_ext())
+    base.update(_trade_graph_oracles_ext2())
     return base
 
 
@@ -5086,4 +5089,103 @@ def _trade_graph_oracles_ext() -> dict[str, str]:
                         ELSE -((-2000000 * num + den) // (2 * den))
                    END AS BIGINT) AS modularity_ppm
             FROM fin""",
+    }
+
+
+def _trade_betweenness_sql(seeds: tuple, max_level: int = 5) -> str:
+    # unrolled Brandes dependency accumulation mirroring
+    # betweenness_dataset: forward seed-tagged BFS with exact int64
+    # path counts, backward per-level fixed-point credits
+    # rint(1e9*(1+delta)/sigma) summed in int64, delta = sigma*csum/1e9,
+    # per-row rint(delta*1e6) before the per-node sum, final /2 round 6.
+    # Levels past the true BFS depth are empty CTEs that no-op.
+    seed_vals = ", ".join(f"('{s}')" for s in seeds)
+    parts = [
+        _TRADE_EDGES_SQL,
+        f"""adj AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+    sds(seed) AS (VALUES {seed_vals}),
+    lv0 AS MATERIALIZED (
+        SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM sds),
+    vis0 AS MATERIALIZED (SELECT seed, node FROM lv0)""",
+    ]
+    for d in range(1, max_level + 1):
+        parts.append(
+            f"""lv{d} AS MATERIALIZED (
+        SELECT l.seed, adj.v AS node, CAST(SUM(l.sigma) AS BIGINT) AS sigma
+        FROM lv{d - 1} l JOIN adj ON adj.u = l.node
+        WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} x
+                          WHERE x.seed = l.seed AND x.node = adj.v)
+        GROUP BY l.seed, adj.v),
+    vis{d} AS MATERIALIZED (
+        SELECT seed, node FROM vis{d - 1}
+        UNION ALL SELECT seed, node FROM lv{d})"""
+        )
+    parts.append(
+        f"""cur{max_level} AS MATERIALIZED (
+        SELECT seed, node, sigma, 0.0 AS delta FROM lv{max_level})"""
+    )
+    for d in range(max_level - 1, -1, -1):
+        parts.append(
+            f"""cr{d} AS MATERIALIZED (
+        SELECT c.seed, adj.v AS node,
+               CAST(round_even((1.0 + c.delta) / CAST(c.sigma AS DOUBLE)
+                               * 1000000000.0, 0) AS BIGINT) AS c
+        FROM cur{d + 1} c JOIN adj ON adj.u = c.node),
+    cs{d} AS MATERIALIZED (
+        SELECT seed, node, CAST(SUM(c) AS BIGINT) AS csum
+        FROM cr{d} GROUP BY seed, node),
+    nxt{d} AS MATERIALIZED (
+        SELECT l.seed, l.node, l.sigma,
+               CAST(l.sigma AS DOUBLE) * CAST(s.csum AS DOUBLE)
+                   / 1000000000.0 AS delta
+        FROM lv{d} l JOIN cs{d} s ON s.seed = l.seed AND s.node = l.node),
+    cur{d} AS MATERIALIZED (
+        SELECT seed, node, sigma, delta FROM nxt{d}
+        UNION ALL
+        SELECT l.seed, l.node, l.sigma, 0.0 FROM lv{d} l
+        WHERE NOT EXISTS (SELECT 1 FROM nxt{d} n
+                          WHERE n.seed = l.seed AND n.node = l.node))"""
+        )
+    acc_union = " UNION ALL ".join(
+        f"SELECT node, delta FROM cur{d}" for d in range(max_level, 0, -1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    acc AS MATERIALIZED ({acc_union}),
+    fixedt AS (SELECT node,
+                      CAST(round_even(delta * 1000000.0, 0) AS BIGINT) AS dfp
+               FROM acc),
+    tot AS (SELECT node, CAST(SUM(dfp) AS BIGINT) AS dfp
+            FROM fixedt GROUP BY node)
+    SELECT node,
+           round_even(CAST(dfp AS DOUBLE) / 1000000.0 / 2.0, 6) AS betweenness
+    FROM tot"""
+    )
+
+
+def _trade_graph_oracles_ext2() -> dict[str, str]:
+    E = _TRADE_EDGES_SQL
+    return {
+        # exact integer floor-ratio PMI (ops/pmi.py): marginals from
+        # the aggregated edge table itself, ratio in pure int64
+        "trade_graph_pmi": f"""WITH {E},
+            tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM edges),
+            um AS (SELECT subj, CAST(SUM(w) AS BIGINT) AS u_n
+                   FROM edges GROUP BY subj),
+            vm AS (SELECT obj, CAST(SUM(w) AS BIGINT) AS v_n
+                   FROM edges GROUP BY obj)
+            SELECT e.subj AS u, e.obj AS v, CAST(e.w AS BIGINT) AS pair_n,
+                   um.u_n, vm.v_n, tot.t AS total_n,
+                   (CAST(e.w AS BIGINT) * tot.t * 1000000)
+                       // (um.u_n * vm.v_n) AS pmi_ratio_ppm
+            FROM edges e
+            JOIN um ON um.subj = e.subj
+            JOIN vm ON vm.obj = e.obj
+            CROSS JOIN tot""",
+        "trade_graph_betweenness": _trade_betweenness_sql(
+            ("NATION_0", "NATION_7", "NATION_14", "NATION_21")
+        ),
     }

@@ -242,6 +242,20 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_weekday_hour_heatmap",
         "doc_bigram_topk",
         "doc_vocab_overlap",
+        # round-4 operators: the deterministic trade-graph oracle family
+        "trade_graph_pagerank",
+        "trade_graph_summary",
+        "trade_graph_components",
+        "trade_graph_scc",
+        "trade_graph_link_prediction",
+        "trade_graph_hits",
+        "trade_graph_ppr",
+        "trade_graph_ktruss",
+        "trade_graph_mis",
+        "trade_graph_communities",
+        "trade_graph_modularity",
+        "trade_graph_densest",
+        "trade_graph_weighted_distances",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

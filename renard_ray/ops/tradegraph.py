@@ -329,3 +329,23 @@ def trade_graph_modularity(sf_dir: str) -> Dataset:
 
     labels = nodes.map_batches(label, batch_format="pyarrow")
     return modularity_dataset(edges, labels)
+
+def trade_graph_pmi(sf_dir: str) -> Dataset:
+    """PMI rescore of the trade edges: which nation pairs trade more
+    than their hub-ness predicts.  Integer floor-ratio output
+    (ops/pmi.py) so the DuckDB twin hashes identically."""
+    from renard_ray.ops.pmi import pmi_dataset
+
+    return pmi_dataset(trade_edges(sf_dir), "subj", "obj", n_col="weight")
+
+
+BETWEENNESS_SEEDS = ["NATION_0", "NATION_7", "NATION_14", "NATION_21"]
+
+
+def trade_graph_betweenness(sf_dir: str) -> Dataset:
+    """Seed-sampled Brandes dependency accumulation from a PINNED seed
+    set (the SQL twin unrolls the same BFS levels + fixed-point credit
+    rounding, so the seeds must stay in sync with the oracle)."""
+    from renard_ray.ops.graphstats import betweenness_dataset
+
+    return betweenness_dataset(trade_edges(sf_dir), seeds=BETWEENNESS_SEEDS)
