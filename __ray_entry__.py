@@ -1793,6 +1793,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_graph_modularity": tradegraph.trade_graph_modularity,
         "trade_graph_pmi": tradegraph.trade_graph_pmi,
         "trade_graph_betweenness": tradegraph.trade_graph_betweenness,
+        "trade_graph_max_spanning_forest": (
+            tradegraph.trade_graph_max_spanning_forest
+        ),
+        "trade_graph_label_spreading": (
+            tradegraph.trade_graph_label_spreading
+        ),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -4402,6 +4408,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_trade_graph_oracles())
     base.update(_trade_graph_oracles_ext())
     base.update(_trade_graph_oracles_ext2())
+    base.update(_trade_graph_oracles_ext3())
     return base
 
 
@@ -5187,5 +5194,89 @@ def _trade_graph_oracles_ext2() -> dict[str, str]:
             CROSS JOIN tot""",
         "trade_graph_betweenness": _trade_betweenness_sql(
             ("NATION_0", "NATION_7", "NATION_14", "NATION_21")
+        ),
+    }
+
+
+def _trade_label_spreading_sql(seeds: tuple, rounds: int = 15) -> str:
+    # unrolled synchronous seeded LP mirroring label_spreading_dataset:
+    # centi-weight adjacency (parallel edges summed), per round every
+    # node takes the weighted-majority label of its LABELED neighbors
+    # (ties -> min label), seeds clamped; rounds past the fixpoint are
+    # idempotent no-ops and an oscillating run ends at the same
+    # round-N state in both plans
+    seed_vals = ", ".join(f"('{n}', '{l}')" for n, l in seeds)
+    parts = [
+        _TRADE_EDGES_SQL,
+        f"""wad AS MATERIALIZED (
+        SELECT src, dst, CAST(SUM(wc) AS BIGINT) AS wi FROM (
+            SELECT subj AS src, obj AS dst,
+                   CAST(round_even(w * 100.0, 0) AS BIGINT) AS wc
+            FROM edges WHERE subj <> obj
+            UNION ALL
+            SELECT obj, subj, CAST(round_even(w * 100.0, 0) AS BIGINT)
+            FROM edges WHERE subj <> obj)
+        GROUP BY src, dst),
+    sds(node, lab) AS (VALUES {seed_vals}),
+    lab0 AS MATERIALIZED (SELECT node, lab FROM sds)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""best{r} AS MATERIALIZED (
+        SELECT node, lab FROM (
+            SELECT a.dst AS node, l.lab, SUM(a.wi) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.dst
+                       ORDER BY SUM(a.wi) DESC, l.lab ASC) AS rn
+            FROM lab{r} l JOIN wad a ON a.src = l.node
+            GROUP BY a.dst, l.lab)
+        WHERE rn = 1),
+    lab{r + 1} AS MATERIALIZED (
+        SELECT node, lab FROM sds
+        UNION ALL
+        SELECT node, lab FROM best{r}
+        WHERE node NOT IN (SELECT node FROM sds))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, lab AS label FROM lab{rounds}"
+    )
+
+
+def _trade_graph_oracles_ext3() -> dict[str, str]:
+    E = _TRADE_EDGES_SQL
+    return {
+        # unique maximum spanning forest via the cycle property: the
+        # packed (10^13-1-centi_w, a, b) key totally orders the edges,
+        # so e is IN the forest iff its endpoints are NOT connected
+        # using strictly-smaller-key edges; one recursive CTE computes
+        # per-edge reachability under that restriction
+        "trade_graph_max_spanning_forest": f"""WITH RECURSIVE {E},
+            we AS MATERIALIZED (
+                SELECT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b,
+                       MAX(CAST(round_even(w * 100.0, 0) AS BIGINT)) AS wc
+                FROM edges WHERE subj <> obj GROUP BY 1, 2),
+            keyed AS MATERIALIZED (
+                SELECT a, b, wc,
+                       lpad(CAST(9999999999999 - wc AS VARCHAR), 13, '0')
+                           || chr(31) || a || chr(31) || b AS key
+                FROM we),
+            walk(key, node) AS (
+                SELECT key, a FROM keyed
+                UNION
+                SELECT w.key,
+                       CASE WHEN e.a = w.node THEN e.b ELSE e.a END
+                FROM walk w JOIN keyed e
+                  ON (e.a = w.node OR e.b = w.node) AND e.key < w.key
+            )
+            SELECT k.a AS u, k.b AS v, k.wc AS w_centi,
+                   CAST(k.wc AS DOUBLE) / 100.0 AS weight
+            FROM keyed k
+            WHERE NOT EXISTS (SELECT 1 FROM walk w
+                              WHERE w.key = k.key AND w.node = k.b)""",
+        "trade_graph_label_spreading": _trade_label_spreading_sql(
+            (("NATION_0", "alpha"), ("NATION_13", "beta"),
+             ("NATION_24", "gamma"))
         ),
     }

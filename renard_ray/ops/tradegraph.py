@@ -183,6 +183,12 @@ def trade_graph_bfs_hops(sf_dir: str) -> Dataset:
 
 
 def trade_graph_components(sf_dir: str) -> Dataset:
+    """Distributed star-CC FORCED (``mode="distributed"``): this is the
+    one driver-gate entry that exercises the large-graph CC loop
+    end-to-end (every other small-graph caller rides the driver
+    union-find fast path), so its bench time is dominated by the
+    loop's bounded per-round scheduling — intentional coverage cost,
+    not a missing fast path."""
     from renard_ray.pipelines.cc import connected_components
 
     edges = trade_edges(sf_dir).map_batches(
@@ -349,3 +355,34 @@ def trade_graph_betweenness(sf_dir: str) -> Dataset:
     from renard_ray.ops.graphstats import betweenness_dataset
 
     return betweenness_dataset(trade_edges(sf_dir), seeds=BETWEENNESS_SEEDS)
+
+
+def trade_graph_max_spanning_forest(sf_dir: str) -> Dataset:
+    """Strongest-ties backbone of the trade graph.  The SQL twin uses
+    the cycle property: with the packed (eff_weight, a, b) total order
+    all keys are distinct, so the forest is unique and an edge belongs
+    iff its endpoints are NOT connected via strictly-smaller-key edges
+    (one recursive CTE over (edge_key, reachable_node) pairs)."""
+    from renard_ray.ops.mst import mst_dataset
+
+    return mst_dataset(trade_edges(sf_dir), maximum=True)
+
+
+LABEL_SPREADING_SEEDS = [
+    ("NATION_0", "alpha"),
+    ("NATION_13", "beta"),
+    ("NATION_24", "gamma"),
+]
+
+
+def trade_graph_label_spreading(sf_dir: str) -> Dataset:
+    """Seeded semi-supervised label propagation (seeds clamped,
+    weighted-majority rounds, ties -> min label).  The SQL twin
+    unrolls the full max_rounds=15 synchronous schedule — rounds past
+    the fixpoint are no-ops, and an oscillating run ends at the same
+    round-15 state in both plans."""
+    from renard_ray.ops.graphstats import label_spreading_dataset
+
+    return label_spreading_dataset(
+        trade_edges(sf_dir), seed_labels=LABEL_SPREADING_SEEDS
+    )
