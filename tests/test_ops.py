@@ -9002,3 +9002,29 @@ def test_hash_aggregate_precombine_tree_level(ray_session):
     assert sorted(d1.to_pandas()["k"].tolist()) == sorted(
         df["k"].unique().tolist()
     )
+
+
+def test_trade_edges_memo(ray_session, tmp_path):
+    """trade_edges memoizes the MATERIALIZED edge table per sf_dir
+    (build-once-analyze-many, the _KG_TRIPLES_MEMO convention) and the
+    LRU stays bounded."""
+    from renard_ray.ops import tradegraph as tg
+
+    tg.trade_edges_memo_clear()
+    sf = "/root/testdata/sf0.001"
+    e1 = tg.trade_edges(sf)
+    e2 = tg.trade_edges(sf)
+    assert e1 is e2, "second call must return the memoized Dataset"
+    assert e1.count() == e2.count() > 0
+    # eviction: pre-fill the LRU to capacity with fake keys; the next
+    # MISS must evict oldest-first down to the bound
+    tg.trade_edges_memo_clear()
+    for i in range(tg._TRADE_MEMO_MAX):
+        tg._TRADE_EDGES_MEMO[f"/fake/{i}"] = e1
+    e3 = tg.trade_edges(sf)
+    assert e3.count() == e1.count()
+    assert len(tg._TRADE_EDGES_MEMO) <= tg._TRADE_MEMO_MAX
+    assert "/fake/0" not in tg._TRADE_EDGES_MEMO
+    assert sf in tg._TRADE_EDGES_MEMO
+    tg.trade_edges_memo_clear()
+    assert not tg._TRADE_EDGES_MEMO
