@@ -534,6 +534,7 @@ def hits_dataset(
     k: int | None = None,
     broadcast_limit: int = 50_000_000,
     driver_merge_limit: int = 1_000_000,
+    driver_edge_limit: int = 2_000_000,
 ) -> Dataset:
     """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
     weighted edge list (subj -> obj): per iteration
@@ -579,6 +580,69 @@ def hits_dataset(
     ).combine_chunks()
     dt = dt.take(pc.sort_indices(dt, sort_keys=[("node", "ascending")]))
     nodes_arr = dt.column("node").combine_chunks()
+
+    # local numpy loop over the collected edge arrays — the same
+    # size-adaptive fast path as pagerank_dataset: each half-iteration
+    # of the driver-merge regime is a full distributed execution
+    # (~0.05-0.1 s of scheduling), 2 x iters of them for zero parallel
+    # benefit on a small graph.  Accumulation order is canonicalized
+    # by one edge lexsort (layout independence, the house determinism
+    # convention); ``driver_edge_limit=0`` forces the distributed
+    # per-iteration pass (regime tests).
+    small = n_nodes <= driver_merge_limit
+    n_edge_rows = edges.count()
+    if small and n_edge_rows <= driver_edge_limit:
+        et = pa.concat_tables(
+            [ray.get(r) for r in edges.to_arrow_refs()]
+        ).combine_chunks()
+        si = pc.index_in(
+            et.column("subj").combine_chunks(), value_set=nodes_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        oi = pc.index_in(
+            et.column("obj").combine_chunks(), value_set=nodes_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = et.column("weight").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        eo = np.lexsort((w, oi, si))
+        si, oi, w = si[eo], oi[eo], w[eo]
+        h = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+        a = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+        for _ in range(iters):
+            # degenerate-sum break mirrors the distributed loop: the
+            # raw (zero) reduce is kept, not the previous vector
+            a = np.zeros(n_nodes, dtype=np.float64)
+            np.add.at(a, oi, h[si] * w)
+            s = a.sum()
+            if s <= 0:
+                break
+            a /= s
+            h = np.zeros(n_nodes, dtype=np.float64)
+            np.add.at(h, si, a[oi] * w)
+            s = h.sum()
+            if s <= 0:
+                break
+            h /= s
+        out = pa.table(
+            {
+                "node": nodes_arr,
+                "hub": pa.array(np.round(h, 8), pa.float64()),
+                "authority": pa.array(np.round(a, 8), pa.float64()),
+            }
+        )
+        out = out.take(
+            pc.sort_indices(
+                out,
+                sort_keys=[
+                    ("authority", "descending"),
+                    ("node", "ascending"),
+                ],
+            )
+        )
+        if k is not None:
+            out = out.slice(0, k)
+        return ray.data.from_arrow(out)
+
     keys_ref = ray.put(nodes_arr)
 
     def push(batch: pa.Table, vec_ref, src_col: str, dst_col: str) -> pa.Table:

@@ -3116,7 +3116,8 @@ def test_hits_matches_dense_oracle_all_regimes(ray_session):
     assert not np.allclose(want["hub"], want["authority"])
 
     for kwargs in (
-        {},
+        {},  # local numpy loop (edge list under driver_edge_limit)
+        {"driver_edge_limit": 0},  # forced per-iteration driver merge
         {"driver_merge_limit": 1},
         {"broadcast_limit": 1},
     ):
