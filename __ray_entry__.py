@@ -1975,7 +1975,12 @@ def oracle_sql() -> dict[str, str]:
                        CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
                        row_number() OVER (
                            PARTITION BY p_brand
-                           ORDER BY p_retailprice DESC, p_partkey
+                           -- rank at CENTS precision, matching the
+                           -- engine's price_cents order exactly (raw
+                           -- float order would diverge on sub-half-cent
+                           -- price differences)
+                           ORDER BY CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) DESC,
+                                    p_partkey
                        ) AS rnk
                 FROM part
             )
@@ -5019,43 +5024,9 @@ def _trade_graph_oracles_ext() -> dict[str, str]:
         "trade_graph_weighted_distances": _trade_wdist_sql(),
         # BFS shortest path with min-parent tie-break, unrolled levels
         # + recursive parent chase (chain is acyclic)
-        "trade_graph_shortest_path": f"""WITH RECURSIVE {E},
-            adj AS (SELECT a AS u, b AS v FROM pairs
-                    UNION ALL SELECT b, a FROM pairs),
-            l0 AS MATERIALIZED (
-                SELECT 'NATION_0' AS node, CAST(NULL AS VARCHAR) AS parent,
-                       CAST(0 AS BIGINT) AS lvl),
-            l1 AS MATERIALIZED (
-                SELECT adj.v AS node, MIN(l.node) AS parent,
-                       CAST(1 AS BIGINT) AS lvl
-                FROM l0 l JOIN adj ON adj.u = l.node
-                WHERE adj.v NOT IN (SELECT node FROM l0)
-                GROUP BY adj.v),
-            l2 AS MATERIALIZED (
-                SELECT adj.v AS node, MIN(l.node) AS parent,
-                       CAST(2 AS BIGINT) AS lvl
-                FROM l1 l JOIN adj ON adj.u = l.node
-                WHERE adj.v NOT IN (SELECT node FROM l0)
-                  AND adj.v NOT IN (SELECT node FROM l1)
-                GROUP BY adj.v),
-            l3 AS MATERIALIZED (
-                SELECT adj.v AS node, MIN(l.node) AS parent,
-                       CAST(3 AS BIGINT) AS lvl
-                FROM l2 l JOIN adj ON adj.u = l.node
-                WHERE adj.v NOT IN (SELECT node FROM l0)
-                  AND adj.v NOT IN (SELECT node FROM l1)
-                  AND adj.v NOT IN (SELECT node FROM l2)
-                GROUP BY adj.v),
-            lv AS MATERIALIZED (
-                SELECT * FROM l0 UNION ALL SELECT * FROM l1
-                UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
-            chain(node, parent, lvl) AS (
-                SELECT node, parent, lvl FROM lv WHERE node = 'NATION_24'
-                UNION ALL
-                SELECT l.node, l.parent, l.lvl
-                FROM chain c JOIN lv l ON l.node = c.parent
-            )
-            SELECT lvl AS step, node FROM chain""",
+        "trade_graph_shortest_path": _trade_bfs_path_sql(
+            "NATION_0", "NATION_24"
+        ),
         "trade_graph_densest": _trade_densest_sql(),
         # weighted synchronous LPA community sizes after 6 rounds
         "trade_graph_communities": "WITH "
@@ -5172,6 +5143,51 @@ def _trade_betweenness_sql(seeds: tuple, max_level: int = 5) -> str:
     FROM tot"""
     )
 
+
+
+def _trade_bfs_path_sql(src: str, dst: str, max_level: int = 24) -> str:
+    # BFS shortest path with min-parent tie-break mirroring
+    # shortest_path_dataset; 24 unrolled levels cover the worst-case
+    # eccentricity of the 25-node graph at ANY scale dir (a sparser sf
+    # can be path-like), so the oracle can never truncate a real path;
+    # levels past the true BFS depth are empty no-ops.  The recursive
+    # parent chase runs over the acyclic parent forest.
+    parts = [
+        _TRADE_EDGES_SQL,
+        f"""adj AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+    l0 AS MATERIALIZED (
+        SELECT '{src}' AS node, CAST(NULL AS VARCHAR) AS parent,
+               CAST(0 AS BIGINT) AS lvl),
+    vis0 AS MATERIALIZED (SELECT node FROM l0)""",
+    ]
+    for d in range(1, max_level + 1):
+        parts.append(
+            f"""l{d} AS MATERIALIZED (
+        SELECT adj.v AS node, MIN(l.node) AS parent,
+               CAST({d} AS BIGINT) AS lvl
+        FROM l{d - 1} l JOIN adj ON adj.u = l.node
+        WHERE adj.v NOT IN (SELECT node FROM vis{d - 1})
+        GROUP BY adj.v),
+    vis{d} AS MATERIALIZED (
+        SELECT node FROM vis{d - 1} UNION ALL SELECT node FROM l{d})"""
+        )
+    lv_union = " UNION ALL ".join(
+        f"SELECT * FROM l{d}" for d in range(max_level + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f""",
+    lv AS MATERIALIZED ({lv_union}),
+    chain(node, parent, lvl) AS (
+        SELECT node, parent, lvl FROM lv WHERE node = '{dst}'
+        UNION ALL
+        SELECT l.node, l.parent, l.lvl
+        FROM chain c JOIN lv l ON l.node = c.parent
+    )
+    SELECT lvl AS step, node FROM chain"""
+    )
 
 def _trade_graph_oracles_ext2() -> dict[str, str]:
     E = _TRADE_EDGES_SQL

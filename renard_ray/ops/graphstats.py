@@ -83,6 +83,32 @@ def top_degree_dataset(triples: Dataset, k: int = 25) -> Dataset:
 _PR_SCALE = 10**17  # contribution fixed-point scale; total mass ≈ 1 → sum ≤ 1e17 < int64
 
 
+def _collect_indexed_edges(edges: Dataset, nodes_arr: pa.Array):
+    """Collect the (small) edge Dataset onto the driver as index-encoded
+    numpy arrays (si, oi, w) against the sorted node vocabulary, with
+    the accumulation order CANONICALIZED by one (si, oi, w) lexsort:
+    ``np.add.at`` sums in edge-row order, so without the sort the float
+    result (at ~1e-16) — and, exactly at rounding boundaries, the
+    round(8) output — would depend on how blocks happened to concat.
+    Layout independence is the house determinism convention; the
+    driver-merge iteration paths lexsort per iteration for the same
+    reason.  Shared by the pagerank / HITS local fast paths."""
+    import pyarrow.compute as pc
+
+    et = pa.concat_tables(
+        [ray.get(r) for r in edges.to_arrow_refs()]
+    ).combine_chunks()
+    si = pc.index_in(
+        et.column("subj").combine_chunks(), value_set=nodes_arr
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    oi = pc.index_in(
+        et.column("obj").combine_chunks(), value_set=nodes_arr
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    w = et.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+    eo = np.lexsort((w, oi, si))
+    return si[eo], oi[eo], w[eo]
+
+
 def pagerank_dataset(
     triples: Dataset,
     damping: float = 0.85,
@@ -206,27 +232,7 @@ def pagerank_dataset(
     # per-iteration pass.
     n_edge_rows = edges.count()
     if small and n_edge_rows <= driver_edge_limit:
-        et = pa.concat_tables(
-            [ray.get(r) for r in edges.to_arrow_refs()]
-        ).combine_chunks()
-        si = pc.index_in(
-            et.column("subj").combine_chunks(), value_set=nodes_arr
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        oi = pc.index_in(
-            et.column("obj").combine_chunks(), value_set=nodes_arr
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        w = et.column("weight").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        # canonicalize the accumulation order: np.add.at sums in edge-
-        # row order, so without this one lexsort the float result (at
-        # ~1e-16) — and at exact rounding boundaries the round(8)
-        # output — would depend on how blocks happened to concat
-        # (layout-independence is the house determinism convention;
-        # the driver-merge path below lexsorts per iteration for the
-        # same reason)
-        eo = np.lexsort((w, oi, si))
-        si, oi, w = si[eo], oi[eo], w[eo]
+        si, oi, w = _collect_indexed_edges(edges, nodes_arr)
         for _ in range(iters):
             acc = np.zeros(n_nodes, dtype=np.float64)
             np.add.at(acc, oi, pr[si] * w / ow[si])
@@ -592,20 +598,7 @@ def hits_dataset(
     small = n_nodes <= driver_merge_limit
     n_edge_rows = edges.count()
     if small and n_edge_rows <= driver_edge_limit:
-        et = pa.concat_tables(
-            [ray.get(r) for r in edges.to_arrow_refs()]
-        ).combine_chunks()
-        si = pc.index_in(
-            et.column("subj").combine_chunks(), value_set=nodes_arr
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        oi = pc.index_in(
-            et.column("obj").combine_chunks(), value_set=nodes_arr
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        w = et.column("weight").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        eo = np.lexsort((w, oi, si))
-        si, oi, w = si[eo], oi[eo], w[eo]
+        si, oi, w = _collect_indexed_edges(edges, nodes_arr)
         h = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
         a = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
         for _ in range(iters):

@@ -377,14 +377,25 @@ def _topk_block(
     else:
         import pyarrow.compute as pc
 
-        kc = pc.binary_join_element_wise(
-            *[pc.cast(t.column(c), pa.string()) for c in keys], "\x1f"
-        )
+        # loud guard: the packed key joins with \x1f, so a key value
+        # containing the separator would collapse distinct tuples into
+        # one group (and disagree with the hash_rows routing)
+        casted = [pc.cast(t.column(c), pa.string()) for c in keys]
+        for c, arr in zip(keys, casted):
+            if pc.any(pc.match_substring(arr, "\x1f")).as_py():
+                raise ValueError(
+                    f"hash_topk: key column {c!r} contains the \\x1f "
+                    "separator — packed multi-key grouping would merge "
+                    "distinct key tuples"
+                )
+        kc = pc.binary_join_element_wise(*casted, "\x1f")
     if isinstance(kc, pa.ChunkedArray):
-        kc = (
-            kc.chunk(0)
-            if kc.num_chunks == 1
-            else pa.concat_arrays(kc.combine_chunks().chunks)
+        kc = kc.combine_chunks()
+    if kc.null_count:
+        # null keys must not ride the NaN->int64 cast (undefined code,
+        # platform-dependent): reject loudly like null order columns
+        raise ValueError(
+            f"hash_topk: null values in key column(s) {keys!r}"
         )
     enc = kc.dictionary_encode() if not pa.types.is_dictionary(kc.type) else kc
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -29,14 +29,12 @@ from ray.data import Dataset
 from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
 
 def _read_tbl(sf_dir: str, table: str, columns: list[str]) -> Dataset:
-    """Scrubbed-schema scan (clean_schema strips the pandas metadata
-    blob that defeats Ray's block-schema dedup at the READ operator)."""
-    from renard_ray.ops.relational import clean_schema
+    """Scrubbed-schema scan — delegates to the ONE house implementation
+    (relational._read) so the pandas-metadata-scrub convention lives in
+    a single place."""
+    from renard_ray.ops.relational import _read
 
-    path = f"{sf_dir}/{table}.parquet"
-    return ray.data.read_parquet(
-        path, columns=columns, schema=clean_schema(path, columns)
-    )
+    return _read(sf_dir, table, columns)
 
 
 _WS_RE = re.compile(r"\s+")

@@ -9009,10 +9009,14 @@ def test_trade_edges_memo(ray_session, tmp_path):
     """trade_edges memoizes the MATERIALIZED edge table per sf_dir
     (build-once-analyze-many, the _KG_TRIPLES_MEMO convention) and the
     LRU stays bounded."""
+    import os
+
     from renard_ray.ops import tradegraph as tg
 
-    tg.trade_edges_memo_clear()
     sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    tg.trade_edges_memo_clear()
     e1 = tg.trade_edges(sf)
     e2 = tg.trade_edges(sf)
     assert e1 is e2, "second call must return the memoized Dataset"
