@@ -1799,6 +1799,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_graph_label_spreading": (
             tradegraph.trade_graph_label_spreading
         ),
+        "trade_graph_motifs": tradegraph.trade_graph_motifs,
+        # directed motif census over the constructed KG digraph
+        # (bruteforce-oracle pytest on both plans; rows-only — the KG
+        # build is non-SQL; the exact twin is trade_graph_motifs)
+        "kg_motifs": lambda sf: __import__(
+            "renard_ray.ops.triangles", fromlist=["motif_census_dataset"]
+        ).motif_census_dataset(_kg_triples(sf)),
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -5295,4 +5302,28 @@ def _trade_graph_oracles_ext3() -> dict[str, str]:
             (("NATION_0", "alpha"), ("NATION_13", "beta"),
              ("NATION_24", "gamma"))
         ),
+        # directed 3-node motif census: reciprocal pairs, feed-forward
+        # (each ordered instance once via its unique wedge), 3-cycles
+        # once via the min-named rotation head — exact joins both sides
+        "trade_graph_motifs": f"""WITH {E},
+            d AS MATERIALIZED (
+                SELECT DISTINCT subj AS src, obj AS dst
+                FROM edges WHERE subj <> obj),
+            recip AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS n
+                      FROM d a JOIN d b
+                        ON b.src = a.dst AND b.dst = a.src),
+            w AS MATERIALIZED (
+                SELECT a.src AS a, a.dst AS b, c.dst AS c
+                FROM d a JOIN d c ON c.src = a.dst
+                WHERE a.src <> c.dst),
+            ffl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                    FROM w JOIN d ON d.src = w.a AND d.dst = w.c),
+            cyc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                    FROM w JOIN d ON d.src = w.c AND d.dst = w.a
+                    WHERE w.a < w.b AND w.a < w.c)
+            SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_edges,
+                   recip.n AS n_reciprocal_pairs,
+                   ffl.n AS n_transitive_ffl,
+                   cyc.n AS n_cyclic
+            FROM recip, ffl, cyc""",
     }

@@ -411,3 +411,11 @@ def trade_graph_label_spreading(sf_dir: str) -> Dataset:
     return label_spreading_dataset(
         trade_edges(sf_dir), seed_labels=LABEL_SPREADING_SEEDS
     )
+
+
+def trade_graph_motifs(sf_dir: str) -> Dataset:
+    """Directed 3-node motif census (reciprocal pairs, feed-forward,
+    min-rotation 3-cycles) — exact-join SQL twin."""
+    from renard_ray.ops.triangles import motif_census_dataset
+
+    return motif_census_dataset(trade_edges(sf_dir))

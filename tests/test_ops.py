@@ -9033,3 +9033,41 @@ def test_trade_edges_memo(ray_session, tmp_path):
     assert sf in tg._TRADE_EDGES_MEMO
     tg.trade_edges_memo_clear()
     assert not tg._TRADE_EDGES_MEMO
+
+
+def test_motif_census_matches_bruteforce(ray_session):
+    """motif_census_dataset vs the O(n^3) python oracle on seeded
+    random digraphs (with reciprocal edges and self-loops), both the
+    broadcast and the forced hash-join wedge plans."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from renard_ray.ops.triangles import (
+        motif_census_bruteforce,
+        motif_census_dataset,
+    )
+
+    rng = np.random.RandomState(17)
+    names = [f"m{i}" for i in range(14)]
+    rows = []
+    for _ in range(80):
+        a, b = rng.choice(14, size=2, replace=True)  # self-loops included
+        rows.append(
+            {
+                "subj": names[a],
+                "pred": "p",
+                "obj": names[b],
+                "weight": 1.0,
+                "polarity": 0.0,
+                "block_id": 0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    want = motif_census_bruteforce(list(zip(df["subj"], df["obj"])))
+    assert want["n_transitive_ffl"] > 0 and want["n_cyclic"] > 0  # non-trivial
+
+    ds = ray.data.from_pandas(df).repartition(3)
+    for kwargs in ({}, {"broadcast_limit": 0, "num_partitions": 2}):
+        got = motif_census_dataset(ds, **kwargs).to_pandas().iloc[0].to_dict()
+        assert got == want, kwargs
