@@ -256,6 +256,12 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "trade_graph_modularity",
         "trade_graph_densest",
         "trade_graph_weighted_distances",
+        "trade_graph_betweenness",
+        "trade_graph_max_spanning_forest",
+        "trade_graph_label_spreading",
+        "trade_graph_pmi",
+        "trade_graph_motifs",
+        "kg_motifs",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -9071,3 +9071,27 @@ def test_motif_census_matches_bruteforce(ray_session):
     for kwargs in ({}, {"broadcast_limit": 0, "num_partitions": 2}):
         got = motif_census_dataset(ds, **kwargs).to_pandas().iloc[0].to_dict()
         assert got == want, kwargs
+
+
+def test_hash_topk_rejects_null_and_separator_keys(ray_session):
+    """Null key values (NaN->int64 dictionary-index cast is platform
+    UB) and \\x1f inside multi-key values (packed-join collapse) must
+    fail loudly, like null order columns."""
+    import pyarrow as pa
+    import ray
+
+    from renard_ray.ops.hashagg import hash_topk
+
+    nulls = ray.data.from_arrow(
+        pa.table({"g": ["a", None], "v": [1.0, 2.0]})
+    )
+    with pytest.raises(Exception, match="null values in key"):
+        hash_topk(nulls, "g", order=[("v", False)], k=1).materialize()
+
+    sep = ray.data.from_arrow(
+        pa.table(
+            {"a": ["x\x1fy", "x"], "b": ["z", "y\x1fz"], "v": [1.0, 2.0]}
+        )
+    )
+    with pytest.raises(Exception, match="separator"):
+        hash_topk(sep, ["a", "b"], order=[("v", False)], k=1).materialize()
