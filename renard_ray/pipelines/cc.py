@@ -166,16 +166,15 @@ def _distributed_cc(edges: Dataset, max_rounds: int = 25) -> Dataset:
         cur = _distinct_edges(cur, "u", "v").materialize()
 
         def sig_batch(batch: pa.Table) -> pa.Table:
-            import zlib
+            # vectorized order-insensitive signature: polars hash_rows
+            # is stable across workers within a session (same library
+            # version + seed), which is all the round-over-round
+            # comparison needs — and it replaces what used to be a
+            # per-ROW python crc loop on the at-scale path
+            import polars as pl
 
-            # deterministic order-insensitive signature (process-stable,
-            # unlike python hash() which is seed-salted per worker)
-            s = sum(
-                zlib.crc32(a.encode() + b"\x00" + b.encode())
-                for a, b in zip(
-                    batch.column("u").to_pylist(), batch.column("v").to_pylist()
-                )
-            ) & ((1 << 61) - 1)
+            h = pl.from_arrow(batch.select(["u", "v"])).hash_rows(seed=0)
+            s = int(h.cast(pl.UInt64).sum() or 0) & ((1 << 61) - 1)
             return pa.table({"n": [batch.num_rows], "s": [s]})
 
         parts = cur.map_batches(sig_batch, batch_format="pyarrow").to_pandas()
