@@ -4775,7 +4775,7 @@ def _trade_pagerank_seeded_sql(
     )
 
 
-def _trade_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+def _trade_ktruss_sql(k: int = 4, rounds: int = 16) -> str:
     # unrolled support-peel (Cohen 2008): per round, per-edge triangle
     # support inside the surviving pair set, drop support < k-2;
     # idempotent past the fixpoint.  Final support measured IN the
@@ -4804,7 +4804,7 @@ def _trade_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     )
 
 
-def _trade_mis_sql(seed: int = 42, rounds: int = 8) -> str:
+def _trade_mis_sql(seed: int = 42, rounds: int = 16) -> str:
     # unrolled deterministic-Luby rounds mirroring mis_dataset: per
     # round every LIVE node draws key md5('{seed}|{round}|'+name) +
     # chr(31) + name; winners = nodes whose key beats every live
@@ -4881,7 +4881,7 @@ def _trade_wdist_sql(seed_node: str = "NATION_0", rounds: int = 25) -> str:
     )
 
 
-def _trade_densest_sql(rounds: int = 20) -> str:
+def _trade_densest_sql(rounds: int = 26) -> str:
     # unrolled greedy 2(1+eps)-approx peel (eps = 1/10): per round the
     # exact integer threshold floor(11 * m2 / (10 * n)) removes every
     # node at or under it; the answer is the union of victims from the
@@ -5077,7 +5077,7 @@ def _trade_graph_oracles_ext() -> dict[str, str]:
     }
 
 
-def _trade_betweenness_sql(seeds: tuple, max_level: int = 5) -> str:
+def _trade_betweenness_sql(seeds: tuple, max_level: int = 10) -> str:
     # unrolled Brandes dependency accumulation mirroring
     # betweenness_dataset: forward seed-tagged BFS with exact int64
     # path counts, backward per-level fixed-point credits

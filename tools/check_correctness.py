@@ -30,7 +30,18 @@ def _to_pandas(result) -> pd.DataFrame:
         from ray.data import Dataset
 
         if isinstance(result, Dataset):
-            return result.to_pandas()
+            df = result.to_pandas()
+            if len(df) == 0 and len(df.columns) == 0:
+                # Ray's to_pandas drops columns on an EMPTY dataset even
+                # when the Dataset carries a full schema (e.g. the sf0.001
+                # 4-truss is legitimately empty) — rebuild the frame from
+                # the schema so the column compare sees the real names
+                sch = result.schema()
+                if sch is not None:
+                    df = pd.DataFrame(
+                        {n: pd.Series(dtype=object) for n in sch.names}
+                    )
+            return df
     except ImportError:
         pass
     if isinstance(result, pa.Table):
