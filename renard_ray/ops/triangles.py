@@ -586,9 +586,25 @@ def link_prediction(
         limit=limit, fallback_parts=nparts,
     ).map_batches(lambda b: b.drop_columns(["key"]), batch_format="pyarrow")
 
-    return non_edges.sort(
+    out = non_edges.sort(
         ["common_neighbors", "a", "b"], descending=[True, False, False]
-    ).limit(k)
+    ).limit(k).materialize()
+    if out.count() == 0:
+        # a COMPLETE graph has no candidate non-edges: return a TYPED
+        # empty (sort/limit over zero blocks yields a schema-less
+        # Dataset, which downstream column compares would misread)
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("a", pa.string()),
+                    ("b", pa.string()),
+                    ("common_neighbors", pa.int64()),
+                    ("aa_score", pa.float64()),
+                    ("jaccard", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    return out
 
 
 def link_prediction_bruteforce(
