@@ -402,12 +402,23 @@ def modularity_dataset(
     # EXACT same integer arithmetic (counts + Fraction ppm); tests
     # force ``driver_limit=0`` to exercise the distributed plan.
     if m <= driver_limit and lab.count() <= driver_limit:
+        # skip schema-less EMPTY blocks (an empty reduce partition
+        # upstream carries no columns and would fail the concat)
         et = pa.concat_tables(
-            [ray.get(r) for r in edges.to_arrow_refs()]
+            [t for t in (ray.get(r) for r in edges.to_arrow_refs()) if t.num_rows]
         )
-        lt = pa.concat_tables([ray.get(r) for r in lab.to_arrow_refs()])
-        lmap = dict(
-            zip(lt.column("node").to_pylist(), lt.column("community").to_pylist())
+        lts = [
+            t for t in (ray.get(r) for r in lab.to_arrow_refs()) if t.num_rows
+        ]
+        lmap = (
+            dict(
+                zip(
+                    pa.concat_tables(lts).column("node").to_pylist(),
+                    pa.concat_tables(lts).column("community").to_pylist(),
+                )
+            )
+            if lts
+            else {}
         )
         src = et.column("src").to_pylist()
         dst = et.column("dst").to_pylist()

@@ -358,7 +358,15 @@ def trade_graph_modularity(sf_dir: str) -> Dataset:
             }
         )
 
-    labels = nodes.map_batches(label, batch_format="pyarrow")
+    # scrub schema-less empty reduce partitions before the label
+    # attach (tiny inputs can leave hash_aggregate output partitions
+    # empty; see relational.drop_empty_blocks)
+    from renard_ray.ops.relational import drop_empty_blocks
+
+    labels = drop_empty_blocks(
+        nodes.map_batches(label, batch_format="pyarrow")
+    )
+    assert labels is not None  # edges nonempty => nodes nonempty
     return modularity_dataset(edges, labels)
 
 def trade_graph_pmi(sf_dir: str) -> Dataset:
