@@ -1734,6 +1734,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_mau": relational.events_dau_mau,
         "events_new_users_weekly": relational.events_new_users_weekly,
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
+        "events_retention_cohorts": relational.events_retention_cohorts,
+        "events_hopping_window": relational.events_hopping_window_counts,
+        "customer_rfm_scores": relational.customer_rfm_scores,
         "doc_bigram_topk": textstats.bigram_topk,
         "doc_vocab_overlap": textstats.vocab_overlap_by_lang,
         # distributed zipWithIndex: stable 1-based global row numbers
@@ -3945,6 +3948,76 @@ def oracle_sql() -> dict[str, str]:
                        AS hour,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_retention_cohorts": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, MIN(week) AS cohort_week
+                FROM a GROUP BY 1
+            ),
+            s AS (
+                SELECT cohort_week, COUNT(*) AS n_cohort
+                FROM f GROUP BY 1
+            ),
+            p AS (
+                SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+                       COUNT(*) AS n_active
+                FROM a JOIN f USING (user_id) GROUP BY 1, 2
+            )
+            SELECT CAST(p.cohort_week AS BIGINT) AS cohort_week,
+                   CAST(p.week_offset AS BIGINT) AS week_offset,
+                   CAST(s.n_cohort AS BIGINT) AS n_cohort,
+                   CAST(p.n_active AS BIGINT) AS n_active,
+                   CAST((2000000 * p.n_active + s.n_cohort)
+                        // (2 * s.n_cohort) AS BIGINT) AS retention_ppm
+            FROM p JOIN s USING (cohort_week)
+        """,
+        "events_hopping_window": """
+            WITH h AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT h.event_type,
+                   CAST(h.hour - o.k AS BIGINT) AS window_start_hour,
+                   CAST(SUM(h.n) AS BIGINT) AS n_events
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) o
+            GROUP BY 1, 2
+        """,
+        "customer_rfm_scores": """
+            WITH m AS (
+                SELECT o_custkey AS c_custkey,
+                       MAX(epoch_us(o_orderdate) // 86400000000)
+                           AS last_order_day,
+                       COUNT(*) AS n_orders,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS monetary_cents
+                FROM orders GROUP BY 1
+            ),
+            sc AS (
+                SELECT c_custkey, last_order_day, n_orders, monetary_cents,
+                       NTILE(5) OVER (ORDER BY last_order_day DESC,
+                                      c_custkey) AS r_score,
+                       NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey)
+                           AS f_score,
+                       NTILE(5) OVER (ORDER BY monetary_cents DESC,
+                                      c_custkey) AS m_score
+                FROM m
+            )
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(last_order_day AS BIGINT) AS last_order_day,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(monetary_cents AS BIGINT) AS monetary_cents,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(100 * r_score + 10 * f_score + m_score AS BIGINT)
+                       AS rfm
+            FROM sc
         """,
         "doc_length_percentiles_by_lang": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -262,6 +262,9 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "trade_graph_pmi",
         "trade_graph_motifs",
         "kg_motifs",
+        "events_retention_cohorts",
+        "events_hopping_window",
+        "customer_rfm_scores",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

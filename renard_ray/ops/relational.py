@@ -9792,3 +9792,355 @@ def events_weekday_hour_heatmap(sf_dir: str) -> "Dataset | pa.Table":
     if red is None:
         return out_schema.empty_table()
     return red
+
+
+def events_retention_cohorts(sf_dir: str) -> "Dataset | pa.Table":
+    """Weekly retention matrix: users cohorted by their FIRST-ever
+    event week; for every (cohort_week, week_offset) cell, how many of
+    that cohort were active offset weeks later, plus the cohort size
+    and the exact half-away retention ppm — the readout next to
+    ``events_dau_mau`` / ``events_new_users_weekly`` on every growth
+    dashboard.
+
+    Shape notes (nothing event-scale past the first exchange): the
+    distinct (user, week) activity table is ONE combiner-fed groupby
+    (distinct rows per batch cross the exchange, bounded by
+    |users| x active-weeks); cohorts are a groupby-Min over it; the
+    cohort attaches back via the size-adaptive lookup join; the
+    (cohort, offset) reduce and the cohort-size reduce are both
+    CALENDAR^2- / CALENDAR-bounded.  ``2e6 * n_active`` must fit int64
+    — asserted loudly (wraps past ~4.6e12 users per cell)."""
+    out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("week_offset", pa.int64()),
+            ("n_cohort", pa.int64()),
+            ("n_active", pa.int64()),
+            ("retention_ppm", pa.int64()),
+        ]
+    )
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    if ev.count() == 0:
+        return out_schema.empty_table()
+
+    _uw_schema = pa.schema([("user_id", pa.int64()), ("week", pa.int64())])
+
+    def distinct_uw(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _uw_schema.empty_table()
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        assert pc.min(us).as_py() >= 0, "retention: pre-epoch timestamp"
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": pc.divide(us, pa.scalar(604_800_000_000, pa.int64())),
+            }
+        )
+        return (
+            t.group_by(["user_id", "week"])
+            .aggregate([])
+            .select(["user_id", "week"])
+        )
+
+    activity = _scrub_schemaless(
+        _hagg_auto(
+            ev.map_batches(distinct_uw, batch_format="pyarrow", batch_size=None),
+            ["user_id", "week"],
+            [],
+        )
+    )
+    if activity is None:
+        return out_schema.empty_table()
+    activity = activity.materialize()  # consumed twice below
+
+    cohorts = _hagg_auto(
+        activity, "user_id", [("week", "min", "cohort_week")]
+    ).materialize()
+
+    sizes = _hagg_auto(
+        cohorts.select_columns(["cohort_week"]),
+        "cohort_week",
+        [("", "count_all", "n_cohort")],
+    )
+
+    with_cohort = broadcast_lookup_join(
+        activity, cohorts, on="user_id", right_on="user_id",
+        payload=["cohort_week"],
+    )
+
+    _co_schema = pa.schema(
+        [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _co_schema.empty_table()
+        t = pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": pc.subtract(
+                    batch.column("week"), batch.column("cohort_week")
+                ),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["cohort_week", "week_offset", "n"])
+
+    cells = _scrub_schemaless(
+        _hagg_auto(
+            with_cohort.map_batches(
+                offsets, batch_format="pyarrow", batch_size=None
+            ),
+            ["cohort_week", "week_offset"],
+            [("n", "sum", "n_active")],
+        )
+    )
+    if cells is None:
+        return out_schema.empty_table()
+
+    joined = broadcast_lookup_join(
+        cells, sizes, on="cohort_week", right_on="cohort_week",
+        payload=["n_cohort"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        na = batch.column("n_active").to_numpy()
+        nc = batch.column("n_cohort").to_numpy()
+        assert na.max() < 4 * 10**12, "retention: 2e6*n_active wraps int64"
+        ppm = (2_000_000 * na + nc) // (2 * nc)  # half-away, n_active>=0
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": batch.column("week_offset"),
+                "n_cohort": batch.column("n_cohort"),
+                "n_active": batch.column("n_active"),
+                "retention_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_hopping_window_counts(
+    sf_dir: str, window_hours: int = 6
+) -> "Dataset | pa.Table":
+    """Hopping event-time window: per event type, the event count in
+    every ``window_hours``-hour window hopping hourly — the streaming
+    rate / alerting readout (`§2.8` shape) computed batch: a window
+    position appears iff it contains >= 1 event (zero windows are
+    gap-fill's job; the alerting consumer only looks at non-empty
+    ones).
+
+    Shape notes: hourly per-type counts are ONE combiner-fed groupby
+    whose key domain is CALENDAR x |types| bounded; each hourly cell
+    then fans out to its ``window_hours`` containing window starts
+    VECTORIZED (np.repeat/tile over the bounded hourly table — the
+    fan-out multiplies a calendar-bounded table, never the event
+    stream), and the window reduce is a second calendar-bounded
+    groupby."""
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start_hour", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+    assert 1 <= window_hours <= 10_000, "sliding_window: hop fan-out bound"
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    if ev.count() == 0:
+        return out_schema.empty_table()
+
+    _h_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()), ("n", pa.int64())]
+    )
+
+    def hourly(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _h_schema.empty_table()
+        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
+        assert pc.min(us).as_py() >= 0, "sliding_window: pre-epoch timestamp"
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "hour", "n"])
+
+    hourly_red = _scrub_schemaless(
+        _hagg_auto(
+            ev.map_batches(hourly, batch_format="pyarrow", batch_size=None),
+            ["event_type", "hour"],
+            [("n", "sum", "n")],
+        )
+    )
+    if hourly_red is None:
+        return out_schema.empty_table()
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _h_schema.empty_table().rename_columns(
+                ["event_type", "window_start_hour", "n"]
+            )
+        w = window_hours
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        hr = batch.column("hour").to_numpy()
+        n = batch.column("n").to_numpy()
+        # hour h lies in windows starting at h-w+1 .. h
+        starts = np.repeat(hr, w) - np.tile(np.arange(w, dtype=np.int64), len(hr))
+        t = pa.table(
+            {
+                "event_type": pa.array(np.repeat(et, w)),
+                "window_start_hour": pa.array(starts, pa.int64()),
+                "n": pa.array(np.repeat(n, w), pa.int64()),
+            }
+        )
+        return t.group_by(["event_type", "window_start_hour"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "window_start_hour", "n"])
+
+    red = _scrub_schemaless(
+        _hagg_auto(
+            hourly_red.map_batches(
+                fan_out, batch_format="pyarrow", batch_size=None
+            ),
+            ["event_type", "window_start_hour"],
+            [("n", "sum", "n_events")],
+        )
+    )
+    if red is None:
+        return out_schema.empty_table()
+    return red
+
+
+def customer_rfm_scores(sf_dir: str, k: int = 5) -> "Dataset | pa.Table":
+    """RFM segmentation over customers WITH orders: per customer the
+    last order day (R), order count (F) and lifetime cents (M), each
+    scored 1..k by global NTILE over (metric best-first, custkey) —
+    score 1 is the best quintile on every axis, ``rfm`` packs the
+    three digits.  Deterministic: the custkey tie-break makes every
+    NTILE assignment unique, so the oracle window agrees bit-for-bit.
+
+    Shape notes: per-customer metrics are ONE fact-scale combiner
+    exchange over orders; the three global ranks each ride the
+    two-pass ``_attach_global_rank`` sorted-run (sorts of the
+    |customers|-bounded metric table, never of orders); the NTILE
+    formula is vectorized batch arithmetic from (rank, n_customers).
+    """
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("last_order_day", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("monetary_cents", pa.int64()),
+            ("r_score", pa.int64()),
+            ("f_score", pa.int64()),
+            ("m_score", pa.int64()),
+            ("rfm", pa.int64()),
+        ]
+    )
+    ods = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    if ods.count() == 0:
+        return out_schema.empty_table()
+
+    _m_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("last_day", pa.int64()),
+            ("n1", pa.int64()),
+            ("price_c", pa.int64()),
+        ]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _m_schema.empty_table()
+        us = pc.cast(_ts_us(batch.column("o_orderdate")), pa.int64())
+        assert pc.min(us).as_py() >= 0, "rfm: pre-epoch order date"
+        t = pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "last_day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                "n1": pa.array(np.ones(batch.num_rows, np.int64)),
+                "price_c": _cents(batch.column("o_totalprice")),
+            }
+        )
+        return t.group_by("c_custkey").aggregate(
+            [("last_day", "max"), ("n1", "sum"), ("price_c", "sum")]
+        ).rename_columns(["c_custkey", "last_day", "n1", "price_c"])
+
+    metrics = _scrub_schemaless(
+        _hagg_auto(
+            ods.map_batches(derive, batch_format="pyarrow", batch_size=None),
+            "c_custkey",
+            [
+                ("last_day", "max", "last_order_day"),
+                ("n1", "sum", "n_orders"),
+                ("price_c", "sum", "monetary_cents"),
+            ],
+        )
+    )
+    if metrics is None:
+        return out_schema.empty_table()
+    metrics = metrics.materialize()
+    n_total = metrics.count()
+
+    def rename_rn(ds: Dataset, name: str) -> Dataset:
+        return ds.map_batches(
+            lambda b, _n=name: b.rename_columns(
+                [c if c != "rn" else _n for c in b.schema.names]
+            ),
+            batch_format="pyarrow",
+        )
+
+    ranked = rename_rn(
+        _attach_global_rank(metrics, "last_order_day", "c_custkey", descending=True),
+        "r_rank",
+    )
+    ranked = rename_rn(
+        _attach_global_rank(ranked, "n_orders", "c_custkey", descending=True),
+        "f_rank",
+    )
+    ranked = rename_rn(
+        _attach_global_rank(ranked, "monetary_cents", "c_custkey", descending=True),
+        "m_rank",
+    )
+
+    def ntile(rank: np.ndarray, n: int, kk: int) -> np.ndarray:
+        # SQL NTILE(kk): first n%kk buckets take ceil(n/kk) rows
+        q, rem = divmod(n, kk)
+        if q == 0:  # fewer rows than buckets: row r -> bucket r
+            return rank.copy()
+        cut = rem * (q + 1)
+        big = (rank - 1) // (q + 1) + 1
+        small = rem + (rank - cut - 1) // q + 1
+        return np.where(rank <= cut, big, small)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        r = ntile(batch.column("r_rank").to_numpy(), n_total, k)
+        f = ntile(batch.column("f_rank").to_numpy(), n_total, k)
+        m = ntile(batch.column("m_rank").to_numpy(), n_total, k)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "last_order_day": batch.column("last_order_day"),
+                "n_orders": batch.column("n_orders"),
+                "monetary_cents": batch.column("monetary_cents"),
+                "r_score": pa.array(r, pa.int64()),
+                "f_score": pa.array(f, pa.int64()),
+                "m_score": pa.array(m, pa.int64()),
+                "rfm": pa.array(100 * r + 10 * f + m, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finalize, batch_format="pyarrow")

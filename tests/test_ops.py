@@ -9095,3 +9095,181 @@ def test_hash_topk_rejects_null_and_separator_keys(ray_session):
     )
     with pytest.raises(Exception, match="separator"):
         hash_topk(sep, ["a", "b"], order=[("v", False)], k=1).materialize()
+
+
+def test_events_retention_cohorts(ray_session, monkeypatch):
+    """Cohort = first-ever week; same-week repeat activity counts a
+    user once per offset cell; retention ppm is exact half-away."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            # cohort week 0: users 1,2,3 (n_cohort=3)
+            #   offset 0: all three (ppm 1000000)
+            #   offset 1: user 1 only (1/3 -> 333333)
+            #   offset 2: users 1,2 (2/3 -> 666667)
+            # cohort week 1: user 4 (n_cohort=1), offset 0 only
+            "user_id": [1, 2, 3, 1, 1, 1, 2, 4],
+            "ts": pd.to_datetime(
+                [
+                    "1970-01-01",  # w0
+                    "1970-01-02",  # w0
+                    "1970-01-03",  # w0
+                    "1970-01-04",  # w0 dup for user 1 (same cell once)
+                    "1970-01-09",  # w1 (offset 1)
+                    "1970-01-15",  # w2 (offset 2)
+                    "1970-01-16",  # w2 (offset 2)
+                    "1970-01-09",  # user 4 first event in w1
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_retention_cohorts("x")
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+    )
+    assert out.values.tolist() == [
+        [0, 0, 3, 3, 1000000],
+        [0, 1, 3, 1, 333333],
+        [0, 2, 3, 2, 666667],
+        [1, 0, 1, 1, 1000000],
+    ]
+
+
+def test_events_hopping_window_counts(ray_session, monkeypatch):
+    """Each hourly cell lands in exactly window_hours hopping windows;
+    types never mix; counts merge across blocks."""
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    ev = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "1970-01-01 00:10",  # hour 0
+                    "1970-01-01 00:50",  # hour 0
+                    "1970-01-01 02:30",  # hour 2
+                    "1970-01-01 01:00",  # hour 1, type b
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    _patch_tables(monkeypatch, {"events": ev})
+    out = (
+        relational.events_hopping_window_counts("x", window_hours=3)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_hour"])
+    )
+    # type a: hour0 (n=2) covers starts -2..0; hour2 (n=1) covers 0..2
+    #   -> start 0 sees both (3); -2,-1 see 2; 1,2 see 1
+    # type b: hour1 covers starts -1..1
+    assert out.values.tolist() == [
+        ["a", -2, 2],
+        ["a", -1, 2],
+        ["a", 0, 3],
+        ["a", 1, 1],
+        ["a", 2, 1],
+        ["b", -1, 1],
+        ["b", 0, 1],
+        ["b", 1, 1],
+    ]
+
+
+def test_customer_rfm_scores(ray_session, monkeypatch):
+    """NTILE(k) semantics (first n%k buckets one row bigger), custkey
+    breaks metric ties ascending, rfm packs the three digits."""
+    import numpy as np
+    import pandas as pd
+
+    from renard_ray.ops import relational
+
+    # 7 customers -> NTILE(5) bucket sizes [2, 2, 1, 1, 1]
+    ods = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2, 3, 4, 5, 6, 7],
+            "o_orderdate": pd.to_datetime(
+                [
+                    "1970-01-10",  # cust 1 (also 1970-01-20 below)
+                    "1970-01-20",
+                    "1970-01-20",  # cust 2 ties cust 1 on recency
+                    "1970-01-19",
+                    "1970-01-18",
+                    "1970-01-17",
+                    "1970-01-16",
+                    "1970-01-15",
+                ]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [10.0, 10.0, 30.0, 25.0, 24.0, 23.0, 22.0, 21.0],
+        }
+    )
+    _patch_tables(monkeypatch, {"orders": ods})
+    out = (
+        relational.customer_rfm_scores("x")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    # recency order (last_day desc, custkey): 1, 2, 3, 4, 5, 6, 7
+    #   -> r buckets [1, 1, 2, 2, 3, 4, 5]
+    assert out["r_score"].tolist() == [1, 1, 2, 2, 3, 4, 5]
+    # frequency: cust 1 has 2 orders, everyone else 1 (custkey ties)
+    assert out["f_score"].tolist() == [1, 1, 2, 2, 3, 4, 5]
+    # monetary order: 2(3000c), 3(2500), 4(2400), 5(2300), 6(2200),
+    # 7(2100), 1(2000) -> cust1 last
+    assert out["m_score"].tolist() == [5, 1, 1, 2, 2, 3, 4]
+    assert (
+        out["rfm"] == 100 * out["r_score"] + 10 * out["f_score"] + out["m_score"]
+    ).all()
+    assert out.loc[0, "n_orders"] == 2
+    assert out.loc[0, "monetary_cents"] == 2000
+    # replica: random multi-block corpus vs a pandas NTILE oracle
+    rng = np.random.default_rng(7)
+    n = 53
+    ods2 = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(1, 20, n),
+            "o_orderdate": pd.to_datetime("1970-01-01")
+            + pd.to_timedelta(rng.integers(0, 400, n), unit="D"),
+            "o_totalprice": np.round(rng.uniform(1, 50, n), 2),
+        }
+    )
+    ods2["o_orderdate"] = ods2["o_orderdate"].astype("datetime64[us]")
+    _patch_tables(monkeypatch, {"orders": ods2})
+    out2 = (
+        relational.customer_rfm_scores("x")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+    m = ods2.assign(
+        day=(ods2["o_orderdate"].astype("int64") // 86_400_000_000),
+        cents=(ods2["o_totalprice"] * 100).round().astype("int64"),
+    ).groupby("o_custkey", as_index=False).agg(
+        last_order_day=("day", "max"),
+        n_orders=("day", "size"),
+        monetary_cents=("cents", "sum"),
+    )
+
+    def ntile_oracle(df, col):
+        o = df.sort_values([col, "o_custkey"], ascending=[False, True])
+        nn, kk = len(o), 5
+        q, rem = divmod(nn, kk)
+        buckets = []
+        for b in range(1, kk + 1):
+            buckets += [b] * (q + 1 if b <= rem else q)
+        return pd.Series(buckets[: len(o)], index=o.index).sort_index()
+
+    m["r"] = ntile_oracle(m, "last_order_day")
+    m["f"] = ntile_oracle(m, "n_orders")
+    m["mm"] = ntile_oracle(m, "monetary_cents")
+    m = m.sort_values("o_custkey").reset_index(drop=True)
+    assert out2["r_score"].tolist() == m["r"].tolist()
+    assert out2["f_score"].tolist() == m["f"].tolist()
+    assert out2["m_score"].tolist() == m["mm"].tolist()
