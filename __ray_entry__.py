@@ -491,6 +491,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["hops", "node"]
         )
 
+    def kg_distance_stats(sf_dir: str):
+        # exact all-sources BFS distance stats over the (undirected)
+        # KG: n_reachable / dist_sum / eccentricity / Wasserman-Faust
+        # closeness ppm per entity (int-id encoded pair frontier;
+        # brute-BFS-oracle pytest on both expansion plans; rows-only
+        # driver check — the SQL twin is trade_graph_distance_stats)
+        from renard_ray.ops.graphstats import distance_stats_dataset
+
+        return distance_stats_dataset(kg_triples(sf_dir), directed=False).sort(
+            ["node"]
+        )
+
     def kg_snapshot_diff(sf_dir: str):
         """Crawl-over-crawl KG diff (pytest-gated vs a pandas
         outer-merge oracle): snapshot A = pages P1+P2, snapshot B =
@@ -1239,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": kg_link_prediction,
         "kg_kcore": kg_kcore,
         "kg_bfs_hops": kg_bfs_hops,
+        "kg_distance_stats": kg_distance_stats,
         "kg_snapshot_diff": kg_snapshot_diff,
         "kg_neighborhood_stats": kg_neighborhood_stats,
         "kg_growth": kg_growth,
@@ -1803,6 +1816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tradegraph.trade_graph_label_spreading
         ),
         "trade_graph_motifs": tradegraph.trade_graph_motifs,
+        "trade_graph_distance_stats": (
+            tradegraph.trade_graph_distance_stats
+        ),
         # directed motif census over the constructed KG digraph
         # (bruteforce-oracle pytest on both plans; rows-only — the KG
         # build is non-SQL; the exact twin is trade_graph_motifs)
@@ -5340,9 +5356,53 @@ def _trade_label_spreading_sql(seeds: tuple, rounds: int = 15) -> str:
     )
 
 
+def _trade_distance_stats_sql(levels: int = 6) -> str:
+    # min-plus DOUBLING closure: t{i} holds exact min distances up to
+    # 2^i hops, so 6 levels cover 64 — log(diameter) joins instead of
+    # diameter-many frontier unrolls.  ``a.src <> b.dst`` keeps
+    # self-distances out (paths THROUGH an intermediate are unaffected),
+    # matching the engine's pk-anti-join which never re-admits (s, s).
+    parts = [
+        _TRADE_EDGES_SQL,
+        """e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst
+               FROM edges WHERE subj <> obj),
+    dnodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dnodes),
+    t0 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS d FROM e)""",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (SELECT src, dst, MIN(d) AS d FROM (
+        SELECT src, dst, d FROM t{i - 1}
+        UNION ALL
+        SELECT a.src, b.dst, a.d + b.d FROM t{i - 1} a
+        JOIN t{i - 1} b ON a.dst = b.src WHERE a.src <> b.dst
+    ) GROUP BY 1, 2)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n.node,
+           CAST(COUNT(t.dst) AS BIGINT) AS n_reachable,
+           CAST(COALESCE(SUM(t.d), 0) AS BIGINT) AS dist_sum,
+           CAST(COALESCE(MAX(t.d), 0) AS BIGINT) AS ecc,
+           CAST(CASE WHEN COUNT(t.dst) = 0 OR COALESCE(SUM(t.d), 0) = 0
+                THEN 0 ELSE
+                (2000000 * COUNT(t.dst) * COUNT(t.dst)
+                 + ((SELECT n FROM nn) - 1) * SUM(t.d))
+                // (2 * ((SELECT n FROM nn) - 1) * SUM(t.d))
+           END AS BIGINT) AS closeness_wf_ppm
+    FROM dnodes n LEFT JOIN t{levels} t ON t.src = n.node
+    GROUP BY n.node"""
+    )
+
+
 def _trade_graph_oracles_ext3() -> dict[str, str]:
     E = _TRADE_EDGES_SQL
     return {
+        "trade_graph_distance_stats": _trade_distance_stats_sql(),
         # unique maximum spanning forest via the cycle property: the
         # packed (10^13-1-centi_w, a, b) key totally orders the edges,
         # so e is IN the forest iff its endpoints are NOT connected

@@ -262,6 +262,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "trade_graph_pmi",
         "trade_graph_motifs",
         "kg_motifs",
+        "trade_graph_distance_stats",
+        "kg_distance_stats",
         "events_retention_cohorts",
         "events_hopping_window",
         "customer_rfm_scores",

@@ -427,3 +427,14 @@ def trade_graph_motifs(sf_dir: str) -> Dataset:
     from renard_ray.ops.triangles import motif_census_dataset
 
     return motif_census_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_distance_stats(sf_dir: str) -> Dataset:
+    """Exact per-node directed BFS distance stats (n_reachable /
+    dist_sum / eccentricity / Wasserman-Faust closeness ppm) — the
+    SQL twin is a min-plus DOUBLING closure (6 levels cover 64 hops)
+    so the oracle needs log(diameter) unrolled joins, not
+    diameter-many."""
+    from renard_ray.ops.graphstats import distance_stats_dataset
+
+    return distance_stats_dataset(trade_edges(sf_dir), directed=True)

@@ -9273,3 +9273,128 @@ def test_customer_rfm_scores(ray_session, monkeypatch):
     assert out2["r_score"].tolist() == m["r"].tolist()
     assert out2["f_score"].tolist() == m["f"].tolist()
     assert out2["m_score"].tolist() == m["mm"].tolist()
+
+
+def test_distance_stats_both_paths_match_brute_bfs(ray_session):
+    """Multi-source attributed BFS: both expansion plans (broadcast
+    CSR and the forced per-round hash join) reproduce a brute-force
+    python BFS — distances, reachability, eccentricity and the exact
+    Wasserman-Faust closeness ppm — on random digraphs with loops,
+    in both directed and undirected mode."""
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import distance_stats_dataset
+
+    def brute(edge_list, directed, nodes):
+        adj: dict = {}
+        for a, b in edge_list:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            if not directed:
+                adj.setdefault(b, set()).add(a)
+        n = len(nodes)
+        rows = []
+        for s in sorted(nodes):
+            dist = {s: 0}
+            dq = deque([s])
+            while dq:
+                u = dq.popleft()
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        dq.append(w)
+            r = len(dist) - 1
+            S = sum(dist.values())
+            ecc = max(dist.values())
+            ppm = (
+                (2_000_000 * r * r + (n - 1) * S) // (2 * (n - 1) * S)
+                if r > 0 and S > 0
+                else 0
+            )
+            rows.append((s, r, S, ecc, ppm))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "node", "n_reachable", "dist_sum", "ecc",
+                "closeness_wf_ppm",
+            ],
+        )
+
+    rng = np.random.default_rng(11)
+    for nn, ne, directed in [(11, 24, True), (11, 24, False), (9, 8, True)]:
+        names = [f"N{i:02d}" for i in range(nn)]
+        edge_list = [
+            (names[rng.integers(nn)], names[rng.integers(nn)])
+            for _ in range(ne)
+        ]
+        trip = _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([a for a, _ in edge_list]),
+                    "obj": pa.array([b for _, b in edge_list]),
+                    "weight": pa.array([1] * len(edge_list), pa.int64()),
+                }
+            )
+        ).repartition(3)
+        nodes = {a for a, _ in edge_list} | {b for _, b in edge_list}
+        exp = brute(edge_list, directed, nodes).reset_index(drop=True)
+        for lim in (None, 0):  # broadcast CSR / forced hash-join rounds
+            got = (
+                distance_stats_dataset(
+                    trip, directed=directed, broadcast_limit=lim
+                )
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            assert got.equals(exp), (directed, lim)
+
+
+def test_distance_stats_sources_and_degenerates(ray_session):
+    """Explicit landmark sources restrict the output; a self-loop-only
+    node keeps its zero row; unknown sources assert."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import distance_stats_dataset
+
+    trip = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": ["A", "B", "L"],
+                "obj": ["B", "C", "L"],  # L has ONLY a self-loop
+                "weight": pa.array([1, 1, 1], pa.int64()),
+            }
+        )
+    )
+    out = (
+        distance_stats_dataset(trip, directed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # n=4 nodes; A reaches B,C (dists 1,2): r=2 S=3 ecc=2
+    #   closeness = (2/3)*(2/3) = 444444 ppm
+    assert out.values.tolist() == [
+        ["A", 2, 3, 2, 444444],
+        ["B", 1, 1, 1, 333333],
+        ["C", 0, 0, 0, 0],
+        ["L", 0, 0, 0, 0],
+    ]
+    only_a = distance_stats_dataset(
+        trip, sources=["A"], directed=True
+    ).to_pandas()
+    assert only_a.values.tolist() == [["A", 2, 3, 2, 444444]]
+    try:
+        distance_stats_dataset(trip, sources=["ZZZ"]).to_pandas()
+        raise RuntimeError("expected AssertionError")
+    except AssertionError:
+        pass
