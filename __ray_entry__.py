@@ -254,6 +254,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(synthesize_media_table(200))
         return extract_features(media).filter(expr="decoded_ok == True")
 
+    def media_resize(sf_dir: str):
+        # actor-pool image resize plumbing (codec slot in __init__,
+        # stub decode per driver instruction); rows-only — binary
+        # payload churn is non-SQL
+        import ray
+
+        from renard_ray.ops.multimodal import resize_images, synthesize_media_table
+
+        media = ray.data.from_arrow(synthesize_media_table(200))
+        return resize_images(media, width=224, height=224)
+
+    def media_frame_sample(sf_dir: str):
+        # 1->N video frame fan-out plumbing (one row per sampled
+        # frame, binary frame payloads, small batches); rows-only
+        import ray
+
+        from renard_ray.ops.multimodal import sample_frames, synthesize_media_table
+
+        media = ray.data.from_arrow(synthesize_media_table(200))
+        return sample_frames(media, interval_ms=500, max_frames=6)
+
+    def media_audio_chunks(sf_dir: str):
+        # fixed-window audio chunk fan-out (last window truncates at
+        # the clip end); rows-only
+        import ray
+
+        from renard_ray.ops.multimodal import chunk_audio, synthesize_media_table
+
+        media = ray.data.from_arrow(synthesize_media_table(200))
+        return chunk_audio(media, chunk_ms=400, max_chunks=8)
+
     def knn_lsh(sf_dir: str):
         return similarity.knn_lsh(sf_dir)
 
@@ -1240,6 +1271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cumulative_final": kg_cumulative_final,
         "kg_reference_corpus": kg_reference_corpus,
         "media_features": media_features,
+        "media_resize": media_resize,
+        "media_frame_sample": media_frame_sample,
+        "media_audio_chunks": media_audio_chunks,
         "kg_conversational": kg_conversational,
         "kg_triples_paragraphs": kg_triples_paragraphs,
         "doc_nlp_state": doc_nlp_state,

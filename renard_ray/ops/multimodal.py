@@ -111,3 +111,205 @@ def extract_features(media: Dataset, feature_dim: int = 16) -> Dataset:
         batch_size=16,
         concurrency=(1, 4),
     )
+
+
+class MediaResizeStage:
+    """Actor-pool image-resize stage (the preprocess step in front of
+    any vision model): codec handle belongs in ``__init__`` (stubbed —
+    real path raises ``NotImplementedError`` per the driver
+    instruction), ``__call__`` rewrites payload + dims per batch.  The
+    fake 'resize' derives a deterministic payload from (source payload
+    digest, target dims) so downstream stages see realistic binary
+    churn; non-image rows pass through untouched."""
+
+    def __init__(self, width: int = 224, height: int = 224):
+        assert width > 0 and height > 0
+        self.width, self.height = width, height
+        self.has_real_codec = _try_real_decoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_pay, out_w, out_h = [], [], []
+        for k, p, w, h in zip(
+            kinds,
+            payloads,
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if k != "image" or p is None or not p.startswith(b"FAKE"):
+                if k == "image" and p is not None and self.has_real_codec:
+                    raise NotImplementedError(
+                        "real resize path requires codec libs absent here"
+                    )
+                out_pay.append(p)
+                out_w.append(w)
+                out_h.append(h)
+                continue
+            d = hashlib.sha256(
+                p + struct.pack("<ii", self.width, self.height)
+            ).digest()
+            out_pay.append(b"FAKE" + b"IM" + d * 8)
+            out_w.append(self.width)
+            out_h.append(self.height)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(out_pay, pa.binary()),
+                "mime": batch.column("mime"),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "duration_ms": batch.column("duration_ms"),
+            }
+        )
+
+
+def resize_images(media: Dataset, width: int = 224, height: int = 224) -> Dataset:
+    """Resize every image row to (width, height) — actor pool, small
+    batches (binary payloads)."""
+    return media.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler — the 1->N row fan-out plumbing
+    (one output row PER SAMPLED FRAME, binary frame payload): frames
+    at ``interval_ms`` steps from 0 while inside the clip, capped at
+    ``max_frames``.  Decode is the deterministic fake; the real
+    decoder slot follows the house ``__init__`` convention."""
+
+    def __init__(self, interval_ms: int = 500, max_frames: int = 8):
+        assert interval_ms > 0 and max_frames > 0
+        self.interval_ms, self.max_frames = interval_ms, max_frames
+        self.has_real_codec = _try_real_decoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ts, pay, ws, hs = [], [], [], [], [], []
+        for mid, k, p, w, h, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            if k != "video" or p is None or dur is None or dur <= 0:
+                continue
+            if not p.startswith(b"FAKE"):
+                if self.has_real_codec:
+                    raise NotImplementedError(
+                        "real frame decode requires codec libs absent here"
+                    )
+                continue
+            n = min(self.max_frames, 1 + (dur - 1) // self.interval_ms)
+            for i in range(n):
+                t = i * self.interval_ms
+                d = hashlib.sha256(
+                    p[:32] + struct.pack("<qi", mid, t)
+                ).digest()
+                ids.append(mid)
+                fidx.append(i)
+                ts.append(t)
+                pay.append(b"FAKE" + b"FR" + d * 4)
+                ws.append(w)
+                hs.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int32()),
+                "frame": pa.array(pay, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+def sample_frames(
+    media: Dataset, interval_ms: int = 500, max_frames: int = 8
+) -> Dataset:
+    """One row per sampled video frame (small batches: the fan-out
+    multiplies binary payloads, so batch x max_frames x concurrency
+    must fit worker heaps)."""
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={
+            "interval_ms": interval_ms, "max_frames": max_frames,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 4),
+    )
+
+
+class AudioChunkStage:
+    """Actor-pool audio chunker: fixed ``chunk_ms`` windows over the
+    clip (last window truncates at the clip end), one output row per
+    chunk with a deterministic fake waveform payload."""
+
+    def __init__(self, chunk_ms: int = 1000, max_chunks: int = 16):
+        assert chunk_ms > 0 and max_chunks > 0
+        self.chunk_ms, self.max_chunks = chunk_ms, max_chunks
+        self.has_real_codec = _try_real_decoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, cidx, st, en, pay = [], [], [], [], []
+        for mid, k, p, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            if k != "audio" or p is None or dur is None or dur <= 0:
+                continue
+            if not p.startswith(b"FAKE"):
+                if self.has_real_codec:
+                    raise NotImplementedError(
+                        "real audio decode requires codec libs absent here"
+                    )
+                continue
+            n = min(self.max_chunks, 1 + (dur - 1) // self.chunk_ms)
+            for i in range(n):
+                s = i * self.chunk_ms
+                e = min(dur, s + self.chunk_ms)
+                d = hashlib.sha256(
+                    p[:32] + struct.pack("<qii", mid, s, e)
+                ).digest()
+                ids.append(mid)
+                cidx.append(i)
+                st.append(s)
+                en.append(e)
+                pay.append(b"FAKE" + b"AU" + d * 4)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int32()),
+                "start_ms": pa.array(st, pa.int32()),
+                "end_ms": pa.array(en, pa.int32()),
+                "chunk": pa.array(pay, pa.binary()),
+            }
+        )
+
+
+def chunk_audio(
+    media: Dataset, chunk_ms: int = 1000, max_chunks: int = 16
+) -> Dataset:
+    """One row per fixed-width audio window — actor pool, small
+    batches (binary fan-out)."""
+    return media.map_batches(
+        AudioChunkStage,
+        fn_constructor_kwargs={
+            "chunk_ms": chunk_ms, "max_chunks": max_chunks,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 4),
+    )

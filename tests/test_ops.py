@@ -9398,3 +9398,73 @@ def test_distance_stats_sources_and_degenerates(ray_session):
         raise RuntimeError("expected AssertionError")
     except AssertionError:
         pass
+
+
+def test_media_resize_frame_sample_audio_chunks(ray_session):
+    """Multimodal plumbing: resize touches only images (dims + payload
+    rewritten deterministically), frame sampling fans out one row per
+    in-clip frame capped at max_frames, audio chunking truncates the
+    last window at the clip end; all three are deterministic across
+    re-runs and partitionings."""
+    import ray as _ray
+
+    from renard_ray.ops.multimodal import (
+        chunk_audio,
+        resize_images,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    tab = synthesize_media_table(30)
+    media = _ray.data.from_arrow(tab)
+
+    rs = resize_images(media, width=100, height=50).to_pandas().sort_values(
+        "media_id"
+    )
+    src = tab.to_pandas().sort_values("media_id")
+    img = rs["kind"] == "image"
+    assert (rs.loc[img, "width"] == 100).all()
+    assert (rs.loc[img, "height"] == 50).all()
+    # non-images pass through byte-identical
+    assert (
+        rs.loc[~img, "payload"].tolist()
+        == src.loc[src["kind"] != "image", "payload"].tolist()
+    )
+    assert all(
+        a != b
+        for a, b in zip(
+            rs.loc[img, "payload"], src.loc[src["kind"] == "image", "payload"]
+        )
+    )
+
+    fr = sample_frames(media, interval_ms=400, max_frames=5).to_pandas()
+    durs = dict(
+        zip(src.loc[src["kind"] == "video", "media_id"],
+            src.loc[src["kind"] == "video", "duration_ms"])
+    )
+    counts = fr.groupby("media_id").size().to_dict()
+    for mid, dur in durs.items():
+        assert counts[mid] == min(5, 1 + (dur - 1) // 400)
+    assert set(fr["media_id"]) == set(durs)  # videos only
+    assert (fr["ts_ms"] == fr["frame_idx"] * 400).all()
+    assert (fr["ts_ms"] < fr["media_id"].map(durs)).all()
+
+    ch = chunk_audio(media, chunk_ms=300, max_chunks=4).to_pandas()
+    adurs = dict(
+        zip(src.loc[src["kind"] == "audio", "media_id"],
+            src.loc[src["kind"] == "audio", "duration_ms"])
+    )
+    assert set(ch["media_id"]) == set(adurs)
+    last = ch.sort_values(["media_id", "chunk_idx"]).groupby("media_id").tail(1)
+    for _, row in last.iterrows():
+        dur = adurs[row["media_id"]]
+        assert row["end_ms"] == min(dur, (row["chunk_idx"] + 1) * 300)
+    assert (ch["end_ms"] > ch["start_ms"]).all()
+
+    # determinism incl. a different partitioning
+    fr2 = sample_frames(
+        _ray.data.from_arrow(tab).repartition(5), interval_ms=400, max_frames=5
+    ).to_pandas()
+    a = fr.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = fr2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert a.equals(b)
