@@ -4069,46 +4069,6 @@ def oracle_sql() -> dict[str, str]:
                        AS rfm
             FROM sc
         """,
-        # bigram-LM perplexity: the whole model (bigram + context
-        # counts, vocab V, add-0.5 smoothing) re-derives in SQL from
-        # the same lowercase whitespace tokens; ln/exp are libm
-        # float64 on both sides and the shared round-to-4 keeps the
-        # hash stable (the embedding-family recipe) — verified
-        # bit-exact at sf0.001 + sf0.01
-        "doc_perplexity": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       list_filter(
-                           regexp_split_to_array(
-                               lower(trim(COALESCE(text, ''))), '\s+'),
-                           x -> x <> '') AS ws
-                FROM documents
-            ),
-            tr AS (
-                SELECT doc_id, ws[CAST(i AS BIGINT)] AS w1,
-                       ws[CAST(i AS BIGINT) + 1] AS w2
-                FROM t CROSS JOIN UNNEST(range(1, len(ws))) AS r(i)
-            ),
-            bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
-                   FROM tr GROUP BY 1, 2),
-            cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1
-                   FROM bc GROUP BY 1),
-            vv AS (SELECT COUNT(DISTINCT w) AS V FROM
-                   (SELECT unnest(ws) AS w FROM t)),
-            sc AS (
-                SELECT tr.doc_id,
-                       ln(bc.c + 0.5)
-                       - ln(cc.c1 + 0.5 * (SELECT V FROM vv)) AS lp
-                FROM tr JOIN bc USING (w1, w2) JOIN cc USING (w1)
-            ),
-            agg AS (SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
-                    FROM sc GROUP BY 1),
-            nt AS (SELECT doc_id, len(ws) AS n_tokens FROM t)
-            SELECT CAST(nt.doc_id AS BIGINT) AS doc_id,
-                   CAST(nt.n_tokens AS BIGINT) AS n_tokens,
-                   agg.ppl AS ppl
-            FROM nt LEFT JOIN agg USING (doc_id)
-        """,
         "doc_length_percentiles_by_lang": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50_chars,

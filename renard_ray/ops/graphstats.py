@@ -3254,7 +3254,7 @@ def distance_stats_dataset(
     triples: Dataset,
     sources: "list[str] | None" = None,
     directed: bool = True,
-    max_hops: int = 60,
+    max_hops: int | None = None,
     broadcast_limit: int | None = None,
     source_limit: int = 100_000,
 ) -> Dataset:
@@ -3335,20 +3335,27 @@ def distance_stats_dataset(
     )
     if nodes_ds is None:
         return ray.data.from_arrow(out_schema.empty_table())
-    nodes_tab = _collect_small(nodes_ds, source_limit)
+    # the vocabulary collection is needed for dense-id ENCODING in both
+    # modes, so it is capped by the ppm arithmetic bound (2.1M), not by
+    # source_limit — source_limit gates only the all-sources pair-table
+    # blow-up, so the landmark escape hatch actually works on graphs
+    # bigger than source_limit
+    nodes_tab = _collect_small(nodes_ds, 2_100_000)
     assert nodes_tab is not None, (
-        "distance_stats: node vocabulary exceeds source_limit=%d — exact "
-        "all-pairs BFS is for bounded graphs; pass landmark sources or "
-        "use neighborhood_function_dataset (ANF) at corpus scale"
-        % source_limit
+        "distance_stats: node vocabulary exceeds 2.1M — closeness ppm "
+        "arithmetic needs n^2 * 2e6 inside int64; use "
+        "neighborhood_function_dataset (ANF) at corpus scale"
     )
     names = np.sort(
         np.asarray(nodes_tab.column("node").to_pylist(), dtype=object)
     )
     n_nodes = len(names)
-    assert n_nodes <= 2_100_000, (
-        "distance_stats: closeness ppm arithmetic needs n^2 * 2e6 "
-        "inside int64"
+    assert sources is not None or n_nodes <= source_limit, (
+        "distance_stats: %d nodes exceeds source_limit=%d for exact "
+        "ALL-sources BFS (the visited table is |sources| x |reachable| "
+        "pairs) — pass landmark sources, or use "
+        "neighborhood_function_dataset (ANF) for the whole-graph "
+        "distance distribution" % (n_nodes, source_limit)
     )
     names_arr = pa.array(names, pa.string())
     names_ref = ray.put(names_arr)
@@ -3487,8 +3494,14 @@ def distance_stats_dataset(
     else:
         expand_frontier = None
 
+    # a shortest hop distance is < n_nodes, so n_nodes rounds always
+    # reach the fixpoint (the loop breaks earlier on an empty frontier)
+    # — max_hops=None therefore can NEVER truncate silently; an
+    # explicit smaller max_hops is the caller opting into truncation
+    hop_cap = n_nodes if max_hops is None else max_hops
+
     if expand_frontier is not None:
-        for h in range(1, max_hops + 1):
+        for h in range(1, hop_cap + 1):
             reached = drop_empty_blocks(expand_frontier(frontier))
             if reached is None:
                 break
@@ -3529,8 +3542,10 @@ def distance_stats_dataset(
 
             logging.getLogger(__name__).warning(
                 "distance_stats_dataset: frontier non-empty after "
-                "max_hops=%d — distances beyond that are absent",
-                max_hops,
+                "explicit max_hops=%d — distances beyond that are "
+                "absent (only reachable with a caller-supplied cap: "
+                "the default runs to the fixpoint)",
+                hop_cap,
             )
 
     stats = _hagg_auto(

@@ -120,7 +120,11 @@ class MediaResizeStage:
     instruction), ``__call__`` rewrites payload + dims per batch.  The
     fake 'resize' derives a deterministic payload from (source payload
     digest, target dims) so downstream stages see realistic binary
-    churn; non-image rows pass through untouched."""
+    churn; non-image rows pass through untouched.  ``resized_ok`` is
+    False ONLY for image rows whose payload could not be decoded (the
+    ``MediaFeatureStage.decoded_ok`` convention — a downstream vision
+    stage assuming uniform target dims filters on it instead of
+    silently receiving unresized images)."""
 
     def __init__(self, width: int = 224, height: int = 224):
         assert width > 0 and height > 0
@@ -128,11 +132,9 @@ class MediaResizeStage:
         self.has_real_codec = _try_real_decoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        out_pay, out_w, out_h = [], [], []
+        out_pay, out_w, out_h, ok = [], [], [], []
         for k, p, w, h in zip(
             kinds,
             payloads,
@@ -147,6 +149,7 @@ class MediaResizeStage:
                 out_pay.append(p)
                 out_w.append(w)
                 out_h.append(h)
+                ok.append(k != "image")  # undecodable image -> False
                 continue
             d = hashlib.sha256(
                 p + struct.pack("<ii", self.width, self.height)
@@ -154,6 +157,7 @@ class MediaResizeStage:
             out_pay.append(b"FAKE" + b"IM" + d * 8)
             out_w.append(self.width)
             out_h.append(self.height)
+            ok.append(True)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -163,6 +167,7 @@ class MediaResizeStage:
                 "width": pa.array(out_w, pa.int32()),
                 "height": pa.array(out_h, pa.int32()),
                 "duration_ms": batch.column("duration_ms"),
+                "resized_ok": pa.array(ok, pa.bool_()),
             }
         )
 

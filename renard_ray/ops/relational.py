@@ -937,7 +937,11 @@ def events_sliding_window(
     """Sliding (hopping) event-time window counts: each event lands in
     ``size/hop`` windows; implemented by fanning each row out to its
     windows inside the batch then one groupby — the streaming-window
-    shape expressed as a batch transform."""
+    shape expressed as a batch transform.  (The in-batch fan-out is
+    combined per block by the hash-aggregate map phase, so the
+    exchange carries distinct (window, type) rows either way; sibling
+    ``events_hopping_window_counts`` is the count-only variant that
+    pre-reduces to an hourly table before fanning out.)"""
     assert size_minutes % hop_minutes == 0
     n_windows = size_minutes // hop_minutes
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -5990,6 +5994,23 @@ def _attach_global_rank(
     return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
+def _sql_ntile(rank: "np.ndarray", n: int, k: int) -> "np.ndarray":
+    """EXACT SQL NTILE(k) from a 1-based unique rank: the first n%k
+    tiles take ceil(n/k) rows, the rest floor(n/k).  ((rank-1)*k//n+1
+    looks equivalent but spreads the remainder EVENLY — it agreed on a
+    15-row fixture and diverged at 150 rows, caught by the sf0.01
+    oracle.)  Shared by ``events_rfm_segments`` / ``customer_rfm_scores``."""
+    q, rem = divmod(n, k)
+    if q == 0:  # fewer rows than tiles: row r sits alone in tile r
+        return rank.astype(np.int64, copy=True)
+    cut = rem * (q + 1)
+    return np.where(
+        rank <= cut,
+        (rank - 1) // (q + 1) + 1,
+        rem + (rank - 1 - cut) // q + 1,
+    ).astype(np.int64)
+
+
 def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
     """RFM segmentation summary: every user scored into NTILE(``k``)
     quartiles on Recency (latest event, most recent = quartile 1),
@@ -6002,8 +6023,8 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
     spend_c) profile table; each dimension's NTILE comes from the
     generic two-pass sorted-run rank attach (``_attach_global_rank`` —
     O(#blocks) driver carry, nothing user-sized on the driver) and the
-    SQL-exact tile formula ``(rn-1)*k // n_users + 1`` (first n%k
-    tiles take the extra row, exactly NTILE's deal); the three rank
+    shared SQL-exact ``_sql_ntile`` formula (first n%k tiles take one
+    extra row — NOT the even-spread ``(rn-1)*k//n + 1``); the three rank
     tables re-join the profile via size-adaptive lookup joins; the
     final segment groupby is O(k^3)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -6047,27 +6068,13 @@ def events_rfm_segments(sf_dir: str, k: int = 4) -> "Dataset | pa.Table":
         )
 
         def tile(batch: pa.Table, _a=alias) -> pa.Table:
-            # EXACT SQL NTILE: the first n%k tiles take ceil(n/k) rows,
-            # the rest floor(n/k).  ((rn-1)*k//n + 1 looks equivalent
-            # but spreads the remainder EVENLY — it agreed on the
-            # 15-user fixture and diverged at 150 users, caught by the
-            # sf0.01 oracle.)
-            rn = batch.column("rn").to_numpy()
-            q, rem = divmod(n_users, k)
-            cut = rem * (q + 1)
-            if q == 0:
-                # fewer rows than tiles: row r sits alone in tile r
-                buckets = rn
-            else:
-                buckets = np.where(
-                    rn <= cut,
-                    (rn - 1) // (q + 1) + 1,
-                    rem + (rn - 1 - cut) // q + 1,
-                )
+            buckets = _sql_ntile(
+                batch.column("rn").to_numpy(), n_users, k
+            )
             return pa.table(
                 {
                     "user_id": batch.column("user_id"),
-                    _a: pa.array(buckets.astype(np.int64), pa.int64()),
+                    _a: pa.array(buckets, pa.int64()),
                 }
             )
 
@@ -9950,7 +9957,7 @@ def events_hopping_window_counts(
             ("n_events", pa.int64()),
         ]
     )
-    assert 1 <= window_hours <= 10_000, "sliding_window: hop fan-out bound"
+    assert 1 <= window_hours <= 10_000, "hopping_window: hop fan-out bound"
     ev = _read(sf_dir, "events", ["event_type", "ts"])
     if ev.count() == 0:
         return out_schema.empty_table()
@@ -9963,7 +9970,7 @@ def events_hopping_window_counts(
         if batch.num_rows == 0:
             return _h_schema.empty_table()
         us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
-        assert pc.min(us).as_py() >= 0, "sliding_window: pre-epoch timestamp"
+        assert pc.min(us).as_py() >= 0, "hopping_window: pre-epoch timestamp"
         t = pa.table(
             {
                 "event_type": batch.column("event_type"),
@@ -10114,22 +10121,12 @@ def customer_rfm_scores(sf_dir: str, k: int = 5) -> "Dataset | pa.Table":
         "m_rank",
     )
 
-    def ntile(rank: np.ndarray, n: int, kk: int) -> np.ndarray:
-        # SQL NTILE(kk): first n%kk buckets take ceil(n/kk) rows
-        q, rem = divmod(n, kk)
-        if q == 0:  # fewer rows than buckets: row r -> bucket r
-            return rank.copy()
-        cut = rem * (q + 1)
-        big = (rank - 1) // (q + 1) + 1
-        small = rem + (rank - cut - 1) // q + 1
-        return np.where(rank <= cut, big, small)
-
     def finalize(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        r = ntile(batch.column("r_rank").to_numpy(), n_total, k)
-        f = ntile(batch.column("f_rank").to_numpy(), n_total, k)
-        m = ntile(batch.column("m_rank").to_numpy(), n_total, k)
+        r = _sql_ntile(batch.column("r_rank").to_numpy(), n_total, k)
+        f = _sql_ntile(batch.column("f_rank").to_numpy(), n_total, k)
+        m = _sql_ntile(batch.column("m_rank").to_numpy(), n_total, k)
         return pa.table(
             {
                 "c_custkey": batch.column("c_custkey"),

@@ -9425,6 +9425,7 @@ def test_media_resize_frame_sample_audio_chunks(ray_session):
     img = rs["kind"] == "image"
     assert (rs.loc[img, "width"] == 100).all()
     assert (rs.loc[img, "height"] == 50).all()
+    assert rs["resized_ok"].all()  # every synthetic payload decodes
     # non-images pass through byte-identical
     assert (
         rs.loc[~img, "payload"].tolist()
@@ -9460,6 +9461,28 @@ def test_media_resize_frame_sample_audio_chunks(ray_session):
         dur = adurs[row["media_id"]]
         assert row["end_ms"] == min(dur, (row["chunk_idx"] + 1) * 300)
     assert (ch["end_ms"] > ch["start_ms"]).all()
+
+    # an undecodable (non-FAKE) image row is flagged, not silently
+    # passed through as resized
+    import pyarrow as _pa
+
+    from renard_ray.ops.multimodal import MEDIA_SCHEMA
+
+    bad = _pa.table(
+        {
+            "media_id": _pa.array([99], _pa.int64()),
+            "kind": _pa.array(["image"]),
+            "payload": _pa.array([b"\x89PNG-not-fake"], _pa.binary()),
+            "mime": _pa.array(["image/png"]),
+            "width": _pa.array([640], _pa.int32()),
+            "height": _pa.array([480], _pa.int32()),
+            "duration_ms": _pa.array([-1], _pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    rb = resize_images(_ray.data.from_arrow(bad), width=100, height=50).to_pandas()
+    assert rb["resized_ok"].tolist() == [False]
+    assert rb["width"].tolist() == [640]  # untouched, but flagged
 
     # determinism incl. a different partitioning
     fr2 = sample_frames(
