@@ -9802,21 +9802,17 @@ def events_weekday_hour_heatmap(sf_dir: str) -> "Dataset | pa.Table":
 
 
 def events_retention_cohorts(sf_dir: str) -> "Dataset | pa.Table":
-    """Weekly retention matrix: users cohorted by their FIRST-ever
-    event week; for every (cohort_week, week_offset) cell, how many of
-    that cohort were active offset weeks later, plus the cohort size
-    and the exact half-away retention ppm — the readout next to
-    ``events_dau_mau`` / ``events_new_users_weekly`` on every growth
-    dashboard.
+    """Retention triangle enriched with cohort sizes and the exact
+    half-away retention ppm — the rate readout next to
+    ``events_retention``'s raw counts.
 
-    Shape notes (nothing event-scale past the first exchange): the
-    distinct (user, week) activity table is ONE combiner-fed groupby
-    (distinct rows per batch cross the exchange, bounded by
-    |users| x active-weeks); cohorts are a groupby-Min over it; the
-    cohort attaches back via the size-adaptive lookup join; the
-    (cohort, offset) reduce and the cohort-size reduce are both
-    CALENDAR^2- / CALENDAR-bounded.  ``2e6 * n_active`` must fit int64
-    — asserted loudly (wraps past ~4.6e12 users per cell)."""
+    Deliberately DERIVED, not recomputed: a user is by definition
+    active in their own first week, so the cohort size is exactly the
+    offset-0 cell of the triangle — this op therefore shares
+    ``events_retention``'s whole pipeline (one distinct (user, week)
+    exchange, one cohort map) and adds only a CALENDAR-bounded
+    size-row broadcast plus one vectorized ppm pass.  ``2e6 *
+    n_active`` must fit int64 — asserted loudly."""
     out_schema = pa.schema(
         [
             ("cohort_week", pa.int64()),
@@ -9826,111 +9822,49 @@ def events_retention_cohorts(sf_dir: str) -> "Dataset | pa.Table":
             ("retention_ppm", pa.int64()),
         ]
     )
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
-    if ev.count() == 0:
+    cells = events_retention(sf_dir)
+    if isinstance(cells, pa.Table):  # empty corpus
         return out_schema.empty_table()
+    cells = cells.materialize()
 
-    _uw_schema = pa.schema([("user_id", pa.int64()), ("week", pa.int64())])
-
-    def distinct_uw(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _uw_schema.empty_table()
-        us = pc.cast(_ts_us(batch.column("ts")), pa.int64())
-        assert pc.min(us).as_py() >= 0, "retention: pre-epoch timestamp"
-        t = pa.table(
-            {
-                "user_id": batch.column("user_id"),
-                "week": pc.divide(us, pa.scalar(604_800_000_000, pa.int64())),
-            }
-        )
-        return (
-            t.group_by(["user_id", "week"])
-            .aggregate([])
-            .select(["user_id", "week"])
-        )
-
-    activity = _scrub_schemaless(
-        _hagg_auto(
-            ev.map_batches(distinct_uw, batch_format="pyarrow", batch_size=None),
-            ["user_id", "week"],
-            [],
-        )
+    sizes_tab = _collect_small(
+        cells.filter(expr="week_offset == 0"), 2_000_000
     )
-    if activity is None:
-        return out_schema.empty_table()
-    activity = activity.materialize()  # consumed twice below
-
-    cohorts = _hagg_auto(
-        activity, "user_id", [("week", "min", "cohort_week")]
-    ).materialize()
-
-    sizes = _hagg_auto(
-        cohorts.select_columns(["cohort_week"]),
-        "cohort_week",
-        [("", "count_all", "n_cohort")],
+    assert sizes_tab is not None, (
+        "retention_cohorts: cohort-week domain exceeds 2M rows — the "
+        "size table is CALENDAR-bounded, so this indicates corrupt "
+        "timestamps, not scale"
     )
-
-    with_cohort = broadcast_lookup_join(
-        activity, cohorts, on="user_id", right_on="user_id",
-        payload=["cohort_week"],
-    )
-
-    _co_schema = pa.schema(
-        [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
-         ("n", pa.int64())]
-    )
-
-    def offsets(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _co_schema.empty_table()
-        t = pa.table(
-            {
-                "cohort_week": batch.column("cohort_week"),
-                "week_offset": pc.subtract(
-                    batch.column("week"), batch.column("cohort_week")
-                ),
-                "n": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
+    sz_ref = ray.put(
+        (
+            sizes_tab.column("cohort_week").combine_chunks(),
+            sizes_tab.column("n_users").combine_chunks(),
         )
-        return t.group_by(["cohort_week", "week_offset"]).aggregate(
-            [("n", "sum")]
-        ).rename_columns(["cohort_week", "week_offset", "n"])
-
-    cells = _scrub_schemaless(
-        _hagg_auto(
-            with_cohort.map_batches(
-                offsets, batch_format="pyarrow", batch_size=None
-            ),
-            ["cohort_week", "week_offset"],
-            [("n", "sum", "n_active")],
-        )
-    )
-    if cells is None:
-        return out_schema.empty_table()
-
-    joined = broadcast_lookup_join(
-        cells, sizes, on="cohort_week", right_on="cohort_week",
-        payload=["n_cohort"],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        na = batch.column("n_active").to_numpy()
-        nc = batch.column("n_cohort").to_numpy()
+        wk, nc_arr = ray.get(sz_ref)
+        idx = pc.index_in(batch.column("cohort_week"), value_set=wk)
+        assert pc.count(idx, mode="only_null").as_py() == 0, (
+            "retention_cohorts: cohort week missing its offset-0 cell"
+        )
+        nc = pc.take(nc_arr, pc.cast(idx, pa.int64())).to_numpy()
+        na = batch.column("n_users").to_numpy()
         assert na.max() < 4 * 10**12, "retention: 2e6*n_active wraps int64"
         ppm = (2_000_000 * na + nc) // (2 * nc)  # half-away, n_active>=0
         return pa.table(
             {
                 "cohort_week": batch.column("cohort_week"),
                 "week_offset": batch.column("week_offset"),
-                "n_cohort": batch.column("n_cohort"),
-                "n_active": batch.column("n_active"),
+                "n_cohort": pa.array(nc, pa.int64()),
+                "n_active": pa.array(na, pa.int64()),
                 "retention_ppm": pa.array(ppm, pa.int64()),
             }
         )
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+    return cells.map_batches(finalize, batch_format="pyarrow")
 
 
 def events_hopping_window_counts(
