@@ -4069,6 +4069,65 @@ def oracle_sql() -> dict[str, str]:
                        AS rfm
             FROM sc
         """,
+        # simhash near-dup pairs, fully re-derived in SQL: the word
+        # hash is md5_number_upper (== struct.unpack('<Q',
+        # md5(w).digest()[:8]) — verified byte-order identical), each
+        # of the 64 sign-sum bits re-folds into a signed BIGINT (bit
+        # 63 contributes -2^63), 16-bit chunk banding via
+        # arithmetic-shift + mask (mask makes the shift fill
+        # irrelevant), candidates by chunk-key self-join, verification
+        # by bit_count(xor) — exact at sf0.001 + sf0.01 + sf0.1.  The
+        # engine's max_bucket=2000 oversized-bucket drop never fires
+        # at gate scales (500-5000 docs), so the twin omits it.
+        "doc_simhash_near_dup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(COALESCE(text, ''))), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+            hh AS (SELECT doc_id, md5_number_upper(w) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, b.p,
+                       SUM(CASE WHEN (hh.h >> CAST(b.p AS UBIGINT)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM hh CROSS JOIN
+                     (SELECT unnest(generate_series(0, 63)) AS p) b
+                GROUP BY 1, 2
+            ),
+            fp0 AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN
+                             CASE WHEN p = 63
+                                  THEN CAST(-9223372036854775808 AS BIGINT)
+                                  ELSE (CAST(1 AS BIGINT) << CAST(p AS BIGINT))
+                             END
+                           ELSE 0 END) AS fp
+                FROM bits GROUP BY 1
+            ),
+            fp AS (
+                SELECT t.doc_id, CAST(COALESCE(fp0.fp, 0) AS BIGINT) AS fp
+                FROM t LEFT JOIN fp0 USING (doc_id)
+            ),
+            sig AS (
+                SELECT doc_id, fp, c.c,
+                       (fp >> CAST(c.c * 16 AS BIGINT)) & 65535 AS key
+                FROM fp CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS c) c
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                       a.fp AS fa, b.fp AS fb
+                FROM sig a JOIN sig b ON a.c = b.c AND a.key = b.key
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+            FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+        """,
         "doc_length_percentiles_by_lang": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50_chars,
