@@ -4603,7 +4603,138 @@ def oracle_sql() -> dict[str, str]:
     base.update(_trade_graph_oracles_ext())
     base.update(_trade_graph_oracles_ext2())
     base.update(_trade_graph_oracles_ext3())
+    base["doc_minhash_dedup"] = _minhash_pairs_sql()
+    base["doc_minhash_clusters"] = _minhash_clusters_sql()
     return base
+
+
+def _minhash_clusters_sql(**kw) -> str:
+    """Near-dup clusters twin: the verified-pair query (see
+    ``_minhash_pairs_sql``) closed transitively by one recursive CTE;
+    keeper = min doc id over each component (LEAST folds the self
+    row).  Components are near-dup clusters — small by construction —
+    so the closure's pair blow-up is bounded."""
+    return f"""
+            WITH RECURSIVE verified AS MATERIALIZED (
+                {_minhash_pairs_sql(**kw)}
+            ),
+            edges2 AS (SELECT a AS u, b AS v FROM verified
+                       UNION ALL SELECT b AS u, a AS v FROM verified),
+            walk(u, v) AS (
+                SELECT u, v FROM edges2
+                UNION
+                SELECT w.u, e.v FROM walk w JOIN edges2 e ON e.u = w.v
+            )
+            SELECT CAST(u AS BIGINT) AS doc_id,
+                   CAST(LEAST(u, MIN(v)) AS BIGINT) AS keeper_doc_id
+            FROM walk GROUP BY u
+    """
+
+
+def _minhash_pairs_sql(
+    n_perm: int = 128, n_bands: int = 32, shingle_k: int = 5,
+    threshold: float = 0.8, max_bucket: int = 200,
+) -> str:
+    """Full MinHash-LSH + exact-Jaccard-verify twin.  Everything the
+    engine does re-derives in SQL because every hash is md5-based
+    (``md5_number_upper`` == the engine's little-endian first-8-bytes
+    md5): the 128 permutation constants embed as literals from the
+    SAME seeded numpy params the actor pool builds, the signature is
+    an ALL-INTEGER min over shingles of ``(a*h+b) % 2^64 % (2^61-1)``
+    in HUGEINT (the % 2^64 mirrors the engine's deliberate uint64
+    wrap), band buckets are md5 of the comma-joined decimal band
+    values masked to int64, oversized buckets (> max_bucket members)
+    drop on both sides, and verification is exact shingle-set Jaccard
+    with ``round_even`` matching python round's half-even.  No floats
+    anywhere before the final verified ratio."""
+    import numpy as np  # noqa: F401  (dtype of the param arrays)
+
+    from renard_ray.ops.dedup import _minhash_params
+
+    a, b = _minhash_params(n_perm)
+    params = ",".join(
+        f"({p},{int(a[p])},{int(b[p])})" for p in range(n_perm)
+    )
+    rows = n_perm // n_bands
+    return r"""
+            WITH params(p, pa, pb) AS (VALUES __PARAMS__),
+            t AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(COALESCE(text, ''))), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            shl AS (
+                SELECT doc_id,
+                       list_distinct(CASE
+                           WHEN len(ws) = 0 THEN []
+                           WHEN len(ws) < __K__
+                               THEN [array_to_string(ws, ' ')]
+                           ELSE [array_to_string(ws[i + 1:i + __K__], ' ')
+                                 FOR i IN range(len(ws) - __K1__)]
+                       END) AS sh
+                FROM t
+            ),
+            shin AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+            sig AS (
+                SELECT doc_id, p.p,
+                       MIN((CAST(p.pa AS HUGEINT)
+                            * CAST(md5_number_upper(shin.s) AS HUGEINT)
+                            + p.pb)
+                           % 18446744073709551616
+                           % 2305843009213693951) AS v
+                FROM shin CROSS JOIN params p
+                GROUP BY 1, 2
+            ),
+            esig AS (
+                SELECT shl.doc_id, p.p,
+                       CAST(2305843009213693951 AS HUGEINT) AS v
+                FROM shl CROSS JOIN params p WHERE len(shl.sh) = 0
+            ),
+            allsig AS (SELECT * FROM sig UNION ALL SELECT * FROM esig),
+            bands AS (
+                SELECT doc_id, p // __ROWS__ AS band,
+                       CAST(md5_number_upper(
+                                string_agg(CAST(v AS VARCHAR), ','
+                                           ORDER BY p))
+                            & CAST(9223372036854775807 AS UBIGINT)
+                            AS BIGINT) AS bucket
+                FROM allsig GROUP BY doc_id, p // __ROWS__
+            ),
+            bsz AS (SELECT band, bucket, COUNT(*) AS n
+                    FROM bands GROUP BY 1, 2),
+            kept AS (
+                SELECT bands.* FROM bands JOIN bsz USING (band, bucket)
+                WHERE bsz.n <= __MAXB__
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM kept x JOIN kept y
+                  ON x.band = y.band AND x.bucket = y.bucket
+                WHERE x.doc_id < y.doc_id
+            ),
+            vp AS (
+                SELECT c.a, c.b,
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                           / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                           AS s
+                FROM cand c
+                JOIN shl sa ON sa.doc_id = c.a
+                JOIN shl sb ON sb.doc_id = c.b
+                WHERE len(sa.sh) > 0 AND len(sb.sh) > 0
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   round_even(s, 4) AS jaccard_sim
+            FROM vp WHERE s >= __THR__
+    """.replace("__PARAMS__", params).replace(
+        "__K1__", str(shingle_k - 1)
+    ).replace("__K__", str(shingle_k)).replace(
+        "__ROWS__", str(rows)
+    ).replace("__MAXB__", str(max_bucket)).replace(
+        "__THR__", repr(threshold)
+    )
 
 
 # ------------------------------------------------ trade-graph oracle SQL

@@ -135,13 +135,21 @@ def _minhash_params(n_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]
 def minhash_signature(
     text: str, a: np.ndarray, b: np.ndarray, k: int = 5
 ) -> np.ndarray:
+    """Base hash = little-endian first-8-bytes of md5 (==  DuckDB's
+    ``md5_number_upper``) so the WHOLE signature — including the
+    deliberate uint64 wrap of ``a*h+b`` before the Mersenne mod — is
+    reproducible in the SQL oracle (crc32, the previous base hash, has
+    no SQL twin).  All-integer, so the oracle match is exact, not
+    float-rounded."""
     sh = _shingles(text, k)
     if not sh:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
     hv = np.array(
-        [zlib.crc32(s) for s in sh], dtype=np.uint64
+        [struct.unpack("<Q", hashlib.md5(s).digest()[:8])[0] for s in sh],
+        dtype=np.uint64,
     )  # base hashes
-    # (a * h + b) mod p, vectorized over permutations x shingles
+    # (a * h + b) mod 2^64 (numpy wrap, mirrored by the oracle's
+    # % 2^64) then mod p, vectorized over permutations x shingles
     prod = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
     return prod.min(axis=1)
 
@@ -170,7 +178,15 @@ class MinHashStage:
             sig = minhash_signature(t, self.a, self.b, self.k)
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bucket = zlib.crc32(chunk.tobytes()) & 0x7FFFFFFF
+                # md5 of the comma-joined DECIMAL band values — the
+                # SQL twin re-derives it as md5_number_upper(
+                # string_agg(v, ',' ORDER BY perm)); int64-positive mask
+                bucket = struct.unpack(
+                    "<Q",
+                    hashlib.md5(
+                        ",".join(str(v) for v in chunk).encode()
+                    ).digest()[:8],
+                )[0] & 0x7FFFFFFFFFFFFFFF
                 doc_ids.append(doc_id)
                 bands.append(band)
                 buckets.append(bucket)

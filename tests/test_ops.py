@@ -25,7 +25,9 @@ def test_minhash_jaccard_correlation():
     est13 = (s1 == s3).mean()
     true12 = jaccard(t1, t2)
     assert abs(est12 - true12) < 0.15
-    assert est13 < 0.05 and est12 > 0.3
+    # true12 is 0.2857 — the old "> 0.3" bound only ever passed via
+    # crc32 estimator bias; the md5 base hash estimates it honestly
+    assert est13 < 0.05 and est12 > 0.2
 
 
 def test_simhash_properties():
