@@ -4605,7 +4605,71 @@ def oracle_sql() -> dict[str, str]:
     base.update(_trade_graph_oracles_ext3())
     base["doc_minhash_dedup"] = _minhash_pairs_sql()
     base["doc_minhash_clusters"] = _minhash_clusters_sql()
+    base["doc_distinct_words_hll"] = _hll_sql(grouped=False)
+    base["source_distinct_words_hll"] = _hll_sql(grouped=True)
     return base
+
+
+def _hll_sql(grouped: bool, p: int = 12) -> str:
+    """HyperLogLog twin — the SKETCH itself re-derives in SQL, not
+    just its exact baseline: the word hash is md5_number_upper (the
+    engine's md5-le-8 recipe), bucket = h >> (64-p) via HUGEINT
+    division, the leading-zero rank is an UNROLLED threshold CASE
+    (float log2 would mis-floor near exact powers of two — e.g.
+    log2(2^62 - 1) rounds to 62.0), registers are a MAX groupby, and
+    the Flajolet estimate + small-range correction reproduce the
+    engine's float64 arithmetic term-for-term (the 2^-r terms are
+    exact powers of two, so summation order can't move the rounded
+    integer).  ``round_even`` matches python round's half-even."""
+    m = 1 << p
+    case = (
+        f"CASE WHEN rest = 0 THEN {64 - p + 1} "
+        + " ".join(
+            f"WHEN rest >= {1 << (64 - r)} THEN {r}"
+            for r in range(1, 64 - p + 1)
+        )
+        + " END"
+    )
+    src_sel = "source, " if grouped else ""
+    src_grp = "source, " if grouped else ""
+    tail = (
+        "SELECT source, CAST(round_even(e, 0) AS BIGINT) AS "
+        "distinct_words_est FROM est"
+        if grouped
+        else "SELECT 'distinct_words_hll' AS metric, "
+        "CAST(round_even(e, 0) AS BIGINT) AS estimate FROM est"
+    )
+    return rf"""
+            WITH w AS (
+                SELECT DISTINCT {src_sel}unnest(list_filter(
+                    regexp_split_to_array(lower(COALESCE(text, '')), '\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ),
+            hh AS (SELECT {src_sel}CAST(md5_number_upper(w) AS HUGEINT)
+                          AS h FROM w),
+            rr AS (SELECT {src_sel}CAST(h // {1 << (64 - p)} AS BIGINT)
+                          AS idx,
+                          (h * {m}) % 18446744073709551616 AS rest
+                   FROM hh),
+            rk AS (SELECT {src_sel}idx, {case} AS rank FROM rr),
+            reg AS (SELECT {src_grp}idx, MAX(rank) AS r
+                    FROM rk GROUP BY {src_grp}idx),
+            s AS (SELECT {src_grp}SUM(pow(2.0, -r)) AS sp,
+                         COUNT(*) AS nb
+                  FROM reg GROUP BY ALL),
+            est AS (
+                SELECT {src_sel}
+                    CASE WHEN (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                              / (sp + ({m} - nb)) <= 2.5 * {m}
+                          AND ({m} - nb) > 0
+                         THEN {m} * ln({m}.0 / ({m} - nb))
+                         ELSE (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                              / (sp + ({m} - nb)) END AS e
+                FROM s
+            )
+            {tail}
+    """
 
 
 def _minhash_clusters_sql(**kw) -> str:
