@@ -4607,6 +4607,42 @@ def oracle_sql() -> dict[str, str]:
     base["doc_minhash_clusters"] = _minhash_clusters_sql()
     base["doc_distinct_words_hll"] = _hll_sql(grouped=False)
     base["source_distinct_words_hll"] = _hll_sql(grouped=True)
+    # document fingerprints: both hashes are md5-le-8 masked to
+    # int64-positive, so the twin is md5_number_upper + a BIGINT
+    # bit_xor over the 8-word shingle positions (duplicates cancel
+    # pairwise under xor on both sides); leading whitespace needs no
+    # trim parity — it becomes an empty token the filter drops
+    base["doc_fingerprints"] = r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(COALESCE(text, ''))), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            n AS (SELECT doc_id, array_to_string(ws, ' ') AS norm, ws
+                  FROM t),
+            gg AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i + 1:i + 8], ' ')
+                               FOR i IN range(len(ws) - 7)]) AS g8
+                FROM n
+            ),
+            r AS (
+                SELECT doc_id,
+                       bit_xor(CAST(md5_number_upper(g8)
+                           & CAST(9223372036854775807 AS UBIGINT)
+                           AS BIGINT)) AS roll
+                FROM gg GROUP BY 1
+            )
+            SELECT n.doc_id,
+                   CAST(md5_number_upper(n.norm)
+                        & CAST(9223372036854775807 AS UBIGINT)
+                        AS BIGINT) AS text_fp,
+                   COALESCE(r.roll, 0) AS rolling_fp
+            FROM n LEFT JOIN r USING (doc_id)
+    """
     return base
 
 

@@ -253,26 +253,37 @@ def language_id(sf_dir: str) -> Dataset:
 
 
 def fingerprints(sf_dir: str) -> Dataset:
-    """Document fingerprints: crc32 of normalized text + a rolling-hash
-    (Rabin-Karp style) sketch of the first k shingles."""
+    """Document fingerprints: 63-bit md5 of the normalized text + an
+    xor-folded sketch of every 8-word shingle — both md5-le-8 based
+    (== DuckDB ``md5_number_upper``; the previous crc32 had no SQL
+    twin), masked to int64-positive so the oracle's BIGINT bit_xor
+    matches bit-for-bit.  Duplicate shingles cancel pairwise under
+    xor on BOTH sides (multiset semantics)."""
+    import hashlib
+    import struct
+
     ds = _read_documents(sf_dir, ["doc_id", "text"])
+    _M63 = 0x7FFFFFFFFFFFFFFF
+
+    def _h64(b: bytes) -> int:
+        return struct.unpack("<Q", hashlib.md5(b).digest()[:8])[0]
 
     def f(batch: pa.Table) -> pa.Table:
-        crcs, rolls = [], []
+        fps, rolls = [], []
         for t in batch.column("text").to_pylist():
             norm = " ".join(_WS_RE.split((t or "").strip().lower()))
-            crcs.append(zlib.crc32(norm.encode()))
-            # rolling hash over 8-grams of words, xor-folded
+            fps.append(_h64(norm.encode()) & _M63)
+            # xor-folded hash over 8-grams of words
             words = norm.split()
             h = 0
             for i in range(max(0, len(words) - 7)):
                 g = " ".join(words[i : i + 8])
-                h ^= zlib.crc32(g.encode())
+                h ^= _h64(g.encode()) & _M63
             rolls.append(h)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "crc32": pa.array(crcs, pa.int64()),
+                "text_fp": pa.array(fps, pa.int64()),
                 "rolling_fp": pa.array(rolls, pa.int64()),
             }
         )
