@@ -4643,6 +4643,63 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.roll, 0) AS rolling_fp
             FROM n LEFT JOIN r USING (doc_id)
     """
+    # DSIR importance weights: md5-le-8 % n_buckets feature hashing
+    # makes the hashed uni+bigram bucket assignment SQL-exact; the
+    # add-1 log-ratio lambda vector re-derives from the same counts
+    # and round_even(., 6) absorbs summation-order ulp (the
+    # perplexity-oracle recipe)
+    base["doc_dsir_weights"] = r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(COALESCE(text, ''))), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, unnest(list_concat(ws,
+                    [ws[i + 1] || chr(31) || ws[i + 2]
+                     FOR i IN range(len(ws) - 1)])) AS feat
+                FROM t
+            ),
+            fb AS (SELECT doc_id,
+                          CAST(md5_number_upper(feat) % 10000 AS BIGINT)
+                              AS b
+                   FROM f),
+            sp AS (SELECT doc_id,
+                          md5(CAST(doc_id AS VARCHAR)) < 'f3' AS is_train
+                   FROM t),
+            cnt AS (SELECT b, NOT sp.is_train AS is_target,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM fb JOIN sp USING (doc_id) GROUP BY 1, 2),
+            tots AS (SELECT COALESCE(SUM(CASE WHEN is_target THEN c
+                                         ELSE 0 END), 0) AS tt,
+                            COALESCE(SUM(CASE WHEN NOT is_target THEN c
+                                          ELSE 0 END), 0) AS rr
+                     FROM cnt),
+            lam AS (
+                SELECT b,
+                       ln((COALESCE(tc, 0) + 1.0)
+                          / ((SELECT tt FROM tots) + 10000.0))
+                       - ln((COALESCE(rc, 0) + 1.0)
+                            / ((SELECT rr FROM tots) + 10000.0)) AS l
+                FROM (SELECT b,
+                             SUM(CASE WHEN is_target THEN c END) AS tc,
+                             SUM(CASE WHEN NOT is_target THEN c END) AS rc
+                      FROM cnt GROUP BY b)
+            ),
+            score AS (SELECT fb.doc_id, SUM(lam.l) AS lw,
+                             CAST(COUNT(*) AS BIGINT) AS nf
+                      FROM fb JOIN lam USING (b) GROUP BY 1)
+            SELECT t.doc_id,
+                   CASE WHEN sp.is_train THEN 'train' ELSE 'val' END
+                       AS split,
+                   COALESCE(score.nf, 0) AS n_feats,
+                   round_even(COALESCE(score.lw, 0.0), 6) AS logweight
+            FROM t JOIN sp USING (doc_id)
+            LEFT JOIN score USING (doc_id)
+    """
     return base
 
 

@@ -53,14 +53,24 @@ _SEP = "\x1f"
 
 
 def _feature_buckets(text: str | None, n_buckets: int) -> np.ndarray:
-    """Hashed uni+bigram bucket ids for one document (crc32, stable
-    across runs and processes — no PYTHONHASHSEED dependence)."""
+    """Hashed uni+bigram bucket ids for one document (md5-le-8 — ==
+    DuckDB ``md5_number_upper`` so the SQL twin reproduces the bucket
+    assignment exactly; stable across runs and processes — no
+    PYTHONHASHSEED dependence)."""
+    import hashlib
+    import struct
+
     if not text or not text.strip():
         return np.empty(0, dtype=np.int64)
     ws = [w for w in _WS_RE.split(text.strip().lower()) if w]
     feats = ws + [ws[i] + _SEP + ws[i + 1] for i in range(len(ws) - 1)]
     return np.array(
-        [zlib.crc32(f.encode()) % n_buckets for f in feats], dtype=np.int64
+        [
+            struct.unpack("<Q", hashlib.md5(f.encode()).digest()[:8])[0]
+            % n_buckets
+            for f in feats
+        ],
+        dtype=np.int64,
     )
 
 

@@ -3176,9 +3176,17 @@ def test_dsir_weights_replica_and_planted_signal(ray_session, tmp_path):
 
     # plain-Python replica
     def feats(t):
+        import struct
+
         ws = t.strip().lower().split()
         fs = ws + [ws[i] + "\x1f" + ws[i + 1] for i in range(len(ws) - 1)]
-        return [zlib.crc32(f.encode()) % n_buckets for f in fs]
+        # md5-le-8 bucket hash (the engine switched off crc32 so the
+        # DuckDB md5_number_upper twin can reproduce the assignment)
+        return [
+            struct.unpack("<Q", hashlib.md5(f.encode()).digest()[:8])[0]
+            % n_buckets
+            for f in fs
+        ]
 
     raw = [0] * n_buckets
     tgt = [0] * n_buckets
