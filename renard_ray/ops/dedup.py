@@ -24,7 +24,6 @@ from __future__ import annotations
 import hashlib
 import re
 import struct
-import zlib
 
 import numpy as np
 import pyarrow as pa

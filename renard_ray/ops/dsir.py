@@ -36,7 +36,6 @@ No counterpart in the reference; sibling of ``ops/lm.py``.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
