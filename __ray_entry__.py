@@ -4700,6 +4700,31 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN sp USING (doc_id)
             LEFT JOIN score USING (doc_id)
     """
+    # A-ES weighted reservoir: the priority key -ln(u)/w re-derives
+    # exactly — u comes from md5 of the row's sort_keys json + seed
+    # ("7"), rebuilt as a string here (both python repr and DuckDB
+    # VARCHAR cast print doubles shortest-round-trip, so 28.0 matches
+    # "28.0"); +1 in HUGEINT BEFORE the double cast mirrors python's
+    # exact (h+1) int; the 2^64+2 denominator rounds to 2^64 in
+    # float64 on both sides.  ORDER BY the same key, LIMIT k.
+    base["doc_weighted_sample"] = r"""
+            WITH r AS (
+                SELECT l_orderkey, l_quantity,
+                       '{"l_orderkey": ' || CAST(l_orderkey AS VARCHAR)
+                       || ', "l_quantity": '
+                       || CAST(l_quantity AS VARCHAR) || '}7' AS blob
+                FROM lineitem WHERE l_quantity > 0
+            ),
+            k AS (
+                SELECT l_orderkey, l_quantity,
+                       -ln(CAST(CAST(md5_number_upper(blob) AS HUGEINT)
+                                + 1 AS DOUBLE)
+                           / 18446744073709551616.0) / l_quantity AS key
+                FROM r
+            )
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_quantity
+            FROM k ORDER BY key LIMIT 25
+    """
     return base
 
 
