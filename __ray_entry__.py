@@ -4621,7 +4621,11 @@ def oracle_sql() -> dict[str, str]:
                            x -> x <> '') AS ws
                 FROM documents
             ),
-            n AS (SELECT doc_id, array_to_string(ws, ' ') AS norm, ws
+            -- array_to_string([]) is NULL in DuckDB: an all-whitespace
+            -- doc must hash '' like the engine, not null (caught by
+            -- the fixture twin test — the sf corpora have no empty doc)
+            n AS (SELECT doc_id,
+                         COALESCE(array_to_string(ws, ' '), '') AS norm, ws
                   FROM t),
             gg AS (
                 SELECT doc_id,

@@ -9501,3 +9501,69 @@ def test_media_resize_frame_sample_audio_chunks(ray_session):
     a = fr.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = fr2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_sketch_sql_twins_on_fixture(ray_session, tmp_path):
+    """The md5-le-8 SQL twins (minhash pairs/clusters, simhash, HLL,
+    DSIR, fingerprints, perplexity) reproduce the engine bit-for-bit
+    on a FRESH synthetic corpus with planted near-dups — the same
+    parity the driver gate checks on the sf dirs, pinned here so an
+    engine hash drift fails fast in pytest."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    texts = []
+    for d in range(40):
+        t = base + f" tail{d} extra{d % 7}"
+        if d % 5 == 0:
+            t = base + f" tail{d - 1} extra{(d - 1) % 7}"  # near-dup of d-1
+        if d == 13:
+            t = "   "  # whitespace-only: empty shingle/feature sets
+        texts.append(t)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": [f"s{d % 3}" for d in range(40)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+
+    oracles = entry.oracle_sql()
+    qs = entry.queries()
+    con = duckdb.connect()  # round_even is a DuckDB built-in
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    def norm(x):
+        if not isinstance(x, pd.DataFrame):
+            x = x.to_pandas()
+        cols = sorted(x.columns)
+        return (
+            x[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        )
+
+    for name in (
+        "doc_minhash_dedup",
+        "doc_minhash_clusters",
+        "doc_simhash_near_dup",
+        "doc_fingerprints",
+        "doc_distinct_words_hll",
+        "source_distinct_words_hll",
+        "doc_dsir_weights",
+        "doc_perplexity",
+    ):
+        got = norm(qs[name](str(tmp_path)))
+        want = norm(con.execute(oracles[name]).fetchdf())
+        assert got.equals(want), name
