@@ -9523,8 +9523,12 @@ def test_sketch_sql_twins_on_fixture(ray_session, tmp_path):
         t = base + f" tail{d} extra{d % 7}"
         if d % 5 == 0:
             t = base + f" tail{d - 1} extra{(d - 1) % 7}"  # near-dup of d-1
-        if d == 13:
-            t = "   "  # whitespace-only: empty shingle/feature sets
+        if d in (13, 27):
+            t = "   "  # whitespace-only x2: empty shingle/feature
+            # sets, AND an empty-empty candidate pair (all-MERSENNE
+            # minhash sigs / fp=0 simhash band together; minhash
+            # drops it at jaccard=0 < threshold on both sides,
+            # simhash keeps it at hamming 0 on both sides)
         texts.append(t)
     df = pd.DataFrame(
         {
