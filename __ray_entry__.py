@@ -5803,7 +5803,9 @@ def _trade_distance_stats_sql(levels: int = 6) -> str:
                 (2000000 * COUNT(t.dst) * COUNT(t.dst)
                  + ((SELECT n FROM nn) - 1) * SUM(t.d))
                 // (2 * ((SELECT n FROM nn) - 1) * SUM(t.d))
-           END AS BIGINT) AS closeness_wf_ppm
+           END AS BIGINT) AS closeness_wf_ppm,
+           CAST(COALESCE(SUM(1000000 // t.d), 0) AS BIGINT)
+               AS harmonic_ppm
     FROM dnodes n LEFT JOIN t{levels} t ON t.src = n.node
     GROUP BY n.node"""
     )

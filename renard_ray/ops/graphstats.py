@@ -3307,6 +3307,7 @@ def distance_stats_dataset(
             ("dist_sum", pa.int64()),
             ("ecc", pa.int64()),
             ("closeness_wf_ppm", pa.int64()),
+            ("harmonic_ppm", pa.int64()),
         ]
     )
 
@@ -3384,6 +3385,7 @@ def distance_stats_dataset(
                 "s": pa.array(src_ids, pa.int64()),
                 "v": pa.array(src_ids, pa.int64()),
                 "h": pa.array(np.zeros(len(src_ids), np.int64)),
+                "hinv": pa.array(np.zeros(len(src_ids), np.int64)),
                 "pk": pa.array(_pk(src_ids, src_ids), pa.int64()),
             }
         )
@@ -3530,6 +3532,15 @@ def distance_stats_dataset(
                         "h": pa.array(
                             np.full(b.num_rows, _h, np.int64), pa.int64()
                         ),
+                        # exact-integer harmonic term (1e6 // d): a
+                        # deterministic variant both engines floor
+                        # identically — no float 1/d anywhere
+                        "hinv": pa.array(
+                            np.full(
+                                b.num_rows, 1_000_000 // _h, np.int64
+                            ),
+                            pa.int64(),
+                        ),
                         "pk": b.column("pk"),
                     }
                 ),
@@ -3554,6 +3565,7 @@ def distance_stats_dataset(
         [
             ("h", "sum", "dist_sum"),
             ("h", "max", "ecc"),
+            ("hinv", "sum", "harmonic_ppm"),
             ("", "count_all", "cnt"),
         ],
     )
@@ -3581,6 +3593,7 @@ def distance_stats_dataset(
                 "dist_sum": batch.column("dist_sum"),
                 "ecc": batch.column("ecc"),
                 "closeness_wf_ppm": pa.array(ppm, pa.int64()),
+                "harmonic_ppm": batch.column("harmonic_ppm"),
             }
         )
 

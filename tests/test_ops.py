@@ -9328,12 +9328,13 @@ def test_distance_stats_both_paths_match_brute_bfs(ray_session):
                 if r > 0 and S > 0
                 else 0
             )
-            rows.append((s, r, S, ecc, ppm))
+            harm = sum(1_000_000 // d for d in dist.values() if d > 0)
+            rows.append((s, r, S, ecc, ppm, harm))
         return pd.DataFrame(
             rows,
             columns=[
                 "node", "n_reachable", "dist_sum", "ecc",
-                "closeness_wf_ppm",
+                "closeness_wf_ppm", "harmonic_ppm",
             ],
         )
 
@@ -9393,16 +9394,17 @@ def test_distance_stats_sources_and_degenerates(ray_session):
     )
     # n=4 nodes; A reaches B,C (dists 1,2): r=2 S=3 ecc=2
     #   closeness = (2/3)*(2/3) = 444444 ppm
+    # harmonic: A = 1e6/1 + 1e6/2 = 1500000; B = 1000000
     assert out.values.tolist() == [
-        ["A", 2, 3, 2, 444444],
-        ["B", 1, 1, 1, 333333],
-        ["C", 0, 0, 0, 0],
-        ["L", 0, 0, 0, 0],
+        ["A", 2, 3, 2, 444444, 1500000],
+        ["B", 1, 1, 1, 333333, 1000000],
+        ["C", 0, 0, 0, 0, 0],
+        ["L", 0, 0, 0, 0, 0],
     ]
     only_a = distance_stats_dataset(
         trip, sources=["A"], directed=True
     ).to_pandas()
-    assert only_a.values.tolist() == [["A", 2, 3, 2, 444444]]
+    assert only_a.values.tolist() == [["A", 2, 3, 2, 444444, 1500000]]
     try:
         distance_stats_dataset(trip, sources=["ZZZ"]).to_pandas()
         raise RuntimeError("expected AssertionError")
