@@ -534,6 +534,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["node"]
         )
 
+    def kg_katz(sf_dir: str):
+        # Katz centrality over the KG (attenuated walk counts; local
+        # fast path or broadcast + fixed-point merge; dense numpy
+        # oracle pytest on both paths; rows-only — the exact twin is
+        # trade_graph_katz)
+        from renard_ray.ops.graphstats import katz_dataset
+
+        return katz_dataset(kg_triples(sf_dir)).sort(["node"])
+
     def kg_snapshot_diff(sf_dir: str):
         """Crawl-over-crawl KG diff (pytest-gated vs a pandas
         outer-merge oracle): snapshot A = pages P1+P2, snapshot B =
@@ -1286,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "kg_bfs_hops": kg_bfs_hops,
         "kg_distance_stats": kg_distance_stats,
+        "kg_katz": kg_katz,
         "kg_snapshot_diff": kg_snapshot_diff,
         "kg_neighborhood_stats": kg_neighborhood_stats,
         "kg_growth": kg_growth,
@@ -1853,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_graph_distance_stats": (
             tradegraph.trade_graph_distance_stats
         ),
+        "trade_graph_katz": tradegraph.trade_graph_katz,
         # directed motif census over the constructed KG digraph
         # (bruteforce-oracle pytest on both plans; rows-only — the KG
         # build is non-SQL; the exact twin is trade_graph_motifs)
@@ -5811,10 +5822,52 @@ def _trade_distance_stats_sql(levels: int = 6) -> str:
     )
 
 
+def _trade_katz_sql(iters: int = 20, beta: float = 0.5) -> str:
+    # unrolled x' = 1 + (beta / max wdeg) * (A x) mirroring
+    # katz_dataset's undirected double push (self-loops push twice) and
+    # its RELATIVE attenuation — max(weighted_degree) is an exact
+    # integer-valued float, so the division is bit-identical;
+    # round_even 8 absorbs the summation-order ulp between np.add.at
+    # and SQL SUM
+    parts = [
+        _TRADE_EDGES_SQL,
+        f"""knodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    kwdeg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS DOUBLE) AS wd FROM
+             (SELECT subj AS node, w FROM edges
+              UNION ALL SELECT obj, w FROM edges) GROUP BY node),
+    kbeta AS MATERIALIZED (
+             SELECT {beta} / GREATEST((SELECT MAX(wd) FROM kwdeg), 1.0)
+                 AS b),
+    kpush AS MATERIALIZED (
+             SELECT subj AS src, obj AS dst, CAST(w AS DOUBLE) AS w FROM edges
+             UNION ALL
+             SELECT obj, subj, CAST(w AS DOUBLE) FROM edges),
+    kz0 AS MATERIALIZED (SELECT node, 0.0 AS x FROM knodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""kz{i} AS MATERIALIZED (
+        SELECT n.node,
+               1.0 + (SELECT b FROM kbeta) * COALESCE(s.acc, 0.0) AS x
+        FROM knodes n LEFT JOIN (
+            SELECT p.dst AS node, SUM(k.x * p.w) AS acc
+            FROM kpush p JOIN kz{i - 1} k ON k.node = p.src
+            GROUP BY p.dst
+        ) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round_even(x, 8) AS katz FROM kz{iters}"
+    )
+
+
 def _trade_graph_oracles_ext3() -> dict[str, str]:
     E = _TRADE_EDGES_SQL
     return {
         "trade_graph_distance_stats": _trade_distance_stats_sql(),
+        "trade_graph_katz": _trade_katz_sql(),
         # unique maximum spanning forest via the cycle property: the
         # packed (10^13-1-centi_w, a, b) key totally orders the edges,
         # so e is IN the forest iff its endpoints are NOT connected

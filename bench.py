@@ -264,6 +264,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_motifs",
         "trade_graph_distance_stats",
         "kg_distance_stats",
+        "trade_graph_katz",
+        "kg_katz",
         "events_retention_cohorts",
         "events_hopping_window",
         "customer_rfm_scores",

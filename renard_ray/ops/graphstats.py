@@ -81,6 +81,7 @@ def top_degree_dataset(triples: Dataset, k: int = 25) -> Dataset:
 
 
 _PR_SCALE = 10**17  # contribution fixed-point scale; total mass ≈ 1 → sum ≤ 1e17 < int64
+_KATZ_SCALE = 10**12  # katz acc ~ x·weighted_degree, not mass-conserving
 
 
 def _collect_indexed_edges(edges: Dataset, nodes_arr: pa.Array):
@@ -3598,3 +3599,157 @@ def distance_stats_dataset(
         )
 
     return stats.map_batches(finalize, batch_format="pyarrow")
+
+
+def katz_dataset(
+    triples: Dataset,
+    beta: float = 0.5,
+    iters: int = 20,
+    broadcast_limit: int = 50_000_000,
+    driver_merge_limit: int = 1_000_000,
+    driver_edge_limit: int = 2_000_000,
+) -> Dataset:
+    """Katz centrality ``x = sum_k beta^k (A x) + 1`` by fixed-count
+    iteration ``x' = 1 + beta * (A x)`` over the undirected weighted
+    edge list (each edge pushes both ways; self-loops push twice —
+    the pagerank push convention).  ``beta`` is RELATIVE: the effective
+    attenuation is ``beta / max(weighted_degree)`` — the weighted
+    degree (self-loops counted twice) bounds the push matrix's row
+    sums and hence its spectral radius, so any ``beta < 1`` converges
+    at ANY scale (an absolute beta diverged on the dense sf0.1 trade
+    graph, where 1e12-magnitude iterates amplified float noise past
+    the round-8 gate).  ``max(weighted_degree)`` is an exact
+    integer-valued float on both engines, so the division is
+    bit-identical in the SQL twin.
+
+    Two regimes, the pagerank/HITS size-adaptive convention:
+
+    - local fast path (vocab AND edge list within the driver budgets):
+      canonical-order numpy loop over ``_collect_indexed_edges``
+      (layout-independent by the shared lexsort);
+    - broadcast + fixed-point merge: x broadcasts per iteration, the
+      per-batch contributions round to fixed-point int64 and merge in
+      ONE bounded hash aggregate (integer sums are order-independent
+      => deterministic under any partitioning); the driver holds only
+      the dense vector.  Past ``broadcast_limit`` nodes the rank
+      exchange must become join-based — ``_pagerank_join``'s plan
+      applies verbatim; asserted loudly rather than silently slow."""
+    import pyarrow.compute as pc
+
+    edges = triples.select_columns(_EDGE_COLS).materialize()
+    deg = degree_dataset(edges).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()),
+                 "katz": pa.array([], pa.float64())}
+            )
+        )
+    assert n_nodes <= broadcast_limit, (
+        "katz: vocabulary exceeds the broadcast budget — the "
+        "join-exchange regime (_pagerank_join's plan) applies; raise "
+        "broadcast_limit consciously or pre-aggregate the graph"
+    )
+    from ray.data.aggregate import Max as _Max
+
+    maxwd = float(
+        deg.aggregate(_Max("weighted_degree", alias_name="m"))["m"]
+    )
+    beta = beta / max(maxwd, 1.0)
+
+    dt = pa.concat_tables(
+        [
+            b
+            for b in deg.select_columns(["node"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    ).combine_chunks()
+    dt = dt.take(pc.sort_indices(dt, sort_keys=[("node", "ascending")]))
+    nodes_arr = dt.column("node").combine_chunks()
+
+    if (
+        n_nodes <= driver_merge_limit
+        and edges.count() <= driver_edge_limit
+    ):
+        si, oi, w = _collect_indexed_edges(edges, nodes_arr)
+        x = np.zeros(n_nodes, dtype=np.float64)
+        for _ in range(iters):
+            acc = np.zeros(n_nodes, dtype=np.float64)
+            np.add.at(acc, oi, x[si] * w)
+            np.add.at(acc, si, x[oi] * w)
+            x = 1.0 + beta * acc
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": nodes_arr,
+                    "katz": pa.array(np.round(x, 8), pa.float64()),
+                }
+            )
+        )
+
+    keys_ref = ray.put(nodes_arr)
+    x = np.zeros(n_nodes, dtype=np.float64)
+    for _ in range(iters):
+        x_ref = ray.put(x)
+
+        def contrib(batch: pa.Table, _xr=x_ref) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            keys = ray.get(keys_ref)
+            xv = ray.get(_xr)
+            si = _pc.index_in(
+                batch.column("subj").combine_chunks(), value_set=keys
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            oi = _pc.index_in(
+                batch.column("obj").combine_chunks(), value_set=keys
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch.column("weight").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            acc = np.zeros(len(xv), dtype=np.float64)
+            np.add.at(acc, oi, xv[si] * w)
+            np.add.at(acc, si, xv[oi] * w)
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "i": pa.array(nz, pa.int64()),
+                    # Katz contributions are not mass-conserving like
+                    # pagerank's (acc ~ x * weighted_degree), so the
+                    # fixed-point scale is 1e12, not _PR_SCALE
+                    "ci": pa.array(
+                        np.rint(acc[nz] * _KATZ_SCALE).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        merged = _hagg_auto(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            "i",
+            [("ci", "sum", "ci")],
+        )
+        acc = np.zeros(n_nodes, dtype=np.float64)
+        for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows == 0 or "i" not in b.column_names:
+                continue
+            acc[b.column("i").to_numpy(zero_copy_only=False)] = (
+                b.column("ci").to_numpy(zero_copy_only=False) / _KATZ_SCALE
+            )
+        # contributions are all non-negative, so every per-partition
+        # partial sum is a prefix of the total — if the TOTAL fits
+        # int64, no intermediate wrapped either; checked here, loudly
+        assert acc.max(initial=0.0) * _KATZ_SCALE < 4e18, (
+            "katz: fixed-point window exceeded — lower beta or the "
+            "edge weights (acc max %.3g)" % acc.max(initial=0.0)
+        )
+        x = 1.0 + beta * acc
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": nodes_arr,
+                "katz": pa.array(np.round(x, 8), pa.float64()),
+            }
+        )
+    )

@@ -438,3 +438,12 @@ def trade_graph_distance_stats(sf_dir: str) -> Dataset:
     from renard_ray.ops.graphstats import distance_stats_dataset
 
     return distance_stats_dataset(trade_edges(sf_dir), directed=True)
+
+
+def trade_graph_katz(sf_dir: str) -> Dataset:
+    """Katz centrality over the trade digraph's undirected weighted
+    view (20 fixed iterations, beta=0.01) — the oracle is the
+    pagerank-style unrolled-CTE twin."""
+    from renard_ray.ops.graphstats import katz_dataset
+
+    return katz_dataset(trade_edges(sf_dir))

@@ -9573,3 +9573,53 @@ def test_sketch_sql_twins_on_fixture(ray_session, tmp_path):
         got = norm(qs[name](str(tmp_path)))
         want = norm(con.execute(oracles[name]).fetchdf())
         assert got.equals(want), name
+
+
+def test_katz_both_paths_match_dense_oracle(ray_session):
+    """katz_dataset: the local canonical-order loop AND the forced
+    broadcast + fixed-point-merge path both match a dense numpy
+    matrix iteration at 1e-6 on random weighted graphs with
+    self-loops."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import katz_dataset
+
+    rng = np.random.default_rng(3)
+    for nn, ne in [(10, 22), (14, 14)]:
+        names = [f"N{i:02d}" for i in range(nn)]
+        subj = [names[rng.integers(nn)] for _ in range(ne)]
+        obj = [names[rng.integers(nn)] for _ in range(ne)]
+        w = rng.integers(1, 5, ne).astype(float)
+        trip = _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(subj),
+                    "obj": pa.array(obj),
+                    "weight": pa.array(w, pa.float64()),
+                }
+            )
+        ).repartition(3)
+        nodes = sorted(set(subj) | set(obj))
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b, ww in zip(subj, obj, w):
+            A[idx[b], idx[a]] += ww  # push a -> b
+            A[idx[a], idx[b]] += ww  # and b -> a (self-loops twice)
+        # relative attenuation: beta / max weighted degree (row sums
+        # of the push matrix) — converges for any graph
+        beta = 0.5 / max(A.sum(axis=1).max(), 1.0)
+        x = np.zeros(len(nodes))
+        for _ in range(20):
+            x = 1.0 + beta * (A @ x)
+        for kw in ({}, {"driver_edge_limit": 0}):  # local / forced dist
+            got = (
+                katz_dataset(trip, **kw)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            assert got["node"].tolist() == nodes
+            assert np.allclose(got["katz"].to_numpy(), x, atol=1e-6), kw
