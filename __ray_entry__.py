@@ -4086,10 +4086,11 @@ def oracle_sql() -> dict[str, str]:
         # of the 64 sign-sum bits re-folds into a signed BIGINT (bit
         # 63 contributes -2^63), 16-bit chunk banding via
         # arithmetic-shift + mask (mask makes the shift fill
-        # irrelevant), candidates by chunk-key self-join, verification
-        # by bit_count(xor) — exact at sf0.001 + sf0.01 + sf0.1.  The
-        # engine's max_bucket=2000 oversized-bucket drop never fires
-        # at gate scales (500-5000 docs), so the twin omits it.
+        # irrelevant), candidates by chunk-key self-join with the
+        # engine's max_bucket=2000 oversized-bucket drop MIRRORED
+        # (ssz/skept — e.g. >2000 empty docs all band together on
+        # fp=0), verification by bit_count(xor) — exact at sf0.001 +
+        # sf0.01 + sf0.1.
         "doc_simhash_near_dup": r"""
             WITH t AS (
                 SELECT doc_id,
@@ -4129,10 +4130,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM fp CROSS JOIN
                      (SELECT unnest(generate_series(0, 3)) AS c) c
             ),
+            ssz AS (SELECT c, key, COUNT(*) AS n FROM sig GROUP BY 1, 2),
+            skept AS (
+                SELECT sig.* FROM sig JOIN ssz USING (c, key)
+                WHERE ssz.n <= 2000
+            ),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
                        a.fp AS fa, b.fp AS fb
-                FROM sig a JOIN sig b ON a.c = b.c AND a.key = b.key
+                FROM skept a JOIN skept b ON a.c = b.c AND a.key = b.key
                 WHERE a.doc_id < b.doc_id
             )
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
@@ -4765,6 +4771,7 @@ def _hll_sql(grouped: bool, p: int = 12) -> str:
     )
     src_sel = "source, " if grouped else ""
     src_grp = "source, " if grouped else ""
+    group_clause = "GROUP BY source" if grouped else ""
     tail = (
         "SELECT source, CAST(round_even(e, 0) AS BIGINT) AS "
         "distinct_words_est FROM est"
@@ -4788,9 +4795,13 @@ def _hll_sql(grouped: bool, p: int = 12) -> str:
             rk AS (SELECT {src_sel}idx, {case} AS rank FROM rr),
             reg AS (SELECT {src_grp}idx, MAX(rank) AS r
                     FROM rk GROUP BY {src_grp}idx),
-            s AS (SELECT {src_grp}SUM(pow(2.0, -r)) AS sp,
+            -- ungrouped: plain aggregate (ALWAYS one row, so an
+            -- all-empty corpus yields estimate 0 like the engine's
+            -- all-zero registers, not zero rows); grouped: one row
+            -- per source with words, matching the engine's partials
+            s AS (SELECT {src_grp}COALESCE(SUM(pow(2.0, -r)), 0.0) AS sp,
                          COUNT(*) AS nb
-                  FROM reg GROUP BY ALL),
+                  FROM reg {group_clause}),
             est AS (
                 SELECT {src_sel}
                     CASE WHEN (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
@@ -4844,8 +4855,6 @@ def _minhash_pairs_sql(
     drop on both sides, and verification is exact shingle-set Jaccard
     with ``round_even`` matching python round's half-even.  No floats
     anywhere before the final verified ratio."""
-    import numpy as np  # noqa: F401  (dtype of the param arrays)
-
     from renard_ray.ops.dedup import _minhash_params
 
     a, b = _minhash_params(n_perm)
@@ -4896,7 +4905,7 @@ def _minhash_pairs_sql(
                        CAST(md5_number_upper(
                                 string_agg(CAST(v AS VARCHAR), ','
                                            ORDER BY p))
-                            & CAST(9223372036854775807 AS UBIGINT)
+                            & CAST(2147483647 AS UBIGINT)
                             AS BIGINT) AS bucket
                 FROM allsig GROUP BY doc_id, p // __ROWS__
             ),

@@ -179,13 +179,17 @@ class MinHashStage:
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 # md5 of the comma-joined DECIMAL band values — the
                 # SQL twin re-derives it as md5_number_upper(
-                # string_agg(v, ',' ORDER BY perm)); int64-positive mask
+                # string_agg(v, ',' ORDER BY perm)).  Masked to 31
+                # bits (like the crc32 bucket it replaced): the
+                # (band << 32) + bucket composite key in _bb_key and
+                # the oversized-drop pack MUST fit int64, which a
+                # 63-bit bucket breaks (review-caught overflow)
                 bucket = struct.unpack(
                     "<Q",
                     hashlib.md5(
                         ",".join(str(v) for v in chunk).encode()
                     ).digest()[:8],
-                )[0] & 0x7FFFFFFFFFFFFFFF
+                )[0] & 0x7FFFFFFF
                 doc_ids.append(doc_id)
                 bands.append(band)
                 buckets.append(bucket)

@@ -36,6 +36,8 @@ No counterpart in the reference; sibling of ``ops/lm.py``.
 
 from __future__ import annotations
 
+import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -56,9 +58,6 @@ def _feature_buckets(text: str | None, n_buckets: int) -> np.ndarray:
     DuckDB ``md5_number_upper`` so the SQL twin reproduces the bucket
     assignment exactly; stable across runs and processes — no
     PYTHONHASHSEED dependence)."""
-    import hashlib
-    import struct
-
     if not text or not text.strip():
         return np.empty(0, dtype=np.int64)
     ws = [w for w in _WS_RE.split(text.strip().lower()) if w]

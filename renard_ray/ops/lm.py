@@ -122,6 +122,31 @@ def perplexity_scores(
     docs = _read_documents(sf_dir, ["doc_id", "text"]).materialize()
     bigrams, contexts, V = train_bigram_model(docs)
 
+    if bigrams.count() == 0:
+        # degenerate corpus: NO document has two tokens, so there is
+        # no model — every doc scores null with its token count (the
+        # schema-less empty bigram table would otherwise crash the
+        # join path's key reference; surfaced by the all-empty-corpus
+        # twin fixture)
+        def score_empty(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_tokens": pa.array(
+                        [
+                            len(_tokens(t))
+                            for t in batch.column("text").to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                    "ppl": pa.array(
+                        [None] * batch.num_rows, pa.float64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(score_empty, batch_format="pyarrow")
+
     big_tab = _collect_small(bigrams, limit)
     ctx_tab = _collect_small(contexts, limit) if big_tab is not None else None
     if big_tab is not None and ctx_tab is not None:

@@ -3061,7 +3061,14 @@ def events_retention(sf_dir: str) -> "Dataset | pa.Table":
     def weeks(batch: pa.Table) -> pa.Table:
         # normalize to us first: a ns-sourced table (pandas default)
         # would otherwise bucket 1000x too fine
-        w = pc.divide(_ts_us(batch.column("ts")), _WEEK_US)
+        us = _ts_us(batch.column("ts"))
+        # integer division truncates toward zero, not -inf: a pre-epoch
+        # timestamp would silently land in the wrong week (guards the
+        # derived events_retention_cohorts too — review-restored)
+        assert batch.num_rows == 0 or pc.min(us).as_py() >= 0, (
+            "retention: pre-epoch timestamp"
+        )
+        w = pc.divide(us, _WEEK_US)
         t = pa.table({"user_id": batch.column("user_id"), "week": w})
         # per-batch dedup (the combiner): shuffles downstream see
         # distinct (user, week) pairs only

@@ -446,8 +446,22 @@ def source_distinct_words_hll(sf_dir: str, p: int = 12) -> Dataset:
             }
         )
 
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    from renard_ray.ops.relational import drop_empty_blocks
+
+    scrubbed = drop_empty_blocks(parts)
+    if scrubbed is None:
+        # a wordless corpus leaves only schema-less empty partials —
+        # return a TYPED empty so downstream column compares see the
+        # real names (the link_prediction convention)
+        return ray.data.from_arrow(
+            pa.schema(
+                [("source", pa.string()),
+                 ("distinct_words_est", pa.int64())]
+            ).empty_table()
+        )
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        scrubbed
         .groupby("source")
         .map_groups(merge, batch_format="pandas")
         .sort("source")

@@ -442,8 +442,8 @@ def trade_graph_distance_stats(sf_dir: str) -> Dataset:
 
 def trade_graph_katz(sf_dir: str) -> Dataset:
     """Katz centrality over the trade digraph's undirected weighted
-    view (20 fixed iterations, beta=0.01) — the oracle is the
-    pagerank-style unrolled-CTE twin."""
+    view (20 fixed iterations, RELATIVE attenuation 0.5/max weighted
+    degree) — the oracle is the pagerank-style unrolled-CTE twin."""
     from renard_ray.ops.graphstats import katz_dataset
 
     return katz_dataset(trade_edges(sf_dir))

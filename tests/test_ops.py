@@ -3140,7 +3140,7 @@ def test_dsir_weights_replica_and_planted_signal(ray_session, tmp_path):
     the target split's distinctive token outrank those that don't."""
     import hashlib
     import math
-    import zlib
+    import struct
 
     import pyarrow.parquet as pq
     import ray
@@ -3176,8 +3176,6 @@ def test_dsir_weights_replica_and_planted_signal(ray_session, tmp_path):
 
     # plain-Python replica
     def feats(t):
-        import struct
-
         ws = t.strip().lower().split()
         fs = ws + [ws[i] + "\x1f" + ws[i + 1] for i in range(len(ws) - 1)]
         # md5-le-8 bucket hash (the engine switched off crc32 so the
@@ -9554,13 +9552,23 @@ def test_sketch_sql_twins_on_fixture(ray_session, tmp_path):
 
     def norm(x):
         if not isinstance(x, pd.DataFrame):
-            x = x.to_pandas()
+            ds_obj = x
+            x = ds_obj.to_pandas()
+            if len(x) == 0 and len(x.columns) == 0:
+                # Ray's to_pandas drops columns on an EMPTY Dataset
+                # even when it carries a schema — rebuild like the
+                # driver gate's _to_pandas does
+                sch = ds_obj.schema()
+                if sch is not None:
+                    x = pd.DataFrame(
+                        {n: pd.Series(dtype=object) for n in sch.names}
+                    )
         cols = sorted(x.columns)
         return (
             x[cols].astype(str).sort_values(cols).reset_index(drop=True)
         )
 
-    for name in (
+    twins = (
         "doc_minhash_dedup",
         "doc_minhash_clusters",
         "doc_simhash_near_dup",
@@ -9569,10 +9577,41 @@ def test_sketch_sql_twins_on_fixture(ray_session, tmp_path):
         "source_distinct_words_hll",
         "doc_dsir_weights",
         "doc_perplexity",
-    ):
+    )
+    for name in twins:
         got = norm(qs[name](str(tmp_path)))
         want = norm(con.execute(oracles[name]).fetchdf())
         assert got.equals(want), name
+
+    # ALL-empty corpus: the degenerate class the sf dirs never hit —
+    # the fingerprint NULL-norm and the HLL zero-rows bugs both lived
+    # exactly here
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": range(5),
+                    "text": ["", "  ", "\n", "", "\t "],
+                    "lang": ["en"] * 5,
+                    "source": ["s0"] * 5,
+                    "n_chars": [0, 2, 1, 0, 2],
+                }
+            ),
+            preserve_index=False,
+        ),
+        f"{empty_dir}/documents.parquet",
+    )
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{empty_dir}/documents.parquet')"
+    )
+    for name in twins:
+        got = norm(qs[name](str(empty_dir)))
+        want = norm(con2.execute(oracles[name]).fetchdf())
+        assert got.equals(want), f"{name} (all-empty corpus)"
 
 
 def test_katz_both_paths_match_dense_oracle(ray_session):
