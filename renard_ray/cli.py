@@ -108,12 +108,30 @@ def cmd_export(args: argparse.Namespace) -> int:
         for f in glob.glob(f"{args.graph}/**/*.parquet", recursive=True)
     ]
     triples = pd.concat(frames, ignore_index=True)
-    from renard_ray.sinks.gexf import write_dynamic_gexf, write_gexf
+    if args.format == "nt":
+        # distributed RDF interchange sink (shards under --out DIR)
+        import pyarrow as pa
 
-    if args.dynamic:
-        write_dynamic_gexf(triples, args.out)
+        import ray
+
+        from renard_ray.sinks.ntriples import write_ntriples
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False)
+        cols = ["subj", "pred", "obj", "weight"]
+        write_ntriples(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(triples[cols], preserve_index=False)
+            ),
+            args.out,
+        )
     else:
-        write_gexf(triples, args.out)
+        from renard_ray.sinks.gexf import write_dynamic_gexf, write_gexf
+
+        if args.dynamic:
+            write_dynamic_gexf(triples, args.out)
+        else:
+            write_gexf(triples, args.out)
     print(json.dumps({"graph": args.graph, "out": args.out, "edges": len(triples)}))
     return 0
 
@@ -144,7 +162,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rows-per-file", type=int, default=2000)
     p.set_defaults(fn=cmd_synth)
 
-    p = sub.add_parser("export", help="export an aggregated graph to GEXF")
+    p = sub.add_parser(
+        "export", help="export an aggregated graph to GEXF or N-Triples"
+    )
+    p.add_argument(
+        "--format", default="gexf", choices=["gexf", "nt"],
+        help="gexf (single file) or nt (N-Triples shard dir)",
+    )
     p.add_argument("--graph", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--dynamic", action="store_true")

@@ -187,3 +187,67 @@ def test_granular_pipeline_matches_fused(ray_session, doc_kwargs):
         for r in granular.itertuples()
     }
     assert f == g
+
+
+def test_ntriples_sink_roundtrip(ray_session, tmp_path):
+    """N-Triples export: IRIs percent-encode unsafe names, weights
+    reify under deterministic statement IRIs, shards are
+    content-addressed (idempotent re-runs) and concatenate into a
+    parseable .nt file."""
+    import re
+    import urllib.parse
+
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.sinks.ntriples import write_ntriples
+
+    trip = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": ["Mr Darcy", 'Eliza "Lizzy" Bennet', "A&B"],
+                "pred": ["co_occurs_with"] * 3,
+                "obj": ["Jane", "Mr Darcy", "Jane"],
+                "weight": pa.array([3.0, 2.0, 1.5], pa.float64()),
+            }
+        )
+    ).repartition(2)
+    out = tmp_path / "nt"
+    manifest = write_ntriples(trip, str(out))
+    assert sum(r["n_lines"] for r in manifest) == 6  # 3 edges x 2 lines
+
+    text = ""
+    for f in sorted(out.iterdir()):
+        assert re.fullmatch(r"part-[0-9a-f]{32}\.nt", f.name)
+        text += f.read_text()
+    lines = [l for l in text.splitlines() if l]
+    assert len(lines) == 6
+    edge_re = re.compile(r"^<(\S+)> <(\S+)> <(\S+)> \.$")
+    w_re = re.compile(
+        r'^<(\S+)> <(\S+)> "([^"]+)"'
+        r"\^\^<http://www\.w3\.org/2001/XMLSchema#decimal> \.$"
+    )
+    edges, weights = {}, {}
+    for l in lines:
+        m = edge_re.match(l)
+        if m and "/statement/" not in m.group(1):
+            s = urllib.parse.unquote(m.group(1).split("/entity/")[1])
+            o = urllib.parse.unquote(m.group(3).split("/entity/")[1])
+            p = urllib.parse.unquote(m.group(2).split("/rel/")[1])
+            edges[(s, p, o)] = True
+        else:
+            m = w_re.match(l)
+            assert m, l
+            weights[m.group(1)] = m.group(3)
+    assert set(edges) == {
+        ("Mr Darcy", "co_occurs_with", "Jane"),
+        ('Eliza "Lizzy" Bennet', "co_occurs_with", "Mr Darcy"),
+        ("A&B", "co_occurs_with", "Jane"),
+    }
+    assert sorted(weights.values()) == ["1.5", "2", "3"]
+
+    # idempotent rewrite: same shards, no leftovers
+    names1 = sorted(f.name for f in out.iterdir())
+    write_ntriples(trip, str(out))
+    assert sorted(f.name for f in out.iterdir()) == names1
