@@ -103,35 +103,55 @@ def cmd_export(args: argparse.Namespace) -> int:
     import pandas as pd
     import pyarrow.parquet as pq
 
-    frames = [
-        pq.read_table(f).to_pandas()
-        for f in glob.glob(f"{args.graph}/**/*.parquet", recursive=True)
-    ]
-    triples = pd.concat(frames, ignore_index=True)
     if args.format == "nt":
-        # distributed RDF interchange sink (shards under --out DIR)
-        import pyarrow as pa
+        # distributed RDF interchange sink (shards under --out DIR):
+        # reads the graph as a Dataset — nothing edge-sized on the
+        # driver — and pre-aggregates inside the sink
+        import sys
 
         import ray
 
         from renard_ray.sinks.ntriples import write_ntriples
 
+        if args.dynamic:
+            raise SystemExit(
+                "--dynamic has no N-Triples representation (block "
+                "structure stays in the parquet graph / dynamic GEXF)"
+            )
         if not ray.is_initialized():
             ray.init(address="local", include_dashboard=False)
-        cols = ["subj", "pred", "obj", "weight"]
-        write_ntriples(
-            ray.data.from_arrow(
-                pa.Table.from_pandas(triples[cols], preserve_index=False)
-            ),
-            args.out,
+        ds = ray.data.read_parquet(f"{args.graph}/")
+        extra = set(ds.schema().names) - {"subj", "pred", "obj", "weight"}
+        if extra:
+            print(
+                "export nt: dropping non-RDF columns %s (they stay in "
+                "the parquet graph)" % sorted(extra),
+                file=sys.stderr,
+            )
+        manifest = write_ntriples(ds, args.out)
+        print(
+            json.dumps(
+                {
+                    "graph": args.graph,
+                    "out": args.out,
+                    "shards": len(manifest),
+                    "lines": sum(r["n_lines"] for r in manifest),
+                }
+            )
         )
-    else:
-        from renard_ray.sinks.gexf import write_dynamic_gexf, write_gexf
+        return 0
 
-        if args.dynamic:
-            write_dynamic_gexf(triples, args.out)
-        else:
-            write_gexf(triples, args.out)
+    frames = [
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(f"{args.graph}/**/*.parquet", recursive=True)
+    ]
+    triples = pd.concat(frames, ignore_index=True)
+    from renard_ray.sinks.gexf import write_dynamic_gexf, write_gexf
+
+    if args.dynamic:
+        write_dynamic_gexf(triples, args.out)
+    else:
+        write_gexf(triples, args.out)
     print(json.dumps({"graph": args.graph, "out": args.out, "edges": len(triples)}))
     return 0
 

@@ -4,16 +4,28 @@ A knowledge-graph engine's edge list should load into standard RDF
 tooling; N-Triples (W3C REC, one triple per line, trivially
 concatenable) is the canonical bulk-interchange format.  Entities and
 predicates mint IRIs under a base namespace (percent-encoded local
-names per RFC 3987); the numeric edge weight is emitted as a SECOND
-line reifying the co-occurrence count via a deterministic
-per-edge statement IRI, so nothing from the parquet graph is lost.
+names per RFC 3987).  Edge weights are exported via STANDARD RDF
+reification — per aggregated edge one ``rdf:Statement`` resource with
+``rdf:subject`` / ``rdf:predicate`` / ``rdf:object`` plus the weight —
+so any triple store can join a weight back to its edge without
+knowing this module's conventions.
 
-Distributed shape: one ``map_batches`` pass — each task serializes its
-block to one ``part-<md5>.nt`` shard (the shard name is the md5 of the
-shard's own content, so retries are idempotent: a re-executed task
-rewrites the identical file) and returns a (shard, n_triples) manifest
-row.  Nothing graph-sized ever lands on the driver; shards concatenate
-into one valid .nt file with ``cat``.
+The input edge list is AGGREGATED first (one ``hash_aggregate`` on
+(subj, pred, obj) summing weight): dynamic-block graphs persist one
+row per block, and emitting per-block rows raw would mint conflicting
+weight statements under one edge (the GEXF sink sums the same way).
+``polarity`` / ``block_id`` attributes have no N-Triples
+representation and are NOT exported — they stay in the parquet graph
+(callers are warned by the CLI when present).
+
+Distributed shape: one ``map_batches`` pass — each task serializes
+its block to one ``part-<md5>.nt`` shard (content-addressed: retries
+rewrite identical bytes) and returns a (shard, n_lines) manifest row;
+rows are unique after the aggregate, so distinct non-empty blocks
+cannot collide on a shard name.  ``path`` must be storage every
+worker AND the driver can reach (single node, NFS, fuse mount): the
+sink re-checks each manifest shard's existence from the driver and
+raises — loudly, not truncating — if a worker wrote somewhere else.
 
 No counterpart in the reference (Renard exports GEXF only —
 ``renard/graph_utils.py``); sibling of ``sinks/gexf.py``.
@@ -24,21 +36,16 @@ from __future__ import annotations
 import hashlib
 import os
 import urllib.parse
+from decimal import Decimal
 
 import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["write_ntriples", "ESCAPES"]
+__all__ = ["write_ntriples"]
 
-# N-Triples string-literal escapes (W3C N-Triples §2.3 ECHAR)
-ESCAPES = {
-    "\\": "\\\\",
-    '"': '\\"',
-    "\n": "\\n",
-    "\r": "\\r",
-    "\t": "\\t",
-}
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
 
 
 def _iri_local(name: str) -> str:
@@ -47,11 +54,14 @@ def _iri_local(name: str) -> str:
     return urllib.parse.quote(name, safe="")
 
 
-def _literal(s: str) -> str:
-    out = []
-    for ch in s:
-        out.append(ESCAPES.get(ch, ch))
-    return '"' + "".join(out) + '"'
+def _decimal_lexical(w: float) -> str:
+    """xsd:decimal lexical form: fixed-point, NO exponent (repr's
+    '1e-05' is outside the lexical space and strict parsers reject
+    it); integral values drop the fraction."""
+    d = Decimal(repr(float(w)))
+    if d == d.to_integral_value():
+        return str(int(d))
+    return format(d, "f")
 
 
 def write_ntriples(
@@ -61,15 +71,23 @@ def write_ntriples(
 ) -> "list[dict]":
     """Serialize the (subj, pred, obj, weight) edge Dataset to
     N-Triples shards under ``path``; returns the shard manifest
-    (shard file name, triple-line count) as a list of dicts.
+    (unique shard file name, triple-line count) as a list of dicts.
 
     Stale ``part-*.nt`` shards from a previous attempt are cleared
     first (the ``write_graph`` convention — the sink is the cheap
     final stage and is always rewritten)."""
+    from renard_ray.ops.hashagg import hash_aggregate
+
     os.makedirs(path, exist_ok=True)
     for f in os.listdir(path):
         if f.startswith("part-") and f.endswith(".nt"):
             os.remove(os.path.join(path, f))
+
+    agg = hash_aggregate(
+        triples.select_columns(["subj", "pred", "obj", "weight"]),
+        ["subj", "pred", "obj"],
+        [("weight", "sum", "weight")],
+    )
 
     ent = base_iri + "entity/"
     rel = base_iri + "rel/"
@@ -88,16 +106,23 @@ def write_ntriples(
             pi = f"<{rel}{_iri_local(p)}>"
             oi = f"<{ent}{_iri_local(o)}>"
             lines.append(f"{si} {pi} {oi} .")
-            # weight reification: deterministic statement IRI from the
-            # edge key, so re-runs emit identical bytes
+            # STANDARD reification: the statement resource links back
+            # to its edge with rdf:subject/predicate/object, so the
+            # weight is recoverable by any RDF consumer (the statement
+            # IRI itself is just a stable name — md5 of the edge key)
             key = hashlib.md5(
                 f"{s}\x1f{p}\x1f{o}".encode()
             ).hexdigest()[:16]
-            wv = int(w) if w is not None and float(w).is_integer() else w
-            lines.append(
-                f"<{stmt}{key}> {w_pred} "
-                f'"{wv}"^^<http://www.w3.org/2001/XMLSchema#decimal> .'
-            )
+            st = f"<{stmt}{key}>"
+            lines.append(f"{st} <{_RDF}type> <{_RDF}Statement> .")
+            lines.append(f"{st} <{_RDF}subject> {si} .")
+            lines.append(f"{st} <{_RDF}predicate> {pi} .")
+            lines.append(f"{st} <{_RDF}object> {oi} .")
+            if w is not None:  # null weight: reification core only
+                lines.append(
+                    f"{st} {w_pred} "
+                    f'"{_decimal_lexical(w)}"^^<{_XSD_DECIMAL}> .'
+                )
         blob = ("\n".join(lines) + "\n").encode() if lines else b""
         shard = f"part-{hashlib.md5(blob).hexdigest()}.nt"
         if blob:
@@ -110,7 +135,22 @@ def write_ntriples(
             }
         )
 
-    manifest = triples.map_batches(
+    rows = agg.map_batches(
         dump, batch_format="pyarrow", batch_size=None
     ).take_all()
-    return manifest
+    # unique rows after the aggregate => distinct non-empty blocks
+    # cannot produce identical bytes; dedupe defensively anyway
+    manifest: dict[str, dict] = {}
+    for r in rows:
+        manifest[r["shard"]] = r
+    missing = [
+        s for s in manifest
+        if not os.path.exists(os.path.join(path, s))
+    ]
+    assert not missing, (
+        "write_ntriples: %d shard(s) missing from %r — workers wrote "
+        "to node-local storage the driver cannot see; point `path` at "
+        "storage shared by every node (the output would otherwise "
+        "truncate silently): %r" % (len(missing), path, missing[:3])
+    )
+    return list(manifest.values())

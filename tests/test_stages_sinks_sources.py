@@ -203,49 +203,73 @@ def test_ntriples_sink_roundtrip(ray_session, tmp_path):
 
     from renard_ray.sinks.ntriples import write_ntriples
 
+    # duplicate (s,p,o) rows (the dynamic-block shape) must aggregate
+    # to ONE weight statement; exponent-repr weights must serialize
+    # fixed-point
     trip = _ray.data.from_arrow(
         pa.table(
             {
-                "subj": ["Mr Darcy", 'Eliza "Lizzy" Bennet', "A&B"],
-                "pred": ["co_occurs_with"] * 3,
-                "obj": ["Jane", "Mr Darcy", "Jane"],
-                "weight": pa.array([3.0, 2.0, 1.5], pa.float64()),
+                "subj": ["Mr Darcy", 'Eliza "Lizzy" Bennet', "A&B",
+                         "Mr Darcy"],
+                "pred": ["co_occurs_with"] * 4,
+                "obj": ["Jane", "Mr Darcy", "Jane", "Jane"],
+                "weight": pa.array([3.0, 2.0, 0.00001, 2.0], pa.float64()),
             }
         )
     ).repartition(2)
     out = tmp_path / "nt"
     manifest = write_ntriples(trip, str(out))
-    assert sum(r["n_lines"] for r in manifest) == 6  # 3 edges x 2 lines
+    # 3 aggregated edges x 6 lines (edge + 4 reification + weight)
+    assert sum(r["n_lines"] for r in manifest) == 18
 
     text = ""
     for f in sorted(out.iterdir()):
         assert re.fullmatch(r"part-[0-9a-f]{32}\.nt", f.name)
         text += f.read_text()
     lines = [l for l in text.splitlines() if l]
-    assert len(lines) == 6
+    assert len(lines) == 18
     edge_re = re.compile(r"^<(\S+)> <(\S+)> <(\S+)> \.$")
     w_re = re.compile(
         r'^<(\S+)> <(\S+)> "([^"]+)"'
         r"\^\^<http://www\.w3\.org/2001/XMLSchema#decimal> \.$"
     )
-    edges, weights = {}, {}
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    edges = set()
+    stmt_subj, stmt_obj, weights = {}, {}, {}
     for l in lines:
+        m = w_re.match(l)
+        if m:
+            weights[m.group(1)] = m.group(3)
+            continue
         m = edge_re.match(l)
-        if m and "/statement/" not in m.group(1):
+        assert m, l
+        if "/statement/" in m.group(1):
+            if m.group(2) == rdf + "subject":
+                stmt_subj[m.group(1)] = urllib.parse.unquote(
+                    m.group(3).split("/entity/")[1]
+                )
+            elif m.group(2) == rdf + "object":
+                stmt_obj[m.group(1)] = urllib.parse.unquote(
+                    m.group(3).split("/entity/")[1]
+                )
+        else:
             s = urllib.parse.unquote(m.group(1).split("/entity/")[1])
             o = urllib.parse.unquote(m.group(3).split("/entity/")[1])
             p = urllib.parse.unquote(m.group(2).split("/rel/")[1])
-            edges[(s, p, o)] = True
-        else:
-            m = w_re.match(l)
-            assert m, l
-            weights[m.group(1)] = m.group(3)
-    assert set(edges) == {
+            edges.add((s, p, o))
+    assert edges == {
         ("Mr Darcy", "co_occurs_with", "Jane"),
         ('Eliza "Lizzy" Bennet', "co_occurs_with", "Mr Darcy"),
         ("A&B", "co_occurs_with", "Jane"),
     }
-    assert sorted(weights.values()) == ["1.5", "2", "3"]
+    # weights joinable through the STANDARD reification, duplicates
+    # summed (3.0 + 2.0), exponent value fixed-point
+    by_edge = {
+        (stmt_subj[k], stmt_obj[k]): v for k, v in weights.items()
+    }
+    assert by_edge[("Mr Darcy", "Jane")] == "5"
+    assert by_edge[("A&B", "Jane")] == "0.00001"
+    assert by_edge[('Eliza "Lizzy" Bennet', "Mr Darcy")] == "2"
 
     # idempotent rewrite: same shards, no leftovers
     names1 = sorted(f.name for f in out.iterdir())
