@@ -534,6 +534,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["node"]
         )
 
+    def kg_ntriples_manifest(sf_dir: str):
+        # RDF interchange export driven end-to-end: the constructed
+        # KG writes N-Triples shards to scratch and the query returns
+        # the shard manifest (content-addressed names + line counts —
+        # deterministic for a deterministic KG); rows-only
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        from renard_ray.sinks.ntriples import write_ntriples
+
+        out = "/tmp/renard_ray_nt_%s" % _hl.md5(
+            sf_dir.encode()
+        ).hexdigest()[:10]
+        manifest = write_ntriples(_kg_triples(sf_dir), out)
+        return _pd.DataFrame(manifest).sort_values("shard").reset_index(
+            drop=True
+        )
+
     def kg_katz(sf_dir: str):
         # Katz centrality over the KG (attenuated walk counts; local
         # fast path or broadcast + fixed-point merge; dense numpy
@@ -1296,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_hops": kg_bfs_hops,
         "kg_distance_stats": kg_distance_stats,
         "kg_katz": kg_katz,
+        "kg_ntriples_manifest": kg_ntriples_manifest,
         "kg_snapshot_diff": kg_snapshot_diff,
         "kg_neighborhood_stats": kg_neighborhood_stats,
         "kg_growth": kg_growth,

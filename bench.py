@@ -266,6 +266,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_distance_stats",
         "trade_graph_katz",
         "kg_katz",
+        "kg_ntriples_manifest",
         "events_retention_cohorts",
         "events_hopping_window",
         "customer_rfm_scores",
