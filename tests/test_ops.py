@@ -9662,3 +9662,46 @@ def test_katz_both_paths_match_dense_oracle(ray_session):
             )
             assert got["node"].tolist() == nodes
             assert np.allclose(got["katz"].to_numpy(), x, atol=1e-6), kw
+
+
+def test_sql_ntile_matches_duckdb_property():
+    """_sql_ntile == DuckDB NTILE for every (n, k) in a grid — the
+    shared kernel under events_rfm_segments and customer_rfm_scores."""
+    import duckdb
+    import numpy as np
+
+    from renard_ray.ops.relational import _sql_ntile
+
+    con = duckdb.connect()
+    for n in (1, 2, 3, 5, 7, 10, 15, 149, 150, 151):
+        for k in (1, 2, 4, 5, 8):
+            want = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT NTILE({k}) OVER (ORDER BY x) FROM "
+                    f"range({n}) t(x) ORDER BY x"
+                ).fetchall()
+            ]
+            got = _sql_ntile(np.arange(1, n + 1, dtype=np.int64), n, k)
+            assert got.tolist() == want, (n, k)
+
+
+def test_ntriples_decimal_lexical_property():
+    """_decimal_lexical emits valid xsd:decimal for any float weight:
+    no exponent, parses back to the same value."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from renard_ray.sinks.ntriples import _decimal_lexical
+
+    rng = np.random.default_rng(5)
+    vals = [0.0, 1.0, -2.5, 1e-05, 1e17, 123456.789, 3.0, 0.1]
+    vals += [float(x) for x in rng.uniform(-1e6, 1e6, 20)]
+    vals += [float(x) for x in rng.uniform(-1e-6, 1e-6, 10)]
+    for v in vals:
+        lex = _decimal_lexical(v)
+        assert "e" not in lex.lower(), (v, lex)
+        assert float(Decimal(lex)) == float(v), (v, lex)
+        if float(v).is_integer():
+            assert "." not in lex, (v, lex)
