@@ -553,6 +553,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             drop=True
         )
 
+    def kg_eigenvector(sf_dir: str):
+        # eigenvector centrality over the KG (L1-normalized power
+        # iteration; dense numpy oracle pytest on both paths;
+        # rows-only — the exact twin is trade_graph_eigenvector)
+        from renard_ray.ops.graphstats import (
+            eigenvector_centrality_dataset,
+        )
+
+        return eigenvector_centrality_dataset(kg_triples(sf_dir)).sort(
+            ["node"]
+        )
+
     def kg_katz(sf_dir: str):
         # Katz centrality over the KG (attenuated walk counts; local
         # fast path or broadcast + fixed-point merge; dense numpy
@@ -1315,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_hops": kg_bfs_hops,
         "kg_distance_stats": kg_distance_stats,
         "kg_katz": kg_katz,
+        "kg_eigenvector": kg_eigenvector,
         "kg_ntriples_manifest": kg_ntriples_manifest,
         "kg_snapshot_diff": kg_snapshot_diff,
         "kg_neighborhood_stats": kg_neighborhood_stats,
@@ -1884,6 +1897,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tradegraph.trade_graph_distance_stats
         ),
         "trade_graph_katz": tradegraph.trade_graph_katz,
+        "trade_graph_eigenvector": (
+            tradegraph.trade_graph_eigenvector
+        ),
         # directed motif census over the constructed KG digraph
         # (bruteforce-oracle pytest on both plans; rows-only — the KG
         # build is non-SQL; the exact twin is trade_graph_motifs)
@@ -5892,11 +5908,50 @@ def _trade_katz_sql(iters: int = 20, beta: float = 0.5) -> str:
     )
 
 
+def _trade_eigenvector_sql(iters: int = 30) -> str:
+    # unrolled L1-normalized power iteration mirroring
+    # eigenvector_centrality_dataset's local loop (undirected double
+    # push, uniform start, normalize by the positive push total each
+    # round — the t<=0 stay-uniform branch is unreachable on the
+    # trade graph, whose weights are counts >= 1); round_even 8
+    parts = [
+        _TRADE_EDGES_SQL,
+        """enodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)),
+    epush AS MATERIALIZED (
+             SELECT subj AS src, obj AS dst, CAST(w AS DOUBLE) AS w FROM edges
+             UNION ALL
+             SELECT obj, subj, CAST(w AS DOUBLE) FROM edges),
+    ev0 AS MATERIALIZED (
+        SELECT node, 1.0 / (SELECT COUNT(*) FROM enodes) AS x
+        FROM enodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""eacc{i} AS MATERIALIZED (
+        SELECT n.node, COALESCE(s.acc, 0.0) AS acc
+        FROM enodes n LEFT JOIN (
+            SELECT p.dst AS node, SUM(k.x * p.w) AS acc
+            FROM epush p JOIN ev{i - 1} k ON k.node = p.src
+            GROUP BY p.dst
+        ) s ON s.node = n.node),
+    ev{i} AS MATERIALIZED (
+        SELECT node, acc / (SELECT SUM(acc) FROM eacc{i}) AS x
+        FROM eacc{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round_even(x, 8) AS centrality FROM ev{iters}"
+    )
+
+
 def _trade_graph_oracles_ext3() -> dict[str, str]:
     E = _TRADE_EDGES_SQL
     return {
         "trade_graph_distance_stats": _trade_distance_stats_sql(),
         "trade_graph_katz": _trade_katz_sql(),
+        "trade_graph_eigenvector": _trade_eigenvector_sql(),
         # unique maximum spanning forest via the cycle property: the
         # packed (10^13-1-centi_w, a, b) key totally orders the edges,
         # so e is IN the forest iff its endpoints are NOT connected

@@ -267,6 +267,8 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "trade_graph_katz",
         "kg_katz",
         "kg_ntriples_manifest",
+        "trade_graph_eigenvector",
+        "kg_eigenvector",
         "events_retention_cohorts",
         "events_hopping_window",
         "customer_rfm_scores",

@@ -3753,3 +3753,136 @@ def katz_dataset(
             }
         )
     )
+
+
+def eigenvector_centrality_dataset(
+    triples: Dataset,
+    iters: int = 30,
+    broadcast_limit: int = 50_000_000,
+    driver_merge_limit: int = 1_000_000,
+    driver_edge_limit: int = 2_000_000,
+) -> Dataset:
+    """Eigenvector centrality by L1-normalized power iteration over
+    the undirected weighted push (self-loops twice — the katz/pagerank
+    convention): ``x' = normalize_1(A x)`` from the uniform vector,
+    fixed ``iters``, round 8.  The L1 normalization keeps every
+    iterate a distribution, so the fixed-point window is bounded by
+    ``max(weighted_degree)`` per round (asserted loudly in the
+    distributed merge like katz).
+
+    Same two regimes as ``katz_dataset``: local canonical-order loop
+    under the driver budgets, else broadcast + fixed-point int64
+    merge; past ``broadcast_limit`` the join-exchange plan
+    (``_pagerank_join``) applies — asserted, not silently slow."""
+    import pyarrow.compute as pc
+
+    edges = triples.select_columns(_EDGE_COLS).materialize()
+    deg = degree_dataset(edges).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()),
+                 "centrality": pa.array([], pa.float64())}
+            )
+        )
+    assert n_nodes <= broadcast_limit, (
+        "eigenvector: vocabulary exceeds the broadcast budget — the "
+        "join-exchange regime (_pagerank_join's plan) applies"
+    )
+
+    dt = pa.concat_tables(
+        [
+            b
+            for b in deg.select_columns(["node"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    ).combine_chunks()
+    dt = dt.take(pc.sort_indices(dt, sort_keys=[("node", "ascending")]))
+    nodes_arr = dt.column("node").combine_chunks()
+
+    if (
+        n_nodes <= driver_merge_limit
+        and edges.count() <= driver_edge_limit
+    ):
+        si, oi, w = _collect_indexed_edges(edges, nodes_arr)
+        x = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+        for _ in range(iters):
+            acc = np.zeros(n_nodes, dtype=np.float64)
+            np.add.at(acc, oi, x[si] * w)
+            np.add.at(acc, si, x[oi] * w)
+            t = acc.sum()
+            if t <= 0.0:  # no edges touch any weight: stay uniform
+                break
+            x = acc / t
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": nodes_arr,
+                    "centrality": pa.array(np.round(x, 8), pa.float64()),
+                }
+            )
+        )
+
+    keys_ref = ray.put(nodes_arr)
+    x = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    for _ in range(iters):
+        x_ref = ray.put(x)
+
+        def contrib(batch: pa.Table, _xr=x_ref) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            keys = ray.get(keys_ref)
+            xv = ray.get(_xr)
+            si = _pc.index_in(
+                batch.column("subj").combine_chunks(), value_set=keys
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            oi = _pc.index_in(
+                batch.column("obj").combine_chunks(), value_set=keys
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch.column("weight").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            acc = np.zeros(len(xv), dtype=np.float64)
+            np.add.at(acc, oi, xv[si] * w)
+            np.add.at(acc, si, xv[oi] * w)
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "i": pa.array(nz, pa.int64()),
+                    "ci": pa.array(
+                        np.rint(acc[nz] * _KATZ_SCALE).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        merged = _hagg_auto(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            "i",
+            [("ci", "sum", "ci")],
+        )
+        acc = np.zeros(n_nodes, dtype=np.float64)
+        for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows == 0 or "i" not in b.column_names:
+                continue
+            acc[b.column("i").to_numpy(zero_copy_only=False)] = (
+                b.column("ci").to_numpy(zero_copy_only=False) / _KATZ_SCALE
+            )
+        assert acc.max(initial=0.0) * _KATZ_SCALE < 4e18, (
+            "eigenvector: fixed-point window exceeded (acc max %.3g)"
+            % acc.max(initial=0.0)
+        )
+        t = acc.sum()
+        if t <= 0.0:
+            break
+        x = acc / t
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": nodes_arr,
+                "centrality": pa.array(np.round(x, 8), pa.float64()),
+            }
+        )
+    )

@@ -447,3 +447,11 @@ def trade_graph_katz(sf_dir: str) -> Dataset:
     from renard_ray.ops.graphstats import katz_dataset
 
     return katz_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_eigenvector(sf_dir: str) -> Dataset:
+    """Eigenvector centrality (30 L1-normalized power iterations over
+    the undirected weighted view) — unrolled-CTE twin."""
+    from renard_ray.ops.graphstats import eigenvector_centrality_dataset
+
+    return eigenvector_centrality_dataset(trade_edges(sf_dir))

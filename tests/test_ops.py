@@ -9705,3 +9705,53 @@ def test_ntriples_decimal_lexical_property():
         assert float(Decimal(lex)) == float(v), (v, lex)
         if float(v).is_integer():
             assert "." not in lex, (v, lex)
+
+
+def test_eigenvector_both_paths_match_dense_oracle(ray_session):
+    """eigenvector_centrality_dataset: local loop AND forced
+    broadcast + fixed-point merge match a dense numpy L1-normalized
+    power iteration at 1e-6 on random weighted self-loop graphs."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.graphstats import eigenvector_centrality_dataset
+
+    rng = np.random.default_rng(9)
+    for nn, ne in [(9, 20), (13, 13)]:
+        names = [f"N{i:02d}" for i in range(nn)]
+        subj = [names[rng.integers(nn)] for _ in range(ne)]
+        obj = [names[rng.integers(nn)] for _ in range(ne)]
+        w = rng.integers(1, 5, ne).astype(float)
+        trip = _ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(subj),
+                    "obj": pa.array(obj),
+                    "weight": pa.array(w, pa.float64()),
+                }
+            )
+        ).repartition(3)
+        nodes = sorted(set(subj) | set(obj))
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b, ww in zip(subj, obj, w):
+            A[idx[b], idx[a]] += ww
+            A[idx[a], idx[b]] += ww
+        x = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(30):
+            acc = A @ x
+            t = acc.sum()
+            if t <= 0.0:
+                break
+            x = acc / t
+        for kw in ({}, {"driver_edge_limit": 0}):
+            got = (
+                eigenvector_centrality_dataset(trip, **kw)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            assert got["node"].tolist() == nodes
+            assert np.allclose(got["centrality"].to_numpy(), x, atol=1e-6), kw
