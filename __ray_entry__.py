@@ -1900,6 +1900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_graph_eigenvector": (
             tradegraph.trade_graph_eigenvector
         ),
+        "trade_graph_neighborhood_exact": (
+            tradegraph.trade_graph_neighborhood_exact
+        ),
         # directed motif census over the constructed KG digraph
         # (bruteforce-oracle pytest on both plans; rows-only — the KG
         # build is non-SQL; the exact twin is trade_graph_motifs)
@@ -5950,6 +5953,18 @@ def _trade_graph_oracles_ext3() -> dict[str, str]:
     E = _TRADE_EDGES_SQL
     return {
         "trade_graph_distance_stats": _trade_distance_stats_sql(),
+        # exact neighborhood function: the SAME doubling closure,
+        # reduced per distance + window cumsum; the t=0 row is the
+        # node count (self pairs)
+        "trade_graph_neighborhood_exact": _trade_distance_stats_sql()
+        .rsplit("SELECT n.node,", 1)[0]
+        + """SELECT CAST(hops AS BIGINT) AS hops,
+           CAST(SUM(c) OVER (ORDER BY hops) AS BIGINT) AS n_pairs
+    FROM (
+        SELECT 0 AS hops, (SELECT n FROM nn) AS c
+        UNION ALL
+        SELECT d AS hops, COUNT(*) AS c FROM t6 GROUP BY d
+    ) per_h""",
         "trade_graph_katz": _trade_katz_sql(),
         "trade_graph_eigenvector": _trade_eigenvector_sql(),
         # unique maximum spanning forest via the cycle property: the

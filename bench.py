@@ -269,6 +269,7 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "kg_ntriples_manifest",
         "trade_graph_eigenvector",
         "kg_eigenvector",
+        "trade_graph_neighborhood_exact",
         "events_retention_cohorts",
         "events_hopping_window",
         "customer_rfm_scores",

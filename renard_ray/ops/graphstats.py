@@ -3251,47 +3251,21 @@ def rich_club_dataset(
     )
 
 
-def distance_stats_dataset(
+def _attributed_bfs(
     triples: Dataset,
-    sources: "list[str] | None" = None,
-    directed: bool = True,
-    max_hops: int | None = None,
-    broadcast_limit: int | None = None,
-    source_limit: int = 100_000,
-) -> Dataset:
-    """Exact per-source BFS distance statistics — the closeness /
-    eccentricity readout: for every source, the count of reachable
-    nodes, the sum of shortest-hop distances, the eccentricity (max
-    distance reached) and the Wasserman-Faust normalized closeness in
-    exact half-away ppm ``(r/(n-1)) * (r/S)`` with r = n_reachable,
-    S = dist_sum, n = |nodes|.
-
-    Scale contract (the pair-table honesty note): the visited set is
-    |sources| x |reachable| PAIRS — exact all-sources mode is for
-    vocabulary-bounded graphs (<= ``source_limit`` nodes, asserted
-    loudly) or an explicit landmark ``sources`` list; the whole-graph
-    distance DISTRIBUTION at corpus scale is
-    ``neighborhood_function_dataset`` (ANF sketch), and single-seed
-    questions are ``bfs_hops_dataset``.  Everything here is int-id
-    encoded: nodes get dense ids from the bounded node table ONCE
-    (broadcast), pairs pack as one int64 ``s * n + v`` key (no string
-    separators anywhere), and the per-round exchanges carry int64
-    triples only.
-
-    Per round, frontier expansion is size-adaptive: the distinct
-    adjacency is collected ONCE into a sorted CSR and broadcast while
-    it fits ``broadcast_limit`` edges (expansion is then a vectorized
-    searchsorted + np.repeat inside ``map_batches`` — no shuffle at
-    all); past the limit each round runs one hash join of the frontier
-    against the edge Dataset (the at-scale path, force-tested via
-    ``broadcast_limit=0``).  New-pair discovery is a pk-keyed distinct
-    + ANTI semi-join against the visited set, and the distance table
-    is unioned + materialized per round so the loop never re-executes
-    its prefix (the ``bfs_hops_dataset`` convention, generalized to
-    attributed multi-source).
-
-    Output: (node, n_reachable, dist_sum, ecc, closeness_wf_ppm), one
-    row per source; unreachable-from sources keep zeros."""
+    sources: "list[str] | None",
+    directed: bool,
+    max_hops: "int | None",
+    broadcast_limit: "int | None",
+    source_limit: int,
+):
+    """Multi-source ATTRIBUTED BFS core shared by
+    ``distance_stats_dataset`` and
+    ``exact_neighborhood_function_dataset``: builds the visited pair
+    table (s, v, h, hinv, pk) with the size-adaptive expansion + the
+    fixpoint hop cap (see distance_stats' docstring for the full scale
+    contract).  Returns (visited Dataset, names pa.Array, n_nodes), or
+    None when the graph/source set is empty."""
     from renard_ray.ops.relational import (
         _collect_small,
         _join_parts_bytes,
@@ -3300,17 +3274,6 @@ def distance_stats_dataset(
     )
 
     limit = 5_000_000 if broadcast_limit is None else broadcast_limit
-
-    out_schema = pa.schema(
-        [
-            ("node", pa.string()),
-            ("n_reachable", pa.int64()),
-            ("dist_sum", pa.int64()),
-            ("ecc", pa.int64()),
-            ("closeness_wf_ppm", pa.int64()),
-            ("harmonic_ppm", pa.int64()),
-        ]
-    )
 
     # ---- bounded node vocabulary -> dense ids (broadcast once) ----
     def node_part(batch: pa.Table) -> pa.Table:
@@ -3336,7 +3299,7 @@ def distance_stats_dataset(
         )
     )
     if nodes_ds is None:
-        return ray.data.from_arrow(out_schema.empty_table())
+        return None
     # the vocabulary collection is needed for dense-id ENCODING in both
     # modes, so it is capped by the ppm arithmetic bound (2.1M), not by
     # source_limit — source_limit gates only the all-sources pair-table
@@ -3373,7 +3336,7 @@ def distance_stats_dataset(
         )
         src_ids = np.asarray(idx.to_pylist(), dtype=np.int64)
     if len(src_ids) == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
+        return None
 
     NN = np.int64(n_nodes)
 
@@ -3559,6 +3522,71 @@ def distance_stats_dataset(
                 "the default runs to the fixpoint)",
                 hop_cap,
             )
+
+    return visited, names_arr, n_nodes
+
+
+def distance_stats_dataset(
+    triples: Dataset,
+    sources: "list[str] | None" = None,
+    directed: bool = True,
+    max_hops: int | None = None,
+    broadcast_limit: int | None = None,
+    source_limit: int = 100_000,
+) -> Dataset:
+    """Exact per-source BFS distance statistics — the closeness /
+    eccentricity readout: for every source, the count of reachable
+    nodes, the sum of shortest-hop distances, the eccentricity (max
+    distance reached) and the Wasserman-Faust normalized closeness in
+    exact half-away ppm ``(r/(n-1)) * (r/S)`` with r = n_reachable,
+    S = dist_sum, n = |nodes|.
+
+    Scale contract (the pair-table honesty note): the visited set is
+    |sources| x |reachable| PAIRS — exact all-sources mode is for
+    vocabulary-bounded graphs (<= ``source_limit`` nodes, asserted
+    loudly) or an explicit landmark ``sources`` list; the whole-graph
+    distance DISTRIBUTION at corpus scale is
+    ``neighborhood_function_dataset`` (ANF sketch), and single-seed
+    questions are ``bfs_hops_dataset``.  Everything here is int-id
+    encoded: nodes get dense ids from the bounded node table ONCE
+    (broadcast), pairs pack as one int64 ``s * n + v`` key (no string
+    separators anywhere), and the per-round exchanges carry int64
+    triples only.
+
+    Per round, frontier expansion is size-adaptive: the distinct
+    adjacency is collected ONCE into a sorted CSR and broadcast while
+    it fits ``broadcast_limit`` edges (expansion is then a vectorized
+    searchsorted + np.repeat inside ``map_batches`` — no shuffle at
+    all); past the limit each round runs one hash join of the frontier
+    against the edge Dataset (the at-scale path, force-tested via
+    ``broadcast_limit=0``).  New-pair discovery is a pk-keyed distinct
+    + ANTI semi-join against the visited set, and the distance table
+    is unioned + materialized per round so the loop never re-executes
+    its prefix (the ``bfs_hops_dataset`` convention, generalized to
+    attributed multi-source).
+
+    Output: (node, n_reachable, dist_sum, ecc, closeness_wf_ppm), one
+    row per source; unreachable-from sources keep zeros."""
+    out_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("n_reachable", pa.int64()),
+            ("dist_sum", pa.int64()),
+            ("ecc", pa.int64()),
+            ("closeness_wf_ppm", pa.int64()),
+            ("harmonic_ppm", pa.int64()),
+        ]
+    )
+
+    bfs = _attributed_bfs(
+        triples, sources, directed, max_hops, broadcast_limit,
+        source_limit,
+    )
+    if bfs is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    visited, names_arr, n_nodes = bfs
+    names_ref = ray.put(names_arr)
+    NN = np.int64(n_nodes)
 
     stats = _hagg_auto(
         visited,
@@ -3883,6 +3911,55 @@ def eigenvector_centrality_dataset(
             {
                 "node": nodes_arr,
                 "centrality": pa.array(np.round(x, 8), pa.float64()),
+            }
+        )
+    )
+
+
+def exact_neighborhood_function_dataset(
+    triples: Dataset,
+    sources: "list[str] | None" = None,
+    directed: bool = False,
+    max_hops: int | None = None,
+    broadcast_limit: int | None = None,
+    source_limit: int = 100_000,
+) -> Dataset:
+    """EXACT neighborhood function N(t) = number of (source, node)
+    pairs within distance <= t (self included) — the ground truth the
+    HyperANF sketch (``ops/anf.py``) approximates, over the same
+    attributed-BFS core as ``distance_stats_dataset`` (and under its
+    scale contract: all-sources mode is for vocabulary-bounded graphs
+    or landmark source sets; whole-corpus graphs use the ANF sketch).
+
+    Output: (hops, n_pairs) for t = 0..eccentricity-max — n_pairs is
+    CUMULATIVE, so the t=0 row is |sources| and the last row is total
+    reachability; the per-t reduce is one bounded hash aggregate on h
+    plus an O(diameter) driver cumsum."""
+    out_schema = pa.schema([("hops", pa.int64()), ("n_pairs", pa.int64())])
+    bfs = _attributed_bfs(
+        triples, sources, directed, max_hops, broadcast_limit,
+        source_limit,
+    )
+    if bfs is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    visited, _names, _n = bfs
+    per_h = _hagg_auto(visited, "h", [("", "count_all", "c")])
+    rows = sorted(
+        (r["h"], r["c"])
+        for b in per_h.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows and "h" in b.column_names
+        for r in b.to_pylist()
+    )
+    hops, cum, total = [], [], 0
+    for h, c in rows:
+        total += c
+        hops.append(h)
+        cum.append(total)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "hops": pa.array(hops, pa.int64()),
+                "n_pairs": pa.array(cum, pa.int64()),
             }
         )
     )

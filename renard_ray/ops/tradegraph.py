@@ -455,3 +455,14 @@ def trade_graph_eigenvector(sf_dir: str) -> Dataset:
     from renard_ray.ops.graphstats import eigenvector_centrality_dataset
 
     return eigenvector_centrality_dataset(trade_edges(sf_dir))
+
+
+def trade_graph_neighborhood_exact(sf_dir: str) -> Dataset:
+    """Exact neighborhood function over the DIRECTED trade graph —
+    the doubling-closure twin derives per-distance pair counts and a
+    window cumsum."""
+    from renard_ray.ops.graphstats import exact_neighborhood_function_dataset
+
+    return exact_neighborhood_function_dataset(
+        trade_edges(sf_dir), directed=True
+    )

@@ -9755,3 +9755,78 @@ def test_eigenvector_both_paths_match_dense_oracle(ray_session):
             )
             assert got["node"].tolist() == nodes
             assert np.allclose(got["centrality"].to_numpy(), x, atol=1e-6), kw
+
+
+def test_exact_neighborhood_function_and_anf_cross_check(ray_session):
+    """exact_neighborhood_function_dataset matches a brute BFS pair
+    count per distance, and the HyperANF sketch's final-round estimate
+    lands within its p=8 error envelope of the exact total — the two
+    operators cross-validate."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.anf import neighborhood_function_dataset
+    from renard_ray.ops.graphstats import (
+        exact_neighborhood_function_dataset,
+    )
+
+    rng = np.random.default_rng(17)
+    nn, ne = 14, 30
+    names = [f"N{i:02d}" for i in range(nn)]
+    edge_list = [
+        (names[rng.integers(nn)], names[rng.integers(nn)])
+        for _ in range(ne)
+    ]
+    trip = _ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([a for a, _ in edge_list]),
+                "obj": pa.array([b for _, b in edge_list]),
+                "weight": pa.array([1] * ne, pa.int64()),
+            }
+        )
+    ).repartition(3)
+
+    # brute cumulative pair counts (undirected — the ANF convention)
+    adj: dict = {}
+    nodes = {a for a, _ in edge_list} | {b for _, b in edge_list}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_h: dict = {0: len(nodes)}
+    for s in nodes:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for d in dist.values():
+            if d > 0:
+                per_h[d] = per_h.get(d, 0) + 1
+    want, tot = [], 0
+    for h in sorted(per_h):
+        tot += per_h[h]
+        want.append([h, tot])
+
+    got = (
+        exact_neighborhood_function_dataset(trip, directed=False)
+        .to_pandas()
+        .sort_values("hops")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want
+
+    anf = neighborhood_function_dataset(trip, p=8).to_pandas()
+    est_final = float(anf["est_pairs"].iloc[-1])
+    exact_final = float(want[-1][1])
+    # 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
+    assert abs(est_final - exact_final) <= 0.26 * exact_final + 2.0
