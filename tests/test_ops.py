@@ -9830,3 +9830,29 @@ def test_exact_neighborhood_function_and_anf_cross_check(ray_session):
     exact_final = float(want[-1][1])
     # 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
     assert abs(est_final - exact_final) <= 0.26 * exact_final + 2.0
+
+
+def test_registry_dict_literals_have_no_duplicate_keys():
+    """The queries()/oracle_sql() dict literals silently drop earlier
+    entries on duplicate keys (later wins) — exactly how a dead
+    duplicate doc_perplexity oracle and an events_sliding_window
+    query collision slipped in during round 4.  Parse the module AST
+    and reject ANY duplicated constant key inside a dict literal."""
+    import ast as _ast
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    tree = _ast.parse(src)
+    offenders = []
+    for node in _ast.walk(tree):
+        if not isinstance(node, _ast.Dict):
+            continue
+        seen: dict = {}
+        for k in node.keys:
+            if isinstance(k, _ast.Constant) and isinstance(k.value, str):
+                if k.value in seen:
+                    offenders.append((k.value, seen[k.value], k.lineno))
+                seen[k.value] = k.lineno
+    assert not offenders, (
+        "duplicate dict-literal keys (earlier entry silently dead): %r"
+        % offenders
+    )
