@@ -3740,6 +3740,13 @@ def katz_dataset(
             np.add.at(acc, oi, xv[si] * w)
             np.add.at(acc, si, xv[oi] * w)
             nz = np.nonzero(acc)[0]
+            # per-batch overflow must trip HERE: a wrapped int64 cast
+            # would feed the merge garbage the post-merge assert (which
+            # only sees the already-wrapped sum) cannot detect
+            assert acc.max(initial=0.0) * _KATZ_SCALE < 2**63, (
+                "katz: per-batch fixed-point overflow (acc max %.3g)"
+                % acc.max(initial=0.0)
+            )
             return pa.table(
                 {
                     "i": pa.array(nz, pa.int64()),
@@ -3876,6 +3883,12 @@ def eigenvector_centrality_dataset(
             np.add.at(acc, oi, xv[si] * w)
             np.add.at(acc, si, xv[oi] * w)
             nz = np.nonzero(acc)[0]
+            # per-batch overflow trips deterministically before the
+            # int64 cast (see the katz contrib note above)
+            assert acc.max(initial=0.0) * _KATZ_SCALE < 2**63, (
+                "eigenvector: per-batch fixed-point overflow (acc max %.3g)"
+                % acc.max(initial=0.0)
+            )
             return pa.table(
                 {
                     "i": pa.array(nz, pa.int64()),

@@ -12,7 +12,8 @@ sample, and the corpus-wide APPLY is the distributed part — a
 stateful actor pool whose weight vector is fetched from the object
 store once per actor in ``__init__``, scoring each batch with numpy
 (one fancy-index + segment-mean per batch; the only per-document
-Python is the crc32 feature hashing shared with DSIR).
+Python is the md5-le-8 feature hashing shared with DSIR —
+``ops/dsir.py`` ``_feature_buckets``).
 
 Determinism: the sample is a pure function of (corpus, seed); training
 is full-batch gradient descent from zero init in float64 (no

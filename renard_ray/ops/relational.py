@@ -16,6 +16,12 @@ Scale design notes (these run on 100 TB inputs unchanged):
   bit-identical regardless of summation order — float sums over
   different partition orders would differ from the oracle in the last
   ulp and break value-hash comparison.
+
+Portability note: the per-batch combiners positionally
+``rename_columns`` the output of ``pa.Table.group_by().aggregate()``,
+relying on pyarrow >= 14 placing the key columns FIRST (pyarrow <= 13
+placed them last, which would silently mislabel).  The floor is pinned
+in ``pyproject.toml`` (``pyarrow>=14``).
 """
 
 from __future__ import annotations

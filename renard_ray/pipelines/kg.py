@@ -395,13 +395,20 @@ def pages_to_stage_rows(pages: Dataset, cfg: KGConfig) -> Dataset:
 
 
 def _driver_alias_summary(
-    stage_rows: Dataset,
-) -> tuple[set[tuple[str, str]], dict[str, float]]:
+    stage_rows: Dataset, pair_limit: int | None = None
+) -> tuple[set[tuple[str, str]] | None, dict[str, float]]:
     """One shuffle-free pass extracting BOTH the distinct alias-pair set
     and the per-name named-mention counts, combined per batch and merged
     on the driver.  The driver-merged data is the distinct-name scale
     (bounded by entity vocabulary, not corpus size); the distributed CC
-    path takes over past ``broadcast_limit``."""
+    path takes over past ``broadcast_limit``.
+
+    ``pair_limit``: the probe's own memory guard.  The moment the merged
+    distinct-pair set exceeds it, the stream is abandoned and ``(None,
+    partial_counts)`` is returned — the caller must take the distributed
+    path.  Without this bail-out, deciding *whether* to broadcast would
+    itself materialize the full vocabulary on the driver, OOM-ing at
+    exactly the scale the distributed fallback exists for."""
 
     def summarize(batch: pa.Table) -> pa.Table:
         pred = batch.column("pred")
@@ -459,6 +466,8 @@ def _driver_alias_summary(
                     pairs.add((a, b) if a < b else (b, a))
             else:
                 counts[a] = counts.get(a, 0.0) + wt
+        if pair_limit is not None and len(pairs) > pair_limit:
+            return None, counts
     return pairs, counts
 
 
@@ -497,6 +506,152 @@ def _driver_cc_and_names(
     return out
 
 
+def _distributed_node_canon(stage_rows: Dataset) -> tuple[Dataset, int]:
+    """Distributed canonical-name table: large/small-star CC over the
+    alias edges plus ONE stock Min aggregate for the per-component
+    display name — no single machine ever holds the name vocabulary.
+    Returns the (node, canonical) Dataset and the hash-join width sized
+    to the stage-row volume (shared by every downstream join so the
+    exchange plan stays consistent)."""
+    alias = stage_rows.filter(expr=f"pred == {ALIAS_OF!r}").select_columns(
+        ["subj", "obj"]
+    )
+    _, label_ds = connected_components(
+        alias, u="subj", v="obj", mode="distributed"
+    )
+    assert label_ds is not None
+    # shuffle width scaled to the (materialized) stage-row volume —
+    # hundreds of partitions on a tiny input just starves the
+    # aggregator actors (observed hang at 4 CPUs / 200 partitions)
+    try:
+        n_rows = stage_rows.count()
+    except Exception:
+        n_rows = 1 << 20
+    # single partition for tiny inputs: Ray 2.49's hash join crashes
+    # when a hash partition receives ZERO left-side rows (pyarrow
+    # "No match or multiple matches for key field"), which only
+    # happens when keys are scarcer than partitions
+    nparts = 1 if n_rows < 10_000 else max(2, min(512, n_rows // 250_000 + 2))
+    canon_counts = (
+        _hagg_auto(stage_rows.filter(expr=f"pred == {NAME_COUNT!r}"), "subj", [('weight', 'sum', 'sum(weight)')])
+    )
+    # display name per label: join counts with labels, argmax per label
+    labeled_counts = canon_counts.join(
+        label_ds, join_type="inner", num_partitions=nparts,
+        on=("subj",), right_on=("node",),
+    )
+
+    # display-name pick per label via ONE stock Min aggregate over an
+    # order-encoded key (no per-label map_groups — per-tiny-group
+    # framework cost is exactly what kills this at the >2M-entity
+    # scale where the distributed path activates).  The key encodes
+    # the driver/golden tie-break (count desc, name length desc,
+    # lexicographic asc) so its lexicographic MIN is the winner:
+    # fixed-width inverted count | fixed-width inverted length | name.
+    def _encode_pick_key(batch: pa.Table) -> pa.Table:
+        names = batch.column("subj").to_pylist()
+        weights = batch.column("sum(weight)").to_pylist()
+        # integer arithmetic: a float "1e18 - w" loses everything
+        # below its 128-ULP and collapses distinct counts.  Clamp
+        # both fields to their fixed width — an overflow would go
+        # negative and the leading '-' would break the
+        # lexicographic-min ordering silently.
+        # clamp into [0, 10**16 - 1]: a NEGATIVE aggregated weight
+        # would otherwise encode as an 18-char field (10**16 + |w|)
+        # and silently outrank every 17-digit one.
+        enc = [
+            f"{10**16 - max(0, min(int(round(float(w) * 100)), 10**16 - 1)):017d}"
+            f"|{10**6 - min(len(s), 10**6 - 1):07d}|{s}"
+            for w, s in zip(weights, names)
+        ]
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "enc": pa.array(enc, pa.string()),
+            }
+        )
+
+    from renard_ray.ops.hashagg import hash_aggregate as _hagg_kg
+
+    display = (
+        _hagg_kg(
+            labeled_counts.map_batches(
+                _encode_pick_key, batch_format="pyarrow"
+            ),
+            "label",
+            [("enc", "min", "enc_min")],
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "label": b.column("label"),
+                    "canonical": pa.array(
+                        [e.split("|", 2)[2] for e in b.column("enc_min").to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    node_canon = label_ds.join(
+        display, join_type="left_outer", num_partitions=nparts, on=("label",)
+    )
+
+    def _fallback(batch: pa.Table) -> pa.Table:
+        canon = batch.column("canonical")
+        label = batch.column("label")
+        fixed = pc.if_else(pc.is_null(canon), label, canon)
+        return pa.table({"node": batch.column("node"), "canonical": fixed})
+
+    return node_canon.map_batches(_fallback, batch_format="pyarrow"), nparts
+
+
+def _distributed_relabel(
+    edges: Dataset, node_canon: Dataset, nparts: int
+) -> Dataset:
+    """Relabel subj/obj through the (node, canonical) table with two
+    left-outer hash joins, then normalize undirected predicates and drop
+    the self-loops cross-doc merging creates.  Every non-key column of
+    ``edges`` (weight, polarity, block_id, month, ...) passes through
+    untouched, so callers can thread arbitrary payload columns
+    (``kg_growth`` threads the crawl month)."""
+
+    step1 = edges.join(
+        node_canon, join_type="left_outer", num_partitions=nparts,
+        on=("subj",), right_on=("node",),
+    )
+
+    def _apply_subj(batch: pa.Table) -> pa.Table:
+        c = batch.column("canonical")
+        s = pc.if_else(pc.is_null(c), batch.column("subj"), c)
+        return batch.drop_columns(["subj", "canonical", "node"] if "node" in batch.column_names else ["subj", "canonical"]).append_column("subj", s)
+
+    step1 = step1.map_batches(_apply_subj, batch_format="pyarrow")
+    step2 = step1.join(
+        node_canon, join_type="left_outer", num_partitions=nparts,
+        on=("obj",), right_on=("node",),
+    )
+
+    def _apply_obj(batch: pa.Table) -> pa.Table:
+        c = batch.column("canonical")
+        o = pc.if_else(pc.is_null(c), batch.column("obj"), c)
+        t = batch.drop_columns(["obj", "canonical", "node"] if "node" in batch.column_names else ["obj", "canonical"]).append_column("obj", o)
+        # normalize undirected + drop self loops
+        s = t.column("subj")
+        ob = t.column("obj")
+        p = t.column("pred")
+        undirected = pc.is_in(p, value_set=pa.array(list(UNDIRECTED_PREDS)))
+        lo = pc.min_element_wise(s, ob)
+        hi = pc.max_element_wise(s, ob)
+        ns = pc.if_else(undirected, lo, s)
+        no = pc.if_else(undirected, hi, ob)
+        t = t.drop_columns(["subj", "obj"]).append_column("subj", ns).append_column("obj", no)
+        return t.filter(pc.not_equal(ns, no))
+
+    return step2.map_batches(_apply_obj, batch_format="pyarrow")
+
+
 def relabel_and_aggregate(
     stage_rows: Dataset, cfg: KGConfig
 ) -> Dataset:
@@ -511,8 +666,12 @@ def relabel_and_aggregate(
     """
     name2canon: dict[str, str] | None = None
     if cfg.cc_mode in ("auto", "driver"):
-        pairs, counts = _driver_alias_summary(stage_rows)
-        if cfg.cc_mode == "driver" or len(pairs) <= cfg.broadcast_limit:
+        # "auto" probes under the broadcast limit so the probe itself
+        # never holds a >limit vocabulary; a forced "driver" carries no
+        # limit (the caller asserts it fits)
+        limit = None if cfg.cc_mode == "driver" else cfg.broadcast_limit
+        pairs, counts = _driver_alias_summary(stage_rows, pair_limit=limit)
+        if pairs is not None:
             name2canon = _driver_cc_and_names(pairs, counts)
 
     edges = stage_rows.filter(
@@ -563,134 +722,8 @@ def relabel_and_aggregate(
     else:
         # distributed path: two hash joins against the (node, label) table
         # (scale path when distinct names exceed the broadcast limit)
-        alias = stage_rows.filter(expr=f"pred == {ALIAS_OF!r}").select_columns(
-            ["subj", "obj"]
-        )
-        _, label_ds = connected_components(
-            alias, u="subj", v="obj", mode="distributed"
-        )
-        assert label_ds is not None
-        # shuffle width scaled to the (materialized) stage-row volume —
-        # hundreds of partitions on a tiny input just starves the
-        # aggregator actors (observed hang at 4 CPUs / 200 partitions)
-        try:
-            n_rows = stage_rows.count()
-        except Exception:
-            n_rows = 1 << 20
-        # single partition for tiny inputs: Ray 2.49's hash join crashes
-        # when a hash partition receives ZERO left-side rows (pyarrow
-        # "No match or multiple matches for key field"), which only
-        # happens when keys are scarcer than partitions
-        nparts = 1 if n_rows < 10_000 else max(2, min(512, n_rows // 250_000 + 2))
-        canon_counts = (
-            _hagg_auto(stage_rows.filter(expr=f"pred == {NAME_COUNT!r}"), "subj", [('weight', 'sum', 'sum(weight)')])
-        )
-        # display name per label: join counts with labels, argmax per label
-        labeled_counts = canon_counts.join(
-            label_ds, join_type="inner", num_partitions=nparts,
-            on=("subj",), right_on=("node",),
-        )
-
-        # display-name pick per label via ONE stock Min aggregate over an
-        # order-encoded key (no per-label map_groups — per-tiny-group
-        # framework cost is exactly what kills this at the >2M-entity
-        # scale where the distributed path activates).  The key encodes
-        # the driver/golden tie-break (count desc, name length desc,
-        # lexicographic asc) so its lexicographic MIN is the winner:
-        # fixed-width inverted count | fixed-width inverted length | name.
-        def _encode_pick_key(batch: pa.Table) -> pa.Table:
-            names = batch.column("subj").to_pylist()
-            weights = batch.column("sum(weight)").to_pylist()
-            # integer arithmetic: a float "1e18 - w" loses everything
-            # below its 128-ULP and collapses distinct counts.  Clamp
-            # both fields to their fixed width — an overflow would go
-            # negative and the leading '-' would break the
-            # lexicographic-min ordering silently.
-            # clamp into [0, 10**16 - 1]: a NEGATIVE aggregated weight
-            # would otherwise encode as an 18-char field (10**16 + |w|)
-            # and silently outrank every 17-digit one.
-            enc = [
-                f"{10**16 - max(0, min(int(round(float(w) * 100)), 10**16 - 1)):017d}"
-                f"|{10**6 - min(len(s), 10**6 - 1):07d}|{s}"
-                for w, s in zip(weights, names)
-            ]
-            return pa.table(
-                {
-                    "label": batch.column("label"),
-                    "enc": pa.array(enc, pa.string()),
-                }
-            )
-
-        from ray.data.aggregate import Min as _Min
-
-        from renard_ray.ops.hashagg import hash_aggregate as _hagg_kg
-
-        display = (
-            _hagg_kg(
-                labeled_counts.map_batches(
-                    _encode_pick_key, batch_format="pyarrow"
-                ),
-                "label",
-                [("enc", "min", "enc_min")],
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "label": b.column("label"),
-                        "canonical": pa.array(
-                            [e.split("|", 2)[2] for e in b.column("enc_min").to_pylist()],
-                            pa.string(),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
-        node_canon = label_ds.join(
-            display, join_type="left_outer", num_partitions=nparts, on=("label",)
-        )
-
-        def _fallback(batch: pa.Table) -> pa.Table:
-            canon = batch.column("canonical")
-            label = batch.column("label")
-            fixed = pc.if_else(pc.is_null(canon), label, canon)
-            return pa.table({"node": batch.column("node"), "canonical": fixed})
-
-        node_canon = node_canon.map_batches(_fallback, batch_format="pyarrow")
-
-        step1 = edges.join(
-            node_canon, join_type="left_outer", num_partitions=nparts,
-            on=("subj",), right_on=("node",),
-        )
-
-        def _apply_subj(batch: pa.Table) -> pa.Table:
-            c = batch.column("canonical")
-            s = pc.if_else(pc.is_null(c), batch.column("subj"), c)
-            return batch.drop_columns(["subj", "canonical", "node"] if "node" in batch.column_names else ["subj", "canonical"]).append_column("subj", s)
-
-        step1 = step1.map_batches(_apply_subj, batch_format="pyarrow")
-        step2 = step1.join(
-            node_canon, join_type="left_outer", num_partitions=nparts,
-            on=("obj",), right_on=("node",),
-        )
-
-        def _apply_obj(batch: pa.Table) -> pa.Table:
-            c = batch.column("canonical")
-            o = pc.if_else(pc.is_null(c), batch.column("obj"), c)
-            t = batch.drop_columns(["obj", "canonical", "node"] if "node" in batch.column_names else ["obj", "canonical"]).append_column("obj", o)
-            # normalize undirected + drop self loops
-            s = t.column("subj")
-            ob = t.column("obj")
-            p = t.column("pred")
-            undirected = pc.is_in(p, value_set=pa.array(list(UNDIRECTED_PREDS)))
-            lo = pc.min_element_wise(s, ob)
-            hi = pc.max_element_wise(s, ob)
-            ns = pc.if_else(undirected, lo, s)
-            no = pc.if_else(undirected, hi, ob)
-            t = t.drop_columns(["subj", "obj"]).append_column("subj", ns).append_column("obj", no)
-            return t.filter(pc.not_equal(ns, no))
-
-        relabeled = step2.map_batches(_apply_obj, batch_format="pyarrow")
+        node_canon, nparts = _distributed_node_canon(stage_rows)
+        relabeled = _distributed_relabel(edges, node_canon, nparts)
 
     from renard_ray.ops.hashagg import hash_aggregate as _hagg_kg2
 
@@ -817,15 +850,11 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
 
     stage_rows = pages_to_stage_rows(pages, cfg).materialize()
 
-    pairs, counts = _driver_alias_summary(stage_rows)
-    if len(pairs) > cfg.broadcast_limit:
-        raise NotImplementedError(
-            "kg_growth: alias vocabulary exceeds broadcast_limit "
-            f"({len(pairs)} > {cfg.broadcast_limit}); extend the "
-            "distributed relabel in relabel_and_aggregate to carry the "
-            "month column"
-        )
-    name2canon = _driver_cc_and_names(pairs, counts)
+    # probe under the broadcast limit — None means the vocabulary is too
+    # large to hold driver-side and the distributed relabel takes over
+    pairs, counts = _driver_alias_summary(
+        stage_rows, pair_limit=cfg.broadcast_limit
+    )
 
     edges = stage_rows.filter(
         expr=(
@@ -837,44 +866,78 @@ def kg_growth(pages: Dataset, cfg: KGConfig | None = None) -> Dataset:
         edges, months, on="url", right_on="url", payload=["month"]
     )
 
-    names_sorted = sorted(name2canon)
-    lookup_keys = pa.array(names_sorted, pa.string())
-    lookup_vals = pa.array([name2canon[n] for n in names_sorted], pa.string())
-    canon_ref = ray.put((lookup_keys, lookup_vals))
-    undirected = pa.array(list(UNDIRECTED_PREDS), pa.string())
-
-    def relabel_with_month(batch: pa.Table) -> pa.Table:
-        keys, vals = ray.get(canon_ref)
-
-        def remap(col):
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            idx = pc.index_in(col, value_set=keys)
-            mapped = pc.take(vals, idx)
-            return pc.if_else(pc.is_null(mapped), col, mapped)
-
-        s = remap(batch.column("subj"))
-        o = remap(batch.column("obj"))
-        p = batch.column("pred")
-        is_und = pc.is_in(p, value_set=undirected)
-        lo = pc.min_element_wise(s, o)
-        hi = pc.max_element_wise(s, o)
-        ns = pc.if_else(is_und, lo, s)
-        no = pc.if_else(is_und, hi, o)
-        t = pa.table(
-            {
-                "subj": ns,
-                "pred": p,
-                "obj": no,
-                "month": batch.column("month"),
-            }
-        ).filter(pc.not_equal(ns, no))
+    def _combine_months(t: pa.Table) -> pa.Table:
         # per-batch combine: min month per key before the shuffle
-        g = t.group_by(["subj", "pred", "obj"]).aggregate([("month", "min")])
-        return g.rename_columns(["subj", "pred", "obj", "month"])
+        g = (
+            t.select(["subj", "pred", "obj", "month"])
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("month", "min")])
+        )
+        # select by aggregate-generated name, not position (key-column
+        # placement differs across pyarrow majors)
+        return pa.table(
+            {
+                "subj": g.column("subj"),
+                "pred": g.column("pred"),
+                "obj": g.column("obj"),
+                "month": g.column("month_min"),
+            }
+        )
 
-    relabeled = edges.map_batches(
-        relabel_with_month, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    if pairs is not None:
+        name2canon = _driver_cc_and_names(pairs, counts)
+
+        names_sorted = sorted(name2canon)
+        lookup_keys = pa.array(names_sorted, pa.string())
+        lookup_vals = pa.array([name2canon[n] for n in names_sorted], pa.string())
+        canon_ref = ray.put((lookup_keys, lookup_vals))
+        undirected = pa.array(list(UNDIRECTED_PREDS), pa.string())
+
+        def relabel_with_month(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(canon_ref)
+
+            def remap(col):
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                idx = pc.index_in(col, value_set=keys)
+                mapped = pc.take(vals, idx)
+                return pc.if_else(pc.is_null(mapped), col, mapped)
+
+            s = remap(batch.column("subj"))
+            o = remap(batch.column("obj"))
+            p = batch.column("pred")
+            is_und = pc.is_in(p, value_set=undirected)
+            lo = pc.min_element_wise(s, o)
+            hi = pc.max_element_wise(s, o)
+            ns = pc.if_else(is_und, lo, s)
+            no = pc.if_else(is_und, hi, o)
+            t = pa.table(
+                {
+                    "subj": ns,
+                    "pred": p,
+                    "obj": no,
+                    "month": batch.column("month"),
+                }
+            ).filter(pc.not_equal(ns, no))
+            return _combine_months(t)
+
+        relabeled = edges.map_batches(
+            relabel_with_month, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    else:
+        # distributed branch: the same star-CC + two-hash-join relabel
+        # as relabel_and_aggregate, with the month column threaded
+        # through as an ordinary payload column — no single machine
+        # ever holds the alias vocabulary
+        node_canon, nparts = _distributed_node_canon(stage_rows)
+        slim = edges.map_batches(
+            lambda b: b.select(["subj", "pred", "obj", "month"]),
+            batch_format="pyarrow",
+        )
+        relabeled = (
+            _distributed_relabel(slim, node_canon, nparts)
+            .map_batches(_combine_months, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
 
     first_edge = _hagg_auto(relabeled, ["subj", "pred", "obj"], [('month', 'min', 'first_month')])
 

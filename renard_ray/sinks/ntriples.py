@@ -34,6 +34,7 @@ No counterpart in the reference (Renard exports GEXF only —
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import urllib.parse
 from decimal import Decimal
@@ -57,8 +58,16 @@ def _iri_local(name: str) -> str:
 def _decimal_lexical(w: float) -> str:
     """xsd:decimal lexical form: fixed-point, NO exponent (repr's
     '1e-05' is outside the lexical space and strict parsers reject
-    it); integral values drop the fraction."""
-    d = Decimal(repr(float(w)))
+    it); integral values drop the fraction.  Non-finite weights raise
+    — 'NaN'/'Infinity' are outside the lexical space too, and the
+    sink's contract is fail-loudly, never emit an invalid triple."""
+    w = float(w)
+    if not math.isfinite(w):
+        raise ValueError(
+            f"ntriples: non-finite edge weight {w!r} has no xsd:decimal "
+            "lexical form"
+        )
+    d = Decimal(repr(w))
     if d == d.to_integral_value():
         return str(int(d))
     return format(d, "f")

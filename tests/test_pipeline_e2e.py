@@ -128,6 +128,76 @@ def test_distributed_canonicalization_path(ray_session):
     assert dist_set == set(drv)
 
 
+def test_auto_probe_bails_to_distributed(ray_session, monkeypatch):
+    """cc_mode="auto" with a vocabulary over broadcast_limit must pick
+    the distributed plan WITHOUT ever materializing the full alias
+    vocabulary driver-side: the probe returns a sentinel the moment the
+    merged pair set crosses the limit, and the driver union-find is
+    never invoked.  Triples must still match the driver path exactly."""
+    import ray
+
+    import renard_ray.pipelines.kg as kgmod
+    from renard_ray.pipelines.kg import (
+        _driver_alias_summary,
+        pages_to_stage_rows,
+    )
+
+    pages_tbl = generate_pages_table(30, seed=21)
+    cfg = KGConfig(kernel_concurrency=2)
+    stage_rows = pages_to_stage_rows(
+        ray.data.from_arrow(pages_tbl), cfg
+    ).materialize()
+
+    # the fixture really has alias pairs (else limit=0 would not bail)
+    pairs, _ = _driver_alias_summary(stage_rows)
+    assert pairs and len(pairs) > 0
+    # unit level: the probe abandons the stream past the limit
+    bailed, _ = _driver_alias_summary(stage_rows, pair_limit=0)
+    assert bailed is None
+
+    drv = _ray_triples(pages_tbl, cfg)
+
+    def _boom(*a, **k):  # the driver CC must be unreachable
+        raise AssertionError("driver union-find ran on the auto scale path")
+
+    monkeypatch.setattr(kgmod, "_driver_cc_and_names", _boom)
+    auto = build_kg(
+        ray.data.from_arrow(pages_tbl),
+        KGConfig(kernel_concurrency=2, cc_mode="auto", broadcast_limit=0),
+    ).to_pandas()
+    auto_set = {
+        (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+        for r in auto.itertuples()
+    }
+    assert auto_set == set(drv)
+
+
+def test_kg_growth_distributed_parity(ray_session, monkeypatch):
+    """kg_growth past the broadcast limit takes the distributed relabel
+    (month threaded through the star-CC hash joins) and matches the
+    driver path row for row; the old NotImplementedError is gone."""
+    import pandas as pd
+    import ray
+
+    import renard_ray.pipelines.kg as kgmod
+    from renard_ray.pipelines.kg import kg_growth
+
+    pages_tbl = generate_pages_table(30, seed=21)
+    want = kg_growth(ray.data.from_arrow(pages_tbl)).to_pandas()
+
+    def _boom(*a, **k):
+        raise AssertionError("driver union-find ran on the growth scale path")
+
+    monkeypatch.setattr(kgmod, "_driver_cc_and_names", _boom)
+    got = kg_growth(
+        ray.data.from_arrow(pages_tbl), KGConfig(broadcast_limit=0)
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_dedup_pages_by_url(ray_session):
     """Recrawled urls: only the latest crawl survives."""
     import datetime as dt
