@@ -247,43 +247,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _kg_triples(sf_dir, full=True)
 
     def media_features(sf_dir: str):
+        # actor-pool feature extraction (codec slot in __init__, stub
+        # decode per driver instruction), flattened to one scalar row
+        # per (media_id, dim) so the DuckDB twin can value-hash it —
+        # the stub features are a pure function of the payload bytes
+        # (sha256 of the uppercase hex form, uint16-LE / 2^16)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import ray
 
         from renard_ray.ops.multimodal import extract_features, synthesize_media_table
 
         media = ray.data.from_arrow(synthesize_media_table(200))
-        return extract_features(media).filter(expr="decoded_ok == True")
+        feats = extract_features(media).filter(expr="decoded_ok == True")
+
+        def flatten(b: pa.Table) -> pa.Table:
+            lst = b.column("features").combine_chunks()
+            idx = pc.list_parent_indices(lst)
+            lens = pc.list_value_length(lst).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            dim = (
+                np.concatenate([np.arange(n) for n in lens])
+                if len(lens)
+                else np.array([], np.int64)
+            )
+            return pa.table(
+                {
+                    "media_id": pc.take(b.column("media_id"), idx),
+                    "kind": pc.take(b.column("kind"), idx),
+                    "dim": pa.array(dim, pa.int64()),
+                    "feature": pc.list_flatten(lst),
+                    "decoded_ok": pc.take(b.column("decoded_ok"), idx),
+                }
+            )
+
+        return feats.map_batches(flatten, batch_format="pyarrow")
+
+    def _hexify(ds, cols):
+        # binary payloads can't ride the driver's value-hash (pandas
+        # astype(str) utf-8-decodes), so gate queries surface them as
+        # uppercase hex strings — byte-exact evidence, hashable both
+        # sides (DuckDB twin: upper(hex(blob)))
+        import pyarrow as pa
+
+        def conv(b: pa.Table) -> pa.Table:
+            for c in cols:
+                idx = b.column_names.index(c)
+                vals = [
+                    None if v is None else v.hex().upper()
+                    for v in b.column(c).to_pylist()
+                ]
+                b = b.set_column(
+                    idx, c + "_hex", pa.array(vals, pa.string())
+                )
+            return b
+
+        return ds.map_batches(conv, batch_format="pyarrow")
 
     def media_resize(sf_dir: str):
         # actor-pool image resize plumbing (codec slot in __init__,
-        # stub decode per driver instruction); rows-only — binary
-        # payload churn is non-SQL
+        # stub decode per driver instruction); the fake resize payload
+        # is a sha256-of-hex derivation, so the DuckDB twin rebuilds it
+        # byte for byte
         import ray
 
         from renard_ray.ops.multimodal import resize_images, synthesize_media_table
 
         media = ray.data.from_arrow(synthesize_media_table(200))
-        return resize_images(media, width=224, height=224)
+        return _hexify(resize_images(media, width=224, height=224), ["payload"])
 
     def media_frame_sample(sf_dir: str):
         # 1->N video frame fan-out plumbing (one row per sampled
-        # frame, binary frame payloads, small batches); rows-only
+        # frame, binary frame payloads, small batches)
         import ray
 
         from renard_ray.ops.multimodal import sample_frames, synthesize_media_table
 
         media = ray.data.from_arrow(synthesize_media_table(200))
-        return sample_frames(media, interval_ms=500, max_frames=6)
+        return _hexify(
+            sample_frames(media, interval_ms=500, max_frames=6), ["frame"]
+        )
 
     def media_audio_chunks(sf_dir: str):
         # fixed-window audio chunk fan-out (last window truncates at
-        # the clip end); rows-only
+        # the clip end)
         import ray
 
         from renard_ray.ops.multimodal import chunk_audio, synthesize_media_table
 
         media = ray.data.from_arrow(synthesize_media_table(200))
-        return chunk_audio(media, chunk_ms=400, max_chunks=8)
+        return _hexify(
+            chunk_audio(media, chunk_ms=400, max_chunks=8), ["chunk"]
+        )
 
     def knn_lsh(sf_dir: str):
         return similarity.knn_lsh(sf_dir)
@@ -4626,6 +4683,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, CAST(rn - 1 AS BIGINT) AS rank, sim_ppm,
                    sim_ppm / 1000000.0 AS cosine_sim
             FROM r WHERE rn <= 5
+        """,
+        # media feature stub twin: the synthetic media table and the
+        # fake decode are both sha256-derived pure functions, so the
+        # whole chain re-derives in SQL — payload hex reconstructed
+        # from the generator recipe (b"FAKE" + KIND2 + digest*8, seed
+        # 42), features = little-endian uint16s of sha256(upper-hex
+        # payload) scaled by 2^-16 (exactly representable: no rounding)
+        "media_features": """
+            WITH m AS (
+                SELECT CAST(i AS INTEGER) AS media_id,
+                       ['image','audio','video'][CAST(i % 3 AS INTEGER) + 1] AS kind,
+                       upper(hex(('FAKE' || upper(substr(
+                                 ['image','audio','video'][CAST(i % 3 AS INTEGER) + 1],
+                                 1, 2)))::BLOB)
+                             || repeat(sha256('42:' || i), 8)) AS payload_hex
+                FROM range(0, 200) t(i)
+            ), h AS (
+                SELECT media_id, kind, sha256(payload_hex) AS d FROM m
+            )
+            SELECT media_id, kind, CAST(j AS BIGINT) AS dim,
+                   ( (strpos('0123456789abcdef', substr(d, CAST(4*j+1 AS INTEGER), 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(d, CAST(4*j+2 AS INTEGER), 1)) - 1)
+                   + 256 * ( (strpos('0123456789abcdef', substr(d, CAST(4*j+3 AS INTEGER), 1)) - 1) * 16
+                           + (strpos('0123456789abcdef', substr(d, CAST(4*j+4 AS INTEGER), 1)) - 1) )
+                   ) / 65536.0 AS feature,
+                   TRUE AS decoded_ok
+            FROM h, range(0, 16) r(j)
+        """,
+        # resize / frame-sample / audio-chunk twins: the fake decode
+        # outputs are sha256-of-ASCII derivations over the generator's
+        # payload hex, so the binary payload churn reconstructs in SQL
+        # byte for byte (BLOB concat of the FAKE header + unhex digest)
+        "media_resize": """
+            WITH m AS (
+                SELECT CAST(i AS INTEGER) AS media_id,
+                       ['image','audio','video'][CAST(i % 3 AS INTEGER) + 1] AS kind,
+                       upper(hex(('FAKE' || upper(substr(['image','audio','video'][CAST(i % 3 AS INTEGER) + 1], 1, 2)))::BLOB)
+                             || repeat(sha256('42:' || i), 8)) AS payload_hex,
+                       ['image/png','audio/wav','video/mp4'][CAST(i % 3 AS INTEGER) + 1] AS mime,
+                       CAST(CASE WHEN i % 3 = 1 THEN -1 ELSE 64 + (i % 8) * 16 END AS INTEGER) AS width,
+                       CAST(CASE WHEN i % 3 = 1 THEN -1 ELSE 64 + (i % 5) * 16 END AS INTEGER) AS height,
+                       CAST(CASE WHEN i % 3 = 0 THEN -1 ELSE 1000 + i * 10 END AS INTEGER) AS duration_ms
+                FROM range(0, 200) t(i)
+            )
+            SELECT media_id, kind,
+                   CASE WHEN kind = 'image'
+                        THEN upper(hex('FAKEIM'::BLOB)) || upper(repeat(sha256(payload_hex || ':224:224'), 8))
+                        ELSE payload_hex END AS payload_hex,
+                   mime,
+                   CASE WHEN kind = 'image' THEN 224 ELSE width END AS width,
+                   CASE WHEN kind = 'image' THEN 224 ELSE height END AS height,
+                   duration_ms, TRUE AS resized_ok
+            FROM m
+        """,
+        "media_frame_sample": """
+            WITH m AS (
+                SELECT CAST(i AS INTEGER) AS media_id,
+                       ['image','audio','video'][CAST(i % 3 AS INTEGER) + 1] AS kind,
+                       upper(hex(('FAKE' || upper(substr(['image','audio','video'][CAST(i % 3 AS INTEGER) + 1], 1, 2)))::BLOB)
+                             || repeat(sha256('42:' || i), 8)) AS payload_hex,
+                       CAST(64 + (i % 8) * 16 AS INTEGER) AS width,
+                       CAST(64 + (i % 5) * 16 AS INTEGER) AS height,
+                       CAST(1000 + i * 10 AS INTEGER) AS duration_ms
+                FROM range(0, 200) t(i)
+                WHERE i % 3 = 2
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(j AS INTEGER) AS frame_idx,
+                   CAST(j * 500 AS INTEGER) AS ts_ms,
+                   upper(hex('FAKEFR'::BLOB)) || upper(repeat(sha256(substr(payload_hex, 1, 64)
+                       || ':' || media_id || ':' || (j * 500)), 4)) AS frame_hex,
+                   width, height
+            FROM m, UNNEST(generate_series(0, least(6, 1 + (duration_ms - 1) // 500) - 1)) AS f(j)
+            WHERE duration_ms > 0
+        """,
+        "media_audio_chunks": """
+            WITH m AS (
+                SELECT CAST(i AS INTEGER) AS media_id,
+                       upper(hex(('FAKE' || 'AU')::BLOB)
+                             || repeat(sha256('42:' || i), 8)) AS payload_hex,
+                       CAST(1000 + i * 10 AS INTEGER) AS duration_ms
+                FROM range(0, 200) t(i)
+                WHERE i % 3 = 1
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(j AS INTEGER) AS chunk_idx,
+                   CAST(j * 400 AS INTEGER) AS start_ms,
+                   CAST(least(duration_ms, j * 400 + 400) AS INTEGER) AS end_ms,
+                   upper(hex('FAKEAU'::BLOB)) || upper(repeat(sha256(substr(payload_hex, 1, 64)
+                       || ':' || media_id || ':' || (j * 400)
+                       || ':' || least(duration_ms, j * 400 + 400)), 4)) AS chunk_hex
+            FROM m, UNNEST(generate_series(0, least(8, 1 + (duration_ms - 1) // 400) - 1)) AS c(j)
+            WHERE duration_ms > 0
         """,
         # histogram-sketch quantiles re-derived bin-exactly: same
         # double binning expression (FLOOR = trunc on non-negatives),

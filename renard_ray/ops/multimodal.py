@@ -74,9 +74,15 @@ class MediaFeatureStage:
         self.has_real_codec = _try_real_decoder()
 
     def _fake_features(self, payload: bytes) -> list[float]:
-        d = hashlib.sha256(payload).digest()
+        # pure function of the payload BYTES, phrased so a DuckDB twin
+        # can reproduce it exactly: hash the UPPERCASE HEX form (DuckDB's
+        # sha256 only accepts VARCHAR, and hex(blob) is uppercase), and
+        # scale each little-endian uint16 by 2^-16 — exactly
+        # representable in a double, so no rounding-mode drift between
+        # Python round() and SQL ROUND() can creep in
+        d = hashlib.sha256(payload.hex().upper().encode()).digest()
         vals = struct.unpack("<%dH" % (len(d) // 2), d)[: self.feature_dim]
-        return [round(v / 65535.0, 6) for v in vals]
+        return [v / 65536.0 for v in vals]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ok = [], []
@@ -151,8 +157,11 @@ class MediaResizeStage:
                 out_h.append(h)
                 ok.append(k != "image")  # undecodable image -> False
                 continue
+            # derivation hashes the ASCII (hex payload + dims) form so
+            # the DuckDB twin can reproduce it (sha256 there is
+            # VARCHAR-only); still a pure function of (payload, w, h)
             d = hashlib.sha256(
-                p + struct.pack("<ii", self.width, self.height)
+                (p.hex().upper() + f":{self.width}:{self.height}").encode()
             ).digest()
             out_pay.append(b"FAKE" + b"IM" + d * 8)
             out_w.append(self.width)
@@ -217,8 +226,10 @@ class FrameSampleStage:
             n = min(self.max_frames, 1 + (dur - 1) // self.interval_ms)
             for i in range(n):
                 t = i * self.interval_ms
+                # ASCII-form derivation for SQL reproducibility (see
+                # MediaResizeStage note)
                 d = hashlib.sha256(
-                    p[:32] + struct.pack("<qi", mid, t)
+                    (p[:32].hex().upper() + f":{mid}:{t}").encode()
                 ).digest()
                 ids.append(mid)
                 fidx.append(i)
@@ -285,8 +296,10 @@ class AudioChunkStage:
             for i in range(n):
                 s = i * self.chunk_ms
                 e = min(dur, s + self.chunk_ms)
+                # ASCII-form derivation for SQL reproducibility (see
+                # MediaResizeStage note)
                 d = hashlib.sha256(
-                    p[:32] + struct.pack("<qii", mid, s, e)
+                    (p[:32].hex().upper() + f":{mid}:{s}:{e}").encode()
                 ).digest()
                 ids.append(mid)
                 cidx.append(i)
