@@ -411,6 +411,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return build_kg(ray.data.from_arrow(tbl), cfg)
 
+    def kg_parity_scorecard(sf_dir: str):
+        """Driver-visible north-star evidence: the distributed KG
+        chain's triple precision/recall/F1 against the single-process
+        golden oracle (reference scorer semantics,
+        /root/reference/renard/pipeline/relation_extraction.py:64-93)
+        on the reference's OWN Pride & Prejudice corpus (falls back to
+        the synthetic corpus when absent).  Deterministic, so the
+        rows+schema+value-hash check pins P = R = 1.0 — the strongest
+        parity evidence, previously buried in pytest-only gates."""
+        import glob
+        import os
+
+        import pyarrow as pa
+        import ray
+
+        from renard_ray.oracle.golden import (
+            oracle_triples,
+            triple_precision_recall,
+        )
+        from renard_ray.pipelines.kg import KGConfig, build_kg
+        from renard_ray.textproc.document import DocConfig
+
+        pnp = "/root/reference/renard/resources/novels/pride_and_prejudice"
+        if os.path.isdir(pnp):
+            files = sorted(glob.glob(f"{pnp}/chapter_*.txt"))
+            texts = [open(f, encoding="utf-8").read() for f in files]
+            corpus = "pride_and_prejudice"
+            tbl = pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            f"https://fixture.test/pnp/{os.path.basename(f)}"
+                            for f in files
+                        ]
+                    ),
+                    "warc_ts": pa.array([None] * len(files), pa.timestamp("us")),
+                    "text": pa.array(texts, pa.large_string()),
+                    "lang": pa.array(["eng"] * len(files)),
+                }
+            )
+        else:
+            corpus = "synthetic"
+            tbl = _kg_pages_table(sf_dir)
+        cfg = KGConfig(
+            doc=DocConfig(with_sentiment=True, with_conversations=True),
+            kernel_batch_size=8,
+        )
+        got_df = build_kg(ray.data.from_arrow(tbl), cfg).to_pandas()
+        got = [
+            (r.subj, r.pred, r.obj, int(r.block_id), float(r.weight))
+            for r in got_df.itertuples()
+        ]
+        want = oracle_triples(tbl, cfg)
+        p, r = triple_precision_recall(got, want)
+        f1 = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+        return pa.table(
+            {
+                "corpus": pa.array([corpus]),
+                "n_pred_triples": pa.array([len(set(got))], pa.int64()),
+                "n_ref_triples": pa.array([len(set(want))], pa.int64()),
+                "n_intersect": pa.array(
+                    [len(set(got) & set(want))], pa.int64()
+                ),
+                "precision": pa.array([round(p, 6)], pa.float64()),
+                "recall": pa.array([round(r, 6)], pa.float64()),
+                "f1": pa.array([round(f1, 6)], pa.float64()),
+            }
+        )
+
     def doc_nlp_state(sf_dir: str):
         """Per-document NLP state table (PipelineState analog)."""
         import ray
@@ -1367,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_dynamic": kg_triples_dynamic,
         "kg_cumulative_final": kg_cumulative_final,
         "kg_reference_corpus": kg_reference_corpus,
+        "kg_parity_scorecard": kg_parity_scorecard,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,

@@ -22,6 +22,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -286,13 +287,13 @@ def stratified_sample(sf_dir: str, key: str = "source", n: int = 5) -> Dataset:
     (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY md5(doc_id),
     doc_id)``), so the DuckDB oracle checks it bit-for-bit.
 
-    Two-phase per-group top-n (the scalable shape): each batch keeps
-    only its local top-n per group (combiner), so the per-group pass
-    sees at most n x #blocks rows per group, never the raw corpus."""
-    import pandas as pd
-
+    Rides the candidates-only ``hash_topk`` exchange (per-block top-n
+    prune before the shuffle, vectorized reduce-side pick) — no
+    per-group ``map_groups`` Python, so many tiny groups pay no
+    per-group framework cost."""
     import ray as _ray
 
+    from renard_ray.ops.hashagg import hash_topk
     from renard_ray.ops.relational import clean_schema
 
     path = f"{sf_dir}/documents.parquet"
@@ -304,32 +305,25 @@ def stratified_sample(sf_dir: str, key: str = "source", n: int = 5) -> Dataset:
             hashlib.md5(str(d).encode()).hexdigest()
             for d in batch.column("doc_id").to_pylist()
         ]
-        t = batch.append_column("priority", pa.array(pri, pa.string()))
-        # batch-local combine: top-n per group inside the batch
-        df = t.to_pandas()
-        df = df.sort_values(["priority", "doc_id"], kind="stable")
-        df = df.groupby(key, sort=False).head(n)
-        # scrub the pandas metadata blob from_pandas re-attaches — with
-        # it the block schema is unhashable (defeats Ray's schema dedup)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-            None
-        )
-
-    def final_topn(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(["priority", "doc_id"], kind="stable").head(n)
         return pa.table(
             {
-                "doc_id": pa.array(g["doc_id"], pa.int64()),
-                key: pa.array(g[key], pa.string()),
-                "n_chars": pa.array(g["n_chars"], pa.int64()),
-                "sample_rank": pa.array(range(1, len(g) + 1), pa.int64()),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                key: pc.cast(batch.column(key), pa.string()),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "priority": pa.array(pri, pa.string()),
             }
         )
 
-    return (
-        ds.map_batches(add_priority, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(final_topn, batch_format="pandas")
+    picked = hash_topk(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        keys=key,
+        order=[("priority", True), ("doc_id", True)],
+        k=n,
+        rank_col="sample_rank",
+    )
+    return picked.map_batches(
+        lambda b: b.select(["doc_id", key, "n_chars", "sample_rank"]),
+        batch_format="pyarrow",
     )
 
 
@@ -413,6 +407,8 @@ def source_distinct_words_hll(sf_dir: str, p: int = 12) -> Dataset:
     mergeable-sketch-per-group pattern: at 100 TB the shuffle carries
     #blocks x #sources fixed-size register rows, never token rows."""
     ds = _read_tbl(sf_dir, "documents", ["source", "text"])
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
 
     def partial(batch: pa.Table) -> pa.Table:
         regs: dict[str, np.ndarray] = {}
@@ -423,25 +419,26 @@ def source_distinct_words_hll(sf_dir: str, p: int = 12) -> Dataset:
             if len(h):
                 reg = regs.setdefault(src, _hll_new(p))
                 _hll_add_hashes(reg, h, p)
-        srcs = sorted(regs)
+        # SPARSE register rows (source, reg, rank): zero registers stay
+        # implicit, so the exchange carries set registers only and the
+        # merge is a stock (source, reg) groupby-Max — the ANF shape,
+        # no binary blobs, no per-source map_groups
+        srcs: list[str] = []
+        idxs: list[np.ndarray] = []
+        ranks: list[np.ndarray] = []
+        for s in sorted(regs):
+            nz = np.flatnonzero(regs[s])
+            srcs.extend([s] * len(nz))
+            idxs.append(nz.astype(np.int64))
+            ranks.append(regs[s][nz].astype(np.int64))
         return pa.table(
             {
                 "source": pa.array(srcs, pa.string()),
-                "registers": pa.array(
-                    [regs[s].tobytes() for s in srcs], pa.binary()
+                "reg": pa.array(
+                    np.concatenate(idxs) if idxs else np.array([], np.int64)
                 ),
-            }
-        )
-
-    def merge(group) -> pa.Table:
-        merged = _hll_new(p)
-        for blob in group["registers"]:
-            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
-        return pa.table(
-            {
-                "source": pa.array([group["source"].iloc[0]], pa.string()),
-                "distinct_words_est": pa.array(
-                    [int(round(_hll_count(merged, p)))], pa.int64()
+                "rank": pa.array(
+                    np.concatenate(ranks) if ranks else np.array([], np.int64)
                 ),
             }
         )
@@ -460,12 +457,43 @@ def source_distinct_words_hll(sf_dir: str, p: int = 12) -> Dataset:
                  ("distinct_words_est", pa.int64())]
             ).empty_table()
         )
-    return (
-        scrubbed
-        .groupby("source")
-        .map_groups(merge, batch_format="pandas")
-        .sort("source")
+    merged = _hagg_auto(scrubbed, ["source", "reg"], [("rank", "max", "rank")])
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch.column("rank"), dtype=np.float64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "sp": pa.array(np.power(2.0, -r)),
+            }
+        )
+
+    agg = _hagg_auto(
+        merged.map_batches(contrib, batch_format="pyarrow"),
+        "source",
+        [("sp", "sum", "sp"), ("sp", "count", "nb")],
     )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # the 2^-r terms are exact powers of two, so the float sum's
+        # partition order can't move the rounded-integer estimate (the
+        # SQL twin's sp + (m - nb) decomposition, term for term)
+        sp = np.asarray(batch.column("sp"), dtype=np.float64)
+        nb = np.asarray(batch.column("nb"), dtype=np.int64)
+        zeros = m - nb
+        est = alpha * m * m / (sp + zeros)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            est = np.where(small, m * np.log(m / np.maximum(zeros, 1)), est)
+        out = np.array([int(round(float(e))) for e in est], dtype=np.int64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "distinct_words_est": pa.array(out),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("source")
 
 
 def source_distinct_words_exact(sf_dir: str) -> Dataset:
