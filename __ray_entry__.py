@@ -4883,6 +4883,10 @@ def oracle_sql() -> dict[str, str]:
     base["doc_minhash_clusters"] = _minhash_clusters_sql()
     base["doc_distinct_words_hll"] = _hll_sql(grouped=False)
     base["source_distinct_words_hll"] = _hll_sql(grouped=True)
+    base["embedding_kmeans"] = _kmeans_sql(k=8, n_iter=10)
+    base["embedding_semantic_dedup"] = _semantic_dedup_sql(
+        threshold=0.45, k=8, n_iter=10
+    )
     # document fingerprints: both hashes are md5-le-8 masked to
     # int64-positive, so the twin is md5_number_upper + a BIGINT
     # bit_xor over the 8-word shingle positions (duplicates cancel
@@ -5006,6 +5010,139 @@ def oracle_sql() -> dict[str, str]:
             FROM k ORDER BY key LIMIT 25
     """
     return base
+
+
+def _km_dot(a: str, b: str) -> str:
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _kmeans_cte(k: int = 8, n_iter: int = 10) -> list:
+    """Shared unrolled-Lloyd CTE chain (xe ... c{n_iter}); see
+    ``_kmeans_sql`` for the arithmetic contract."""
+    dot = _km_dot
+    parts = [f"""
+        xe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        xn AS (SELECT vec_id, e,
+                      greatest(sqrt(list_aggregate(list_transform(e, z -> z * z), 'sum')), 1e-12) AS nrm
+               FROM xe),
+        xq AS MATERIALIZED (SELECT vec_id,
+                      list_transform(e, y -> CAST(round_even(y / nrm * 1000000.0, 0) AS BIGINT)) AS q
+               FROM xn),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, q AS v
+               FROM xq ORDER BY vec_id LIMIT {k})"""]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(f"""
+        d{t} AS (SELECT x.vec_id, x.q, c.cluster,
+                        {dot('x.q', 'x.q')} - 2 * {dot('x.q', 'c.v')} + {dot('c.v', 'c.v')} AS d2
+                 FROM xq x CROSS JOIN c{p} c),
+        a{t} AS MATERIALIZED (SELECT vec_id, q, cluster FROM (
+                    SELECT vec_id, q, cluster,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                    FROM d{t}) WHERE rn = 1),
+        s{t} AS (SELECT cluster, j, SUM(q[j]) AS sv
+                 FROM a{t}, UNNEST(generate_series(1, len(q))) AS r(j)
+                 GROUP BY cluster, j),
+        n{t} AS (SELECT cluster,
+                        list(CAST(round_even(CAST(sv AS DOUBLE) * 1000000.0 / sqrt(CAST(ss AS DOUBLE)), 0) AS BIGINT)
+                             ORDER BY j) AS v
+                 FROM (SELECT cluster, j, sv,
+                              SUM(CAST(sv AS HUGEINT) * sv) OVER (PARTITION BY cluster) AS ss
+                       FROM s{t})
+                 WHERE ss > 0 GROUP BY cluster),
+        c{t} AS MATERIALIZED (SELECT p.cluster, COALESCE(n.v, p.v) AS v
+                 FROM c{p} p LEFT JOIN n{t} n ON n.cluster = p.cluster)""")
+    return parts
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 10) -> str:
+    """Spherical-k-means twin — the UNROLLED-Lloyd recipe: the engine's
+    fit is exact fixed-point (ppm-quantized normalized vectors, integer
+    argmin-L2 assignment, int64 coordinate sums, HUGEINT sum-of-squares
+    renormalization), so every iteration re-derives in SQL term for
+    term with no float-summation-order exposure.  CTEs that are
+    referenced twice per iteration are MATERIALIZED — inlining would
+    re-evaluate the chain exponentially (observed 150s -> 0.7s)."""
+    dot = _km_dot
+    parts = _kmeans_cte(k, n_iter)
+    parts.append(f"""
+        df AS (SELECT x.vec_id, c.cluster,
+                      {dot('x.q', 'x.q')} - 2 * {dot('x.q', 'c.v')} + {dot('c.v', 'c.v')} AS d2
+               FROM xq x CROSS JOIN c{n_iter} c),
+        fa AS (SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM (
+                  SELECT vec_id, cluster, d2,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                  FROM df) WHERE rn = 1)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(d2) AS BIGINT) AS sum_sq_dist_q,
+               CAST(SUM(d2) AS DOUBLE) / COUNT(*) / 1e12 AS avg_sq_dist
+        FROM fa GROUP BY cluster ORDER BY cluster""")
+    return "WITH " + ",".join(parts)
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.45, k: int = 8, n_iter: int = 10,
+    cluster_cap: int = 100_000,
+) -> str:
+    """SemDeDup twin: the kmeans fit chain, the final exact-integer
+    assignment, then the within-cluster greedy as ONE recursive CTE —
+    state carries the kept members' rns AND quantized vectors per
+    cluster, so each step's best-match is pure scalar list arithmetic
+    (no aggregates in the recursive arm; list_position's first-match
+    mirrors np.argmax's lowest-index tie-break).  Dots are exact
+    integers in 1e-12 cosine units, threshold compares in the same
+    units — bit-for-bit the engine's greedy."""
+    dot = _km_dot
+    thr_q = int(round(threshold * 1e12))
+    parts = _kmeans_cte(k, n_iter)
+    parts.append(f"""
+        df AS (SELECT x.vec_id, x.q, c.cluster,
+                      {dot('x.q', 'x.q')} - 2 * {dot('x.q', 'c.v')} + {dot('c.v', 'c.v')} AS d2
+               FROM xq x CROSS JOIN c{n_iter} c),
+        fa AS (SELECT vec_id, q, cluster FROM (
+                  SELECT vec_id, q, cluster, d2,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                  FROM df) WHERE rn = 1),
+        mem AS MATERIALIZED (
+            SELECT cluster, vec_id, q,
+                   CAST(row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS BIGINT) AS rn
+            FROM fa QUALIFY rn <= {cluster_cap}),
+        greedy AS (
+            SELECT cluster, CAST(1 AS BIGINT) AS i,
+                   [rn] AS kept_rn, [q] AS kept_q,
+                   CAST(NULL AS BIGINT) AS dup_rn,
+                   CAST(NULL AS DOUBLE) AS dup_dot
+            FROM mem WHERE rn = 1
+            UNION ALL
+            SELECT cluster, i,
+                   CASE WHEN hit THEN kept_rn ELSE list_append(kept_rn, mrn) END,
+                   CASE WHEN hit THEN kept_q ELSE list_append(kept_q, mq) END,
+                   CASE WHEN hit THEN kept_rn[pos] ELSE NULL END,
+                   CASE WHEN hit THEN best ELSE NULL END
+            FROM (
+                SELECT cluster, i, kept_rn, kept_q, mrn, mq, best,
+                       best >= {thr_q} AS hit,
+                       list_position(dots, best) AS pos
+                FROM (
+                    SELECT g.cluster, g.i + 1 AS i, g.kept_rn, g.kept_q,
+                           m.rn AS mrn, m.q AS mq,
+                           list_transform(g.kept_q,
+                               v -> {dot('v', 'm.q')}) AS dots,
+                           list_aggregate(list_transform(g.kept_q,
+                               v -> {dot('v', 'm.q')}), 'max') AS best
+                    FROM greedy g
+                    JOIN mem m ON m.cluster = g.cluster AND m.rn = g.i + 1
+                )
+            )
+        )
+        SELECT m.vec_id AS vec_id, km.vec_id AS dup_of,
+               round_even(g.dup_dot / 1e12, 4) AS cosine_sim
+        FROM greedy g
+        JOIN mem m ON m.cluster = g.cluster AND m.rn = g.i
+        JOIN mem km ON km.cluster = g.cluster AND km.rn = g.dup_rn
+        WHERE g.dup_rn IS NOT NULL""")
+    return "WITH RECURSIVE " + ",".join(parts)
 
 
 def _hll_sql(grouped: bool, p: int = 12) -> str:

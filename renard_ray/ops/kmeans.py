@@ -8,7 +8,7 @@ Lloyd's iteration re-expressed Ray-Data-first:
   init is deterministic and never shuffles or sorts the table;
 - **assign + partial sums**: centroids broadcast once per iteration
   via ``ray.put`` (k x d, tiny); one ``map_batches`` pass computes the
-  argmin-L2 assignment and emits k partial rows per batch
+  assignment and emits k partial rows per batch
   (cluster, count, vector sum);
 - **reduce**: the per-batch partials are combined tree-style (a
   ``repartition`` + per-block combine pass) before a bounded driver
@@ -16,6 +16,19 @@ Lloyd's iteration re-expressed Ray-Data-first:
   ever lands on the driver;
 - **update**: new centroid = partial-sum / count; empty clusters keep
   their previous centroid.  Fixed ``n_iter`` keeps runs deterministic.
+
+**Fixed-point arithmetic** (the house exact-integer recipe): every
+vector L2-normalizes then quantizes to ppm int64 (``rint(x/|x| *
+1e6)``); assignment is the argmax INTEGER dot product (products <=
+1e12, sums <= d*1e12 — exact in float64 up to d ~ 9000, so BLAS
+summation order cannot move a result; ties break to the lowest
+cluster); the update step sums int64 coordinates exactly, computes the
+renormalization norm from an arbitrary-precision python-int sum of
+squares, and re-quantizes.  Per-vector squared distances are exact
+int64 in 1e-12 units.  Every step is therefore partition- and
+order-independent, and the whole fit re-derives term-for-term in SQL —
+``embedding_kmeans`` carries a full DuckDB twin (the unrolled-Lloyd
+recipe, like the minhash permutation constants).
 
 ``semantic_dedup_pairs`` is the SemDeDup recipe (Abbas et al. 2023,
 arXiv:2303.09540): cluster on normalized vectors (spherical k-means),
@@ -34,6 +47,8 @@ No counterpart in the reference (no embedding ops at all); sibling of
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -45,6 +60,39 @@ from .similarity import _matrix, _read_embeddings  # shared decode/read
 from renard_ray.ops.hashagg import hash_aggregate as _hagg_auto
 
 _COMBINE_PARTS = 16  # partial-sum tree fan-in before the driver merge
+_Q = 1_000_000  # ppm fixed-point scale shared with the SQL twin
+
+
+def _quantize_rows(X: np.ndarray, normalize: bool = True) -> np.ndarray:
+    """ppm-quantized rows: ``rint(x / |x| * 1e6)`` as int64.  The norm
+    folds sequentially in index order (np.add.reduce stays sequential
+    under numpy's 128-element pairwise threshold) — the same fold order
+    as the SQL twin's list_aggregate, so a boundary-exact rint can't
+    disagree."""
+    X = np.asarray(X, dtype=np.float64)
+    if normalize:
+        norm = np.maximum(np.sqrt(np.add.reduce(X * X, axis=1)), 1e-12)
+        X = X / norm[:, None]
+    return np.rint(X * _Q).astype(np.int64)
+
+
+def _assign_q(Xq: np.ndarray, Cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, squared distance in 1e-12 units) per quantized row:
+    argmin of the EXACT integer squared L2 distance (|x|^2 - 2x.c +
+    |c|^2, every term an exact integer in float64 — 4*d*Q^2 stays
+    under 2^53 for d <= ~2000 — so BLAS summation order cannot move a
+    result; ties break to the lowest cluster via argmin)."""
+    d = Xq.shape[1]
+    assert 4 * d * (_Q * _Q) < 2**53, "distances would leave exact float range"
+    Xf = Xq.astype(np.float64)
+    Cf = Cq.astype(np.float64)
+    d2 = (
+        (Xf * Xf).sum(axis=1, keepdims=True)
+        - 2.0 * (Xf @ Cf.T)
+        + (Cf * Cf).sum(axis=1)[None, :]
+    )
+    a = np.argmin(d2, axis=1)
+    return a, d2[np.arange(len(Xf)), a].astype(np.int64)
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str, normalize: bool) -> np.ndarray:
@@ -56,29 +104,11 @@ def _batch_matrix(batch: pa.Table, vec_col: str, normalize: bool) -> np.ndarray:
     return X
 
 
-def _seed_centroids(
-    embs: Dataset, k: int, id_col: str, vec_col: str, normalize: bool
-) -> np.ndarray:
-    """Deterministic init: vectors of the k smallest ids.  Per-batch
-    partial top-k (k rows each) then a driver merge of the partials —
-    no global sort."""
-
-    def smallest(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        idx = pc.array_sort_indices(batch.column(id_col))[:k]
-        return batch.select([id_col, vec_col]).take(idx)
-
-    rows = embs.map_batches(smallest, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r[id_col])
-    C = np.asarray([r[vec_col] for r in rows[:k]], dtype=np.float64)
-    if normalize:
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    return C
-
-
 def _assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(cluster, squared L2 distance) per row; ties -> lowest index."""
+    """(cluster, squared L2 distance) per row; ties -> lowest index.
+    Float-domain variant kept for callers that work on unquantized
+    rows (codebook training etc.); the fit/assign pipeline itself uses
+    the exact-integer ``_assign_q``."""
     d2 = (
         (X * X).sum(axis=1, keepdims=True)
         - 2.0 * (X @ C.T)
@@ -86,6 +116,23 @@ def _assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     )
     a = np.argmin(d2, axis=1)
     return a, np.maximum(d2[np.arange(len(X)), a], 0.0)
+
+
+def _renorm_q(sv: np.ndarray, normalize: bool, cnt: int) -> np.ndarray:
+    """Quantized centroid from an exact int64 coordinate-sum vector.
+    Spherical: rint(sv * 1e6 / sqrt(sum sv^2)) — the count cancels
+    under renormalization, and the sum of squares is an
+    arbitrary-precision python int, so the only float ops are one
+    int->double conversion, one sqrt, one multiply, one divide and one
+    rint, each bit-identical to the SQL twin's.  Non-spherical:
+    rint(sv / cnt) (the plain mean, still in ppm units)."""
+    if not normalize:
+        return np.rint(sv.astype(np.float64) / cnt).astype(np.int64)
+    ss = int(sum(int(v) * int(v) for v in sv))
+    if ss == 0:
+        return None  # degenerate zero-sum: caller keeps previous centroid
+    nrm = math.sqrt(float(ss))
+    return np.rint(sv.astype(np.float64) * float(_Q) / nrm).astype(np.int64)
 
 
 def kmeans_fit(
@@ -99,13 +146,27 @@ def kmeans_fit(
     combine_parts: int = _COMBINE_PARTS,
 ) -> np.ndarray:
     """Fit k centroids with Lloyd's iteration; returns the (k, d)
-    centroid matrix.  ``normalize=True`` L2-normalizes rows first
-    (spherical k-means — argmin L2 == argmax cosine)."""
+    centroid matrix in ppm int64 fixed point.  ``normalize=True``
+    L2-normalizes rows before quantization (spherical k-means).  All
+    arithmetic is exact-integer (module docstring), so the result is
+    independent of partitioning, batch order and retries — and
+    SQL-reproducible."""
     # one object-store materialization instead of n_iter re-reads of
     # the source — the standard iterative-ML trade (blocks spill when
     # the table outgrows memory, each iteration streams them back)
-    embs = embs.materialize()
-    C = _seed_centroids(embs, k, id_col, vec_col, normalize)
+    def quantize(batch: pa.Table) -> pa.Table:
+        X = _matrix(batch.column(vec_col))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: pa.array(
+                    list(_quantize_rows(X, normalize)), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    qds = embs.map_batches(quantize, batch_format="pyarrow").materialize()
+    C = _seed_centroids_q(qds, k, id_col, vec_col)
     k = len(C)  # fewer rows than k: degenerate but well-defined
     d = C.shape[1]
 
@@ -116,24 +177,23 @@ def kmeans_fit(
             {
                 "cluster": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
-                "vsum": pa.array([], pa.list_(pa.float64())),
+                "vsum": pa.array([], pa.list_(pa.int64())),
             }
         )
 
         def partial(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return empty
-            X = _batch_matrix(batch, vec_col, normalize)
-            Cb = ray.get(ref)
-            a, _ = _assign(X, Cb)
-            sums = np.zeros((k, d), dtype=np.float64)
-            np.add.at(sums, a, X)
+            Xq = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.int64)
+            a, _ = _assign_q(Xq, ray.get(ref))
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, Xq)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
             return pa.table(
                 {
                     "cluster": pa.array(np.arange(k, dtype=np.int64)),
                     "cnt": pa.array(cnt),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "vsum": pa.array(list(sums), pa.list_(pa.int64())),
                 }
             )
 
@@ -142,8 +202,8 @@ def kmeans_fit(
                 return empty
             cl = np.asarray(batch.column("cluster"))
             cnt = np.asarray(batch.column("cnt"))
-            S = np.asarray(batch.column("vsum").to_pylist(), dtype=np.float64)
-            sums = np.zeros((k, d), dtype=np.float64)
+            S = np.asarray(batch.column("vsum").to_pylist(), dtype=np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
             np.add.at(sums, cl, S)
             tot = np.zeros(k, dtype=np.int64)
             np.add.at(tot, cl, cnt)
@@ -151,32 +211,50 @@ def kmeans_fit(
                 {
                     "cluster": pa.array(np.arange(k, dtype=np.int64)),
                     "cnt": pa.array(tot),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "vsum": pa.array(list(sums), pa.list_(pa.int64())),
                 }
             )
 
-        partials = embs.map_batches(partial, batch_format="pyarrow")
+        partials = qds.map_batches(partial, batch_format="pyarrow")
         # tree-combine only pays when there are many partial blocks —
         # below that the repartition stage is pure per-iteration
         # overhead and the driver merge is already tiny
-        if embs.num_blocks() > combine_parts * 4:
+        if qds.num_blocks() > combine_parts * 4:
             partials = partials.repartition(combine_parts).map_batches(
                 combine, batch_format="pyarrow", batch_size=None
             )
-        sums = np.zeros((k, d), dtype=np.float64)
+        sums = np.zeros((k, d), dtype=np.int64)
         tot = np.zeros(k, dtype=np.int64)
         for b in partials.iter_batches(batch_format="pyarrow"):
             if b.num_rows == 0:
                 continue
             cl = np.asarray(b.column("cluster"))
-            np.add.at(sums, cl, np.asarray(b.column("vsum").to_pylist(), dtype=np.float64))
+            np.add.at(sums, cl, np.asarray(b.column("vsum").to_pylist(), dtype=np.int64))
             np.add.at(tot, cl, np.asarray(b.column("cnt")))
-        nz = tot > 0
         C = C.copy()
-        C[nz] = sums[nz] / tot[nz, None]
-        if normalize:
-            C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        for c in range(k):
+            if tot[c] > 0:
+                nc = _renorm_q(sums[c], normalize, int(tot[c]))
+                if nc is not None:
+                    C[c] = nc
     return C
+
+
+def _seed_centroids_q(
+    qds: Dataset, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Init from the ALREADY-QUANTIZED dataset: rows of the k smallest
+    ids (per-batch partial top-k, driver merge — no global sort)."""
+
+    def smallest(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.array_sort_indices(batch.column(id_col))[:k]
+        return batch.select([id_col, vec_col]).take(idx)
+
+    rows = qds.map_batches(smallest, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r[vec_col] for r in rows[:k]], dtype=np.int64)
 
 
 def kmeans_assign(
@@ -187,10 +265,11 @@ def kmeans_assign(
     vec_col: str = "embedding",
     normalize: bool = True,
 ) -> Dataset:
-    """(id, cluster, dist) — dist is the L2 distance to the assigned
-    centroid (on normalized vectors when ``normalize``), rounded to 6
-    digits."""
-    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    """(id, cluster, sq_dist_q) — cluster is the exact-integer argmin
+    assignment against the ppm centroid matrix; ``sq_dist_q`` is the
+    EXACT int64 squared L2 distance in 1e-12 units (order-independent,
+    SQL-reproducible)."""
+    ref = ray.put(np.asarray(centroids, dtype=np.int64))
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -198,16 +277,17 @@ def kmeans_assign(
                 {
                     id_col: pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.float64()),
+                    "sq_dist_q": pa.array([], pa.int64()),
                 }
             )
-        X = _batch_matrix(batch, vec_col, normalize)
-        a, d2 = _assign(X, ray.get(ref))
+        X = _matrix(batch.column(vec_col))
+        Xq = _quantize_rows(X, normalize)
+        a, d2 = _assign_q(Xq, ray.get(ref))
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "cluster": pa.array(a.astype(np.int64)),
-                "dist": pa.array(np.round(np.sqrt(d2), 6)),
+                "sq_dist_q": pa.array(d2),
             }
         )
 
@@ -217,33 +297,37 @@ def kmeans_assign(
 def kmeans_cluster_stats(
     sf_dir: str, k: int = 8, n_iter: int = 10
 ) -> Dataset:
-    """Query surface: per-cluster (cluster, n_vecs, avg_dist) over the
-    ``embeddings`` table, sorted by cluster id."""
+    """Query surface: per-cluster (cluster, n_vecs, sum_sq_dist_q,
+    avg_sq_dist) over the ``embeddings`` table, sorted by cluster id.
+    ``sum_sq_dist_q`` is an exact int64 sum of 1e-12-unit squared
+    distances; ``avg_sq_dist`` derives from it by one division chain
+    computed identically in the SQL twin."""
     embs = _read_embeddings(sf_dir).materialize()
     C = kmeans_fit(embs, k, n_iter)
     assigned = kmeans_assign(embs, C)
 
     def stats(batch: pa.Table) -> pa.Table:
         t = batch.group_by(["cluster"]).aggregate(
-            [("cluster", "count"), ("dist", "sum")]
+            [("cluster", "count"), ("sq_dist_q", "sum")]
         )
-        return t.rename_columns(["cluster", "n_vecs", "dist_sum"])
-
-    from ray.data.aggregate import Sum
+        return t.rename_columns(["cluster", "n_vecs", "d2_sum"])
 
     return (
-        _hagg_auto(assigned.map_batches(stats, batch_format="pyarrow"), "cluster", [('n_vecs', 'sum', 'n_vecs'), ('dist_sum', 'sum', 'dist_sum')])
+        _hagg_auto(
+            assigned.map_batches(stats, batch_format="pyarrow"),
+            "cluster",
+            [("n_vecs", "sum", "n_vecs"), ("d2_sum", "sum", "d2_sum")],
+        )
         .map_batches(
             lambda b: pa.table(
                 {
                     "cluster": b.column("cluster"),
                     "n_vecs": b.column("n_vecs"),
-                    "avg_dist": pa.array(
-                        np.round(
-                            np.asarray(b.column("dist_sum"))
-                            / np.maximum(np.asarray(b.column("n_vecs")), 1),
-                            4,
-                        )
+                    "sum_sq_dist_q": b.column("d2_sum"),
+                    "avg_sq_dist": pa.array(
+                        np.asarray(b.column("d2_sum"), dtype=np.float64)
+                        / np.asarray(b.column("n_vecs"), dtype=np.float64)
+                        / 1e12
                     ),
                 }
             ),
@@ -265,8 +349,10 @@ def semantic_dedup_pairs(
     Returns the dropped pairs (vec_id, dup_of, cosine_sim) — ``dup_of``
     is the kept (lowest-id) member the vector matched, sorted by
     vec_id.  Every returned pair is a true global near-dup (cosine is
-    computed on the real vectors), so the answer is a subset of the
-    exact O(n^2) pair join restricted to co-clustered vectors.
+    the exact integer dot of the ppm-quantized normalized vectors, in
+    1e-12 units — deterministic, BLAS-order-free, SQL-reproducible; the
+    quantization shifts a cosine by at most ~2e-6), so the answer is a
+    subset of the exact pair join restricted to co-clustered vectors.
 
     Scale sizing (``k`` x ``cluster_cap``): the per-cluster greedy IS
     the published SemDeDup algorithm (O(m^2) within a cluster), so a
@@ -280,7 +366,7 @@ def semantic_dedup_pairs(
     sequential per group; parallelism comes from #clusters."""
     embs = _read_embeddings(sf_dir).materialize()
     C = kmeans_fit(embs, k, n_iter)
-    ref = ray.put(np.asarray(C, dtype=np.float64))
+    ref = ray.put(np.asarray(C, dtype=np.int64))
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -288,16 +374,18 @@ def semantic_dedup_pairs(
                 {
                     "vec_id": pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
-                    "vec": pa.array([], pa.list_(pa.float64())),
+                    "vec": pa.array([], pa.list_(pa.int64())),
                 }
             )
-        X = _batch_matrix(batch, "embedding", True)
-        a, _ = _assign(X, ray.get(ref))
+        # membership AND the greedy both run on the ppm-quantized
+        # normalized rows — one representation end to end
+        Xq = _quantize_rows(_matrix(batch.column("embedding")), True)
+        a, _ = _assign_q(Xq, ray.get(ref))
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
                 "cluster": pa.array(a.astype(np.int64)),
-                "vec": pa.array(list(X), pa.list_(pa.float64())),
+                "vec": pa.array(list(Xq), pa.list_(pa.int64())),
             }
         )
 
@@ -316,7 +404,10 @@ def semantic_dedup_pairs(
             group = group.nsmallest(cluster_cap, "vec_id")
             m = len(group)
         g = group.sort_values("vec_id").reset_index(drop=True)
-        X = np.asarray(g["vec"].tolist(), dtype=np.float64)
+        # exact integer dots of ppm rows (<= d * 1e12 — inside float64's
+        # exact range); threshold compares in the same 1e-12 units
+        X = np.asarray(g["vec"].tolist(), dtype=np.int64).astype(np.float64)
+        thr_q = float(int(round(threshold * 1e12)))
         ids = g["vec_id"].to_numpy()
         kept: list[int] = []
         out_id, out_of, out_sim = [], [], []
@@ -324,10 +415,10 @@ def semantic_dedup_pairs(
             if kept:
                 sims = X[kept] @ X[i]
                 j = int(np.argmax(sims))
-                if sims[j] >= threshold:
+                if sims[j] >= thr_q:
                     out_id.append(int(ids[i]))
                     out_of.append(int(ids[kept[j]]))
-                    out_sim.append(round(float(sims[j]), 4))
+                    out_sim.append(round(float(sims[j]) / 1e12, 4))
                     continue
             kept.append(i)
         return pa.table(

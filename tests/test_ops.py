@@ -1211,20 +1211,27 @@ def test_kmeans_matches_numpy_oracle(ray_session, tmp_path):
     )
     ds = _ray.data.from_arrow(t).repartition(5)
 
-    # numpy oracle: identical algorithm on float64-normalized rows
+    # numpy oracle: the identical exact-integer quantized algorithm
+    import math
+
     Xn = X.astype(np.float32).astype(np.float64)
-    Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
-    C = Xn[:3].copy()
+    norm = np.maximum(np.sqrt(np.add.reduce(Xn * Xn, axis=1)), 1e-12)
+    Xq = np.rint(Xn / norm[:, None] * 1e6).astype(np.int64)
+    C = Xq[:3].copy()
     for _ in range(5):
-        d2 = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = ((Xq[:, None, :] - C[None, :, :]).astype(np.float64) ** 2).sum(axis=2)
         a = np.argmin(d2, axis=1)
         for j in range(3):
             if (a == j).any():
-                C[j] = Xn[a == j].mean(axis=0)
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+                sv = Xq[a == j].sum(axis=0)
+                ss = int(sum(int(v) * int(v) for v in sv))
+                if ss:
+                    C[j] = np.rint(
+                        sv.astype(np.float64) * 1e6 / math.sqrt(float(ss))
+                    ).astype(np.int64)
 
     got_C = kmeans_fit(ds, k=3, n_iter=5, combine_parts=2)
-    assert np.allclose(got_C, C, atol=1e-9)
+    assert got_C.dtype == np.int64 and (got_C == C).all()
 
     got = (
         kmeans_assign(ds, got_C)
@@ -1232,8 +1239,11 @@ def test_kmeans_matches_numpy_oracle(ray_session, tmp_path):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
-    want_a = np.argmin(((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+    d2 = ((Xq[:, None, :] - C[None, :, :]).astype(np.float64) ** 2).sum(axis=2)
+    want_a = np.argmin(d2, axis=1)
+    want_d2 = d2[np.arange(len(Xq)), want_a].astype(np.int64)
     assert (got["cluster"].to_numpy() == want_a).all()
+    assert (got["sq_dist_q"].to_numpy() == want_d2).all()
 
 
 def test_semantic_dedup_planted_pairs(ray_session):
@@ -1284,17 +1294,22 @@ def test_semantic_dedup_planted_pairs(ray_session):
     # membership via the engine's own assign kernel (assignment parity
     # vs an independent formula is covered by the kmeans oracle test;
     # here near-boundary 1e-16 formula differences would flip clusters)
-    a, _ = km._assign(Xn, C)
+    Xq = km._quantize_rows(X.astype(np.float32).astype(np.float64))
+    a, _ = km._assign_q(Xq, C)
+    Xqf = Xq.astype(np.float64)
+    thr_q = float(int(round(thr * 1e12)))
     want = {}
     for c in range(3):
         members = np.where(a == c)[0]
         kept = []
         for i in members:  # members already id-ascending
             if kept:
-                sims = Xn[kept] @ Xn[i]
+                sims = Xqf[kept] @ Xqf[i]
                 j = int(np.argmax(sims))
-                if sims[j] >= thr:
-                    want[int(i)] = (int(kept[j]), round(float(sims[j]), 4))
+                if sims[j] >= thr_q:
+                    want[int(i)] = (
+                        int(kept[j]), round(float(sims[j]) / 1e12, 4)
+                    )
                     continue
             kept.append(i)
 
@@ -1309,7 +1324,7 @@ def test_semantic_dedup_planted_pairs(ray_session):
     for d_id in dups:
         assert d_id in dropped
         of = int(got.loc[got.vec_id == d_id, "dup_of"].iloc[0])
-        assert Xn[d_id] @ Xn[of] >= thr
+        assert Xqf[d_id] @ Xqf[of] >= thr_q
 
 
 def test_label_propagation_matches_oracle(ray_session):
