@@ -1409,8 +1409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, n_lists=8, n_probe=8),
         # product quantization (Jegou et al. 2011): vectors compressed
         # to m uint8 codes once, queries scan only the code table via
-        # per-query ADC LUTs — the memory-bounded ANN path (rows-only
-        # check; numpy-PQ parity + recall pytest)
+        # per-query ADC LUTs — the memory-bounded ANN path.  Exact
+        # fixed-point codebooks/codes/ADC -> full DuckDB twin
+        # (unrolled per-subspace Lloyd); numpy-parity + recall pytest
         "knn_pq": lambda sf: similarity.knn_pq(sf),
         # exact ALL-PAIRS kNN GRAPH (every vector's top-k neighbors —
         # the SemDeDup/clustering primitive): tile fan-out with
@@ -1419,14 +1420,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph is deterministic (rows-only; full-matrix numpy pytest)
         "knn_graph": lambda sf: similarity.knn_graph(sf),
         # distributed spherical k-means (Lloyd's with broadcast
-        # centroids + tree-reduced partial sums); per-cluster stats —
-        # iterative, non-SQL (rows-only check; numpy-oracle pytest)
+        # centroids + tree-reduced partial sums); per-cluster stats.
+        # Exact fixed-point arithmetic -> full DuckDB twin (unrolled
+        # Lloyd CTEs); numpy-oracle pytest
         "embedding_kmeans": lambda sf: kmeans_ops.kmeans_cluster_stats(
             sf, k=8, n_iter=10
         ),
         # SemDeDup: cluster-local greedy near-dup drop at the same
-        # threshold the exact pair join demonstrates (rows-only check;
-        # oracle-replica pytest + subset-of-exact invariant)
+        # threshold the exact pair join demonstrates.  Exact integer
+        # dots -> full DuckDB twin (recursive-CTE greedy);
+        # oracle-replica pytest + subset-of-exact invariant
         "embedding_semantic_dedup": lambda sf: kmeans_ops.semantic_dedup_pairs(
             sf, threshold=0.45, k=8, n_iter=10
         ),
@@ -4887,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
     base["embedding_semantic_dedup"] = _semantic_dedup_sql(
         threshold=0.45, k=8, n_iter=10
     )
+    base["knn_pq"] = _knn_pq_sql()
     # document fingerprints: both hashes are md5-le-8 masked to
     # int64-positive, so the twin is md5_number_upper + a BIGINT
     # bit_xor over the 8-word shingle positions (duplicates cancel
@@ -5143,6 +5147,83 @@ def _semantic_dedup_sql(
         JOIN mem km ON km.cluster = g.cluster AND km.rn = g.dup_rn
         WHERE g.dup_rn IS NOT NULL""")
     return "WITH RECURSIVE " + ",".join(parts)
+
+
+def _knn_pq_sql(query_ids=(0, 1, 2, 3, 4), k=5, m=4, n_codes=16, n_iter=10,
+               train=2048):
+    """Product-quantization twin: codebooks, codes, LUTs and ADC sums
+    are ALL exact integers in 1e-12 units (the engine's fixed-point PQ
+    — ppm-quantized normalized vectors, first-k-by-vec_id codebook
+    init, rint-mean updates), so each subspace's unrolled Lloyd chain,
+    the encode argmin, and the per-query ADC ranking re-derive in SQL
+    with zero float-order exposure.  Twice-referenced CTEs
+    MATERIALIZED (the _kmeans_sql lesson)."""
+    def sl(col, j):
+        return (f"{col}[(({j})*(len({col})//{m}) + 1):(({j}+1)*(len({col})//{m}))]")
+
+    parts = [f"""
+        xe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        xn AS (SELECT vec_id, e,
+                      greatest(sqrt(list_aggregate(list_transform(e, z -> z * z), 'sum')), 1e-12) AS nrm
+               FROM xe),
+        xq AS MATERIALIZED (SELECT vec_id,
+                      list_transform(e, y -> CAST(round_even(y / nrm * 1000000.0, 0) AS BIGINT)) AS q
+               FROM xn),
+        samp AS MATERIALIZED (SELECT vec_id, q FROM xq ORDER BY vec_id LIMIT {train})"""]
+    for j in range(m):
+        parts.append(f"""
+        sm{j} AS MATERIALIZED (SELECT vec_id, {sl('q', j)} AS s FROM samp),
+        b{j}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, s AS v
+                   FROM sm{j} ORDER BY vec_id LIMIT {n_codes})""")
+        for t in range(1, n_iter + 1):
+            p = t - 1
+            parts.append(f"""
+        bd{j}_{t} AS (SELECT x.vec_id, x.s, b.code,
+                             {_km_dot('x.s','x.s')} - 2 * {_km_dot('x.s','b.v')} + {_km_dot('b.v','b.v')} AS d2
+                      FROM sm{j} x CROSS JOIN b{j}_{p} b),
+        ba{j}_{t} AS MATERIALIZED (SELECT vec_id, s, code FROM (
+                      SELECT vec_id, s, code,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+                      FROM bd{j}_{t}) WHERE rn = 1),
+        bs{j}_{t} AS (SELECT code, j2, SUM(s[j2]) AS sv, COUNT(*) AS cnt
+                      FROM ba{j}_{t}, UNNEST(generate_series(1, len(s))) AS r(j2)
+                      GROUP BY code, j2),
+        bn{j}_{t} AS (SELECT code,
+                             list(CAST(round_even(CAST(sv AS DOUBLE) / cnt, 0) AS BIGINT) ORDER BY j2) AS v
+                      FROM bs{j}_{t} GROUP BY code),
+        b{j}_{t} AS MATERIALIZED (SELECT p.code, COALESCE(n.v, p.v) AS v
+                      FROM b{j}_{p} p LEFT JOIN bn{j}_{t} n ON n.code = p.code)""")
+        parts.append(f"""
+        e{j} AS MATERIALIZED (SELECT vec_id, code AS code_{j} FROM (
+              SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+              FROM (SELECT x.vec_id, b.code,
+                           {_km_dot('x.s','x.s')} - 2 * {_km_dot('x.s','b.v')} + {_km_dot('b.v','b.v')} AS d2
+                    FROM (SELECT vec_id, {sl('q', j)} AS s FROM xq) x
+                    CROSS JOIN b{j}_{n_iter} b)) WHERE rn = 1),
+        l{j} AS MATERIALIZED (SELECT s.query_id, b.code,
+                     {_km_dot('s.s','s.s')} - 2 * {_km_dot('s.s','b.v')} + {_km_dot('b.v','b.v')} AS d2
+              FROM (SELECT vec_id AS query_id, {sl('q', j)} AS s FROM xq
+                    WHERE vec_id IN {tuple(query_ids)}) s
+              CROSS JOIN b{j}_{n_iter} b)""")
+    enc_joins = " ".join(f"JOIN e{j} USING (vec_id)" for j in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN l{j} ON l{j}.query_id = l0.query_id AND l{j}.code = e.code_{j}"
+        for j in range(1, m)
+    )
+    d2_sum = " + ".join(f"l{j}.d2" for j in range(m))
+    parts.append(f"""
+        enc AS (SELECT e0.vec_id, {', '.join(f'e{j}.code_{j}' for j in range(m))}
+                FROM e0 {enc_joins}),
+        adc AS (SELECT l0.query_id, e.vec_id AS neighbor_id, {d2_sum} AS d2
+                FROM enc e
+                JOIN l0 ON l0.code = e.code_0 {lut_joins})
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+               round_even(1.0 - d2 / 2000000000000.0, 4) AS cosine_sim
+        FROM (SELECT query_id, neighbor_id, d2,
+                     row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+              FROM adc WHERE neighbor_id <> query_id)
+        WHERE rn <= {k}""")
+    return "WITH " + ",".join(parts)
 
 
 def _hll_sql(grouped: bool, p: int = 12) -> str:

@@ -334,6 +334,33 @@ def knn_ivf(
     return _merge_topk(partials, k)
 
 
+def _kmeans_q(X: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Exact fixed-point local Lloyd for the PQ codebooks (ppm int64
+    subvectors): init = first k rows (the sample arrives vec_id
+    ascending), assignment = argmin EXACT integer squared distance
+    (lowest-index ties), update = rint(sum/count) back to ppm ints,
+    empty codes keep their previous centroid.  Deterministic and
+    bit-reproducible in SQL (no RNG, no float accumulation)."""
+    C = X[: min(k, len(X))].astype(np.int64).copy()
+    Xf = X.astype(np.float64)
+    for _ in range(iters):
+        Cf = C.astype(np.float64)
+        d2 = (
+            (Xf * Xf).sum(axis=1, keepdims=True)
+            - 2.0 * (Xf @ Cf.T)
+            + (Cf * Cf).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            mem = a == j
+            if mem.any():
+                sv = X[mem].astype(np.int64).sum(axis=0)
+                C[j] = np.rint(
+                    sv.astype(np.float64) / int(mem.sum())
+                ).astype(np.int64)
+    return C
+
+
 def knn_pq(
     sf_dir: str,
     query_ids: list[int] | None = None,
@@ -341,6 +368,7 @@ def knn_pq(
     m_subspaces: int = 4,
     n_codes: int = 16,
     train_sample: int = 2048,
+    n_iter: int = 10,
 ) -> Dataset:
     """Product-quantization approximate top-k (Jegou et al. 2011): the
     memory-bounded ANN path — vectors are compressed to ``m_subspaces``
@@ -350,25 +378,42 @@ def knn_pq(
     lookup).  At 100 TB the raw vectors never need to be re-read: the
     code table is ~m bytes/vector and the ADC scan is a numpy take.
 
-    Codebooks train on a driver-side sample with the same deterministic
-    k-means the IVF quantizer uses (PQ-standard recipe).  Vectors are
-    L2-normalized first, so ADC L2^2 and cosine rank identically
-    (d^2 = 2 - 2 cos); the emitted ``sim`` is the cosine estimate
-    ``1 - d^2/2`` — same output schema as ``knn_bruteforce``.
+    Codebooks train on a driver-side sample — the ``train_sample``
+    SMALLEST vec_ids (partition-stable, unlike ``.limit`` on a
+    distributed read) — with the exact fixed-point Lloyd
+    (``_kmeans_q``): vectors L2-normalize then quantize to ppm int64
+    (the ``ops.kmeans`` recipe), so codebooks, codes, LUTs and ADC sums
+    are all exact integers in 1e-12 units.  ADC L2^2 and cosine rank
+    identically on normalized vectors (d^2 = 2 - 2 cos); the emitted
+    ``cosine_sim`` is ``1 - adc/2e12``.  Deterministic and
+    SQL-reproducible end to end — ``knn_pq`` carries a full DuckDB twin.
 
     Output: (query_id, neighbor_id, rank, cosine_sim) with cosine_sim
     the PQ ESTIMATE (recall-gated in tests, not exact by design)."""
+    from renard_ray.ops.kmeans import _quantize_rows
+
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
     emb = _read_embeddings(sf_dir)
 
     assert 1 <= n_codes <= 256, "uint8 codes: n_codes must be <= 256"
-    sample = emb.limit(train_sample).take_all()
-    X = _norm_rows(np.array([r["embedding"] for r in sample], dtype=np.float64))
-    d = X.shape[1]
+
+    def smallest(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.array_sort_indices(batch.column("vec_id"))[:train_sample]
+        return batch.select(["vec_id", "embedding"]).take(idx)
+
+    sample = emb.map_batches(smallest, batch_format="pyarrow").take_all()
+    sample.sort(key=lambda r: r["vec_id"])
+    sample = sample[:train_sample]
+    Xq = _quantize_rows(
+        np.array([r["embedding"] for r in sample], dtype=np.float64)
+    )
+    d = Xq.shape[1]
     assert d % m_subspaces == 0, "dim must divide evenly into subspaces"
     sub = d // m_subspaces
     books = [
-        _kmeans(X[:, j * sub : (j + 1) * sub], n_codes, seed=3 + j)
+        _kmeans_q(Xq[:, j * sub : (j + 1) * sub], n_codes, n_iter)
         for j in range(m_subspaces)
     ]
     books_ref = ray.put(books)
@@ -376,12 +421,17 @@ def knn_pq(
     def encode(batch: pa.Table) -> pa.Table:
         bks = ray.get(books_ref)
         ids = batch.column("vec_id")
-        M = _norm_rows(_matrix(batch.column("embedding")))
+        M = _quantize_rows(_matrix(batch.column("embedding")))
         cols = {"vec_id": ids}
         for j, C in enumerate(bks):
-            Xj = M[:, j * sub : (j + 1) * sub]
-            # (n, n_codes) squared distances, argmin code
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            Xj = M[:, j * sub : (j + 1) * sub].astype(np.float64)
+            Cf = C.astype(np.float64)
+            # (n, n_codes) EXACT integer squared distances, argmin code
+            d2 = (
+                (Xj * Xj).sum(axis=1, keepdims=True)
+                - 2.0 * (Xj @ Cf.T)
+                + (Cf * Cf).sum(axis=1)[None, :]
+            )
             cols[f"code_{j}"] = pa.array(
                 d2.argmin(1).astype(np.uint8), pa.uint8()
             )
@@ -391,19 +441,27 @@ def knn_pq(
 
     q_rows = emb.filter(expr=f"vec_id in {query_ids!r}").take_all()
     qids = [r["vec_id"] for r in q_rows]
-    Q = _norm_rows(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
-    # per-query per-subspace LUT: ||q_j - C_j[c]||^2
+    Qq = _quantize_rows(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    )
+    # per-query per-subspace LUT: exact int ||q_j - C_j[c]||^2 (1e-12)
     luts = np.stack(
         [
             np.stack(
                 [
-                    ((Q[i, j * sub : (j + 1) * sub] - books[j]) ** 2).sum(-1)
+                    (
+                        (
+                            Qq[i, j * sub : (j + 1) * sub].astype(np.float64)
+                            - books[j].astype(np.float64)
+                        )
+                        ** 2
+                    ).sum(-1)
                     for j in range(m_subspaces)
                 ]
             )
             for i in range(len(qids))
         ]
-    )  # (n_query, m, n_codes)
+    )  # (n_query, m, n_codes) — exact integers in float64
     q_ref = ray.put((qids, luts))
 
     def adc_scan(batch: pa.Table) -> pa.Table:
@@ -417,11 +475,12 @@ def knn_pq(
         )  # (m, n_batch)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(qids_):
-            # ADC: sum LUT lookups over subspaces — pure numpy take
+            # ADC: sum LUT lookups over subspaces — pure numpy take;
+            # every term an exact integer, so the sum is too
             d2 = np.zeros(len(ids), dtype=np.float64)
             for j in range(m_subspaces):
                 d2 += luts_[qi, j][code_mat[j]]
-            sims = 1.0 - d2 / 2.0
+            sims = 1.0 - d2 / 2.0e12
             mask = ids != qid
             idx = np.where(mask)[0]
             if len(idx) == 0:

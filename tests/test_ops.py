@@ -2694,9 +2694,9 @@ def test_knn_pq_recall_and_numpy_parity(ray_session, docs_dir):
     import numpy as np
     import pyarrow.parquet as pq
 
+    from renard_ray.ops.kmeans import _quantize_rows
     from renard_ray.ops.similarity import (
-        _kmeans,
-        _norm_rows,
+        _kmeans_q,
         knn_bruteforce,
         knn_pq,
     )
@@ -2705,13 +2705,20 @@ def test_knn_pq_recall_and_numpy_parity(ray_session, docs_dir):
         docs_dir, query_ids=[0, 5], k=3, m_subspaces=4, n_codes=8
     ).to_pandas()
 
-    # numpy oracle: same sample (whole fixture), same codebooks
+    # numpy oracle: same sample (whole fixture, vec_id ascending),
+    # same exact fixed-point codebooks
     tbl = pq.read_table(f"{docs_dir}/embeddings.parquet")
-    ids = np.array(tbl.column("vec_id").to_pylist())
-    M = _norm_rows(np.array(tbl.column("embedding").to_pylist(), dtype=np.float64))
+    order = np.argsort(np.array(tbl.column("vec_id").to_pylist()), kind="stable")
+    ids = np.array(tbl.column("vec_id").to_pylist())[order]
+    M = _quantize_rows(
+        np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    )[order].astype(np.float64)
     d = M.shape[1]
     sub = d // 4
-    books = [_kmeans(M[:, j*sub:(j+1)*sub], 8, seed=3 + j) for j in range(4)]
+    books = [
+        _kmeans_q(M[:, j*sub:(j+1)*sub].astype(np.int64), 8).astype(np.float64)
+        for j in range(4)
+    ]
     codes = np.stack(
         [((M[:, None, j*sub:(j+1)*sub] - books[j][None]) ** 2).sum(-1).argmin(1)
          for j in range(4)]
@@ -2722,7 +2729,7 @@ def test_knn_pq_recall_and_numpy_parity(ray_session, docs_dir):
         for j in range(4):
             lut = ((qv[j*sub:(j+1)*sub] - books[j]) ** 2).sum(-1)
             d2 += lut[codes[j]]
-        sims = 1.0 - d2 / 2.0
+        sims = 1.0 - d2 / 2.0e12
         cand = np.where(ids != qid)[0]
         top = cand[np.argsort(-sims[cand], kind="stable")[:3]]
         sub_got = got[got.query_id == qid].sort_values("rank")
