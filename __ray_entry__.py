@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # error bound pytest vs the exact counts — rows-only check)
         "doc_word_topk_cms": lambda sf: sketches.word_heavy_hitters_cms(sf),
         "doc_stratified_sample": sketches.stratified_sample,
+        # target-domain-mix sampler (DoReMi shape): exact integer
+        # largest-remainder apportionment of the doc budget across
+        # sources, md5-priority per-source pick on the hash_topk
+        # exchange — full DuckDB twin
+        "doc_domain_mix_sample": lambda sf: sketches.domain_mix_sample(sf),
         # dedup family
         # exact inverted-index set-similarity join (no LSH); SQL oracle
         # is the shingle self-join — also a superset check on the
@@ -2410,6 +2415,47 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 5
+        """,
+        # largest-remainder apportionment re-derived in SQL: integer
+        # floor shares, +1 to the biggest remainders (ties -> source
+        # asc), capped at availability; weights are a pure function of
+        # the source name so no literals are needed
+        "doc_domain_mix_sample": """
+            WITH w AS (
+                SELECT source, CAST(length(source) % 3 + 1 AS BIGINT) AS wt,
+                       COUNT(*) AS avail
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT SUM(wt) AS wsum FROM w),
+            base AS (
+                SELECT source, avail,
+                       (1000 * wt) // wsum AS fl, (1000 * wt) % wsum AS rem
+                FROM w, tot
+            ),
+            rk AS (
+                SELECT source, avail, fl,
+                       row_number() OVER (ORDER BY rem DESC, source) AS r,
+                       1000 - SUM(fl) OVER () AS extra
+                FROM base
+            ),
+            quota AS (
+                SELECT source,
+                       LEAST(avail, fl + CASE WHEN r <= extra THEN 1 ELSE 0 END) AS q
+                FROM rk
+            ),
+            pick AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS sample_rank
+                FROM documents
+            )
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.source,
+                   CAST(p.sample_rank AS BIGINT) AS sample_rank,
+                   CAST(q.q AS BIGINT) AS quota
+            FROM pick p JOIN quota q USING (source)
+            WHERE p.sample_rank <= q.q
         """,
         "events_running_total": """
             SELECT user_id, event_id,

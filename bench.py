@@ -273,6 +273,10 @@ def run_query_suite(sf_dir: str, repeats: int = 1) -> tuple[dict[str, float], di
         "events_retention_cohorts",
         "events_hopping_window",
         "customer_rfm_scores",
+        # round-5 operators
+        "doc_domain_mix_sample",
+        "knn_pq",
+        "media_features",
     ]
     qs = entrymod.queries()
     all_runs: dict[str, list[float]] = {name: [] for name in names}

@@ -95,29 +95,6 @@ def _assign_q(Xq: np.ndarray, Cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return a, d2[np.arange(len(Xf)), a].astype(np.int64)
 
 
-def _batch_matrix(batch: pa.Table, vec_col: str, normalize: bool) -> np.ndarray:
-    """(n, d) float64 matrix via the shared zero-copy decode (null-safe
-    fallback included); optional L2 row normalization."""
-    X = _matrix(batch.column(vec_col))
-    if normalize:
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    return X
-
-
-def _assign(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(cluster, squared L2 distance) per row; ties -> lowest index.
-    Float-domain variant kept for callers that work on unquantized
-    rows (codebook training etc.); the fit/assign pipeline itself uses
-    the exact-integer ``_assign_q``."""
-    d2 = (
-        (X * X).sum(axis=1, keepdims=True)
-        - 2.0 * (X @ C.T)
-        + (C * C).sum(axis=1)[None, :]
-    )
-    a = np.argmin(d2, axis=1)
-    return a, np.maximum(d2[np.arange(len(X)), a], 0.0)
-
-
 def _renorm_q(sv: np.ndarray, normalize: bool, cnt: int) -> np.ndarray:
     """Quantized centroid from an exact int64 coordinate-sum vector.
     Spherical: rint(sv * 1e6 / sqrt(sum sv^2)) — the count cancels

@@ -327,6 +327,119 @@ def stratified_sample(sf_dir: str, key: str = "source", n: int = 5) -> Dataset:
     )
 
 
+def domain_mix_sample(
+    sf_dir: str,
+    n_total: int = 1000,
+    weight_fn=None,
+) -> Dataset:
+    """Target-domain-mix sampler (the DoReMi/data-mixture shape): given
+    per-source target WEIGHTS, apportion an ``n_total`` document budget
+    across sources by exact largest-remainder (integer floor shares;
+    +1 to the largest remainders, ties -> source asc; capped at each
+    source's availability, shortfall NOT redistributed — the caller
+    sees it via quota < share), then pick each source's quota by
+    md5(doc_id) priority — deterministic under retries and
+    partitioning, and exactly SQL-expressible.
+
+    ``weight_fn(source) -> int`` defaults to ``len(source) % 3 + 1`` (a
+    pure function of the name, so the DuckDB twin needs no literals).
+
+    Scale shape: ONE combiner count groupby (vocabulary-sized), integer
+    apportionment driver-side over #sources rows, and the
+    candidates-only ``hash_topk`` pick — the wire never carries more
+    than max-quota rows per source per block.
+
+    Output: (doc_id, source, sample_rank, quota), quota attached to
+    every row like the spectral ``lam`` columns."""
+    import ray as _ray
+
+    from renard_ray.ops.hashagg import hash_aggregate, hash_topk
+    from renard_ray.ops.relational import clean_schema
+
+    weight_fn = weight_fn or (lambda s: len(s) % 3 + 1)
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "source"]
+    ds = _ray.data.read_parquet(path, columns=cols, schema=clean_schema(path, cols))
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = {
+        r["source"]: int(r["n"])
+        for r in hash_aggregate(
+            ds.map_batches(ones, batch_format="pyarrow"),
+            "source",
+            [("n", "sum", "n")],
+        ).take_all()
+    }
+    sources = sorted(counts)
+    weights = {s: int(weight_fn(s)) for s in sources}
+    W = sum(weights.values())
+    # exact integer largest-remainder apportionment
+    base = {s: (n_total * weights[s]) // W for s in sources}
+    rem = {s: (n_total * weights[s]) % W for s in sources}
+    extra = n_total - sum(base.values())
+    order = sorted(sources, key=lambda s: (-rem[s], s))
+    quota = {
+        s: min(counts[s], base[s] + (1 if i < extra else 0))
+        for i, s in enumerate(order)
+    }
+    max_q = max(quota.values(), default=0)
+    if max_q == 0:
+        return _ray.data.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("sample_rank", pa.int64()), ("quota", pa.int64())]
+            ).empty_table()
+        )
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        pri = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "source": pc.cast(batch.column("source"), pa.string()),
+                "priority": pa.array(pri, pa.string()),
+            }
+        )
+
+    picked = hash_topk(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        keys="source",
+        order=[("priority", True), ("doc_id", True)],
+        k=max_q,
+        rank_col="sample_rank",
+    )
+
+    qk = pa.array(sorted(quota), pa.string())
+    qv = pa.array([quota[s] for s in sorted(quota)], pa.int64())
+    q_ref = ray.put((qk, qv))
+
+    def cut(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(q_ref)
+        idx = pc.index_in(batch.column("source"), value_set=keys)
+        q = pc.take(vals, idx)
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "sample_rank": batch.column("sample_rank"),
+                "quota": q,
+            }
+        )
+        return t.filter(pc.less_equal(t.column("sample_rank"), t.column("quota")))
+
+    return picked.map_batches(cut, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- bloom filter
 
 

@@ -233,6 +233,43 @@ def test_token_stats_and_quality(ray_session, docs_dir):
     assert 0 <= qs.loc[0, "stopword_ppm"] <= 1_000_000
 
 
+def test_domain_mix_sample_apportionment(ray_session, tmp_path):
+    """Largest-remainder apportionment on planted counts: weights
+    len%3+1 -> A:2 BB:3 CCCC:2 (W=7); n_total=20 gives floor shares
+    5/8/5 and the two +1s go to A and CCCC (remainder 5 > 4, ties by
+    name) -> quotas 6 / min(3,9)=3 (availability cap binds) / 6; the
+    per-source picks are the md5-priority smallest doc_ids."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from renard_ray.ops.sketches import domain_mix_sample
+
+    rows = []
+    for src, n in (("A", 10), ("BB", 3), ("CCCC", 40)):
+        for i in range(n):
+            rows.append({"doc_id": len(rows), "source": src})
+    pq.write_table(pa.Table.from_pylist(rows), f"{tmp_path}/documents.parquet")
+
+    got = (
+        domain_mix_sample(str(tmp_path), n_total=20)
+        .to_pandas()
+        .sort_values(["source", "sample_rank"])
+        .reset_index(drop=True)
+    )
+    quotas = got.groupby("source")["quota"].first().to_dict()
+    assert quotas == {"A": 6, "BB": 3, "CCCC": 6}
+    assert got.groupby("source").size().to_dict() == {"A": 6, "BB": 3, "CCCC": 6}
+    # pick parity vs a python replica of the md5 priority
+    for src, q in quotas.items():
+        ids = [r["doc_id"] for r in rows if r["source"] == src]
+        want = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[:q]
+        assert got[got.source == src]["doc_id"].tolist() == want
+
+
 def test_media_feature_plumbing(ray_session):
     import ray
 
