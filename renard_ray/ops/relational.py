@@ -204,6 +204,39 @@ def _collect_small(ds: Dataset, limit: int) -> pa.Table | None:
     return None  # no schema anywhere — shuffle path
 
 
+_LOOKUP_KEY_CACHE: dict = {}  # per-WORKER-process; see _lookup_sorted_keys
+
+
+def _lookup_sorted_keys(ref, keys):
+    """Per-worker-process cache of (sorted int64 key array, argsort
+    permutation) for a broadcast-lookup right side: built once per
+    worker, probed with O(log m) searchsorted per batch.  Without it,
+    ``pc.index_in`` re-builds its hash set of the FULL right side on
+    every batch — which dominated fused scan->lookup pipelines (the
+    10x trade-edge build spent 19.6s of 23.5s there).  None for
+    non-int64-safe or nullable keys (callers keep the index_in path).
+    Bounded LRU keyed on the broadcast ObjectRef."""
+    import numpy as np
+
+    if (
+        not pa.types.is_integer(keys.type)
+        or pa.types.is_uint64(keys.type)  # int64 cast would wrap
+        or keys.null_count
+    ):
+        return None
+    hit = _LOOKUP_KEY_CACHE.get(ref)
+    if hit is None:
+        kv = (
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(kv, kind="stable").astype(np.int64)
+        hit = (kv[order], order)
+        _LOOKUP_KEY_CACHE[ref] = hit
+        while len(_LOOKUP_KEY_CACHE) > 8:
+            _LOOKUP_KEY_CACHE.pop(next(iter(_LOOKUP_KEY_CACHE)))
+    return hit
+
+
 def _scrub_schemaless(ds: Dataset) -> Dataset | None:
     """Normalize a dataset's blocks before a ``Dataset.join``: drop
     every EMPTY block whenever at least one non-empty block exists.
@@ -336,10 +369,33 @@ def broadcast_lookup_join(
 
             def lookup(batch: pa.Table) -> pa.Table:
                 rt = ray.get(ref)
-                idx = pc.index_in(batch.column(on), value_set=rt.column(right_on))
-                ok = pc.is_valid(idx)
-                batch = batch.filter(ok)
-                idx = pc.cast(idx.filter(ok), pa.int64())
+                probe = batch.column(on)
+                if isinstance(probe, pa.ChunkedArray):
+                    probe = probe.combine_chunks()
+                srt = (
+                    _lookup_sorted_keys(ref, rt.column(right_on))
+                    if pa.types.is_integer(probe.type)
+                    and not pa.types.is_uint64(probe.type)
+                    and not probe.null_count
+                    else None
+                )
+                if srt is not None and len(srt[0]):
+                    # integer keys: probe a per-worker CACHED sorted
+                    # copy with searchsorted (see _lookup_sorted_keys)
+                    skeys, order = srt
+                    import numpy as np
+
+                    pv = probe.to_numpy(zero_copy_only=False).astype(np.int64)
+                    pos = np.searchsorted(skeys, pv)
+                    pos[pos >= len(skeys)] = 0
+                    ok = skeys[pos] == pv
+                    batch = batch.filter(pa.array(ok))
+                    idx = pa.array(order[pos[ok]], pa.int64())
+                else:
+                    idx = pc.index_in(probe, value_set=rt.column(right_on))
+                    ok = pc.is_valid(idx)
+                    batch = batch.filter(ok)
+                    idx = pc.cast(idx.filter(ok), pa.int64())
                 for p in payload:
                     batch = batch.append_column(p, pc.take(rt.column(p), idx))
                 return batch

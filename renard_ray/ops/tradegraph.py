@@ -95,16 +95,20 @@ def trade_edges(sf_dir: str) -> Dataset:
         payload=["s_nationkey"], fallback_parts=max(2, nparts // 4),
     )
 
+    # attach the customer nation via fact -> orders -> customer, in
+    # that order: the qualifying fact is ~0.1% of lineitems, so both
+    # lookups keep the TINY side on the left — the previous plan built
+    # the full orders x customer map (|orders| rows through a join +
+    # a batch pass) before the fact ever filtered it
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    oc = broadcast_lookup_join(
-        orders, cust, on="o_custkey", right_on="c_custkey",
-        payload=["c_nationkey"], fallback_parts=max(2, nparts // 4),
-    )
     fact = broadcast_lookup_join(
-        fact, oc.select_columns(["o_orderkey", "c_nationkey"]),
-        on="l_orderkey", right_on="o_orderkey",
-        payload=["c_nationkey"], fallback_parts=nparts,
+        fact, orders, on="l_orderkey", right_on="o_orderkey",
+        payload=["o_custkey"], fallback_parts=nparts,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    fact = broadcast_lookup_join(
+        fact, cust, on="o_custkey", right_on="c_custkey",
+        payload=["c_nationkey"], fallback_parts=max(2, nparts // 4),
     )
 
     def name_pair(batch: pa.Table) -> pa.Table:
