@@ -4937,6 +4937,7 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.45, k=8, n_iter=10
     )
     base["knn_pq"] = _knn_pq_sql()
+    base["knn_lsh"] = _knn_lsh_sql()
     # document fingerprints: both hashes are md5-le-8 masked to
     # int64-positive, so the twin is md5_number_upper + a BIGINT
     # bit_xor over the 8-word shingle positions (duplicates cancel
@@ -5270,6 +5271,58 @@ def _knn_pq_sql(query_ids=(0, 1, 2, 3, 4), k=5, m=4, n_codes=16, n_iter=10,
               FROM adc WHERE neighbor_id <> query_id)
         WHERE rn <= {k}""")
     return "WITH " + ",".join(parts)
+
+
+def _knn_lsh_sql(query_ids=(0, 1, 2, 3, 4), k=5, n_tables=16, n_bits=6, seed=7):
+    """SRP-LSH twin: the projection planes are md5-derived signed
+    24-bit integers (md5_number_upper >> 40, minus 2^23) and vectors
+    are ppm-quantized, so every sign test and candidate cosine is an
+    exact integer expression — buckets, candidate sets and the final
+    ranking re-derive in SQL bit for bit."""
+    return f"""
+        WITH xe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        xn AS (SELECT vec_id, e,
+                      greatest(sqrt(list_aggregate(list_transform(e, z -> z * z), 'sum')), 1e-12) AS nrm
+               FROM xe),
+        xq AS MATERIALIZED (SELECT vec_id,
+                      list_transform(e, y -> CAST(round_even(y / nrm * 1000000.0, 0) AS BIGINT)) AS q
+               FROM xn),
+        dd AS (SELECT len(q) AS dim FROM xq LIMIT 1),
+        pl AS MATERIALIZED (
+            SELECT t, b, j,
+                   CAST((md5_number_upper('srp:{seed}:' || t || ':' || b || ':' || j) >> 40) AS BIGINT)
+                   - 8388608 AS c
+            FROM range(0, {n_tables}) tt(t), range(0, {n_bits}) bb(b),
+                 dd, UNNEST(generate_series(0, dim - 1)) AS jj(j)
+        ),
+        sig AS (
+            SELECT x.vec_id, p.t, p.b,
+                   CASE WHEN SUM(x.q[p.j + 1] * p.c) > 0 THEN 1 ELSE 0 END AS bit
+            FROM xq x CROSS JOIN pl p
+            GROUP BY x.vec_id, p.t, p.b
+        ),
+        bk AS MATERIALIZED (
+            SELECT vec_id, t, CAST(SUM(bit << b) AS BIGINT) AS bucket
+            FROM sig GROUP BY vec_id, t
+        ),
+        qb AS (SELECT vec_id AS query_id, t, bucket FROM bk
+               WHERE vec_id IN {tuple(query_ids)}),
+        cand AS (SELECT DISTINCT q.query_id, v.vec_id
+                 FROM qb q JOIN bk v ON v.t = q.t AND v.bucket = q.bucket
+                 WHERE v.vec_id <> q.query_id),
+        sc AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(CAST(xa.q AS DOUBLE[]), CAST(xb.q AS DOUBLE[]))
+                      / 1000000000000.0 AS sim
+               FROM cand c
+               JOIN xq xa ON xa.vec_id = c.query_id
+               JOIN xq xb ON xb.vec_id = c.vec_id)
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+               round_even(sim, 4) AS cosine_sim
+        FROM (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS rn
+              FROM sc)
+        WHERE rn <= {k}"""
 
 
 def _hll_sql(grouped: bool, p: int = 12) -> str:

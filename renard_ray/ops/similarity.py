@@ -122,21 +122,49 @@ def knn_bruteforce(
     return _merge_topk(partials, k)
 
 
+def _srp_planes(
+    dim: int, n_tables: int, n_bits: int, seed: int
+) -> np.ndarray:
+    """SRP projection planes as md5-derived SIGNED INTEGERS (symmetric
+    24-bit: md5-le-8 >> 40, minus 2^23): sign tests against
+    ppm-quantized vectors are exact integer comparisons — dots stay
+    under 2^53 for d <= ~1000 — so bucketing is bit-deterministic AND
+    SQL-reproducible (``md5_number_upper`` rebuilds every coefficient).
+    A symmetric non-normal distribution is a standard SRP variant
+    (Rademacher-style); the planted-pair / recall tests gate quality."""
+    import hashlib
+    import struct
+
+    out = np.empty((n_tables, n_bits, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for j in range(dim):
+                h = struct.unpack(
+                    "<Q",
+                    hashlib.md5(f"srp:{seed}:{t}:{b}:{j}".encode()).digest()[:8],
+                )[0]
+                out[t, b, j] = (h >> 40) - (1 << 23)
+    return out
+
+
 class SrpIndexStage:
     """Sign-random-projection bucketing: vec -> (table, bucket) keys.
-    Projection planes generated once per actor from a fixed seed."""
+    Projection planes generated once per actor from a fixed seed
+    (md5-derived integers — see ``_srp_planes``); vectors quantize to
+    ppm before the sign test so every dot is an exact integer."""
 
     def __init__(self, dim: int = 64, n_tables: int = 16, n_bits: int = 6, seed: int = 7):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.normal(size=(n_tables, n_bits, dim))
+        self.planes = _srp_planes(dim, n_tables, n_bits, seed).astype(np.float64)
         self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from renard_ray.ops.kmeans import _quantize_rows
+
         ids = batch.column("vec_id").to_pylist()
-        M = _matrix(batch.column("embedding"))
+        M = _quantize_rows(_matrix(batch.column("embedding"))).astype(np.float64)
         out_id, out_t, out_b = [], [], []
         for t in range(self.n_tables):
-            bits = (M @ self.planes[t].T) > 0  # (n, n_bits)
+            bits = (M @ self.planes[t].T) > 0  # (n, n_bits), exact ints
             keys = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
             out_id.extend(ids)
             out_t.extend([t] * len(ids))
@@ -204,10 +232,13 @@ def knn_lsh(
     # by construction (bucket collisions only), so broadcast it as a
     # cand_id -> [query_ids] map and score inside a second pass over the
     # embeddings — no shuffle, one streaming scan.
+    from renard_ray.ops.kmeans import _quantize_rows
+
     q_rows = emb.filter(expr=f"vec_id in {query_ids!r}").take_all()
-    qvec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in q_rows}
-    for qid in qvec:
-        qvec[qid] = qvec[qid] / max(np.linalg.norm(qvec[qid]), 1e-12)
+    qm = _quantize_rows(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    ).astype(np.float64)
+    qvec = {r["vec_id"]: qm[i] for i, r in enumerate(q_rows)}
     cand_map: dict[int, list[int]] = {}
     for row in cand.iter_rows():
         cand_map.setdefault(row["vec_id"], []).append(row["query_id"])
@@ -216,19 +247,17 @@ def knn_lsh(
     def score(batch: pa.Table) -> pa.Table:
         qv, cm = ray.get(pair_ref)
         out_q, out_n, out_s = [], [], []
-        for v, e in zip(
-            batch.column("vec_id").to_pylist(),
-            batch.column("embedding").to_pylist(),
-        ):
+        # exact integer ppm dots / 1e12 — deterministic, SQL-twinned
+        M = _quantize_rows(_matrix(batch.column("embedding"))).astype(np.float64)
+        for i, v in enumerate(batch.column("vec_id").to_pylist()):
             qids_for_v = cm.get(v)
             if not qids_for_v:
                 continue
-            vec = np.array(e, dtype=np.float64)
-            vec /= max(np.linalg.norm(vec), 1e-12)
+            vec = M[i]
             for q in qids_for_v:
                 out_q.append(q)
                 out_n.append(v)
-                out_s.append(float(qv[q] @ vec))
+                out_s.append(float(qv[q] @ vec) / 1e12)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
