@@ -1115,8 +1115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_textrank_keywords(sf_dir: str):
         """Top-3 TextRank keywords per document: per-doc PageRank on
         the sliding-window co-occurrence graph — ONE stateless
-        map_batches pass, no shuffle (independent-PageRank-oracle
-        pytest; rows-only — iterative)."""
+        map_batches pass, no shuffle.  Exact integer fixed-point
+        iterations -> full DuckDB twin (30 unrolled rounds);
+        independent-PageRank-oracle pytest."""
         import ray as _ray
 
         from renard_ray.ops.textrank import textrank_keywords
@@ -4938,6 +4939,7 @@ def oracle_sql() -> dict[str, str]:
     )
     base["knn_pq"] = _knn_pq_sql()
     base["knn_lsh"] = _knn_lsh_sql()
+    base["doc_textrank_keywords"] = _textrank_sql()
     # document fingerprints: both hashes are md5-le-8 masked to
     # int64-positive, so the twin is md5_number_upper + a BIGINT
     # bit_xor over the 8-word shingle positions (duplicates cancel
@@ -5323,6 +5325,88 @@ def _knn_lsh_sql(query_ids=(0, 1, 2, 3, 4), k=5, n_tables=16, n_bits=6, seed=7):
                          ORDER BY sim DESC, neighbor_id) AS rn
               FROM sc)
         WHERE rn <= {k}"""
+
+
+def _textrank_sql(topk=3, window=4, iters=30, max_vocab=512):
+    """TextRank twin: the engine iterates in EXACT integer 1e-12 units
+    (floor divisions for edge contributions, 17/20 damping and the
+    teleport term), so the 30 unrolled rounds re-derive in SQL term
+    for term — per-doc co-occurrence edges from the window self-join,
+    integer rank exchange per round, (pr DESC, word) top-k."""
+    S = 10**12
+    parts = [f"""
+        tok AS MATERIALIZED (
+            SELECT doc_id, j, lst[j] AS w
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(COALESCE(text, '')),
+                                            '[a-z][a-z'']{{2,}}') AS lst
+                  FROM documents),
+                 UNNEST(generate_series(1, len(lst))) AS tt(j)
+        ),
+        vcb AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS vr
+            FROM (SELECT doc_id, w, MIN(j) AS fp FROM tok GROUP BY doc_id, w)
+            QUALIFY vr <= {max_vocab}
+        ),
+        tok3 AS MATERIALIZED (
+            SELECT t.doc_id, t.w,
+                   row_number() OVER (PARTITION BY t.doc_id ORDER BY t.j) AS p
+            FROM tok t JOIN vcb v ON v.doc_id = t.doc_id AND v.w = t.w
+        ),
+        prs AS (
+            SELECT a.doc_id, a.w AS wi, b.w AS wj, COUNT(*) AS cnt
+            FROM tok3 a JOIN tok3 b
+              ON b.doc_id = a.doc_id AND b.p BETWEEN a.p + 1 AND a.p + {window}
+            WHERE a.w <> b.w
+            GROUP BY a.doc_id, a.w, b.w
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_id, wi, wj, SUM(cnt) AS wgt FROM (
+                SELECT doc_id, wi, wj, cnt FROM prs
+                UNION ALL
+                SELECT doc_id, wj AS wi, wi AS wj, cnt FROM prs
+            ) GROUP BY doc_id, wi, wj
+        ),
+        outd AS MATERIALIZED (
+            SELECT doc_id, wj AS w, SUM(wgt) AS outw
+            FROM edges GROUP BY doc_id, wj
+        ),
+        vv AS MATERIALIZED (SELECT DISTINCT doc_id, w FROM tok3),
+        nn AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM vv GROUP BY doc_id),
+        p0 AS MATERIALIZED (
+            SELECT v.doc_id, v.w, CAST({S} // n AS BIGINT) AS pr
+            FROM vv v JOIN nn USING (doc_id)
+        )"""]
+    for t in range(1, iters + 1):
+        pv = t - 1
+        parts.append(f"""
+        c{t} AS (
+            SELECT e.doc_id, e.wi AS w, SUM(e.wgt * p.pr // o.outw) AS s
+            FROM edges e
+            JOIN p{pv} p ON p.doc_id = e.doc_id AND p.w = e.wj
+            JOIN outd o ON o.doc_id = e.doc_id AND o.w = e.wj
+            GROUP BY e.doc_id, e.wi
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT v.doc_id, v.w,
+                   CAST({3 * S} // (20 * n.n) + 17 * COALESCE(c.s, 0) // 20 AS BIGINT) AS pr
+            FROM vv v
+            JOIN nn n ON n.doc_id = v.doc_id
+            LEFT JOIN c{t} c ON c.doc_id = v.doc_id AND c.w = v.w
+        )""")
+    parts.append(f"""
+        fin AS (
+            SELECT doc_id, w, pr,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY pr DESC, w) AS rn
+            FROM p{iters}
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rank,
+               w AS keyword,
+               round_even(pr / 1000000000000.0, 8) AS score
+        FROM fin WHERE rn <= {topk}""")
+    return "WITH " + ",".join(parts)
 
 
 def _hll_sql(grouped: bool, p: int = 12) -> str:

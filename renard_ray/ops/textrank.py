@@ -9,9 +9,15 @@ a batch each document runs a dense numpy power iteration (vocabulary
 capped with a logged counter; a dense cap² matrix at the default cap
 of 512 is 2 MB — batch-local, never materialized across docs).
 
-Determinism: fixed iteration count, float64, uniform init; ties in
-the final top-k break on (score desc — an exact function of the
-doc —, then word asc).
+Determinism: EXACT FIXED-POINT arithmetic (round 5) — ranks iterate in
+integer 1e-12 units with floor divisions ((W*p)//out per edge,
+(17*s)//20 for the 0.85 damping, 3S//(20n) for the teleport), so the
+per-document result is a pure integer function of the text,
+independent of platform/BLAS, and re-derives term for term in SQL
+(the ``doc_textrank_keywords`` DuckDB twin unrolls the 30 rounds).
+The deviation from float TextRank is bounded by ~n*iters/1e12 (< 1e-7
+at the 512-word cap).  Ties in the final top-k break on (score desc,
+word asc).
 """
 
 from __future__ import annotations
@@ -57,23 +63,32 @@ def _doc_keywords(
                 vocab[t] = len(vocab)
     n = len(vocab)
     ids = np.array([vocab[t] for t in toks], dtype=np.int64)
-    W = np.zeros((n, n), dtype=np.float64)
+    # damping is fixed at 17/20 by the integer recipe below
+    assert damping == 0.85, "fixed-point textrank implements d = 17/20"
+    assert len(ids) < 5_000_000, "textrank: W*p would leave int64 range"
+    W = np.zeros((n, n), dtype=np.int64)
     for off in range(1, window + 1):
         if off >= len(ids):
             break
         a, b = ids[:-off], ids[off:]
-        np.add.at(W, (a, b), 1.0)
-        np.add.at(W, (b, a), 1.0)
-    np.fill_diagonal(W, 0.0)
-    out = W.sum(axis=1)
-    cols = np.where(out > 0, out, 1.0)
-    P = W / cols[None, :]  # P[i, j] = W[i, j] / out[j]: column-normalized
-    p = np.full(n, 1.0 / n)
+        np.add.at(W, (a, b), 1)
+        np.add.at(W, (b, a), 1)
+    np.fill_diagonal(W, 0)
+    out = W.sum(axis=1)  # symmetric: row sums == column sums
+    denom = np.maximum(out, 1)[None, :]
+    S = 10**12
+    p = np.full(n, S // n, dtype=np.int64)
+    base = (3 * S) // (20 * n)
     for _ in range(iters):
-        p = (1.0 - damping) / n + damping * (P @ p)
+        s = ((W * p[None, :]) // denom).sum(axis=1)
+        p = base + (17 * s) // 20
     words = list(vocab)
     order = sorted(range(n), key=lambda i: (-p[i], words[i]))[:topk]
-    return [words[i] for i in order], [float(p[i]) for i in order], truncated
+    return (
+        [words[i] for i in order],
+        [p[i] / S for i in order],
+        truncated,
+    )
 
 
 def textrank_keywords_replica(
