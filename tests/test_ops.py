@@ -9915,3 +9915,53 @@ def test_registry_dict_literals_have_no_duplicate_keys():
         "duplicate dict-literal keys (earlier entry silently dead): %r"
         % offenders
     )
+
+
+def test_broadcast_lookup_searchsorted_parity(ray_session):
+    """The per-worker sorted-key fast path (searchsorted against the
+    cached broadcast side) returns exactly what the index_in path
+    returns: unmatched probes drop, payloads attach by key, int32
+    probes against int64 keys normalize, over- and under-range probes
+    miss cleanly, and STRING keys (which bypass the cache) agree."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from renard_ray.ops.relational import broadcast_lookup_join
+
+    rng = np.random.RandomState(11)
+    keys = np.unique(rng.randint(0, 10_000, size=600)).astype(np.int64)
+    payload = keys * 7 + 1
+    right = _ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(payload)})
+    )
+    # probes: hits, misses inside the range, and out-of-range extremes
+    probes = np.concatenate(
+        [keys[::3], rng.randint(0, 12_000, size=400),
+         np.array([-5, 11_999_999], dtype=np.int64)]
+    )
+    left = _ray.data.from_arrow(
+        pa.table({"k": pa.array(probes.astype(np.int32), pa.int32()),
+                  "row": pa.array(np.arange(len(probes)))})
+    ).repartition(5)
+
+    got = (
+        broadcast_lookup_join(left, right, on="k", right_on="k", payload=["v"])
+        .to_pandas().sort_values("row").reset_index(drop=True)
+    )
+    kset = set(keys.tolist())
+    want_rows = [(i, int(p)) for i, p in enumerate(probes) if int(p) in kset]
+    assert list(zip(got["row"], got["k"])) == want_rows
+    assert (got["v"] == got["k"] * 7 + 1).all()
+
+    # string keys bypass the cache and ride index_in — same semantics
+    rs = _ray.data.from_arrow(
+        pa.table({"k": pa.array([f"s{i}" for i in range(50)]),
+                  "v": pa.array(list(range(50)), pa.int64())})
+    )
+    ls = _ray.data.from_arrow(
+        pa.table({"k": pa.array([f"s{i}" for i in range(0, 100, 2)])})
+    )
+    gs = broadcast_lookup_join(ls, rs, on="k", right_on="k", payload=["v"]).to_pandas()
+    assert sorted(gs["v"].tolist()) == sorted(range(0, 50, 2))
